@@ -1,0 +1,95 @@
+"""CLI — the job entry point for spark-submit / python -m.
+
+Analog of the reference CLI (/root/reference/cli.py: predict/train/export
+subcommands) re-shaped for a distributed batch engine:
+
+    python -m ai_invoice_ocr_engine_spark gen --out DIR --docs 2000 [--seed 42]
+    python -m ai_invoice_ocr_engine_spark extract --docs DIR/documents.parquet \
+        --media DIR/media.parquet --out OUTDIR [--buckets 32] [--no-resume] \
+        [--strategy auto|broadcast|join] [--master local[32]]
+    python -m ai_invoice_ocr_engine_spark oracle --docs ... --media ... --out golden.parquet
+
+On a real cluster the same module rides ``spark-submit --py-files
+ai_invoice_ocr_engine_spark.zip -m ...`` — there is no driver-side state
+beyond the session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ai_invoice_ocr_engine_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=200)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--max-side", type=int, default=960)
+
+    e = sub.add_parser("extract", help="run the Spark extraction job")
+    e.add_argument("--docs", required=True)
+    e.add_argument("--media", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--buckets", type=int, default=32)
+    e.add_argument("--salt", type=int, default=4)
+    e.add_argument("--strategy", default="auto", choices=["auto", "broadcast", "join"])
+    e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--master", default=None)
+    e.add_argument("--run-id", default=None)
+
+    o = sub.add_parser("oracle", help="run the single-process golden oracle")
+    o.add_argument("--docs", required=True)
+    o.add_argument("--media", required=True)
+    o.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .fixtures import gen_corpus, write_corpus
+
+        docs, media = gen_corpus(
+            seed=args.seed, n_docs=args.docs, max_media_side=args.max_side
+        )
+        dp, mp = write_corpus(args.out, docs, media)
+        print(json.dumps({"documents": dp, "media": mp, "n_docs": len(docs), "n_media": len(media)}))
+        return 0
+
+    if args.cmd == "extract":
+        from .pipeline import run_extract
+        from .sources.session import get_spark
+
+        spark = get_spark(app="extract", master=args.master)
+        try:
+            stats = run_extract(
+                spark,
+                args.docs,
+                args.media,
+                args.out,
+                num_buckets=args.buckets,
+                salt=args.salt,
+                resume=not args.no_resume,
+                media_strategy=args.strategy,
+                run_id=args.run_id,
+            )
+        finally:
+            spark.stop()
+        print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "oracle":
+        from .oracle import run_oracle_parquet
+
+        path = run_oracle_parquet(args.docs, args.media, args.out)
+        print(json.dumps({"golden": path}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""Pipeline configuration.
+
+Default numeric thresholds mirror the reference engine's defaults
+(/root/reference/config.py:14-37 — det.th=0.3, det.bth=0.6, det.ur=1.5,
+det.mxs=960, det.ms=3, det.dil=1; rec.h=48, rec.mw=320), plus layout
+thresholds line_th=10 (/root/reference/postprocess.py:56) and
+para_th=30 (/root/reference/postprocess.py:70).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class DetectConfig:
+    th: float = 0.3        # probability threshold on the prob map
+    bth: float = 0.6       # box score threshold
+    ur: float = 1.5        # unclip (expansion) ratio
+    mxs: int = 960         # max side for detection input
+    ms: int = 3            # min box side in px
+    dil: int = 1           # dilation radius pre-component-labeling
+
+
+@dataclass(frozen=True)
+class RecognizeConfig:
+    h: int = 48            # fixed crop height
+    mw: int = 320          # max crop width after resize
+    min_w: int = 8         # floor on resized crop width
+    weight_seed: int = 20260816  # frozen-weight seed (fixture artifact)
+
+
+@dataclass(frozen=True)
+class LayoutConfig:
+    line_th: float = 10.0      # reading-order line threshold (px)
+    para_th: float = 30.0      # paragraph gap threshold (px)
+    strip_boilerplate: bool = True
+    header_frac: float = 0.10  # lines with y-center above this band are header
+    footer_frac: float = 0.90  # …below this band are footer
+    min_lines_for_strip: int = 3
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    det: DetectConfig = field(default_factory=DetectConfig)
+    rec: RecognizeConfig = field(default_factory=RecognizeConfig)
+    layout: LayoutConfig = field(default_factory=LayoutConfig)
+    extract_fields: bool = True
+
+    def to_dict(self) -> dict:
+        return asdict(self)

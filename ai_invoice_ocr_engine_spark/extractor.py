@@ -1,0 +1,129 @@
+"""Per-document extraction — the shared core of oracle and Spark UDFs.
+
+One function, ``extract_doc``, reproduces the reference engine's per-image
+flow (/root/reference/engine.py:49-55: preprocess → detect → scale boxes →
+recognize from the original frame → assemble) generalized to an interleaved
+text+media document: native text spans pass through, each media span expands
+in place into OCR'd spans in reading order.
+
+The Spark pipeline calls this inside ``mapInPandas`` (one call per document,
+numpy-vectorized within); the oracle calls it in a plain loop. Identical
+bytes in → identical spans out, by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import numpy as np
+
+from . import kernels as K
+from .config import ExtractConfig
+
+#: Output span kinds
+KIND_TEXT = "text"
+KIND_OCR = "ocr_text"
+
+
+def extract_media_lines(
+    image_bytes: bytes, cfg: ExtractConfig, weights
+) -> list[list[tuple[str, float]]]:
+    """Run detection + recognition + layout on one media frame.
+
+    Returns reading-order *lines*, each a list of (text, score) in
+    left-to-right order, after boilerplate stripping. Mirrors the reference
+    single-image flow: detect on the keep-ratio/×32 resize
+    (/root/reference/engine.py:50-52), crop+recognize from the ORIGINAL
+    frame (/root/reference/engine.py:39-41,53), then reading-order sort
+    (/root/reference/postprocess.py:54-68).
+    """
+    img = K.decode_synf(image_bytes)
+    oh, ow = img.shape
+    det_img = K.det_resize(img, cfg.det.mxs)
+    prob = K.detect_prob(det_img)
+    boxes, scores = K.extract_boxes(
+        prob, (oh, ow), th=cfg.det.th, bth=cfg.det.bth, ur=cfg.det.ur,
+        ms=cfg.det.ms, dil=cfg.det.dil,
+    )
+    if len(boxes) == 0:
+        return []
+    texts_scores = [
+        K.recognize_crop(
+            K.crop_box(img, b), weights, h=cfg.rec.h, mw=cfg.rec.mw, min_w=cfg.rec.min_w
+        )
+        for b in boxes
+    ]
+    lines = K.reading_order_lines(boxes, texts_scores, line_th=cfg.layout.line_th)
+    if cfg.layout.strip_boilerplate:
+        lines = K.strip_boilerplate_lines(
+            lines,
+            oh,
+            header_frac=cfg.layout.header_frac,
+            footer_frac=cfg.layout.footer_frac,
+            min_lines=cfg.layout.min_lines_for_strip,
+        )
+    return [[ts for _box, ts in line] for line in lines]
+
+
+def extract_doc(
+    spans: Iterable[Mapping] | None,
+    media_lookup: Mapping[str, bytes],
+    cfg: ExtractConfig,
+    weights=None,
+) -> dict:
+    """Extract one interleaved document into an ordered span sequence.
+
+    ``spans``: iterable of {kind, text, media_ref, offset} mappings (the
+    input_hint schema). ``media_lookup``: media_ref → SYNF bytes for the
+    media this document references (missing refs contribute zero spans but
+    are counted in ``n_media_missing``).
+
+    Returns dict with:
+      spans_out: list of {kind, text, media_ref, order} — native text spans
+        pass through (kind='text'); each media span expands in place into
+        OCR spans (kind='ocr_text', media_ref preserved) in reading order;
+        ``order`` is dense 0..m-1 over the merged sequence.
+      invoice_fields: {invoice_number?, invoice_date?, total_amount?}
+      n_spans_in, n_media, n_media_missing, n_ocr: int counters.
+    """
+    if weights is None:
+        weights = K.crnn_weights(cfg.rec.weight_seed)
+    items = sorted(
+        (dict(s) for s in (spans or [])), key=lambda s: int(s.get("offset", 0))
+    )
+    out: list[dict] = []
+    n_media = 0
+    n_media_missing = 0
+    n_ocr = 0
+    for s in items:
+        kind = s.get("kind") or ""
+        if kind == "media":
+            n_media += 1
+            ref = s.get("media_ref") or ""
+            blob = media_lookup.get(ref)
+            if blob is None:
+                n_media_missing += 1
+                continue
+            for line in extract_media_lines(bytes(blob), cfg, weights):
+                for text, _score in line:
+                    out.append({"kind": KIND_OCR, "text": text, "media_ref": ref})
+                    n_ocr += 1
+        else:
+            out.append(
+                {"kind": KIND_TEXT, "text": s.get("text") or "", "media_ref": ""}
+            )
+    for order, span in enumerate(out):
+        span["order"] = order
+    fields = (
+        K.extract_invoice_fields([sp["text"] for sp in out])
+        if cfg.extract_fields
+        else {}
+    )
+    return {
+        "spans_out": out,
+        "invoice_fields": fields,
+        "n_spans_in": len(items),
+        "n_media": n_media,
+        "n_media_missing": n_media_missing,
+        "n_ocr": n_ocr,
+    }

@@ -1,0 +1,560 @@
+"""Numpy-only numeric kernels — the single source of numeric truth.
+
+Both the single-process oracle (oracle.py) and the Spark vectorized UDFs
+(pipeline.py) call these functions, so golden span equality tests exercise
+the *distributed plumbing* (joins, batching, ordering, resume) rather than
+re-deriving floating point twice.
+
+Every kernel re-expresses a reference-engine semantic (file:line cited per
+function). cv2/shapely/pyclipper are unavailable in this environment and the
+reference's pretrained weights are placeholders, so the kernels are
+deterministic numpy re-derivations of the reference's *fallback* algorithm
+path (Otsu detection, axis-aligned boxes, CTC-greedy decode) — see
+SURVEY.md §2.7/§2.8/§7.3 for the decision log.
+
+Determinism notes (critical for batch-/parallelism-invariance):
+  * Recognition matmuls are INTEGER (int64) — immune to BLAS thread-count
+    dependent float summation order, so local[8] and local[32] runs are
+    bit-identical.
+  * All float ops are element-wise or fixed-order reductions.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Vocabulary  (reference: /root/reference/recognize/vocab.py:13-19 — blank=0,
+# unk=1, then digits + ascii letters; we keep the ASCII subset, CJK chars are
+# additive and unused by the synthetic corpus)
+# --------------------------------------------------------------------------
+
+CHARS = list("0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+BLANK_IDX = 0
+UNK_IDX = 1
+VOCAB_SIZE = 2 + len(CHARS)  # 64
+_IDX2CHAR = {i + 2: c for i, c in enumerate(CHARS)}
+_CHAR2IDX = {c: i + 2 for i, c in enumerate(CHARS)}
+
+
+def idx2char(i: int) -> str:
+    """/root/reference/recognize/vocab.py:37-39 (unk for unknown index)."""
+    return _IDX2CHAR.get(int(i), "<unk>")
+
+
+def encode_text(text: str) -> list[int]:
+    """/root/reference/recognize/vocab.py:40-42 (unk=1 for unknown char)."""
+    return [_CHAR2IDX.get(c, UNK_IDX) for c in text]
+
+
+# --------------------------------------------------------------------------
+# SYNF media codec (fixture image format — header b"SYNF" + u32le w,h + pixels)
+# --------------------------------------------------------------------------
+
+SYNF_MAGIC = b"SYNF"
+
+
+def encode_synf(img: np.ndarray) -> bytes:
+    assert img.dtype == np.uint8 and img.ndim == 2
+    h, w = img.shape
+    return SYNF_MAGIC + struct.pack("<II", w, h) + img.tobytes()
+
+
+def decode_synf(data: bytes) -> np.ndarray:
+    """Returns grayscale uint8 (h, w). Raises ValueError on bad magic."""
+    if data[:4] != SYNF_MAGIC:
+        raise ValueError("not a SYNF frame")
+    w, h = struct.unpack("<II", data[4:12])
+    img = np.frombuffer(data[12 : 12 + h * w], dtype=np.uint8)
+    return img.reshape(h, w).copy()
+
+
+# --------------------------------------------------------------------------
+# Detection — Otsu fallback path (/root/reference/detect/db.py:10-23:
+# GaussianBlur(5,5) → Otsu THRESH_BINARY_INV → close×2 → open×1, prob map is
+# the cleaned binary mask as float)
+# --------------------------------------------------------------------------
+
+# cv2 GaussianBlur(ksize=5, sigma=0) derives sigma = 0.3*((5-1)*0.5-1)+0.8 = 1.1
+_G5 = np.exp(-((np.arange(5) - 2.0) ** 2) / (2.0 * 1.1 * 1.1))
+_G5 = (_G5 / _G5.sum()).astype(np.float64)
+
+
+def gaussian_blur5(img: np.ndarray) -> np.ndarray:
+    """Separable 5-tap Gaussian, reflect-101 border; uint8 in/out."""
+    f = img.astype(np.float64)
+    p = np.pad(f, ((0, 0), (2, 2)), mode="reflect")
+    h = sum(_G5[k] * p[:, k : k + f.shape[1]] for k in range(5))
+    p = np.pad(h, ((2, 2), (0, 0)), mode="reflect")
+    v = sum(_G5[k] * p[k : k + f.shape[0], :] for k in range(5))
+    return np.clip(np.rint(v), 0, 255).astype(np.uint8)
+
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Classic Otsu over a 256-bin histogram (max between-class variance)."""
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    omega = np.cumsum(hist)
+    mu = np.cumsum(hist * np.arange(256, dtype=np.float64))
+    mu_t = mu[-1]
+    denom = omega * (total - omega)
+    sigma_b = np.zeros(256, dtype=np.float64)
+    valid = denom > 0
+    sigma_b[valid] = (mu_t * omega[valid] - mu[valid] * total) ** 2 / denom[valid]
+    return int(np.argmax(sigma_b))
+
+
+def _dilate3(m: np.ndarray) -> np.ndarray:
+    p = np.pad(m, 1, mode="constant", constant_values=False)
+    out = p[1:-1, 1:-1].copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out |= p[1 + dy : p.shape[0] - 1 + dy, 1 + dx : p.shape[1] - 1 + dx]
+    return out
+
+
+def _erode3(m: np.ndarray) -> np.ndarray:
+    p = np.pad(m, 1, mode="constant", constant_values=True)
+    out = p[1:-1, 1:-1].copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out &= p[1 + dy : p.shape[0] - 1 + dy, 1 + dx : p.shape[1] - 1 + dx]
+    return out
+
+
+def detect_prob(gray: np.ndarray) -> np.ndarray:
+    """Fallback 'detector' forward: prob map = cleaned binary text mask.
+
+    Mirrors /root/reference/detect/db.py:10-23 (blur → Otsu inverse-binary →
+    morphological close ×2 → open ×1), with cv2 replaced by numpy.
+    """
+    bl = gaussian_blur5(gray)
+    t = otsu_threshold(bl)
+    mask = bl <= t  # THRESH_BINARY_INV: foreground where value <= threshold
+    # close ×2 == dilate×2 then erode×2 ; open ×1 == erode then dilate
+    mask = _erode3(_erode3(_dilate3(_dilate3(mask))))
+    mask = _dilate3(_erode3(mask))
+    return mask.astype(np.float32)
+
+
+def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int, int]]:
+    """8-connected component bounding boxes via run-based union-find.
+
+    Replaces cv2.findContours (/root/reference/detect/postprocess.py:18) per
+    SURVEY.md §2.7 K7 — north_star sanctions connected-component detection.
+    Returns [(x0, y0, x1, y1, area)] with exclusive x1/y1, sorted by
+    (y0, x0, x1, y1) for a deterministic order.
+    """
+    h, w = mask.shape
+    m8 = mask.astype(np.int8)
+    parent: list[int] = []
+    runs: list[tuple[int, int, int, int]] = []  # (y, xs, xe, label)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    prev: list[tuple[int, int, int]] = []  # (xs, xe, label) of previous row
+    buf = np.empty(w + 2, dtype=np.int8)
+    buf[0] = 0
+    buf[-1] = 0
+    for y in range(h):
+        buf[1:-1] = m8[y]
+        d = np.diff(buf)
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        cur: list[tuple[int, int, int]] = []
+        for xs, xe in zip(starts.tolist(), ends.tolist()):
+            lab = -1
+            for pxs, pxe, plab in prev:
+                if xs <= pxe and pxs <= xe:  # 8-connectivity overlap (±1 slack)
+                    r = find(plab)
+                    if lab == -1:
+                        lab = r
+                    elif r != lab:
+                        parent[r] = lab
+            if lab == -1:
+                lab = len(parent)
+                parent.append(lab)
+            cur.append((xs, xe, lab))
+            runs.append((y, xs, xe, lab))
+        prev = cur
+
+    agg: dict[int, list[int]] = {}
+    for y, xs, xe, lab in runs:
+        r = find(lab)
+        b = agg.get(r)
+        if b is None:
+            agg[r] = [xs, y, xe, y + 1, xe - xs]
+        else:
+            if xs < b[0]:
+                b[0] = xs
+            if xe > b[2]:
+                b[2] = xe
+            b[3] = y + 1
+            b[4] += xe - xs
+    out = [(b[0], b[1], b[2], b[3], b[4]) for b in agg.values()]
+    out.sort(key=lambda t: (t[1], t[0], t[2], t[3]))
+    return out
+
+
+def extract_boxes(
+    prob: np.ndarray,
+    orig_size: tuple[int, int],
+    th: float = 0.3,
+    bth: float = 0.6,
+    ur: float = 1.5,
+    ms: int = 3,
+    dil: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Prob map → scored axis-aligned boxes in ORIGINAL image coordinates.
+
+    Mirrors /root/reference/detect/postprocess.py:12-31 with AABB geometry
+    (SURVEY.md §7.3): threshold → dilate → components → score filter →
+    unclip (exact rectangle offset d = area*ur/perimeter, K9) → min-size
+    filter → rescale per-axis to the original frame with clipping.
+
+    Returns (boxes (N,4) float32 [x0,y0,x1,y1], scores (N,) float32).
+    """
+    dh, dw = prob.shape
+    oh, ow = orig_size
+    mask = prob > th
+    for _ in range(dil):
+        mask = _dilate3(mask)
+    boxes, scores = [], []
+    for x0, y0, x1, y1, _area in connected_components(mask):
+        region = prob[y0:y1, x0:x1]
+        sc = float(region.mean()) if region.size else 0.0
+        if sc < bth:
+            continue
+        bw, bh = float(x1 - x0), float(y1 - y0)
+        d = (bw * bh) * ur / (2.0 * (bw + bh)) if (bw + bh) > 0 else 0.0
+        ex0, ey0, ex1, ey1 = x0 - d, y0 - d, x1 + d, y1 + d
+        if min(ex1 - ex0, ey1 - ey0) < ms:
+            continue
+        # per-axis rescale back to the original frame, clipped (reference
+        # clips at detect/postprocess.py:29)
+        fx, fy = ow / dw, oh / dh
+        boxes.append(
+            (
+                min(max(ex0 * fx, 0.0), ow),
+                min(max(ey0 * fy, 0.0), oh),
+                min(max(ex1 * fx, 0.0), ow),
+                min(max(ey1 * fy, 0.0), oh),
+            )
+        )
+        scores.append(sc)
+    if not boxes:
+        return np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
+    return np.asarray(boxes, np.float32), np.asarray(scores, np.float32)
+
+
+# --------------------------------------------------------------------------
+# Geometry / resizing
+# --------------------------------------------------------------------------
+
+
+def resize_bilinear(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Pixel-center-aligned bilinear resize, uint8 in/out, deterministic."""
+    h, w = img.shape
+    if (h, w) == (nh, nw):
+        return img.copy()
+    ys = (np.arange(nh, dtype=np.float64) + 0.5) * (h / nh) - 0.5
+    xs = (np.arange(nw, dtype=np.float64) + 0.5) * (w / nw) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def det_resize(img: np.ndarray, mxs: int = 960) -> np.ndarray:
+    """Keep-ratio resize capped at mxs, floored to multiples of 32.
+
+    Mirrors /root/reference/preprocess/core.py:26-30:
+    sc = min(mxs/h, mxs/w, 1.0); nh = (h*sc)//32*32 or 32 (same for w).
+    """
+    h, w = img.shape
+    sc = min(mxs / h, mxs / w, 1.0)
+    nh = max((int(h * sc) // 32) * 32, 32)
+    nw = max((int(w * sc) // 32) * 32, 32)
+    return resize_bilinear(img, nh, nw)
+
+
+def crop_box(img: np.ndarray, box: np.ndarray) -> np.ndarray:
+    """Axis-aligned crop (exact analog of the perspective crop for AABBs,
+    /root/reference/postprocess.py:5-10 — SURVEY.md §2.7 K10)."""
+    h, w = img.shape
+    x0 = max(int(np.floor(box[0])), 0)
+    y0 = max(int(np.floor(box[1])), 0)
+    x1 = min(int(np.ceil(box[2])), w)
+    y1 = min(int(np.ceil(box[3])), h)
+    x1 = max(x1, x0 + 1)
+    y1 = max(y1, y0 + 1)
+    return img[y0:y1, x0:x1]
+
+
+def aabb_iou(b1, b2) -> float:
+    """Axis-aligned IoU (replaces the shapely polygon IoU of
+    /root/reference/postprocess.py:43-50 exactly for rectangles, K23)."""
+    ix0, iy0 = max(b1[0], b2[0]), max(b1[1], b2[1])
+    ix1, iy1 = min(b1[2], b2[2]), min(b1[3], b2[3])
+    iw, ih = max(ix1 - ix0, 0.0), max(iy1 - iy0, 0.0)
+    inter = iw * ih
+    a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+    a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+    union = a1 + a2 - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, th: float = 0.5) -> list[int]:
+    """Greedy NMS, /root/reference/detect/postprocess.py:58-70 verbatim."""
+    if len(boxes) == 0:
+        return []
+    idxs = np.argsort(scores)[::-1]
+    keep = []
+    while len(idxs) > 0:
+        i = int(idxs[0])
+        keep.append(i)
+        if len(idxs) == 1:
+            break
+        ious = np.array([aabb_iou(boxes[i], boxes[j]) for j in idxs[1:]])
+        idxs = idxs[1:][ious < th]
+    return keep
+
+
+# --------------------------------------------------------------------------
+# Recognition — frozen seeded integer CRNN + CTC greedy
+# --------------------------------------------------------------------------
+
+_WEIGHT_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def crnn_weights(seed: int = 20260816) -> tuple[np.ndarray, np.ndarray]:
+    """Frozen seeded weights (fixture artifact, SURVEY.md §2.8): the
+    reference's recognition nets draw fresh random weights per call
+    (/root/reference/recognize/svtr.py:24,36,68) which would make goldens
+    unreproducible; we freeze them. INTEGER weights so the forward pass is
+    exact and order-independent across BLAS/thread configurations.
+
+    W1: patch-embed (192→96), W2: vocab head (96→VOCAB_SIZE). int64.
+    """
+    cached = _WEIGHT_CACHE.get(seed)
+    if cached is None:
+        rng = np.random.default_rng(seed)
+        w1 = rng.integers(-31, 32, size=(192, 96), dtype=np.int64)
+        w2 = rng.integers(-31, 32, size=(96, VOCAB_SIZE), dtype=np.int64)
+        cached = (w1, w2)
+        _WEIGHT_CACHE[seed] = cached
+    return cached
+
+
+def rec_resize(crop: np.ndarray, h: int = 48, mw: int = 320, min_w: int = 8) -> np.ndarray:
+    """Resize a crop to fixed height, width proportional, capped.
+
+    Mirrors /root/reference/recognize/recognizer.py:44-49 (h=48, mw=320)."""
+    ch, cw = crop.shape
+    nw = int(round(cw * h / max(ch, 1)))
+    nw = max(min(nw, mw), min_w)
+    return resize_bilinear(crop, h, nw)
+
+
+def crnn_logits(crop48: np.ndarray, weights: tuple[np.ndarray, np.ndarray]) -> np.ndarray:
+    """CRNN-shaped forward: 4-px patch embed → clip 'mixing' → vocab head.
+
+    Shape mirrors /root/reference/recognize/svtr.py:11-16,63-68 (patch embed,
+    mixing, height pool folded into the patch flatten, linear head). All
+    integer until the final float cast — bit-stable under any parallelism.
+    Input: uint8 (48, W). Output: float32 (T, VOCAB_SIZE), T = ceil(W/4).
+    """
+    w1, w2 = weights
+    h, w = crop48.shape
+    t = (w + 3) // 4
+    padded = np.full((h, t * 4), 255, dtype=np.uint8)
+    padded[:, :w] = crop48
+    feats = padded.reshape(h, t, 4).transpose(1, 0, 2).reshape(t, h * 4)
+    feats = feats.astype(np.int64) - 128
+    hid = feats @ w1                      # exact int64
+    hid = np.clip(hid >> 6, -127, 127)    # integer 'mixing' nonlinearity
+    logits = hid @ w2                     # exact int64
+    return (logits.astype(np.float32)) / 512.0
+
+
+def softmax(x: np.ndarray) -> np.ndarray:
+    """Stabilized softmax, /root/reference/recognize/ctc.py:42-44."""
+    ex = np.exp(x - np.max(x, axis=-1, keepdims=True))
+    return ex / np.sum(ex, axis=-1, keepdims=True)
+
+
+def ctc_greedy(logits: np.ndarray) -> tuple[str, float]:
+    """CTC greedy decode, /root/reference/recognize/ctc.py:16-24 verbatim:
+    argmax per step, drop blanks (idx 0) and repeats, score = mean of kept
+    max-softmax probabilities (0.0 when nothing kept)."""
+    probs = softmax(logits)
+    preds = np.argmax(probs, axis=-1)
+    scores = probs.max(axis=-1)
+    chars, scs = [], []
+    prev = -1
+    for p, sc in zip(preds.tolist(), scores.tolist()):
+        if p != 0 and p != prev:
+            chars.append(idx2char(p))
+            scs.append(sc)
+        prev = p
+    return "".join(chars), float(np.mean(scs)) if scs else 0.0
+
+
+def recognize_crop(crop: np.ndarray, weights, h=48, mw=320, min_w=8) -> tuple[str, float]:
+    """Full recognition of one crop (resize → normalize-by-shape → CRNN →
+    CTC). Per-crop, independent of batch composition (batch-invariance,
+    SURVEY.md §5.2(4))."""
+    return ctc_greedy(crnn_logits(rec_resize(crop, h, mw, min_w), weights))
+
+
+# --------------------------------------------------------------------------
+# Layout — reading order, paragraphs, boilerplate strip
+# --------------------------------------------------------------------------
+
+
+def reading_order_lines(boxes: np.ndarray, items: list, line_th: float = 10.0) -> list[list]:
+    """Group items into reading-order lines.
+
+    Exact semantics of /root/reference/postprocess.py:54-68
+    (_Reading.sort_reading_order): sort by (y_mean, x_mean); start a new line
+    when |y - curr_y| > line_th where curr_y is the y of the FIRST item of
+    the current line (not the previous item — the subtlety SURVEY.md §2.5 W2
+    flags); each line re-sorted by x_mean. Returns a list of lines, each a
+    list of (box, item) tuples.
+    """
+    n = len(items)
+    if n == 0:
+        return []
+    ys = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    xs = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    order = sorted(range(n), key=lambda i: (float(ys[i]), float(xs[i])))
+    lines: list[list[int]] = []
+    curr: list[int] = []
+    curr_y = float(ys[order[0]])
+    for i in order:
+        y = float(ys[i])
+        if abs(y - curr_y) > line_th:
+            if curr:
+                lines.append(sorted(curr, key=lambda j: float(xs[j])))
+                curr = []
+            curr_y = y
+        curr.append(i)
+    if curr:
+        lines.append(sorted(curr, key=lambda j: float(xs[j])))
+    return [[(boxes[i], items[i]) for i in line] for line in lines]
+
+
+def group_paragraphs(boxes: np.ndarray, texts: list[str], para_th: float = 30.0) -> list[list[str]]:
+    """Paragraph grouping, /root/reference/postprocess.py:69-79 verbatim:
+    sort by y_mean; a new paragraph starts when y_min - prev_y_max > para_th."""
+    n = len(texts)
+    if n == 0:
+        return []
+    ys = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    order = sorted(range(n), key=lambda i: float(ys[i]))
+    paras: list[list[str]] = []
+    curr: list[str] = []
+    prev_y = float(boxes[order[0], 3])
+    for i in order:
+        y_min = float(boxes[i, 1])
+        if y_min - prev_y > para_th and curr:
+            paras.append(curr)
+            curr = []
+        curr.append(texts[i])
+        prev_y = float(boxes[i, 3])
+    if curr:
+        paras.append(curr)
+    return paras
+
+
+def strip_boilerplate_lines(
+    lines: list[list],
+    img_h: int,
+    header_frac: float = 0.10,
+    footer_frac: float = 0.90,
+    min_lines: int = 3,
+) -> list[list]:
+    """Header/footer boilerplate strip (north_rule stage; the reference only
+    documents the intent at demo/05_data_flow.puml:124-130 — semantics are
+    ours, shared oracle↔engine): when a page has >= min_lines lines, drop
+    lines whose mean y-center falls in the top header_frac or bottom
+    (1-footer_frac) band of the image."""
+    if len(lines) < min_lines:
+        return lines
+    out = []
+    for line in lines:
+        yc = float(np.mean([(b[1] + b[3]) / 2.0 for b, _ in line]))
+        if yc < header_frac * img_h or yc > footer_frac * img_h:
+            continue
+        out.append(line)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Invoice field grouping (key-value extraction; target schema from the
+# reference ER diagram demo/07_database_er.puml:66-93 — no extraction code
+# exists in the reference, the regex rules are ours)
+# --------------------------------------------------------------------------
+
+_RE_INVOICE_NO = re.compile(r"\bINV[-]?([A-Za-z0-9]{3,})\b", re.IGNORECASE)
+_RE_DATE = re.compile(r"\b(\d{4}-\d{2}-\d{2})\b")
+_RE_TOTAL = re.compile(r"\bTOTAL[:\s]*([0-9]+\.[0-9]{2})\b", re.IGNORECASE)
+
+
+def extract_invoice_fields(texts: list[str]) -> dict[str, str]:
+    """First-match-wins key-value grouping over a document's span texts."""
+    fields: dict[str, str] = {}
+    for t in texts:
+        if "invoice_number" not in fields:
+            m = _RE_INVOICE_NO.search(t)
+            if m:
+                fields["invoice_number"] = m.group(1)
+        if "invoice_date" not in fields:
+            m = _RE_DATE.search(t)
+            if m:
+                fields["invoice_date"] = m.group(1)
+        if "total_amount" not in fields:
+            m = _RE_TOTAL.search(t)
+            if m:
+                fields["total_amount"] = m.group(1)
+    return fields
+
+
+# --------------------------------------------------------------------------
+# Metrics helpers (test-side; /root/reference/train/metrics.py)
+# --------------------------------------------------------------------------
+
+
+def edit_distance(a: str, b: str) -> int:
+    """Classic DP edit distance, /root/reference/train/metrics.py:38-46."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[lb]

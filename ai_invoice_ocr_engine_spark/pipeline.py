@@ -1,0 +1,277 @@
+"""The Spark extraction job: media join → vectorized extract → lineage/resume.
+
+Plan shape (what Catalyst sees, SURVEY.md §3.1):
+
+    scan(documents) ──────────────────────────────┐
+    scan(documents) → explode(spans) → filter     ├→ join(doc_id) → mapInPandas
+      (kind='media') → distinct → join(media) →   │     (extract)     → sink
+      groupBy(doc_id).collect_list ───────────────┘   + groupBy(bucket) lineage
+
+Scale design decisions:
+  * The Python boundary is crossed ONCE per document batch — a single fused
+    mapInPandas does decode→detect→recognize→layout (SURVEY.md §4, the
+    JVM↔Python Arrow tax is the dominant cost per the CIDR'22 UDF paper).
+  * Media side: 'broadcast' (media dict shipped once per executor — zero
+    shuffle, only valid while the media table fits in memory) or 'join'
+    (explode + equi-join + re-group; AQE plans broadcast vs SMJ and splits
+    skewed doc_id groups). 'auto' picks by media table size.
+  * Media bytes are deduplicated per (doc_id, media_ref) BEFORE the join so
+    a doc referencing the same frame twice ships it once.
+  * Skew: media-heavy documents cluster into few bucket(doc_id) partitions
+    (fixture skew tier); the pre-extract repartition key is
+    (bucket, salt=pmod(xxhash64(doc_id, run_id), S)) so those buckets fan
+    out over S tasks.
+  * Lineage rows (partition_id, doc_count, span_count, checksum) are written
+    per completed run; resume anti-joins documents against completed
+    buckets (J3 of SURVEY.md §2.3) and processes only the remainder.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import ExtractConfig
+from . import kernels as K
+from .extractor import extract_doc
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField(
+            "spans_out",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("kind", StringType()),
+                        StructField("text", StringType()),
+                        StructField("media_ref", StringType()),
+                        StructField("order", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("invoice_fields", MapType(StringType(), StringType())),
+        StructField("n_spans_in", IntegerType()),
+        StructField("n_media", IntegerType()),
+        StructField("n_media_missing", IntegerType()),
+        StructField("n_ocr", IntegerType()),
+    ]
+)
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType()),
+        StructField("run_id", StringType()),
+        StructField("doc_count", LongType()),
+        StructField("span_count", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+#: media table bytes under which 'auto' picks the broadcast strategy
+BROADCAST_MEDIA_LIMIT = 256 * 1024 * 1024
+
+
+def _run_extract_batches(
+    batches: Iterator[pd.DataFrame], cfg: ExtractConfig, media_bc=None, weights_bc=None
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body. Executed on executors; weights come from the
+    broadcast when provided (north_star: broadcast of model weights), else
+    are re-derived from the frozen seed via the per-worker module cache
+    (/root/reference/engine.py:17-21 singleton pattern, SURVEY.md §4)."""
+    weights = weights_bc.value if weights_bc is not None else K.crnn_weights(cfg.rec.weight_seed)
+    media_lookup = media_bc.value if media_bc is not None else None
+    for pdf in batches:
+        out = {k.name: [] for k in RESULT_SCHEMA.fields}
+        has_media_col = "__media" in pdf.columns
+        for i in range(len(pdf)):
+            spans = pdf["spans"].iloc[i]
+            if media_lookup is not None:
+                lookup = media_lookup
+            elif has_media_col:
+                ml = pdf["__media"].iloc[i]
+                lookup = (
+                    {m["media_ref"]: m["image"] for m in ml} if ml is not None else {}
+                )
+            else:
+                lookup = {}
+            res = extract_doc(
+                list(spans) if spans is not None else [], lookup, cfg, weights
+            )
+            out["doc_id"].append(pdf["doc_id"].iloc[i])
+            out["spans_out"].append(res["spans_out"])
+            out["invoice_fields"].append(res["invoice_fields"])
+            out["n_spans_in"].append(res["n_spans_in"])
+            out["n_media"].append(res["n_media"])
+            out["n_media_missing"].append(res["n_media_missing"])
+            out["n_ocr"].append(res["n_ocr"])
+        yield pd.DataFrame(out)
+
+
+def extract(
+    docs: DataFrame,
+    media: DataFrame,
+    cfg: ExtractConfig | None = None,
+    media_strategy: str = "auto",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """documents × media → extracted span sequences (RESULT_SCHEMA)."""
+    cfg = cfg or ExtractConfig()
+    spark = docs.sparkSession
+    sc = spark.sparkContext
+
+    if media_strategy == "auto":
+        stats = media.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.octet_length("image")), F.lit(0)).alias("b"),
+        ).collect()[0]
+        media_strategy = "broadcast" if stats["b"] <= BROADCAST_MEDIA_LIMIT else "join"
+
+    weights_bc = (
+        sc.broadcast(K.crnn_weights(cfg.rec.weight_seed)) if broadcast_weights else None
+    )
+
+    if media_strategy == "broadcast":
+        lookup = {
+            r["media_ref"]: bytes(r["image"])
+            for r in media.select("media_ref", "image").collect()
+        }
+        media_bc = sc.broadcast(lookup)
+        fn = lambda it: _run_extract_batches(it, cfg, media_bc=media_bc, weights_bc=weights_bc)  # noqa: E731
+        return docs.select("doc_id", "spans").mapInPandas(fn, RESULT_SCHEMA)
+
+    # join strategy: ship each doc exactly the frames it references
+    needed = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == F.lit("media"))
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+        .distinct()  # dedupe duplicate refs within a doc before shipping bytes
+    )
+    doc_media = (
+        needed.join(media.select("media_ref", "image"), "media_ref", "inner")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("media_ref", "image")).alias("__media"))
+    )
+    enriched = docs.select("doc_id", "spans").join(doc_media, "doc_id", "left")
+    fn = lambda it: _run_extract_batches(it, cfg, weights_bc=weights_bc)  # noqa: E731
+    return enriched.mapInPandas(fn, RESULT_SCHEMA)
+
+
+def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
+    """partition_id = pmod(xxhash64(doc_id), P) — FIXTURES.md §4."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    )
+
+
+def lineage_of(result_with_bucket: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage rows. checksum = bit_xor fold of
+    xxhash64(doc_id, canonical spans_out json) — order-insensitive and
+    overflow-free (Spark 4 ANSI mode makes sum() overflow an error)."""
+    return result_with_bucket.groupBy(F.col("bucket").alias("partition_id")).agg(
+        F.lit(run_id).alias("run_id"),
+        F.count(F.lit(1)).alias("doc_count"),
+        F.coalesce(F.sum(F.size("spans_out")), F.lit(0)).cast("long").alias("span_count"),
+        F.bit_xor(F.xxhash64("doc_id", F.to_json("spans_out"))).alias("checksum"),
+    )
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame | None:
+    """Buckets already extracted (any run)."""
+    if not _path_exists(spark, lineage_path):
+        return None
+    return (
+        spark.read.parquet(lineage_path)
+        .select(F.col("partition_id").alias("bucket"))
+        .distinct()
+    )
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def run_extract(
+    spark: SparkSession,
+    docs_path: str,
+    media_path: str,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    num_buckets: int = 32,
+    salt: int = 4,
+    resume: bool = True,
+    media_strategy: str = "auto",
+    run_id: str | None = None,
+) -> dict:
+    """End-to-end job: read → (resume filter) → extract → bucketed write +
+    lineage. Output layout:
+
+        {out_dir}/spans/bucket=N/part-*.parquet   (result, partitioned)
+        {out_dir}/lineage/part-*.parquet           (LINEAGE_SCHEMA)
+
+    Returns run stats {run_id, buckets_done, buckets_skipped, docs, secs}.
+    """
+    cfg = cfg or ExtractConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spans_dir = os.path.join(out_dir, "spans")
+    lineage_dir = os.path.join(out_dir, "lineage")
+
+    docs = with_bucket(spark.read.parquet(docs_path), num_buckets)
+    media = spark.read.parquet(media_path)
+
+    skipped = 0
+    if resume:
+        done = completed_buckets(spark, lineage_dir)
+        if done is not None:
+            skipped = done.count()
+            docs = docs.join(done, "bucket", "left_anti")  # J3: resume anti-join
+
+    # salt spreads skewed (media-heavy) buckets across `salt` tasks each
+    docs = docs.withColumn(
+        "__salt", F.pmod(F.xxhash64("doc_id", F.lit(run_id)), F.lit(salt))
+    ).repartition(max(spark.sparkContext.defaultParallelism, num_buckets), "bucket", "__salt")
+
+    t0 = time.time()
+    result = with_bucket(
+        extract(docs, media, cfg, media_strategy=media_strategy), num_buckets
+    )
+    result.persist()
+    try:
+        n_docs = result.count()
+        (
+            result.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(spans_dir)
+        )
+        lineage_of(result, run_id).write.mode("append").parquet(lineage_dir)
+    finally:
+        result.unpersist()
+    secs = time.time() - t0
+    return {
+        "run_id": run_id,
+        "docs": n_docs,
+        "buckets_skipped": skipped,
+        "secs": round(secs, 3),
+        "docs_per_sec": round(n_docs / secs, 3) if secs > 0 else None,
+        "out": spans_dir,
+    }

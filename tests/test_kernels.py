@@ -1,0 +1,196 @@
+"""Kernel unit tests — SURVEY.md §5.2(1), mirroring the unit-test structure
+the reference's modules imply (it ships no tests of its own)."""
+
+import numpy as np
+import pytest
+
+from ai_invoice_ocr_engine_spark import kernels as K
+
+
+# ---- CTC greedy (/root/reference/recognize/ctc.py:16-24 semantics) ----
+
+def _logits_for(seq):
+    """Build logits whose argmax path is exactly `seq` (vocab indices)."""
+    lg = np.full((len(seq), K.VOCAB_SIZE), -5.0, dtype=np.float32)
+    for t, v in enumerate(seq):
+        lg[t, v] = 5.0
+    return lg
+
+
+def test_ctc_blank_collapse():
+    # 'a' is index 12 (2 + 10 digits)
+    a = K.encode_text("a")[0]
+    text, score = K.ctc_greedy(_logits_for([0, a, 0, a, 0]))
+    assert text == "aa"  # blank separates repeats -> both kept
+    assert 0.9 < score <= 1.0
+
+
+def test_ctc_repeat_collapse():
+    a, b = K.encode_text("ab")
+    text, _ = K.ctc_greedy(_logits_for([a, a, a, b, b]))
+    assert text == "ab"
+
+
+def test_ctc_empty():
+    text, score = K.ctc_greedy(_logits_for([0, 0, 0]))
+    assert text == "" and score == 0.0
+
+
+def test_vocab_roundtrip():
+    s = "az09AZ"
+    assert "".join(K.idx2char(i) for i in K.encode_text(s)) == s
+    assert K.encode_text("!")[0] == K.UNK_IDX
+
+
+# ---- reading order (/root/reference/postprocess.py:54-68) ----
+
+def _box(x0, y0, x1, y1):
+    return [x0, y0, x1, y1]
+
+
+def test_reading_order_lines_and_x_sort():
+    boxes = np.array(
+        [_box(100, 0, 120, 10), _box(0, 1, 20, 11), _box(0, 50, 20, 60)],
+        dtype=np.float32,
+    )
+    lines = K.reading_order_lines(boxes, ["right", "left", "below"], line_th=10.0)
+    flat = [t for line in lines for _b, t in line]
+    assert flat == ["left", "right", "below"]
+    assert [len(l) for l in lines] == [2, 1]
+
+
+def test_reading_order_first_y_anchor():
+    """The line threshold compares to the FIRST y of the current line, not
+    the previous item (the reference subtlety SURVEY.md §2.5 W2 flags):
+    a y-staircase 0,8,16 splits after the third item (|16-0|>10) even though
+    consecutive gaps are all <= 10."""
+    boxes = np.array(
+        [_box(0, 0, 10, 0), _box(0, 8, 10, 8), _box(0, 16, 10, 16)],
+        dtype=np.float32,
+    )
+    lines = K.reading_order_lines(boxes, ["a", "b", "c"], line_th=10.0)
+    assert [[t for _b, t in l] for l in lines] == [["a", "b"], ["c"]]
+
+
+def test_paragraph_grouping():
+    """/root/reference/postprocess.py:69-79: new para when y_min-prev_y_max>th."""
+    boxes = np.array(
+        [_box(0, 0, 10, 20), _box(0, 30, 10, 50), _box(0, 90, 10, 110)],
+        dtype=np.float32,
+    )
+    paras = K.group_paragraphs(boxes, ["l1", "l2", "l3"], para_th=30.0)
+    assert paras == [["l1", "l2"], ["l3"]]
+
+
+def test_strip_boilerplate():
+    lines = [
+        [(np.array([0, 5, 10, 15], np.float32), "header")],
+        [(np.array([0, 100, 10, 120], np.float32), "body")],
+        [(np.array([0, 188, 10, 198], np.float32), "footer")],
+    ]
+    out = K.strip_boilerplate_lines(lines, img_h=200, min_lines=3)
+    assert [l[0][1] for l in out] == ["body"]
+    # under min_lines no stripping happens
+    assert K.strip_boilerplate_lines(lines[:2], img_h=200, min_lines=3) == lines[:2]
+
+
+# ---- detection kernels ----
+
+def test_otsu_bimodal():
+    img = np.full((50, 50), 230, np.uint8)
+    img[10:20, 10:40] = 30
+    t = K.otsu_threshold(img)
+    assert 30 <= t < 230
+    assert ((img <= t) == (img == 30)).all()
+
+
+def test_connected_components_two_blobs():
+    m = np.zeros((20, 30), bool)
+    m[2:6, 2:10] = True
+    m[10:15, 15:25] = True
+    comps = K.connected_components(m)
+    assert len(comps) == 2
+    assert comps[0] == (2, 2, 10, 6, 32)
+    assert comps[1] == (15, 10, 25, 15, 50)
+
+
+def test_connected_components_diagonal_merge():
+    m = np.zeros((4, 4), bool)
+    m[0, 0] = True
+    m[1, 1] = True  # 8-connectivity joins diagonals
+    comps = K.connected_components(m)
+    assert len(comps) == 1
+
+
+def test_extract_boxes_scales_and_filters():
+    prob = np.zeros((100, 100), np.float32)
+    prob[10:30, 10:60] = 1.0  # solid band -> score 1.0
+    prob[50, 50] = 1.0  # 1px speck: survives nothing after min-size
+    boxes, scores = K.extract_boxes(prob, orig_size=(200, 200), dil=1)
+    assert len(boxes) >= 1
+    b = boxes[0]
+    assert scores[0] >= 0.6
+    # scaled 2x into original frame, expanded by unclip
+    assert b[0] < 20 < 120 < b[2] and b[1] < 20 < 60 < b[3]
+
+
+def test_detect_on_rendered_lines():
+    img = np.full((200, 300), 255, np.uint8)
+    img[40:60, 20:200] = 40
+    img[100:120, 20:150] = 40
+    prob = K.detect_prob(img)
+    boxes, scores = K.extract_boxes(prob, orig_size=img.shape)
+    assert len(boxes) == 2
+
+
+def test_iou_and_nms():
+    b1 = np.array([0, 0, 10, 10], np.float32)
+    b2 = np.array([5, 0, 15, 10], np.float32)
+    assert abs(K.aabb_iou(b1, b2) - 50 / 150) < 1e-6
+    keep = K.nms(np.stack([b1, b2]), np.array([0.9, 0.8]), th=0.2)
+    assert keep == [0]
+
+
+# ---- recognition determinism ----
+
+def test_recognition_deterministic_and_batch_independent():
+    rng = np.random.default_rng(7)
+    crop = rng.integers(0, 255, size=(31, 97), dtype=np.uint8)
+    w = K.crnn_weights()
+    t1 = K.recognize_crop(crop, w)
+    t2 = K.recognize_crop(crop.copy(), w)
+    assert t1 == t2
+    assert isinstance(t1[0], str) and 0.0 <= t1[1] <= 1.0
+
+
+def test_rec_resize_caps():
+    crop = np.zeros((10, 2000), np.uint8)
+    assert K.rec_resize(crop).shape == (48, 320)
+    assert K.rec_resize(np.zeros((100, 2), np.uint8)).shape == (48, 8)
+
+
+# ---- misc ----
+
+def test_edit_distance():
+    assert K.edit_distance("kitten", "sitting") == 3
+    assert K.edit_distance("", "abc") == 3
+    assert K.edit_distance("abc", "abc") == 0
+
+
+def test_invoice_fields():
+    f = K.extract_invoice_fields(
+        ["hello INV-48213 world", "date 2026-03-14", "TOTAL 532.10 due"]
+    )
+    assert f == {
+        "invoice_number": "48213",
+        "invoice_date": "2026-03-14",
+        "total_amount": "532.10",
+    }
+    assert K.extract_invoice_fields(["nothing here"]) == {}
+
+
+def test_synf_roundtrip():
+    img = np.random.default_rng(1).integers(0, 255, (33, 47), dtype=np.uint8)
+    assert (K.decode_synf(K.encode_synf(img)) == img).all()
+    with pytest.raises(ValueError):
+        K.decode_synf(b"JUNKxxxx")

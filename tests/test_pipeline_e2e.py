@@ -1,0 +1,55 @@
+"""End-to-end golden tests (SURVEY.md §5.2(3)): the Spark pipeline must
+reproduce the single-process oracle's span sequences exactly, under both
+media strategies, including all edge documents."""
+
+import pytest
+
+from ai_invoice_ocr_engine_spark import oracle as O
+from ai_invoice_ocr_engine_spark.config import ExtractConfig
+from ai_invoice_ocr_engine_spark.pipeline import extract
+
+from .util import assert_span_equal, spans_key
+
+
+@pytest.fixture(scope="module")
+def golden(corpus):
+    return spans_key(O.run_oracle(corpus["docs"], corpus["media"], ExtractConfig()))
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_golden_equality(spark, corpus, golden, strategy):
+    docs = spark.read.parquet(corpus["docs_path"])
+    media = spark.read.parquet(corpus["media_path"])
+    result = extract(docs, media, ExtractConfig(), media_strategy=strategy)
+    actual = spans_key(result.collect())
+    assert_span_equal(actual, golden)
+
+
+def test_edge_docs_present(spark, corpus, golden):
+    """Edge docs (FIXTURES.md §1) survive the pipeline: empty spans, dangling
+    media_ref, blank image."""
+    docs = corpus["docs"]
+    empty_id = docs[0]["doc_id"]
+    dangling_id = docs[6]["doc_id"]
+    assert golden[empty_id] == []
+    # dangling ref: media span contributes nothing, text span passes through
+    assert [k for (k, *_rest) in golden[dangling_id]] == ["text"]
+
+
+def test_oracle_deterministic(corpus):
+    """Determinism audit (SURVEY.md §7.3): two oracle runs are identical."""
+    cfg = ExtractConfig()
+    a = spans_key(O.run_oracle(corpus["docs"], corpus["media"], cfg))
+    b = spans_key(O.run_oracle(corpus["docs"], corpus["media"], cfg))
+    assert a == b
+
+
+def test_invoice_fields_match_oracle(spark, corpus):
+    cfg = ExtractConfig()
+    rows = O.run_oracle(corpus["docs"], corpus["media"], cfg)
+    golden_fields = {r["doc_id"]: dict(r["invoice_fields"]) for r in rows}
+    docs = spark.read.parquet(corpus["docs_path"])
+    media = spark.read.parquet(corpus["media_path"])
+    result = extract(docs, media, cfg, media_strategy="broadcast")
+    for r in result.select("doc_id", "invoice_fields").collect():
+        assert dict(r["invoice_fields"] or {}) == golden_fields[r["doc_id"]]

@@ -1,0 +1,84 @@
+"""Checkpoint-resume tests (SURVEY.md §5.2(5), north_rule): after a partial
+run (lineage written for a prefix of bucket partitions), a resumed run skips
+completed buckets and the final table equals an uninterrupted run."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ai_invoice_ocr_engine_spark.pipeline import (
+    LINEAGE_SCHEMA,
+    extract,
+    lineage_of,
+    run_extract,
+    with_bucket,
+)
+from ai_invoice_ocr_engine_spark.config import ExtractConfig
+
+from .util import assert_span_equal, spans_key
+
+NB = 8  # few buckets so every bucket is populated at test scale
+
+
+def test_resume_skips_completed_buckets(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig()
+
+    # --- simulate a killed run: extract only buckets {0,1,2}, write their
+    # lineage, as if the job died before the rest ---
+    docs_all = with_bucket(spark.read.parquet(corpus["docs_path"]), NB)
+    media = spark.read.parquet(corpus["media_path"])
+    prefix = docs_all.where(F.col("bucket") <= 2)
+    part = with_bucket(
+        extract(prefix, media, cfg, media_strategy="broadcast"), NB
+    )
+    part.write.mode("append").partitionBy("bucket").parquet(os.path.join(out, "spans"))
+    lineage_of(part, "run-partial").write.mode("append").parquet(
+        os.path.join(out, "lineage")
+    )
+    n_prefix = part.count()
+
+    # --- resumed run ---
+    stats = run_extract(
+        spark,
+        corpus["docs_path"],
+        corpus["media_path"],
+        out,
+        cfg=cfg,
+        num_buckets=NB,
+        resume=True,
+        media_strategy="broadcast",
+        run_id="run-resume",
+    )
+    assert stats["buckets_skipped"] == 3
+    assert stats["docs"] == docs_all.count() - n_prefix  # no recompute
+
+    # --- final table equals an uninterrupted run ---
+    final = spans_key(spark.read.parquet(os.path.join(out, "spans")).collect())
+    full = spans_key(
+        extract(docs_all, media, cfg, media_strategy="broadcast").collect()
+    )
+    assert_span_equal(final, full)
+
+    # lineage accounting: every bucket exactly once, counts add up
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    per_bucket = lin.groupBy("partition_id").count().collect()
+    assert all(r["count"] == 1 for r in per_bucket)
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == docs_all.count()
+
+
+def test_rerun_is_noop(spark, corpus, tmp_path):
+    out = str(tmp_path / "out2")
+    s1 = run_extract(
+        spark, corpus["docs_path"], corpus["media_path"], out,
+        num_buckets=NB, media_strategy="broadcast", run_id="r1",
+    )
+    assert s1["buckets_skipped"] == 0 and s1["docs"] > 0
+    s2 = run_extract(
+        spark, corpus["docs_path"], corpus["media_path"], out,
+        num_buckets=NB, media_strategy="broadcast", run_id="r2",
+    )
+    assert s2["docs"] == 0  # everything already completed
+
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    assert set(LINEAGE_SCHEMA.fieldNames()) == set(lin.columns)

@@ -1,0 +1,182 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All are shuffle-conscious compositions of built-in functions:
+
+  * exact        — one groupBy on a content hash (map-side combine).
+  * shingles     — explode is a narrow op; DISTINCT (doc, shingle) bounds
+                   the join input.
+  * jaccard      — candidate generation via an inverted shingle index with a
+                   document-frequency cap (rare-shingle pruning) so the
+                   self-join never explodes on common shingles; exact
+                   Jaccard is then computed only for candidate pairs.
+  * minhash_lsh  — k hash functions → band signatures → equi-join on
+                   (band, signature): the classic sub-quadratic near-dup
+                   path; at 10^12 docs this is the only viable shape.
+  * simhash      — 16-bit sign-aggregated token hash + banded Hamming join.
+
+Hashes are md5-derived 60-bit ints (identical in Spark and DuckDB, which is
+what the correctness oracle leans on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _hexint(expr: str) -> str:
+    """SQL fragment: md5-derived 60-bit bigint of `expr` (engine-portable)."""
+    return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def exact_dup_groups(corpus: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts (hash-groupBy dedup)."""
+    return (
+        corpus.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def shingles(corpus: DataFrame, n: int = 8, step: int = 4) -> DataFrame:
+    """(doc_id, sh): distinct character n-gram shingles, stride `step`."""
+    return (
+        corpus.select(
+            "doc_id",
+            F.expr(
+                f"explode(sequence(1, greatest(length(text) - {n - 1}, 1), {step}))"
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substr(text, i, {n})").alias("sh"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    corpus: DataFrame, max_df: int = 5, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard over rare shingles.
+
+    Common shingles (document frequency > max_df) are dropped before the
+    pair join — the standard inverted-index candidate pruning that keeps
+    the self-join linear-ish in corpus size.
+    """
+    sh = shingles(corpus)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("sh")
+    )
+    rsh = sh.join(rare, "sh")
+    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = rsh.alias("a")
+    b = rsh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+def minhash_band_pairs(
+    corpus: DataFrame, k: int = 12, band_rows: int = 3
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: k min-hashes, bands of `band_rows`,
+    pairs colliding in >= 1 band (returned with their collision count)."""
+    sh = shingles(corpus)
+    hashes = sh.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+        "sh",
+    ).select(
+        "doc_id",
+        "j",
+        F.expr(_hexint("concat(cast(j as string), '|', sh)")).alias("h"),
+    )
+    mh = hashes.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
+    bands = (
+        mh.withColumn("band", F.expr(f"cast(j / {band_rows} as int)"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.expr("transform(array_sort(collect_list(struct(j, mh))), x -> cast(x.mh as string))"))
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(corpus: DataFrame, bits: int = 16) -> DataFrame:
+    """16-bit SimHash per document: bit b is the sign of the sum over tokens
+    of ±1 according to bit b of the token's md5-derived hash."""
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = toks.select("doc_id", F.expr(_hexint("tok")).alias("h"))
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_pairs(corpus: DataFrame, bits: int = 16, max_hamming: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share the top-8-bit band, then
+    exact Hamming distance <= max_hamming (banded join keeps it sub-quadratic)."""
+    sim = simhash(corpus, bits)
+    a = sim.alias("a")
+    b = sim.alias("b")
+    return (
+        a.join(
+            b,
+            (F.expr("a.simhash >> 8") == F.expr("b.simhash >> 8"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("hamming", F.expr("bit_count(a.simhash ^ b.simhash)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )

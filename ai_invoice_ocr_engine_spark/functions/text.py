@@ -1,0 +1,69 @@
+"""Text analysis over a documents table — language-ID heuristic, quality
+scoring, token counting, document fingerprinting. Pure built-in functions
+(whole-stage-codegen'd JVM expressions; no Python in the hot path), so the
+same logic scales from 500 rows to 10^12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tiny marker lists for the n-gram/marker language-ID heuristic
+EN_MARKERS = ["the", "and", "of", "is", "a", "to", "in"]
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
+
+#: BPE-ish token regex: letter runs, digit runs, single other non-space
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens / n_bpe_tokens / avg_token_len / stopword_ratio /
+    quality_score. Quality formula: length-normalized token count blended
+    with (1 - stopword_ratio) — a deterministic stand-in for the usual
+    fasttext-style quality models."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(F.filter(toks, lambda t: t != F.lit("")))
+    # double the backslash: Spark's SQL parser unescapes string literals
+    spark_re = TOKEN_RE.replace("\\", "\\\\")
+    n_bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{spark_re}', 0)"))
+    n_nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_len = F.round(n_nonspace / F.greatest(n_tokens, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    quality = F.round(
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.6 * (1.0 - stop_ratio), 4
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic; emits the marker hit-count and the
+    prediction next to the corpus's labeled lang for eval."""
+    toks = F.split(F.col(text_col), " ")
+    en_arr = F.array(*[F.lit(s) for s in EN_MARKERS])
+    n_en = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
+    pred = F.when(n_en >= 2, F.lit("en")).otherwise(F.lit("other"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        n_en.alias("n_en_markers"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: 60-bit integer from md5 of the
+    whitespace-normalized lowercased text (stable across engines)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
+    fp = F.expr(
+        f"cast(conv(substr(md5(regexp_replace(lower({text_col}), '\\\\s+', '')), 1, 15), 16, 10) as bigint)"
+    )
+    return docs.select("doc_id", F.length(norm).alias("n_norm_chars"), fp.alias("fingerprint"))

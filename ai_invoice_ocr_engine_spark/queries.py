@@ -1,0 +1,583 @@
+"""Driver-contract query registry: Spark DataFrame queries + DuckDB oracle SQL.
+
+Each entry pairs an idiomatic-PySpark implementation with the equivalent
+ANSI SQL (DuckDB dialect) over the driver's pre-registered parquet views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Column names/aliases are identical on both sides — the driver's
+compare sorts columns by name and value-hashes rows.
+
+Cross-engine determinism rules used throughout:
+  * float aggregates are ROUND()ed (2 for money sums, 4 for ratios/cosines);
+  * hashes are md5-derived 60-bit bigints — verified bit-identical between
+    Spark's conv(substr(md5(x),1,15),16,10) and DuckDB's
+    ('0x'||substr(md5(x),1,15))::bigint;
+  * timestamps are compared as epoch seconds (unix_timestamp vs
+    floor(epoch())), never as raw timestamp values;
+  * top-k queries tie-break on a unique key.
+
+The dedup/near-dup queries synthesize duplicates inside the query (exact
+copies for doc_id%7, head-truncated near-copies for doc_id%10) so the
+operators demonstrably fire on the otherwise duplicate-free corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (%7) ∪ head-truncated near-copies (%10)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.expr("substr(text, 9)").alias("text"))
+    )
+    exact = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 9) AS text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+# --------------------------------------------------------------------------
+# Relational operator coverage (SURVEY.md §2.2-2.6 analogs on TPC-H-ish data)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: filter + hash agg with map-side combine (A2/F*)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders(spark, sf):
+    """TPC-H Q3 shape: 3-way join + agg + global top-k (broadcastable dims)."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_TOPK_ORDERS = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: 6-way star join; Catalyst broadcasts the dims."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_SQL_LOCAL_SUPPLIER = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_semi_join(spark, sf):
+    """Customers with at least one urgent order (left_semi = EXISTS)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+_SQL_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(spark, sf):
+    """Customers with no orders at all (left_anti — the resume-J3 shape)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal")
+    )
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_acctbal AS acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_window_topk_per_customer(spark, sf):
+    """row_number window: top-3 orders per customer (W-rank analog)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+_SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_running_total(spark, sf):
+    """Ordered cumulative sum per order (W2-style in-group ordering; the
+    relational analog of the span `order` field)."""
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_price"),
+    )
+
+
+_SQL_RUNNING = """
+SELECT l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_price
+FROM lineitem WHERE l_orderkey % 100 = 0
+"""
+
+
+def q_rollup_counts(spark, sf):
+    """ROLLUP grouping-sets coverage (§2.4); NULL markers coalesced."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+_SQL_ROLLUP = """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_sessionize_events(spark, sf):
+    """Gap-based sessionization over the events stream table — the exact
+    relational shape of the reading-order/paragraph line-breaking scan
+    (SURVEY.md §2.5 W2/W3): lag + cumulative flag sum."""
+    e = _t(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("es").over(w).isNull() | ((F.col("es") - F.lag("es").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("es") - F.min("es")).alias("duration_s"),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, floor(epoch(ts))::bigint AS es FROM events),
+l AS (SELECT user_id, es, lag(es) OVER (PARTITION BY user_id ORDER BY es) AS pes FROM e),
+s AS (SELECT user_id, es,
+        sum(CASE WHEN pes IS NULL OR es - pes > 1800 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY es
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM l)
+SELECT user_id, session_id, count(*) AS n_events, max(es) - min(es) AS duration_s
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_event_windows(spark, sf):
+    """Tumbling 5-minute windowed aggregation (streaming-agg analog run as
+    batch; in Structured Streaming this is window(ts, '5 minutes'))."""
+    e = _t(spark, sf, "events")
+    return (
+        e.select(
+            F.expr("unix_timestamp(ts) div 300").alias("win"),
+            "event_type",
+            "value",
+        )
+        .groupBy("win", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_SQL_EVENT_WINDOWS = """
+SELECT floor(epoch(ts))::bigint // 300 AS win, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_explode_spans(spark, sf):
+    """posexplode projection — the F7 flat-span analog: one row per token
+    with its in-document position (the `order` field of spans_out)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).where(F.col("doc_id") < 100)
+
+
+_SQL_EXPLODE = """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_lineage_counts(spark, sf):
+    """A9 lineage analog: per-partition doc/char counts (exact ints)."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy((F.col("doc_id") % 32).alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_chars").alias("char_count"),
+    )
+
+
+_SQL_LINEAGE = """
+SELECT doc_id % 32 AS partition_id, count(*) AS doc_count, sum(n_chars) AS char_count
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    return D.exact_dup_groups(_corpus(spark, sf))
+
+
+_SQL_DEDUP_EXACT = f"""
+WITH {_CORPUS_SQL}
+SELECT md5(text) AS content_hash, count(*) AS n_copies,
+       min(doc_id) AS keep_id, max(doc_id) AS max_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_jaccard(spark, sf):
+    return D.jaccard_pairs(_corpus(spark, sf), max_df=5, min_jaccard=0.5)
+
+
+_SQL_DEDUP_JACCARD = f"""
+WITH {_CORPUS_SQL},
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+  FROM corpus, LATERAL (SELECT unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i) t
+),
+rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 5),
+rsh AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM rsh a JOIN rsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    return D.minhash_band_pairs(_corpus(spark, sf), k=12, band_rows=3)
+
+
+_SQL_DEDUP_MINHASH = f"""
+WITH {_CORPUS_SQL},
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+  FROM corpus, LATERAL (SELECT unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i) t
+),
+hx AS (
+  SELECT doc_id, j,
+         min(('0x' || substr(md5(j::varchar || '|' || sh), 1, 15))::bigint) AS mh
+  FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS j) u
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 3 AS band, md5(string_agg(mh::varchar, ',' ORDER BY j)) AS sig
+  FROM hx GROUP BY doc_id, j // 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    return D.simhash_pairs(_corpus(spark, sf), bits=16, max_hamming=4)
+
+
+def _simhash_sql_terms(bits: int = 16) -> tuple[str, str]:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return sums, sim
+
+
+_SH_SUMS, _SH_EXPR = _simhash_sql_terms(16)
+
+_SQL_DEDUP_SIMHASH = f"""
+WITH {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+  FROM toks WHERE tok <> ''
+),
+sums AS (
+  SELECT doc_id,
+         {_SH_SUMS}
+  FROM h GROUP BY doc_id
+),
+sim AS (SELECT doc_id, ({_SH_EXPR})::bigint AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b
+  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
+def q_ann_cosine_topk(spark, sf):
+    return S.cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+_SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(
+           list_dot_product(e.embedding::double[], q.qe::double[]) /
+           (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+            sqrt(list_dot_product(q.qe::double[], q.qe::double[]))), 4) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_histogram(spark, sf):
+    return S.lsh_bucket_histogram(_t(spark, sf, "embeddings"), n_bits=8)
+
+
+_SQL_ANN_LSH = """
+SELECT (
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+  )::int AS bucket, count(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_text_quality(spark, sf):
+    return T.with_token_stats(_t(spark, sf, "documents"))
+
+
+_SQL_TEXT_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in','is','on','for','it'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(n_nonspace / greatest(n_tokens, 1), 4) AS avg_token_len,
+       round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0) +
+             0.6 * (1.0 - round(n_stop / greatest(n_tokens, 1), 4)), 4) AS quality_score
+FROM base
+"""
+
+
+def q_text_langid(spark, sf):
+    return T.with_langid(_t(spark, sf, "documents"))
+
+
+_SQL_TEXT_LANGID = """
+WITH base AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','and','of','is','a','to','in'))) AS n_en_markers
+  FROM documents
+)
+SELECT doc_id, labeled_lang, n_en_markers,
+       CASE WHEN n_en_markers >= 2 THEN 'en' ELSE 'other' END AS predicted_lang
+FROM base
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    return T.with_fingerprint(_t(spark, sf, "documents"))
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id,
+       length(regexp_replace(lower(text), '\\s+', '', 'g')) AS n_norm_chars,
+       ('0x' || substr(md5(regexp_replace(lower(text), '\\s+', '', 'g')), 1, 15))::bigint AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+#: name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "topk_orders": (q_topk_orders, _SQL_TOPK_ORDERS),
+    "local_supplier_volume": (q_local_supplier_volume, _SQL_LOCAL_SUPPLIER),
+    "semi_join_urgent": (q_semi_join, _SQL_SEMI),
+    "anti_join_resume": (q_anti_join, _SQL_ANTI),
+    "window_topk_per_customer": (q_window_topk_per_customer, _SQL_WINDOW_TOPK),
+    "running_total": (q_running_total, _SQL_RUNNING),
+    "rollup_counts": (q_rollup_counts, _SQL_ROLLUP),
+    "sessionize_events": (q_sessionize_events, _SQL_SESSIONIZE),
+    "event_windows": (q_event_windows, _SQL_EVENT_WINDOWS),
+    "explode_spans": (q_explode_spans, _SQL_EXPLODE),
+    "lineage_counts": (q_lineage_counts, _SQL_LINEAGE),
+    "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_jaccard, _SQL_DEDUP_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash, _SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, _SQL_DEDUP_SIMHASH),
+    "ann_cosine_topk": (q_ann_cosine_topk, _SQL_ANN_COSINE),
+    "ann_lsh_histogram": (q_ann_lsh_histogram, _SQL_ANN_LSH),
+    "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
+    "text_langid": (q_text_langid, _SQL_TEXT_LANGID),
+    "doc_fingerprint": (q_doc_fingerprint, _SQL_FINGERPRINT),
+}

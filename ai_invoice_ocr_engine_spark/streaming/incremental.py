@@ -1,0 +1,71 @@
+"""Incremental ingest via Structured Streaming ``foreachBatch``.
+
+The reference is strictly batch (SURVEY.md §2.9 — its only concurrency is an
+in-process ThreadPool, /root/reference/engine.py:57-58). At 10^12-doc scale,
+new documents arrive continuously; the natural Spark shape is a file/Iceberg
+incremental read feeding the SAME batch extraction per micro-batch:
+
+    readStream(documents) → foreachBatch(extract + bucketed append + lineage)
+
+Each micro-batch reuses pipeline.extract verbatim, so batch and streaming
+paths cannot diverge semantically; exactly-once lands on the combination of
+the streaming checkpoint (source offsets) and the idempotent lineage rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import ExtractConfig
+from ..pipeline import extract, lineage_of, with_bucket
+
+
+def incremental_extract(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    media_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: ExtractConfig | None = None,
+    num_buckets: int = 32,
+    media_strategy: str = "broadcast",
+    trigger_once: bool = True,
+):
+    """Start (and by default run-once) the incremental extraction stream.
+
+    ``docs_stream_dir``: directory of documents parquet files — new files are
+    picked up per micro-batch. Returns the StreamingQuery.
+    """
+    cfg = cfg or ExtractConfig()
+    media = spark.read.parquet(media_path)
+    schema = spark.read.parquet(docs_stream_dir).schema
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        result = with_bucket(
+            extract(batch_df, media, cfg, media_strategy=media_strategy), num_buckets
+        )
+        result.persist()
+        try:
+            result.write.mode("append").partitionBy("bucket").parquet(
+                f"{out_dir}/spans"
+            )
+            lineage_of(result, f"stream-batch-{batch_id}").write.mode("append").parquet(
+                f"{out_dir}/lineage"
+            )
+        finally:
+            result.unpersist()
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_stream_dir)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,118 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures (a) the flagship OCR-extraction throughput on a cached deterministic
+bench corpus (FIXTURES.md bench tier, generated once under .cache/) and
+(b) wall time of headline queries from the registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+    {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {"ocr_extract": s, "pricing_summary": s, ...},
+     "sf": 0.1, "extract_docs_per_sec": N, ...}
+
+Run `python bench.py --scaling` for the two-parallelism-level scaling
+evidence (local[8] vs local[32]) written into the JSON as well.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from ai_invoice_ocr_engine_spark.config import ExtractConfig  # noqa: E402
+from ai_invoice_ocr_engine_spark.fixtures import ensure_corpus  # noqa: E402
+from ai_invoice_ocr_engine_spark.pipeline import extract  # noqa: E402
+from ai_invoice_ocr_engine_spark.queries import REGISTRY  # noqa: E402
+from ai_invoice_ocr_engine_spark.sources.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "topk_orders",
+    "local_supplier_volume",
+    "window_topk_per_customer",
+    "sessionize_events",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+
+
+def bench_corpus() -> tuple[str, str]:
+    d = os.path.join(REPO, ".cache", f"bench_corpus_{BENCH_DOCS}")
+    return ensure_corpus(d, seed=42, n_docs=BENCH_DOCS, max_media_side=640)
+
+
+def run_extract_bench(spark, docs_path: str, media_path: str) -> tuple[float, int]:
+    docs = spark.read.parquet(docs_path)
+    media = spark.read.parquet(media_path)
+    t0 = time.time()
+    n = extract(docs, media, ExtractConfig(), media_strategy="broadcast").count()
+    return time.time() - t0, n
+
+
+def main() -> int:
+    scaling = "--scaling" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    docs_path, media_path = bench_corpus()
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # flagship extraction throughput
+    secs, n_docs = run_extract_bench(spark, docs_path, media_path)
+    queries["ocr_extract"] = round(secs, 3)
+    extras["extract_docs"] = n_docs
+    extras["extract_docs_per_sec"] = round(n_docs / secs, 2)
+
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        _ = df.count()
+        queries[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    if scaling:
+        # two-parallelism scaling evidence (sandbox stand-in for N vs 4N
+        # executors, per driver instruction): same input, local[8] vs
+        # local[32]; efficiency = (t8 / t32) / 4
+        res = {}
+        for ncpu in (8, 32):
+            s = get_spark(app=f"bench-scale-{ncpu}", master=f"local[{ncpu}]",
+                          shuffle_partitions=ncpu)
+            secs, n = run_extract_bench(s, docs_path, media_path)
+            s.stop()
+            res[ncpu] = {"secs": round(secs, 3), "docs_per_sec": round(n / secs, 2)}
+        eff = (res[8]["secs"] / res[32]["secs"]) / 4.0
+        extras["scaling"] = {
+            "local8": res[8],
+            "local32": res[32],
+            "efficiency": round(eff, 3),
+        }
+
+    out = {
+        "metric": "suite_seconds",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

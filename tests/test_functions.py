@@ -1,0 +1,132 @@
+"""Tests for the training-data-pipeline function modules: dedup, similarity,
+text stats, multimodal plumbing, and streaming incremental ingest."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ai_invoice_ocr_engine_spark import kernels as K
+from ai_invoice_ocr_engine_spark.functions import dedup as D
+from ai_invoice_ocr_engine_spark.functions import multimodal as M
+from ai_invoice_ocr_engine_spark.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "quick brown fox jumps over the lazy dog again and again"),  # near dup
+        (4, "completely different content with nothing shared whatsoever here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(text_df):
+    groups = D.exact_dup_groups(text_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_jaccard_finds_near_dups(text_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             D.jaccard_pairs(text_df, max_df=5, min_jaccard=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact pair
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.3
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_dups(text_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in
+             D.minhash_band_pairs(text_df, k=12, band_rows=3).collect()}
+    assert pairs[(1, 2)] == 4  # identical docs collide in every band
+    assert not any((1, 4) == p or (2, 4) == p or (3, 4) == p for p in pairs)
+
+
+def test_simhash_near_dups(text_df):
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash(text_df).collect()}
+    assert sims[1] == sims[2]
+    ham13 = bin(sims[1] ^ sims[3]).count("1")
+    ham14 = bin(sims[1] ^ sims[4]).count("1")
+    assert ham13 < ham14
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)], i % 3) for i in range(40)]
+    # vec 39 = exact copy of vec 0 -> cosine 1.0
+    rows[39] = (39, rows[0][1], 0)
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+
+
+def test_cosine_topk(emb_df):
+    top = S.cosine_topk(emb_df, query_vec_id=0, k=5).collect()
+    assert top[0]["vec_id"] == 39 and top[0]["cos_sim"] == 1.0
+    scores = [r["cos_sim"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_histogram(emb_df):
+    hist = S.lsh_bucket_histogram(emb_df, n_bits=4).collect()
+    assert sum(r["n_vectors"] for r in hist) == 40
+    assert all(0 <= r["bucket"] < 16 for r in hist)
+
+
+def test_media_metadata(spark, corpus):
+    media = spark.read.parquet(corpus["media_path"]).limit(10)
+    meta = M.media_metadata(media).collect()
+    assert len(meta) == 10
+    for r in meta:
+        assert r["format"] == "synf" and r["width"] > 0
+        assert len(r["features"]) == 16
+
+
+def test_media_metadata_unsupported(spark):
+    df = spark.createDataFrame(
+        [("p1", bytearray(b"\x89PNG\r\n\x1a\n" + b"x" * 16)),
+         ("j1", bytearray(b"\xff\xd8" + b"x" * 16))],
+        "media_ref string, image binary",
+    )
+    meta = {r["media_ref"]: r for r in M.media_metadata(df).collect()}
+    assert meta["p1"]["format"] == "unsupported"  # stubbed codec path
+    assert meta["j1"]["width"] == -1
+
+
+def test_resize_frames(spark, corpus):
+    media = spark.read.parquet(corpus["media_path"]).limit(4)
+    out = M.resize_frames(media, 64, 96).collect()
+    for r in out:
+        img = K.decode_synf(bytes(r["image"]))
+        assert img.shape == (64, 96)
+
+
+def test_incremental_stream_matches_batch(spark, corpus, tmp_path):
+    from ai_invoice_ocr_engine_spark.streaming import incremental_extract
+    from ai_invoice_ocr_engine_spark.config import ExtractConfig
+    from ai_invoice_ocr_engine_spark.pipeline import extract
+
+    from .util import assert_span_equal, spans_key
+
+    # stream source dir with the corpus file in it
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    import shutil
+
+    shutil.copy(corpus["docs_path"], src / "part-000.parquet")
+    out = str(tmp_path / "stream_out")
+    q = incremental_extract(
+        spark, str(src), corpus["media_path"], out, str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(300)
+    got = spans_key(spark.read.parquet(f"{out}/spans").collect())
+    want = spans_key(
+        extract(
+            spark.read.parquet(corpus["docs_path"]),
+            spark.read.parquet(corpus["media_path"]),
+            ExtractConfig(),
+            media_strategy="broadcast",
+        ).collect()
+    )
+    assert_span_equal(got, want)

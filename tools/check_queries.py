@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: run every REGISTRY query
+through Spark AND its oracle SQL through DuckDB on the same sf dir, compare
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_queries.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from ai_invoice_ocr_engine_spark.queries import REGISTRY  # noqa: E402
+from ai_invoice_ocr_engine_spark.sources.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style normalization: fixed decimal rendering
+        return f"{v:.6f}"
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(REGISTRY)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    spark = get_spark(app="check-queries", master="local[8]", shuffle_partitions=8)
+    failures = 0
+    for name in names:
+        fn, sql = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        t1 = time.time()
+        if sql is None:
+            print(f"SKIP {name}: rows-only ({len(srows)} rows, {t1-t0:.1f}s)")
+            continue
+        try:
+            res = con.sql(sql)
+            dcols = [c for c in res.columns]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            failures += 1
+            continue
+        cs, cd = canon(srows, scols), canon(drows, dcols)
+        if len(cs) != len(cd):
+            print(f"FAIL {name}: rowcount spark={len(cs)} duck={len(cd)}")
+            failures += 1
+            continue
+        if cs != cd:
+            bad = [i for i, (x, y) in enumerate(zip(cs, cd)) if x != y]
+            i = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(cs)} rows differ; first:\n  spark={cs[i]}\n  duck ={cd[i]}")
+            failures += 1
+            continue
+        print(f"OK   {name}: {len(cs)} rows match ({t1-t0:.1f}s spark)")
+    spark.stop()
+    print(f"\n{len(names) - failures}/{len(names)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

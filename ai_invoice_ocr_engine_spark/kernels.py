@@ -153,9 +153,17 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int, int
     (y0, x0, x1, y1) for a deterministic order.
     """
     h, w = mask.shape
-    m8 = mask.astype(np.int8)
-    parent: list[int] = []
-    runs: list[tuple[int, int, int, int]] = []  # (y, xs, xe, label)
+    if not mask.any():
+        return []
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    sy, sx_a = np.nonzero(d == 1)   # run starts (row-major order)
+    _ey, ex_a = np.nonzero(d == -1)  # run ends, aligned with starts per row
+    sx = sx_a.tolist()
+    ex = ex_a.tolist()
+    n = len(sx)
+    parent = list(range(n))
 
     def find(a: int) -> int:
         while parent[a] != a:
@@ -163,45 +171,35 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int, int
             a = parent[a]
         return a
 
-    prev: list[tuple[int, int, int]] = []  # (xs, xe, label) of previous row
-    buf = np.empty(w + 2, dtype=np.int8)
-    buf[0] = 0
-    buf[-1] = 0
-    for y in range(h):
-        buf[1:-1] = m8[y]
-        d = np.diff(buf)
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1)
-        cur: list[tuple[int, int, int]] = []
-        for xs, xe in zip(starts.tolist(), ends.tolist()):
-            lab = -1
-            for pxs, pxe, plab in prev:
-                if xs <= pxe and pxs <= xe:  # 8-connectivity overlap (±1 slack)
-                    r = find(plab)
-                    if lab == -1:
-                        lab = r
-                    elif r != lab:
-                        parent[r] = lab
-            if lab == -1:
-                lab = len(parent)
-                parent.append(lab)
-            cur.append((xs, xe, lab))
-            runs.append((y, xs, xe, lab))
-        prev = cur
+    # scanline union of vertically (8-conn) touching runs, two-pointer per row
+    row_start = np.searchsorted(sy, np.arange(h + 1)).tolist()
+    for y in range(1, h):
+        i, i1 = row_start[y], row_start[y + 1]
+        j, j1 = row_start[y - 1], row_start[y]
+        while i < i1 and j < j1:
+            if sx[i] <= ex[j] and sx[j] <= ex[i]:  # overlap with ±1 slack
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+            if ex[i] < ex[j]:
+                i += 1
+            else:
+                j += 1
 
+    sy_l = sy.tolist()
     agg: dict[int, list[int]] = {}
-    for y, xs, xe, lab in runs:
-        r = find(lab)
+    for k in range(n):
+        r = find(k)
         b = agg.get(r)
         if b is None:
-            agg[r] = [xs, y, xe, y + 1, xe - xs]
+            agg[r] = [sx[k], sy_l[k], ex[k], sy_l[k] + 1, ex[k] - sx[k]]
         else:
-            if xs < b[0]:
-                b[0] = xs
-            if xe > b[2]:
-                b[2] = xe
-            b[3] = y + 1
-            b[4] += xe - xs
+            if sx[k] < b[0]:
+                b[0] = sx[k]
+            if ex[k] > b[2]:
+                b[2] = ex[k]
+            b[3] = sy_l[k] + 1
+            b[4] += ex[k] - sx[k]
     out = [(b[0], b[1], b[2], b[3], b[4]) for b in agg.values()]
     out.sort(key=lambda t: (t[1], t[0], t[2], t[3]))
     return out
@@ -277,8 +275,8 @@ def resize_bilinear(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
     wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
     wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
     f = img.astype(np.float64)
-    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
-    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    top = f[np.ix_(y0, x0)] * (1 - wx) + f[np.ix_(y0, x1)] * wx
+    bot = f[np.ix_(y1, x0)] * (1 - wx) + f[np.ix_(y1, x1)] * wx
     out = top * (1 - wy) + bot * wy
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
@@ -558,3 +556,175 @@ def edit_distance(a: str, b: str) -> int:
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
         prev = cur
     return prev[lb]
+
+
+# --------------------------------------------------------------------------
+# Box merging / ordering variants (SURVEY.md §2.5 W1/W5/W6, §2.6 O1-O3)
+# --------------------------------------------------------------------------
+
+
+def sort_boxes(boxes: np.ndarray, mode: str = "tb_lr") -> list[int]:
+    """Argsort boxes by (y_mean, x_mean) or (x_mean, y_mean).
+
+    /root/reference/postprocess.py:18-23 verbatim (W1)."""
+    n = len(boxes)
+    if n == 0:
+        return []
+    ys = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    xs = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    if mode == "tb_lr":
+        return sorted(range(n), key=lambda i: (float(ys[i]), float(xs[i])))
+    if mode == "lr_tb":
+        return sorted(range(n), key=lambda i: (float(xs[i]), float(ys[i])))
+    return list(range(n))
+
+
+def merge_boxes_iou(boxes: np.ndarray, iou_th: float = 0.5) -> np.ndarray:
+    """Union-group boxes with IoU > th into bounding rectangles.
+
+    /root/reference/postprocess.py:32-42 (merge_boxes) semantics with AABB
+    IoU (exact for rectangles, W6). Greedy single pass: each unused box
+    seeds a group, later boxes join if IoU(seed, box) > th."""
+    n = len(boxes)
+    if n < 2:
+        return np.asarray(boxes, np.float32).reshape(n, 4)
+    used: set[int] = set()
+    merged = []
+    for i in range(n):
+        if i in used:
+            continue
+        group = [boxes[i]]
+        used.add(i)
+        for j in range(i + 1, n):
+            if j in used:
+                continue
+            if aabb_iou(boxes[i], boxes[j]) > iou_th:
+                group.append(boxes[j])
+                used.add(j)
+        g = np.asarray(group, np.float32)
+        merged.append(
+            (g[:, 0].min(), g[:, 1].min(), g[:, 2].max(), g[:, 3].max())
+        )
+    return np.asarray(merged, np.float32)
+
+
+def merge_horizontal(boxes: np.ndarray, th_y: float = 10.0, th_x: float = 50.0) -> np.ndarray:
+    """Merge chains of horizontally-adjacent boxes into bounding rects.
+
+    /root/reference/detect/postprocess.py:80-102 (_BoxMerger) semantics:
+    sort by (y_mean, x_min); grow the group's bounding rect while the next
+    box's y-center is within th_y of the CURRENT merged rect's center and
+    its x_min is within th_x of the merged rect's x_max (W5)."""
+    n = len(boxes)
+    if n < 2:
+        return np.asarray(boxes, np.float32).reshape(n, 4)
+    order = sorted(
+        range(n),
+        key=lambda i: (float((boxes[i][1] + boxes[i][3]) / 2.0), float(boxes[i][0])),
+    )
+    bs = [np.asarray(boxes[i], np.float64) for i in order]
+    used: set[int] = set()
+    merged = []
+    for i in range(n):
+        if i in used:
+            continue
+        cur = bs[i].copy()
+        used.add(i)
+        for j in range(i + 1, n):
+            if j in used:
+                continue
+            cy_cur = (cur[1] + cur[3]) / 2.0
+            cy_j = (bs[j][1] + bs[j][3]) / 2.0
+            if abs(cy_cur - cy_j) < th_y and bs[j][0] - cur[2] < th_x:
+                used.add(j)
+                cur = np.array(
+                    [
+                        min(cur[0], bs[j][0]),
+                        min(cur[1], bs[j][1]),
+                        max(cur[2], bs[j][2]),
+                        max(cur[3], bs[j][3]),
+                    ]
+                )
+        merged.append(cur)
+    return np.asarray(merged, np.float32)
+
+
+# --------------------------------------------------------------------------
+# CTC beam search (SURVEY.md §2.7 K14; /root/reference/recognize/ctc.py:25-41)
+# --------------------------------------------------------------------------
+
+
+def ctc_beam(logits: np.ndarray, beam_width: int = 5) -> tuple[str, float]:
+    """Prefix beam search with max-merge, reference semantics verbatim:
+    blank extends without emitting, repeats collapse, beams keep the MAX
+    (not sum) probability per prefix; final score is the geometric mean
+    per emitted char (score ** (1/len))."""
+    probs = softmax(logits)
+    t_steps, v = probs.shape
+    beams: list[tuple[tuple, float]] = [(tuple(), 1.0)]
+    for t in range(t_steps):
+        new: dict[tuple, float] = {}
+        row = probs[t]
+        for seq, sc in beams:
+            for idx in range(v):
+                nsc = sc * float(row[idx])
+                if idx == 0:
+                    ns = seq
+                elif len(seq) == 0 or seq[-1] != idx:
+                    ns = seq + (idx,)
+                else:
+                    ns = seq
+                if ns in new:
+                    if nsc > new[ns]:
+                        new[ns] = nsc
+                else:
+                    new[ns] = nsc
+        beams = sorted(new.items(), key=lambda x: -x[1])[:beam_width]
+    if not beams:
+        return "", 0.0
+    seq, sc = beams[0]
+    text = "".join(idx2char(i) for i in seq)
+    return text, float(sc ** (1.0 / max(len(seq), 1)))
+
+
+# --------------------------------------------------------------------------
+# Orientation / padding utilities (SURVEY.md §2.7 K17-K20)
+# --------------------------------------------------------------------------
+
+
+def textline_flip_class(crop: np.ndarray) -> tuple[int, float]:
+    """180° textline heuristic, /root/reference/preprocess/orientation.py:53-61
+    verbatim: compare variance of left vs right thirds; class 1 (flipped)
+    when left variance exceeds right by >= 50."""
+    h, w = crop.shape[:2]
+    if h > w * 2:
+        return 0, 0.5
+    lv = float(np.var(crop[:, : w // 3]))
+    rv = float(np.var(crop[:, 2 * w // 3 :]))
+    if abs(lv - rv) < 50:
+        return 0, 0.6
+    return (1, 0.7) if lv > rv else (0, 0.7)
+
+
+def rotate_quadrant(img: np.ndarray, cls: int) -> np.ndarray:
+    """Rotate by orientation class {0:none,1:90cw,2:180,3:90ccw}
+    (/root/reference/preprocess/core.py:9 rotation table, np.rot90-based)."""
+    if cls == 1:
+        return np.rot90(img, k=-1)
+    if cls == 2:
+        return np.rot90(img, k=2)
+    if cls == 3:
+        return np.rot90(img, k=1)
+    return img
+
+
+def pad_to_multiple(img: np.ndarray, m: int = 32) -> tuple[np.ndarray, tuple[int, int]]:
+    """Zero-pad bottom/right to multiples of m,
+    /root/reference/utils/image.py:40-44 verbatim (K20)."""
+    h, w = img.shape[:2]
+    nh, nw = (h + m - 1) // m * m, (w + m - 1) // m * m
+    if nh == h and nw == w:
+        return img, (0, 0)
+    padded = np.zeros((nh, nw), dtype=img.dtype)
+    padded[:h, :w] = img
+    return padded, (nw - w, nh - h)

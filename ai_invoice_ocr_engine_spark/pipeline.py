@@ -87,15 +87,101 @@ LINEAGE_SCHEMA = StructType(
 BROADCAST_MEDIA_LIMIT = 256 * 1024 * 1024
 
 
+#: per-python-worker media side-input cache (the reference's config-hash
+#: singleton pattern, /root/reference/engine.py:17-21 — load once per worker
+#: process, reuse across Arrow batches and tasks)
+_MEDIA_SIDE_CACHE: dict[str, dict] = {}
+
+
+def build_media_blob(media_parquet: str, cache_dir: str | None = None) -> str:
+    """Materialize the media table as a flat blob + JSON index, once per
+    node (driver-side in local mode; on a cluster this is the standard
+    per-executor-host shared cache, e.g. on /dev/shm or local SSD).
+
+    Why not have each python worker read the parquet itself: N workers each
+    decoding/materializing the full table means an N×table-size first-touch
+    memory burst — measured here (Firecracker VM, lazy host paging) that
+    serializes catastrophically (32 concurrent 350 MB loads → 70+ s each).
+    A single flat file accessed via mmap is faulted into the page cache
+    ONCE per node and shared read-only by every worker at zero copy.
+    """
+    import json
+
+    src_stat = os.stat(media_parquet)
+    cache_dir = cache_dir or os.path.join(
+        os.path.dirname(os.path.abspath(media_parquet)), ".blob_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"{src_stat.st_size}_{int(src_stat.st_mtime)}"
+    blob_path = os.path.join(cache_dir, f"media_{tag}.blob")
+    idx_path = blob_path + ".idx.json"
+    if os.path.exists(blob_path) and os.path.exists(idx_path):
+        return blob_path
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(media_parquet)
+    index: dict[str, tuple[int, int]] = {}
+    tmp_blob = blob_path + ".tmp"
+    with open(tmp_blob, "wb") as f:
+        for batch in pf.iter_batches(columns=["media_ref", "image"], batch_size=256):
+            refs = batch.column("media_ref").to_pylist()
+            for ref, img in zip(refs, batch.column("image")):
+                b = img.as_py()
+                index[ref] = (f.tell(), len(b))
+                f.write(b)
+    with open(idx_path + ".tmp", "w") as f:
+        json.dump(index, f)
+    os.replace(idx_path + ".tmp", idx_path)
+    os.replace(tmp_blob, blob_path)
+    return blob_path
+
+
+class _BlobLookup:
+    """Read-only media_ref -> bytes-like view over an mmap'd blob."""
+
+    def __init__(self, blob_path: str):
+        import json
+        import mmap as _mmap
+
+        with open(blob_path + ".idx.json") as f:
+            self._index = json.load(f)
+        self._f = open(blob_path, "rb")
+        self._mm = _mmap.mmap(self._f.fileno(), 0, access=_mmap.ACCESS_READ)
+        self._view = memoryview(self._mm)
+
+    def get(self, ref: str):
+        ent = self._index.get(ref)
+        if ent is None:
+            return None
+        off, ln = ent
+        return self._view[off : off + ln]
+
+
+def _load_media_side(blob_path: str) -> _BlobLookup:
+    lookup = _MEDIA_SIDE_CACHE.get(blob_path)
+    if lookup is None:
+        lookup = _BlobLookup(blob_path)
+        _MEDIA_SIDE_CACHE.clear()  # hold at most one blob per worker
+        _MEDIA_SIDE_CACHE[blob_path] = lookup
+    return lookup
+
+
 def _run_extract_batches(
-    batches: Iterator[pd.DataFrame], cfg: ExtractConfig, media_bc=None, weights_bc=None
+    batches: Iterator[pd.DataFrame],
+    cfg: ExtractConfig,
+    media_bc=None,
+    weights_bc=None,
+    media_side_path: str | None = None,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body. Executed on executors; weights come from the
     broadcast when provided (north_star: broadcast of model weights), else
     are re-derived from the frozen seed via the per-worker module cache
     (/root/reference/engine.py:17-21 singleton pattern, SURVEY.md §4)."""
     weights = weights_bc.value if weights_bc is not None else K.crnn_weights(cfg.rec.weight_seed)
-    media_lookup = media_bc.value if media_bc is not None else None
+    if media_side_path is not None:
+        media_lookup = _load_media_side(media_side_path)
+    else:
+        media_lookup = media_bc.value if media_bc is not None else None
     for pdf in batches:
         out = {k.name: [] for k in RESULT_SCHEMA.fields}
         has_media_col = "__media" in pdf.columns
@@ -129,8 +215,15 @@ def extract(
     cfg: ExtractConfig | None = None,
     media_strategy: str = "auto",
     broadcast_weights: bool = True,
+    media_side_path: str | None = None,
 ) -> DataFrame:
-    """documents × media → extracted span sequences (RESULT_SCHEMA)."""
+    """documents × media → extracted span sequences (RESULT_SCHEMA).
+
+    ``media_side_path``: when the media table fits executor memory AND is
+    available as a parquet path, the fastest distribution is a side input —
+    each python worker reads the columnar file directly (OS page cache
+    shares it per node) instead of funneling the bytes through a driver
+    collect + pickle broadcast."""
     cfg = cfg or ExtractConfig()
     spark = docs.sparkSession
     sc = spark.sparkContext
@@ -146,14 +239,32 @@ def extract(
         sc.broadcast(K.crnn_weights(cfg.rec.weight_seed)) if broadcast_weights else None
     )
 
+    # The documents table is narrow (text-only) so a small corpus arrives in
+    # very few input splits; the extract stage is CPU-bound, so fan it out to
+    # the full core count before crossing into Python. (At 100 TB the scan
+    # itself produces thousands of splits and this repartition collapses to
+    # a no-op round-robin of already-wide input.)
+    target_parallelism = max(
+        sc.defaultParallelism, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+
     if media_strategy == "broadcast":
-        lookup = {
-            r["media_ref"]: bytes(r["image"])
-            for r in media.select("media_ref", "image").collect()
-        }
-        media_bc = sc.broadcast(lookup)
-        fn = lambda it: _run_extract_batches(it, cfg, media_bc=media_bc, weights_bc=weights_bc)  # noqa: E731
-        return docs.select("doc_id", "spans").mapInPandas(fn, RESULT_SCHEMA)
+        if media_side_path is not None:
+            blob_path = build_media_blob(media_side_path)
+            fn = lambda it: _run_extract_batches(  # noqa: E731
+                it, cfg, weights_bc=weights_bc, media_side_path=blob_path
+            )
+        else:
+            lookup = {
+                r["media_ref"]: bytes(r["image"])
+                for r in media.select("media_ref", "image").collect()
+            }
+            media_bc = sc.broadcast(lookup)
+            fn = lambda it: _run_extract_batches(it, cfg, media_bc=media_bc, weights_bc=weights_bc)  # noqa: E731
+        work = docs.select("doc_id", "spans")
+        if work.rdd.getNumPartitions() < target_parallelism:
+            work = work.repartition(target_parallelism)
+        return work.mapInPandas(fn, RESULT_SCHEMA)
 
     # join strategy: ship each doc exactly the frames it references
     needed = (
@@ -168,6 +279,9 @@ def extract(
         .agg(F.collect_list(F.struct("media_ref", "image")).alias("__media"))
     )
     enriched = docs.select("doc_id", "spans").join(doc_media, "doc_id", "left")
+    # AQE may coalesce the small join output below the core count; the
+    # extract stage is CPU-bound, so hold it at full width.
+    enriched = enriched.repartition(target_parallelism, "doc_id")
     fn = lambda it: _run_extract_batches(it, cfg, weights_bc=weights_bc)  # noqa: E731
     return enriched.mapInPandas(fn, RESULT_SCHEMA)
 
@@ -253,7 +367,14 @@ def run_extract(
 
     t0 = time.time()
     result = with_bucket(
-        extract(docs, media, cfg, media_strategy=media_strategy), num_buckets
+        extract(
+            docs,
+            media,
+            cfg,
+            media_strategy=media_strategy,
+            media_side_path=media_path if "://" not in media_path else None,
+        ),
+        num_buckets,
     )
     result.persist()
     try:

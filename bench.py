@@ -54,7 +54,13 @@ def run_extract_bench(spark, docs_path: str, media_path: str) -> tuple[float, in
     docs = spark.read.parquet(docs_path)
     media = spark.read.parquet(media_path)
     t0 = time.time()
-    n = extract(docs, media, ExtractConfig(), media_strategy="broadcast").count()
+    n = extract(
+        docs,
+        media,
+        ExtractConfig(),
+        media_strategy="broadcast",
+        media_side_path=media_path,
+    ).count()
     return time.time() - t0, n
 
 

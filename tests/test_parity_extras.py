@@ -1,0 +1,170 @@
+"""Tests for the remaining reference-parity surface: box merging, beam CTC,
+orientation heuristics, padding, metrics (A4-A7), and export sinks."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ai_invoice_ocr_engine_spark import kernels as K
+from ai_invoice_ocr_engine_spark import metrics as M
+
+
+def _b(x0, y0, x1, y1):
+    return np.array([x0, y0, x1, y1], np.float32)
+
+
+# ---- box ops ----
+
+def test_sort_boxes_modes():
+    boxes = np.stack([_b(50, 0, 60, 10), _b(0, 0, 10, 10), _b(0, 40, 10, 50)])
+    assert K.sort_boxes(boxes, "tb_lr") == [1, 0, 2]
+    assert K.sort_boxes(boxes, "lr_tb") == [1, 2, 0]
+    assert K.sort_boxes(boxes, "none") == [0, 1, 2]
+    assert K.sort_boxes(np.zeros((0, 4), np.float32)) == []
+
+
+def test_merge_boxes_iou():
+    boxes = [_b(0, 0, 10, 10), _b(1, 1, 11, 11), _b(50, 50, 60, 60)]
+    merged = K.merge_boxes_iou(np.stack(boxes), iou_th=0.5)
+    assert len(merged) == 2
+    assert tuple(merged[0]) == (0.0, 0.0, 11.0, 11.0)
+
+
+def test_merge_horizontal_chain():
+    # three boxes on one line with gaps < 50 merge into one rect (y-means
+    # strictly increasing so the (y_mean, x_min) sort preserves chain order —
+    # the reference's single forward pass doesn't revisit skipped boxes)
+    boxes = np.stack([_b(0, 0, 20, 10), _b(30, 1, 60, 11), _b(90, 2, 120, 12)])
+    merged = K.merge_horizontal(boxes, th_y=10, th_x=50)
+    assert len(merged) == 1
+    assert tuple(merged[0]) == (0.0, 0.0, 120.0, 12.0)
+    # a second line stays separate
+    boxes2 = np.vstack([boxes, _b(0, 100, 40, 110)[None, :]])
+    assert len(K.merge_horizontal(boxes2)) == 2
+    # a y-tie sorts the far box before the near one -> chain breaks, as in
+    # the reference (/root/reference/detect/postprocess.py:84-95)
+    tie = np.stack([_b(0, 0, 20, 10), _b(30, 1, 60, 11), _b(90, 0, 120, 10)])
+    assert len(K.merge_horizontal(tie)) == 2
+
+
+# ---- CTC beam ----
+
+def _logits_for(seq):
+    lg = np.full((len(seq), K.VOCAB_SIZE), -5.0, dtype=np.float32)
+    for t, v in enumerate(seq):
+        lg[t, v] = 5.0
+    return lg
+
+
+def test_beam_matches_greedy_on_peaked_logits():
+    a, b = K.encode_text("ab")
+    lg = _logits_for([a, 0, b, b])
+    assert K.ctc_beam(lg, 5)[0] == K.ctc_greedy(lg)[0] == "ab"
+
+
+def test_beam_empty():
+    text, score = K.ctc_beam(_logits_for([0, 0]), 5)
+    assert text == ""
+
+
+# ---- orientation / padding ----
+
+def test_textline_flip_class():
+    crop = np.full((20, 90), 200, np.uint8)
+    crop[:, :30] = np.random.default_rng(0).integers(0, 255, (20, 30))  # busy left
+    cls, sc = K.textline_flip_class(crop)
+    assert cls == 1
+    assert K.textline_flip_class(crop[:, ::-1])[0] == 0
+    tall = np.zeros((50, 10), np.uint8)
+    assert K.textline_flip_class(tall) == (0, 0.5)
+
+
+def test_rotate_quadrant_roundtrip():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert K.rotate_quadrant(img, 0) is img
+    assert K.rotate_quadrant(img, 1).shape == (4, 3)
+    r = K.rotate_quadrant(K.rotate_quadrant(img, 2), 2)
+    assert (r == img).all()
+
+
+def test_pad_to_multiple():
+    img = np.ones((33, 47), np.uint8)
+    padded, (dw, dh) = K.pad_to_multiple(img, 32)
+    assert padded.shape == (64, 64) and (dw, dh) == (17, 31)
+    same, d = K.pad_to_multiple(np.ones((32, 64), np.uint8))
+    assert same.shape == (32, 64) and d == (0, 0)
+
+
+# ---- metrics ----
+
+def test_det_metrics_greedy_matching():
+    gt = [_b(0, 0, 10, 10), _b(20, 0, 30, 10)]
+    pred = [_b(0, 0, 10, 10), _b(100, 100, 110, 110)]
+    m = M.det_metrics(pred, gt)
+    assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 1
+    assert abs(m["precision"] - 0.5) < 1e-3 and abs(m["recall"] - 0.5) < 1e-3
+
+
+def test_det_metrics_ignore():
+    gt = [_b(0, 0, 10, 10)]
+    m = M.det_metrics([], gt, gt_ignore=[True])
+    assert m["fn"] == 0
+
+
+def test_rec_metrics():
+    m = M.rec_metrics(["abc", "xyz"], ["abc", "xyw"])
+    assert m["correct"] == 1 and m["total"] == 2
+    assert abs(m["cer"] - (0 + 1 / 3) / 2) < 1e-9
+
+
+def test_mean_ap_perfect():
+    gt = [_b(0, 0, 10, 10)]
+    assert M.mean_ap(gt, gt) > 0.99
+
+
+def test_confusion_matrix():
+    cm = M.confusion_matrix([0, 1, 1], [0, 1, 0], n_cls=2)
+    assert cm.tolist() == [[1, 1], [0, 2]] or cm[0, 0] == 1
+
+
+# ---- Spark-side metrics + export ----
+
+def test_rec_metrics_df(spark):
+    df = spark.createDataFrame(
+        [("abc", "abc"), ("ab", "abc"), ("", "x")], ["pred", "gt"]
+    )
+    row = M.rec_metrics_df(df).collect()[0]
+    assert row["total"] == 3 and row["correct"] == 1
+    assert abs(row["cer"] - (0 + 1 / 3 + 1) / 3) < 1e-4
+
+
+def test_span_equality_report(spark, corpus):
+    from ai_invoice_ocr_engine_spark.config import ExtractConfig
+    from ai_invoice_ocr_engine_spark.pipeline import extract
+
+    docs = spark.read.parquet(corpus["docs_path"]).limit(20)
+    media = spark.read.parquet(corpus["media_path"])
+    r1 = extract(docs, media, ExtractConfig(), media_strategy="broadcast")
+    r2 = extract(docs, media, ExtractConfig(), media_strategy="join")
+    rep = M.span_equality_report(r1, r2).collect()[0]
+    assert rep["pass_rate"] == 1.0
+
+
+def test_export_sinks(spark, corpus, tmp_path):
+    from ai_invoice_ocr_engine_spark.config import ExtractConfig
+    from ai_invoice_ocr_engine_spark.pipeline import extract
+    from ai_invoice_ocr_engine_spark.sources.export import flat_spans, write_csv, write_json
+
+    docs = spark.read.parquet(corpus["docs_path"]).limit(10)
+    media = spark.read.parquet(corpus["media_path"])
+    res = extract(docs, media, ExtractConfig(), media_strategy="broadcast")
+    res.persist()
+    flat = flat_spans(res)
+    assert flat.columns == ["doc_id", "idx", "kind", "text", "media_ref"]
+    n_spans = res.agg(F.sum(F.size("spans_out"))).collect()[0][0]
+    assert flat.count() == n_spans
+    write_csv(res, str(tmp_path / "csv"))
+    write_json(res, str(tmp_path / "json"), run_id="t")
+    back = spark.read.json(str(tmp_path / "json"))
+    assert back.count() == 10 and "version" in back.columns
+    res.unpersist()

@@ -62,3 +62,36 @@ def lsh_bucket_histogram(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame, n_bits: int = 8, min_cos: float = 0.99
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates must
+    share the sign-LSH bucket (sub-quadratic at scale), then exact cosine
+    filters. Returns (vec_a, vec_b, cos_sim)."""
+    bucket = sum(
+        [
+            F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(n_bits)
+        ],
+        F.lit(0),
+    ).cast("int")
+    e = embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.expr(_DOT.format(a="a.embedding", b="b.embedding"))
+    na = F.sqrt(F.expr(_DOT.format(a="a.embedding", b="a.embedding")))
+    nb = F.sqrt(F.expr(_DOT.format(a="b.embedding", b="b.embedding")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (na * nb), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+    )

@@ -78,19 +78,31 @@ def decode_synf(data: bytes) -> np.ndarray:
 # the cleaned binary mask as float)
 # --------------------------------------------------------------------------
 
-# cv2 GaussianBlur(ksize=5, sigma=0) derives sigma = 0.3*((5-1)*0.5-1)+0.8 = 1.1
-_G5 = np.exp(-((np.arange(5) - 2.0) ** 2) / (2.0 * 1.1 * 1.1))
-_G5 = (_G5 / _G5.sum()).astype(np.float64)
+# cv2 GaussianBlur(ksize=5, sigma=0) derives sigma = 0.3*((5-1)*0.5-1)+0.8 = 1.1.
+# Kernel quantized to /256 fixed-point (sum exactly 256): the whole blur is
+# int32 arithmetic — half the memory traffic of float64 and bit-deterministic
+# under any parallelism (SURVEY.md §7.3 float-reproducibility requirement).
+_G5F = np.exp(-((np.arange(5) - 2.0) ** 2) / (2.0 * 1.1 * 1.1))
+_G5F = _G5F / _G5F.sum()
+_G5 = np.rint(_G5F * 256).astype(np.int32)
+_G5[2] += 256 - int(_G5.sum())  # exact fixed-point normalization
 
 
 def gaussian_blur5(img: np.ndarray) -> np.ndarray:
-    """Separable 5-tap Gaussian, reflect-101 border; uint8 in/out."""
-    f = img.astype(np.float64)
+    """Separable 5-tap Gaussian (fixed-point /256), reflect-101 border;
+    uint8 in/out. Final scale: round(v / 256^2) via (v + 2^15) >> 16."""
+    f = img.astype(np.int32)
     p = np.pad(f, ((0, 0), (2, 2)), mode="reflect")
-    h = sum(_G5[k] * p[:, k : k + f.shape[1]] for k in range(5))
+    w = f.shape[1]
+    h = _G5[0] * p[:, 0:w]
+    for k in range(1, 5):
+        h += _G5[k] * p[:, k : k + w]
     p = np.pad(h, ((2, 2), (0, 0)), mode="reflect")
-    v = sum(_G5[k] * p[k : k + f.shape[0], :] for k in range(5))
-    return np.clip(np.rint(v), 0, 255).astype(np.uint8)
+    n = f.shape[0]
+    v = _G5[0] * p[0:n, :]
+    for k in range(1, 5):
+        v += _G5[k] * p[k : k + n, :]
+    return ((v + (1 << 15)) >> 16).astype(np.uint8)
 
 
 def otsu_threshold(img: np.ndarray) -> int:
@@ -108,25 +120,28 @@ def otsu_threshold(img: np.ndarray) -> int:
 
 
 def _dilate3(m: np.ndarray) -> np.ndarray:
-    p = np.pad(m, 1, mode="constant", constant_values=False)
-    out = p[1:-1, 1:-1].copy()
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            out |= p[1 + dy : p.shape[0] - 1 + dy, 1 + dx : p.shape[1] - 1 + dx]
-    return out
+    """3×3 binary dilation, separable (row max then col max); border=False
+    outside — identical to an 8-neighbor OR with constant-False padding."""
+    h = m.copy()
+    h[:, 1:] |= m[:, :-1]
+    h[:, :-1] |= m[:, 1:]
+    v = h.copy()
+    v[1:, :] |= h[:-1, :]
+    v[:-1, :] |= h[1:, :]
+    return v
 
 
 def _erode3(m: np.ndarray) -> np.ndarray:
-    p = np.pad(m, 1, mode="constant", constant_values=True)
-    out = p[1:-1, 1:-1].copy()
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            out &= p[1 + dy : p.shape[0] - 1 + dy, 1 + dx : p.shape[1] - 1 + dx]
-    return out
+    """3×3 binary erosion, separable; border=True outside (cv2's +inf
+    morphology border) — identical to an 8-neighbor AND with constant-True
+    padding."""
+    h = m.copy()
+    h[:, 1:] &= m[:, :-1]
+    h[:, :-1] &= m[:, 1:]
+    v = h.copy()
+    v[1:, :] &= h[:-1, :]
+    v[:-1, :] &= h[1:, :]
+    return v
 
 
 def detect_prob(gray: np.ndarray) -> np.ndarray:
@@ -262,7 +277,11 @@ def extract_boxes(
 
 
 def resize_bilinear(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
-    """Pixel-center-aligned bilinear resize, uint8 in/out, deterministic."""
+    """Pixel-center-aligned bilinear resize, uint8 in/out.
+
+    Separable fixed-point (/256 weights) integer arithmetic: deterministic
+    under any parallelism and ~2× cheaper than the float formulation (the
+    extract stage is memory-bandwidth-bound on wide machines)."""
     h, w = img.shape
     if (h, w) == (nh, nw):
         return img.copy()
@@ -272,13 +291,14 @@ def resize_bilinear(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
     x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
     y1 = np.minimum(y0 + 1, h - 1)
     x1 = np.minimum(x0 + 1, w - 1)
-    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
-    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
-    f = img.astype(np.float64)
-    top = f[np.ix_(y0, x0)] * (1 - wx) + f[np.ix_(y0, x1)] * wx
-    bot = f[np.ix_(y1, x0)] * (1 - wx) + f[np.ix_(y1, x1)] * wx
-    out = top * (1 - wy) + bot * wy
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    wyq = np.rint(np.clip(ys - y0, 0.0, 1.0) * 256).astype(np.int32)[:, None]
+    wxq = np.rint(np.clip(xs - x0, 0.0, 1.0) * 256).astype(np.int32)[None, :]
+    f = img.astype(np.int32)
+    # horizontal pass on the source rows: (h, w) -> (h, nw), values <= 255*256
+    hx = f[:, x0] * (256 - wxq) + f[:, x1] * wxq
+    # vertical pass: (h, nw) -> (nh, nw), values <= 255*256*256
+    v = hx[y0] * (256 - wyq) + hx[y1] * wyq
+    return ((v + (1 << 15)) >> 16).astype(np.uint8)
 
 
 def det_resize(img: np.ndarray, mxs: int = 960) -> np.ndarray:
@@ -355,8 +375,10 @@ def crnn_weights(seed: int = 20260816) -> tuple[np.ndarray, np.ndarray]:
     cached = _WEIGHT_CACHE.get(seed)
     if cached is None:
         rng = np.random.default_rng(seed)
-        w1 = rng.integers(-31, 32, size=(192, 96), dtype=np.int64)
-        w2 = rng.integers(-31, 32, size=(96, VOCAB_SIZE), dtype=np.int64)
+        # int32 is exact here: |sum| <= 128*31*192 < 2^31 in layer 1 and
+        # <= 127*31*96 < 2^31 in layer 2
+        w1 = rng.integers(-31, 32, size=(192, 96), dtype=np.int64).astype(np.int32)
+        w2 = rng.integers(-31, 32, size=(96, VOCAB_SIZE), dtype=np.int64).astype(np.int32)
         cached = (w1, w2)
         _WEIGHT_CACHE[seed] = cached
     return cached
@@ -386,10 +408,10 @@ def crnn_logits(crop48: np.ndarray, weights: tuple[np.ndarray, np.ndarray]) -> n
     padded = np.full((h, t * 4), 255, dtype=np.uint8)
     padded[:, :w] = crop48
     feats = padded.reshape(h, t, 4).transpose(1, 0, 2).reshape(t, h * 4)
-    feats = feats.astype(np.int64) - 128
-    hid = feats @ w1                      # exact int64
+    feats = feats.astype(np.int32) - 128
+    hid = feats @ w1                      # exact int32 (bounds in crnn_weights)
     hid = np.clip(hid >> 6, -127, 127)    # integer 'mixing' nonlinearity
-    logits = hid @ w2                     # exact int64
+    logits = hid @ w2                     # exact int32
     return (logits.astype(np.float32)) / 512.0
 
 

@@ -348,7 +348,7 @@ def q_lineage_counts(spark, sf):
 
 
 _SQL_LINEAGE = """
-SELECT doc_id % 32 AS partition_id, count(*) AS doc_count, sum(n_chars) AS char_count
+SELECT doc_id % 32 AS partition_id, count(*) AS doc_count, sum(n_chars)::bigint AS char_count
 FROM documents GROUP BY 1
 """
 
@@ -553,6 +553,119 @@ FROM documents
 """
 
 
+
+
+def q_asof_signup(spark, sf):
+    """As-of join (backward): each purchase gets the user's latest
+    prior-or-simultaneous signup — the temporal-join composition
+    (operators/asof.py; one shuffle, no range explosion)."""
+    from .operators import asof_join
+
+    e = _t(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "event_type"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "es")
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("es").alias("s_es")
+    )
+    res = asof_join(
+        purchases, signups, by="user_id", left_ts="es", right_ts="s_es",
+        payload=["s_es"],
+    )
+    return res.select(
+        "user_id", "es",
+        F.col("s_es").alias("signup_es"),
+        (F.col("es") - F.col("s_es")).alias("gap_s"),
+    )
+
+
+_SQL_ASOF = """
+WITH p AS (SELECT user_id, floor(epoch(ts))::bigint AS es FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, floor(epoch(ts))::bigint AS es FROM events WHERE event_type = 'signup')
+SELECT p.user_id, p.es, s.es AS signup_es, p.es - s.es AS gap_s
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.es >= s.es
+"""
+
+
+def q_quantiles(spark, sf):
+    """Exact interpolated percentiles per group (percentile == quantile_cont)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+_SQL_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def q_json_props(spark, sf):
+    """Semi-structured extraction: pull the numeric prop out of the JSON-ish
+    props string with a portable regex and aggregate."""
+    e = _t(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1)
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(k != "", k).cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_JSON_PROPS = """
+SELECT event_type,
+       sum(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '')::bigint)::bigint AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs via sign-LSH bucketing; duplicates
+    constructed in-query (vec_id%10 copies shifted +10000)."""
+    e = _t(spark, sf, "embeddings")
+    dup = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return S.near_dup_pairs(e.unionByName(dup), n_bits=8, min_cos=0.99)
+
+
+_SQL_EMB_NEAR_DUP = """
+WITH all_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+b AS (
+  SELECT vec_id, embedding, (
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+  )::int AS bucket FROM all_e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::double[], b.embedding::double[]) /
+             (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+              sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))), 4) AS cos_sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::double[], b.embedding::double[]) /
+            (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+             sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))), 4) >= 0.99
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -580,4 +693,8 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, _SQL_TEXT_LANGID),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_FINGERPRINT),
+    "asof_join_signup": (q_asof_signup, _SQL_ASOF),
+    "quantiles": (q_quantiles, _SQL_QUANTILES),
+    "json_props": (q_json_props, _SQL_JSON_PROPS),
+    "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
 }

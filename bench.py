@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
 ]
 
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 
 
 def bench_corpus() -> tuple[str, str]:
@@ -51,17 +51,23 @@ def bench_corpus() -> tuple[str, str]:
 
 
 def run_extract_bench(spark, docs_path: str, media_path: str) -> tuple[float, int]:
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(docs_path)
     media = spark.read.parquet(media_path)
     t0 = time.time()
-    n = extract(
-        docs,
-        media,
-        ExtractConfig(),
-        media_strategy="broadcast",
-        media_side_path=media_path,
-    ).count()
-    return time.time() - t0, n
+    # checksum action: forces OCR + merge + full spans_out materialization
+    # (a bare count() lets Catalyst prune the OCR join entirely)
+    row = (
+        extract(docs, media, ExtractConfig(), media_strategy="frames")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("doc_id", F.to_json("spans_out"))).alias("ck"),
+            F.sum("n_ocr").alias("ocr"),
+        )
+        .collect()[0]
+    )
+    return time.time() - t0, row["n"]
 
 
 def main() -> int:
@@ -92,21 +98,28 @@ def main() -> int:
 
     if scaling:
         # two-parallelism scaling evidence (sandbox stand-in for N vs 4N
-        # executors, per driver instruction): same input, local[8] vs
-        # local[32]; efficiency = (t8 / t32) / 4
+        # executors, per driver instruction): same input at local[2],
+        # local[8], local[32]; efficiency(N→4N) = (tN / t4N) / 4
         res = {}
-        for ncpu in (8, 32):
+        for ncpu in (2, 8, 32):
             s = get_spark(app=f"bench-scale-{ncpu}", master=f"local[{ncpu}]",
-                          shuffle_partitions=ncpu)
+                          shuffle_partitions=max(ncpu, 8))
+            # warmup pass (the reference engine's own protocol,
+            # /root/reference/engine.py:78-82): python workers spawned,
+            # code paths JIT'd, page cache primed — then measure steady state
+            run_extract_bench(s, docs_path, media_path)
             secs, n = run_extract_bench(s, docs_path, media_path)
             s.stop()
             res[ncpu] = {"secs": round(secs, 3), "docs_per_sec": round(n / secs, 2)}
-        eff = (res[8]["secs"] / res[32]["secs"]) / 4.0
         extras["scaling"] = {
-            "local8": res[8],
-            "local32": res[32],
-            "efficiency": round(eff, 3),
+            f"local{n}": res[n] for n in (2, 8, 32)
         }
+        extras["scaling"]["efficiency_2_to_8"] = round(
+            (res[2]["secs"] / res[8]["secs"]) / 4.0, 3
+        )
+        extras["scaling"]["efficiency_8_to_32"] = round(
+            (res[8]["secs"] / res[32]["secs"]) / 4.0, 3
+        )
 
     out = {
         "metric": "suite_seconds",

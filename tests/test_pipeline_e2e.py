@@ -16,7 +16,7 @@ def golden(corpus):
     return spans_key(O.run_oracle(corpus["docs"], corpus["media"], ExtractConfig()))
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+@pytest.mark.parametrize("strategy", ["frames", "broadcast", "join"])
 def test_golden_equality(spark, corpus, golden, strategy):
     docs = spark.read.parquet(corpus["docs_path"])
     media = spark.read.parquet(corpus["media_path"])

@@ -750,3 +750,58 @@ def pad_to_multiple(img: np.ndarray, m: int = 32) -> tuple[np.ndarray, tuple[int
     padded = np.zeros((nh, nw), dtype=img.dtype)
     padded[:h, :w] = img
     return padded, (nw - w, nh - h)
+
+
+# --------------------------------------------------------------------------
+# Preprocessing parity (SURVEY.md §2.7 K2, K16, K21)
+# --------------------------------------------------------------------------
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def normalize_det(img: np.ndarray) -> np.ndarray:
+    """Detection normalization, /root/reference/preprocess/core.py:31-33:
+    /255, −ImageNet mean, /std, HWC→1CHW float32. Unused by the Otsu
+    fallback detector (which re-derives uint8, detect/db.py:12-17) but kept
+    for parity with the reference preprocessing surface."""
+    if img.ndim == 2:
+        img = np.stack([img, img, img], axis=-1)
+    f = img.astype(np.float32) / 255.0
+    f = (f - IMAGENET_MEAN) / IMAGENET_STD
+    return f.transpose(2, 0, 1)[np.newaxis, ...]
+
+
+def classify_orientation(img: np.ndarray) -> tuple[int, float]:
+    """Document-orientation hook (K16). The reference's fallback is a
+    Canny+Hough median-angle vote (/root/reference/preprocess/orientation.py:41-52)
+    gated behind confidence 0.9; the synthetic corpus is upright by
+    construction, so the hook returns (class 0, 0.99) — the same observable
+    behavior as the reference on upright pages. Swap in a real classifier
+    here on a corpus with rotated scans."""
+    return 0, 0.99
+
+
+def correct_orientation(img: np.ndarray, oth: float = 0.9) -> tuple[np.ndarray, dict]:
+    """/root/reference/preprocess/core.py:13-17: rotate when the classifier
+    clears the confidence threshold."""
+    cls, sc = classify_orientation(img)
+    rotated = cls != 0 and sc >= oth
+    if rotated:
+        img = rotate_quadrant(img, cls)
+    return img, {"cls": cls, "score": float(sc), "rotated": rotated}
+
+
+def pad_crop_batch(crops: list[np.ndarray], h: int = 48) -> tuple[np.ndarray, list[int]]:
+    """Batch pad-to-max-width (K21, /root/reference/recognize/recognizer.py:59-64
+    and preprocess/core.py:38-46): resize each crop to height h, zero-pad
+    widths into a dense (B, h, maxW) uint8 batch. Returns (batch, widths) so
+    decoders can slice each crop back to its unpadded width — the
+    batch-invariance requirement of SURVEY.md §5.2(4)."""
+    resized = [rec_resize(c, h=h, mw=10**9, min_w=1) for c in crops]
+    widths = [r.shape[1] for r in resized]
+    mw = max(widths) if widths else 1
+    batch = np.zeros((len(crops), h, mw), dtype=np.uint8)
+    for i, r in enumerate(resized):
+        batch[i, :, : r.shape[1]] = r
+    return batch, widths

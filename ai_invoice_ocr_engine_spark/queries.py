@@ -509,8 +509,8 @@ _SQL_TEXT_QUALITY = """
 WITH base AS (
   SELECT doc_id, text,
          len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
          len(list_filter(string_split(text, ' '),
              t -> t IN ('the','a','of','and','to','in','is','on','for','it'))) AS n_stop
   FROM documents
@@ -547,8 +547,8 @@ def q_doc_fingerprint(spark, sf):
 
 _SQL_FINGERPRINT = """
 SELECT doc_id,
-       length(regexp_replace(lower(text), '\\s+', '', 'g')) AS n_norm_chars,
-       ('0x' || substr(md5(regexp_replace(lower(text), '\\s+', '', 'g')), 1, 15))::bigint AS fingerprint
+       length(regexp_replace(lower(text), '\s+', '', 'g')) AS n_norm_chars,
+       ('0x' || substr(md5(regexp_replace(lower(text), '\s+', '', 'g')), 1, 15))::bigint AS fingerprint
 FROM documents
 """
 
@@ -666,6 +666,57 @@ WHERE round(list_dot_product(a.embedding::double[], b.embedding::double[]) /
 """
 
 
+
+
+def q_invoice_fields(spark, sf):
+    """Key-value invoice field grouping (the reference's ER-diagram target,
+    demo/07_database_er.puml:66-93) exercised cross-engine: deterministic
+    invoice-like strings are synthesized per doc, then the engine's field
+    regexes extract number/date/total."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    txt = F.concat(
+        F.lit("INVOICE INV-"),
+        (F.col("doc_id") * 7 % 90000 + 10000).cast("string"),
+        F.lit(" DATE 20"),
+        F.lpad((F.col("doc_id") % 26 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit(" TOTAL "),
+        (F.col("doc_id") % 900 + 100).cast("string"),
+        F.lit("."),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract(txt, r"(?i)\bINV-?([A-Za-z0-9]{3,})\b", 1).alias("invoice_number"),
+        F.regexp_extract(txt, r"\b(\d{4}-\d{2}-\d{2})\b", 1).alias("invoice_date"),
+        F.regexp_extract(txt, r"(?i)\bTOTAL[:\s]*([0-9]+\.[0-9]{2})\b", 1).alias("total_amount"),
+    )
+
+
+_SQL_INVOICE_FIELDS = r"""
+WITH t AS (
+  SELECT doc_id,
+         'INVOICE INV-' || (doc_id * 7 % 90000 + 10000)::varchar ||
+         ' DATE 20' || lpad((doc_id % 26 + 1)::varchar, 2, '0') ||
+         '-' || lpad((doc_id % 12 + 1)::varchar, 2, '0') ||
+         '-' || lpad((doc_id % 28 + 1)::varchar, 2, '0') ||
+         ' TOTAL ' || (doc_id % 900 + 100)::varchar || '.' ||
+         lpad((doc_id % 100)::varchar, 2, '0') || ' ' || text AS txt
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       regexp_extract(txt, '(?i)\bINV-?([A-Za-z0-9]{3,})\b', 1) AS invoice_number,
+       regexp_extract(txt, '\b(\d{4}-\d{2}-\d{2})\b', 1) AS invoice_date,
+       regexp_extract(txt, '(?i)\bTOTAL[:\s]*([0-9]+\.[0-9]{2})\b', 1) AS total_amount
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -697,4 +748,5 @@ REGISTRY: dict[str, tuple] = {
     "quantiles": (q_quantiles, _SQL_QUANTILES),
     "json_props": (q_json_props, _SQL_JSON_PROPS),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
+    "invoice_fields": (q_invoice_fields, _SQL_INVOICE_FIELDS),
 }

@@ -37,10 +37,16 @@ def main(argv=None) -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--buckets", type=int, default=32)
     e.add_argument("--salt", type=int, default=4)
-    e.add_argument("--strategy", default="auto", choices=["auto", "broadcast", "join"])
+    e.add_argument(
+        "--strategy", default="auto", choices=["auto", "frames", "broadcast", "join"]
+    )
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--master", default=None)
     e.add_argument("--run-id", default=None)
+
+    v = sub.add_parser("verify-lineage", help="recompute checksums vs lineage")
+    v.add_argument("--out", required=True)
+    v.add_argument("--master", default=None)
 
     o = sub.add_parser("oracle", help="run the single-process golden oracle")
     o.add_argument("--docs", required=True)
@@ -80,6 +86,18 @@ def main(argv=None) -> int:
             spark.stop()
         print(json.dumps(stats))
         return 0
+
+    if args.cmd == "verify-lineage":
+        from .pipeline import verify_lineage
+        from .sources.session import get_spark
+
+        spark = get_spark(app="verify-lineage", master=args.master)
+        try:
+            rep = verify_lineage(spark, args.out)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
 
     if args.cmd == "oracle":
         from .oracle import run_oracle_parquet

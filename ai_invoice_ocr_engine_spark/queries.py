@@ -717,6 +717,68 @@ FROM t
 """
 
 
+
+
+def q_setops(spark, sf):
+    """Set operators (§2.6): customers ordering in 1996 vs 1997 —
+    INTERSECT / EXCEPT both ways, tagged."""
+    o = _t(spark, sf, "orders")
+    a = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    b = o.where(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    return (
+        a.intersect(b).select(F.lit("both").alias("tag"), "o_custkey")
+        .unionByName(a.exceptAll(b).select(F.lit("only_1996").alias("tag"), "o_custkey"))
+        .unionByName(b.exceptAll(a).select(F.lit("only_1997").alias("tag"), "o_custkey"))
+    )
+
+
+_SQL_SETOPS = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'only_1996' AS tag, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'only_1997' AS tag, o_custkey FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+"""
+
+
+def q_monthly_revenue(spark, sf):
+    """Date truncation + rollup-by-time (streaming-window cousin in batch)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_SQL_MONTHLY = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_levenshtein(spark, sf):
+    """String-distance scalar function (K22's relational cousin; both
+    engines implement the same classic DP)."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000042")).alias("name_dist"),
+    )
+
+
+_SQL_LEVENSHTEIN = """
+SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS name_dist
+FROM customer WHERE c_custkey < 500
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -749,4 +811,7 @@ REGISTRY: dict[str, tuple] = {
     "json_props": (q_json_props, _SQL_JSON_PROPS),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
     "invoice_fields": (q_invoice_fields, _SQL_INVOICE_FIELDS),
+    "set_ops_custkeys": (q_setops, _SQL_SETOPS),
+    "monthly_revenue": (q_monthly_revenue, _SQL_MONTHLY),
+    "levenshtein_names": (q_levenshtein, _SQL_LEVENSHTEIN),
 }

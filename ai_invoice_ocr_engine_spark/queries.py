@@ -505,7 +505,7 @@ def q_text_quality(spark, sf):
     return T.with_token_stats(_t(spark, sf, "documents"))
 
 
-_SQL_TEXT_QUALITY = """
+_SQL_TEXT_QUALITY = r"""
 WITH base AS (
   SELECT doc_id, text,
          len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
@@ -545,7 +545,7 @@ def q_doc_fingerprint(spark, sf):
     return T.with_fingerprint(_t(spark, sf, "documents"))
 
 
-_SQL_FINGERPRINT = """
+_SQL_FINGERPRINT = r"""
 SELECT doc_id,
        length(regexp_replace(lower(text), '\s+', '', 'g')) AS n_norm_chars,
        ('0x' || substr(md5(regexp_replace(lower(text), '\s+', '', 'g')), 1, 15))::bigint AS fingerprint
@@ -780,6 +780,336 @@ FROM customer WHERE c_custkey < 500
 
 
 # --------------------------------------------------------------------------
+# Extended relational coverage (grouping sets/cube, conditional aggregation,
+# having, disjunctive pushdown, correlated aggregates, non-equi semi join,
+# range join, multi-distinct, pivot, higher-order array functions)
+# --------------------------------------------------------------------------
+
+
+def q_cube_revenue(spark, sf):
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in one
+    pass (Expand operator; the reference's confusion-matrix A6 generalized)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+_SQL_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouping_sets_priority(spark, sf):
+    """Explicit GROUPING SETS ((status, priority), (status)) — finer control
+    than rollup/cube; DataFrame.groupingSets (Spark 4)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+_SQL_GROUPING_SETS = """
+SELECT o_orderstatus AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
+"""
+
+
+def q_cond_agg_priority(spark, sf):
+    """TPC-H Q12 shape: join + CASE-WHEN conditional aggregation."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_COND_AGG = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: join + ratio of conditional sums, single row."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+_SQL_PROMO = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+"""
+
+
+def q_having_large_orders(spark, sf):
+    """TPC-H Q18 shape: agg + HAVING filter + join back to dims."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "l_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+_SQL_HAVING = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_name, l_orderkey, round(o_totalprice, 2) AS totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_disjunctive_parts(spark, sf):
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides —
+    exercises CNF conversion / partial pushdown in Catalyst."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_DISJUNCTIVE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_correlated_avg_qty(spark, sf):
+    """TPC-H Q17 shape: correlated scalar aggregate, decorrelated as
+    pre-agg + join (the plan Catalyst produces for the subquery form)."""
+    li = _t(spark, sf, "lineitem")
+    pa = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    return (
+        li.join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_SQL_CORRELATED = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.5 * avg(l_quantity) FROM lineitem i WHERE i.l_partkey = l.l_partkey
+)
+"""
+
+
+def q_exists_late_orders(spark, sf):
+    """TPC-H Q4 shape: EXISTS with a non-equi correlate (shipped >60 days
+    after order) — left-semi join with composite condition."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_SQL_EXISTS_LATE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_range_join_buckets(spark, sf):
+    """Range (interval) join: events against value-band dimension rows via
+    a non-equi broadcast join (BroadcastNestedLoop; band dim is tiny)."""
+    e = _t(spark, sf, "events")
+    bands = spark.createDataFrame(
+        [(1, 0.0, 50.0), (2, 50.0, 100.0), (3, 100.0, 200.0), (4, 200.0, 500.0)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+_SQL_RANGE_JOIN = """
+WITH bands(band_id, lo, hi) AS (
+  VALUES (1, 0.0, 50.0), (2, 50.0, 100.0), (3, 100.0, 200.0), (4, 200.0, 500.0)
+)
+SELECT band_id, count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id
+"""
+
+
+def q_multi_distinct(spark, sf):
+    """Multiple COUNT(DISTINCT) in one aggregation (Expand-based plan)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_MULTI_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_status_priority(spark, sf):
+    """Pivot (long→wide): order counts by priority per status (A6 confusion
+    matrix as a relational pivot)."""
+    o = _t(spark, sf, "orders")
+    wide = o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).count()
+    cols = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    return wide.select(
+        F.col("o_orderstatus").alias("status"),
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(c) for p, c in zip(_PRIORITIES, cols)],
+    )
+
+
+_SQL_PIVOT = """
+SELECT o_orderstatus AS status,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_array_word_stats(spark, sf):
+    """Higher-order array functions (filter/transform/aggregate) entirely
+    JVM-side — the span-array manipulation idiom without any Python UDF."""
+    d = _t(spark, sf, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    lens = F.transform(words, lambda t: F.length(t))
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias("max_word_len"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total_chars"),
+    )
+
+
+_SQL_ARRAY_STATS = """
+WITH base AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                        t -> length(t)) AS lens
+  FROM documents
+)
+SELECT doc_id,
+       len(lens)::BIGINT AS n_words,
+       coalesce(list_aggregate(lens, 'max'), 0)::BIGINT AS max_word_len,
+       coalesce(list_aggregate(lens, 'sum'), 0)::BIGINT AS total_chars
+FROM base
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -814,4 +1144,16 @@ REGISTRY: dict[str, tuple] = {
     "set_ops_custkeys": (q_setops, _SQL_SETOPS),
     "monthly_revenue": (q_monthly_revenue, _SQL_MONTHLY),
     "levenshtein_names": (q_levenshtein, _SQL_LEVENSHTEIN),
+    "cube_revenue": (q_cube_revenue, _SQL_CUBE),
+    "grouping_sets_priority": (q_grouping_sets_priority, _SQL_GROUPING_SETS),
+    "cond_agg_priority": (q_cond_agg_priority, _SQL_COND_AGG),
+    "promo_revenue": (q_promo_revenue, _SQL_PROMO),
+    "having_large_orders": (q_having_large_orders, _SQL_HAVING),
+    "disjunctive_parts": (q_disjunctive_parts, _SQL_DISJUNCTIVE),
+    "correlated_avg_qty": (q_correlated_avg_qty, _SQL_CORRELATED),
+    "exists_late_orders": (q_exists_late_orders, _SQL_EXISTS_LATE),
+    "range_join_buckets": (q_range_join_buckets, _SQL_RANGE_JOIN),
+    "multi_distinct": (q_multi_distinct, _SQL_MULTI_DISTINCT),
+    "pivot_status_priority": (q_pivot_status_priority, _SQL_PIVOT),
+    "array_word_stats": (q_array_word_stats, _SQL_ARRAY_STATS),
 }

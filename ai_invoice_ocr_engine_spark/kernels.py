@@ -13,18 +13,30 @@ path (Otsu detection, axis-aligned boxes, CTC-greedy decode) — see
 SURVEY.md §2.7/§2.8/§7.3 for the decision log.
 
 Determinism notes (critical for batch-/parallelism-invariance):
-  * Recognition matmuls are INTEGER (int64) — immune to BLAS thread-count
-    dependent float summation order, so local[8] and local[32] runs are
+  * Recognition matmuls run through float32 BLAS sgemm but every value is a
+    small exact integer (all partial sums < 2^24, see crnn_weights) — the
+    result is bit-identical to integer arithmetic regardless of BLAS
+    accumulation order or thread count, so local[8] and local[32] runs are
     bit-identical.
   * All float ops are element-wise or fixed-order reductions.
 """
 
 from __future__ import annotations
 
+import os
 import re
 import struct
 
-import numpy as np
+# One BLAS thread per process: the engine parallelizes across Spark python
+# workers / documents (one per core) — nested BLAS threading oversubscribes
+# and measurably SLOWS the tiny per-crop GEMMs (0.19 -> 0.92+ ms/crop).
+# Must be set before the BLAS library initializes; harmless if numpy is
+# already loaded with a pool (executorEnv in sources/session.py covers the
+# Spark workers, this covers driver-side oracle/test processes).
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+import numpy as np  # noqa: E402
 
 # --------------------------------------------------------------------------
 # Vocabulary  (reference: /root/reference/recognize/vocab.py:13-19 — blank=0,
@@ -88,20 +100,27 @@ _G5 = np.rint(_G5F * 256).astype(np.int32)
 _G5[2] += 256 - int(_G5.sum())  # exact fixed-point normalization
 
 
+_G5_U16 = _G5.astype(np.uint16)
+
+
 def gaussian_blur5(img: np.ndarray) -> np.ndarray:
     """Separable 5-tap Gaussian (fixed-point /256), reflect-101 border;
-    uint8 in/out. Final scale: round(v / 256^2) via (v + 2^15) >> 16."""
-    f = img.astype(np.int32)
-    p = np.pad(f, ((0, 0), (2, 2)), mode="reflect")
-    w = f.shape[1]
-    h = _G5[0] * p[:, 0:w]
+    uint8 in/out. Final scale: round(v / 256^2) via (v + 2^15) >> 16.
+
+    Horizontal pass in uint16 (per-tap product <= 255*93, accumulated sum
+    <= 255*256 = 65280 because the taps sum to exactly 256 — no overflow);
+    vertical pass in int32. Half the memory traffic of the int32
+    formulation, bit-identical output (property-tested)."""
+    p = np.pad(img, ((0, 0), (2, 2)), mode="reflect").astype(np.uint16)
+    w = img.shape[1]
+    h = _G5_U16[0] * p[:, 0:w]
     for k in range(1, 5):
-        h += _G5[k] * p[:, k : k + w]
-    p = np.pad(h, ((2, 2), (0, 0)), mode="reflect")
-    n = f.shape[0]
-    v = _G5[0] * p[0:n, :]
+        h += _G5_U16[k] * p[:, k : k + w]
+    p2 = np.pad(h, ((2, 2), (0, 0)), mode="reflect").astype(np.int32)
+    n = img.shape[0]
+    v = _G5[0] * p2[0:n, :]
     for k in range(1, 5):
-        v += _G5[k] * p[k : k + n, :]
+        v += _G5[k] * p2[k : k + n, :]
     return ((v + (1 << 15)) >> 16).astype(np.uint8)
 
 
@@ -276,28 +295,51 @@ def extract_boxes(
 # --------------------------------------------------------------------------
 
 
+_RESIZE_IDX_CACHE: dict[tuple[int, int, int, int], tuple] = {}
+
+
+def _resize_indices(h: int, w: int, nh: int, nw: int) -> tuple:
+    """Gather indices + fixed-point weights for a (h,w)->(nh,nw) resize.
+
+    Cached: recognition resizes hit a small set of (crop_h, crop_w, 48, nw)
+    shapes repeatedly, and the per-call float64 index arithmetic is a
+    measurable fraction of small-crop resize cost."""
+    key = (h, w, nh, nw)
+    ent = _RESIZE_IDX_CACHE.get(key)
+    if ent is None:
+        ys = (np.arange(nh, dtype=np.float64) + 0.5) * (h / nh) - 0.5
+        xs = (np.arange(nw, dtype=np.float64) + 0.5) * (w / nw) - 0.5
+        y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wyq = np.rint(np.clip(ys - y0, 0.0, 1.0) * 256).astype(np.int32)[:, None]
+        wxq = np.rint(np.clip(xs - x0, 0.0, 1.0) * 256).astype(np.uint16)[None, :]
+        ent = (y0, y1, x0, x1, wyq, wxq)
+        if len(_RESIZE_IDX_CACHE) > 4096:
+            _RESIZE_IDX_CACHE.clear()
+        _RESIZE_IDX_CACHE[key] = ent
+    return ent
+
+
 def resize_bilinear(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
     """Pixel-center-aligned bilinear resize, uint8 in/out.
 
-    Separable fixed-point (/256 weights) integer arithmetic: deterministic
-    under any parallelism and ~2× cheaper than the float formulation (the
-    extract stage is memory-bandwidth-bound on wide machines)."""
+    Separable fixed-point (/256 weights) integer arithmetic, deterministic
+    under any parallelism. Horizontal pass in uint16: per-pixel value is
+    v0*(256-a) + v1*a <= 255*256 = 65280 (weights complement to 256), so it
+    cannot overflow; vertical pass promotes to int32 (<= 255*256*256 < 2^31).
+    Bit-identical to the int32 formulation (property-tested), ~half the
+    memory traffic — the extract stage is bandwidth-bound on wide machines."""
     h, w = img.shape
     if (h, w) == (nh, nw):
         return img.copy()
-    ys = (np.arange(nh, dtype=np.float64) + 0.5) * (h / nh) - 0.5
-    xs = (np.arange(nw, dtype=np.float64) + 0.5) * (w / nw) - 0.5
-    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
-    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
-    y1 = np.minimum(y0 + 1, h - 1)
-    x1 = np.minimum(x0 + 1, w - 1)
-    wyq = np.rint(np.clip(ys - y0, 0.0, 1.0) * 256).astype(np.int32)[:, None]
-    wxq = np.rint(np.clip(xs - x0, 0.0, 1.0) * 256).astype(np.int32)[None, :]
-    f = img.astype(np.int32)
-    # horizontal pass on the source rows: (h, w) -> (h, nw), values <= 255*256
-    hx = f[:, x0] * (256 - wxq) + f[:, x1] * wxq
-    # vertical pass: (h, nw) -> (nh, nw), values <= 255*256*256
-    v = hx[y0] * (256 - wyq) + hx[y1] * wyq
+    y0, y1, x0, x1, wyq, wxq = _resize_indices(h, w, nh, nw)
+    f16 = img.astype(np.uint16)
+    # horizontal pass on the source rows: (h, w) -> (h, nw)
+    hx = f16[:, x0] * (256 - wxq) + f16[:, x1] * wxq
+    # vertical pass: (h, nw) -> (nh, nw)
+    v = hx[y0].astype(np.int32) * (256 - wyq) + hx[y1].astype(np.int32) * wyq
     return ((v + (1 << 15)) >> 16).astype(np.uint8)
 
 
@@ -375,10 +417,15 @@ def crnn_weights(seed: int = 20260816) -> tuple[np.ndarray, np.ndarray]:
     cached = _WEIGHT_CACHE.get(seed)
     if cached is None:
         rng = np.random.default_rng(seed)
-        # int32 is exact here: |sum| <= 128*31*192 < 2^31 in layer 1 and
-        # <= 127*31*96 < 2^31 in layer 2
-        w1 = rng.integers(-31, 32, size=(192, 96), dtype=np.int64).astype(np.int32)
-        w2 = rng.integers(-31, 32, size=(96, VOCAB_SIZE), dtype=np.int64).astype(np.int32)
+        # Stored as float32 holding exact small integers so the forward pass
+        # can run through BLAS sgemm. Exactness: |any partial sum| <=
+        # 192*128*31 = 761,856 (layer 1) and 96*127*31 = 377,952 (layer 2),
+        # both < 2^24 — every intermediate is an exactly-representable
+        # float32 integer, so the GEMM result is bit-identical to integer
+        # arithmetic REGARDLESS of accumulation order (and ~10x faster than
+        # numpy's non-BLAS int32 matmul path).
+        w1 = rng.integers(-31, 32, size=(192, 96), dtype=np.int64).astype(np.float32)
+        w2 = rng.integers(-31, 32, size=(96, VOCAB_SIZE), dtype=np.int64).astype(np.float32)
         cached = (w1, w2)
         _WEIGHT_CACHE[seed] = cached
     return cached
@@ -408,11 +455,13 @@ def crnn_logits(crop48: np.ndarray, weights: tuple[np.ndarray, np.ndarray]) -> n
     padded = np.full((h, t * 4), 255, dtype=np.uint8)
     padded[:, :w] = crop48
     feats = padded.reshape(h, t, 4).transpose(1, 0, 2).reshape(t, h * 4)
-    feats = feats.astype(np.int32) - 128
-    hid = feats @ w1                      # exact int32 (bounds in crnn_weights)
-    hid = np.clip(hid >> 6, -127, 127)    # integer 'mixing' nonlinearity
-    logits = hid @ w2                     # exact int32
-    return (logits.astype(np.float32)) / 512.0
+    feats = feats.astype(np.float32) - 128.0
+    hid = feats @ np.asarray(w1, np.float32)   # sgemm, exact (crnn_weights)
+    # integer 'mixing' nonlinearity: arithmetic >>6 == floor(x/64); the
+    # float->int cast is exact because every value is an integer < 2^24
+    hid = np.clip(hid.astype(np.int32) >> 6, -127, 127).astype(np.float32)
+    logits = hid @ np.asarray(w2, np.float32)  # sgemm, exact
+    return logits / 512.0
 
 
 def softmax(x: np.ndarray) -> np.ndarray:

@@ -14,7 +14,14 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+# Set BEFORE the JVM spawns: in local mode spark.executorEnv.* is ignored and
+# python workers inherit the JVM's env, which inherits ours. Without this,
+# every worker opens a full-width OpenBLAS pool (32 workers x 32 threads
+# thrashed the 20k-doc bench from 14 s to 37 s).
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 
 def get_spark(
@@ -41,6 +48,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # one BLAS thread per python worker: the extract stage already runs
+        # one worker per core — nested BLAS threading would oversubscribe
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

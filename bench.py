@@ -50,10 +50,14 @@ def bench_corpus() -> tuple[str, str]:
     return ensure_corpus(d, seed=42, n_docs=BENCH_DOCS, max_media_side=640)
 
 
-def run_extract_bench(spark, docs_path: str, media_path: str) -> tuple[float, int]:
+def run_extract_bench(
+    spark, docs_path: str, media_path: str, limit: int | None = None
+) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(docs_path)
+    if limit:
+        docs = docs.limit(limit)
     media = spark.read.parquet(media_path)
     t0 = time.time()
     # checksum action: forces OCR + merge + full spans_out materialization
@@ -82,7 +86,15 @@ def main() -> int:
     queries: dict[str, float] = {}
     extras: dict = {}
 
-    # flagship extraction throughput
+    # flagship extraction throughput. One full warmup pass first — spawns the
+    # python workers, faults the media parquet into the page cache, JITs the
+    # kernels — so the measured pass reflects steady state (the reference
+    # engine's own warmup protocol, /root/reference/engine.py:78-82, and the
+    # same protocol the scaling section uses); cold wall time is reported
+    # alongside as extract_cold_secs.
+    t0 = time.time()
+    run_extract_bench(spark, docs_path, media_path)
+    extras["extract_cold_secs"] = round(time.time() - t0, 3)
     secs, n_docs = run_extract_bench(spark, docs_path, media_path)
     queries["ocr_extract"] = round(secs, 3)
     extras["extract_docs"] = n_docs

@@ -1,3 +1,13 @@
 from .incremental import incremental_extract
+from .windows import (
+    closed_sessions_batch,
+    stateful_sessions,
+    windowed_event_stats,
+)
 
-__all__ = ["incremental_extract"]
+__all__ = [
+    "incremental_extract",
+    "windowed_event_stats",
+    "stateful_sessions",
+    "closed_sessions_batch",
+]

@@ -1,0 +1,161 @@
+"""Streaming operators: watermarked windowed aggregation and a custom
+stateful sessionizer (``applyInPandasWithState``).
+
+The reference has no streaming surface (SURVEY.md §2.9 — its only
+concurrency is an in-process ThreadPool, /root/reference/engine.py:57-58).
+These are the beyond-reference pieces a continuously-ingesting corpus needs:
+
+  * ``windowed_event_stats`` — tumbling-window counts/sums with a watermark
+    bounding state for late data. The SAME function body runs on a batch or
+    a streaming DataFrame (withWatermark is a no-op in batch), so the
+    stream==batch equality test pins the semantics.
+  * ``stateful_sessions`` — gap-based sessionization as explicit keyed state
+    (the streaming twin of queries.q_sessionize_events' lag+cumsum window,
+    itself the relational shape of the reference's reading-order line scan,
+    /root/reference/postprocess.py:54-68). Closed sessions are emitted as
+    soon as the gap proves them closed; the open tail session per user rides
+    in the GroupState between micro-batches.
+
+Scale posture: state is per-key (user) and O(1) per key — a watermark bounds
+window state, the session state holds one open session per user. Both
+operators shuffle once on the grouping key and then stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: gap (seconds) after which a new session starts — matches
+#: queries.q_sessionize_events
+SESSION_GAP_S = 1800
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+
+def windowed_event_stats(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-type stats; batch and streaming DataFrames accept
+    the identical plan (stream==batch equality is tested)."""
+    # watermarks require TIMESTAMP (with local tz); parquet NTZ columns cast
+    # losslessly under the engine's fixed UTC session timezone
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _session_fn(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's events (sorted by time) into the per-user
+    open-session state; emit every session the gap closes."""
+    es: list[int] = []
+    for pdf in pdfs:
+        es.extend(int(v) for v in pdf["es"])
+    es.sort()
+    open_s: tuple[int, int, int] | None = tuple(state.get) if state.exists else None
+    closed: list[tuple[int, int, int]] = []
+    for t in es:
+        if open_s is None:
+            open_s = (t, t, 1)
+        elif t - open_s[1] > SESSION_GAP_S:
+            closed.append(open_s)
+            open_s = (t, t, 1)
+        else:
+            open_s = (open_s[0], t, open_s[2] + 1)
+    if open_s is not None:
+        state.update(open_s)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def stateful_sessions(events: DataFrame) -> DataFrame:
+    """events(user_id, ts) → closed sessions via explicit keyed state.
+
+    Works on a streaming DataFrame (micro-batches must arrive in event-time
+    order per user, the natural property of an append-only time-ordered
+    log). The final open session per user remains in state — exactly the
+    sessions a batch job cannot prove closed either.
+    """
+    prepped = events.select("user_id", F.unix_timestamp("ts").alias("es"))
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def closed_sessions_batch(events: DataFrame) -> DataFrame:
+    """Batch oracle for ``stateful_sessions``: lag+cumsum sessionization,
+    minus each user's final (still-open) session."""
+    from pyspark.sql import Window
+
+    e = events.select("user_id", F.unix_timestamp("ts").alias("es"))
+    w = Window.partitionBy("user_id").orderBy("es")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("es").over(w).isNull()
+            | ((F.col("es") - F.lag("es").over(w)) > SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = flagged.groupBy("user_id", "session_id").agg(
+        F.min("es").alias("session_start"),
+        F.max("es").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )
+    last = sess.groupBy("user_id").agg(F.max("session_id").alias("last_id"))
+    return (
+        sess.join(last, "user_id")
+        .where(F.col("session_id") != F.col("last_id"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

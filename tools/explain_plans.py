@@ -21,6 +21,12 @@ SHOW = [
     "sessionize_events",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "cube_revenue",
+    "exists_late_orders",
+    "range_join_buckets",
+    "multi_distinct",
+    "disjunctive_parts",
+    "correlated_avg_qty",
 ]
 
 

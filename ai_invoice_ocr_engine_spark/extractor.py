@@ -47,12 +47,13 @@ def extract_media_lines(
     )
     if len(boxes) == 0:
         return []
-    texts_scores = [
-        K.recognize_crop(
-            K.crop_box(img, b), weights, h=cfg.rec.h, mw=cfg.rec.mw, min_w=cfg.rec.min_w
-        )
-        for b in boxes
-    ]
+    texts_scores = K.recognize_crops(
+        [K.crop_box(img, b) for b in boxes],
+        weights,
+        h=cfg.rec.h,
+        mw=cfg.rec.mw,
+        min_w=cfg.rec.min_w,
+    )
     lines = K.reading_order_lines(boxes, texts_scores, line_th=cfg.layout.line_th)
     if cfg.layout.strip_boilerplate:
         lines = K.strip_boilerplate_lines(

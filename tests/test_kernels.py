@@ -194,3 +194,24 @@ def test_synf_roundtrip():
     assert (K.decode_synf(K.encode_synf(img)) == img).all()
     with pytest.raises(ValueError):
         K.decode_synf(b"JUNKxxxx")
+
+
+def test_recognize_crops_batched_equals_per_crop():
+    """One-GEMM-per-frame batching must be bit-identical to per-crop
+    recognition (the float32-integer exactness argument in crnn_weights)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    w = K.crnn_weights()
+    for _ in range(25):
+        crops = [
+            rng.integers(
+                0, 256,
+                size=(int(rng.integers(6, 80)), int(rng.integers(8, 500))),
+                dtype=np.uint8,
+            )
+            for _ in range(int(rng.integers(0, 10)))
+        ]
+        assert K.recognize_crops(crops, w) == [
+            K.recognize_crop(c, w) for c in crops
+        ]

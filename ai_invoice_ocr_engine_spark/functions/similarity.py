@@ -95,3 +95,128 @@ def near_dup_pairs(
         )
         .where(F.col("cos_sim") >= min_cos)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) index — the coarse-quantizer scale path for ANN.
+# Pure DataFrame ops: deterministic Lloyd k-means (no RNG, no MLlib), then
+# probe-limited search. At 10^12 vectors the assignment table IS the index
+# (write it partitioned by cid); a query touches nprobe/k of the corpus.
+# --------------------------------------------------------------------------
+
+
+def _dist2(a: str, b: str):
+    """Squared L2 between two array columns, JVM-side."""
+    return F.expr(
+        "aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - cast(y as double)) *"
+        " (cast(x as double) - cast(y as double))), cast(0.0 as double),"
+        " (acc, v) -> acc + v)".format(a=a, b=b)
+    )
+
+
+def ivf_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3) -> DataFrame:
+    """Deterministic Lloyd k-means → (cid int, centroid array<double>).
+
+    Init = the k lowest vec_ids (seedless and engine-portable); each
+    iteration is one broadcast assignment + one per-dimension mean. Empty
+    clusters keep their previous centroid.
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    w = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cid"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(e.withColumnRenamed("v", "embedding"), cents)
+        means = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+        # empty clusters: retain previous centroid (left join + coalesce)
+        cents = (
+            cents.alias("old")
+            .join(means.alias("new"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (ties → lowest cid).
+
+    Broadcast cross join + window argmin — the shuffle-free coarse
+    quantization pass. Returns (vec_id, cid, embedding)."""
+    from pyspark.sql import Window
+
+    j = embeddings.crossJoin(F.broadcast(centroids))
+    d2 = _dist2("embedding", "centroid")
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        j.select("vec_id", "embedding", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF-probed cosine top-k: scan only the nprobe clusters nearest the
+    query. nprobe == n_clusters degrades to exact brute force (tested equal
+    to cosine_topk); smaller nprobe trades recall for a 1/nprobe-ish scan.
+    Output schema matches cosine_topk (vec_id, label, cos_sim)."""
+    cents = ivf_centroids(embeddings, k=n_clusters, iters=iters)
+    assigned = ivf_assign(
+        embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        cents,
+    )
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").cast("array<double>").alias("qe")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", _dist2("centroid", "qe").alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cid", "left_semi")
+        .where(F.col("vec_id") != query_vec_id)
+        .join(embeddings.select("vec_id", "label"), "vec_id")
+    )
+    dot = F.expr(_DOT.format(a="embedding", b="qe"))
+    nv = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    nq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(dot / (nv * nq), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

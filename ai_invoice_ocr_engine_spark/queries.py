@@ -1080,6 +1080,28 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_ann_ivf_full_probe(spark, sf):
+    """IVF ANN at nprobe == n_clusters: the probe path degrades to exact
+    brute force, so the DuckDB brute-force cosine SQL is a full end-to-end
+    oracle for the ENTIRE index pipeline (deterministic Lloyd centroids →
+    assignment → probe selection → candidate scan → top-k)."""
+    return S.ivf_topk(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10,
+        n_clusters=8, nprobe=8, iters=2,
+    )
+
+
+def q_ann_ivf_probed(spark, sf):
+    """IVF ANN, nprobe=2 of 8 clusters — the at-scale path (scans ~1/4 of
+    the corpus). Approximate by design → no SQL oracle; exactness of the
+    machinery is pinned by ann_ivf_full_probe and recall by
+    tests/test_functions.py."""
+    return S.ivf_topk(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10,
+        n_clusters=8, nprobe=2, iters=2,
+    )
+
+
 def q_array_word_stats(spark, sf):
     """Higher-order array functions (filter/transform/aggregate) entirely
     JVM-side — the span-array manipulation idiom without any Python UDF."""
@@ -1156,4 +1178,6 @@ REGISTRY: dict[str, tuple] = {
     "multi_distinct": (q_multi_distinct, _SQL_MULTI_DISTINCT),
     "pivot_status_priority": (q_pivot_status_priority, _SQL_PIVOT),
     "array_word_stats": (q_array_word_stats, _SQL_ARRAY_STATS),
+    "ann_ivf_full_probe": (q_ann_ivf_full_probe, _SQL_ANN_COSINE),
+    "ann_ivf_probed": (q_ann_ivf_probed, None),
 }

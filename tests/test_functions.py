@@ -130,3 +130,37 @@ def test_incremental_stream_matches_batch(spark, corpus, tmp_path):
         ).collect()
     )
     assert_span_equal(got, want)
+
+
+def test_ivf_full_probe_equals_brute_force(emb_df):
+    from ai_invoice_ocr_engine_spark.functions import similarity as S
+
+    brute = [(r.vec_id, r.cos_sim) for r in S.cosine_topk(emb_df, 0, 10).collect()]
+    ivf = [
+        (r.vec_id, r.cos_sim)
+        for r in S.ivf_topk(emb_df, 0, 10, n_clusters=8, nprobe=8, iters=2).collect()
+    ]
+    assert ivf == brute
+
+
+def test_ivf_probed_recall_and_scan_fraction(emb_df):
+    from pyspark.sql import functions as F
+
+    from ai_invoice_ocr_engine_spark.functions import similarity as S
+
+    brute = {r.vec_id for r in S.cosine_topk(emb_df, 0, 10).collect()}
+    part = {
+        r.vec_id
+        for r in S.ivf_topk(emb_df, 0, 10, n_clusters=8, nprobe=2, iters=2).collect()
+    }
+    assert len(part & brute) / 10 >= 0.5  # clustered corpus: probing works
+    # the probed path must actually restrict the scan
+    cents = S.ivf_centroids(emb_df, k=8, iters=2)
+    assigned = S.ivf_assign(
+        emb_df.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        cents,
+    )
+    sizes = {r.cid: r["count"] for r in assigned.groupBy("cid").count().collect()}
+    total = sum(sizes.values())
+    assert total == emb_df.count()
+    assert max(sizes.values()) < total  # more than one non-empty cluster

@@ -1080,6 +1080,53 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_session_window(spark, sf):
+    """Native session_window (gap-based session aggregation) — the built-in
+    operator form of sessionize_events. Semantics: an event extends the
+    session while gap < 30 min; gap >= 30 min starts a new one (Spark merges
+    iff the event lands strictly inside [start, last+gap)), hence the SQL
+    oracle's `>= 1800` boundary (sessionize_events' lag version uses
+    `> 1800`; with microsecond timestamps the exact-1800.000000 boundary
+    never occurs in data, but the oracle matches the operator exactly)."""
+    e = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_SQL_SESSION_WINDOW = """
+WITH e AS (SELECT user_id, ts, floor(epoch(ts))::bigint AS es,
+                  epoch(ts) AS ef FROM events),
+l AS (SELECT user_id, es, ef,
+             lag(ef) OVER (PARTITION BY user_id ORDER BY ef) AS pef FROM e),
+s AS (SELECT user_id, es, ef,
+        sum(CASE WHEN pef IS NULL OR ef - pef >= 1800 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ef
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM l)
+SELECT user_id, min(es) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_approx_distinct(spark, sf):
+    """HLL++ approx_count_distinct — the sketch aggregate for cardinality at
+    10^12 scale (exact distinct shuffles every key; the sketch is
+    constant-size per group). Approximate by design → rows-only driver
+    check; tests assert <=5% error vs exact (tests/test_operators.py)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def q_ann_ivf_full_probe(spark, sf):
     """IVF ANN at nprobe == n_clusters: the probe path degrades to exact
     brute force, so the DuckDB brute-force cosine SQL is a full end-to-end
@@ -1180,4 +1227,6 @@ REGISTRY: dict[str, tuple] = {
     "array_word_stats": (q_array_word_stats, _SQL_ARRAY_STATS),
     "ann_ivf_full_probe": (q_ann_ivf_full_probe, _SQL_ANN_COSINE),
     "ann_ivf_probed": (q_ann_ivf_probed, None),
+    "session_window_native": (q_session_window, _SQL_SESSION_WINDOW),
+    "approx_distinct_parts": (q_approx_distinct, None),
 }

@@ -50,3 +50,26 @@ def test_pad_crop_batch_invariance():
         solo = K.rec_resize(c, h=48, mw=10**9, min_w=1)
         assert (batch[i, :, : widths[i]] == solo).all()
         assert (batch[i, :, widths[i]:] == 0).all()
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ sketch vs exact distinct: rsd=0.02 → assert <=5% group error."""
+    from pyspark.sql import functions as F
+
+    from ai_invoice_ocr_engine_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["approx_distinct_parts"][0](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)

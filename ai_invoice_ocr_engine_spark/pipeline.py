@@ -218,18 +218,34 @@ OCR_FRAME_SCHEMA = StructType(
 
 
 def _ocr_frame_batches(
-    batches: Iterator[pd.DataFrame], cfg: ExtractConfig, weights_bc=None
+    batches: Iterator[pd.DataFrame],
+    cfg: ExtractConfig,
+    weights_bc=None,
+    media_side_path: str | None = None,
 ) -> Iterator[pd.DataFrame]:
-    """Per-FRAME OCR: media_ref+image → flat reading-order line texts."""
+    """Per-FRAME OCR: media_ref[+image] → flat reading-order line texts.
+
+    Two byte-delivery modes: an ``image`` column in the Arrow batch (bytes
+    rode the shuffle), or ``media_side_path`` (batch carries only refs; the
+    bytes come zero-copy from the per-node mmap blob — no byte shuffle, no
+    Arrow byte transfer). Refs absent from the blob emit no row, exactly
+    like the semi join dropping them."""
     from .extractor import extract_media_lines
 
     weights = (
         weights_bc.value if weights_bc is not None else K.crnn_weights(cfg.rec.weight_seed)
     )
+    blob = _load_media_side(media_side_path) if media_side_path is not None else None
     for pdf in batches:
         refs, lines_out = [], []
-        for ref, blob in zip(pdf["media_ref"], pdf["image"]):
-            lines = extract_media_lines(bytes(blob), cfg, weights)
+        if blob is not None:
+            pairs = ((ref, blob.get(ref)) for ref in pdf["media_ref"])
+        else:
+            pairs = zip(pdf["media_ref"], pdf["image"])
+        for ref, raw in pairs:
+            if raw is None:
+                continue
+            lines = extract_media_lines(bytes(raw), cfg, weights)
             refs.append(ref)
             lines_out.append([t for line in lines for (t, _sc) in line])
         yield pd.DataFrame({"media_ref": refs, "lines": lines_out})
@@ -240,6 +256,7 @@ def extract_frames(
     media: DataFrame,
     cfg: ExtractConfig | None = None,
     broadcast_weights: bool = True,
+    media_side_path: str | None = None,
 ) -> DataFrame:
     """Frame-deduplicated extraction — the at-scale plan (and default).
 
@@ -276,16 +293,33 @@ def extract_frames(
         .select(F.col("s.media_ref").alias("media_ref"))
         .distinct()
     )
-    frames = media.select("media_ref", "image").join(needed, "media_ref", "left_semi")
-    # Hash-repartition the surviving frames before OCR. Measured tradeoff:
-    # skipping this (scan splits feed OCR directly) leaves the CPU-bound OCR
-    # stage at the scan's split count with per-split cost skew — a straggler
-    # split holds the whole stage (58.7 s vs 23.0 s at the 20 k bench tier).
-    # The byte shuffle is cheap relative to OCR compute; at cluster scale the
-    # same holds because shuffle bandwidth per node ≫ OCR throughput per
-    # node, and AQE skew-split handles any oversized shuffle partition.
-    frames = frames.repartition(target_parallelism, "media_ref")
-    ocr_fn = lambda it: _ocr_frame_batches(it, cfg, weights_bc=weights_bc)  # noqa: E731
+    if media_side_path is not None:
+        # Blob mode: ONLY ref strings shuffle; every byte of image data goes
+        # scan→blob once per node, then zero-copy mmap into each worker.
+        # Eliminates the byte shuffle AND the JVM→Arrow→Python byte copies —
+        # the frames plan's remaining bandwidth tax at full core width.
+        blob_path = build_media_blob(media_side_path)
+        # round-robin with explicit N: AQE coalesces a REPARTITION_BY_COL of
+        # this tiny string-only shuffle into ONE task (measured: the whole
+        # OCR stage serialized, 100 s vs 17 s), but respects an explicit
+        # numPartitions round-robin — which also balances frame counts
+        # exactly
+        frames = needed.repartition(target_parallelism)
+        ocr_fn = lambda it: _ocr_frame_batches(  # noqa: E731
+            it, cfg, weights_bc=weights_bc, media_side_path=blob_path
+        )
+    else:
+        frames = media.select("media_ref", "image").join(needed, "media_ref", "left_semi")
+        # Hash-repartition the surviving frames before OCR. Measured tradeoff:
+        # skipping this (scan splits feed OCR directly) leaves the CPU-bound
+        # OCR stage at the scan's split count with per-split cost skew — a
+        # straggler split holds the whole stage (58.7 s vs 23.0 s at the 20 k
+        # bench tier). The byte shuffle is cheap relative to OCR compute; at
+        # cluster scale the same holds because shuffle bandwidth per node ≫
+        # OCR throughput per node, and AQE skew-split handles any oversized
+        # shuffle partition.
+        frames = frames.repartition(target_parallelism, "media_ref")
+        ocr_fn = lambda it: _ocr_frame_batches(it, cfg, weights_bc=weights_bc)  # noqa: E731
     ocr = frames.mapInPandas(ocr_fn, OCR_FRAME_SCHEMA)
 
     sp = docs.select("doc_id", F.posexplode_outer("spans").alias("pos", "s"))
@@ -396,7 +430,13 @@ def extract(
 
     if media_strategy in ("auto", "frames"):
         # frame-deduplicated plan: the default — see extract_frames
-        return extract_frames(docs, media, cfg, broadcast_weights=broadcast_weights)
+        return extract_frames(
+            docs,
+            media,
+            cfg,
+            broadcast_weights=broadcast_weights,
+            media_side_path=media_side_path,
+        )
 
     weights_bc = (
         sc.broadcast(K.crnn_weights(cfg.rec.weight_seed)) if broadcast_weights else None

@@ -1,11 +1,15 @@
 """The Spark extraction job: media join → vectorized extract → lineage/resume.
 
-Plan shape (what Catalyst sees, SURVEY.md §3.1):
+Plan shape (what Catalyst sees, SURVEY.md §3.1; frames strategy, default):
 
-    scan(documents) ──────────────────────────────┐
-    scan(documents) → explode(spans) → filter     ├→ join(doc_id) → mapInPandas
-      (kind='media') → distinct → join(media) →   │     (extract)     → sink
-      groupBy(doc_id).collect_list ───────────────┘   + groupBy(bucket) lineage
+    scan(documents) → explode → filter(kind='media') → distinct refs
+        → repartition → mapInPandas(OCR per distinct frame)   [CPU stage]
+    scan(documents) → posexplode(spans) ⋈ ocr(media_ref)      [AQE-planned]
+        → groupBy(doc_id) → array_sort merge → spans_out → sink + lineage
+
+    Frame bytes reach the OCR stage either through a semi join + byte
+    shuffle, or (media_side_path) via a once-per-node mmap blob with only
+    ref strings shuffling — the at-scale default (see extract_frames).
 
 Scale design decisions:
   * The Python boundary is crossed ONCE per document batch — a single fused

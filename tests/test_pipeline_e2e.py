@@ -25,6 +25,21 @@ def test_golden_equality(spark, corpus, golden, strategy):
     assert_span_equal(actual, golden)
 
 
+def test_golden_equality_frames_blob_side_input(spark, corpus, golden):
+    """The blob side-input delivery (only refs shuffle, bytes via per-node
+    mmap) must be byte-identical to the shuffle delivery AND the oracle."""
+    docs = spark.read.parquet(corpus["docs_path"])
+    media = spark.read.parquet(corpus["media_path"])
+    result = extract(
+        docs,
+        media,
+        ExtractConfig(),
+        media_strategy="frames",
+        media_side_path=corpus["media_path"],
+    )
+    assert_span_equal(spans_key(result.collect()), golden)
+
+
 def test_edge_docs_present(spark, corpus, golden):
     """Edge docs (FIXTURES.md §1) survive the pipeline: empty spans, dangling
     media_ref, blank image."""

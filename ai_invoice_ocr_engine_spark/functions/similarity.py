@@ -17,19 +17,26 @@ _DOT = (
 )
 
 
-def cosine_scores(embeddings: DataFrame, query_vec_id: int = 0) -> DataFrame:
-    """cos(v, q) for every vector against the query row, JVM-side."""
-    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qe")
-    )
-    joined = embeddings.where(F.col("vec_id") != query_vec_id).crossJoin(
-        F.broadcast(q)
-    )
+def _cosine_to_query(vectors: DataFrame, q: DataFrame) -> DataFrame:
+    """Score (vec_id, label, embedding) rows against the single-row query
+    frame q(qe) — the one scoring idiom shared by the brute-force and IVF
+    paths so rounding/tie-break semantics cannot drift apart."""
+    joined = vectors.crossJoin(F.broadcast(q))
     dot = F.expr(_DOT.format(a="embedding", b="qe"))
     nv = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     nq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
     return joined.select(
         "vec_id", "label", F.round(dot / (nv * nq), 4).alias("cos_sim")
+    )
+
+
+def cosine_scores(embeddings: DataFrame, query_vec_id: int = 0) -> DataFrame:
+    """cos(v, q) for every vector against the query row, JVM-side."""
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    return _cosine_to_query(
+        embeddings.where(F.col("vec_id") != query_vec_id), q
     )
 
 
@@ -115,14 +122,23 @@ def _dist2(a: str, b: str):
 
 
 def ivf_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3) -> DataFrame:
-    """Deterministic Lloyd k-means → (cid int, centroid array<double>).
+    """Lloyd k-means → (cid int, centroid array<double>).
 
     Init = the k lowest vec_ids (seedless and engine-portable); each
     iteration is one broadcast assignment + one per-dimension mean. Empty
-    clusters keep their previous centroid.
+    clusters keep their previous centroid. Each iteration's centroids are
+    COLLECTED (k tiny rows) and re-created as a literal DataFrame: this
+    truncates the self-referencing lineage (otherwise iteration i re-runs
+    every previous iteration's full-corpus assignment — O(iters²) scans)
+    and pins the values for every downstream consumer. Per-dimension means
+    are quantized to 9 decimals so the ±1-ULP spread of distributed
+    float-sum merge order cannot surface in assignments across runs or
+    parallelism levels (exact determinism of a distributed double mean is
+    not guaranteed by Spark; the quantization absorbs it).
     """
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     w = Window.orderBy("vec_id")
     cents = (
@@ -138,7 +154,7 @@ def ivf_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3) -> DataFra
         means = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.round(F.avg("val"), 9).alias("m"))
             .groupBy("cid")
             .agg(
                 F.transform(
@@ -157,6 +173,10 @@ def ivf_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3) -> DataFra
                     "centroid"
                 ),
             )
+        )
+        cents = spark.createDataFrame(
+            sorted(((r["cid"], r["centroid"]) for r in cents.collect())),
+            "cid int, centroid array<double>",
         )
     return cents
 
@@ -211,12 +231,8 @@ def ivf_topk(
         .where(F.col("vec_id") != query_vec_id)
         .join(embeddings.select("vec_id", "label"), "vec_id")
     )
-    dot = F.expr(_DOT.format(a="embedding", b="qe"))
-    nv = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-    nq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
     return (
-        cand.crossJoin(F.broadcast(q))
-        .select("vec_id", "label", F.round(dot / (nv * nq), 4).alias("cos_sim"))
+        _cosine_to_query(cand, q)
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )

@@ -454,19 +454,7 @@ def crnn_logits(crop48: np.ndarray, weights: tuple[np.ndarray, np.ndarray]) -> n
     integer until the final float cast — bit-stable under any parallelism.
     Input: uint8 (48, W). Output: float32 (T, VOCAB_SIZE), T = ceil(W/4).
     """
-    w1, w2 = weights
-    h, w = crop48.shape
-    t = (w + 3) // 4
-    padded = np.full((h, t * 4), 255, dtype=np.uint8)
-    padded[:, :w] = crop48
-    feats = padded.reshape(h, t, 4).transpose(1, 0, 2).reshape(t, h * 4)
-    feats = feats.astype(np.float32) - 128.0
-    hid = feats @ np.asarray(w1, np.float32)   # sgemm, exact (crnn_weights)
-    # integer 'mixing' nonlinearity: arithmetic >>6 == floor(x/64); the
-    # float->int cast is exact because every value is an integer < 2^24
-    hid = np.clip(hid.astype(np.int32) >> 6, -127, 127).astype(np.float32)
-    logits = hid @ np.asarray(w2, np.float32)  # sgemm, exact
-    return logits / 512.0
+    return _crnn_tail(_crnn_feats(crop48), weights)
 
 
 def softmax(x: np.ndarray) -> np.ndarray:
@@ -500,14 +488,26 @@ def recognize_crop(crop: np.ndarray, weights, h=48, mw=320, min_w=8) -> tuple[st
 
 
 def _crnn_feats(crop48: np.ndarray) -> np.ndarray:
-    """Patch-embed features of one height-48 crop (the front half of
-    crnn_logits, split out so crops can share one GEMM)."""
+    """Patch-embed features of one crop (the front half of crnn_logits,
+    split out so crops can share one GEMM)."""
     h, w = crop48.shape
     t = (w + 3) // 4
     padded = np.full((h, t * 4), 255, dtype=np.uint8)
     padded[:, :w] = crop48
     feats = padded.reshape(h, t, 4).transpose(1, 0, 2).reshape(t, h * 4)
     return feats.astype(np.float32) - 128.0
+
+
+def _crnn_tail(feats: np.ndarray, weights) -> np.ndarray:
+    """GEMM → integer 'mixing' → GEMM → scale (the back half of
+    crnn_logits; rows are independent so batched and per-crop calls are
+    bit-identical — exactness bounds in crnn_weights)."""
+    w1, w2 = weights
+    hid = feats @ np.asarray(w1, np.float32)   # sgemm, exact
+    # arithmetic >>6 == floor(x/64); the float->int cast is exact because
+    # every value is an integer < 2^24
+    hid = np.clip(hid.astype(np.int32) >> 6, -127, 127).astype(np.float32)
+    return (hid @ np.asarray(w2, np.float32)) / 512.0  # sgemm, exact
 
 
 def recognize_crops(
@@ -523,13 +523,10 @@ def recognize_crops(
     padding waste. ~2x fewer BLAS/numpy dispatches per frame."""
     if not crops:
         return []
-    w1, w2 = weights
     fl = [_crnn_feats(rec_resize(c, h, mw, min_w)) for c in crops]
     lens = [f.shape[0] for f in fl]
     allf = np.concatenate(fl, axis=0) if len(fl) > 1 else fl[0]
-    hid = allf @ np.asarray(w1, np.float32)
-    hid = np.clip(hid.astype(np.int32) >> 6, -127, 127).astype(np.float32)
-    logits = (hid @ np.asarray(w2, np.float32)) / 512.0
+    logits = _crnn_tail(allf, weights)
     out, pos = [], 0
     for ln in lens:
         out.append(ctc_greedy(logits[pos : pos + ln]))

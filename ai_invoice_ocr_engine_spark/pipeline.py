@@ -248,7 +248,13 @@ def _ocr_frame_batches(
             pairs = zip(pdf["media_ref"], pdf["image"])
         for ref, raw in pairs:
             if raw is None:
-                continue
+                if blob is not None:
+                    # ref absent from the blob — same as the semi join
+                    # dropping it; the doc-side left join records it missing
+                    continue
+                # shuffle path: a NULL image column is corrupt input — fail
+                # loudly rather than silently dropping the frame's lines
+                raise ValueError(f"media row {ref!r} has NULL image bytes")
             lines = extract_media_lines(bytes(raw), cfg, weights)
             refs.append(ref)
             lines_out.append([t for line in lines for (t, _sc) in line])
@@ -303,6 +309,10 @@ def extract_frames(
         # Eliminates the byte shuffle AND the JVM→Arrow→Python byte copies —
         # the frames plan's remaining bandwidth tax at full core width.
         blob_path = build_media_blob(media_side_path)
+        # The `media` DataFrame still gates WHICH refs run (a caller may
+        # have filtered it); the gate joins ref strings only, never bytes —
+        # keeping blob delivery semantically identical to the byte shuffle.
+        needed = needed.join(media.select("media_ref"), "media_ref", "left_semi")
         # round-robin with explicit N: AQE coalesces a REPARTITION_BY_COL of
         # this tiny string-only shuffle into ONE task (measured: the whole
         # OCR stage serialized, 100 s vs 17 s), but respects an explicit

@@ -905,10 +905,14 @@ def q_having_large_orders(spark, sf):
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
+    # filter on the RAW sum (like the SQL's HAVING), round only in the
+    # projection — filtering on the rounded value would diverge from the
+    # oracle for sums in (250, 250.005)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .where(F.col("sum_qty") > 250)
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .where(F.col("raw_qty") > 250)
+        .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty"))
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
@@ -1159,7 +1163,10 @@ def q_array_word_stats(spark, sf):
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
         F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias("max_word_len"),
-        F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total_chars"),
+        F.coalesce(
+            F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x),
+            F.lit(0).cast("long"),
+        ).alias("total_chars"),  # NULL text -> 0, matching the oracle's coalesce
     )
 
 

@@ -50,14 +50,10 @@ def bench_corpus() -> tuple[str, str]:
     return ensure_corpus(d, seed=42, n_docs=BENCH_DOCS, max_media_side=640)
 
 
-def run_extract_bench(
-    spark, docs_path: str, media_path: str, limit: int | None = None
-) -> tuple[float, int]:
+def run_extract_bench(spark, docs_path: str, media_path: str) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(docs_path)
-    if limit:
-        docs = docs.limit(limit)
     media = spark.read.parquet(media_path)
     t0 = time.time()
     # checksum action: forces OCR + merge + full spans_out materialization

@@ -68,3 +68,22 @@ def test_invoice_fields_match_oracle(spark, corpus):
     result = extract(docs, media, cfg, media_strategy="broadcast")
     for r in result.select("doc_id", "invoice_fields").collect():
         assert dict(r["invoice_fields"] or {}) == golden_fields[r["doc_id"]]
+
+
+def test_blob_mode_respects_filtered_media(spark, corpus):
+    """A filtered media DataFrame must gate the blob path identically to the
+    semi-join path (the blob may contain refs the caller excluded)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(corpus["docs_path"])
+    media = spark.read.parquet(corpus["media_path"])
+    half = media.where(F.xxhash64("media_ref") % 2 == 0)
+    via_shuffle = extract(docs, half, ExtractConfig(), media_strategy="frames")
+    via_blob = extract(
+        docs,
+        half,
+        ExtractConfig(),
+        media_strategy="frames",
+        media_side_path=corpus["media_path"],  # blob holds ALL refs
+    )
+    assert_span_equal(spans_key(via_blob.collect()), spans_key(via_shuffle.collect()))

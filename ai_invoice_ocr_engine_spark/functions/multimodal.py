@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -116,3 +117,129 @@ def resize_frames(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
             yield pd.DataFrame({"media_ref": refs, "image": imgs})
 
     return media.select("media_ref", "image").mapInPandas(fn, schema)
+
+
+# --------------------------------------------------------------------------
+# Video: frame containers + frame sampling.
+# A "video" is an opaque binary column in the deterministic SYNV container
+# (magic + frame count + length-prefixed SYNF frames) — the decode seam
+# where ffmpeg would slot in on a production cluster. The Spark plumbing
+# (one Arrow crossing, row-expanding mapInPandas, no shuffle) is real.
+# --------------------------------------------------------------------------
+
+import struct as _struct
+
+SYNV_MAGIC = b"SYNV"
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("image", BinaryType()),
+    ]
+)
+
+
+def encode_synv(frames: list[bytes]) -> bytes:
+    """Pack SYNF frame payloads into a SYNV container."""
+    out = [SYNV_MAGIC, _struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(_struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_synv(data: bytes) -> list[bytes]:
+    if data[:4] != SYNV_MAGIC:
+        if data[:4] == b"\x00\x00\x00\x18" or data[4:8] == b"ftyp":
+            raise NotImplementedError(
+                "mp4 decode requires ffmpeg, not present in this container; "
+                "SYNV is the supported deterministic format"
+            )
+        raise ValueError("unknown video format")
+    (n,) = _struct.unpack_from("<I", data, 4)
+    frames, off = [], 8
+    for _ in range(n):
+        (ln,) = _struct.unpack_from("<I", data, off)
+        off += 4
+        frames.append(data[off : off + ln])
+        off += ln
+    return frames
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """videos(media_ref, video binary) → one row per sampled frame
+    (media_ref, frame_idx, image) — frame sampling for a multimodal
+    training pipeline, every_n-th frame starting at 0. Row-expanding
+    mapInPandas: a narrow stage, output partitioning inherits the scan."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, imgs = [], [], []
+            for ref, blob in zip(pdf["media_ref"], pdf["video"]):
+                for i, frame in enumerate(decode_synv(bytes(blob))):
+                    if i % every_n == 0:
+                        refs.append(ref)
+                        idxs.append(i)
+                        imgs.append(frame)
+            yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs, "image": imgs})
+
+    return videos.select("media_ref", "video").mapInPandas(fn, VIDEO_FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio: deterministic SYNA container (magic + sample count + int16 PCM) and
+# windowed features — the librosa/ffmpeg seam with real Spark plumbing.
+# --------------------------------------------------------------------------
+
+SYNA_MAGIC = b"SYNA"
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", ArrayType(FloatType())),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def encode_syna(samples: np.ndarray) -> bytes:
+    s = np.asarray(samples, np.int16)
+    return SYNA_MAGIC + _struct.pack("<I", len(s)) + s.tobytes()
+
+
+def decode_syna(data: bytes) -> np.ndarray:
+    if data[:4] != SYNA_MAGIC:
+        if data[:4] == b"RIFF" or data[:3] == b"ID3":
+            raise NotImplementedError(
+                "wav/mp3 decode requires an audio codec, not present in this "
+                "container; SYNA is the supported deterministic format"
+            )
+        raise ValueError("unknown audio format")
+    (n,) = _struct.unpack_from("<I", data, 4)
+    return np.frombuffer(data, np.int16, count=n, offset=8)
+
+
+def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
+    """audio(media_ref, audio binary) → per-window RMS + zero-crossing count
+    (the shape of a real feature-extraction stage; one Arrow crossing)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c.name: [] for c in AUDIO_FEATURES_SCHEMA.fields}
+            for ref, blob in zip(pdf["media_ref"], pdf["audio"]):
+                s = decode_syna(bytes(blob)).astype(np.float64)
+                n = len(s)
+                rms = [
+                    float(np.sqrt(np.mean(s[i : i + window] ** 2)))
+                    for i in range(0, n, window)
+                ]
+                zc = int(np.count_nonzero(np.diff(np.signbit(s)))) if n > 1 else 0
+                out["media_ref"].append(ref)
+                out["n_samples"].append(n)
+                out["rms"].append(rms)
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return audio.select("media_ref", "audio").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)

@@ -164,3 +164,65 @@ def test_ivf_probed_recall_and_scan_fraction(emb_df):
     total = sum(sizes.values())
     assert total == emb_df.count()
     assert max(sizes.values()) < total  # more than one non-empty cluster
+
+
+def test_video_frame_sampling(spark, corpus):
+    """SYNV container round-trip + every-n frame sampling via row-expanding
+    mapInPandas; sampled frames decode identically to the originals."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import kernels as K
+    from ai_invoice_ocr_engine_spark.functions import multimodal as M
+
+    rng = np.random.default_rng(9)
+    videos = []
+    n_frames = [5, 1, 8]
+    for vid, nf in enumerate(n_frames):
+        frames = [
+            K.encode_synf(rng.integers(0, 256, size=(16, 16), dtype=np.uint8))
+            for _ in range(nf)
+        ]
+        videos.append((f"v{vid}", M.encode_synv(frames)))
+    df = spark.createDataFrame(videos, "media_ref string, video binary")
+    out = M.sample_video_frames(df, every_n=2).collect()
+    expect = sum((nf + 1) // 2 for nf in n_frames)
+    assert len(out) == expect
+    assert all(r.frame_idx % 2 == 0 for r in out)
+    for r in out:
+        ref_frames = dict(videos)[r.media_ref]
+        assert bytes(r.image) == M.decode_synv(ref_frames)[r.frame_idx]
+
+
+def test_audio_features(spark):
+    """SYNA round-trip + windowed RMS/zero-crossing features match a direct
+    numpy computation."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark.functions import multimodal as M
+
+    t = np.arange(4000)
+    tone = (10000 * np.sin(t * 0.05)).astype(np.int16)
+    silent = np.zeros(100, np.int16)
+    df = spark.createDataFrame(
+        [("a", M.encode_syna(tone)), ("s", M.encode_syna(silent))],
+        "media_ref string, audio binary",
+    )
+    rows = {r.media_ref: r for r in M.audio_features(df, window=1024).collect()}
+    assert rows["a"].n_samples == 4000 and len(rows["a"].rms) == 4
+    want_rms0 = float(np.sqrt(np.mean(tone[:1024].astype(np.float64) ** 2)))
+    assert abs(rows["a"].rms[0] - want_rms0) < 1e-3
+    assert rows["a"].zero_crossings > 50
+    assert rows["s"].zero_crossings == 0 and max(rows["s"].rms) == 0.0
+
+
+def test_video_audio_codec_stubs():
+    import pytest as _pytest
+
+    from ai_invoice_ocr_engine_spark.functions import multimodal as M
+
+    with _pytest.raises(NotImplementedError):
+        M.decode_synv(b"\x00\x00\x00\x18ftypmp42....")
+    with _pytest.raises(NotImplementedError):
+        M.decode_syna(b"RIFF....WAVE")
+    with _pytest.raises(ValueError):
+        M.decode_synv(b"garbage.....")

@@ -37,7 +37,7 @@ def extract_media_lines(
     frame (/root/reference/engine.py:39-41,53), then reading-order sort
     (/root/reference/postprocess.py:54-68).
     """
-    img = K.decode_synf(image_bytes)
+    img = K.decode_image(image_bytes)  # polymorphic: SYNF or PNG (S2)
     oh, ow = img.shape
     det_img = K.det_resize(img, cfg.det.mxs)
     prob = K.detect_prob(det_img)

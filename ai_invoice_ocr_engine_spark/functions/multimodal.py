@@ -45,17 +45,10 @@ _N_FEATURES = 16
 def decode_frame(data: bytes) -> np.ndarray:
     """Decode a binary media payload to a grayscale uint8 frame.
 
-    SYNF decodes natively; PNG/JPEG are stubbed: real deployments drop a
-    Pillow/libjpeg decode here.
-    """
-    if data[:4] == K.SYNF_MAGIC:
-        return K.decode_synf(data)
-    if data[:8] == b"\x89PNG\r\n\x1a\n" or data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "png/jpeg decode requires an image codec not present in this "
-            "container; SYNF is the supported deterministic format"
-        )
-    raise ValueError("unknown media format")
+    SYNF and PNG decode natively (pure numpy + stdlib zlib,
+    kernels.decode_png); JPEG remains the codec seam where libjpeg would
+    slot in on a production cluster."""
+    return K.decode_image(data)
 
 
 def frame_features(img: np.ndarray, n: int = _N_FEATURES) -> np.ndarray:
@@ -73,7 +66,8 @@ def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             data = bytes(blob)
             try:
                 img = decode_frame(data)
-                fmt, w, h = "synf", img.shape[1], img.shape[0]
+                fmt = "synf" if data[:4] == K.SYNF_MAGIC else "png"
+                w, h = img.shape[1], img.shape[0]
                 feats = frame_features(img).tolist()
             except (NotImplementedError, ValueError):
                 fmt, w, h, feats = "unsupported", -1, -1, [0.0] * _N_FEATURES

@@ -85,6 +85,169 @@ def decode_synf(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# PNG codec — pure numpy + stdlib zlib (no Pillow/cv2 in this container).
+# Gives S2 (the reference's polymorphic imread, /root/reference/utils/
+# image.py:4-11) a real second on-disk format: 8-bit grayscale / RGB /
+# RGBA / palette-less PNGs, all five scanline filters. Color converts to
+# grayscale with cv2's exact BGR2GRAY fixed-point luma so downstream
+# detection is deterministic.
+# --------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(data: bytes):
+    off = 8
+    while off + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, off)
+        typ = data[off + 4 : off + 8]
+        yield typ, data[off + 8 : off + 8 + ln]
+        off += 12 + ln  # len + type + payload + crc
+        if typ == b"IEND":
+            break
+
+
+def _unfilter_png(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
+    """Undo PNG scanline filters (types 0-4) — per-spec byte arithmetic."""
+    stride = w * nch
+    out = np.zeros((h, stride), np.uint8)
+    pos = 0
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = int(raw[pos])
+        line = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(nch, stride):
+                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    """cv2 COLOR_RGB2GRAY exact fixed-point luma: deterministic uint8."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    # cv2 coefficients quantized to /2^15: 9798R + 19235G + 3735B
+    return ((9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15).astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → grayscale uint8 (h, w). Supports bit depth 8, color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlacing."""
+    import zlib
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    w = h = None
+    nch = 0
+    idat = []
+    for typ, payload in _png_chunks(data):
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+            if interlace:
+                raise NotImplementedError("interlaced PNG unsupported")
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if nch is None:
+                raise NotImplementedError(f"PNG color type {ctype} unsupported")
+        elif typ == b"IDAT":
+            idat.append(payload)
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    px = _unfilter_png(raw, h, w, nch).reshape(h, w, nch)
+    if nch == 1:
+        return px[:, :, 0].copy()
+    if nch == 2:  # gray + alpha: drop alpha
+        return px[:, :, 0].copy()
+    return rgb_to_gray(px[:, :, :3])
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal grayscale PNG writer (one IDAT, selectable filter — the
+    non-zero filters exist so tests can exercise every unfilter path)."""
+    import zlib
+
+    assert img.dtype == np.uint8 and img.ndim == 2
+    h, w = img.shape
+    f = img.astype(np.int32)
+    lines = []
+    prev = np.zeros(w, np.int32)
+    for y in range(h):
+        cur = f[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = (cur - np.concatenate(([0], cur[:-1]))) & 0xFF
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            a = np.concatenate(([0], cur[:-1]))
+            enc = (cur - ((a + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            a = np.concatenate(([0], cur[:-1]))
+            c = np.concatenate(([0], prev[:-1]))
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError("bad filter type")
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        body = typ + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Polymorphic reader (S2, /root/reference/utils/image.py:4-11): SYNF or
+    PNG → grayscale uint8; JPEG remains a codec-seam stub."""
+    if data[:4] == SYNF_MAGIC:
+        return decode_synf(data)
+    if data[:8] == PNG_MAGIC:
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        raise NotImplementedError("jpeg decode requires libjpeg (codec seam)")
+    raise ValueError("unknown image format")
+
+
+# --------------------------------------------------------------------------
 # Detection — Otsu fallback path (/root/reference/detect/db.py:10-23:
 # GaussianBlur(5,5) → Otsu THRESH_BINARY_INV → close×2 → open×1, prob map is
 # the cleaned binary mask as float)

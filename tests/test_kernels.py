@@ -215,3 +215,61 @@ def test_recognize_crops_batched_equals_per_crop():
         assert K.recognize_crops(crops, w) == [
             K.recognize_crop(c, w) for c in crops
         ]
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png(filter f) → decode_png must reproduce the image exactly
+    for every PNG scanline filter type (exercises all unfilter paths)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    for f in range(5):
+        for shape in [(1, 1), (3, 7), (24, 33), (48, 160)]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            data = K.encode_png(img, filter_type=f)
+            out = K.decode_png(data)
+            assert np.array_equal(out, img), (f, shape)
+
+
+def test_png_rgb_to_gray_luma():
+    import numpy as np
+
+    # pure channels: cv2's fixed-point luma values
+    rgb = np.zeros((1, 3, 3), np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    rgb[0, 1] = (0, 255, 0)
+    rgb[0, 2] = (0, 0, 255)
+    g = K.rgb_to_gray(rgb)
+    assert list(g[0]) == [76, 150, 29]  # round(255 * [.299, .587, .114])
+
+
+def test_decode_image_polymorphic():
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(20, 30), dtype=np.uint8)
+    assert np.array_equal(K.decode_image(K.encode_synf(img)), img)
+    assert np.array_equal(K.decode_image(K.encode_png(img)), img)
+    with _pytest.raises(NotImplementedError):
+        K.decode_image(b"\xff\xd8jpegdata")
+    with _pytest.raises(ValueError):
+        K.decode_image(b"not an image")
+
+
+def test_png_frames_extract_identically_to_synf(tmp_path):
+    """The full per-frame OCR flow over a PNG-encoded frame equals the
+    SYNF-encoded frame bit-for-bit (same pixels in, same spans out)."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import fixtures as FX
+    from ai_invoice_ocr_engine_spark.config import ExtractConfig
+    from ai_invoice_ocr_engine_spark.extractor import extract_media_lines
+
+    rng = np.random.default_rng(21)
+    img, _n = FX.render_media(rng, 320, 240, header_footer=True)
+    cfg = ExtractConfig()
+    w = K.crnn_weights(cfg.rec.weight_seed)
+    a = extract_media_lines(K.encode_synf(img), cfg, w)
+    b = extract_media_lines(K.encode_png(img), cfg, w)
+    assert a == b and len(a) > 0

@@ -119,10 +119,12 @@ def _unfilter_png(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
         pos += 1 + stride
         if ftype == 0:
             cur = line
-        elif ftype == 1:  # Sub
-            cur = line.copy()
-            for x in range(nch, stride):
-                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif ftype == 1:  # Sub: per-channel modular prefix sum (exact —
+            # modular addition is associative, so cumsum-then-mask equals
+            # the per-byte recurrence)
+            cur = (
+                np.cumsum(line.reshape(w, nch), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride).astype(np.int32)
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average

@@ -1084,6 +1084,57 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_winnowing_fingerprints(spark, sf):
+    """MOSS-style winnowing (the rolling-hash document fingerprint): k-gram
+    hashes, then the minimum of every w-hash sliding window, deduplicated —
+    the classic sub-document fingerprint set for plagiarism/near-dup
+    detection at scale. Pure JVM: posexplode positions → substr k-grams →
+    md5-derived 60-bit hash → window MIN → distinct."""
+    k, w = 8, 4
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+                   f"i -> substr(text, i, {k}))")
+        ).alias("i", "g"),
+    ).select(
+        "doc_id",
+        "i",
+        F.expr("cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)").alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    return (
+        grams.select("doc_id", F.min("h").over(win).alias("fingerprint"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("fingerprint").alias("min_fp"),
+            F.bit_xor("fingerprint").alias("fp_xor"),
+        )
+    )
+
+
+_SQL_WINNOWING = """
+WITH grams AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::bigint AS h
+  FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS t(i)
+  WHERE doc_id < 100
+),
+mins AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM grams
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(fingerprint) AS min_fp,
+       bit_xor(fingerprint) AS fp_xor
+FROM mins GROUP BY doc_id
+"""
+
+
 def q_session_window(spark, sf):
     """Native session_window (gap-based session aggregation) — the built-in
     operator form of sessionize_events. Semantics: an event extends the
@@ -1235,5 +1286,6 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_full_probe": (q_ann_ivf_full_probe, _SQL_ANN_COSINE),
     "ann_ivf_probed": (q_ann_ivf_probed, None),
     "session_window_native": (q_session_window, _SQL_SESSION_WINDOW),
+    "winnowing_fingerprints": (q_winnowing_fingerprints, _SQL_WINNOWING),
     "approx_distinct_parts": (q_approx_distinct, None),
 }

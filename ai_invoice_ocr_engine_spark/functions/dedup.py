@@ -94,20 +94,31 @@ def jaccard_pairs(
 
 
 def minhash_band_pairs(
-    corpus: DataFrame, k: int = 12, band_rows: int = 3
+    corpus: DataFrame, k: int = 12, band_rows: int = 3, fast_hash: bool = False
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: k min-hashes, bands of `band_rows`,
-    pairs colliding in >= 1 band (returned with their collision count)."""
+    pairs colliding in >= 1 band (returned with their collision count).
+
+    ``fast_hash=True`` swaps the md5-derived hash for Spark's native
+    xxhash64 — ~10x cheaper per shingle and the choice a 10^12-doc run
+    makes; md5 remains the default because DuckDB can reproduce it, which
+    is what the cross-engine oracle leans on. Both find the same candidate
+    pairs except under (astronomically unlikely) differing collisions —
+    asserted by tests/test_functions.py."""
     sh = shingles(corpus)
     hashes = sh.select(
         "doc_id",
         F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
         "sh",
-    ).select(
-        "doc_id",
-        "j",
-        F.expr(_hexint("concat(cast(j as string), '|', sh)")).alias("h"),
     )
+    if fast_hash:
+        hashes = hashes.select("doc_id", "j", F.xxhash64("j", "sh").alias("h"))
+    else:
+        hashes = hashes.select(
+            "doc_id",
+            "j",
+            F.expr(_hexint("concat(cast(j as string), '|', sh)")).alias("h"),
+        )
     mh = hashes.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
     bands = (
         mh.withColumn("band", F.expr(f"cast(j / {band_rows} as int)"))

@@ -226,3 +226,19 @@ def test_video_audio_codec_stubs():
         M.decode_syna(b"RIFF....WAVE")
     with _pytest.raises(ValueError):
         M.decode_synv(b"garbage.....")
+
+
+def test_minhash_fast_hash_finds_same_pairs(text_df):
+    """xxhash64 MinHash (the at-scale hash) finds the same candidate pairs
+    as the md5-derived cross-engine-verifiable hash on the planted dups."""
+    from ai_invoice_ocr_engine_spark.functions import dedup as D
+
+    slow = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_band_pairs(text_df, fast_hash=False).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_band_pairs(text_df, fast_hash=True).collect()
+    }
+    assert slow == fast and len(fast) > 0

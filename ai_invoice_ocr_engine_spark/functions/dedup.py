@@ -102,9 +102,11 @@ def minhash_band_pairs(
     ``fast_hash=True`` swaps the md5-derived hash for Spark's native
     xxhash64 — ~10x cheaper per shingle and the choice a 10^12-doc run
     makes; md5 remains the default because DuckDB can reproduce it, which
-    is what the cross-engine oracle leans on. Both find the same candidate
-    pairs except under (astronomically unlikely) differing collisions —
-    asserted by tests/test_functions.py."""
+    is what the cross-engine oracle leans on. NOTE: for PARTIAL-similarity
+    pairs the candidate set is hash-family-dependent (each band collides
+    with probability s^band_rows independently per family); only exact
+    duplicates (s=1, identical signatures under any hash) are guaranteed
+    by both — which is what tests/test_functions.py asserts."""
     sh = shingles(corpus)
     hashes = sh.select(
         "doc_id",

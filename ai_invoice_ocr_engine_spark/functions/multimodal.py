@@ -151,11 +151,17 @@ def decode_synv(data: bytes) -> list[bytes]:
                 "SYNV is the supported deterministic format"
             )
         raise ValueError("unknown video format")
+    if len(data) < 8:
+        raise ValueError("truncated SYNV container")
     (n,) = _struct.unpack_from("<I", data, 4)
     frames, off = [], 8
     for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated SYNV container")
         (ln,) = _struct.unpack_from("<I", data, off)
         off += 4
+        if off + ln > len(data):
+            raise ValueError("SYNV frame length exceeds container")
         frames.append(data[off : off + ln])
         off += ln
     return frames

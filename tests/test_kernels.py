@@ -273,3 +273,21 @@ def test_png_frames_extract_identically_to_synf(tmp_path):
     a = extract_media_lines(K.encode_synf(img), cfg, w)
     b = extract_media_lines(K.encode_png(img), cfg, w)
     assert a == b and len(a) > 0
+
+
+def test_png_corrupt_raises_value_error():
+    """Malformed PNGs raise ValueError (not zlib/struct errors) so batch
+    jobs can classify rather than crash."""
+    import pytest as _pytest
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    for bad in [
+        magic,  # no chunks
+        magic + b"\x00" * 40,  # garbage chunks
+        # valid IHDR then garbage IDAT (bad zlib stream)
+        K.encode_png(__import__("numpy").zeros((4, 4), "uint8"))[:33]
+        + b"\x00\x00\x00\x04IDATxxxx\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00IEND\x00\x00\x00\x00",
+    ]:
+        with _pytest.raises(ValueError):
+            K.decode_png(bad)

@@ -87,3 +87,33 @@ def test_blob_mode_respects_filtered_media(spark, corpus):
         media_side_path=corpus["media_path"],  # blob holds ALL refs
     )
     assert_span_equal(spans_key(via_blob.collect()), spans_key(via_shuffle.collect()))
+
+
+def test_mixed_format_media_golden(spark, corpus, tmp_path):
+    """Polymorphic S2 in the DISTRIBUTED path: re-encode half the media
+    table as PNG; engine and oracle (sharing decode_image) must still agree
+    doc-for-doc, and output must equal the all-SYNF golden (same pixels)."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import kernels as K
+    from ai_invoice_ocr_engine_spark import oracle as O
+
+    media_rows = []
+    for i, m in enumerate(corpus["media"]):
+        m = dict(m)
+        if i % 2 == 0:
+            img = K.decode_synf(bytes(m["image"]))
+            m["image"] = K.encode_png(img, filter_type=i % 5)
+        media_rows.append(m)
+    mixed_path = str(tmp_path / "media_mixed.parquet")
+    spark.createDataFrame(
+        [(m["media_ref"], m["width"], m["height"], bytearray(m["image"]), m["n_lines"])
+         for m in media_rows],
+        "media_ref string, width int, height int, image binary, n_lines int",
+    ).write.parquet(mixed_path)
+
+    golden = spans_key(O.run_oracle(corpus["docs"], corpus["media"], ExtractConfig()))
+    docs = spark.read.parquet(corpus["docs_path"])
+    media = spark.read.parquet(mixed_path)
+    result = extract(docs, media, ExtractConfig(), media_strategy="frames")
+    assert_span_equal(spans_key(result.collect()), golden)

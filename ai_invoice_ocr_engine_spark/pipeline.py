@@ -275,13 +275,18 @@ def extract_frames(
     10^12-doc web corpus reuses frames far more). Everything else is pure
     Catalyst:
 
-        media ⋉ needed_refs → mapInPandas(OCR per frame)   [narrow, CPU]
+        media ⋉ needed_refs → mapInPandas(OCR per frame)   [CPU stage]
         docs → posexplode_outer(spans) ⋈ ocr(media_ref)     [AQE-planned]
         groupBy(doc_id) → array_sort by (offset, pos) → flatten
         → dense `order` via transform index → fields via regexp_extract
 
-    Media bytes NEVER shuffle (the scan feeds the OCR map stage directly);
-    only small text flows through the join. The reading-order/boilerplate
+    Byte delivery (two modes): with ``media_side_path`` only ref STRINGS
+    shuffle and workers read bytes zero-copy from a once-per-node mmap blob
+    (image bytes never shuffle and never cross JVM→Arrow→Python — measured
+    2–3× faster at full core width); without it, frame bytes take one
+    balance repartition into the OCR stage (the general path when the
+    media table exceeds node-local storage). Either way only small text
+    flows through the doc-side join. The reading-order/boilerplate
     semantics live in the frame UDF (shared kernels), so output is
     bit-identical to the per-document oracle — each duplicate occurrence of
     a frame expands to the same lines, exactly as the reference recomputes
@@ -433,11 +438,17 @@ def extract(
 ) -> DataFrame:
     """documents × media → extracted span sequences (RESULT_SCHEMA).
 
-    ``media_side_path``: when the media table fits executor memory AND is
-    available as a parquet path, the fastest distribution is a side input —
-    each python worker reads the columnar file directly (OS page cache
-    shares it per node) instead of funneling the bytes through a driver
-    collect + pickle broadcast."""
+    ``media_strategy``: 'frames' (and 'auto', the default) = the
+    frame-deduplicated plan of extract_frames — OCR once per distinct
+    media_ref, merge in Catalyst. 'broadcast' / 'join' = the per-document
+    plans (each doc's UDF call receives its own media bytes) — kept as
+    testing seams and for corpora with no frame reuse.
+
+    ``media_side_path``: parquet path of the media table. For 'frames' it
+    selects blob delivery (only ref strings shuffle; bytes come from a
+    once-per-node mmap blob — the fastest path, see extract_frames). For
+    'broadcast' it replaces the driver collect+pickle broadcast with the
+    same per-node blob."""
     cfg = cfg or ExtractConfig()
     spark = docs.sparkSession
     sc = spark.sparkContext

@@ -22,5 +22,14 @@ Layout:
 
 from .config import ExtractConfig
 
-__all__ = ["ExtractConfig"]
+
+def init(spark, cfg=None):
+    """Engine constructor mirroring the reference's dococr.init
+    (/root/reference/__init__.py:5-7); see api.OCREngineSpark."""
+    from .api import OCREngineSpark
+
+    return OCREngineSpark(spark, cfg)
+
+
+__all__ = ["ExtractConfig", "init"]
 __version__ = "0.1.0"

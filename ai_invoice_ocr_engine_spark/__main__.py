@@ -53,6 +53,14 @@ def main(argv=None) -> int:
     o.add_argument("--media", required=True)
     o.add_argument("--out", required=True)
 
+    # the reference CLI's output-format switch (dococr predict -f,
+    # /root/reference/cli.py:33-38) as a post-extraction step
+    x = sub.add_parser("export", help="export an extracted spans table")
+    x.add_argument("--spans", required=True, help="OUT/spans dir of `extract`")
+    x.add_argument("--out", required=True)
+    x.add_argument("--format", default="json", choices=["json", "csv", "txt"])
+    x.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -85,6 +93,21 @@ def main(argv=None) -> int:
         finally:
             spark.stop()
         print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "export":
+        from .sources import export as X
+        from .sources.session import get_spark
+
+        spark = get_spark(app="export", master=args.master)
+        try:
+            result = spark.read.parquet(args.spans)
+            writer = {"json": X.write_json, "csv": X.write_csv, "txt": X.write_text}
+            writer[args.format](result, args.out)
+            n = result.count()
+        finally:
+            spark.stop()
+        print(json.dumps({"format": args.format, "docs": n, "out": args.out}))
         return 0
 
     if args.cmd == "verify-lineage":

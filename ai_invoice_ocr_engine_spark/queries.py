@@ -1084,6 +1084,100 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_left_outer_counts(spark, sf):
+    """LEFT OUTER join + count(col) null semantics: customers keep a row
+    even with zero orders (count of a NULL column is 0, sum coalesced)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+_SQL_LEFT_OUTER = """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_revenue_share(spark, sf):
+    """Uncorrelated scalar aggregate (subquery-in-SELECT shape): each
+    nation's revenue as a share of the global total — the scalar lands as a
+    broadcast cross join in the DataFrame plan, exactly Catalyst's
+    decorrelation of `SELECT ..., x / (SELECT sum(...))`."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    by_nation = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(rev.alias("nation_rev"))
+    )
+    total = li.agg(rev.alias("total_rev"))
+    return by_nation.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        F.round("nation_rev", 2).alias("revenue"),
+        F.round(F.col("nation_rev") / F.col("total_rev") * 100.0, 4).alias("share_pct"),
+    )
+
+
+_SQL_REVENUE_SHARE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)) /
+             (SELECT sum(l_extendedprice * (1 - l_discount)) FROM lineitem) * 100.0,
+             4) AS share_pct
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_bag_set_ops(spark, sf):
+    """EXCEPT ALL / INTERSECT ALL (bag semantics, duplicates preserved) over
+    per-order priority rows of two adjacent years."""
+    o = _t(spark, sf, "orders")
+    a = o.where(F.year("o_orderdate") == 1996).select("o_orderpriority")
+    b = o.where(F.year("o_orderdate") == 1997).select("o_orderpriority")
+    return (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("surplus_1996"))
+        .unionByName(
+            a.intersectAll(b)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("surplus_1996")),
+            allowMissingColumns=False,
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("surplus_1996").alias("n_rows"))
+    )
+
+
+_SQL_BAG_SETOPS = """
+WITH a AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996),
+b AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997),
+ex AS (SELECT o_orderpriority FROM a EXCEPT ALL SELECT o_orderpriority FROM b),
+ia AS (SELECT o_orderpriority FROM a INTERSECT ALL SELECT o_orderpriority FROM b),
+u AS (
+  SELECT o_orderpriority, count(*) AS n FROM ex GROUP BY 1
+  UNION ALL
+  SELECT o_orderpriority, count(*) AS n FROM ia GROUP BY 1
+)
+SELECT o_orderpriority, sum(n) AS n_rows FROM u GROUP BY o_orderpriority
+"""
+
+
 def q_winnowing_fingerprints(spark, sf):
     """MOSS-style winnowing (the rolling-hash document fingerprint): k-gram
     hashes, then the minimum of every w-hash sliding window, deduplicated —
@@ -1287,5 +1381,8 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_probed": (q_ann_ivf_probed, None),
     "session_window_native": (q_session_window, _SQL_SESSION_WINDOW),
     "winnowing_fingerprints": (q_winnowing_fingerprints, _SQL_WINNOWING),
+    "left_outer_counts": (q_left_outer_counts, _SQL_LEFT_OUTER),
+    "revenue_share_by_nation": (q_revenue_share, _SQL_REVENUE_SHARE),
+    "bag_set_ops": (q_bag_set_ops, _SQL_BAG_SETOPS),
     "approx_distinct_parts": (q_approx_distinct, None),
 }

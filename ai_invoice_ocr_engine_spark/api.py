@@ -95,16 +95,12 @@ class OCREngineSpark:
         cfg = self.cfg
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .extractor import detect_frame
+
             for pdf in batches:
                 refs, bxs, scs = [], [], []
                 for ref, blob in zip(pdf["media_ref"], pdf["image"]):
-                    img = K.decode_image(bytes(blob))
-                    det = K.det_resize(img, cfg.det.mxs)
-                    prob = K.detect_prob(det)
-                    boxes, scores = K.extract_boxes(
-                        prob, img.shape, th=cfg.det.th, bth=cfg.det.bth,
-                        ur=cfg.det.ur, ms=cfg.det.ms, dil=cfg.det.dil,
-                    )
+                    boxes, scores = detect_frame(K.decode_image(bytes(blob)), cfg)
                     refs.append(ref)
                     bxs.append([[float(v) for v in b] for b in boxes])
                     scs.append([float(s) for s in scores])
@@ -159,12 +155,9 @@ class OCREngineSpark:
             [(m["media_ref"], bytearray(m["image"])) for m in media],
             "media_ref string, image binary",
         )
-        t0 = time.time()
         for _ in range(n):
             self.predict(ddf, mdf).count()
-        self._stats["n"] += n * len(docs)
-        self._stats["t"] += time.time() - t0
-        self.reset_stats()
+        self.reset_stats()  # reference resets after warmup (engine.py:82)
 
     @property
     def config(self) -> ExtractConfig:
@@ -183,7 +176,7 @@ class OCREngineSpark:
             if "." in k:
                 parent, attr = k.rsplit(".", 1)
                 sub = getattr(cfg, parent, None)
-                if sub is not None and any(
+                if dataclasses.is_dataclass(sub) and any(
                     f.name == attr for f in dataclasses.fields(sub)
                 ):
                     cfg = dataclasses.replace(

@@ -25,6 +25,19 @@ KIND_TEXT = "text"
 KIND_OCR = "ocr_text"
 
 
+def detect_frame(img: np.ndarray, cfg: ExtractConfig):
+    """Detection stage of one frame: keep-ratio resize → prob map → scored
+    boxes rescaled to original coordinates (the single definition shared by
+    the full pipeline, api.OCREngineSpark.detect_only, and tests — mirrors
+    /root/reference/engine.py:64-67)."""
+    det_img = K.det_resize(img, cfg.det.mxs)
+    prob = K.detect_prob(det_img)
+    return K.extract_boxes(
+        prob, img.shape, th=cfg.det.th, bth=cfg.det.bth, ur=cfg.det.ur,
+        ms=cfg.det.ms, dil=cfg.det.dil,
+    )
+
+
 def extract_media_lines(
     image_bytes: bytes, cfg: ExtractConfig, weights
 ) -> list[list[tuple[str, float]]]:
@@ -39,12 +52,7 @@ def extract_media_lines(
     """
     img = K.decode_image(image_bytes)  # polymorphic: SYNF or PNG (S2)
     oh, ow = img.shape
-    det_img = K.det_resize(img, cfg.det.mxs)
-    prob = K.detect_prob(det_img)
-    boxes, scores = K.extract_boxes(
-        prob, (oh, ow), th=cfg.det.th, bth=cfg.det.bth, ur=cfg.det.ur,
-        ms=cfg.det.ms, dil=cfg.det.dil,
-    )
+    boxes, scores = detect_frame(img, cfg)
     if len(boxes) == 0:
         return []
     texts_scores = K.recognize_crops(

@@ -21,14 +21,11 @@ def test_detect_only_matches_kernels(spark, corpus):
     eng = OCREngineSpark(spark)
     media = spark.read.parquet(corpus["media_path"]).limit(5)
     rows = {r.media_ref: r for r in eng.detect_only(media).collect()}
-    cfg = eng.cfg
+    from ai_invoice_ocr_engine_spark.extractor import detect_frame
+
     for m in media.collect():
         img = K.decode_image(bytes(m.image))
-        det = K.det_resize(img, cfg.det.mxs)
-        boxes, scores = K.extract_boxes(
-            K.detect_prob(det), img.shape, th=cfg.det.th, bth=cfg.det.bth,
-            ur=cfg.det.ur, ms=cfg.det.ms, dil=cfg.det.dil,
-        )
+        boxes, scores = detect_frame(img, eng.cfg)
         got = rows[m.media_ref]
         assert len(got.boxes) == len(boxes)
         for gb, kb in zip(got.boxes, boxes):
@@ -71,3 +68,4 @@ def test_update_config_dotted(spark):
     assert eng.config.det.th == 0.42
     assert eng.config.extract_fields is False
     eng.update_config(nonexistent=1)  # silently ignored, like the reference
+    eng.update_config(**{"extract_fields.x": 1})  # non-dataclass parent: no-op

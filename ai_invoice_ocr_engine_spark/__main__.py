@@ -53,6 +53,14 @@ def main(argv=None) -> int:
     o.add_argument("--media", required=True)
     o.add_argument("--out", required=True)
 
+    # the reference CLI's eval subcommand (/root/reference/cli.py:48-49 — a
+    # print-only stub there) made real: span-sequence equality + text-level
+    # recognition metrics of an extracted table against a golden parquet
+    ev = sub.add_parser("eval", help="evaluate spans table vs golden parquet")
+    ev.add_argument("--spans", required=True, help="OUT/spans dir of `extract`")
+    ev.add_argument("--golden", required=True, help="golden parquet (oracle cmd)")
+    ev.add_argument("--master", default=None)
+
     # the reference CLI's output-format switch (dococr predict -f,
     # /root/reference/cli.py:33-38) as a post-extraction step
     x = sub.add_parser("export", help="export an extracted spans table")
@@ -94,6 +102,33 @@ def main(argv=None) -> int:
             spark.stop()
         print(json.dumps(stats))
         return 0
+
+    if args.cmd == "eval":
+        from pyspark.sql import functions as F
+
+        from .metrics import rec_metrics_df, span_equality_report
+        from .sources.session import get_spark
+
+        spark = get_spark(app="eval", master=args.master)
+        try:
+            res = spark.read.parquet(args.spans)
+            gold = spark.read.parquet(args.golden)
+            eq = span_equality_report(res, gold).collect()[0].asDict()
+            # text-level A5 metrics over position-aligned spans (order is the
+            # dense per-doc index, so (doc_id, order) is the join key)
+            flat = lambda df, c: df.select(  # noqa: E731
+                "doc_id", F.posexplode("spans_out").alias("i", "s")
+            ).select("doc_id", "i", F.col("s.text").alias(c))
+            pairs = flat(res, "pred").join(flat(gold, "gt"), ["doc_id", "i"])
+            rec = {
+                k: (round(v, 6) if isinstance(v, float) else v)
+                for k, v in rec_metrics_df(pairs).collect()[0].asDict().items()
+            }
+        finally:
+            spark.stop()
+        report = {**eq, "rec": rec}
+        print(json.dumps(report))
+        return 0 if eq["n_docs"] == eq["n_equal"] else 1
 
     if args.cmd == "export":
         from .sources import export as X

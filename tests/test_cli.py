@@ -1,0 +1,60 @@
+"""CLI surface test: gen → extract → oracle → eval → export as real
+subprocesses (the exact spark-submit-shaped path operators run), including
+eval's nonzero exit on mismatch. Subprocesses keep each command's
+SparkSession lifecycle away from the shared test session."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "ai_invoice_ocr_engine_spark", *args],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+
+
+def test_cli_end_to_end(tmp_path):
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    golden = str(tmp_path / "golden.parquet")
+
+    r = _run("gen", "--out", corpus, "--docs", "40", "--max-side", "320")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.splitlines()[-1])["n_docs"] == 40
+
+    r = _run(
+        "extract", "--docs", f"{corpus}/documents.parquet",
+        "--media", f"{corpus}/media.parquet", "--out", out,
+        "--buckets", "4", "--master", "local[4]",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.splitlines()[-1])["docs"] == 40
+
+    r = _run(
+        "oracle", "--docs", f"{corpus}/documents.parquet",
+        "--media", f"{corpus}/media.parquet", "--out", golden,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run("eval", "--spans", f"{out}/spans", "--golden", golden,
+             "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.splitlines()[-1])
+    assert rep["n_docs"] == rep["n_equal"] == 40 and rep["rec"]["cer"] == 0.0
+
+    r = _run("export", "--spans", f"{out}/spans", "--out", str(tmp_path / "ex"),
+             "--format", "txt", "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.splitlines()[-1])["docs"] == 40
+
+    r = _run("verify-lineage", "--out", out, "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.splitlines()[-1])["ok"] is True

@@ -1084,6 +1084,68 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_order_gap_days(spark, sf):
+    """lead() + datediff: days between consecutive orders per customer
+    (the forward-looking window twin of the lag-based sessionization)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+        F.max("gap").alias("max_gap_days"),
+    )
+
+
+_SQL_ORDER_GAPS = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day', o_orderdate::date,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey)::date)
+           AS gap
+  FROM orders
+)
+SELECT o_custkey, count(*) AS n_gaps,
+       round(avg(gap), 4) AS avg_gap_days, max(gap) AS max_gap_days
+FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+"""
+
+
+def q_ntile_spend_quartiles(spark, sf):
+    """ntile(4) over customer lifetime spend → per-quartile aggregates."""
+    o = _t(spark, sf, "orders")
+    totals = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    q = totals.select(
+        "o_custkey", "spend", F.ntile(4).over(w).alias("quartile")
+    )
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("spend"), 2).alias("quartile_spend"),
+        F.round(F.min("spend"), 2).alias("min_spend"),
+    )
+
+
+_SQL_NTILE = """
+WITH totals AS (
+  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT o_custkey, spend,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+  FROM totals
+)
+SELECT quartile, count(*) AS n_customers,
+       round(sum(spend), 2) AS quartile_spend,
+       round(min(spend), 2) AS min_spend
+FROM q GROUP BY quartile
+"""
+
+
 def q_left_outer_counts(spark, sf):
     """LEFT OUTER join + count(col) null semantics: customers keep a row
     even with zero orders (count of a NULL column is 0, sum coalesced)."""
@@ -1382,6 +1444,8 @@ REGISTRY: dict[str, tuple] = {
     "session_window_native": (q_session_window, _SQL_SESSION_WINDOW),
     "winnowing_fingerprints": (q_winnowing_fingerprints, _SQL_WINNOWING),
     "left_outer_counts": (q_left_outer_counts, _SQL_LEFT_OUTER),
+    "order_gap_days": (q_order_gap_days, _SQL_ORDER_GAPS),
+    "ntile_spend_quartiles": (q_ntile_spend_quartiles, _SQL_NTILE),
     "revenue_share_by_nation": (q_revenue_share, _SQL_REVENUE_SHARE),
     "bag_set_ops": (q_bag_set_ops, _SQL_BAG_SETOPS),
     "approx_distinct_parts": (q_approx_distinct, None),

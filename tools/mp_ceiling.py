@@ -55,6 +55,19 @@ def main() -> int:
     # single-process warmup (JIT, page-in)
     _work((0, min(64, len(_IMGS))))
 
+    # reference-architecture proxy: ThreadPoolExecutor(max_workers=4), the
+    # reference engine's exact concurrency model and default
+    # (/root/reference/engine.py:57-58, config.py:66), over the same kernels
+    # and frames — the "reference single-node throughput" comparison row
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_ref = min(2048, len(_IMGS))
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        chunks = [(i * n_ref // 4, (i + 1) * n_ref // 4) for i in range(4)]
+        sum(ex.map(_work, chunks))
+    ref_fps = round(n_ref / (time.time() - t0), 1)
+
     res: dict[str, float] = {}
     for procs in (1, 2, 8, 32):
         chunks = [
@@ -69,6 +82,7 @@ def main() -> int:
         res[str(procs)] = round(done / dt, 1)
     out = {
         "frames": len(_IMGS),
+        "reference_arch_threadpool4_fps": ref_fps,
         "frames_per_sec": res,
         "eff_2_to_8": round(res["8"] / res["2"] / 4.0, 3),
         "eff_8_to_32": round(res["32"] / res["8"] / 4.0, 3),

@@ -184,18 +184,34 @@ def ivf_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3) -> DataFra
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (ties → lowest cid).
 
-    Broadcast cross join + window argmin — the shuffle-free coarse
-    quantization pass. Returns (vec_id, cid, embedding)."""
-    from pyspark.sql import Window
-
-    j = embeddings.crossJoin(F.broadcast(centroids))
-    d2 = _dist2("embedding", "centroid")
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
-    return (
-        j.select("vec_id", "embedding", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid", "embedding")
+    The centroids are k tiny rows: collect them into an array-of-structs
+    LITERAL and compute the per-row argmin with `transform` + `array_min`
+    (struct ordering = (d2, cid), so min gives nearest-then-lowest-cid) —
+    a pure projection, zero Exchange. The previous crossJoin + window
+    argmin shuffled k×N rows just to pick a per-row minimum; at 10^12
+    vectors that shuffle IS the job, this is free. Returns
+    (vec_id, cid, embedding)."""
+    rows = sorted(
+        (int(r["cid"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    )
+    cents_lit = ", ".join(
+        "named_struct('cid', {cid}, 'c', array({vals}))".format(
+            cid=cid,
+            vals=", ".join(f"cast('{v!r}' as double)" for v in vec),
+        )
+        for cid, vec in rows
+    )
+    d2 = (
+        "aggregate(zip_with(cast(embedding as array<double>), s.c,"
+        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    argmin = (
+        f"array_min(transform(array({cents_lit}),"
+        f" s -> named_struct('d2', {d2}, 'cid', s.cid))).cid"
+    )
+    return embeddings.select(
+        "vec_id", F.expr(argmin).alias("cid"), "embedding"
     )
 
 

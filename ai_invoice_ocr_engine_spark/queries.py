@@ -287,9 +287,9 @@ _SQL_SESSIONIZE = """
 WITH e AS (SELECT user_id, floor(epoch(ts))::bigint AS es FROM events),
 l AS (SELECT user_id, es, lag(es) OVER (PARTITION BY user_id ORDER BY es) AS pes FROM e),
 s AS (SELECT user_id, es,
-        sum(CASE WHEN pes IS NULL OR es - pes > 1800 THEN 1 ELSE 0 END)
+        (sum(CASE WHEN pes IS NULL OR es - pes > 1800 THEN 1 ELSE 0 END)
           OVER (PARTITION BY user_id ORDER BY es
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
       FROM l)
 SELECT user_id, session_id, count(*) AS n_events, max(es) - min(es) AS duration_s
 FROM s GROUP BY user_id, session_id
@@ -424,7 +424,12 @@ GROUP BY 1, 2
 
 
 def q_dedup_simhash(spark, sf):
-    return D.simhash_pairs(_corpus(spark, sf), bits=16, max_hamming=4)
+    """SimHash near-dup pairs. The Spark side uses pigeonhole multi-band
+    candidate generation (functions/dedup.py:simhash_pairs) which is EXACT
+    for Hamming <= max_hamming, so the oracle is simply the all-pairs
+    Hamming join (fine at oracle scale; the banded join is the 10^12-doc
+    plan)."""
+    return D.simhash_pairs(_corpus(spark, sf), bits=60, max_hamming=4)
 
 
 def _simhash_sql_terms(bits: int = 16) -> tuple[str, str]:
@@ -438,7 +443,7 @@ def _simhash_sql_terms(bits: int = 16) -> tuple[str, str]:
     return sums, sim
 
 
-_SH_SUMS, _SH_EXPR = _simhash_sql_terms(16)
+_SH_SUMS, _SH_EXPR = _simhash_sql_terms(60)
 
 _SQL_DEDUP_SIMHASH = f"""
 WITH {_CORPUS_SQL},
@@ -457,8 +462,7 @@ sums AS (
 sim AS (SELECT doc_id, ({_SH_EXPR})::bigint AS simhash FROM sums)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sim a JOIN sim b
-  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
 """
 
@@ -861,8 +865,8 @@ def q_cond_agg_priority(spark, sf):
 
 _SQL_COND_AGG = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1236,7 +1240,7 @@ u AS (
   UNION ALL
   SELECT o_orderpriority, count(*) AS n FROM ia GROUP BY 1
 )
-SELECT o_orderpriority, sum(n) AS n_rows FROM u GROUP BY o_orderpriority
+SELECT o_orderpriority, sum(n)::BIGINT AS n_rows FROM u GROUP BY o_orderpriority
 """
 
 

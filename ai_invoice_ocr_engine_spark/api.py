@@ -123,7 +123,9 @@ class OCREngineSpark:
                     crops.append(K.decode_image(bytes(blob)))
                     refs.append(ref)
                 for (t, s) in K.recognize_crops(
-                    crops, weights, h=cfg.rec.h, mw=cfg.rec.mw, min_w=cfg.rec.min_w
+                    crops, weights, h=cfg.rec.h, mw=cfg.rec.mw,
+                    min_w=cfg.rec.min_w, decode=cfg.rec.decode,
+                    beam_width=cfg.rec.beam_width,
                 ):
                     txts.append(t)
                     scs.append(float(s))
@@ -155,8 +157,17 @@ class OCREngineSpark:
             [(m["media_ref"], bytearray(m["image"])) for m in media],
             "media_ref string, image binary",
         )
+        from pyspark.sql import functions as F
+
         for _ in range(n):
-            self.predict(ddf, mdf).count()
+            # NOT a bare .count(): Catalyst prunes the OCR left join under
+            # count() (no column of the OCR side is needed), so counting
+            # would never spawn python workers or broadcast weights. The
+            # checksum aggregate forces the spans_out column and therefore
+            # the full OCR stage (same trick as bench.run_extract_bench).
+            self.predict(ddf, mdf).agg(
+                F.bit_xor(F.xxhash64(F.to_json("spans_out")))
+            ).collect()
         self.reset_stats()  # reference resets after warmup (engine.py:82)
 
     @property

@@ -28,6 +28,8 @@ class RecognizeConfig:
     mw: int = 320          # max crop width after resize
     min_w: int = 8         # floor on resized crop width
     weight_seed: int = 20260816  # frozen-weight seed (fixture artifact)
+    decode: str = "greedy"  # CTC decode mode: 'greedy' | 'beam' (reference config.py:35 bm)
+    beam_width: int = 5     # beam width when decode='beam' (reference config.py:36 bw)
 
 
 @dataclass(frozen=True)

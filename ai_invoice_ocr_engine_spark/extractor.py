@@ -61,6 +61,8 @@ def extract_media_lines(
         h=cfg.rec.h,
         mw=cfg.rec.mw,
         min_w=cfg.rec.min_w,
+        decode=cfg.rec.decode,
+        beam_width=cfg.rec.beam_width,
     )
     lines = K.reading_order_lines(boxes, texts_scores, line_th=cfg.layout.line_th)
     if cfg.layout.strip_boilerplate:

@@ -697,7 +697,8 @@ def _crnn_tail(feats: np.ndarray, weights) -> np.ndarray:
 
 
 def recognize_crops(
-    crops: list[np.ndarray], weights, h=48, mw=320, min_w=8
+    crops: list[np.ndarray], weights, h=48, mw=320, min_w=8,
+    decode="greedy", beam_width=5,
 ) -> list[tuple[str, float]]:
     """Recognize all crops of a frame with ONE GEMM pair.
 
@@ -706,16 +707,25 @@ def recognize_crops(
     integer (crnn_weights bounds), concatenating time-steps across crops
     cannot change any value — the reference's own batch-pad-then-decode
     pattern (/root/reference/recognize/recognizer.py:59-67) without the
-    padding waste. ~2x fewer BLAS/numpy dispatches per frame."""
+    padding waste. ~2x fewer BLAS/numpy dispatches per frame.
+
+    ``decode`` selects the CTC decoder (reference config.py:35 bm:
+    'greedy' | 'beam'); the GEMM half is decoder-independent."""
     if not crops:
         return []
+    if decode == "beam":
+        dec = lambda lg: ctc_beam(lg, beam_width=beam_width)  # noqa: E731
+    elif decode == "greedy":
+        dec = ctc_greedy
+    else:
+        raise ValueError(f"unknown CTC decode mode {decode!r}")
     fl = [_crnn_feats(rec_resize(c, h, mw, min_w)) for c in crops]
     lens = [f.shape[0] for f in fl]
     allf = np.concatenate(fl, axis=0) if len(fl) > 1 else fl[0]
     logits = _crnn_tail(allf, weights)
     out, pos = [], 0
     for ln in lens:
-        out.append(ctc_greedy(logits[pos : pos + ln]))
+        out.append(dec(logits[pos : pos + ln]))
         pos += ln
     return out
 

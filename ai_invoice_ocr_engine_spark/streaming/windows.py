@@ -91,6 +91,14 @@ def _session_fn(
         es.extend(int(v) for v in pdf["es"])
     es.sort()
     open_s: tuple[int, int, int] | None = tuple(state.get) if state.exists else None
+    # Cross-batch late-data guard: an event older than the open session's
+    # last timestamp arrived out of order ACROSS micro-batches (within a
+    # batch the sort handles it). Folding it in would rewrite history —
+    # sessions already emitted can never be reopened in append mode — so it
+    # is dropped, mirroring what a watermark does for the built-in
+    # session_window path.
+    if open_s is not None:
+        es = [t for t in es if t >= open_s[1]]
     closed: list[tuple[int, int, int]] = []
     for t in es:
         if open_s is None:
@@ -116,10 +124,12 @@ def _session_fn(
 def stateful_sessions(events: DataFrame) -> DataFrame:
     """events(user_id, ts) → closed sessions via explicit keyed state.
 
-    Works on a streaming DataFrame (micro-batches must arrive in event-time
-    order per user, the natural property of an append-only time-ordered
-    log). The final open session per user remains in state — exactly the
-    sessions a batch job cannot prove closed either.
+    Ordering contract: WITHIN a micro-batch events may arrive in any order
+    (sorted before folding); ACROSS micro-batches an event older than the
+    open session's last timestamp is DROPPED (append mode cannot reopen an
+    emitted session — the same trade a watermark makes for the built-in
+    session_window). The final open session per user remains in state —
+    exactly the sessions a batch job cannot prove closed either.
     """
     prepped = events.select("user_id", F.unix_timestamp("ts").alias("es"))
     return prepped.groupBy("user_id").applyInPandasWithState(

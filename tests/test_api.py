@@ -69,3 +69,57 @@ def test_update_config_dotted(spark):
     assert eng.config.extract_fields is False
     eng.update_config(nonexistent=1)  # silently ignored, like the reference
     eng.update_config(**{"extract_fields.x": 1})  # non-dataclass parent: no-op
+
+
+def test_warmup_forces_ocr_stage(spark):
+    """Regression pin for ADVICE r1 #2: warmup must materialize with the
+    checksum aggregate, because a bare count() lets Catalyst prune the OCR
+    MapInPandas stage entirely (no python workers, no weight broadcast) —
+    asserted here at the physical-plan level, plus a smoke run."""
+    from pyspark.sql import functions as F
+
+    from ai_invoice_ocr_engine_spark import fixtures as FX
+
+    eng = OCREngineSpark(spark)
+    docs, media = FX.gen_corpus(seed=7, n_docs=4, max_media_side=192)
+    ddf = spark.createDataFrame(
+        [(d["doc_id"], d["spans"]) for d in docs],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    mdf = spark.createDataFrame(
+        [(m["media_ref"], bytearray(m["image"])) for m in media],
+        "media_ref string, image binary",
+    )
+    pred = eng.predict(ddf, mdf)
+    cnt = pred.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    chk = (
+        pred.agg(F.bit_xor(F.xxhash64(F.to_json("spans_out"))))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in cnt  # why count() cannot warm up
+    assert "MapInPandas" in chk     # what warmup actually runs
+    eng.warmup(n=1)
+    assert eng.get_stats()["n"] == 0  # stats reset after warmup
+
+
+def test_decode_config_seam_beam(spark):
+    """cfg.rec.decode='beam' routes recognition through ctc_beam
+    (reference config.py:35-36 bm/bw) — checked through the live
+    update_config seam on the whole-frame recognize_only path."""
+    from ai_invoice_ocr_engine_spark import fixtures as FX
+
+    eng = OCREngineSpark(spark)
+    eng.update_config(**{"rec.decode": "beam", "rec.beam_width": 3})
+    assert eng.config.rec.decode == "beam"
+    rng = np.random.default_rng(13)
+    img, _ = FX.render_media(rng, 200, 48, header_footer=False)
+    df = spark.createDataFrame(
+        [("f0", bytearray(K.encode_synf(img)))], "media_ref string, image binary"
+    )
+    out = eng.recognize_only(df).collect()
+    w = K.crnn_weights(eng.cfg.rec.weight_seed)
+    lg = K.crnn_logits(
+        K.rec_resize(img, eng.cfg.rec.h, eng.cfg.rec.mw, eng.cfg.rec.min_w), w
+    )
+    want_t, want_s = K.ctc_beam(lg, beam_width=3)
+    assert (out[0].text, round(out[0].score, 5)) == (want_t, round(want_s, 5))

@@ -168,3 +168,30 @@ def test_export_sinks(spark, corpus, tmp_path):
     back = spark.read.json(str(tmp_path / "json"))
     assert back.count() == 10 and "version" in back.columns
     res.unpersist()
+
+
+def test_beam_differs_from_greedy_on_blank_split_repeat():
+    """[a, blank, a]: greedy re-emits after the blank ('aa'); the
+    reference's prefix beam merges repeats regardless of intervening
+    blanks ('a') — the case where the two decoders genuinely diverge,
+    pinning that the config seam switches real behavior."""
+    a = K.encode_text("a")[0]
+    lg = _logits_for([a, 0, a])
+    assert K.ctc_greedy(lg)[0] == "aa"
+    assert K.ctc_beam(lg, 5)[0] == "a"
+
+
+def test_recognize_crops_decode_seam():
+    import numpy as np
+    import pytest
+
+    w = K.crnn_weights(20260816)
+    crop = np.full((48, 64), 200, dtype=np.uint8)
+    crop[10:30, 8:40] = 30
+    greedy = K.recognize_crops([crop], w, decode="greedy")
+    beam = K.recognize_crops([crop], w, decode="beam", beam_width=5)
+    lg = K.crnn_logits(K.rec_resize(crop, 48, 320, 8), w)
+    assert greedy == [K.ctc_greedy(lg)]
+    assert beam == [K.ctc_beam(lg, beam_width=5)]
+    with pytest.raises(ValueError):
+        K.recognize_crops([crop], w, decode="nope")

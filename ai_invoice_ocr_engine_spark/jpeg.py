@@ -1,0 +1,643 @@
+"""Baseline JPEG codec, pure numpy + stdlib — the S2 polymorphic-reader
+codec seam made real (/root/reference/engine.py:46 accepts png/jpg/jpeg;
+/root/reference/utils/image.py:4-11 is the polymorphic imread).
+
+Decoder: baseline sequential DCT (SOF0), Huffman entropy coding, 8-bit
+precision, grayscale / YCbCr 4:4:4 / 4:2:0 (any integer sampling factors),
+restart markers. Progressive (SOF2), arithmetic coding, 12-bit and CMYK
+raise NotImplementedError (valid-but-unsupported); malformed streams raise
+ValueError — the same error contract as decode_png.
+
+Encoder: baseline with the ITU T.81 Annex K tables (quality-scaled via the
+standard 5000/q | 200-2q formula), grayscale or YCbCr 4:4:4 / 4:2:0 — it
+exists so fixtures can generate real JPEG bytes without any external codec
+library; round-trip is lossy (it's JPEG) but bit-deterministic.
+
+Everything here is derived from the public ITU-T T.81 specification. The
+entropy loop is scalar Python (the seam is correctness-first; the hot
+OCR path uses SYNF/PNG) while FDCT/IDCT/color are vectorized numpy over
+all blocks at once — deterministic under any thread count because every
+block's 8x8 matmul is independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables (ITU T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# (bits-per-length 1..16, symbol values) — canonical Huffman specs
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _make_zigzag() -> np.ndarray:
+    """zz[i] = flat (row*8+col) position of the i-th zigzag coefficient."""
+    out = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(7, s) + 1)
+        if s % 2 == 0:
+            rows = reversed(list(rows))
+        for r in rows:
+            out.append(r * 8 + (s - r))
+    return np.array(out, dtype=np.int32)
+
+
+ZIGZAG = _make_zigzag()
+
+_DCT_A = np.zeros((8, 8), dtype=np.float64)
+for _k in range(8):
+    for _n in range(8):
+        _DCT_A[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _idct_blocks(coef: np.ndarray) -> np.ndarray:
+    """Batched 2-D type-III DCT: (N, 8, 8) coefficients → spatial."""
+    return _DCT_A.T @ coef @ _DCT_A
+
+
+def _fdct_blocks(px: np.ndarray) -> np.ndarray:
+    """Batched 2-D type-II DCT: (N, 8, 8) spatial → coefficients."""
+    return _DCT_A @ px @ _DCT_A.T
+
+
+class _HuffTable:
+    """Canonical Huffman decode table (min/max code per length)."""
+
+    def __init__(self, bits, vals):
+        self.vals = vals
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            self.val_ptr[ln] = k
+            self.min_code[ln] = code
+            self.max_code[ln] = code + n - 1 if n else -1
+            code += n
+            code <<= 1
+            k += n
+        # encode map: symbol -> (code, length)
+        self.enc = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.enc[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops (and records the marker) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _pull_byte(self) -> int:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                raise ValueError("JPEG entropy data truncated at 0xFF")
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                self.pos = p + 2
+                return 0xFF
+            # real marker: don't consume; signal end of segment
+            self.marker = nxt
+            return -1
+        self.pos = p + 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self._pull_byte()
+            if b < 0:
+                raise ValueError("JPEG scan ended inside a codeword")
+            self.buf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, idx: int) -> None:
+        """Byte-align and consume the RSTn marker for restart interval idx."""
+        self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if p + 1 >= len(d) or d[p] != 0xFF:
+            raise ValueError("expected RST marker")
+        m = d[p + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
+        if (m - 0xD0) != (idx % 8):
+            raise ValueError("RST marker out of sequence")
+        self.pos = p + 2
+        self.marker = None
+
+
+def _decode_huff(br: _BitReader, tbl: _HuffTable) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        if tbl.max_code[ln] >= 0 and code <= tbl.max_code[ln]:
+            return tbl.vals[tbl.val_ptr[ln] + code - tbl.min_code[ln]]
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG → grayscale uint8 (h, w).
+
+    Grayscale scans return Y directly; color scans reconstruct RGB per
+    JFIF (R = Y + 1.402 Cr', …) and reduce with the same cv2-exact BT.601
+    luma as the PNG path (kernels.rgb_to_gray) so every color format in
+    the engine shares ONE grayscale definition."""
+    from .kernels import rgb_to_gray
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) ; comps: list of dict(id, hs, vs, tq)
+    pos = 2
+    n = len(data)
+    try:
+        while pos < n:
+            if data[pos] != 0xFF:
+                raise ValueError(f"marker expected at {pos}")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD8:  # SOI (spurious)
+                continue
+            if marker == 0xD9:  # EOI
+                raise ValueError("JPEG EOI before scan data")
+            if 0xD0 <= marker <= 0xD7:
+                continue
+            seg_len = (data[pos] << 8) | data[pos + 1]
+            seg = data[pos + 2 : pos + seg_len]
+            if len(seg) != seg_len - 2:
+                raise ValueError("JPEG segment truncated")
+            if marker == 0xDB:  # DQT
+                sp = 0
+                while sp < len(seg):
+                    pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                    sp += 1
+                    if pq == 1:
+                        raise NotImplementedError("16-bit quant tables unsupported")
+                    qt[tq] = np.frombuffer(
+                        seg[sp : sp + 64], np.uint8
+                    ).astype(np.int32)
+                    sp += 64
+            elif marker == 0xC4:  # DHT
+                sp = 0
+                while sp < len(seg):
+                    tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                    bits = list(seg[sp + 1 : sp + 17])
+                    cnt = sum(bits)
+                    vals = list(seg[sp + 17 : sp + 17 + cnt])
+                    (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+                    sp += 17 + cnt
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                prec = seg[0]
+                if prec != 8:
+                    raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+                h = (seg[1] << 8) | seg[2]
+                w = (seg[3] << 8) | seg[4]
+                nc = seg[5]
+                if nc not in (1, 3):
+                    raise NotImplementedError(f"{nc}-component JPEG unsupported")
+                comps = []
+                for c in range(nc):
+                    cid = seg[6 + c * 3]
+                    hv = seg[7 + c * 3]
+                    comps.append(
+                        {"id": cid, "hs": hv >> 4, "vs": hv & 0x0F,
+                         "tq": seg[8 + c * 3]}
+                    )
+                frame = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    "non-baseline JPEG (progressive/arithmetic) unsupported"
+                )
+            elif marker == 0xDD:  # DRI
+                restart_interval = (seg[0] << 8) | seg[1]
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF")
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs = seg[1 + c * 2]
+                    tdta = seg[2 + c * 2]
+                    comp = next(
+                        (cm for cm in frame[2] if cm["id"] == cs), None
+                    )
+                    if comp is None:
+                        raise ValueError("scan references unknown component")
+                    scan.append((comp, tdta >> 4, tdta & 0x0F))
+                return _decode_scan(
+                    data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval, rgb_to_gray,
+                )
+            # APPn / COM / others: skip
+            pos += seg_len
+        raise ValueError("JPEG has no scan (SOS) segment")
+    except IndexError as e:
+        raise ValueError(f"corrupt JPEG: {e}") from e
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval, rgb_to_gray):
+    h, w, comps = frame
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient storage, (blocks_y, blocks_x, 8, 8)
+    store = {}
+    for c in comps:
+        store[c["id"]] = np.zeros(
+            (mcuy * c["vs"], mcux * c["hs"], 8, 8), dtype=np.int32
+        )
+    br = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count == restart_interval:
+                br.align_and_expect_rst(rst_idx)
+                rst_idx += 1
+                mcu_count = 0
+                pred = {c["id"]: 0 for c in comps}
+            for comp, td, ta in scan:
+                dc_tbl = huff_dc.get(td)
+                ac_tbl = huff_ac.get(ta)
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("JPEG scan uses undefined Huffman table")
+                for by in range(comp["vs"]):
+                    for bx in range(comp["hs"]):
+                        blk = np.zeros(64, dtype=np.int32)
+                        s = _decode_huff(br, dc_tbl)
+                        diff = _extend(br.receive(s), s) if s else 0
+                        pred[comp["id"]] += diff
+                        blk[0] = pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, ac_tbl)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run exceeds block")
+                            blk[k] = _extend(br.receive(s), s)
+                            k += 1
+                        q = qt.get(comp["tq"])
+                        if q is None:
+                            raise ValueError("JPEG block uses undefined quant table")
+                        # dequant + dezigzag in one scatter
+                        out = np.zeros(64, dtype=np.int32)
+                        out[ZIGZAG] = blk * q
+                        store[comp["id"]][
+                            my * comp["vs"] + by, mx * comp["hs"] + bx
+                        ] = out.reshape(8, 8)
+            mcu_count += 1
+    planes = []
+    for c in comps:
+        blocks = store[c["id"]]
+        by, bx = blocks.shape[:2]
+        spatial = _idct_blocks(blocks.astype(np.float64))
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.clip(np.rint(plane) + 128, 0, 255).astype(np.uint8)
+        # upsample to full-resolution grid (nearest/replication)
+        ry, rx = vmax // c["vs"], hmax // c["hs"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = np.clip(np.rint(y + 1.402 * cr), 0, 255).astype(np.uint8)
+    g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255).astype(np.uint8)
+    b = np.clip(np.rint(y + 1.772 * cb), 0, 255).astype(np.uint8)
+    return rgb_to_gray(np.stack([r, g, b], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                b = self.buf & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1s per spec
+
+
+def _scale_quant(tbl: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((tbl * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_component(bw: _BitWriter, blocks: np.ndarray, q: np.ndarray,
+                      dc: _HuffTable, ac: _HuffTable, pred: int) -> int:
+    """blocks: (N, 8, 8) spatial int. Returns updated DC predictor."""
+    coef = _fdct_blocks(blocks.astype(np.float64))
+    # quantize: round half away from zero (classic JPEG behavior)
+    qz = np.sign(coef) * np.floor(
+        np.abs(coef) / q.reshape(8, 8) + 0.5
+    )
+    qz = qz.astype(np.int64).reshape(len(blocks), 64)[:, ZIGZAG]
+    for zz in qz:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = _category(diff)
+        code, ln = dc.enc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(zz[1:])[0]
+        last_nz = (nz[-1] + 1) if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac.enc[0xF0]
+                bw.write(code, ln)  # ZRL
+                run -= 16
+            s = _category(v)
+            code, ln = ac.enc[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac.enc[0x00]
+            bw.write(code, ln)  # EOB
+    return pred
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """Pad plane (edge-replicate) to multiples of 8 and return (N, 8, 8)
+    blocks in raster order plus the block grid shape."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane.astype(np.int32) - 128,
+               ((0, ph - h), (0, pw - w)), mode="edge")
+    by, bx = ph // 8, pw // 8
+    return p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _dht_payload(tc: int, th: int, bits, vals) -> bytes:
+    return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "gray", restart_interval: int = 0) -> bytes:
+    """Encode uint8 image → baseline JFIF bytes.
+
+    ``subsampling``: 'gray' (img 2-D), '444' or '420' (img (h, w, 3) RGB).
+    ``restart_interval``: emit a DRI segment and RSTn markers every N MCUs
+    (0 = none) — exists mainly so tests can exercise the decoder's restart
+    path, which real scanners/encoders commonly produce.
+    """
+    if subsampling == "gray":
+        assert img.ndim == 2 and img.dtype == np.uint8
+        ql = _scale_quant(QUANT_LUM, quality)
+        dc0 = _HuffTable(DC_LUM_BITS, DC_LUM_VALS)
+        ac0 = _HuffTable(AC_LUM_BITS, AC_LUM_VALS)
+        h, w = img.shape
+        bw = _BitWriter()
+        blocks = _blocks_of(img)
+        if restart_interval:
+            pred = 0
+            rst = 0
+            for start in range(0, len(blocks), restart_interval):
+                if start:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    pred = 0
+                pred = _encode_component(
+                    bw, blocks[start : start + restart_interval],
+                    ql[ZIGZAG_INV], dc0, ac0, pred,
+                )
+        else:
+            _encode_component(bw, blocks, ql[ZIGZAG_INV], dc0, ac0, 0)
+        bw.flush()
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += _seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
+        out += _seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                    + bytes([1, 1, 0x11, 0]))
+        out += _seg(0xC4, _dht_payload(0, 0, DC_LUM_BITS, DC_LUM_VALS))
+        out += _seg(0xC4, _dht_payload(1, 0, AC_LUM_BITS, AC_LUM_VALS))
+        if restart_interval:
+            out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(np.uint8)
+    cb = np.clip(np.rint(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255).astype(np.uint8)
+    cr = np.clip(np.rint(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255).astype(np.uint8)
+    h, w = y.shape
+    ql = _scale_quant(QUANT_LUM, quality)
+    qc = _scale_quant(QUANT_CHROM, quality)
+    dc0 = _HuffTable(DC_LUM_BITS, DC_LUM_VALS)
+    ac0 = _HuffTable(AC_LUM_BITS, AC_LUM_VALS)
+    dc1 = _HuffTable(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac1 = _HuffTable(AC_CHROM_BITS, AC_CHROM_VALS)
+    if subsampling == "444":
+        samp_y = (1, 1)
+    else:
+        samp_y = (2, 2)
+        # box-filter downsample chroma by 2 (pad to even first)
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint16)
+        crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint16)
+        cb = ((cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2]
+               + cbp[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+        cr = ((crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2]
+               + crp[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+    hs, vs = samp_y
+    # build MCU-interleaved block streams
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+
+    def grid(plane, bx_cnt, by_cnt):
+        ph, pw = by_cnt * 8, bx_cnt * 8
+        p = np.pad(plane.astype(np.int32) - 128,
+                   ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                   mode="edge")
+        return p.reshape(by_cnt, 8, bx_cnt, 8).transpose(0, 2, 1, 3)
+
+    gy = grid(y, mcux * hs, mcuy * vs)
+    gcb = grid(cb, mcux, mcuy)
+    gcr = grid(cr, mcux, mcuy)
+    bw_ = _BitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    qly = ql[ZIGZAG_INV]
+    qcc = qc[ZIGZAG_INV]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            yb = [
+                gy[my * vs + by, mx * hs + bx]
+                for by in range(vs) for bx in range(hs)
+            ]
+            pred["y"] = _encode_component(
+                bw_, np.stack(yb), qly, dc0, ac0, pred["y"])
+            pred["cb"] = _encode_component(
+                bw_, gcb[my, mx][None], qcc, dc1, ac1, pred["cb"])
+            pred["cr"] = _encode_component(
+                bw_, gcr[my, mx][None], qcc, dc1, ac1, pred["cr"])
+    bw_.flush()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
+    out += _seg(0xDB, bytes([0x01]) + bytes(qc.tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    sof += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, DC_LUM_BITS, DC_LUM_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, AC_LUM_BITS, AC_LUM_VALS))
+    out += _seg(0xC4, _dht_payload(0, 1, DC_CHROM_BITS, DC_CHROM_VALS))
+    out += _seg(0xC4, _dht_payload(1, 1, AC_CHROM_BITS, AC_CHROM_VALS))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# inverse zigzag: natural (row-major) position i holds quant entry for the
+# coefficient at natural position i — used when quantizing in natural order
+ZIGZAG_INV = np.zeros(64, dtype=np.int32)
+ZIGZAG_INV[ZIGZAG] = np.arange(64)

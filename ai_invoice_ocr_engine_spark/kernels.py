@@ -259,14 +259,22 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Polymorphic reader (S2, /root/reference/utils/image.py:4-11): SYNF or
-    PNG → grayscale uint8; JPEG remains a codec-seam stub."""
+    """Polymorphic reader (S2, /root/reference/utils/image.py:4-11): SYNF,
+    PNG or baseline JPEG → grayscale uint8 (the reference's accepted list
+    is png/jpg/jpeg/bmp/tiff, /root/reference/engine.py:46; bmp/tiff stay
+    codec-seam stubs)."""
     if data[:4] == SYNF_MAGIC:
         return decode_synf(data)
     if data[:8] == PNG_MAGIC:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
-        raise NotImplementedError("jpeg decode requires libjpeg (codec seam)")
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    if data[:2] == b"BM":
+        raise NotImplementedError("bmp decode is a codec seam")
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        raise NotImplementedError("tiff decode is a codec seam")
     raise ValueError("unknown image format")
 
 

@@ -251,7 +251,7 @@ def test_decode_image_polymorphic():
     img = rng.integers(0, 256, size=(20, 30), dtype=np.uint8)
     assert np.array_equal(K.decode_image(K.encode_synf(img)), img)
     assert np.array_equal(K.decode_image(K.encode_png(img)), img)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):  # SOI magic routes to the real decoder now
         K.decode_image(b"\xff\xd8jpegdata")
     with _pytest.raises(ValueError):
         K.decode_image(b"not an image")
@@ -291,3 +291,81 @@ def test_png_corrupt_raises_value_error():
     ]:
         with _pytest.raises(ValueError):
             K.decode_png(bad)
+
+
+# ---- baseline JPEG codec (S2 seam made real) ----
+
+def _grad_img(h=96, w=200):
+    import numpy as np
+
+    x = np.linspace(0, 4 * np.pi, max(h, w))
+    return (120 + 100 * np.outer(np.sin(x[:h]), np.cos(x[:w]))).astype(np.uint8)
+
+
+def test_jpeg_gray_roundtrip_error_bounds():
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import jpeg as J
+
+    img = _grad_img()
+    for q, bound in ((95, 4), (90, 6), (75, 10)):
+        dec = J.decode_jpeg(J.encode_jpeg(img, quality=q, subsampling="gray"))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= bound
+
+
+def test_jpeg_color_444_and_420_match_bt601_luma():
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import jpeg as J
+    from ai_invoice_ocr_engine_spark import kernels as K
+
+    rgb = np.zeros((50, 70, 3), np.uint8)
+    rgb[..., 0] = np.linspace(0, 255, 70, dtype=np.uint8)[None, :]
+    rgb[..., 1] = np.linspace(0, 255, 50, dtype=np.uint8)[:, None]
+    rgb[..., 2] = 128
+    want = K.rgb_to_gray(rgb)
+    for sub in ("444", "420"):
+        dec = J.decode_jpeg(J.encode_jpeg(rgb, quality=92, subsampling=sub))
+        assert dec.shape == want.shape
+        assert int(np.abs(dec.astype(int) - want.astype(int)).max()) <= 6
+
+
+def test_jpeg_restart_markers_and_odd_sizes():
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import jpeg as J
+
+    img = _grad_img()
+    plain = J.decode_jpeg(J.encode_jpeg(img, 90, "gray"))
+    rst = J.decode_jpeg(J.encode_jpeg(img, 90, "gray", restart_interval=7))
+    assert np.array_equal(plain, rst)
+    tiny = _grad_img(13, 9)
+    assert J.decode_jpeg(J.encode_jpeg(tiny, 90, "gray")).shape == (13, 9)
+
+
+def test_jpeg_error_contract_and_dispatch():
+    import numpy as np
+    import pytest
+
+    from ai_invoice_ocr_engine_spark import jpeg as J
+    from ai_invoice_ocr_engine_spark import kernels as K
+
+    img = _grad_img(32, 32)
+    blob = J.encode_jpeg(img, 95, "gray")
+    # decode_image dispatches on the SOI magic
+    assert np.array_equal(K.decode_image(blob), J.decode_jpeg(blob))
+    with pytest.raises(NotImplementedError):  # progressive (SOF2)
+        J.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
+    with pytest.raises(NotImplementedError):  # 16-bit quant table
+        J.decode_jpeg(b"\xff\xd8\xff\xdb\x00\x05\x10\x01\x02")
+    with pytest.raises(ValueError):  # garbage after SOI
+        J.decode_jpeg(b"\xff\xd8\x00\x00")
+    with pytest.raises(ValueError):  # truncated scan
+        J.decode_jpeg(blob[:100])
+    with pytest.raises(ValueError):  # not a JPEG at all
+        J.decode_jpeg(b"hello")
+    with pytest.raises(NotImplementedError):  # bmp/tiff stay codec seams
+        K.decode_image(b"BM" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        K.decode_image(b"II*\x00" + b"\x00" * 16)

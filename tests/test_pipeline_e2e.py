@@ -157,3 +157,38 @@ def test_blob_mode_accepts_directory_parquet(spark, corpus, tmp_path):
     g = {r["doc_id"]: [tuple(s) for s in r["spans_out"]] for r in got.collect()}
     w = {r["doc_id"]: [tuple(s) for s in r["spans_out"]] for r in want.collect()}
     assert g == w
+
+
+def test_mixed_synf_png_jpeg_media_golden(spark, corpus, tmp_path):
+    """Three-way polymorphic S2 (SYNF + PNG + baseline JPEG) in the
+    distributed path. JPEG is lossy, so the invariant is the north-rule
+    one: the distributed engine must equal the single-process oracle
+    doc-for-doc ON THE SAME BYTES (both route through kernels.decode_image
+    — one grayscale definition for every codec)."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import kernels as K
+    from ai_invoice_ocr_engine_spark import oracle as O
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg
+
+    media_rows = []
+    for i, m in enumerate(corpus["media"]):
+        m = dict(m)
+        img = K.decode_synf(bytes(m["image"]))
+        if i % 3 == 1:
+            m["image"] = K.encode_png(img, filter_type=i % 5)
+        elif i % 3 == 2:
+            m["image"] = encode_jpeg(img, quality=95, subsampling="gray")
+        media_rows.append(m)
+    mixed_path = str(tmp_path / "media_mixed3.parquet")
+    spark.createDataFrame(
+        [(m["media_ref"], m["width"], m["height"], bytearray(m["image"]), m["n_lines"])
+         for m in media_rows],
+        "media_ref string, width int, height int, image binary, n_lines int",
+    ).write.parquet(mixed_path)
+
+    golden = spans_key(O.run_oracle(corpus["docs"], media_rows, ExtractConfig()))
+    docs = spark.read.parquet(corpus["docs_path"])
+    media = spark.read.parquet(mixed_path)
+    result = extract(docs, media, ExtractConfig(), media_strategy="frames")
+    assert_span_equal(spans_key(result.collect()), golden)

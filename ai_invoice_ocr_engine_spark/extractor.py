@@ -94,7 +94,10 @@ def extract_doc(
         pass through (kind='text'); each media span expands in place into
         OCR spans (kind='ocr_text', media_ref preserved) in reading order;
         ``order`` is dense 0..m-1 over the merged sequence.
-      invoice_fields: {invoice_number?, invoice_date?, total_amount?}
+      invoice_fields: first-match-wins map over the full ER field set
+        (kernels.INVOICE_FIELD_PATTERNS — invoice_number, invoice_date,
+        vendor/buyer name + tax id, subtotal, tax_amount, total_amount,
+        currency)
       n_spans_in, n_media, n_media_missing, n_ocr: int counters.
     """
     if weights is None:

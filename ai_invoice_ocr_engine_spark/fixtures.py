@@ -129,7 +129,17 @@ def gen_media(seed: int, n_media: int, max_side: int = 960) -> list[dict]:
     return rows
 
 
+_COMPANY_NAMES = [
+    "Acme Corp", "Globex Gmbh", "Initech Ltd", "Umbrella Inc",
+    "Stark Industries", "Wayne Enterprises", "Hooli Works", "Vandelay Trading",
+]
+_CURRENCIES = ["USD", "EUR", "GBP", "JPY", "CHF", "PLN"]
+
+
 def _sentence(rng: np.random.Generator, words: list[str]) -> str:
+    """Body sentence, occasionally ending in an invoice key-value line —
+    one per ER-schema field (kernels.INVOICE_FIELD_RES) so field grouping
+    has real positives to find."""
     n = int(rng.integers(3, 11))
     idx = rng.integers(0, len(words), size=n)
     s = " ".join(words[int(i)] for i in idx)
@@ -140,6 +150,20 @@ def _sentence(rng: np.random.Generator, words: list[str]) -> str:
         s += f" {int(rng.integers(2020, 2027))}-{int(rng.integers(1, 13)):02d}-{int(rng.integers(1, 29)):02d}"
     elif r < 0.15:
         s += f" TOTAL {int(rng.integers(1, 9999))}.{int(rng.integers(0, 100)):02d}"
+    elif r < 0.18:
+        s += f" VENDOR {_COMPANY_NAMES[int(rng.integers(0, len(_COMPANY_NAMES)))]}"
+    elif r < 0.21:
+        s += f" VENDOR-TAX-ID DE{int(rng.integers(0, 10**9)):09d}"
+    elif r < 0.24:
+        s += f" BUYER {_COMPANY_NAMES[int(rng.integers(0, len(_COMPANY_NAMES)))]}"
+    elif r < 0.27:
+        s += f" BUYER-TAX-ID FR{int(rng.integers(0, 10**9)):09d}"
+    elif r < 0.30:
+        s += f" SUBTOTAL {int(rng.integers(1, 9999))}.{int(rng.integers(0, 100)):02d}"
+    elif r < 0.33:
+        s += f" TAX {int(rng.integers(1, 999))}.{int(rng.integers(0, 100)):02d}"
+    elif r < 0.36:
+        s += f" CURRENCY {_CURRENCIES[int(rng.integers(0, len(_CURRENCIES)))]}"
     return s
 
 

@@ -827,27 +827,50 @@ def strip_boilerplate_lines(
 # exists in the reference, the regex rules are ours)
 # --------------------------------------------------------------------------
 
-_RE_INVOICE_NO = re.compile(r"\bINV[-]?([A-Za-z0-9]{3,})\b", re.IGNORECASE)
-_RE_DATE = re.compile(r"\b(\d{4}-\d{2}-\d{2})\b")
-_RE_TOTAL = re.compile(r"\bTOTAL[:\s]*([0-9]+\.[0-9]{2})\b", re.IGNORECASE)
+# Name = sequence of Capitalized words ([A-Z][a-z]+). ALL-CAPS keywords
+# (VENDOR, BUYER, TOTAL, …) can never be swallowed into a captured name,
+# and the engine's lowercase body words never start one. Every pattern here
+# is valid simultaneously in Python re, Java regex (Spark regexp_extract)
+# and RE2 (DuckDB) — the invoice_fields driver query relies on that.
+_NAME = r"((?:[A-Z][a-z]+)(?: [A-Z][a-z]+)*)"
+_AMT = r"([0-9]+\.[0-9]{2})\b"
+
+# field -> pattern STRING, in the ER schema's column order
+# (demo/07_database_er.puml:66-93; extracted_at/ids are sink-side concerns).
+# One table, three regex engines: Python re (oracle + per-doc UDF paths),
+# Java regex (Spark regexp_extract in the frames plan), RE2 (the DuckDB
+# driver oracle) — every construct used here ((?i) prefix, \b,
+# non-capturing groups) behaves identically in all three.
+INVOICE_FIELD_PATTERNS: dict[str, str] = {
+    "invoice_number": r"(?i)\bINV-?([A-Za-z0-9]{3,})\b",
+    "invoice_date": r"\b(\d{4}-\d{2}-\d{2})\b",
+    "vendor_name": r"\bVENDOR[:\s]+" + _NAME,
+    "vendor_tax_id": r"\bVENDOR-TAX-ID[:\s]+([A-Z]{2}[0-9]{6,12})\b",
+    "buyer_name": r"\bBUYER[:\s]+" + _NAME,
+    "buyer_tax_id": r"\bBUYER-TAX-ID[:\s]+([A-Z]{2}[0-9]{6,12})\b",
+    "subtotal": r"(?i)\bSUBTOTAL[:\s]*" + _AMT,
+    "tax_amount": r"(?i)\bTAX[:\s]*" + _AMT,
+    "total_amount": r"(?i)\bTOTAL[:\s]*" + _AMT,
+    "currency": r"\b(USD|EUR|GBP|JPY|CHF|PLN)\b",
+}
+
+INVOICE_FIELD_RES: dict[str, re.Pattern] = {
+    k: re.compile(v) for k, v in INVOICE_FIELD_PATTERNS.items()
+}
 
 
 def extract_invoice_fields(texts: list[str]) -> dict[str, str]:
-    """First-match-wins key-value grouping over a document's span texts."""
+    """First-match-wins key-value grouping over a document's span texts —
+    the full ER-schema field set (demo/07_database_er.puml:66-93)."""
     fields: dict[str, str] = {}
     for t in texts:
-        if "invoice_number" not in fields:
-            m = _RE_INVOICE_NO.search(t)
-            if m:
-                fields["invoice_number"] = m.group(1)
-        if "invoice_date" not in fields:
-            m = _RE_DATE.search(t)
-            if m:
-                fields["invoice_date"] = m.group(1)
-        if "total_amount" not in fields:
-            m = _RE_TOTAL.search(t)
-            if m:
-                fields["total_amount"] = m.group(1)
+        for name, pat in INVOICE_FIELD_RES.items():
+            if name not in fields:
+                m = pat.search(t)
+                if m:
+                    fields[name] = m.group(1)
+        if len(fields) == len(INVOICE_FIELD_RES):
+            break
     return fields
 
 

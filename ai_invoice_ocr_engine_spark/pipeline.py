@@ -431,15 +431,12 @@ def extract_frames(
     # boundaries (not \\s, not a word char) while preserving first-match-wins
     # order - equivalent to the oracle's per-span scan
     all_text = F.concat_ws("\x02", F.transform("flat", lambda x: x["text"]))
+    map_args = []
+    for fname, pat in K.INVOICE_FIELD_PATTERNS.items():
+        map_args.append(F.lit(fname))
+        map_args.append(F.regexp_extract(all_text, pat, 1))
     fields = F.map_filter(
-        F.create_map(
-            F.lit("invoice_number"),
-            F.regexp_extract(all_text, r"(?i)\bINV-?([A-Za-z0-9]{3,})\b", 1),
-            F.lit("invoice_date"),
-            F.regexp_extract(all_text, r"\b(\d{4}-\d{2}-\d{2})\b", 1),
-            F.lit("total_amount"),
-            F.regexp_extract(all_text, r"(?i)\bTOTAL[:\s]*([0-9]+\.[0-9]{2})\b", 1),
-        ),
+        F.create_map(*map_args),
         lambda _k, v: v != "",
     )
     return grouped.select(

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as T
+from . import kernels as K
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -679,7 +680,7 @@ def q_invoice_fields(spark, sf):
     regexes extract number/date/total."""
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     txt = F.concat(
-        F.lit("INVOICE INV-"),
+        F.lit("INV-"),
         (F.col("doc_id") * 7 % 90000 + 10000).cast("string"),
         F.lit(" DATE 20"),
         F.lpad((F.col("doc_id") % 26 + 1).cast("string"), 2, "0"),
@@ -687,36 +688,69 @@ def q_invoice_fields(spark, sf):
         F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
         F.lit("-"),
         F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
-        F.lit(" TOTAL "),
+        F.lit(" VENDOR Acme "),
+        F.chr(F.col("doc_id") % 26 + 65),
+        F.chr(F.col("doc_id") % 26 + 97),
+        F.lit(" VENDOR-TAX-ID DE"),
+        F.lpad((F.col("doc_id") * 13 % 1000000).cast("string"), 9, "0"),
+        F.lit(" BUYER Hooli "),
+        F.chr(F.col("doc_id") * 3 % 26 + 65),
+        F.chr(F.col("doc_id") * 3 % 26 + 97),
+        F.lit(" BUYER-TAX-ID FR"),
+        F.lpad((F.col("doc_id") * 17 % 1000000).cast("string"), 9, "0"),
+        F.lit(" SUBTOTAL "),
+        (F.col("doc_id") % 800 + 100).cast("string"),
+        F.lit(".50 TAX "),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit(".25 TOTAL "),
         (F.col("doc_id") % 900 + 100).cast("string"),
         F.lit("."),
         F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" CURRENCY "),
+        F.element_at(
+            F.array(*[F.lit(c) for c in ("USD", "EUR", "GBP", "JPY", "CHF", "PLN")]),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        ),
         F.lit(" "),
         F.col("text"),
     )
-    return d.select(
-        "doc_id",
-        F.regexp_extract(txt, r"(?i)\bINV-?([A-Za-z0-9]{3,})\b", 1).alias("invoice_number"),
-        F.regexp_extract(txt, r"\b(\d{4}-\d{2}-\d{2})\b", 1).alias("invoice_date"),
-        F.regexp_extract(txt, r"(?i)\bTOTAL[:\s]*([0-9]+\.[0-9]{2})\b", 1).alias("total_amount"),
-    )
+    cols = [
+        F.regexp_extract(txt, pat, 1).alias(name)
+        for name, pat in K.INVOICE_FIELD_PATTERNS.items()
+    ]
+    return d.select("doc_id", *cols)
 
 
 _SQL_INVOICE_FIELDS = r"""
 WITH t AS (
   SELECT doc_id,
-         'INVOICE INV-' || (doc_id * 7 % 90000 + 10000)::varchar ||
+         'INV-' || (doc_id * 7 % 90000 + 10000)::varchar ||
          ' DATE 20' || lpad((doc_id % 26 + 1)::varchar, 2, '0') ||
          '-' || lpad((doc_id % 12 + 1)::varchar, 2, '0') ||
          '-' || lpad((doc_id % 28 + 1)::varchar, 2, '0') ||
+         ' VENDOR Acme ' || chr((doc_id % 26 + 65)::int) || chr((doc_id % 26 + 97)::int) ||
+         ' VENDOR-TAX-ID DE' || lpad((doc_id * 13 % 1000000)::varchar, 9, '0') ||
+         ' BUYER Hooli ' || chr((doc_id * 3 % 26 + 65)::int) || chr((doc_id * 3 % 26 + 97)::int) ||
+         ' BUYER-TAX-ID FR' || lpad((doc_id * 17 % 1000000)::varchar, 9, '0') ||
+         ' SUBTOTAL ' || (doc_id % 800 + 100)::varchar || '.50' ||
+         ' TAX ' || (doc_id % 90 + 10)::varchar || '.25' ||
          ' TOTAL ' || (doc_id % 900 + 100)::varchar || '.' ||
-         lpad((doc_id % 100)::varchar, 2, '0') || ' ' || text AS txt
+         lpad((doc_id % 100)::varchar, 2, '0') ||
+         ' CURRENCY ' || (['USD','EUR','GBP','JPY','CHF','PLN'])[(doc_id % 6 + 1)::int] ||
+         ' ' || text AS txt
   FROM documents WHERE doc_id < 200
 )
 SELECT doc_id,
        regexp_extract(txt, '(?i)\bINV-?([A-Za-z0-9]{3,})\b', 1) AS invoice_number,
        regexp_extract(txt, '\b(\d{4}-\d{2}-\d{2})\b', 1) AS invoice_date,
-       regexp_extract(txt, '(?i)\bTOTAL[:\s]*([0-9]+\.[0-9]{2})\b', 1) AS total_amount
+       regexp_extract(txt, '\bVENDOR[:\s]+((?:[A-Z][a-z]+)(?: [A-Z][a-z]+)*)', 1) AS vendor_name,
+       regexp_extract(txt, '\bVENDOR-TAX-ID[:\s]+([A-Z]{2}[0-9]{6,12})\b', 1) AS vendor_tax_id,
+       regexp_extract(txt, '\bBUYER[:\s]+((?:[A-Z][a-z]+)(?: [A-Z][a-z]+)*)', 1) AS buyer_name,
+       regexp_extract(txt, '\bBUYER-TAX-ID[:\s]+([A-Z]{2}[0-9]{6,12})\b', 1) AS buyer_tax_id,
+       regexp_extract(txt, '(?i)\bSUBTOTAL[:\s]*([0-9]+\.[0-9]{2})\b', 1) AS subtotal,
+       regexp_extract(txt, '(?i)\bTAX[:\s]*([0-9]+\.[0-9]{2})\b', 1) AS tax_amount,
+       regexp_extract(txt, '(?i)\bTOTAL[:\s]*([0-9]+\.[0-9]{2})\b', 1) AS total_amount,
+       regexp_extract(txt, '\b(USD|EUR|GBP|JPY|CHF|PLN)\b', 1) AS currency
 FROM t
 """
 

@@ -189,6 +189,36 @@ def test_invoice_fields():
     assert K.extract_invoice_fields(["nothing here"]) == {}
 
 
+def test_invoice_fields_full_er_schema():
+    """All 10 ER-schema fields (demo/07_database_er.puml:66-93) extract,
+    first-match-wins, and ALL-CAPS keywords never leak into captured
+    names."""
+    f = K.extract_invoice_fields(
+        [
+            "ref INV-90121 issued 2025-11-02",
+            "VENDOR Acme Corp VENDOR-TAX-ID DE123456789",
+            "BUYER Wayne Enterprises BUYER-TAX-ID FR987654321",
+            "SUBTOTAL 100.00 TAX 19.00 TOTAL 119.00 CURRENCY EUR",
+            "TOTAL 999.99",  # later match must NOT win
+        ]
+    )
+    assert f == {
+        "invoice_number": "90121",
+        "invoice_date": "2025-11-02",
+        "vendor_name": "Acme Corp",
+        "vendor_tax_id": "DE123456789",
+        "buyer_name": "Wayne Enterprises",
+        "buyer_tax_id": "FR987654321",
+        "subtotal": "100.00",
+        "tax_amount": "19.00",
+        "total_amount": "119.00",
+        "currency": "EUR",
+    }
+    # a name directly followed by an ALL-CAPS keyword stops cleanly
+    g = K.extract_invoice_fields(["VENDOR Initech Ltd BUYER Hooli Works"])
+    assert g["vendor_name"] == "Initech Ltd" and g["buyer_name"] == "Hooli Works"
+
+
 def test_synf_roundtrip():
     img = np.random.default_rng(1).integers(0, 255, (33, 47), dtype=np.uint8)
     assert (K.decode_synf(K.encode_synf(img)) == img).all()

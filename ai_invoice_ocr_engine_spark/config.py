@@ -43,10 +43,17 @@ class LayoutConfig:
 
 
 @dataclass(frozen=True)
+class PrepConfig:
+    ori: bool = True   # orientation correction on (reference config.py:48 prep.ori)
+    oth: float = 0.9   # orientation confidence gate (reference config.py:50 oth)
+
+
+@dataclass(frozen=True)
 class ExtractConfig:
     det: DetectConfig = field(default_factory=DetectConfig)
     rec: RecognizeConfig = field(default_factory=RecognizeConfig)
     layout: LayoutConfig = field(default_factory=LayoutConfig)
+    prep: PrepConfig = field(default_factory=PrepConfig)
     extract_fields: bool = True
 
     def to_dict(self) -> dict:

@@ -50,8 +50,12 @@ def extract_media_lines(
     frame (/root/reference/engine.py:39-41,53), then reading-order sort
     (/root/reference/postprocess.py:54-68).
     """
-    img = K.decode_image(image_bytes)  # polymorphic: SYNF or PNG (S2)
-    oh, ow = img.shape
+    img = K.decode_image(image_bytes)  # polymorphic: SYNF/PNG/JPEG (S2)
+    if cfg.prep.ori:
+        # F5 orientation gate (reference preprocess/core.py:13-17): rotate
+        # only when the classifier clears the confidence threshold
+        img, _ = K.correct_orientation(img, oth=cfg.prep.oth)
+    oh, ow = img.shape  # post-correction shape (boilerplate bands use it)
     boxes, scores = detect_frame(img, cfg)
     if len(boxes) == 0:
         return []

@@ -88,7 +88,11 @@ def render_media(
     max_chars_fit = max((width - 2 * _MARGIN) // (_GLYPH_W + _GLYPH_GAP), 2)
     while y + _LINE_H < height - 30 and n_lines < 8:
         n_chars = int(min(rng.integers(4, 18), max_chars_fit))
-        x = _MARGIN + int(rng.integers(0, max(1, (width - 2 * _MARGIN) // 4)))
+        # left-aligned like a real document (ragged right edge), with an
+        # occasional paragraph indent — the layout asymmetry K16's
+        # orientation classifier keys on
+        indent = 2 * (_GLYPH_W + _GLYPH_GAP) if rng.random() < 0.2 else 0
+        x = _MARGIN + indent
         if x + n_chars * (_GLYPH_W + _GLYPH_GAP) > width - _MARGIN:
             x = _MARGIN
             n_chars = min(n_chars, max_chars_fit)

@@ -1088,14 +1088,90 @@ def normalize_det(img: np.ndarray) -> np.ndarray:
     return f.transpose(2, 0, 1)[np.newaxis, ...]
 
 
+def _ink_mask(img: np.ndarray) -> np.ndarray:
+    """Dark-ink-on-light-page binary mask via Otsu."""
+    return img < otsu_threshold(img)
+
+
+def _max_blank_run(has_ink: np.ndarray) -> int:
+    """Longest run of ink-free positions strictly between the first and
+    last inked positions of a boolean profile."""
+    idx = np.where(has_ink)[0]
+    if len(idx) < 2:
+        return 0
+    gaps = ~has_ink[idx[0] : idx[-1] + 1]
+    if not gaps.any():
+        return 0
+    d = np.diff(np.concatenate(([0], gaps.astype(np.int8), [0])))
+    starts = np.where(d == 1)[0]
+    ends = np.where(d == -1)[0]
+    return int((ends - starts).max())
+
+
+def _edge_raggedness(mask: np.ndarray) -> float:
+    """var(right text edges) - var(left text edges) over ink rows.
+
+    Left-aligned documents (the overwhelmingly common layout) have
+    consistent left edges and ragged right edges, so positive means
+    'reading-upright', negative means 'rotated 180°'. Near zero =
+    undecidable (single line, centered layout)."""
+    rows = mask.any(axis=1)
+    if not rows.any():
+        return 0.0
+    m = mask[rows]
+    w = m.shape[1]
+    lefts = m.argmax(axis=1)
+    rights = w - 1 - m[:, ::-1].argmax(axis=1)
+    return float(np.var(rights.astype(np.float64)) - np.var(lefts.astype(np.float64)))
+
+
 def classify_orientation(img: np.ndarray) -> tuple[int, float]:
-    """Document-orientation hook (K16). The reference's fallback is a
-    Canny+Hough median-angle vote (/root/reference/preprocess/orientation.py:41-52)
-    gated behind confidence 0.9; the synthetic corpus is upright by
-    construction, so the hook returns (class 0, 0.99) — the same observable
-    behavior as the reference on upright pages. Swap in a real classifier
-    here on a corpus with rotated scans."""
-    return 0, 0.99
+    """Document-orientation classifier (K16), numpy stand-in for the
+    reference's classifier + Canny/Hough fallback
+    (/root/reference/preprocess/orientation.py:30-52).
+
+    Two votes, both O(pixels):
+      1. Text-axis: variance of the ink-mask row profile vs column profile.
+         Horizontal text lines alternate band/gap down the page → the row
+         profile dominates; rotated 90°/270° the column profile does. (The
+         reference's Hough median-angle mod 90 measures the same quantity;
+         a projection profile is the classic deskew formulation and needs
+         no edge detector.)
+      2. 180° disambiguation the reference fallback structurally cannot do
+         (angles mod 90 are blind to it): left-aligned text has consistent
+         left edges and ragged right edges (_edge_raggedness sign).
+
+    Returns (correction class {0,1,2,3} for rotate_quadrant, confidence).
+    Confidence is 0.95 only when BOTH votes are decisive — upright pages
+    and ambiguous pages (blank, single-line, centered) stay below the 0.9
+    gate so correct_orientation never rotates on a guess (reference
+    core.py:13-17 semantics)."""
+    if img.ndim != 2 or img.size == 0:
+        return 0, 0.5
+    mask = _ink_mask(img)
+    if not mask.any() or mask.mean() > 0.9:
+        return 0, 0.5
+    # Axis vote via blank-run structure: between text LINES there are tall
+    # all-blank row bands (>= inter-line gap), while interior blank columns
+    # are at most glyph-gap wide. The longest interior blank run along each
+    # axis therefore separates horizontal from vertical text far more
+    # robustly than profile variance (which glyph-grid periodicity pollutes).
+    rr = _max_blank_run(mask.any(axis=1))
+    cc = _max_blank_run(mask.any(axis=0))
+    axis_decisive = max(rr, cc) >= 6 and max(rr, cc) >= 2 * max(min(rr, cc), 1)
+    if rr >= cc:
+        d_up = _edge_raggedness(mask)
+        cls = 0 if d_up >= 0 else 2
+        ragged_decisive = abs(d_up) > 4.0
+    else:
+        # candidate corrections: 1 = rotate cw, 3 = rotate ccw; pick the one
+        # whose corrected page looks left-aligned
+        d1 = _edge_raggedness(np.rot90(mask, k=-1))
+        d3 = _edge_raggedness(np.rot90(mask, k=1))
+        cls = 1 if d1 >= d3 else 3
+        ragged_decisive = abs(d1 - d3) > 4.0
+    conf = 0.95 if (axis_decisive and ragged_decisive) else 0.6
+    return cls, conf
 
 
 def correct_orientation(img: np.ndarray, oth: float = 0.9) -> tuple[np.ndarray, dict]:

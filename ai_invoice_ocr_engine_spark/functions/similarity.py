@@ -50,17 +50,22 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     )
 
 
-def lsh_bucket(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
-    """Sign-LSH bucket id from the first n_bits dimensions (a deterministic,
-    engine-portable stand-in for random-hyperplane LSH)."""
-    bucket = sum(
+def _sign_bucket(n_bits: int):
+    """Sign-LSH bucket id Column from the first n_bits dimensions (the ONE
+    definition shared by lsh_bucket and near_dup_pairs)."""
+    return sum(
         [
             F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
             for i in range(n_bits)
         ],
         F.lit(0),
     ).cast("int")
-    return embeddings.select("vec_id", "label", bucket.alias("bucket"))
+
+
+def lsh_bucket(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
+    """Sign-LSH bucket id from the first n_bits dimensions (a deterministic,
+    engine-portable stand-in for random-hyperplane LSH)."""
+    return embeddings.select("vec_id", "label", _sign_bucket(n_bits).alias("bucket"))
 
 
 def lsh_bucket_histogram(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
@@ -77,14 +82,7 @@ def near_dup_pairs(
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates must
     share the sign-LSH bucket (sub-quadratic at scale), then exact cosine
     filters. Returns (vec_a, vec_b, cos_sim)."""
-    bucket = sum(
-        [
-            F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(n_bits)
-        ],
-        F.lit(0),
-    ).cast("int")
-    e = embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
+    e = embeddings.select("vec_id", "embedding", _sign_bucket(n_bits).alias("bucket"))
     a, b = e.alias("a"), e.alias("b")
     dot = F.expr(_DOT.format(a="a.embedding", b="b.embedding"))
     na = F.sqrt(F.expr(_DOT.format(a="a.embedding", b="a.embedding")))

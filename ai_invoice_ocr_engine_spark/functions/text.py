@@ -63,7 +63,5 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: 60-bit integer from md5 of the
     whitespace-normalized lowercased text (stable across engines)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
-    fp = F.expr(
-        f"cast(conv(substr(md5(regexp_replace(lower({text_col}), '\\\\s+', '')), 1, 15), 16, 10) as bigint)"
-    )
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
     return docs.select("doc_id", F.length(norm).alias("n_norm_chars"), fp.alias("fingerprint"))

@@ -307,14 +307,17 @@ def gaussian_blur5(img: np.ndarray) -> np.ndarray:
     formulation, bit-identical output (property-tested)."""
     p = np.pad(img, ((0, 0), (2, 2)), mode="reflect").astype(np.uint16)
     w = img.shape[1]
-    h = _G5_U16[0] * p[:, 0:w]
-    for k in range(1, 5):
-        h += _G5_U16[k] * p[:, k : k + w]
+    # symmetric taps (g0==g4, g1==g3): 3 multiplies instead of 5, exact in
+    # integer arithmetic (g*(a+b) == g*a + g*b; a+b <= 510, g*(a+b) <= 47430,
+    # full sum <= 65280 — no uint16 overflow anywhere)
+    h = _G5_U16[0] * (p[:, 0:w] + p[:, 4 : 4 + w])
+    h += _G5_U16[1] * (p[:, 1 : 1 + w] + p[:, 3 : 3 + w])
+    h += _G5_U16[2] * p[:, 2 : 2 + w]
     p2 = np.pad(h, ((2, 2), (0, 0)), mode="reflect").astype(np.int32)
     n = img.shape[0]
-    v = _G5[0] * p2[0:n, :]
-    for k in range(1, 5):
-        v += _G5[k] * p2[k : k + n, :]
+    v = _G5[0] * (p2[0:n, :] + p2[4 : 4 + n, :])
+    v += _G5[1] * (p2[1 : 1 + n, :] + p2[3 : 3 + n, :])
+    v += _G5[2] * p2[2 : 2 + n, :]
     return ((v + (1 << 15)) >> 16).astype(np.uint8)
 
 
@@ -357,6 +360,38 @@ def _erode3(m: np.ndarray) -> np.ndarray:
     return v
 
 
+def _dilate3_r2(m: np.ndarray) -> np.ndarray:
+    """Radius-2 (5×5 square) binary dilation == _dilate3 applied twice,
+    in one separable pass pair; border=False outside."""
+    h = m.copy()
+    h[:, 1:] |= m[:, :-1]
+    h[:, :-1] |= m[:, 1:]
+    h[:, 2:] |= m[:, :-2]
+    h[:, :-2] |= m[:, 2:]
+    v = h.copy()
+    v[1:, :] |= h[:-1, :]
+    v[:-1, :] |= h[1:, :]
+    v[2:, :] |= h[:-2, :]
+    v[:-2, :] |= h[2:, :]
+    return v
+
+
+def _erode3_r2(m: np.ndarray) -> np.ndarray:
+    """Radius-2 (5×5 square) binary erosion == _erode3 applied twice, in
+    one separable pass pair; border=True outside."""
+    h = m.copy()
+    h[:, 1:] &= m[:, :-1]
+    h[:, :-1] &= m[:, 1:]
+    h[:, 2:] &= m[:, :-2]
+    h[:, :-2] &= m[:, 2:]
+    v = h.copy()
+    v[1:, :] &= h[:-1, :]
+    v[:-1, :] &= h[1:, :]
+    v[2:, :] &= h[:-2, :]
+    v[:-2, :] &= h[2:, :]
+    return v
+
+
 def detect_prob(gray: np.ndarray) -> np.ndarray:
     """Fallback 'detector' forward: prob map = cleaned binary text mask.
 
@@ -366,8 +401,13 @@ def detect_prob(gray: np.ndarray) -> np.ndarray:
     bl = gaussian_blur5(gray)
     t = otsu_threshold(bl)
     mask = bl <= t  # THRESH_BINARY_INV: foreground where value <= threshold
-    # close ×2 == dilate×2 then erode×2 ; open ×1 == erode then dilate
-    mask = _erode3(_erode3(_dilate3(_dilate3(mask))))
+    # close ×2 == dilate×2 then erode×2 ; open ×1 == erode then dilate.
+    # The double dilate/erode pairs run as FUSED radius-2 separable passes
+    # (two 3×3 square SEs compose to one 5×5): ~40% less memory traffic
+    # than chaining _dilate3 twice, bit-identical (property-tested) — the
+    # r1→r2 ceiling work: the 8→32-core rolloff is bandwidth-bound, so
+    # every byte of mask traffic removed moves the full-width throughput.
+    mask = _erode3_r2(_dilate3_r2(mask))
     mask = _dilate3(_erode3(mask))
     return mask.astype(np.float32)
 
@@ -1148,6 +1188,11 @@ def classify_orientation(img: np.ndarray) -> tuple[int, float]:
     core.py:13-17 semantics)."""
     if img.ndim != 2 or img.size == 0:
         return 0, 0.5
+    # classify on a 2x2-subsampled view: 4x less memory traffic, and every
+    # signal survives (text bands are >=12 px, inter-line gaps >=14 px, so
+    # >=6/>=7 px after subsampling; thresholds below are in subsampled px)
+    if min(img.shape) >= 64:
+        img = img[::2, ::2]
     mask = _ink_mask(img)
     if not mask.any() or mask.mean() > 0.9:
         return 0, 0.5
@@ -1158,7 +1203,7 @@ def classify_orientation(img: np.ndarray) -> tuple[int, float]:
     # robustly than profile variance (which glyph-grid periodicity pollutes).
     rr = _max_blank_run(mask.any(axis=1))
     cc = _max_blank_run(mask.any(axis=0))
-    axis_decisive = max(rr, cc) >= 6 and max(rr, cc) >= 2 * max(min(rr, cc), 1)
+    axis_decisive = max(rr, cc) >= 3 and max(rr, cc) >= 2 * max(min(rr, cc), 1)
     if rr >= cc:
         d_up = _edge_raggedness(mask)
         cls = 0 if d_up >= 0 else 2

@@ -402,26 +402,53 @@ def q_dedup_minhash(spark, sf):
     return D.minhash_band_pairs(_corpus(spark, sf), k=12, band_rows=3)
 
 
-_SQL_DEDUP_MINHASH = f"""
+def _minhash_sql(k: int = 12, band_rows: int = 3) -> str:
+    """DuckDB mirror of minhash_band_pairs' md5 path: ceil(k/2) digests,
+    two 60-bit hash functions per digest (low/high halves)."""
+    n_dig = (k + 1) // 2
+    digs = ",\n         ".join(
+        f"md5('{d}|' || sh) AS d{d}" for d in range(n_dig)
+    )
+    mins = ",\n         ".join(
+        f"min(('0x' || substr(d{j // 2}, {1 + 16 * (j % 2)}, 15))::bigint) AS mh{j}"
+        for j in range(k)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM mins".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"mh{j}::varchar"
+                for j in range(b * band_rows, min((b + 1) * band_rows, k))
+            ),
+        )
+        for b in range((k + band_rows - 1) // band_rows)
+    )
+    return f"""
 WITH {_CORPUS_SQL},
 sh AS (
   SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
   FROM corpus, LATERAL (SELECT unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i) t
 ),
-hx AS (
-  SELECT doc_id, j,
-         min(('0x' || substr(md5(j::varchar || '|' || sh), 1, 15))::bigint) AS mh
-  FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS j) u
-  GROUP BY doc_id, j
+d AS (
+  SELECT doc_id,
+         {digs}
+  FROM sh
+),
+mins AS (
+  SELECT doc_id,
+         {mins}
+  FROM d GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, j // 3 AS band, md5(string_agg(mh::varchar, ',' ORDER BY j)) AS sig
-  FROM hx GROUP BY doc_id, j // 3
+{band_selects}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+_SQL_DEDUP_MINHASH = _minhash_sql(12, 3)
 
 
 def q_dedup_simhash(spark, sf):

@@ -116,3 +116,18 @@ def test_resize_bounds_and_identity(h, w, nh, nw, seed):
     # interpolation never exceeds the source value range
     assert out.min() >= img.min() and out.max() <= img.max()
     assert np.array_equal(K.resize_bilinear(img, h, w), img)
+
+
+def test_fused_r2_morphology_equivalence():
+    """_dilate3_r2/_erode3_r2 (one separable radius-2 pass pair) must be
+    bit-identical to chaining the radius-1 ops twice — the bandwidth
+    optimization in detect_prob must not change a single pixel."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import kernels as K
+
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        m = rng.random((int(rng.integers(3, 90)), int(rng.integers(3, 90)))) < 0.3
+        assert np.array_equal(K._dilate3_r2(m), K._dilate3(K._dilate3(m)))
+        assert np.array_equal(K._erode3_r2(m), K._erode3(K._erode3(m)))

@@ -1,0 +1,201 @@
+"""BMP and TIFF codecs, pure numpy + stdlib — completing the reference's
+accepted-format list (/root/reference/engine.py:46: png/jpg/jpeg/bmp/tiff;
+polymorphic imread at /root/reference/utils/image.py:4-11).
+
+Scope mirrors what a scanner/export pipeline actually emits:
+  BMP: uncompressed BI_RGB, 8-bit paletted / 24-bit / 32-bit, bottom-up or
+       top-down rows. RLE and 1/4/16-bit raise NotImplementedError.
+  TIFF: uncompressed (Compression=1), chunky planar, 8-bit grayscale
+        (white/black-is-zero) or RGB(A), strip-organized, either byte
+        order. LZW/Deflate/PackBits/JPEG-in-TIFF and tiles raise
+        NotImplementedError.
+Malformed containers raise ValueError (same contract as decode_png).
+Color goes through kernels.rgb_to_gray — one grayscale definition for
+every codec in the engine.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    from .kernels import rgb_to_gray
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    try:
+        pix_off = struct.unpack_from("<I", data, 10)[0]
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
+        if hdr_size < 40:
+            raise NotImplementedError("BMP core-header variant unsupported")
+        w, h_signed = struct.unpack_from("<ii", data, 18)
+        planes, bpp = struct.unpack_from("<HH", data, 26)
+        compression = struct.unpack_from("<I", data, 30)[0]
+        if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS(32bpp identity)
+            raise NotImplementedError(f"BMP compression {compression} unsupported")
+        if bpp not in (8, 24, 32):
+            raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+        if w <= 0 or h_signed == 0:
+            raise ValueError("BMP has empty dimensions")
+        top_down = h_signed < 0
+        h = abs(h_signed)
+        if bpp == 8:
+            n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+            pal_off = 14 + hdr_size
+            pal = np.frombuffer(
+                data, np.uint8, count=n_colors * 4, offset=pal_off
+            ).reshape(n_colors, 4)  # BGRA
+        row_bytes = (w * bpp // 8 + 3) & ~3
+        need = row_bytes * h
+        raw = np.frombuffer(data, np.uint8, count=need, offset=pix_off)
+    except struct.error as e:
+        raise ValueError(f"corrupt BMP: {e}") from e
+    except IndexError as e:
+        raise ValueError(f"corrupt BMP: {e}") from e
+    rows = raw.reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        idx = rows[:, :w]
+        rgb = pal[idx][:, :, [2, 1, 0]]  # BGRA -> RGB
+        return rgb_to_gray(np.ascontiguousarray(rgb))
+    nch = bpp // 8
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB
+    return rgb_to_gray(np.ascontiguousarray(rgb))
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """8-bit grayscale-palette bottom-up BI_RGB BMP (fixture writer)."""
+    assert img.ndim == 2 and img.dtype == np.uint8
+    h, w = img.shape
+    row_bytes = (w + 3) & ~3
+    pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    pix_off = 14 + 40 + len(pal)
+    body = bytearray()
+    pad = bytes(row_bytes - w)
+    for y in range(h - 1, -1, -1):
+        body += img[y].tobytes() + pad
+    hdr = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(body), 0, 0, pix_off
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 256, 0)
+    return bytes(hdr) + pal + bytes(body)
+
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar", 322: "tile_w",
+}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _tiff_values(data, bo, typ, count, value_field):
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        raise NotImplementedError(f"TIFF field type {typ} unsupported")
+    fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+    if fmt is None:
+        raise NotImplementedError(f"TIFF field type {typ} unsupported here")
+    total = size * count
+    if total <= 4:
+        buf = value_field[:total]
+    else:
+        off = struct.unpack(bo + "I", value_field)[0]
+        buf = data[off : off + total]
+        if len(buf) != total:
+            raise ValueError("TIFF value block truncated")
+    return list(struct.unpack(bo + fmt * count, buf))
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    from .kernels import rgb_to_gray
+
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    try:
+        ifd_off = struct.unpack_from(bo + "I", data, 4)[0]
+        n_entries = struct.unpack_from(bo + "H", data, ifd_off)[0]
+        tags: dict[str, list[int]] = {}
+        for i in range(n_entries):
+            base = ifd_off + 2 + i * 12
+            tag, typ, count = struct.unpack_from(bo + "HHI", data, base)
+            name = _TIFF_TAGS.get(tag)
+            if name is None:
+                continue
+            tags[name] = _tiff_values(data, bo, typ, count, data[base + 8 : base + 12])
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt TIFF: {e}") from e
+    if "tile_w" in tags:
+        raise NotImplementedError("tiled TIFF unsupported")
+    comp = tags.get("compression", [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    if tags.get("planar", [1])[0] != 1:
+        raise NotImplementedError("TIFF planar configuration 2 unsupported")
+    bits = tags.get("bits", [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
+    photometric = tags.get("photometric", [1])[0]
+    spp = tags.get("spp", [1])[0]
+    if photometric not in (0, 1, 2) or spp not in (1, 3, 4):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} / spp {spp} unsupported"
+        )
+    try:
+        w = tags["width"][0]
+        h = tags["height"][0]
+        offsets = tags["strip_offsets"]
+        counts = tags["strip_counts"]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag: {e}") from e
+    buf = bytearray()
+    for off, cnt in zip(offsets, counts):
+        chunk = data[off : off + cnt]
+        if len(chunk) != cnt:
+            raise ValueError("TIFF strip truncated")
+        buf += chunk
+    need = h * w * spp
+    if len(buf) < need:
+        raise ValueError("TIFF pixel data truncated")
+    px = np.frombuffer(bytes(buf), np.uint8, count=need).reshape(h, w, spp)
+    if spp == 1:
+        g = px[:, :, 0]
+        if photometric == 0:  # white-is-zero
+            g = 255 - g
+        return g.copy()
+    return rgb_to_gray(np.ascontiguousarray(px[:, :, :3]))
+
+
+def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
+    """Uncompressed single-strip 8-bit grayscale TIFF (fixture writer)."""
+    assert img.ndim == 2 and img.dtype == np.uint8
+    bo = ">" if big_endian else "<"
+    h, w = img.shape
+    pix = img.tobytes()
+    pix_off = 8
+    ifd_off = pix_off + len(pix)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, pix_off), (277, 3, 1, 1),
+        (278, 3, 1, h), (279, 4, 1, len(pix)), (284, 3, 1, 1),
+    ]
+    ifd = struct.pack(bo + "H", len(entries))
+    for tag, typ, count, val in entries:
+        if typ == 3:
+            # in-line values are LEFT-justified in the 4-byte field, in
+            # file byte order, for either endianness (TIFF 6.0 §2)
+            vf = struct.pack(bo + "H", val) + b"\x00\x00"
+        else:
+            vf = struct.pack(bo + "I", val)
+        ifd += struct.pack(bo + "HHI", tag, typ, count) + vf
+    ifd += struct.pack(bo + "I", 0)  # next IFD
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    return magic + struct.pack(bo + "I", ifd_off) + pix + ifd

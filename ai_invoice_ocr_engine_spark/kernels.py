@@ -260,9 +260,9 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Polymorphic reader (S2, /root/reference/utils/image.py:4-11): SYNF,
-    PNG or baseline JPEG → grayscale uint8 (the reference's accepted list
-    is png/jpg/jpeg/bmp/tiff, /root/reference/engine.py:46; bmp/tiff stay
-    codec-seam stubs)."""
+    PNG, baseline JPEG, BMP or TIFF → grayscale uint8 — the reference's
+    full accepted list (png/jpg/jpeg/bmp/tiff, /root/reference/engine.py:46)
+    plus the synthetic container."""
     if data[:4] == SYNF_MAGIC:
         return decode_synf(data)
     if data[:8] == PNG_MAGIC:
@@ -272,9 +272,13 @@ def decode_image(data: bytes) -> np.ndarray:
 
         return decode_jpeg(data)
     if data[:2] == b"BM":
-        raise NotImplementedError("bmp decode is a codec seam")
+        from .bmptiff import decode_bmp
+
+        return decode_bmp(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
-        raise NotImplementedError("tiff decode is a codec seam")
+        from .bmptiff import decode_tiff
+
+        return decode_tiff(data)
     raise ValueError("unknown image format")
 
 

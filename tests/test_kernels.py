@@ -395,10 +395,60 @@ def test_jpeg_error_contract_and_dispatch():
         J.decode_jpeg(blob[:100])
     with pytest.raises(ValueError):  # not a JPEG at all
         J.decode_jpeg(b"hello")
-    with pytest.raises(NotImplementedError):  # bmp/tiff stay codec seams
-        K.decode_image(b"BM" + b"\x00" * 16)
+
+
+def test_bmp_tiff_roundtrip_and_contract():
+    """BMP/TIFF complete the reference's accepted-format list: gray
+    round-trips are exact, color reduces through the shared rgb_to_gray,
+    unsupported variants raise NotImplementedError, corrupt ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    assert np.array_equal(BT.decode_bmp(BT.encode_bmp(img)), img)
+    assert np.array_equal(K.decode_image(BT.encode_bmp(img)), img)
+    for be in (False, True):
+        assert np.array_equal(BT.decode_tiff(BT.encode_tiff(img, big_endian=be)), img)
+    assert np.array_equal(K.decode_image(BT.encode_tiff(img)), img)
+
+    # 24-bit bottom-up and top-down BMP agree with the shared luma
+    h, w = 9, 11
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    pix_off = 14 + 40
+    for top_down in (False, True):
+        body = bytearray()
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        for y in ys:
+            body += rgb[y][:, [2, 1, 0]].tobytes() + bytes(row_bytes - w * 3)
+        hdr = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+        hdr += struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+            len(body), 0, 0, 0, 0,
+        )
+        assert np.array_equal(
+            BT.decode_bmp(bytes(hdr) + bytes(body)), K.rgb_to_gray(rgb)
+        )
+
+    # unsupported variants stay loud seams
+    rle = bytearray(BT.encode_bmp(img))
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
     with pytest.raises(NotImplementedError):
-        K.decode_image(b"II*\x00" + b"\x00" * 16)
+        BT.decode_bmp(bytes(rle))
+    lzw = bytearray(BT.encode_tiff(img))
+    ifd_off = struct.unpack_from("<I", lzw, 4)[0]
+    struct.pack_into("<H", lzw, ifd_off + 2 + 3 * 12 + 8, 5)  # Compression=LZW
+    with pytest.raises(NotImplementedError):
+        BT.decode_tiff(bytes(lzw))
+    with pytest.raises(ValueError):
+        BT.decode_bmp(b"BMxx")
+    with pytest.raises(ValueError):
+        BT.decode_tiff(b"II*\x00\x00\x00\x00")
 
 
 # ---- orientation classifier (K16 fallback made real) ----

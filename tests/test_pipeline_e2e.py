@@ -159,28 +159,34 @@ def test_blob_mode_accepts_directory_parquet(spark, corpus, tmp_path):
     assert g == w
 
 
-def test_mixed_synf_png_jpeg_media_golden(spark, corpus, tmp_path):
-    """Three-way polymorphic S2 (SYNF + PNG + baseline JPEG) in the
-    distributed path. JPEG is lossy, so the invariant is the north-rule
-    one: the distributed engine must equal the single-process oracle
-    doc-for-doc ON THE SAME BYTES (both route through kernels.decode_image
-    — one grayscale definition for every codec)."""
+def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
+    """Five-way polymorphic S2 (SYNF + PNG + baseline JPEG + BMP + TIFF —
+    the reference's full accepted list) in the distributed path. JPEG is
+    lossy, so the invariant is the north-rule one: the distributed engine
+    must equal the single-process oracle doc-for-doc ON THE SAME BYTES
+    (both route through kernels.decode_image — one grayscale definition
+    for every codec)."""
     import numpy as np
 
     from ai_invoice_ocr_engine_spark import kernels as K
     from ai_invoice_ocr_engine_spark import oracle as O
+    from ai_invoice_ocr_engine_spark.bmptiff import encode_bmp, encode_tiff
     from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg
 
     media_rows = []
     for i, m in enumerate(corpus["media"]):
         m = dict(m)
         img = K.decode_synf(bytes(m["image"]))
-        if i % 3 == 1:
+        if i % 5 == 1:
             m["image"] = K.encode_png(img, filter_type=i % 5)
-        elif i % 3 == 2:
+        elif i % 5 == 2:
             m["image"] = encode_jpeg(img, quality=95, subsampling="gray")
+        elif i % 5 == 3:
+            m["image"] = encode_bmp(img)
+        elif i % 5 == 4:
+            m["image"] = encode_tiff(img, big_endian=bool(i % 2))
         media_rows.append(m)
-    mixed_path = str(tmp_path / "media_mixed3.parquet")
+    mixed_path = str(tmp_path / "media_mixed5.parquet")
     spark.createDataFrame(
         [(m["media_ref"], m["width"], m["height"], bytearray(m["image"]), m["n_lines"])
          for m in media_rows],

@@ -267,3 +267,58 @@ def simhash_pairs(corpus: DataFrame, bits: int = 60, max_hamming: int = 4) -> Da
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components_labels(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Near-dup pairs → cluster assignment: every doc that appears in a
+    pair gets the MIN doc id of its connected component as cluster_id —
+    the canonical-representative step every dedup pipeline ends with
+    (keep one doc per cluster, drop the rest).
+
+    Pure-DataFrame min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds — near-dup graphs are unions of small
+    cliques, so 2-3 shuffles in practice. The driver loop materializes a
+    change-count per round (k-row-scale action) and breaks at fixpoint;
+    labels are localCheckpoint'd so iteration i does not replay iterations
+    0..i-1 (the same lineage-truncation discipline as ivf_centroids). For
+    adversarial long-chain graphs at 10^12 docs, swap the propagation body
+    for the large-star/small-star alternation — same interface.
+
+    Returns (doc_id, cluster_id, n_members).
+    """
+    e = pairs.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
+    sym = e.union(e.select(F.col("ed").alias("es"), F.col("es").alias("ed"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("es").alias("n")).distinct().withColumn("lbl", F.col("n"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["ed"] == labels["n"]).select(
+            F.col("es").alias("n"), F.col("lbl")
+        )
+        new_labels = (
+            labels.select("n", "lbl")
+            .union(prop)
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "n")
+            .where(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("n").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )

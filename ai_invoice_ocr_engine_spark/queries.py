@@ -402,9 +402,10 @@ def q_dedup_minhash(spark, sf):
     return D.minhash_band_pairs(_corpus(spark, sf), k=12, band_rows=3)
 
 
-def _minhash_sql(k: int = 12, band_rows: int = 3) -> str:
-    """DuckDB mirror of minhash_band_pairs' md5 path: ceil(k/2) digests,
-    two 60-bit hash functions per digest (low/high halves)."""
+def _minhash_ctes(k: int = 12, band_rows: int = 3) -> str:
+    """DuckDB CTE chain mirroring minhash_band_pairs' md5 path: ceil(k/2)
+    digests, two 60-bit hash functions per digest (low/high halves).
+    Defines corpus/sh/d/mins/bands for a caller-supplied final SELECT."""
     n_dig = (k + 1) // 2
     digs = ",\n         ".join(
         f"md5('{d}|' || sh) AS d{d}" for d in range(n_dig)
@@ -423,8 +424,7 @@ def _minhash_sql(k: int = 12, band_rows: int = 3) -> str:
         )
         for b in range((k + band_rows - 1) // band_rows)
     )
-    return f"""
-WITH {_CORPUS_SQL},
+    return f"""{_CORPUS_SQL},
 sh AS (
   SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
   FROM corpus, LATERAL (SELECT unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i) t
@@ -441,14 +441,15 @@ mins AS (
 ),
 bands AS (
 {band_selects}
-)
+)"""
+
+
+_SQL_DEDUP_MINHASH = f"""
+WITH {_minhash_ctes(12, 3)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
-
-
-_SQL_DEDUP_MINHASH = _minhash_sql(12, 3)
 
 
 def q_dedup_simhash(spark, sf):
@@ -492,6 +493,41 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
+def q_dedup_clusters(spark, sf):
+    """Cluster assignment over the MinHash near-dup graph: every doc in a
+    pair labeled with the MIN doc id of its connected component — the
+    keep-one-per-cluster step a dedup pipeline ends with. Spark side is
+    iterative min-label propagation (functions/dedup.py:
+    connected_components_labels); the oracle is a recursive CTE computing
+    min reachable label, which is the same fixpoint."""
+    pairs = D.minhash_band_pairs(_corpus(spark, sf))
+    return D.connected_components_labels(pairs)
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_minhash_ctes(12, 3)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS dd FROM pairs
+),
+reach AS (
+  SELECT s AS n, s AS lbl FROM edges
+  UNION
+  SELECT e.dd AS n, r.lbl FROM reach r JOIN edges e ON e.s = r.n
+),
+labels AS (SELECT n, min(lbl) AS lbl FROM reach GROUP BY n)
+SELECT n AS doc_id, lbl AS cluster_id,
+       (count(*) OVER (PARTITION BY lbl))::BIGINT AS n_members
+FROM labels
 """
 
 
@@ -1503,6 +1539,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_jaccard, _SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash, _SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, _SQL_DEDUP_SIMHASH),
+    "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, _SQL_ANN_COSINE),
     "ann_lsh_histogram": (q_ann_lsh_histogram, _SQL_ANN_LSH),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),

@@ -253,3 +253,28 @@ def test_media_metadata_corrupt_png_is_unsupported(spark):
     )
     meta = M.media_metadata(df).collect()
     assert meta[0]["format"] == "unsupported"
+
+
+def test_connected_components_labels(spark):
+    """Chain, triangle, and isolated pair all collapse to min-id clusters;
+    convergence across a 4-hop chain exercises the propagation loop."""
+    from ai_invoice_ocr_engine_spark.functions import dedup as D
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),   # 5-node chain -> cluster 1
+            (10, 11), (11, 12), (10, 12),      # triangle -> cluster 10
+            (20, 21),                          # pair -> cluster 20
+        ],
+        "doc_a int, doc_b int",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["n_members"])
+        for r in D.connected_components_labels(pairs).collect()
+    }
+    assert got == {
+        1: (1, 5), 2: (1, 5), 3: (1, 5), 4: (1, 5), 5: (1, 5),
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+        20: (20, 2), 21: (20, 2),
+    }

@@ -23,14 +23,21 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    right_ts <= left_ts within the same `by` group (direction='backward').
+    right_ts <= left_ts within the same `by` group (direction='backward'),
+    or the EARLIEST right row with right_ts >= left_ts
+    (direction='forward') — the same carry-forward composition run over
+    the reversed time order.
 
     Ties on timestamp: the right row sorts BEFORE the left probe row at the
-    same instant, so an exactly-simultaneous right row matches (>= semantics,
-    like DuckDB's ASOF JOIN).
+    same instant, so an exactly-simultaneous right row matches in either
+    direction (>= / <= semantics, like DuckDB's ASOF JOIN).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction == "backward":
+        order = [F.asc("__t"), F.asc("__side")]
+    elif direction == "forward":
+        order = [F.desc("__t"), F.asc("__side")]
+    else:
+        raise ValueError(f"unknown as-of direction {direction!r}")
     l_tag = left.select(
         F.col(by).alias("__k"),
         F.col(left_ts).alias("__t"),
@@ -48,7 +55,7 @@ def asof_join(
     u = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(

@@ -655,6 +655,41 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.es >= s.es
 """
 
 
+def q_asof_forward_activation(spark, sf):
+    """As-of join (forward): each signup gets the user's FIRST
+    following-or-simultaneous purchase — the activation-lag metric; same
+    one-shuffle carry composition run over reversed time order
+    (operators/asof.py direction='forward')."""
+    from .operators import asof_join
+
+    e = _t(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "event_type"
+    )
+    signups = e.where(F.col("event_type") == "signup").select("user_id", "es")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("es").alias("p_es")
+    )
+    res = asof_join(
+        signups, purchases, by="user_id", left_ts="es", right_ts="p_es",
+        payload=["p_es"], direction="forward",
+    )
+    return res.select(
+        "user_id", "es",
+        F.col("p_es").alias("first_purchase_es"),
+        (F.col("p_es") - F.col("es")).alias("lag_s"),
+    )
+
+
+_SQL_ASOF_FWD = """
+WITH s AS (SELECT user_id, floor(epoch(ts))::bigint AS es FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, floor(epoch(ts))::bigint AS es FROM events WHERE event_type = 'purchase')
+SELECT s.user_id, s.es,
+       (SELECT min(p.es) FROM p WHERE p.user_id = s.user_id AND p.es >= s.es) AS first_purchase_es,
+       (SELECT min(p.es) FROM p WHERE p.user_id = s.user_id AND p.es >= s.es) - s.es AS lag_s
+FROM s
+"""
+
+
 def q_quantiles(spark, sf):
     """Exact interpolated percentiles per group (percentile == quantile_cont)."""
     e = _t(spark, sf, "events")
@@ -1546,6 +1581,7 @@ REGISTRY: dict[str, tuple] = {
     "text_langid": (q_text_langid, _SQL_TEXT_LANGID),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_FINGERPRINT),
     "asof_join_signup": (q_asof_signup, _SQL_ASOF),
+    "asof_forward_activation": (q_asof_forward_activation, _SQL_ASOF_FWD),
     "quantiles": (q_quantiles, _SQL_QUANTILES),
     "json_props": (q_json_props, _SQL_JSON_PROPS),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),

@@ -25,6 +25,31 @@ def test_asof_backward_and_ties(spark):
     assert out[(2, 7)] is None  # right exists but only later
 
 
+def test_asof_forward_and_ties(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 100)], ["user_id", "es"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (1, 15), (2, 99)], ["user_id", "p_es"]
+    )
+    out = {
+        (r["user_id"], r["es"]): r["p_es"]
+        for r in asof_join(
+            left, right, by="user_id", left_ts="es", right_ts="p_es",
+            payload=["p_es"], direction="forward",
+        ).collect()
+    }
+    assert out[(1, 10)] == 10   # tie: simultaneous right row matches (<=... >=)
+    assert out[(1, 20)] is None  # nothing after
+    assert out[(1, 5)] == 10    # earliest following
+    assert out[(2, 100)] is None  # right exists but only earlier
+    with _pytest.raises(ValueError):
+        asof_join(left, right, by="user_id", left_ts="es", right_ts="p_es",
+                  payload=["p_es"], direction="sideways")
+
+
 def test_normalize_det_shape():
     img = np.full((10, 12), 128, np.uint8)
     out = K.normalize_det(img)

@@ -43,6 +43,12 @@ class LayoutConfig:
 
 
 @dataclass(frozen=True)
+class ClsConfig:
+    en: bool = True    # textline 0/180 classification on (reference config.py:41 cls.en)
+    th: float = 0.9    # confidence gate (reference config.py:42 cls.th)
+
+
+@dataclass(frozen=True)
 class PrepConfig:
     ori: bool = True   # orientation correction on (reference config.py:48 prep.ori)
     oth: float = 0.9   # orientation confidence gate (reference config.py:50 oth)
@@ -54,6 +60,7 @@ class ExtractConfig:
     rec: RecognizeConfig = field(default_factory=RecognizeConfig)
     layout: LayoutConfig = field(default_factory=LayoutConfig)
     prep: PrepConfig = field(default_factory=PrepConfig)
+    cls: ClsConfig = field(default_factory=ClsConfig)
     extract_fields: bool = True
 
     def to_dict(self) -> dict:

@@ -59,8 +59,12 @@ def extract_media_lines(
     boxes, scores = detect_frame(img, cfg)
     if len(boxes) == 0:
         return []
+    crops = [K.crop_box(img, b) for b in boxes]
+    if cfg.cls.en:
+        # per-crop 0/180 textline gate (reference cls stage, config.py:41)
+        crops = [K.correct_textline(c, th=cfg.cls.th) for c in crops]
     texts_scores = K.recognize_crops(
-        [K.crop_box(img, b) for b in boxes],
+        crops,
         weights,
         h=cfg.rec.h,
         mw=cfg.rec.mw,

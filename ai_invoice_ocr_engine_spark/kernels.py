@@ -1088,6 +1088,20 @@ def textline_flip_class(crop: np.ndarray) -> tuple[int, float]:
     return (1, 0.7) if lv > rv else (0, 0.7)
 
 
+def correct_textline(crop: np.ndarray, th: float = 0.9) -> np.ndarray:
+    """Flip a textline crop 180° when the classifier clears the gate —
+    the reference's per-crop cls stage (engine.py applies cls when
+    cfg.cls.en; gating at cls.th, reference config.py:41-42). With the
+    reference's heuristic classifier the max confidence is 0.7, so at the
+    default th=0.9 this is observably a no-op — exactly the reference's
+    fallback behavior; a model-backed classifier plugged into
+    textline_flip_class would start flipping without pipeline changes."""
+    cls, conf = textline_flip_class(crop)
+    if cls == 1 and conf >= th:
+        return np.ascontiguousarray(np.rot90(crop, k=2))
+    return crop
+
+
 def rotate_quadrant(img: np.ndarray, cls: int) -> np.ndarray:
     """Rotate by orientation class {0:none,1:90cw,2:180,3:90ccw}
     (/root/reference/preprocess/core.py:9 rotation table, np.rot90-based)."""

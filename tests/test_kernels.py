@@ -496,3 +496,19 @@ def test_correct_orientation_gate_and_restore():
     # a high gate disables correction entirely
     same, meta2 = K.correct_orientation(rot, oth=0.999)
     assert not meta2["rotated"] and np.array_equal(same, rot)
+
+
+def test_correct_textline_gate():
+    """The cls stage flips only past the confidence gate: the reference's
+    heuristic classifier tops out at 0.7, so the default th=0.9 is a
+    no-op (reference fallback behavior) while a lowered gate flips a
+    left-heavy crop."""
+    import numpy as np
+
+    crop = np.full((20, 90), 220, np.uint8)
+    crop[:, :30] = np.random.default_rng(0).integers(0, 255, (20, 30))  # noisy left third
+    cls, conf = K.textline_flip_class(crop)
+    assert cls == 1 and conf == 0.7
+    assert np.array_equal(K.correct_textline(crop, th=0.9), crop)  # gated off
+    flipped = K.correct_textline(crop, th=0.5)
+    assert np.array_equal(flipped, np.rot90(crop, k=2))

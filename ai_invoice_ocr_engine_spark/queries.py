@@ -1251,6 +1251,60 @@ FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
 """
 
 
+def q_range_moving_avg(spark, sf):
+    """Time-RANGE window frame (not rows): per-user trailing-hour average
+    event value — the telemetry smoothing idiom. RANGE frames bound by a
+    time delta are a distinct physical shape from ROWS frames (frame edges
+    move with the ordering VALUE, ties all included)."""
+    e = _t(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "es",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+_SQL_RANGE_MOVAVG = """
+WITH e AS (SELECT user_id, floor(epoch(ts))::bigint AS es, value FROM events)
+SELECT user_id, es,
+       round(avg(value) OVER w, 4) AS avg_1h,
+       count(*) OVER w AS n_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rank_distribution(spark, sf):
+    """percent_rank + cume_dist of customer balance within nation — the
+    relative-standing window pair (distinct from row_number/ntile: value
+    ties share ranks)."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_SQL_RANK_DIST = """
+SELECT c_custkey, c_nationkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+"""
+
+
 def q_ntile_spend_quartiles(spark, sf):
     """ntile(4) over customer lifetime spend → per-quartile aggregates."""
     o = _t(spark, sf, "orders")
@@ -1608,6 +1662,8 @@ REGISTRY: dict[str, tuple] = {
     "left_outer_counts": (q_left_outer_counts, _SQL_LEFT_OUTER),
     "order_gap_days": (q_order_gap_days, _SQL_ORDER_GAPS),
     "ntile_spend_quartiles": (q_ntile_spend_quartiles, _SQL_NTILE),
+    "range_moving_avg": (q_range_moving_avg, _SQL_RANGE_MOVAVG),
+    "rank_distribution": (q_rank_distribution, _SQL_RANK_DIST),
     "revenue_share_by_nation": (q_revenue_share, _SQL_REVENUE_SHARE),
     "bag_set_ops": (q_bag_set_ops, _SQL_BAG_SETOPS),
     "approx_distinct_parts": (q_approx_distinct, None),

@@ -2,11 +2,12 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing (schemas, batch shape, partitioning, UDF signatures)
-is real and tested; the codec layer supports the deterministic SYNF frame
-format natively and STUBS everything else (png/jpeg/audio decoders are not
-available in this container) behind either a deterministic fake or
-NotImplementedError — exactly the seam where Pillow/ffmpeg would slot in on
-a production cluster.
+is real and tested. Codecs: images route through kernels.decode_image
+(SYNF/PNG/JPEG/BMP/TIFF — all real, pure numpy); audio supports SYNA and
+real PCM WAV (decode_wav); video supports the deterministic SYNV container.
+Only genuinely-compressed media (mp3/aac, mp4/h264) remain
+NotImplementedError seams — exactly where ffmpeg would slot in on a
+production cluster.
 """
 
 from __future__ import annotations
@@ -211,14 +212,77 @@ def encode_syna(samples: np.ndarray) -> bytes:
 
 def decode_syna(data: bytes) -> np.ndarray:
     if data[:4] != SYNA_MAGIC:
-        if data[:4] == b"RIFF" or data[:3] == b"ID3":
-            raise NotImplementedError(
-                "wav/mp3 decode requires an audio codec, not present in this "
-                "container; SYNA is the supported deterministic format"
-            )
-        raise ValueError("unknown audio format")
+        raise ValueError("not a SYNA blob")
     (n,) = _struct.unpack_from("<I", data, 4)
     return np.frombuffer(data, np.int16, count=n, offset=8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Canonical 16-bit PCM mono RIFF/WAVE writer (fixture side)."""
+    s = np.asarray(samples, "<i2")
+    data = s.tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM → int16 mono samples (multi-channel averaged).
+
+    Supports PCM (format 1) at 8-bit unsigned or 16-bit signed — what
+    scanners/telephony exports actually produce. Compressed formats
+    (mp3/aac/ADPCM, format != 1) raise NotImplementedError; malformed
+    RIFF raises ValueError."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    pcm = None
+    try:
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (size,) = _struct.unpack_from("<I", data, pos + 4)
+            body = data[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                audio_fmt, n_ch, _rate, _br, _ba, bits = _struct.unpack_from(
+                    "<HHIIHH", body
+                )
+                if audio_fmt != 1:
+                    raise NotImplementedError(
+                        f"WAV format {audio_fmt} (non-PCM) unsupported"
+                    )
+                if bits not in (8, 16):
+                    raise NotImplementedError(f"{bits}-bit WAV unsupported")
+                fmt = (n_ch, bits)
+            elif cid == b"data":
+                pcm = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or pcm is None:
+            raise ValueError("WAV missing fmt/data chunk")
+    except _struct.error as e:
+        raise ValueError(f"corrupt WAV: {e}") from e
+    n_ch, bits = fmt
+    if bits == 8:
+        s = np.frombuffer(pcm, np.uint8).astype(np.int32)
+        s = (s - 128) << 8
+    else:
+        s = np.frombuffer(pcm[: len(pcm) // 2 * 2], "<i2").astype(np.int32)
+    if n_ch > 1:
+        s = s[: len(s) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1).astype(np.int32)
+    return s.astype(np.int16)
+
+
+def decode_audio(data: bytes) -> np.ndarray:
+    """Polymorphic audio reader: SYNA or PCM WAV → int16 mono samples.
+    mp3 stays a codec seam."""
+    if data[:4] == SYNA_MAGIC:
+        return decode_syna(data)
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
+        raise NotImplementedError("mp3 decode is a codec seam")
+    raise ValueError("unknown audio format")
 
 
 def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
@@ -229,7 +293,7 @@ def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
         for pdf in batches:
             out = {c.name: [] for c in AUDIO_FEATURES_SCHEMA.fields}
             for ref, blob in zip(pdf["media_ref"], pdf["audio"]):
-                s = decode_syna(bytes(blob)).astype(np.float64)
+                s = decode_audio(bytes(blob)).astype(np.float64)
                 n = len(s)
                 rms = [
                     float(np.sqrt(np.mean(s[i : i + window] ** 2)))

@@ -222,8 +222,8 @@ def test_video_audio_codec_stubs():
 
     with _pytest.raises(NotImplementedError):
         M.decode_synv(b"\x00\x00\x00\x18ftypmp42....")
-    with _pytest.raises(NotImplementedError):
-        M.decode_syna(b"RIFF....WAVE")
+    with _pytest.raises(ValueError):  # RIFF routes to the real WAV decoder now
+        M.decode_audio(b"RIFF....WAVE")
     with _pytest.raises(ValueError):
         M.decode_synv(b"garbage.....")
 
@@ -278,3 +278,58 @@ def test_connected_components_labels(spark):
         10: (10, 3), 11: (10, 3), 12: (10, 3),
         20: (20, 2), 21: (20, 2),
     }
+
+
+def test_wav_codec_and_polymorphic_audio(spark):
+    """PCM WAV is a real decoder now: 16-bit round-trip exact, 8-bit and
+    stereo reduce deterministically, audio_features accepts a WAV column
+    next to SYNA blobs (one decode_audio definition)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ai_invoice_ocr_engine_spark.functions import multimodal as M
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-3000, 3000, 2048).astype(np.int16)
+    wav = M.encode_wav(s, sample_rate=8000)
+    assert np.array_equal(M.decode_wav(wav), s)
+    assert np.array_equal(M.decode_audio(wav), s)
+    assert np.array_equal(M.decode_audio(M.encode_syna(s)), s)
+
+    # 8-bit unsigned: (v - 128) << 8
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    raw8 = bytes([0, 128, 255, 200])
+    body += b"data" + struct.pack("<I", len(raw8)) + raw8
+    wav8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert M.decode_wav(wav8).tolist() == [-32768, 0, 32512, 18432]
+
+    # stereo averages to mono
+    st = np.array([100, 200, -100, -200], np.int16)  # 2 frames x 2ch
+    fmt2 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body2 = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt2)) + fmt2
+    body2 += b"data" + struct.pack("<I", st.nbytes) + st.tobytes()
+    wav2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    assert M.decode_wav(wav2).tolist() == [150, -150]
+
+    # contracts
+    with pytest.raises(NotImplementedError):  # non-PCM format code
+        bad_fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 2, 16)
+        b3 = b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        b3 += b"data" + struct.pack("<I", 0)
+        M.decode_wav(b"RIFF" + struct.pack("<I", len(b3)) + b3)
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"ID3\x04rest")
+
+    # distributed feature stage over a mixed SYNA + WAV column
+    df = spark.createDataFrame(
+        [("a0", bytearray(M.encode_syna(s))), ("a1", bytearray(wav))],
+        "media_ref string, audio binary",
+    )
+    rows = {r["media_ref"]: r for r in M.audio_features(df, window=512).collect()}
+    assert rows["a0"]["n_samples"] == rows["a1"]["n_samples"] == 2048
+    assert rows["a0"]["rms"] == rows["a1"]["rms"]  # same samples, two containers

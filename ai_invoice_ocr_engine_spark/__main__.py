@@ -21,6 +21,36 @@ import json
 import sys
 
 
+def _add_cfg_flags(sp) -> None:
+    """Pipeline-config flags shared by `extract` and `oracle` (same flags on
+    both sides so golden comparisons use identical configs) — the reference
+    CLI's config switches (bm/bw decode mode, prep.ori, cls.en)."""
+    sp.add_argument("--decode", default="greedy", choices=["greedy", "beam"],
+                    help="CTC decode mode (reference config bm)")
+    sp.add_argument("--beam-width", type=int, default=5,
+                    help="beam width when --decode beam (reference bw)")
+    sp.add_argument("--no-orient", action="store_true",
+                    help="disable page-orientation correction (prep.ori)")
+    sp.add_argument("--no-cls", action="store_true",
+                    help="disable textline 0/180 classification (cls.en)")
+
+
+def _cfg_from(args):
+    import dataclasses
+
+    from .config import ExtractConfig
+
+    base = ExtractConfig()
+    return dataclasses.replace(
+        base,
+        rec=dataclasses.replace(
+            base.rec, decode=args.decode, beam_width=args.beam_width
+        ),
+        prep=dataclasses.replace(base.prep, ori=not args.no_orient),
+        cls=dataclasses.replace(base.cls, en=not args.no_cls),
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ai_invoice_ocr_engine_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -43,6 +73,7 @@ def main(argv=None) -> int:
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--master", default=None)
     e.add_argument("--run-id", default=None)
+    _add_cfg_flags(e)
 
     v = sub.add_parser("verify-lineage", help="recompute checksums vs lineage")
     v.add_argument("--out", required=True)
@@ -52,6 +83,7 @@ def main(argv=None) -> int:
     o.add_argument("--docs", required=True)
     o.add_argument("--media", required=True)
     o.add_argument("--out", required=True)
+    _add_cfg_flags(o)
 
     # the reference CLI's eval subcommand (/root/reference/cli.py:48-49 — a
     # print-only stub there) made real: span-sequence equality + text-level
@@ -92,6 +124,7 @@ def main(argv=None) -> int:
                 args.docs,
                 args.media,
                 args.out,
+                cfg=_cfg_from(args),
                 num_buckets=args.buckets,
                 salt=args.salt,
                 resume=not args.no_resume,
@@ -160,7 +193,7 @@ def main(argv=None) -> int:
     if args.cmd == "oracle":
         from .oracle import run_oracle_parquet
 
-        path = run_oracle_parquet(args.docs, args.media, args.out)
+        path = run_oracle_parquet(args.docs, args.media, args.out, cfg=_cfg_from(args))
         print(json.dumps({"golden": path}))
         return 0
 

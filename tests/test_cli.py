@@ -58,3 +58,22 @@ def test_cli_end_to_end(tmp_path):
     r = _run("verify-lineage", "--out", out, "--master", "local[4]")
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.splitlines()[-1])["ok"] is True
+
+
+def test_cfg_flags_mapping():
+    """--decode/--beam-width/--no-orient/--no-cls map onto the nested
+    frozen config exactly (shared by extract and oracle so goldens can't
+    diverge by config drift)."""
+    import argparse
+
+    from ai_invoice_ocr_engine_spark.__main__ import _add_cfg_flags, _cfg_from
+
+    p = argparse.ArgumentParser()
+    _add_cfg_flags(p)
+    cfg = _cfg_from(p.parse_args([]))
+    assert cfg.rec.decode == "greedy" and cfg.prep.ori and cfg.cls.en
+    cfg2 = _cfg_from(p.parse_args(
+        ["--decode", "beam", "--beam-width", "2", "--no-orient", "--no-cls"]
+    ))
+    assert cfg2.rec.decode == "beam" and cfg2.rec.beam_width == 2
+    assert not cfg2.prep.ori and not cfg2.cls.en

@@ -1251,6 +1251,64 @@ FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
 """
 
 
+def q_deterministic_split(spark, sf):
+    """Hash-based train/val/test assignment — the reproducible holdout
+    split a training-data pipeline needs: membership is a pure function of
+    doc_id (no RNG, no state), so any engine — and any future rerun over
+    10^12 docs — recomputes the identical split. md5-derived bucket mod
+    10: 0-7 train, 8 val, 9 test."""
+    d = _t(spark, sf, "documents")
+    b = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10"
+    )
+    split = (
+        F.when(b <= 7, F.lit("train")).when(b == 8, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
+_SQL_DET_SPLIT = """
+WITH t AS (
+  SELECT lang, text,
+         ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 10 AS b
+  FROM documents
+)
+SELECT CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, sum(length(text))::BIGINT AS n_chars
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_value_stats(spark, sf):
+    """Statistical aggregates (stddev/variance/Pearson correlation) per
+    event type — the second-moment family, all map-side partial-merge-able
+    (constant state per group at any scale). corr is bounded [-1,1] so the
+    4-decimal round absorbs summation-order float noise across engines."""
+    e = _t(spark, sf, "events").select(
+        "event_type", "value", F.unix_timestamp("ts").alias("es")
+    )
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr("value", "es"), 4).alias("corr_value_time"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_VALUE_STATS = """
+WITH e AS (SELECT event_type, value, floor(epoch(ts))::bigint AS es FROM events)
+SELECT event_type,
+       round(stddev_samp(value), 4) AS sd_value,
+       round(var_samp(value), 4) AS var_value,
+       round(corr(value, es), 4) AS corr_value_time,
+       count(*) AS n
+FROM e GROUP BY event_type
+"""
+
+
 def q_range_moving_avg(spark, sf):
     """Time-RANGE window frame (not rows): per-user trailing-hour average
     event value — the telemetry smoothing idiom. RANGE frames bound by a
@@ -1519,13 +1577,37 @@ FROM s GROUP BY user_id, sid
 def q_approx_distinct(spark, sf):
     """HLL++ approx_count_distinct — the sketch aggregate for cardinality at
     10^12 scale (exact distinct shuffles every key; the sketch is
-    constant-size per group). Approximate by design → rows-only driver
-    check; tests assert <=5% error vs exact (tests/test_operators.py)."""
+    constant-size per group). The sketch value itself is engine-specific,
+    so the driver-checkable output is a TOLERANCE GATE (same pattern as
+    ann_ivf_probed's recall gate): Spark emits whether the sketch lands
+    within 5% of the exact distinct count it also computes; the oracle
+    asserts the exact counts and the expected gate outcome. A broken
+    sketch (or a broken exact path) goes red."""
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_lines",
+        (
+            F.abs(F.col("approx") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("approx_ok"),
+    )
+
+
+_SQL_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+       count(*) AS n_lines,
+       true AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_ann_ivf_full_probe(spark, sf):
@@ -1663,8 +1745,10 @@ REGISTRY: dict[str, tuple] = {
     "order_gap_days": (q_order_gap_days, _SQL_ORDER_GAPS),
     "ntile_spend_quartiles": (q_ntile_spend_quartiles, _SQL_NTILE),
     "range_moving_avg": (q_range_moving_avg, _SQL_RANGE_MOVAVG),
+    "deterministic_split": (q_deterministic_split, _SQL_DET_SPLIT),
+    "value_stats": (q_value_stats, _SQL_VALUE_STATS),
     "rank_distribution": (q_rank_distribution, _SQL_RANK_DIST),
     "revenue_share_by_nation": (q_revenue_share, _SQL_REVENUE_SHARE),
     "bag_set_ops": (q_bag_set_ops, _SQL_BAG_SETOPS),
-    "approx_distinct_parts": (q_approx_distinct, None),
+    "approx_distinct_parts": (q_approx_distinct, _SQL_APPROX_DISTINCT),
 }

@@ -250,3 +250,42 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame, query_vec_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Batched retrieval: top-k by cosine for MANY queries in one pass —
+    the shape real pipelines use (score a batch of incoming docs against
+    the corpus), vs cosine_topk's single probe.
+
+    The query batch is tiny → broadcast inner join (every corpus partition
+    scores all queries locally, one corpus scan total); per-query top-k via
+    rank-window over (query_id)-partitioned scores. At 10^12 vectors the
+    window shuffle carries Q×N score rows — acceptable for small Q; for
+    large query batches compose with ivf_assign so each query only scores
+    its probed clusters (candidates drop to Q×N·nprobe/k_clusters).
+    Returns (query_id, rank, vec_id, cos_sim), deterministic ties by
+    vec_id."""
+    from pyspark.sql import Window
+
+    q = embeddings.where(F.col("vec_id").isin(query_vec_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = embeddings.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.expr(_DOT.format(a="embedding", b="qe"))
+    nv = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    nq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    scored = joined.select(
+        "query_id", "vec_id", F.round(dot / (nv * nq), 4).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )

@@ -550,6 +550,32 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_batch_topk(spark, sf):
+    """Batched retrieval: per-query top-5 for a 3-query batch in ONE corpus
+    scan (broadcast query side + rank window) — the retrieval shape a real
+    pipeline runs, vs the single-probe baseline."""
+    return S.cosine_topk_batch(_t(spark, sf, "embeddings"), [0, 1, 2], k=5)
+
+
+_SQL_ANN_BATCH = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_dot_product(e.embedding::double[], q.qe::double[]) /
+           (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+            sqrt(list_dot_product(q.qe::double[], q.qe::double[]))), 4) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+"""
+
+
 def q_ann_lsh_histogram(spark, sf):
     return S.lsh_bucket_histogram(_t(spark, sf, "embeddings"), n_bits=8)
 
@@ -1712,6 +1738,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, _SQL_DEDUP_SIMHASH),
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, _SQL_ANN_COSINE),
+    "ann_batch_topk": (q_ann_batch_topk, _SQL_ANN_BATCH),
     "ann_lsh_histogram": (q_ann_lsh_histogram, _SQL_ANN_LSH),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, _SQL_TEXT_LANGID),

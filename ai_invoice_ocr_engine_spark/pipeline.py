@@ -636,8 +636,16 @@ def run_extract(
     result.persist()
     try:
         n_docs = result.count()
+        # DYNAMIC partition overwrite, not append: only the bucket
+        # partitions present in `result` are replaced; completed buckets
+        # (anti-joined out by resume) are untouched. This makes a crash
+        # BETWEEN the spans write and the lineage write recoverable — the
+        # rerun recomputes the unfinished bucket and replaces its partial
+        # partition instead of appending duplicates (lineage is the commit
+        # marker, written strictly after the data it describes).
         (
-            result.write.mode("append")
+            result.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(spans_dir)
         )

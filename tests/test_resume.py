@@ -82,3 +82,58 @@ def test_rerun_is_noop(spark, corpus, tmp_path):
 
     lin = spark.read.parquet(os.path.join(out, "lineage"))
     assert set(LINEAGE_SCHEMA.fieldNames()) == set(lin.columns)
+
+
+def test_crash_between_data_and_lineage_no_duplicates(spark, corpus, tmp_path):
+    """A run that died AFTER writing a bucket's spans but BEFORE its
+    lineage row must be recoverable: the resumed run recomputes that
+    bucket and REPLACES the orphaned partition (dynamic partition
+    overwrite), so the final table has no duplicates and equals a clean
+    run. Lineage is the commit marker; data without lineage is invisible
+    to resume and must be safely overwritten."""
+    out = str(tmp_path / "out_crash")
+    cfg = ExtractConfig()
+
+    docs_all = with_bucket(spark.read.parquet(corpus["docs_path"]), NB)
+    media = spark.read.parquet(corpus["media_path"])
+
+    # simulate the crash: bucket 3's spans land on disk, its lineage does NOT
+    orphan = with_bucket(
+        extract(docs_all.where(F.col("bucket") == 3), media, cfg,
+                media_strategy="broadcast"),
+        NB,
+    )
+    orphan.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(out, "spans")
+    )
+    # buckets 0-2 completed properly (data + lineage)
+    done = with_bucket(
+        extract(docs_all.where(F.col("bucket") <= 2), media, cfg,
+                media_strategy="broadcast"),
+        NB,
+    )
+    done.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(out, "spans")
+    )
+    lineage_of(done, "run-crashed").write.mode("append").parquet(
+        os.path.join(out, "lineage")
+    )
+
+    stats = run_extract(
+        spark, corpus["docs_path"], corpus["media_path"], out,
+        num_buckets=NB, resume=True,
+    )
+    assert stats["buckets_skipped"] == 3  # only lineage-marked buckets skip
+
+    final = spark.read.parquet(os.path.join(out, "spans"))
+    n_docs_in = spark.read.parquet(corpus["docs_path"]).count()
+    assert final.count() == n_docs_in  # every doc exactly once
+    assert final.select("doc_id").distinct().count() == n_docs_in
+
+    clean_out = str(tmp_path / "out_clean")
+    run_extract(spark, corpus["docs_path"], corpus["media_path"], clean_out,
+                num_buckets=NB, resume=False)
+    clean = spark.read.parquet(os.path.join(clean_out, "spans"))
+    assert_span_equal(
+        spans_key(final.collect()), spans_key(clean.collect())
+    )

@@ -3,13 +3,14 @@ codec seam made real (/root/reference/engine.py:46 accepts png/jpg/jpeg;
 /root/reference/utils/image.py:4-11 is the polymorphic imread).
 
 Decoder: baseline sequential DCT (SOF0), Huffman entropy coding, 8-bit
-precision, grayscale / YCbCr 4:4:4 / 4:2:0 (any integer sampling factors),
+precision, grayscale / YCbCr with ANY integer sampling factors (4:4:4,
+4:2:2, 4:2:0, ...),
 restart markers. Progressive (SOF2), arithmetic coding, 12-bit and CMYK
 raise NotImplementedError (valid-but-unsupported); malformed streams raise
 ValueError — the same error contract as decode_png.
 
 Encoder: baseline with the ITU T.81 Annex K tables (quality-scaled via the
-standard 5000/q | 200-2q formula), grayscale or YCbCr 4:4:4 / 4:2:0 — it
+standard 5000/q | 200-2q formula), grayscale or YCbCr 4:4:4/4:2:2/4:2:0 — it
 exists so fixtures can generate real JPEG bytes without any external codec
 library; round-trip is lossy (it's JPEG) but bit-deterministic.
 
@@ -546,7 +547,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "gray", restart_interval: int = 0) -> bytes:
     """Encode uint8 image → baseline JFIF bytes.
 
-    ``subsampling``: 'gray' (img 2-D), '444' or '420' (img (h, w, 3) RGB).
+    ``subsampling``: 'gray' (img 2-D), '444', '422' or '420' (img (h, w, 3) RGB).
     ``restart_interval``: emit a DRI segment and RSTn markers every N MCUs
     (0 = none) — exists mainly so tests can exercise the decoder's restart
     path, which real scanners/encoders commonly produce.
@@ -588,7 +589,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         out += bw.out
         out += b"\xff\xd9"
         return bytes(out)
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unknown subsampling {subsampling!r}")
     assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
     r = img[..., 0].astype(np.float64)
@@ -604,19 +605,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     ac0 = _HuffTable(AC_LUM_BITS, AC_LUM_VALS)
     dc1 = _HuffTable(DC_CHROM_BITS, DC_CHROM_VALS)
     ac1 = _HuffTable(AC_CHROM_BITS, AC_CHROM_VALS)
-    if subsampling == "444":
-        samp_y = (1, 1)
-    else:
-        samp_y = (2, 2)
-        # box-filter downsample chroma by 2 (pad to even first)
-        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
-        cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint16)
-        crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint16)
-        cb = ((cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2]
-               + cbp[1::2, 1::2] + 2) >> 2).astype(np.uint8)
-        cr = ((crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2]
-               + crp[1::2, 1::2] + 2) >> 2).astype(np.uint8)
-    hs, vs = samp_y
+    hs, vs = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    if hs > 1 or vs > 1:
+        # box-filter downsample chroma by (vs, hs) (pad to multiples first)
+        ph, pw = -(-h // vs) * vs, -(-w // hs) * hs
+        cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint32)
+        crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint32)
+        area = hs * vs
+        cbs = cbp.reshape(ph // vs, vs, pw // hs, hs).sum(axis=(1, 3))
+        crs = crp.reshape(ph // vs, vs, pw // hs, hs).sum(axis=(1, 3))
+        cb = ((cbs + area // 2) // area).astype(np.uint8)
+        cr = ((crs + area // 2) // area).astype(np.uint8)
     # build MCU-interleaved block streams
     mcux = -(-w // (8 * hs))
     mcuy = -(-h // (8 * vs))

@@ -1277,6 +1277,38 @@ FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
 """
 
 
+def q_approx_quantiles_gate(spark, sf):
+    """percentile_approx (Greenwald-Khanna sketch) vs exact percentile —
+    the second sketch aggregate a 10^12-row pipeline leans on (exact
+    percentiles need a full sort per group). Engine-specific sketch →
+    driver-checkable TOLERANCE GATE next to the exact values, same pattern
+    as approx_distinct_parts."""
+    e = _t(spark, sf, "events")
+    agg = e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("ap50"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.max("value") - F.min("value"), 4).alias("vrange"),
+    )
+    return agg.select(
+        "event_type",
+        "p50",
+        "vrange",
+        # sketch must land within 2% of the value RANGE of the group
+        (F.abs(F.col("ap50") - F.col("p50")) <= 0.02 * F.col("vrange")).alias(
+            "approx_ok"
+        ),
+    )
+
+
+_SQL_APPROX_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(max(value) - min(value), 4) AS vrange,
+       true AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
 def q_deterministic_split(spark, sf):
     """Hash-based train/val/test assignment — the reproducible holdout
     split a training-data pipeline needs: membership is a pure function of
@@ -1773,6 +1805,7 @@ REGISTRY: dict[str, tuple] = {
     "ntile_spend_quartiles": (q_ntile_spend_quartiles, _SQL_NTILE),
     "range_moving_avg": (q_range_moving_avg, _SQL_RANGE_MOVAVG),
     "deterministic_split": (q_deterministic_split, _SQL_DET_SPLIT),
+    "approx_quantiles_gate": (q_approx_quantiles_gate, _SQL_APPROX_QUANTILES),
     "value_stats": (q_value_stats, _SQL_VALUE_STATS),
     "rank_distribution": (q_rank_distribution, _SQL_RANK_DIST),
     "revenue_share_by_nation": (q_revenue_share, _SQL_REVENUE_SHARE),

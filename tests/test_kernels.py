@@ -355,7 +355,7 @@ def test_jpeg_color_444_and_420_match_bt601_luma():
     rgb[..., 1] = np.linspace(0, 255, 50, dtype=np.uint8)[:, None]
     rgb[..., 2] = 128
     want = K.rgb_to_gray(rgb)
-    for sub in ("444", "420"):
+    for sub in ("444", "422", "420"):
         dec = J.decode_jpeg(J.encode_jpeg(rgb, quality=92, subsampling=sub))
         assert dec.shape == want.shape
         assert int(np.abs(dec.astype(int) - want.astype(int)).max()) <= 6

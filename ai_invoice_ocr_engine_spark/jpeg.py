@@ -2,12 +2,17 @@
 codec seam made real (/root/reference/engine.py:46 accepts png/jpg/jpeg;
 /root/reference/utils/image.py:4-11 is the polymorphic imread).
 
-Decoder: baseline sequential DCT (SOF0), Huffman entropy coding, 8-bit
-precision, grayscale / YCbCr with ANY integer sampling factors (4:4:4,
-4:2:2, 4:2:0, ...),
-restart markers. Progressive (SOF2), arithmetic coding, 12-bit and CMYK
-raise NotImplementedError (valid-but-unsupported); malformed streams raise
-ValueError — the same error contract as decode_png.
+Decoder: baseline sequential (SOF0) AND progressive (SOF2 — spectral
+selection + successive approximation, T.81 Annex G: DC/AC first and
+refinement scans, EOB runs, correction bits), Huffman entropy coding,
+8-bit precision, grayscale / YCbCr with ANY integer sampling factors
+(4:4:4, 4:2:2, 4:2:0, ...), restart markers. Arithmetic coding, lossless,
+12-bit and CMYK raise NotImplementedError (valid-but-unsupported);
+malformed streams raise ValueError — the same error contract as
+decode_png. The progressive ENCODER below exists to pin the decoder:
+progressive transmission is a lossless reordering of the same quantized
+coefficients, so decode(encode_progressive(x)) must be bit-identical to
+decode(encode(x)) — asserted across geometries in the tests.
 
 Encoder: baseline with the ITU T.81 Annex K tables (quality-scaled via the
 standard 5000/q | 200-2q formula), grayscale or YCbCr 4:4:4/4:2:2/4:2:0 — it
@@ -157,11 +162,12 @@ class _HuffTable:
         self.lut_len = lng
 
 
-def _entropy_segments(data: bytes, pos: int) -> list[tuple[bytes, int]]:
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[tuple[bytes, int]], int]:
     """Split the entropy-coded stream at RST markers, unstuffing 0xFF00
-    once up front. Returns [(unstuffed_bytes, rst_id_or_-1), ...] — one
-    entry per restart interval (rst_id is the RSTn index TERMINATING the
-    previous segment; -1 for the final segment)."""
+    once up front. Returns ([(unstuffed_bytes, rst_id_or_-1), ...], end) —
+    one entry per restart interval (rst_id is the RSTn index TERMINATING
+    the previous segment; -1 for the final segment); `end` is the absolute
+    offset of the 0xFF starting the terminating marker (or len(data))."""
     raw = data[pos:]
     n = len(raw)
     segs: list[tuple[bytes, int]] = []
@@ -187,11 +193,11 @@ def _entropy_segments(data: bytes, pos: int) -> list[tuple[bytes, int]]:
         else:  # real marker (EOI/...) — end of scan data
             pieces.append(raw[start:i])
             segs.append((b"".join(pieces), -1))
-            return segs
+            return segs, pos + i
         i = raw.find(b"\xff", start)
     pieces.append(raw[start:])
     segs.append((b"".join(pieces), -1))
-    return segs
+    return segs, len(data)
 
 
 def _extend(v: int, s: int) -> int:
@@ -199,12 +205,14 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → grayscale uint8 (h, w).
+    """Baseline OR progressive JPEG → grayscale uint8 (h, w).
 
     Grayscale scans return Y directly; color scans reconstruct RGB per
     JFIF (R = Y + 1.402 Cr', …) and reduce with the same cv2-exact BT.601
     luma as the PNG path (kernels.rgb_to_gray) so every color format in
-    the engine shares ONE grayscale definition."""
+    the engine shares ONE grayscale definition. Progressive (SOF2) images
+    accumulate coefficients across scans (spectral selection + successive
+    approximation, T.81 Annex G) and reconstruct at EOI."""
     from .kernels import rgb_to_gray
 
     if data[:2] != b"\xff\xd8":
@@ -214,6 +222,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) ; comps: list of dict(id, hs, vs, tq)
+    progressive = False
+    store: dict[int, np.ndarray] | None = None  # raster-grid zigzag coeffs
     pos = 2
     n = len(data)
     try:
@@ -225,6 +235,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if marker == 0xD8:  # SOI (spurious)
                 continue
             if marker == 0xD9:  # EOI
+                if progressive and store is not None:
+                    return _reconstruct(store, frame, qt, rgb_to_gray)
                 raise ValueError("JPEG EOI before scan data")
             if 0xD0 <= marker <= 0xD7:
                 continue
@@ -252,7 +264,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     vals = list(seg[sp + 17 : sp + 17 + cnt])
                     (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                     sp += 17 + cnt
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
                 prec = seg[0]
                 if prec != 8:
                     raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -270,10 +282,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                          "tq": seg[8 + c * 3]}
                     )
                 frame = (h, w, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "non-baseline JPEG (progressive/arithmetic) unsupported"
+                    "non-baseline/non-progressive JPEG (lossless/arithmetic) unsupported"
                 )
             elif marker == 0xDD:  # DRI
                 restart_interval = (seg[0] << 8) | seg[1]
@@ -291,12 +304,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     if comp is None:
                         raise ValueError("scan references unknown component")
                     scan.append((comp, tdta >> 4, tdta & 0x0F))
-                return _decode_scan(
-                    data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
-                    restart_interval, rgb_to_gray,
+                if not progressive:
+                    return _decode_scan(
+                        data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                        restart_interval, rgb_to_gray,
+                    )
+                if store is None:
+                    hmax = max(c["hs"] for c in frame[2])
+                    vmax = max(c["vs"] for c in frame[2])
+                    mcux = -(-frame[1] // (8 * hmax))
+                    mcuy = -(-frame[0] // (8 * vmax))
+                    store = {
+                        c["id"]: np.zeros(
+                            (mcuy * c["vs"] * mcux * c["hs"], 64), np.int32
+                        )
+                        for c in frame[2]
+                    }
+                ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+                ahal = seg[3 + ns * 2]
+                pos = _decode_progressive_scan(
+                    data, pos + seg_len, frame, scan, store,
+                    huff_dc, huff_ac, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0x0F,
                 )
+                continue
             # APPn / COM / others: skip
             pos += seg_len
+        if progressive and store is not None:
+            # tolerate a missing EOI after the last scan
+            return _reconstruct(store, frame, qt, rgb_to_gray)
         raise ValueError("JPEG has no scan (SOS) segment")
     except IndexError as e:
         raise ValueError(f"corrupt JPEG: {e}") from e
@@ -320,7 +356,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
             raise ValueError("JPEG scan uses undefined Huffman table")
         if qt.get(comp["tq"]) is None:
             raise ValueError("JPEG block uses undefined quant table")
-    segs = _entropy_segments(data, pos)
+    segs, _end = _entropy_segments(data, pos)
     pred = {c["id"]: 0 for c in comps}
     seg, _rst = segs[0]
     seg_i = 0
@@ -328,8 +364,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
     buf = 0
     nb = 0
     p = 0
-    blk_idx = {c["id"]: 0 for c in comps}
     for mcu in range(n_mcu):
+        my, mx = divmod(mcu, mcux)
         if restart_interval and mcu and mcu % restart_interval == 0:
             # next restart interval: fresh byte-aligned segment, reset DC
             if seg_i + 1 >= len(segs):
@@ -350,10 +386,11 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
             ac_len = huff_ac[ta].lut_len
             cid = comp["id"]
             coef = store[cid]
-            for _blk in range(comp["vs"] * comp["hs"]):
-                bi = blk_idx[cid]
-                blk_idx[cid] = bi + 1
-                row = coef[bi]
+            cvs, chs = comp["vs"], comp["hs"]
+            grid_w = mcux * chs
+            for _blk in range(cvs * chs):
+                iby, ibx = divmod(_blk, chs)
+                row = coef[(my * cvs + iby) * grid_w + (mx * chs + ibx)]
                 # --- DC ---  (consumed bits above `nb` stay as
                 # garbage; every extraction masks after shifting, so no
                 # per-symbol buf mask is needed — buf is bounded by the
@@ -415,17 +452,27 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                     v = (buf >> nb) & ((1 << s) - 1)
                     row[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
                     k += 1
+    return _reconstruct(store, frame, qt, rgb_to_gray)
+
+
+def _reconstruct(store, frame, qt, rgb_to_gray):
+    """Raster-grid zigzag coefficients → dequant → IDCT → planes → gray.
+    Shared by the baseline one-shot path and the progressive EOI path."""
+    h, w, comps = frame
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     planes = []
     for c in comps:
         zz = store[c["id"]]
-        q = qt[c["tq"]]
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG component uses undefined quant table")
         nat = np.zeros_like(zz)
         nat[:, ZIGZAG] = zz * q[None, :]
-        bpm_y, bpm_x = c["vs"], c["hs"]  # blocks per MCU, each axis
-        by, bx = mcuy * bpm_y, mcux * bpm_x
-        # blocks were written in MCU order: reorder to raster block grid
-        blocks = nat.reshape(mcuy, mcux, bpm_y, bpm_x, 8, 8)
-        blocks = blocks.transpose(0, 2, 1, 3, 4, 5).reshape(by, bx, 8, 8)
+        by, bx = mcuy * c["vs"], mcux * c["hs"]
+        blocks = nat.reshape(by, bx, 8, 8)
         spatial = _idct_blocks(blocks.astype(np.float64))
         plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         plane = np.clip(np.rint(plane) + 128, 0, 255).astype(np.uint8)
@@ -443,6 +490,202 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
     g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255).astype(np.uint8)
     b = np.clip(np.rint(y + 1.772 * cb), 0, 255).astype(np.uint8)
     return rgb_to_gray(np.stack([r, g, b], axis=-1))
+
+
+class _SegBits:
+    """LUT-driven bit reader over one pre-unstuffed entropy segment."""
+
+    __slots__ = ("seg", "n", "p", "buf", "nb")
+
+    def __init__(self, seg: bytes):
+        self.seg = seg
+        self.n = len(seg)
+        self.p = 0
+        self.buf = 0
+        self.nb = 0
+
+    def read_sym(self, lut_sym, lut_len) -> int:
+        while self.nb < 16 and self.p < self.n:
+            self.buf = ((self.buf << 8) | self.seg[self.p]) & 0xFFFFFFFF
+            self.p += 1
+            self.nb += 8
+        if self.nb == 0:
+            raise ValueError("JPEG entropy data truncated")
+        nb = self.nb
+        idx = (self.buf >> (nb - 16)) & 0xFFFF if nb >= 16 else (self.buf << (16 - nb)) & 0xFFFF
+        ln = lut_len[idx]
+        if ln == 0 or ln > nb:
+            raise ValueError("invalid or truncated Huffman code")
+        self.nb = nb - ln
+        return lut_sym[idx]
+
+    def receive(self, s: int) -> int:
+        if s == 0:
+            return 0
+        while self.nb < s and self.p < self.n:
+            self.buf = ((self.buf << 8) | self.seg[self.p]) & 0xFFFFFFFF
+            self.p += 1
+            self.nb += 8
+        if s > self.nb:
+            raise ValueError("JPEG entropy data truncated")
+        self.nb -= s
+        return (self.buf >> self.nb) & ((1 << s) - 1)
+
+    def get_bit(self) -> int:
+        return self.receive(1)
+
+
+def _decode_progressive_scan(data, pos, frame, scan, store, huff_dc, huff_ac,
+                             restart_interval, ss, se, ah, al):
+    """One progressive scan (T.81 Annex G): DC first / DC refine /
+    AC first / AC refine, restart-aware. Mutates `store` (raster-grid,
+    zigzag order); returns the absolute offset just past the scan's
+    entropy data (at the next marker)."""
+    h, w, comps = frame
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    segs, end = _entropy_segments(data, pos)
+    seg_i = 0
+    br = _SegBits(segs[0][0])
+    pred = {c["id"]: 0 for c in comps}
+    eobrun = 0
+
+    def next_segment():
+        nonlocal seg_i, br, pred, eobrun
+        if seg_i + 1 >= len(segs):
+            raise ValueError("JPEG missing RST marker")
+        if segs[seg_i][1] != (seg_i % 8):
+            raise ValueError("RST marker out of sequence")
+        seg_i += 1
+        br = _SegBits(segs[seg_i][0])
+        pred = {c["id"]: 0 for c in comps}
+        eobrun = 0
+
+    if ss == 0:  # DC scan (se must be 0; may be interleaved)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if len(scan) == 1:
+            comp = scan[0][0]
+            units = _comp_blocks(comp, h, w, hmax, vmax)
+        else:
+            units = None  # MCU-interleaved
+        n_units = (mcux * mcuy) if units is None else len(units)
+        for u in range(n_units):
+            if restart_interval and u and u % restart_interval == 0:
+                next_segment()
+            if units is None:
+                my, mx = divmod(u, mcux)
+                targets = []
+                for comp, td, _ta in scan:
+                    grid_w = mcux * comp["hs"]
+                    for iby in range(comp["vs"]):
+                        for ibx in range(comp["hs"]):
+                            targets.append(
+                                (comp, td,
+                                 (my * comp["vs"] + iby) * grid_w
+                                 + (mx * comp["hs"] + ibx))
+                            )
+            else:
+                comp, td, _ta = scan[0]
+                targets = [(comp, td, units[u])]
+            for comp, td, bi in targets:
+                row = store[comp["id"]][bi]
+                if ah == 0:
+                    s = br.read_sym(huff_dc[td].lut_sym, huff_dc[td].lut_len)
+                    diff = _extend(br.receive(s), s) if s else 0
+                    pred[comp["id"]] += diff
+                    row[0] = pred[comp["id"]] << al
+                else:
+                    if br.get_bit():
+                        row[0] = int(row[0]) | (1 << al)
+        return end
+    # AC scan: exactly one component, non-interleaved
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must have one component")
+    comp, _td, ta = scan[0]
+    ac_sym = huff_ac[ta].lut_sym
+    ac_len = huff_ac[ta].lut_len
+    blocks = _comp_blocks(comp, h, w, hmax, vmax)
+    coef = store[comp["id"]]
+    p1 = 1 << al
+    m1 = -1 << al
+    for u, bi in enumerate(blocks):
+        if restart_interval and u and u % restart_interval == 0:
+            next_segment()
+        row = coef[bi]
+        if ah == 0:  # first scan for this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = br.read_sym(ac_sym, ac_len)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run exceeds spectral band")
+                    row[k] = _extend(br.receive(s), s) << al
+                    k += 1
+        else:  # refinement scan (T.81 G.1.2.3 / the classic IJG structure)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.read_sym(ac_sym, ac_len)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        # ZRL: advance past 16 zero-history coefficients
+                    else:
+                        val = p1 if br.get_bit() else m1
+                    while k <= se:
+                        c0 = int(row[k])
+                        if c0 != 0:
+                            if br.get_bit() and (c0 & p1) == 0:
+                                row[k] = c0 + (p1 if c0 >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        row[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c0 = int(row[k])
+                    if c0 != 0:
+                        if br.get_bit() and (c0 & p1) == 0:
+                            row[k] = c0 + (p1 if c0 >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return end
+
+
+def _comp_blocks(comp, h, w, hmax, vmax):
+    """Raster-grid flat indexes of a component's REAL blocks (progressive
+    non-interleaved scans cover ceil(samples/8), not the padded MCU grid)."""
+    mcux = -(-w // (8 * hmax))
+    sw = -(-(w * comp["hs"]) // hmax)
+    sh = -(-(h * comp["vs"]) // vmax)
+    bw = -(-sw // 8)
+    bh = -(-sh // 8)
+    grid_w = mcux * comp["hs"]
+    return [by * grid_w + bx for by in range(bh) for bx in range(bw)]
 
 
 # ---------------------------------------------------------------------------
@@ -668,3 +911,299 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
 # coefficient at natural position i — used when quantizing in natural order
 ZIGZAG_INV = np.zeros(64, dtype=np.int32)
 ZIGZAG_INV[ZIGZAG] = np.arange(64)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G) — exists to exercise the progressive
+# decoder without external codecs. Transmits the SAME quantized
+# coefficients as the baseline encoder (spectral selection + successive
+# approximation are lossless re-orderings), so for any image
+# decode(encode_progressive(img, q)) must be BIT-IDENTICAL to
+# decode(encode_jpeg(img, q)) — the round-trip oracle the tests pin.
+# ---------------------------------------------------------------------------
+
+# The Annex K AC tables lack EOBn (r>=1) symbols, which only exist in
+# progressive streams; real encoders build custom tables. This flat table
+# (every (run, size) symbol at code length 9) is valid canonical Huffman
+# and covers everything the progressive encoder emits.
+_AC_PROG_VALS = [(r << 4) | s_ for r in range(16) for s_ in range(11)]
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0]
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """Point transform toward zero (T.81 G.1.2.2 for AC)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter + the progressive bookkeeping: pending correction bits
+    (flushed after each symbol) and an end-of-band run counter."""
+
+    def __init__(self, ac: _HuffTable):
+        super().__init__()
+        self.ac = ac
+        self.pending: list[int] = []
+        self.eobrun = 0
+
+    def sym(self, symbol: int) -> None:
+        code, ln = self.ac.enc[symbol]
+        self.write(code, ln)
+
+    def flush_pending(self) -> None:
+        for b in self.pending:
+            self.write(b, 1)
+        self.pending = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.write(self.eobrun - (1 << nbits), nbits)
+            self.flush_pending()
+            self.eobrun = 0
+
+
+def _emit_dc_first(bw: _BitWriter, dc: _HuffTable, rows, preds, keys, al):
+    """rows: iterable of (key, coef_row); preds: dict key->pred."""
+    for key, row in rows:
+        v = int(row[0]) >> al  # arithmetic shift (exact under OR-refinement)
+        diff = v - preds[key]
+        preds[key] = v
+        s = _category(diff)
+        code, ln = dc.enc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_ac_first(pw: _ProgWriter, row, ss, se, al) -> None:
+    band = [_trunc_shift(int(row[k]), al) for k in range(ss, se + 1)]
+    if not any(band):
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eobrun()
+        return
+    pw.flush_eobrun()
+    r = 0
+    for tv in band:
+        if tv == 0:
+            r += 1
+            continue
+        while r > 15:
+            pw.sym(0xF0)
+            r -= 16
+        s = _category(tv)
+        pw.sym((r << 4) | s)
+        pw.write(tv if tv >= 0 else tv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        pw.eobrun += 1
+
+
+def _emit_ac_refine(pw: _ProgWriter, row, ss, se, al) -> None:
+    vals = [int(row[k]) for k in range(ss, se + 1)]
+    ts = [_trunc_shift(v, al) for v in vals]
+    # The EOB run covering PREVIOUS blocks must be flushed before any of
+    # THIS block's correction bits enter the pending buffer — the decoder
+    # reads prior blocks' correction bits right after the EOBn symbol, and
+    # this block's bits interleaved with its own symbols.
+    if any(abs(t) == 1 for t in ts):
+        pw.flush_eobrun()
+        last_new = max(i for i, t in enumerate(ts) if abs(t) == 1)
+        r = 0
+        for i, (v, t) in enumerate(zip(vals, ts)):
+            if t == 0:
+                r += 1
+                continue
+            # drain ZRLs at ANY nonzero coefficient while still before the
+            # last newly-significant index (the decoder consumes the
+            # buffered correction bits inside each ZRL's 16-position span,
+            # so bits buffered AFTER a span must flush with a LATER symbol)
+            while r > 15 and i <= last_new:
+                pw.sym(0xF0)
+                pw.flush_pending()
+                r -= 16
+            if abs(t) > 1:  # history coefficient: one correction bit
+                pw.pending.append(t & 1)
+                continue
+            # newly significant at this precision
+            pw.sym((r << 4) | 1)
+            pw.write(1 if v >= 0 else 0, 1)
+            pw.flush_pending()
+            r = 0
+        if r > 0 or pw.pending:
+            pw.eobrun += 1
+            if pw.eobrun == 0x7FFF:
+                pw.flush_eobrun()
+    else:
+        # no newly-significant coefficient: whole band rides the EOB run;
+        # history correction bits buffer until the run is flushed
+        for t in ts:
+            if t != 0:
+                pw.pending.append(t & 1)
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eobrun()
+
+
+def _quantize_plane(plane: np.ndarray, qnat: np.ndarray,
+                    grid_bh: int, grid_bw: int) -> np.ndarray:
+    """(h, w) plane → (grid_bh*grid_bw, 64) zigzag-order quantized coeffs,
+    raster block order, edge-padded to the full grid."""
+    ph, pw = grid_bh * 8, grid_bw * 8
+    p = np.pad(plane.astype(np.int32) - 128,
+               ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+               mode="edge")
+    blocks = p.reshape(grid_bh, 8, grid_bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coef = _fdct_blocks(blocks.astype(np.float64))
+    qz = np.sign(coef) * np.floor(np.abs(coef) / qnat.reshape(8, 8) + 0.5)
+    return qz.astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsampling: str = "gray") -> bytes:
+    """Progressive (SOF2) encode: DC first/refine + per-component AC
+    first/refine scans with spectral selection — exercises every
+    progressive decode path (EOB runs, ZRL, correction bits, interleaved
+    DC with sampling factors). 'gray' or '420'."""
+    if subsampling == "gray":
+        assert img.ndim == 2 and img.dtype == np.uint8
+        comps = [("y", img, _scale_quant(QUANT_LUM, quality), 1, 1, 0, 0)]
+        hmax = vmax = 1
+        h, w = img.shape
+    elif subsampling == "420":
+        assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(np.uint8)
+        cb = np.clip(np.rint(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255).astype(np.uint8)
+        cr = np.clip(np.rint(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255).astype(np.uint8)
+        h, w = y.shape
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint32)
+        crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint32)
+        cb2 = ((cbp.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+        cr2 = ((crp.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+        ql = _scale_quant(QUANT_LUM, quality)
+        qc = _scale_quant(QUANT_CHROM, quality)
+        comps = [
+            ("y", y, ql, 2, 2, 0, 0),
+            ("cb", cb2, qc, 1, 1, 1, 1),
+            ("cr", cr2, qc, 1, 1, 1, 1),
+        ]
+        hmax = vmax = 2
+    else:
+        raise ValueError(f"unsupported progressive subsampling {subsampling!r}")
+
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dc_tbls = {0: _HuffTable(DC_LUM_BITS, DC_LUM_VALS),
+               1: _HuffTable(DC_CHROM_BITS, DC_CHROM_VALS)}
+    ac_tbl = _HuffTable(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    coefs = {}
+    meta = []  # (key, comp_id, hs, vs, tq, td, grid_bw, real_blocks)
+    for ci, (key, plane, q, hs, vs, td, tq) in enumerate(comps):
+        grid_bw, grid_bh = mcux * hs, mcuy * vs
+        qnat = q[ZIGZAG_INV]
+        coefs[key] = _quantize_plane(plane, qnat, grid_bh, grid_bw)
+        sw = -(-(w * hs) // hmax)
+        sh = -(-(h * vs) // vmax)
+        real = [
+            by * grid_bw + bx
+            for by in range(-(-sh // 8))
+            for bx in range(-(-sw // 8))
+        ]
+        meta.append((key, ci + 1, hs, vs, tq, td, grid_bw, real))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    emitted_q = set()
+    for key, plane, q, hs, vs, td, tq in comps:
+        if tq not in emitted_q:
+            out += _seg(0xDB, bytes([tq]) + bytes(q.tolist()))
+            emitted_q.add(tq)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for key, cid, hs, vs, tq, td, _gw, _rb in meta:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, DC_LUM_BITS, DC_LUM_VALS))
+    if len(comps) > 1:
+        out += _seg(0xC4, _dht_payload(0, 1, DC_CHROM_BITS, DC_CHROM_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, _AC_PROG_BITS, _AC_PROG_VALS))
+
+    def sos_header(comp_metas, ss, se, ah, al):
+        body = bytes([len(comp_metas)])
+        for _key, cid, _hs, _vs, _tq, td, _gw, _rb in comp_metas:
+            body += bytes([cid, (td << 4) | 0])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    # ---- scan 1: DC first, Al=1, interleaved over all components ----
+    out += sos_header(meta, 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = {m[0]: 0 for m in meta}
+    if len(meta) == 1:
+        key, _cid, _hs, _vs, _tq, td, _gw, real = meta[0]
+        _emit_dc_first(
+            bw, dc_tbls[td], ((key, coefs[key][bi]) for bi in real), preds, None, 1
+        )
+    else:
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for key, _cid, hs, vs, _tq, td, gw, _rb in meta:
+                rows = []
+                for iby in range(vs):
+                    for ibx in range(hs):
+                        rows.append(
+                            (key, coefs[key][(my * vs + iby) * gw + (mx * hs + ibx)])
+                        )
+                _emit_dc_first(bw, dc_tbls[td], rows, preds, None, 1)
+    bw.flush()
+    out += bw.out
+
+    # ---- AC scans per component: first at Al=1 over two bands ----
+    bands = [(1, 5), (6, 63)]
+    for key, _cid, _hs, _vs, _tq, _td, _gw, real in meta:
+        for ss, se in bands:
+            out += sos_header([m for m in meta if m[0] == key], ss, se, 0, 1)
+            pw = _ProgWriter(ac_tbl)
+            for bi in real:
+                _emit_ac_first(pw, coefs[key][bi], ss, se, 1)
+            pw.flush_eobrun()
+            pw.flush()
+            out += pw.out
+
+    # ---- DC refine to Al=0 ----
+    out += sos_header(meta, 0, 0, 1, 0)
+    bw = _BitWriter()
+    if len(meta) == 1:
+        key, _cid, _hs, _vs, _tq, _td, _gw, real = meta[0]
+        for bi in real:
+            bw.write(int(coefs[key][bi][0]) & 1, 1)
+    else:
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for key, _cid, hs, vs, _tq, _td, gw, _rb in meta:
+                for iby in range(vs):
+                    for ibx in range(hs):
+                        v = int(coefs[key][(my * vs + iby) * gw + (mx * hs + ibx)][0])
+                        bw.write(v & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # ---- AC refine to Al=0 per component per band ----
+    for key, _cid, _hs, _vs, _tq, _td, _gw, real in meta:
+        for ss, se in bands:
+            out += sos_header([m for m in meta if m[0] == key], ss, se, 1, 0)
+            pw = _ProgWriter(ac_tbl)
+            for bi in real:
+                _emit_ac_refine(pw, coefs[key][bi], ss, se, 0)
+            pw.flush_eobrun()
+            pw.flush()
+            out += pw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

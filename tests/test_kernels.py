@@ -385,7 +385,9 @@ def test_jpeg_error_contract_and_dispatch():
     blob = J.encode_jpeg(img, 95, "gray")
     # decode_image dispatches on the SOI magic
     assert np.array_equal(K.decode_image(blob), J.decode_jpeg(blob))
-    with pytest.raises(NotImplementedError):  # progressive (SOF2)
+    with pytest.raises(NotImplementedError):  # arithmetic coding (SOF9)
+        J.decode_jpeg(b"\xff\xd8\xff\xc9\x00\x04\x08\x00")
+    with pytest.raises(ValueError):  # truncated SOF2 header
         J.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
     with pytest.raises(NotImplementedError):  # 16-bit quant table
         J.decode_jpeg(b"\xff\xd8\xff\xdb\x00\x05\x10\x01\x02")
@@ -512,3 +514,40 @@ def test_correct_textline_gate():
     assert np.array_equal(K.correct_textline(crop, th=0.9), crop)  # gated off
     flipped = K.correct_textline(crop, th=0.5)
     assert np.array_equal(flipped, np.rot90(crop, k=2))
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive transmission is a lossless reordering of the same
+    quantized coefficients: for ANY image, decoding the progressive stream
+    (DC/AC first + refinement scans, EOB runs, correction bits) must be
+    BIT-IDENTICAL to decoding the baseline stream at the same quality."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import jpeg as J
+
+    rng = np.random.default_rng(11)
+    page = _grad_img(120, 200)
+    for q in (90, 60):
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg_progressive(page, q, "gray")),
+            J.decode_jpeg(J.encode_jpeg(page, q, "gray")),
+        )
+    # noise hits the EOB-run / ZRL / correction-bit paths hard; odd sizes
+    # hit the real-block-grid vs padded-MCU-grid distinction
+    for h, w in ((17, 16), (9, 23), (64, 64)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg_progressive(img, 85, "gray")),
+            J.decode_jpeg(J.encode_jpeg(img, 85, "gray")),
+        )
+    for h, w in ((50, 70), (17, 95)):
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg_progressive(rgb, 85, "420")),
+            J.decode_jpeg(J.encode_jpeg(rgb, 85, "420")),
+        )
+    # decode_image dispatches progressive streams transparently
+    from ai_invoice_ocr_engine_spark import kernels as K
+
+    blob = J.encode_jpeg_progressive(page, 90, "gray")
+    assert np.array_equal(K.decode_image(blob), J.decode_jpeg(blob))

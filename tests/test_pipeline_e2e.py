@@ -180,7 +180,12 @@ def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
         if i % 5 == 1:
             m["image"] = K.encode_png(img, filter_type=i % 5)
         elif i % 5 == 2:
-            m["image"] = encode_jpeg(img, quality=95, subsampling="gray")
+            if i % 2 == 0:  # alternate baseline and progressive streams
+                m["image"] = encode_jpeg(img, quality=95, subsampling="gray")
+            else:
+                from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg_progressive
+
+                m["image"] = encode_jpeg_progressive(img, quality=95, subsampling="gray")
         elif i % 5 == 3:
             m["image"] = encode_bmp(img)
         elif i % 5 == 4:

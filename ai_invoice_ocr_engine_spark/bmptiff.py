@@ -136,7 +136,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if "tile_w" in tags:
         raise NotImplementedError("tiled TIFF unsupported")
     comp = tags.get("compression", [1])[0]
-    if comp != 1:
+    if comp not in (1, 8, 32946, 32773):
+        # 1=uncompressed, 8/32946=Deflate, 32773=PackBits; LZW/JPEG-in-TIFF
+        # and fax codecs remain seams
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
     if tags.get("planar", [1])[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
@@ -161,6 +163,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
         chunk = data[off : off + cnt]
         if len(chunk) != cnt:
             raise ValueError("TIFF strip truncated")
+        if comp in (8, 32946):  # Deflate (zlib-wrapped) per strip
+            import zlib
+
+            try:
+                chunk = zlib.decompress(chunk)
+            except zlib.error as e:
+                raise ValueError(f"corrupt deflate TIFF strip: {e}") from e
+        elif comp == 32773:  # PackBits RLE per strip
+            chunk = _unpackbits(chunk)
         buf += chunk
     need = h * w * spp
     if len(buf) < need:
@@ -174,16 +185,79 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return rgb_to_gray(np.ascontiguousarray(px[:, :, :3]))
 
 
-def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
-    """Uncompressed single-strip 8-bit grayscale TIFF (fixture writer)."""
+def _packbits(raw: bytes, row_bytes: int) -> bytes:
+    """PackBits encoder (fixture side): runs of >=3 equal bytes become
+    repeat packets, everything else literal packets; rows packed
+    independently (the common writer convention)."""
+    out = bytearray()
+    for r0 in range(0, len(raw), row_bytes):
+        row = raw[r0 : r0 + row_bytes]
+        i = 0
+        n = len(row)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and row[i + run] == row[i]:
+                run += 1
+            if run >= 3:
+                out.append(257 - run)
+                out.append(row[i])
+                i += run
+                continue
+            # literal run up to the next >=3 repeat (or 128 bytes)
+            j = i + 1
+            while j < n and (j - i) < 128:
+                if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += row[i:j]
+            i = j
+    return bytes(out)
+
+
+def _unpackbits(src: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): n in 0..127 → copy n+1 literal
+    bytes; n in -127..-1 → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    ln = len(src)
+    while i < ln:
+        n = src[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > ln:
+                raise ValueError("PackBits literal run truncated")
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= ln:
+                raise ValueError("PackBits repeat run truncated")
+            out += src[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def encode_tiff(img: np.ndarray, big_endian: bool = False,
+                compression: int = 1) -> bytes:
+    """Single-strip 8-bit grayscale TIFF (fixture writer); compression 1
+    (none), 8 (Deflate) or 32773 (PackBits)."""
     assert img.ndim == 2 and img.dtype == np.uint8
     bo = ">" if big_endian else "<"
     h, w = img.shape
     pix = img.tobytes()
+    if compression == 8:
+        import zlib
+
+        pix = zlib.compress(pix)
+    elif compression == 32773:
+        pix = _packbits(img.tobytes(), w)
+    elif compression != 1:
+        raise ValueError(f"encode_tiff compression {compression} unsupported")
     pix_off = 8
     ifd_off = pix_off + len(pix)
     entries = [
-        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, compression),
         (262, 3, 1, 1), (273, 4, 1, pix_off), (277, 3, 1, 1),
         (278, 3, 1, h), (279, 4, 1, len(pix)), (284, 3, 1, 1),
     ]

@@ -551,3 +551,21 @@ def test_jpeg_progressive_equals_baseline():
 
     blob = J.encode_jpeg_progressive(page, 90, "gray")
     assert np.array_equal(K.decode_image(blob), J.decode_jpeg(blob))
+
+
+def test_tiff_deflate_and_packbits():
+    """Compressed TIFF variants round-trip exactly: Deflate (zlib strips)
+    and PackBits RLE; LZW stays a NotImplementedError seam."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    page = np.full((40, 60), 255, np.uint8)
+    page[10:20, 5:50] = 40  # long runs exercise PackBits repeat packets
+    for comp in (8, 32773):
+        for im in (noise, page):
+            blob = BT.encode_tiff(im, compression=comp)
+            assert np.array_equal(BT.decode_tiff(blob), im)
+            assert np.array_equal(K.decode_image(blob), im)

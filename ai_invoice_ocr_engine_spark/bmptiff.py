@@ -3,12 +3,13 @@ accepted-format list (/root/reference/engine.py:46: png/jpg/jpeg/bmp/tiff;
 polymorphic imread at /root/reference/utils/image.py:4-11).
 
 Scope mirrors what a scanner/export pipeline actually emits:
-  BMP: uncompressed BI_RGB, 8-bit paletted / 24-bit / 32-bit, bottom-up or
-       top-down rows. RLE and 1/4/16-bit raise NotImplementedError.
-  TIFF: uncompressed (Compression=1), chunky planar, 8-bit grayscale
-        (white/black-is-zero) or RGB(A), strip-organized, either byte
-        order. LZW/Deflate/PackBits/JPEG-in-TIFF and tiles raise
-        NotImplementedError.
+  BMP: uncompressed BI_RGB (8-bit paletted / 24-bit / 32-bit, bottom-up
+       or top-down rows) and BI_RLE8. RLE4 and 1/4/16-bit raise
+       NotImplementedError.
+  TIFF: uncompressed, Deflate (zlib strips) and PackBits compression,
+        chunky planar, 8-bit grayscale (white/black-is-zero) or RGB(A),
+        strip-organized, either byte order. LZW/JPEG-in-TIFF and tiles
+        raise NotImplementedError.
 Malformed containers raise ValueError (same contract as decode_png).
 Color goes through kernels.rgb_to_gray — one grayscale definition for
 every codec in the engine.
@@ -34,8 +35,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
         w, h_signed = struct.unpack_from("<ii", data, 18)
         planes, bpp = struct.unpack_from("<HH", data, 26)
         compression = struct.unpack_from("<I", data, 30)[0]
-        if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS(32bpp identity)
+        if compression not in (0, 1, 3):  # BI_RGB / BI_RLE8 / BI_BITFIELDS
             raise NotImplementedError(f"BMP compression {compression} unsupported")
+        if compression == 1 and bpp != 8:
+            raise ValueError("BI_RLE8 requires 8-bit BMP")
         if bpp not in (8, 24, 32):
             raise NotImplementedError(f"{bpp}-bit BMP unsupported")
         if w <= 0 or h_signed == 0:
@@ -48,14 +51,17 @@ def decode_bmp(data: bytes) -> np.ndarray:
             pal = np.frombuffer(
                 data, np.uint8, count=n_colors * 4, offset=pal_off
             ).reshape(n_colors, 4)  # BGRA
-        row_bytes = (w * bpp // 8 + 3) & ~3
-        need = row_bytes * h
-        raw = np.frombuffer(data, np.uint8, count=need, offset=pix_off)
+        if compression == 1:
+            rows = _decode_rle8(data, pix_off, w, h)
+        else:
+            row_bytes = (w * bpp // 8 + 3) & ~3
+            need = row_bytes * h
+            raw = np.frombuffer(data, np.uint8, count=need, offset=pix_off)
+            rows = raw.reshape(h, row_bytes)
     except struct.error as e:
         raise ValueError(f"corrupt BMP: {e}") from e
     except IndexError as e:
         raise ValueError(f"corrupt BMP: {e}") from e
-    rows = raw.reshape(h, row_bytes)
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
@@ -66,6 +72,87 @@ def decode_bmp(data: bytes) -> np.ndarray:
     px = rows[:, : w * nch].reshape(h, w, nch)
     rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB
     return rgb_to_gray(np.ascontiguousarray(rgb))
+
+
+def _decode_rle8(data: bytes, pos: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 → (h, w) index rows, bottom-up order as stored: encoded runs,
+    escapes 0=EOL, 1=EOD, 2=delta(dx,dy), n>=3 absolute (word-aligned)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    n = len(data)
+    while pos + 1 < n:
+        b0 = data[pos]
+        b1 = data[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded run
+            end = min(x + b0, w)
+            out[y, x:end] = b1
+            x = end
+        elif b1 == 0:  # end of line
+            x = 0
+            y += 1
+            if y >= h:
+                break
+        elif b1 == 1:  # end of data
+            return out
+        elif b1 == 2:  # delta
+            if pos + 1 >= n:
+                raise ValueError("BMP RLE8 delta truncated")
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+            if y >= h:
+                raise ValueError("BMP RLE8 delta out of bounds")
+        else:  # absolute run of b1 pixels, padded to a word boundary
+            cnt = b1
+            if pos + cnt > n:
+                raise ValueError("BMP RLE8 absolute run truncated")
+            end = min(x + cnt, w)
+            out[y, x:end] = np.frombuffer(data, np.uint8, count=end - x, offset=pos)
+            x = end
+            pos += cnt + (cnt & 1)
+    return out
+
+
+def encode_bmp_rle8(img: np.ndarray) -> bytes:
+    """8-bit grayscale-palette BI_RLE8 BMP (fixture writer): encoded runs
+    for repeats >=2, absolute packets otherwise, EOL per row, EOD at end."""
+    assert img.ndim == 2 and img.dtype == np.uint8
+    h, w = img.shape
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            if run >= 2 or w - x == 1:
+                body += bytes([run, int(row[x])])
+                x += run
+                continue
+            j = x + 1
+            while j < w and (j - x) < 255:
+                if j + 1 < w and row[j] == row[j + 1]:
+                    break
+                j += 1
+            cnt = j - x
+            if cnt < 3:  # absolute packets need >= 3; emit encoded singles
+                for k in range(cnt):
+                    body += bytes([1, int(row[x + k])])
+            else:
+                body += bytes([0, cnt]) + row[x:j].tobytes()
+                if cnt & 1:
+                    body += b"\x00"
+            x = j
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of data
+    pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    pix_off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(body), 0, 0, pix_off
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 2835, 2835, 256, 0)
+    return bytes(hdr) + pal + bytes(body)
 
 
 def encode_bmp(img: np.ndarray) -> bytes:

@@ -437,11 +437,20 @@ def test_bmp_tiff_roundtrip_and_contract():
             BT.decode_bmp(bytes(hdr) + bytes(body)), K.rgb_to_gray(rgb)
         )
 
+    # RLE8 BMP is a real decoder now: exact round-trip through the
+    # fixture encoder (runs, absolute packets, EOL/EOD escapes)
+    page = np.full((30, 45), 250, np.uint8)
+    page[5:12, 3:40] = 30
+    page[20, ::2] = np.arange(23, dtype=np.uint8)  # breaks up runs
+    for im in (img, page):
+        blob = BT.encode_bmp_rle8(im)
+        assert np.array_equal(BT.decode_bmp(blob), im)
+        assert np.array_equal(K.decode_image(blob), im)
     # unsupported variants stay loud seams
-    rle = bytearray(BT.encode_bmp(img))
-    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    rle4 = bytearray(BT.encode_bmp(img))
+    struct.pack_into("<I", rle4, 30, 2)  # BI_RLE4
     with pytest.raises(NotImplementedError):
-        BT.decode_bmp(bytes(rle))
+        BT.decode_bmp(bytes(rle4))
     lzw = bytearray(BT.encode_tiff(img))
     ifd_off = struct.unpack_from("<I", lzw, 4)[0]
     struct.pack_into("<H", lzw, ifd_off + 2 + 3 * 12 + 8, 5)  # Compression=LZW

@@ -6,10 +6,12 @@ Scope mirrors what a scanner/export pipeline actually emits:
   BMP: uncompressed BI_RGB (8-bit paletted / 24-bit / 32-bit, bottom-up
        or top-down rows) and BI_RLE8. RLE4 and 1/4/16-bit raise
        NotImplementedError.
-  TIFF: uncompressed, Deflate (zlib strips) and PackBits compression,
+  TIFF: uncompressed, LZW (early-change), Deflate (zlib strips) and
+        PackBits compression,
         chunky planar, 8-bit grayscale (white/black-is-zero) or RGB(A),
-        strip-organized, either byte order. LZW/JPEG-in-TIFF and tiles
-        raise NotImplementedError.
+        strip-organized, either byte order, horizontal-differencing
+        predictor. JPEG-in-TIFF, fax codecs and tiles raise
+        NotImplementedError.
 Malformed containers raise ValueError (same contract as decode_png).
 Color goes through kernels.rgb_to_gray — one grayscale definition for
 every codec in the engine.
@@ -175,8 +177,112 @@ def encode_bmp(img: np.ndarray) -> bytes:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
-    278: "rows_per_strip", 279: "strip_counts", 284: "planar", 322: "tile_w",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    317: "predictor", 322: "tile_w",
 }
+
+
+def _lzw_decode(src: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first code packing, 9→12-bit codes,
+    Clear=256, EOI=257, with the de-facto-standard 'early change' (the code
+    width bumps one code early — the libtiff convention every real writer
+    follows)."""
+    out = bytearray()
+    nbits_total = len(src) * 8
+    bitpos = 0
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits_total:
+            return 257  # ran off the end: treat as EOI
+        bi = bitpos >> 3
+        chunk = int.from_bytes(src[bi : bi + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = []
+    width = 9
+    prev = b""
+    while True:
+        code = read_code(width)
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            code = read_code(width)
+            if code == EOI:
+                break
+            if code >= 256:
+                raise ValueError("corrupt LZW: entry code after Clear")
+            prev = table[code]
+            out += prev
+            continue
+        if code == EOI:
+            break
+        if not table:
+            raise ValueError("LZW stream missing Clear code")
+        if code < len(table):
+            entry = table[code]
+            if not entry:
+                raise ValueError("corrupt LZW code")
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW code")
+        out += entry
+        table.append(prev + entry[:1])
+        # early change, adjusted for the decoder's one-entry lag behind the
+        # encoder (the encoder bumps when ITS next code hits (1<<w)-1)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """TIFF-variant LZW writer (fixture side), mirroring _lzw_decode's
+    early-change convention."""
+    out = bytearray()
+    buf = 0
+    nb = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nb
+        buf = (buf << width) | code
+        nb += width
+        while nb >= 8:
+            nb -= 8
+            out.append((buf >> nb) & 0xFF)
+
+    CLEAR, EOI = 256, 257
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for byte in raw:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code == 4094:  # table nearly full: reset
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nb:
+        out.append((buf << (8 - nb)) & 0xFF)
+    return bytes(out)
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
@@ -223,10 +329,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if "tile_w" in tags:
         raise NotImplementedError("tiled TIFF unsupported")
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 8, 32946, 32773):
-        # 1=uncompressed, 8/32946=Deflate, 32773=PackBits; LZW/JPEG-in-TIFF
-        # and fax codecs remain seams
+    if comp not in (1, 5, 8, 32946, 32773):
+        # 1=uncompressed, 5=LZW, 8/32946=Deflate, 32773=PackBits;
+        # JPEG-in-TIFF and fax codecs remain seams
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     if tags.get("planar", [1])[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
     bits = tags.get("bits", [8])
@@ -259,11 +368,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 raise ValueError(f"corrupt deflate TIFF strip: {e}") from e
         elif comp == 32773:  # PackBits RLE per strip
             chunk = _unpackbits(chunk)
+        elif comp == 5:  # LZW per strip
+            chunk = _lzw_decode(chunk)
         buf += chunk
     need = h * w * spp
     if len(buf) < need:
         raise ValueError("TIFF pixel data truncated")
     px = np.frombuffer(bytes(buf), np.uint8, count=need).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo via modular cumsum
+        px = (np.cumsum(px.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
     if spp == 1:
         g = px[:, :, 0]
         if photometric == 0:  # white-is-zero
@@ -328,7 +441,7 @@ def _unpackbits(src: bytes) -> bytes:
 def encode_tiff(img: np.ndarray, big_endian: bool = False,
                 compression: int = 1) -> bytes:
     """Single-strip 8-bit grayscale TIFF (fixture writer); compression 1
-    (none), 8 (Deflate) or 32773 (PackBits)."""
+    (none), 5 (LZW), 8 (Deflate) or 32773 (PackBits)."""
     assert img.ndim == 2 and img.dtype == np.uint8
     bo = ">" if big_endian else "<"
     h, w = img.shape
@@ -339,6 +452,8 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
         pix = zlib.compress(pix)
     elif compression == 32773:
         pix = _packbits(img.tobytes(), w)
+    elif compression == 5:
+        pix = _lzw_encode(pix)
     elif compression != 1:
         raise ValueError(f"encode_tiff compression {compression} unsupported")
     pix_off = 8

@@ -451,11 +451,11 @@ def test_bmp_tiff_roundtrip_and_contract():
     struct.pack_into("<I", rle4, 30, 2)  # BI_RLE4
     with pytest.raises(NotImplementedError):
         BT.decode_bmp(bytes(rle4))
-    lzw = bytearray(BT.encode_tiff(img))
-    ifd_off = struct.unpack_from("<I", lzw, 4)[0]
-    struct.pack_into("<H", lzw, ifd_off + 2 + 3 * 12 + 8, 5)  # Compression=LZW
+    jpgtif = bytearray(BT.encode_tiff(img))
+    ifd_off = struct.unpack_from("<I", jpgtif, 4)[0]
+    struct.pack_into("<H", jpgtif, ifd_off + 2 + 3 * 12 + 8, 7)  # JPEG-in-TIFF
     with pytest.raises(NotImplementedError):
-        BT.decode_tiff(bytes(lzw))
+        BT.decode_tiff(bytes(jpgtif))
     with pytest.raises(ValueError):
         BT.decode_bmp(b"BMxx")
     with pytest.raises(ValueError):
@@ -573,8 +573,30 @@ def test_tiff_deflate_and_packbits():
     noise = rng.integers(0, 256, (37, 53), dtype=np.uint8)
     page = np.full((40, 60), 255, np.uint8)
     page[10:20, 5:50] = 40  # long runs exercise PackBits repeat packets
-    for comp in (8, 32773):
+    for comp in (5, 8, 32773):  # LZW (early-change) / Deflate / PackBits
         for im in (noise, page):
             blob = BT.encode_tiff(im, compression=comp)
             assert np.array_equal(BT.decode_tiff(blob), im)
             assert np.array_equal(K.decode_image(blob), im)
+    # LZW with a table reset (large random input) and big-endian container
+    big = rng.integers(0, 256, (300, 400), dtype=np.uint8)
+    assert np.array_equal(
+        BT.decode_tiff(BT.encode_tiff(big, big_endian=True, compression=5)), big
+    )
+    # horizontal-differencing predictor (tag 317) undone on decode
+    import struct as _struct
+
+    diff = page.astype(np.int16).copy()
+    diff[:, 1:] = (page[:, 1:].astype(np.int16) - page[:, :-1].astype(np.int16)) & 0xFF
+    pix = BT._lzw_encode(diff.astype(np.uint8).tobytes())
+    h, w = page.shape
+    entries = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 5),
+               (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, h),
+               (279, 4, 1, len(pix)), (284, 3, 1, 1), (317, 3, 1, 2)]
+    ifd = _struct.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        vf = (_struct.pack("<H", val) + b"\x00\x00") if typ == 3 else _struct.pack("<I", val)
+        ifd += _struct.pack("<HHI", tag, typ, count) + vf
+    ifd += _struct.pack("<I", 0)
+    blob = b"II*\x00" + _struct.pack("<I", 8 + len(pix)) + pix + ifd
+    assert np.array_equal(BT.decode_tiff(blob), page)

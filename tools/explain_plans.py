@@ -20,13 +20,20 @@ SHOW = [
     "local_supplier_volume",
     "sessionize_events",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
     "ann_cosine_topk",
+    "ann_batch_topk",
+    "ann_ivf_full_probe",
     "cube_revenue",
     "exists_late_orders",
     "range_join_buckets",
     "multi_distinct",
     "disjunctive_parts",
     "correlated_avg_qty",
+    "asof_forward_activation",
+    "range_moving_avg",
+    "deterministic_split",
 ]
 
 

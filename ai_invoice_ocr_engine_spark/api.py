@@ -120,7 +120,13 @@ class OCREngineSpark:
                 refs, txts, scs = [], [], []
                 crops = []
                 for ref, blob in zip(pdf["media_ref"], pdf["image"]):
-                    crops.append(K.decode_image(bytes(blob)))
+                    crop = K.decode_image(bytes(blob))
+                    if cfg.cls.en:
+                        # same per-crop 0/180 gate as the full pipeline
+                        # (extractor.extract_media_lines) so the partial
+                        # surface cannot diverge from predict()
+                        crop = K.correct_textline(crop, th=cfg.cls.th)
+                    crops.append(crop)
                     refs.append(ref)
                 for (t, s) in K.recognize_crops(
                     crops, weights, h=cfg.rec.h, mw=cfg.rec.mw,

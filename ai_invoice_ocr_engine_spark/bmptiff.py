@@ -39,6 +39,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
         compression = struct.unpack_from("<I", data, 30)[0]
         if compression not in (0, 1, 3):  # BI_RGB / BI_RLE8 / BI_BITFIELDS
             raise NotImplementedError(f"BMP compression {compression} unsupported")
+        if compression == 3:
+            # bitfields accepted ONLY when the masks declare the standard
+            # BGRA layout the fast path assumes — anything else is a loud
+            # seam, not silently swapped channels
+            masks = struct.unpack_from("<III", data, 14 + 40)
+            if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                raise NotImplementedError(
+                    f"BMP bitfields masks {tuple(hex(m) for m in masks)} unsupported"
+                )
         if compression == 1 and bpp != 8:
             raise ValueError("BI_RLE8 requires 8-bit BMP")
         if bpp not in (8, 24, 32):
@@ -68,6 +77,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         rows = rows[::-1]
     if bpp == 8:
         idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP pixel index outside the palette")
         rgb = pal[idx][:, :, [2, 1, 0]]  # BGRA -> RGB
         return rgb_to_gray(np.ascontiguousarray(rgb))
     nch = bpp // 8

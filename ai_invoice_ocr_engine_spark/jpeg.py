@@ -235,7 +235,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if marker == 0xD8:  # SOI (spurious)
                 continue
             if marker == 0xD9:  # EOI
-                if progressive and store is not None:
+                if store is not None:
                     return _reconstruct(store, frame, qt, rgb_to_gray)
                 raise ValueError("JPEG EOI before scan data")
             if 0xD0 <= marker <= 0xD7:
@@ -304,11 +304,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     if comp is None:
                         raise ValueError("scan references unknown component")
                     scan.append((comp, tdta >> 4, tdta & 0x0F))
-                if not progressive:
-                    return _decode_scan(
-                        data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
-                        restart_interval, rgb_to_gray,
-                    )
                 if store is None:
                     hmax = max(c["hs"] for c in frame[2])
                     vmax = max(c["vs"] for c in frame[2])
@@ -320,17 +315,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         )
                         for c in frame[2]
                     }
-                ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
-                ahal = seg[3 + ns * 2]
-                pos = _decode_progressive_scan(
-                    data, pos + seg_len, frame, scan, store,
-                    huff_dc, huff_ac, restart_interval,
-                    ss, se, ahal >> 4, ahal & 0x0F,
-                )
+                if progressive:
+                    ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+                    ahal = seg[3 + ns * 2]
+                    pos = _decode_progressive_scan(
+                        data, pos + seg_len, frame, scan, store,
+                        huff_dc, huff_ac, restart_interval,
+                        ss, se, ahal >> 4, ahal & 0x0F,
+                    )
+                else:
+                    pos = _decode_baseline_scan(
+                        data, pos + seg_len, frame, scan, store,
+                        huff_dc, huff_ac, restart_interval,
+                    )
                 continue
             # APPn / COM / others: skip
             pos += seg_len
-        if progressive and store is not None:
+        if store is not None:
             # tolerate a missing EOI after the last scan
             return _reconstruct(store, frame, qt, rgb_to_gray)
         raise ValueError("JPEG has no scan (SOS) segment")
@@ -338,25 +339,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt JPEG: {e}") from e
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval, rgb_to_gray):
+def _decode_baseline_scan(data, pos, frame, scan, store, huff_dc, huff_ac,
+                          restart_interval):
+    """One baseline (sequential) scan into `store`; returns the absolute
+    offset of the next marker. A single-component scan is NON-interleaved
+    per T.81 A.2.2 (covers only the component's real block grid, one block
+    per restart unit) — the shape scan-per-component baseline writers emit;
+    multi-component scans interleave over the padded MCU grid."""
     h, w, comps = frame
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
-    # zigzag-order coefficient store, one flat (n_blocks, 64) per component;
-    # dequant/dezigzag/IDCT all happen vectorized AFTER the entropy loop
-    store = {}
-    for c in comps:
-        store[c["id"]] = np.zeros((n_mcu * c["hs"] * c["vs"], 64), np.int32)
+    if len(scan) == 1:
+        ni_blocks = _comp_blocks(scan[0][0], h, w, hmax, vmax)
+        n_units = len(ni_blocks)
+    else:
+        ni_blocks = None
+        n_units = mcux * mcuy
     for comp, td, ta in scan:
         if huff_dc.get(td) is None or huff_ac.get(ta) is None:
             raise ValueError("JPEG scan uses undefined Huffman table")
-        if qt.get(comp["tq"]) is None:
-            raise ValueError("JPEG block uses undefined quant table")
-    segs, _end = _entropy_segments(data, pos)
+    segs, end = _entropy_segments(data, pos)
     pred = {c["id"]: 0 for c in comps}
     seg, _rst = segs[0]
     seg_i = 0
@@ -364,7 +368,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
     buf = 0
     nb = 0
     p = 0
-    for mcu in range(n_mcu):
+    for mcu in range(n_units):
         my, mx = divmod(mcu, mcux)
         if restart_interval and mcu and mcu % restart_interval == 0:
             # next restart interval: fresh byte-aligned segment, reset DC
@@ -388,9 +392,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
             coef = store[cid]
             cvs, chs = comp["vs"], comp["hs"]
             grid_w = mcux * chs
-            for _blk in range(cvs * chs):
-                iby, ibx = divmod(_blk, chs)
-                row = coef[(my * cvs + iby) * grid_w + (mx * chs + ibx)]
+            n_blk = 1 if ni_blocks is not None else cvs * chs
+            for _blk in range(n_blk):
+                if ni_blocks is not None:
+                    row = coef[ni_blocks[mcu]]
+                else:
+                    iby, ibx = divmod(_blk, chs)
+                    row = coef[(my * cvs + iby) * grid_w + (mx * chs + ibx)]
                 # --- DC ---  (consumed bits above `nb` stay as
                 # garbage; every extraction masks after shifting, so no
                 # per-symbol buf mask is needed — buf is bounded by the
@@ -452,7 +460,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                     v = (buf >> nb) & ((1 << s) - 1)
                     row[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
                     k += 1
-    return _reconstruct(store, frame, qt, rgb_to_gray)
+    return end
 
 
 def _reconstruct(store, frame, qt, rgb_to_gray):
@@ -716,6 +724,32 @@ class _BitWriter:
             self.write(1, 1)  # pad with 1s per spec
 
 
+def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF RGB → (Y, Cb, Cr) uint8 planes — the ONE definition shared by
+    the baseline and progressive encoders (drift here would break the
+    decode(progressive) == decode(baseline) bit-equality oracle)."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(np.uint8)
+    cb = np.clip(np.rint(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255).astype(np.uint8)
+    cr = np.clip(np.rint(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255).astype(np.uint8)
+    return y, cb, cr
+
+
+def _downsample_chroma(plane: np.ndarray, hs: int, vs: int) -> np.ndarray:
+    """Box-filter downsample by (vs, hs) with edge padding (shared by both
+    encoders)."""
+    if hs == 1 and vs == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // vs) * vs, -(-w // hs) * hs
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint32)
+    area = hs * vs
+    sums = p.reshape(ph // vs, vs, pw // hs, hs).sum(axis=(1, 3))
+    return ((sums + area // 2) // area).astype(np.uint8)
+
+
 def _scale_quant(tbl: np.ndarray, quality: int) -> np.ndarray:
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -835,12 +869,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unknown subsampling {subsampling!r}")
     assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
-    r = img[..., 0].astype(np.float64)
-    g = img[..., 1].astype(np.float64)
-    b = img[..., 2].astype(np.float64)
-    y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(np.uint8)
-    cb = np.clip(np.rint(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255).astype(np.uint8)
-    cr = np.clip(np.rint(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255).astype(np.uint8)
+    y, cb, cr = _rgb_to_ycbcr(img)
     h, w = y.shape
     ql = _scale_quant(QUANT_LUM, quality)
     qc = _scale_quant(QUANT_CHROM, quality)
@@ -849,16 +878,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     dc1 = _HuffTable(DC_CHROM_BITS, DC_CHROM_VALS)
     ac1 = _HuffTable(AC_CHROM_BITS, AC_CHROM_VALS)
     hs, vs = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
-    if hs > 1 or vs > 1:
-        # box-filter downsample chroma by (vs, hs) (pad to multiples first)
-        ph, pw = -(-h // vs) * vs, -(-w // hs) * hs
-        cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint32)
-        crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint32)
-        area = hs * vs
-        cbs = cbp.reshape(ph // vs, vs, pw // hs, hs).sum(axis=(1, 3))
-        crs = crp.reshape(ph // vs, vs, pw // hs, hs).sum(axis=(1, 3))
-        cb = ((cbs + area // 2) // area).astype(np.uint8)
-        cr = ((crs + area // 2) // area).astype(np.uint8)
+    cb = _downsample_chroma(cb, hs, vs)
+    cr = _downsample_chroma(cr, hs, vs)
     # build MCU-interleaved block streams
     mcux = -(-w // (8 * hs))
     mcuy = -(-h // (8 * vs))
@@ -964,7 +985,7 @@ class _ProgWriter(_BitWriter):
             self.eobrun = 0
 
 
-def _emit_dc_first(bw: _BitWriter, dc: _HuffTable, rows, preds, keys, al):
+def _emit_dc_first(bw: _BitWriter, dc: _HuffTable, rows, preds, al):
     """rows: iterable of (key, coef_row); preds: dict key->pred."""
     for key, row in rows:
         v = int(row[0]) >> al  # arithmetic shift (exact under OR-refinement)
@@ -1074,18 +1095,10 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
         h, w = img.shape
     elif subsampling == "420":
         assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
-        r = img[..., 0].astype(np.float64)
-        g = img[..., 1].astype(np.float64)
-        b = img[..., 2].astype(np.float64)
-        y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(np.uint8)
-        cb = np.clip(np.rint(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255).astype(np.uint8)
-        cr = np.clip(np.rint(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255).astype(np.uint8)
+        y, cb, cr = _rgb_to_ycbcr(img)
         h, w = y.shape
-        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
-        cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint32)
-        crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.uint32)
-        cb2 = ((cbp.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
-        cr2 = ((crp.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+        cb2 = _downsample_chroma(cb, 2, 2)
+        cr2 = _downsample_chroma(cr, 2, 2)
         ql = _scale_quant(QUANT_LUM, quality)
         qc = _scale_quant(QUANT_CHROM, quality)
         comps = [
@@ -1148,7 +1161,7 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
     if len(meta) == 1:
         key, _cid, _hs, _vs, _tq, td, _gw, real = meta[0]
         _emit_dc_first(
-            bw, dc_tbls[td], ((key, coefs[key][bi]) for bi in real), preds, None, 1
+            bw, dc_tbls[td], ((key, coefs[key][bi]) for bi in real), preds, 1
         )
     else:
         for mcu in range(mcux * mcuy):
@@ -1160,7 +1173,7 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
                         rows.append(
                             (key, coefs[key][(my * vs + iby) * gw + (mx * hs + ibx)])
                         )
-                _emit_dc_first(bw, dc_tbls[td], rows, preds, None, 1)
+                _emit_dc_first(bw, dc_tbls[td], rows, preds, 1)
     bw.flush()
     out += bw.out
 

@@ -649,7 +649,20 @@ def run_extract(
             .partitionBy("bucket")
             .parquet(spans_dir)
         )
-        lineage_of(result, run_id).write.mode("append").parquet(lineage_dir)
+        # lineage mirrors the spans write: dynamic overwrite partitioned by
+        # partition_id, so replacing a bucket's data also replaces its
+        # lineage row — a rerun (resume or --no-resume) can never leave a
+        # stale row describing overwritten data, which would make
+        # verify_lineage flag healthy buckets (doubled counts, checksums
+        # xor-cancelling). Completed buckets are absent from `result` and
+        # keep their rows.
+        (
+            lineage_of(result, run_id)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .parquet(lineage_dir)
+        )
     finally:
         result.unpersist()
     secs = time.time() - t0

@@ -51,9 +51,13 @@ def incremental_extract(
             result.write.mode("append").partitionBy("bucket").parquet(
                 f"{out_dir}/spans"
             )
-            lineage_of(result, f"stream-batch-{batch_id}").write.mode("append").parquet(
-                f"{out_dir}/lineage"
-            )
+            # append (micro-batches legitimately accumulate per-bucket
+            # rows: spans are appended too) but in the same
+            # partition_id-partitioned layout run_extract writes, so the
+            # two surfaces can share an out_dir without mixed layouts
+            lineage_of(result, f"stream-batch-{batch_id}").write.mode(
+                "append"
+            ).partitionBy("partition_id").parquet(f"{out_dir}/lineage")
         finally:
             result.unpersist()
 

@@ -91,14 +91,16 @@ def _session_fn(
         es.extend(int(v) for v in pdf["es"])
     es.sort()
     open_s: tuple[int, int, int] | None = tuple(state.get) if state.exists else None
-    # Cross-batch late-data guard: an event older than the open session's
-    # last timestamp arrived out of order ACROSS micro-batches (within a
-    # batch the sort handles it). Folding it in would rewrite history —
-    # sessions already emitted can never be reopened in append mode — so it
-    # is dropped, mirroring what a watermark does for the built-in
-    # session_window path.
+    # Cross-batch late-data guard: an event older than the OPEN session's
+    # START arrived out of order ACROSS micro-batches and may belong to a
+    # session already emitted — append mode can never reopen one, so it is
+    # dropped (the same trade a watermark makes). Events WITHIN the open
+    # session's span are safe: they cannot touch any emitted session, so
+    # they fold in (count up; `last` via max so a mid-span event never
+    # regresses it) — keeping stream==batch equality for in-span
+    # out-of-order splits.
     if open_s is not None:
-        es = [t for t in es if t >= open_s[1]]
+        es = [t for t in es if t >= open_s[0]]
     closed: list[tuple[int, int, int]] = []
     for t in es:
         if open_s is None:
@@ -107,7 +109,7 @@ def _session_fn(
             closed.append(open_s)
             open_s = (t, t, 1)
         else:
-            open_s = (open_s[0], t, open_s[2] + 1)
+            open_s = (open_s[0], max(open_s[1], t), open_s[2] + 1)
     if open_s is not None:
         state.update(open_s)
     if closed:
@@ -125,11 +127,13 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
     """events(user_id, ts) → closed sessions via explicit keyed state.
 
     Ordering contract: WITHIN a micro-batch events may arrive in any order
-    (sorted before folding); ACROSS micro-batches an event older than the
-    open session's last timestamp is DROPPED (append mode cannot reopen an
-    emitted session — the same trade a watermark makes for the built-in
-    session_window). The final open session per user remains in state —
-    exactly the sessions a batch job cannot prove closed either.
+    (sorted before folding); ACROSS micro-batches an event inside the open
+    session's span folds in safely, while an event older than the open
+    session's START is DROPPED (it may belong to an already-emitted
+    session, which append mode can never reopen — the same trade a
+    watermark makes for the built-in session_window). The final open
+    session per user remains in state — exactly the sessions a batch job
+    cannot prove closed either.
     """
     prepped = events.select("user_id", F.unix_timestamp("ts").alias("es"))
     return prepped.groupBy("user_id").applyInPandasWithState(

@@ -600,3 +600,98 @@ def test_tiff_deflate_and_packbits():
     ifd += _struct.pack("<I", 0)
     blob = b"II*\x00" + _struct.pack("<I", 8 + len(pix)) + pix + ifd
     assert np.array_equal(BT.decode_tiff(blob), page)
+
+
+def test_jpeg_noninterleaved_baseline_scans():
+    """Code-review r2 finding: single-component baseline scans are
+    NON-interleaved per T.81 A.2.2 (real block grid, not the padded MCU
+    grid) and a baseline file may carry one scan per component — both the
+    shapes scan-per-component writers emit. Decode must equal the ordinary
+    interleaved encoding of the same pixels."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import jpeg as jm
+
+    def build(h, w, comps_spec, scans):
+        hmax = max(hs for _, hs, _, _, _ in comps_spec)
+        vmax = max(vs for _, _, vs, _, _ in comps_spec)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        ql = jm._scale_quant(jm.QUANT_LUM, 88)
+        qc = jm._scale_quant(jm.QUANT_CHROM, 88)
+        qts = {0: ql, 1: qc}
+        dc0 = jm._HuffTable(jm.DC_LUM_BITS, jm.DC_LUM_VALS)
+        ac0 = jm._HuffTable(jm.AC_LUM_BITS, jm.AC_LUM_VALS)
+
+        def emit_block(bw, zz, pred):
+            diff = int(zz[0]) - pred
+            s = jm._category(diff)
+            code, ln = dc0.enc[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            nz = np.nonzero(zz[1:])[0]
+            last = (nz[-1] + 1) if len(nz) else 0
+            run = 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, l2 = ac0.enc[0xF0]
+                    bw.write(c, l2)
+                    run -= 16
+                s = jm._category(v)
+                c, l2 = ac0.enc[(run << 4) | s]
+                bw.write(c, l2)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                c, l2 = ac0.enc[0x00]
+                bw.write(c, l2)
+            return int(zz[0])
+
+        coefs = {
+            cid: jm._quantize_plane(pl, qts[tq][jm.ZIGZAG_INV], mcuy * vs, mcux * hs)
+            for cid, hs, vs, tq, pl in comps_spec
+        }
+        out = bytearray(b"\xff\xd8")
+        out += jm._seg(0xDB, bytes([0]) + bytes(ql.tolist()))
+        out += jm._seg(0xDB, bytes([1]) + bytes(qc.tolist()))
+        sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps_spec)])
+        for cid, hs, vs, tq, _ in comps_spec:
+            sof += bytes([cid, (hs << 4) | vs, tq])
+        out += jm._seg(0xC0, sof)
+        out += jm._seg(0xC4, jm._dht_payload(0, 0, jm.DC_LUM_BITS, jm.DC_LUM_VALS))
+        out += jm._seg(0xC4, jm._dht_payload(1, 0, jm.AC_LUM_BITS, jm.AC_LUM_VALS))
+        for cids in scans:
+            body = bytes([len(cids)]) + b"".join(bytes([c, 0]) for c in cids)
+            body += bytes([0, 63, 0])
+            out += jm._seg(0xDA, body)
+            bw = jm._BitWriter()
+            pred = {c: 0 for c in cids}
+            for cid in cids:
+                _, hs, vs, tq, _pl = next(cs for cs in comps_spec if cs[0] == cid)
+                assert len(cids) == 1  # this builder only emits non-interleaved scans
+                for bi in jm._comp_blocks({"hs": hs, "vs": vs}, h, w, hmax, vmax):
+                    pred[cid] = emit_block(bw, coefs[cid][bi], pred[cid])
+            bw.flush()
+            out += bw.out
+        return bytes(out) + b"\xff\xd9"
+
+    rng = np.random.default_rng(7)
+    # single-component image declaring 2x2 sampling (odd size: real grid
+    # differs from the padded MCU grid)
+    img = rng.integers(0, 256, (17, 20), dtype=np.uint8)
+    blob = build(17, 20, [(1, 2, 2, 0, img)], [[1]])
+    assert np.array_equal(
+        jm.decode_jpeg(blob), jm.decode_jpeg(jm.encode_jpeg(img, 88, "gray"))
+    )
+    # scan-per-component color 4:4:4
+    rgb = rng.integers(0, 256, (30, 26, 3), dtype=np.uint8)
+    y, cb, cr = jm._rgb_to_ycbcr(rgb)
+    blob = build(30, 26, [(1, 1, 1, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)],
+                 [[1], [2], [3]])
+    assert np.array_equal(
+        jm.decode_jpeg(blob), jm.decode_jpeg(jm.encode_jpeg(rgb, 88, "444"))
+    )

@@ -33,9 +33,9 @@ def test_resume_skips_completed_buckets(spark, corpus, tmp_path):
         extract(prefix, media, cfg, media_strategy="broadcast"), NB
     )
     part.write.mode("append").partitionBy("bucket").parquet(os.path.join(out, "spans"))
-    lineage_of(part, "run-partial").write.mode("append").parquet(
-        os.path.join(out, "lineage")
-    )
+    lineage_of(part, "run-partial").write.mode("append").partitionBy(
+        "partition_id"
+    ).parquet(os.path.join(out, "lineage"))
     n_prefix = part.count()
 
     # --- resumed run ---
@@ -115,9 +115,9 @@ def test_crash_between_data_and_lineage_no_duplicates(spark, corpus, tmp_path):
     done.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(out, "spans")
     )
-    lineage_of(done, "run-crashed").write.mode("append").parquet(
-        os.path.join(out, "lineage")
-    )
+    lineage_of(done, "run-crashed").write.mode("append").partitionBy(
+        "partition_id"
+    ).parquet(os.path.join(out, "lineage"))
 
     stats = run_extract(
         spark, corpus["docs_path"], corpus["media_path"], out,
@@ -137,3 +137,21 @@ def test_crash_between_data_and_lineage_no_duplicates(spark, corpus, tmp_path):
     assert_span_equal(
         spans_key(final.collect()), spans_key(clean.collect())
     )
+
+
+def test_no_resume_rerun_keeps_lineage_consistent(spark, corpus, tmp_path):
+    """Code-review r2 finding: a full rerun with --no-resume must REPLACE
+    each bucket's lineage row along with its data — stale rows from the
+    first run would double verify_lineage's expected counts and
+    xor-cancel its checksums, flagging a healthy table."""
+    from ai_invoice_ocr_engine_spark.pipeline import verify_lineage
+
+    out = str(tmp_path / "out_rerun")
+    run_extract(spark, corpus["docs_path"], corpus["media_path"], out,
+                num_buckets=NB, resume=False)
+    run_extract(spark, corpus["docs_path"], corpus["media_path"], out,
+                num_buckets=NB, resume=False)
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lin.count() == lin.select("partition_id").distinct().count()
+    report = verify_lineage(spark, out)
+    assert report["ok"], report

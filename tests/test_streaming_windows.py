@@ -98,10 +98,11 @@ def test_stateful_sessions_match_batch_closed(spark, events_stream_dir, tmp_path
 
 
 def test_session_fn_drops_cross_batch_late_events():
-    """ADVICE r1 #4: an event older than the open session's last timestamp
-    (out-of-order ACROSS micro-batches) must be dropped, not folded —
-    append mode can never reopen an emitted session. Drives _session_fn
-    directly with a stub GroupState across three micro-batches."""
+    """Cross-batch ordering guard: events inside the open session's span
+    fold in (stream==batch equality for in-span out-of-order splits);
+    events before the open session's START are dropped — append mode can
+    never reopen an emitted session. Drives _session_fn directly with a
+    stub GroupState across three micro-batches."""
     import pandas as pd
 
     from ai_invoice_ocr_engine_spark.streaming.windows import _session_fn
@@ -124,12 +125,13 @@ def test_session_fn_drops_cross_batch_late_events():
     st = StubState()
     out1 = list(_session_fn(("u1",), iter([pd.DataFrame({"es": [100, 200]})]), st))
     assert out1 == [] and st.get == (100, 200, 2)
-    # batch 2: 150 is older than state's last (200) -> dropped; 250 extends
-    out2 = list(_session_fn(("u1",), iter([pd.DataFrame({"es": [150, 250]})]), st))
-    assert out2 == [] and st.get == (100, 250, 3)
-    # batch 3: gap > 1800 closes the (unrewritten) session
+    # batch 2: 150 is INSIDE the open span -> folds (count up, last kept by
+    # max); 250 extends; 50 is before the open session's start -> dropped
+    out2 = list(_session_fn(("u1",), iter([pd.DataFrame({"es": [50, 150, 250]})]), st))
+    assert out2 == [] and st.get == (100, 250, 4)
+    # batch 3: gap > 1800 closes the session with the folded count
     out3 = list(_session_fn(("u1",), iter([pd.DataFrame({"es": [5000]})]), st))
     assert len(out3) == 1
     row = out3[0].iloc[0]
-    assert (row["session_start"], row["session_end"], row["n_events"]) == (100, 250, 3)
+    assert (row["session_start"], row["session_end"], row["n_events"]) == (100, 250, 4)
     assert st.get == (5000, 5000, 1)

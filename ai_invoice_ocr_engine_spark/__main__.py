@@ -33,6 +33,10 @@ def _add_cfg_flags(sp) -> None:
                     help="disable page-orientation correction (prep.ori)")
     sp.add_argument("--no-cls", action="store_true",
                     help="disable textline 0/180 classification (cls.en)")
+    sp.add_argument("--rotated", action="store_true",
+                    help="min-area-rect quads + perspective crop for skewed "
+                         "text lines (reference detect/postprocess.py "
+                         "_get_mini_box + crop_poly) instead of AABB")
 
 
 def _cfg_from(args):
@@ -43,6 +47,7 @@ def _cfg_from(args):
     base = ExtractConfig()
     return dataclasses.replace(
         base,
+        det=dataclasses.replace(base.det, rotated=getattr(args, "rotated", False)),
         rec=dataclasses.replace(
             base.rec, decode=args.decode, beam_width=args.beam_width
         ),

@@ -20,6 +20,9 @@ class DetectConfig:
     mxs: int = 960         # max side for detection input
     ms: int = 3            # min box side in px
     dil: int = 1           # dilation radius pre-component-labeling
+    rotated: bool = False  # min-area-rect quads + perspective crop (reference
+                           # detect/postprocess.py:47-52, postprocess.py:5-10)
+                           # instead of AABB geometry; off = SURVEY §7.3 AABB
 
 
 @dataclass(frozen=True)

@@ -29,13 +29,30 @@ def detect_frame(img: np.ndarray, cfg: ExtractConfig):
     """Detection stage of one frame: keep-ratio resize → prob map → scored
     boxes rescaled to original coordinates (the single definition shared by
     the full pipeline, api.OCREngineSpark.detect_only, and tests — mirrors
-    /root/reference/engine.py:64-67)."""
+    /root/reference/engine.py:64-67). Always returns AABBs; with
+    cfg.det.rotated these are the envelopes of the min-area-rect quads."""
+    boxes, scores, _quads = detect_frame_geom(img, cfg)
+    return boxes, scores
+
+
+def detect_frame_geom(img: np.ndarray, cfg: ExtractConfig):
+    """detect_frame plus the rotated geometry: returns (boxes_aabb, scores,
+    quads) where quads is (N,4,2) min-area rects when cfg.det.rotated
+    (reference detect/postprocess.py:47-52 _get_mini_box) else None."""
     det_img = K.det_resize(img, cfg.det.mxs)
     prob = K.detect_prob(det_img)
-    return K.extract_boxes(
-        prob, img.shape, th=cfg.det.th, bth=cfg.det.bth, ur=cfg.det.ur,
-        ms=cfg.det.ms, dil=cfg.det.dil,
-    )
+    kw = dict(th=cfg.det.th, bth=cfg.det.bth, ur=cfg.det.ur,
+              ms=cfg.det.ms, dil=cfg.det.dil)
+    if cfg.det.rotated:
+        quads, scores = K.extract_boxes_rotated(prob, img.shape, **kw)
+        boxes = (
+            np.stack([K.quad_to_aabb(q) for q in quads])
+            if len(quads)
+            else np.zeros((0, 4), np.float32)
+        )
+        return boxes, scores, quads
+    boxes, scores = K.extract_boxes(prob, img.shape, **kw)
+    return boxes, scores, None
 
 
 def extract_media_lines(
@@ -56,10 +73,18 @@ def extract_media_lines(
         # only when the classifier clears the confidence threshold
         img, _ = K.correct_orientation(img, oth=cfg.prep.oth)
     oh, ow = img.shape  # post-correction shape (boilerplate bands use it)
-    boxes, scores = detect_frame(img, cfg)
+    boxes, scores, quads = detect_frame_geom(img, cfg)
     if len(boxes) == 0:
         return []
-    crops = [K.crop_box(img, b) for b in boxes]
+    if quads is not None:
+        # rotated path: perspective-crop each min-area rect so skewed lines
+        # reach recognition upright (reference postprocess.py:5-10 crop_poly);
+        # layout/reading-order below keeps using the AABB envelopes (the
+        # reference sorts by poly means, postprocess.py:54-68 — identical
+        # centers for rects)
+        crops = [K.crop_quad(img, q) for q in quads]
+    else:
+        crops = [K.crop_box(img, b) for b in boxes]
     if cfg.cls.en:
         # per-crop 0/180 textline gate (reference cls stage, config.py:41)
         crops = [K.correct_textline(c, th=cfg.cls.th) for c in crops]

@@ -426,17 +426,14 @@ def detect_prob(gray: np.ndarray) -> np.ndarray:
     return mask.astype(np.float32)
 
 
-def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int, int]]:
-    """8-connected component bounding boxes via run-based union-find.
-
-    Replaces cv2.findContours (/root/reference/detect/postprocess.py:18) per
-    SURVEY.md §2.7 K7 — north_star sanctions connected-component detection.
-    Returns [(x0, y0, x1, y1, area)] with exclusive x1/y1, sorted by
-    (y0, x0, x1, y1) for a deterministic order.
-    """
+def _label_runs(mask: np.ndarray):
+    """Run-based union-find labeling shared by the AABB and rotated-geometry
+    component aggregators. Returns (sy, sx, ex, find) — per-run start row,
+    start col, exclusive end col (row-major run order) and the union-find
+    root function — or None when the mask is empty."""
     h, w = mask.shape
     if not mask.any():
-        return []
+        return None
     padded = np.zeros((h, w + 2), dtype=np.int8)
     padded[:, 1:-1] = mask
     d = np.diff(padded, axis=1)
@@ -472,7 +469,22 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int, int
                 i += 1
             else:
                 j += 1
+    return sy, sx, ex, find
 
+
+def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int, int]]:
+    """8-connected component bounding boxes via run-based union-find.
+
+    Replaces cv2.findContours (/root/reference/detect/postprocess.py:18) per
+    SURVEY.md §2.7 K7 — north_star sanctions connected-component detection.
+    Returns [(x0, y0, x1, y1, area)] with exclusive x1/y1, sorted by
+    (y0, x0, x1, y1) for a deterministic order.
+    """
+    labeled = _label_runs(mask)
+    if labeled is None:
+        return []
+    sy, sx, ex, find = labeled
+    n = len(sx)
     sy_l = sy.tolist()
     agg: dict[int, list[int]] = {}
     for k in range(n):
@@ -490,6 +502,279 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int, int
     out = [(b[0], b[1], b[2], b[3], b[4]) for b in agg.values()]
     out.sort(key=lambda t: (t[1], t[0], t[2], t[3]))
     return out
+
+
+def connected_components_hulls(mask: np.ndarray, prob: np.ndarray | None = None) -> list[tuple]:
+    """Like connected_components, but also returns each component's run
+    endpoints (the exact support of its convex hull) for rotated geometry,
+    and — when ``prob`` is given — the mean probability over the component's
+    OWN pixels (the run union), the run-exact analog of the reference's
+    fillPoly-mask mean (/root/reference/detect/postprocess.py:33-35
+    _box_score). The bbox-region mean the AABB path uses dilutes on skewed
+    lines (a 10° line fills ~40% of its envelope), so the rotated path needs
+    in-support scoring.
+
+    Returns [(x0, y0, x1, y1, area, points (M,2) float64, score float)]
+    sorted identically to connected_components — points are pixel-index
+    coordinates of the left and right end pixels of every run.
+    """
+    h, w = mask.shape
+    labeled = _label_runs(mask)
+    if labeled is None:
+        return []
+    sy, sx, ex, find = labeled
+    n = len(sx)
+    sy_l = sy.tolist()
+    if prob is not None:
+        cs = np.zeros((h, w + 1), dtype=np.float64)
+        np.cumsum(prob, axis=1, out=cs[:, 1:])  # row prefix sums: O(1)/run
+    agg: dict[int, list] = {}
+    for k in range(n):
+        r = find(k)
+        y = sy_l[k]
+        psum = float(cs[y, ex[k]] - cs[y, sx[k]]) if prob is not None else 0.0
+        b = agg.get(r)
+        if b is None:
+            agg[r] = [sx[k], y, ex[k], y + 1, ex[k] - sx[k],
+                      [(sx[k], y), (ex[k] - 1, y)], psum]
+        else:
+            if sx[k] < b[0]:
+                b[0] = sx[k]
+            if ex[k] > b[2]:
+                b[2] = ex[k]
+            b[3] = y + 1
+            b[4] += ex[k] - sx[k]
+            b[5].append((sx[k], y))
+            b[5].append((ex[k] - 1, y))
+            b[6] += psum
+    out = [
+        (b[0], b[1], b[2], b[3], b[4], np.asarray(b[5], dtype=np.float64),
+         b[6] / b[4] if b[4] else 0.0)
+        for b in agg.values()
+    ]
+    out.sort(key=lambda t: (t[1], t[0], t[2], t[3]))
+    return out
+
+
+def order_points(pts: np.ndarray) -> np.ndarray:
+    """Order 4 quad points as top-left, top-right, bottom-right, bottom-left
+    by the reference's sum/diff rule (/root/reference/postprocess.py:11-14
+    `_order_points`; dup /root/reference/utils/image.py:37-40)."""
+    pts = np.asarray(pts, dtype=np.float32)
+    rect = np.zeros((4, 2), dtype=np.float32)
+    sm = pts.sum(axis=1)
+    df = pts[:, 1] - pts[:, 0]
+    rect[0] = pts[np.argmin(sm)]
+    rect[2] = pts[np.argmax(sm)]
+    rect[1] = pts[np.argmin(df)]
+    rect[3] = pts[np.argmax(df)]
+    return rect
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Convex hull (Andrew monotone chain), counter-clockwise in image
+    coordinates (y down). Collinear points dropped. Returns (H,2) float64."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)  # lex sort
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Minimum-area enclosing rectangle of a point set (rotating calipers
+    over the convex hull — one rect side is always flush with a hull edge).
+
+    Replaces cv2.minAreaRect+boxPoints (/root/reference/detect/postprocess.py:47-52
+    `_get_mini_box`) without cv2. Points are pixel-index coordinates; the
+    returned quad uses the repo's index-extent convention (quad corner p0 is
+    the first sample position, p1 = p0 + W*ux is one-past-last — the exact
+    rotated analog of the AABB [x0, x1) exclusive convention), so extents
+    are (max_proj - min_proj) + 1 like x1 - x0 = (max_idx - min_idx) + 1.
+
+    Returns (quad (4,2) float32 ordered tl,tr,br,bl, W, H).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    hull = convex_hull(pts)
+    if len(hull) <= 2:
+        # degenerate (single point / collinear): axis-aligned fallback
+        x0, y0 = pts.min(axis=0)
+        x1, y1 = pts.max(axis=0)
+        quad = np.array(
+            [[x0, y0], [x1 + 1.0, y0], [x1 + 1.0, y1 + 1.0], [x0, y1 + 1.0]],
+            dtype=np.float32,
+        )
+        return quad, float(x1 - x0 + 1.0), float(y1 - y0 + 1.0)
+    edges = np.roll(hull, -1, axis=0) - hull
+    lens = np.hypot(edges[:, 0], edges[:, 1])
+    keep = lens > 1e-12
+    ux = edges[keep] / lens[keep, None]          # (E,2) unit edge directions
+    uy = np.stack([-ux[:, 1], ux[:, 0]], axis=1)  # perpendiculars
+    pu = hull @ ux.T                              # (H,E) projections
+    pv = hull @ uy.T
+    mnu, mxu = pu.min(axis=0), pu.max(axis=0)
+    mnv, mxv = pv.min(axis=0), pv.max(axis=0)
+    areas = (mxu - mnu + 1.0) * (mxv - mnv + 1.0)
+    e = int(np.argmin(areas))                     # first min edge: deterministic
+    w_ext = float(mxu[e] - mnu[e] + 1.0)
+    h_ext = float(mxv[e] - mnv[e] + 1.0)
+    p0 = mnu[e] * ux[e] + mnv[e] * uy[e]
+    quad = np.stack(
+        [
+            p0,
+            p0 + w_ext * ux[e],
+            p0 + w_ext * ux[e] + h_ext * uy[e],
+            p0 + h_ext * uy[e],
+        ]
+    ).astype(np.float32)
+    quad = order_points(quad)
+    # order_points may swap which side is "width": recompute extents
+    w_ord = float(np.hypot(*(quad[1] - quad[0])))
+    h_ord = float(np.hypot(*(quad[3] - quad[0])))
+    return quad, w_ord, h_ord
+
+
+def quad_to_aabb(quad: np.ndarray) -> np.ndarray:
+    """Axis-aligned envelope [x0,y0,x1,y1] of a quad (float32)."""
+    q = np.asarray(quad)
+    return np.array(
+        [q[:, 0].min(), q[:, 1].min(), q[:, 0].max(), q[:, 1].max()],
+        dtype=np.float32,
+    )
+
+
+def _is_axis_aligned(quad: np.ndarray, tol: float = 1e-4) -> bool:
+    q = np.asarray(quad)
+    return (
+        abs(q[0, 1] - q[1, 1]) <= tol
+        and abs(q[3, 1] - q[2, 1]) <= tol
+        and abs(q[0, 0] - q[3, 0]) <= tol
+        and abs(q[1, 0] - q[2, 0]) <= tol
+    )
+
+
+def crop_quad(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
+    """Perspective-crop a quad to an upright (th, tw) patch.
+
+    Mirrors /root/reference/postprocess.py:5-10 `crop_poly`
+    (getPerspectiveTransform + warpPerspective) with two documented
+    deviations: (1) exact axis-aligned quads take the integer slice path
+    (bit-identical to crop_box — the upright common case costs no resample);
+    (2) dst corners map to (tw, th) one-past-last, not (tw-1, th-1), i.e.
+    unit-step sampling with no half-pixel stretch, consistent with the
+    repo's exclusive-extent box convention.
+
+    General path: 4-point homography (closed-form DLT, exact affine for
+    parallelograms) + bilinear sampling clamped at image borders.
+    """
+    quad = order_points(quad)
+    if _is_axis_aligned(quad):
+        return crop_box(img, quad_to_aabb(quad))
+    p0, p1, p2, p3 = quad.astype(np.float64)
+    tw = max(int(round(max(np.hypot(*(p1 - p0)), np.hypot(*(p2 - p3))))), 1)
+    th = max(int(round(max(np.hypot(*(p3 - p0)), np.hypot(*(p2 - p1))))), 1)
+    # homography dst->src: (0,0)->p0, (tw,0)->p1, (tw,th)->p2, (0,th)->p3
+    src = np.stack([p0, p1, p2, p3])
+    dst = np.array([[0, 0], [tw, 0], [tw, th], [0, th]], dtype=np.float64)
+    A = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        u, v = dst[i]
+        x, y = src[i]
+        A[2 * i] = [u, v, 1, 0, 0, 0, -u * x, -v * x]
+        A[2 * i + 1] = [0, 0, 0, u, v, 1, -u * y, -v * y]
+        b[2 * i] = x
+        b[2 * i + 1] = y
+    hvec = np.linalg.solve(A, b)
+    H = np.append(hvec, 1.0).reshape(3, 3)
+    uu, vv = np.meshgrid(np.arange(tw, dtype=np.float64),
+                         np.arange(th, dtype=np.float64))
+    den = H[2, 0] * uu + H[2, 1] * vv + H[2, 2]
+    xs = (H[0, 0] * uu + H[0, 1] * vv + H[0, 2]) / den
+    ys = (H[1, 0] * uu + H[1, 1] * vv + H[1, 2]) / den
+    ih, iw = img.shape
+    xs = np.clip(xs, 0.0, iw - 1.0)
+    ys = np.clip(ys, 0.0, ih - 1.0)
+    x0 = np.floor(xs).astype(np.intp)
+    y0 = np.floor(ys).astype(np.intp)
+    x1 = np.minimum(x0 + 1, iw - 1)
+    y1 = np.minimum(y0 + 1, ih - 1)
+    fx = xs - x0
+    fy = ys - y0
+    im = img.astype(np.float64)
+    top = im[y0, x0] * (1.0 - fx) + im[y0, x1] * fx
+    bot = im[y1, x0] * (1.0 - fx) + im[y1, x1] * fx
+    out = top * (1.0 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def extract_boxes_rotated(
+    prob: np.ndarray,
+    orig_size: tuple[int, int],
+    th: float = 0.3,
+    bth: float = 0.6,
+    ur: float = 1.5,
+    ms: int = 3,
+    dil: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Prob map → scored min-area-rect quads in ORIGINAL image coordinates.
+
+    The rotated-geometry analog of extract_boxes, mirroring the reference's
+    full path (/root/reference/detect/postprocess.py:12-31: threshold →
+    dilate → components → score → unclip → minAreaRect → min-size →
+    per-axis rescale+clip). Scoring is the mean probability over the
+    component's OWN pixels (run-exact analog of the reference's fillPoly
+    mask mean, detect/postprocess.py:33-35) — the AABB path's bbox-region
+    mean would dilute below bth on skewed lines; the unclip offset
+    d = area*ur/perimeter expands the rect by d along its own axes (the
+    exact rectangle offset — what pyclipper's rounded offset converges to
+    for rectangles). On an axis-aligned component the returned quad equals
+    the extract_boxes AABB exactly.
+
+    Returns (quads (N,4,2) float32 ordered tl,tr,br,bl, scores (N,)).
+    """
+    dh, dw = prob.shape
+    oh, ow = orig_size
+    mask = prob > th
+    for _ in range(dil):
+        mask = _dilate3(mask)
+    quads, scores = [], []
+    fx, fy = ow / dw, oh / dh
+    for x0, y0, x1, y1, _area, pts, sc in connected_components_hulls(mask, prob):
+        if sc < bth:
+            continue
+        quad, w_ext, h_ext = min_area_rect(pts)
+        d = (w_ext * h_ext) * ur / (2.0 * (w_ext + h_ext)) if (w_ext + h_ext) > 0 else 0.0
+        if min(w_ext + 2 * d, h_ext + 2 * d) < ms:
+            continue
+        # expand by d along the rect's own axes (tl,tr,br,bl ordering)
+        ux = (quad[1] - quad[0]) / max(w_ext, 1e-9)
+        uy = (quad[3] - quad[0]) / max(h_ext, 1e-9)
+        grow = np.stack([-ux - uy, ux - uy, ux + uy, -ux + uy]) * d
+        q = quad + grow.astype(np.float32)
+        # per-axis rescale back to the original frame, clipped (reference
+        # scales+clips the quad points at detect/postprocess.py:29)
+        q[:, 0] = np.clip(q[:, 0] * fx, 0.0, ow)
+        q[:, 1] = np.clip(q[:, 1] * fy, 0.0, oh)
+        quads.append(q)
+        scores.append(sc)
+    if not quads:
+        return np.zeros((0, 4, 2), np.float32), np.zeros((0,), np.float32)
+    return np.stack(quads).astype(np.float32), np.asarray(scores, np.float32)
 
 
 def extract_boxes(
@@ -1122,6 +1407,52 @@ def rotate_quadrant(img: np.ndarray, cls: int) -> np.ndarray:
     if cls == 3:
         return np.rot90(img, k=1)
     return img
+
+
+def rotate_any(
+    img: np.ndarray, angle_deg: float, expand: bool = True, fill: int = 255
+) -> np.ndarray:
+    """Rotate by an arbitrary angle (bilinear, out-of-bounds filled).
+
+    Mirrors /root/reference/utils/image.py:46-53 `rotate`
+    (getRotationMatrix2D + warpAffine with optional canvas expansion) —
+    positive angle rotates counter-clockwise like cv2. Used to synthesize
+    skewed-text fixtures for the rotated-geometry (cfg.det.rotated) path.
+    """
+    h, w = img.shape
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    # snap quadrant angles exactly so 90/180/270 match the rot90 path
+    c = round(c) if abs(c - round(c)) < 1e-12 else c
+    s = round(s) if abs(s - round(s)) < 1e-12 else s
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    if expand:
+        nw = int(np.ceil(h * abs(s) + w * abs(c) - 1e-9))
+        nh = int(np.ceil(h * abs(c) + w * abs(s) - 1e-9))
+    else:
+        nw, nh = w, h
+    ncx, ncy = (nw - 1) / 2.0, (nh - 1) / 2.0
+    uu, vv = np.meshgrid(
+        np.arange(nw, dtype=np.float64) - ncx, np.arange(nh, dtype=np.float64) - ncy
+    )
+    # inverse map: output (u,v) -> source coords (rotate by -angle about center)
+    xs = c * uu - s * vv + cx
+    ys = s * uu + c * vv + cy
+    inb = (xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1)
+    xc = np.clip(xs, 0.0, w - 1.0)
+    yc = np.clip(ys, 0.0, h - 1.0)
+    x0 = np.floor(xc).astype(np.intp)
+    y0 = np.floor(yc).astype(np.intp)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = xc - x0
+    fy = yc - y0
+    im = img.astype(np.float64)
+    top = im[y0, x0] * (1.0 - fx) + im[y0, x1] * fx
+    bot = im[y1, x0] * (1.0 - fx) + im[y1, x1] * fx
+    out = top * (1.0 - fy) + bot * fy
+    out = np.where(inb, out, float(fill))
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 def pad_to_multiple(img: np.ndarray, m: int = 32) -> tuple[np.ndarray, tuple[int, int]]:

@@ -6,11 +6,13 @@ Scope mirrors what a scanner/export pipeline actually emits:
   BMP: uncompressed BI_RGB (8-bit paletted / 24-bit / 32-bit, bottom-up
        or top-down rows) and BI_RLE8. RLE4 and 1/4/16-bit raise
        NotImplementedError.
-  TIFF: uncompressed, LZW (early-change), Deflate (zlib strips) and
-        PackBits compression,
-        chunky planar, 8-bit grayscale (white/black-is-zero) or RGB(A),
-        strip-organized, either byte order, horizontal-differencing
-        predictor. JPEG-in-TIFF, fax codecs and tiles raise
+  TIFF: uncompressed, LZW (early-change), Deflate (zlib strips),
+        PackBits, new-style JPEG (compression 7, strip- or tile-organized,
+        with or without a shared JPEGTables tag) and old-style JPEG
+        (compression 6 via JPEGInterchangeFormat — the form real writers
+        emit), chunky planar, 8-bit grayscale (white/black-is-zero) or
+        RGB(A), strip- OR tile-organized, either byte order,
+        horizontal-differencing predictor. Fax codecs (2/3/4) raise
         NotImplementedError.
 Malformed containers raise ValueError (same contract as decode_png).
 Color goes through kernels.rgb_to_gray — one grayscale definition for
@@ -189,7 +191,9 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
-    317: "predictor", 322: "tile_w",
+    317: "predictor", 322: "tile_w", 323: "tile_h",
+    324: "tile_offsets", 325: "tile_counts",
+    347: "jpeg_tables", 513: "jpeg_if", 514: "jpeg_if_len",
 }
 
 
@@ -294,14 +298,14 @@ def _lzw_encode(raw: bytes) -> bytes:
     if nb:
         out.append((buf << (8 - nb)) & 0xFF)
     return bytes(out)
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def _tiff_values(data, bo, typ, count, value_field):
     size = _TYPE_SIZE.get(typ)
     if size is None:
         raise NotImplementedError(f"TIFF field type {typ} unsupported")
-    fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+    fmt = {1: "B", 3: "H", 4: "I", 7: "B"}.get(typ)
     if fmt is None:
         raise NotImplementedError(f"TIFF field type {typ} unsupported here")
     total = size * count
@@ -337,63 +341,155 @@ def decode_tiff(data: bytes) -> np.ndarray:
             tags[name] = _tiff_values(data, bo, typ, count, data[base + 8 : base + 12])
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt TIFF: {e}") from e
-    if "tile_w" in tags:
-        raise NotImplementedError("tiled TIFF unsupported")
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 5, 8, 32946, 32773):
-        # 1=uncompressed, 5=LZW, 8/32946=Deflate, 32773=PackBits;
-        # JPEG-in-TIFF and fax codecs remain seams
+    if comp not in (1, 5, 6, 7, 8, 32946, 32773):
+        # 1=uncompressed, 5=LZW, 6=old-JPEG, 7=JPEG, 8/32946=Deflate,
+        # 32773=PackBits; fax codecs (2/3/4) remain seams
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     if tags.get("planar", [1])[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
-    bits = tags.get("bits", [8])
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
+    jpeg_mode = comp in (6, 7)
+    if not jpeg_mode:
+        # JPEG chunks carry their own precision/color model in the stream
+        bits = tags.get("bits", [8])
+        if any(b != 8 for b in bits):
+            raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
     photometric = tags.get("photometric", [1])[0]
     spp = tags.get("spp", [1])[0]
-    if photometric not in (0, 1, 2) or spp not in (1, 3, 4):
+    ok_photo = (0, 1, 2, 6) if jpeg_mode else (0, 1, 2)
+    if photometric not in ok_photo or spp not in (1, 3, 4):
         raise NotImplementedError(
             f"TIFF photometric {photometric} / spp {spp} unsupported"
         )
     try:
         w = tags["width"][0]
         h = tags["height"][0]
-        offsets = tags["strip_offsets"]
-        counts = tags["strip_counts"]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag: {e}") from e
-    buf = bytearray()
-    for off, cnt in zip(offsets, counts):
+
+    if comp == 6:
+        # Old-style JPEG (TIFF 6.0 §22) in its one sane incarnation: the
+        # whole interchange-format stream at JPEGInterchangeFormat (513) —
+        # what every real old-style writer emits. Per-strip old-style
+        # (JPEGProc/Q-table tags) stays a loud seam.
+        from .jpeg import decode_jpeg
+
+        if "jpeg_if" not in tags:
+            raise NotImplementedError(
+                "old-style JPEG TIFF without JPEGInterchangeFormat unsupported"
+            )
+        off = tags["jpeg_if"][0]
+        ln = tags.get("jpeg_if_len", [len(data) - off])[0]
+        g = decode_jpeg(data[off : off + ln])
+        if g.shape != (h, w):
+            raise ValueError("TIFF JPEGInterchangeFormat dimensions mismatch")
+        return g
+
+    tiled = "tile_offsets" in tags
+    if tiled:
+        try:
+            tw = tags["tile_w"][0]
+            tl = tags["tile_h"][0]
+            offsets = tags["tile_offsets"]
+            counts = tags["tile_counts"]
+        except KeyError as e:
+            raise ValueError(f"tiled TIFF missing required tag: {e}") from e
+        if tw % 16 or tl % 16 or tw == 0 or tl == 0:
+            raise ValueError("TIFF tile dimensions must be positive multiples of 16")
+        tiles_across = (w + tw - 1) // tw
+        tiles_down = (h + tl - 1) // tl
+        if len(offsets) < tiles_across * tiles_down:
+            raise ValueError("TIFF tile index truncated")
+    else:
+        try:
+            offsets = tags["strip_offsets"]
+            counts = tags["strip_counts"]
+        except KeyError as e:
+            raise ValueError(f"TIFF missing required tag: {e}") from e
+        rps = tags.get("rows_per_strip", [h])[0] or h
+
+    jpeg_tables = None
+    if jpeg_mode and "jpeg_tables" in tags:
+        jpeg_tables = bytes(bytearray(tags["jpeg_tables"]))
+
+    def decode_chunk(off: int, cnt: int, cw: int, ch: int) -> np.ndarray:
+        """One strip/tile → (ch, cw, spp) uint8 (JPEG chunks → spp=1 gray)."""
         chunk = data[off : off + cnt]
         if len(chunk) != cnt:
-            raise ValueError("TIFF strip truncated")
-        if comp in (8, 32946):  # Deflate (zlib-wrapped) per strip
+            raise ValueError("TIFF chunk truncated")
+        if comp == 7:
+            from .jpeg import decode_jpeg
+
+            g = decode_jpeg(_merge_jpeg_tables(jpeg_tables, chunk))
+            if g.shape != (ch, cw):
+                raise ValueError("TIFF JPEG chunk dimensions mismatch")
+            return g[:, :, None]
+        if comp in (8, 32946):  # Deflate (zlib-wrapped)
             import zlib
 
             try:
                 chunk = zlib.decompress(chunk)
             except zlib.error as e:
-                raise ValueError(f"corrupt deflate TIFF strip: {e}") from e
-        elif comp == 32773:  # PackBits RLE per strip
+                raise ValueError(f"corrupt deflate TIFF chunk: {e}") from e
+        elif comp == 32773:  # PackBits RLE
             chunk = _unpackbits(chunk)
-        elif comp == 5:  # LZW per strip
+        elif comp == 5:  # LZW
             chunk = _lzw_decode(chunk)
-        buf += chunk
-    need = h * w * spp
-    if len(buf) < need:
-        raise ValueError("TIFF pixel data truncated")
-    px = np.frombuffer(bytes(buf), np.uint8, count=need).reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing: undo via modular cumsum
-        px = (np.cumsum(px.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
-    if spp == 1:
+        need = ch * cw * spp
+        if len(chunk) < need:
+            raise ValueError("TIFF pixel data truncated")
+        px = np.frombuffer(bytes(chunk), np.uint8, count=need).reshape(ch, cw, spp)
+        if predictor == 2:  # horizontal differencing per scanline
+            px = (np.cumsum(px.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
+        return px
+
+    out_spp = 1 if comp == 7 else spp
+    if tiled:
+        px = np.zeros((tiles_down * tl, tiles_across * tw, out_spp), np.uint8)
+        for ty in range(tiles_down):
+            for tx in range(tiles_across):
+                k = ty * tiles_across + tx
+                tile = decode_chunk(offsets[k], counts[k], tw, tl)
+                px[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+        px = px[:h, :w]
+    else:
+        parts = []
+        remaining = h
+        for off, cnt in zip(offsets, counts):
+            ch = min(rps, remaining)
+            if ch <= 0:
+                break
+            parts.append(decode_chunk(off, cnt, w, ch))
+            remaining -= ch
+        if remaining > 0:
+            raise ValueError("TIFF pixel data truncated")
+        px = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    if out_spp == 1:
         g = px[:, :, 0]
-        if photometric == 0:  # white-is-zero
+        if photometric == 0 and comp != 7:  # white-is-zero
             g = 255 - g
-        return g.copy()
+        return np.ascontiguousarray(g)
     return rgb_to_gray(np.ascontiguousarray(px[:, :, :3]))
+
+
+def _merge_jpeg_tables(tables: bytes | None, stream: bytes) -> bytes:
+    """Assemble a standalone JPEG from a JPEGTables blob (TIFF tag 347,
+    abbreviated table-specification stream: SOI, DQT/DHT segments, EOI) and
+    an abbreviated per-chunk stream (SOI, frame/scan without the shared
+    tables). Writers that embed full streams pass through unchanged when no
+    tables blob exists; with one, the tables are spliced after the chunk's
+    SOI (the decoder reads tables in order, so chunk-local tables still
+    override the shared ones — TIFF-EP's prescribed semantics)."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("TIFF JPEG chunk missing SOI")
+    if not tables:
+        return stream
+    if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+        raise ValueError("corrupt JPEGTables blob")
+    return stream[:2] + tables[2:-2] + stream[2:]
 
 
 def _packbits(raw: bytes, row_bytes: int) -> bytes:
@@ -447,6 +543,189 @@ def _unpackbits(src: bytes) -> bytes:
             i += 1
         # n == 128: no-op
     return bytes(out)
+
+
+def _encode_ifd(bo: str, entries, ext_start: int) -> tuple[bytes, bytes]:
+    """Serialize IFD entries (tag, typ, values) with out-of-line value
+    blocks at ext_start (fixture writer shared by the strip/tile/JPEG
+    encoders). values: list[int] or raw bytes for typ 7."""
+    ext = bytearray()
+    recs = []
+    for tag, typ, vals in sorted(entries):
+        if isinstance(vals, (bytes, bytearray)):
+            count = len(vals)
+            raw = bytes(vals)
+        else:
+            fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
+            count = len(vals)
+            raw = b"".join(struct.pack(bo + fmt, v) for v in vals)
+        if len(raw) <= 4:
+            vf = raw.ljust(4, b"\x00")
+        else:
+            vf = struct.pack(bo + "I", ext_start + len(ext))
+            ext += raw
+            if len(ext) & 1:
+                ext += b"\x00"
+        recs.append(struct.pack(bo + "HHI", tag, typ, count) + vf)
+    ifd = struct.pack(bo + "H", len(recs)) + b"".join(recs) + struct.pack(bo + "I", 0)
+    return ifd, bytes(ext)
+
+
+def _assemble_tiff(bo: str, chunks: list[bytes], entries) -> bytes:
+    """Lay out header + chunk payloads + value blocks + IFD; chunk offsets
+    are appended to `entries` by the caller via the returned offset list —
+    so this computes offsets first, then builds."""
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    offs = []
+    pos = 8
+    for c in chunks:
+        offs.append(pos)
+        pos += len(c) + (len(c) & 1)
+    ifd, ext = _encode_ifd(bo, entries(offs), pos)
+    out = bytearray(magic)
+    out += struct.pack(bo + "I", pos + len(ext))  # IFD after value blocks
+    for c in chunks:
+        out += c
+        if len(c) & 1:
+            out += b"\x00"
+    out += ext + ifd
+    return bytes(out)
+
+
+def _compress_chunk(raw: bytes, compression: int, row_bytes: int) -> bytes:
+    if compression == 8:
+        import zlib
+
+        return zlib.compress(raw)
+    if compression == 32773:
+        return _packbits(raw, row_bytes)
+    if compression == 5:
+        return _lzw_encode(raw)
+    if compression == 1:
+        return raw
+    raise ValueError(f"encode compression {compression} unsupported")
+
+
+def encode_tiff_tiled(img: np.ndarray, tile: int = 64, compression: int = 1,
+                      big_endian: bool = False) -> bytes:
+    """Tile-organized 8-bit grayscale TIFF (fixture writer): tags 322-325,
+    edge tiles zero-padded to the tile grid per TIFF 6.0 §15."""
+    assert img.ndim == 2 and img.dtype == np.uint8
+    assert tile % 16 == 0
+    bo = ">" if big_endian else "<"
+    h, w = img.shape
+    ta = (w + tile - 1) // tile
+    td = (h + tile - 1) // tile
+    chunks = []
+    for ty in range(td):
+        for tx in range(ta):
+            t = np.zeros((tile, tile), np.uint8)
+            blk = img[ty * tile : ty * tile + tile, tx * tile : tx * tile + tile]
+            t[: blk.shape[0], : blk.shape[1]] = blk
+            chunks.append(_compress_chunk(t.tobytes(), compression, tile))
+
+    def entries(offs):
+        return [
+            (256, 3, [w]), (257, 3, [h]), (258, 3, [8]),
+            (259, 3, [compression]), (262, 3, [1]), (277, 3, [1]),
+            (284, 3, [1]), (322, 3, [tile]), (323, 3, [tile]),
+            (324, 4, offs), (325, 4, [len(c) for c in chunks]),
+        ]
+
+    return _assemble_tiff(bo, chunks, entries)
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG stream into (JPEGTables blob, abbreviated stream):
+    DQT/DHT segments move to the tables blob (SOI..EOI), the rest keeps its
+    order. Inverse of _merge_jpeg_tables up to segment order."""
+    assert stream[:2] == b"\xff\xd8"
+    tables = bytearray(b"\xff\xd8")
+    body = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows, copy the rest
+            body += stream[pos:]
+            break
+        seg_len = 2 + struct.unpack_from(">H", stream, pos + 2)[0]
+        seg = stream[pos : pos + seg_len]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            body += seg
+        pos += seg_len
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(body)
+
+
+def encode_tiff_jpeg(img: np.ndarray, quality: int = 90, tile: int | None = None,
+                     shared_tables: bool = False, big_endian: bool = False) -> bytes:
+    """New-style JPEG-in-TIFF (compression 7, fixture writer): one JPEG
+    stream per strip (single full-height strip) or per tile; with
+    shared_tables the DQT/DHT segments move to tag 347 (JPEGTables) and the
+    chunks become abbreviated streams — the TIFF-EP layout scanners emit."""
+    from .jpeg import encode_jpeg
+
+    assert img.ndim == 2 and img.dtype == np.uint8
+    bo = ">" if big_endian else "<"
+    h, w = img.shape
+    if tile is None:
+        chunks = [encode_jpeg(img, quality=quality)]
+    else:
+        assert tile % 16 == 0
+        ta = (w + tile - 1) // tile
+        td = (h + tile - 1) // tile
+        chunks = []
+        for ty in range(td):
+            for tx in range(ta):
+                t = np.zeros((tile, tile), np.uint8)
+                blk = img[ty * tile : ty * tile + tile, tx * tile : tx * tile + tile]
+                t[: blk.shape[0], : blk.shape[1]] = blk
+                chunks.append(encode_jpeg(t, quality=quality))
+    tables_blob = None
+    if shared_tables:
+        tables_blob, first = _split_jpeg_tables(chunks[0])
+        chunks = [first] + [_split_jpeg_tables(c)[1] for c in chunks[1:]]
+
+    def entries(offs):
+        es = [
+            (256, 3, [w]), (257, 3, [h]), (258, 3, [8]), (259, 3, [7]),
+            (262, 3, [1]), (277, 3, [1]), (284, 3, [1]),
+        ]
+        if tile is None:
+            es += [(273, 4, offs), (278, 3, [h]),
+                   (279, 4, [len(c) for c in chunks])]
+        else:
+            es += [(322, 3, [tile]), (323, 3, [tile]), (324, 4, offs),
+                   (325, 4, [len(c) for c in chunks])]
+        if tables_blob is not None:
+            es.append((347, 7, tables_blob))
+        return es
+
+    return _assemble_tiff(bo, chunks, entries)
+
+
+def encode_tiff_oldjpeg(img: np.ndarray, quality: int = 90,
+                        big_endian: bool = False) -> bytes:
+    """Old-style JPEG-in-TIFF (compression 6, fixture writer): the whole
+    interchange stream referenced by JPEGInterchangeFormat(513)/Length(514)."""
+    from .jpeg import encode_jpeg
+
+    assert img.ndim == 2 and img.dtype == np.uint8
+    bo = ">" if big_endian else "<"
+    h, w = img.shape
+    stream = encode_jpeg(img, quality=quality)
+
+    def entries(offs):
+        return [
+            (256, 3, [w]), (257, 3, [h]), (258, 3, [8]), (259, 3, [6]),
+            (262, 3, [1]), (277, 3, [1]), (284, 3, [1]),
+            (513, 4, offs), (514, 4, [len(stream)]),
+        ]
+
+    return _assemble_tiff(bo, [stream], entries)
 
 
 def encode_tiff(img: np.ndarray, big_endian: bool = False,

@@ -451,11 +451,11 @@ def test_bmp_tiff_roundtrip_and_contract():
     struct.pack_into("<I", rle4, 30, 2)  # BI_RLE4
     with pytest.raises(NotImplementedError):
         BT.decode_bmp(bytes(rle4))
-    jpgtif = bytearray(BT.encode_tiff(img))
-    ifd_off = struct.unpack_from("<I", jpgtif, 4)[0]
-    struct.pack_into("<H", jpgtif, ifd_off + 2 + 3 * 12 + 8, 7)  # JPEG-in-TIFF
+    faxtif = bytearray(BT.encode_tiff(img))
+    ifd_off = struct.unpack_from("<I", faxtif, 4)[0]
+    struct.pack_into("<H", faxtif, ifd_off + 2 + 3 * 12 + 8, 4)  # CCITT G4 fax
     with pytest.raises(NotImplementedError):
-        BT.decode_tiff(bytes(jpgtif))
+        BT.decode_tiff(bytes(faxtif))
     with pytest.raises(ValueError):
         BT.decode_bmp(b"BMxx")
     with pytest.raises(ValueError):
@@ -600,6 +600,59 @@ def test_tiff_deflate_and_packbits():
     ifd += _struct.pack("<I", 0)
     blob = b"II*\x00" + _struct.pack("<I", 8 + len(pix)) + pix + ifd
     assert np.array_equal(BT.decode_tiff(blob), page)
+
+
+def test_tiff_tiled_roundtrip():
+    """Tile-organized TIFF (tags 322-325): exact round-trip for every
+    supported lossless compression, both byte orders, edge tiles cropped."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+
+    rng = np.random.default_rng(9)
+    # 150x220 with tile=64 → ragged 3x4 grid exercises edge-tile cropping
+    img = rng.integers(0, 256, (150, 220), dtype=np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for be in (False, True):
+            blob = BT.encode_tiff_tiled(img, tile=64, compression=comp, big_endian=be)
+            assert np.array_equal(BT.decode_tiff(blob), img), (comp, be)
+    assert np.array_equal(K.decode_image(BT.encode_tiff_tiled(img)), img)
+
+
+def test_tiff_jpeg_compression_7_and_6():
+    """JPEG-in-TIFF: the decoded pixels must equal decode_jpeg of the same
+    underlying stream exactly (the plumbing adds no loss beyond JPEG's own),
+    across single-strip, tiled, shared-JPEGTables (tag 347, abbreviated
+    streams) and old-style JPEGInterchangeFormat (compression 6) layouts."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+    from ai_invoice_ocr_engine_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = np.full((150, 220), 255, np.uint8)
+    img[40:60, 30:190] = 50
+    img = (img.astype(int) + rng.integers(-5, 6, img.shape)).clip(0, 255).astype(np.uint8)
+    ref = decode_jpeg(encode_jpeg(img, quality=90))
+    # new-style, one full-height strip
+    assert np.array_equal(BT.decode_tiff(BT.encode_tiff_jpeg(img, quality=90)), ref)
+    # shared JPEGTables: merge path must reproduce the full-stream decode
+    assert np.array_equal(
+        BT.decode_tiff(BT.encode_tiff_jpeg(img, quality=90, shared_tables=True)), ref
+    )
+    # tiled, with and without shared tables: identical pixels either way
+    a = BT.decode_tiff(BT.encode_tiff_jpeg(img, quality=85, tile=64))
+    b = BT.decode_tiff(BT.encode_tiff_jpeg(img, quality=85, tile=64, shared_tables=True))
+    assert a.shape == img.shape and np.array_equal(a, b)
+    assert float(np.abs(a.astype(int) - img.astype(int)).mean()) < 4.0
+    # old-style compression 6 via JPEGInterchangeFormat
+    assert np.array_equal(BT.decode_tiff(BT.encode_tiff_oldjpeg(img, quality=90)), ref)
+    # big-endian container around little-endian JPEG payload
+    assert np.array_equal(
+        BT.decode_tiff(BT.encode_tiff_jpeg(img, quality=90, big_endian=True)), ref
+    )
+    # dispatch through the polymorphic reader
+    assert np.array_equal(K.decode_image(BT.encode_tiff_oldjpeg(img, quality=90)), ref)
 
 
 def test_jpeg_noninterleaved_baseline_scans():

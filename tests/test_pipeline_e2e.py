@@ -170,7 +170,13 @@ def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
 
     from ai_invoice_ocr_engine_spark import kernels as K
     from ai_invoice_ocr_engine_spark import oracle as O
-    from ai_invoice_ocr_engine_spark.bmptiff import encode_bmp, encode_tiff
+    from ai_invoice_ocr_engine_spark.bmptiff import (
+        encode_bmp,
+        encode_tiff,
+        encode_tiff_jpeg,
+        encode_tiff_oldjpeg,
+        encode_tiff_tiled,
+    )
     from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg
 
     media_rows = []
@@ -189,7 +195,21 @@ def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
         elif i % 5 == 3:
             m["image"] = encode_bmp(img)
         elif i % 5 == 4:
-            m["image"] = encode_tiff(img, big_endian=bool(i % 2))
+            # cycle the TIFF container family: plain strips, tiled,
+            # JPEG-in-TIFF strip, JPEG-in-TIFF tiled+shared-tables, old-style
+            variant = (i // 5) % 5
+            if variant == 0:
+                m["image"] = encode_tiff(img, big_endian=bool(i % 2))
+            elif variant == 1:
+                m["image"] = encode_tiff_tiled(img, tile=64, compression=5)
+            elif variant == 2:
+                m["image"] = encode_tiff_jpeg(img, quality=95)
+            elif variant == 3:
+                m["image"] = encode_tiff_jpeg(
+                    img, quality=95, tile=64, shared_tables=True
+                )
+            else:
+                m["image"] = encode_tiff_oldjpeg(img, quality=95)
         media_rows.append(m)
     mixed_path = str(tmp_path / "media_mixed5.parquet")
     spark.createDataFrame(

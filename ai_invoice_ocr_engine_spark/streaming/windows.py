@@ -17,8 +17,10 @@ These are the beyond-reference pieces a continuously-ingesting corpus needs:
     in the GroupState between micro-batches.
 
 Scale posture: state is per-key (user) and O(1) per key — a watermark bounds
-window state, the session state holds one open session per user. Both
-operators shuffle once on the grouping key and then stream.
+window state, the session state holds one open session per user AND idle
+keys are evicted by a processing-time timeout (emit-and-clear), so state is
+bounded by ACTIVE users, not every user_id ever seen. Both operators shuffle
+once on the grouping key and then stream.
 """
 
 from __future__ import annotations
@@ -81,11 +83,36 @@ def windowed_event_stats(
     )
 
 
+#: default idle eviction: a user silent for this long (processing time) has
+#: their open session emitted and their state cleared — keyed state stays
+#: bounded by ACTIVE users instead of growing with every user_id ever seen
+IDLE_TIMEOUT_MS = 3_600_000
+
+
 def _session_fn(
-    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    idle_timeout_ms: int | None = IDLE_TIMEOUT_MS,
 ) -> Iterator[pd.DataFrame]:
     """Fold this micro-batch's events (sorted by time) into the per-user
-    open-session state; emit every session the gap closes."""
+    open-session state; emit every session the gap closes. On an idle
+    timeout the open session is emitted and the key's state removed
+    (emit-and-clear — the same trade the watermark makes for late data:
+    an event arriving after eviction starts a fresh session)."""
+    if state.hasTimedOut:
+        open_s = tuple(state.get) if state.exists else None
+        state.remove()
+        if open_s is not None:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [open_s[0]],
+                    "session_end": [open_s[1]],
+                    "n_events": [open_s[2]],
+                }
+            )
+        return
     es: list[int] = []
     for pdf in pdfs:
         es.extend(int(v) for v in pdf["es"])
@@ -112,6 +139,8 @@ def _session_fn(
             open_s = (open_s[0], max(open_s[1], t), open_s[2] + 1)
     if open_s is not None:
         state.update(open_s)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
     if closed:
         yield pd.DataFrame(
             {
@@ -123,7 +152,9 @@ def _session_fn(
         )
 
 
-def stateful_sessions(events: DataFrame) -> DataFrame:
+def stateful_sessions(
+    events: DataFrame, idle_timeout_ms: int | None = IDLE_TIMEOUT_MS
+) -> DataFrame:
     """events(user_id, ts) → closed sessions via explicit keyed state.
 
     Ordering contract: WITHIN a micro-batch events may arrive in any order
@@ -131,17 +162,26 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
     session's span folds in safely, while an event older than the open
     session's START is DROPPED (it may belong to an already-emitted
     session, which append mode can never reopen — the same trade a
-    watermark makes for the built-in session_window). The final open
-    session per user remains in state — exactly the sessions a batch job
-    cannot prove closed either.
+    watermark makes for the built-in session_window). A user idle for
+    ``idle_timeout_ms`` of processing time has their open session emitted
+    and their keyed state REMOVED (state stays bounded by active users on
+    an unbounded-key stream); ``None`` disables eviction and keeps the
+    final open session per user in state.
     """
+    import functools
+
+    fn = functools.partial(_session_fn, idle_timeout_ms=idle_timeout_ms)
     prepped = events.select("user_id", F.unix_timestamp("ts").alias("es"))
     return prepped.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        fn,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -280,8 +280,13 @@ def decode_audio(data: bytes) -> np.ndarray:
         return decode_syna(data)
     if data[:4] == b"RIFF":
         return decode_wav(data)
-    if data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
-        raise NotImplementedError("mp3 decode is a codec seam")
+    if data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        # generic MPEG frame sync (11 set bits) routes every MPEG-1/2/2.5
+        # layer and ADTS AAC variant (0xFFFB/FA/F3/F2/F1/E_) to the codec
+        # seam, not the unknown-format error (ADVICE r2 #4)
+        raise NotImplementedError("mp3/aac decode is a codec seam")
     raise ValueError("unknown audio format")
 
 

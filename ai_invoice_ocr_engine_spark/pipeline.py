@@ -15,10 +15,11 @@ Scale design decisions:
   * The Python boundary is crossed ONCE per document batch — a single fused
     mapInPandas does decode→detect→recognize→layout (SURVEY.md §4, the
     JVM↔Python Arrow tax is the dominant cost per the CIDR'22 UDF paper).
-  * Media side: 'broadcast' (media dict shipped once per executor — zero
-    shuffle, only valid while the media table fits in memory) or 'join'
-    (explode + equi-join + re-group; AQE plans broadcast vs SMJ and splits
-    skewed doc_id groups). 'auto' picks by media table size.
+  * Media side: 'auto'/'frames' (the default frame-deduplicated plan —
+    OCR once per distinct media_ref, merge in Catalyst), 'broadcast'
+    (media dict shipped once per executor — zero shuffle, only valid while
+    the media table fits in memory) or 'join' (explode + equi-join +
+    re-group; AQE plans broadcast vs SMJ and splits skewed doc_id groups).
   * Media bytes are deduplicated per (doc_id, media_ref) BEFORE the join so
     a doc referencing the same frame twice ships it once.
   * Skew: media-heavy documents cluster into few bucket(doc_id) partitions
@@ -32,6 +33,7 @@ Scale design decisions:
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -87,8 +89,6 @@ LINEAGE_SCHEMA = StructType(
     ]
 )
 
-#: media table bytes under which 'auto' picks the broadcast strategy
-BROADCAST_MEDIA_LIMIT = 256 * 1024 * 1024
 
 
 #: per-python-worker media side-input cache (the reference's config-hash
@@ -281,6 +281,31 @@ def _ocr_frame_batches(
         yield pd.DataFrame({"media_ref": refs, "lines": lines_out})
 
 
+def _media_plan_transforms_bytes(media: DataFrame) -> bool:
+    """True when the media DataFrame's plan COMPUTES its image column
+    (resize_frames etc.) rather than scanning it — blob mode would silently
+    OCR the on-disk originals instead (ADVICE r2 #3). Detection: an Alias
+    defining `image` in the analyzed plan, or any Python-evaluation node
+    (mapInPandas / pandas UDF / row UDF) upstream of it."""
+    import re
+
+    if "image" not in media.columns:
+        return False
+    plan = media._jdf.queryExecution().analyzed().toString()
+    if re.search(r"AS image#\d", plan):
+        return True
+    return any(
+        marker in plan
+        for marker in (
+            "MapInPandas",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "FlatMapGroupsInPandas",
+            "MapElements",
+        )
+    )
+
+
 def extract_frames(
     docs: DataFrame,
     media: DataFrame,
@@ -338,6 +363,14 @@ def extract_frames(
         # scan→blob once per node, then zero-copy mmap into each worker.
         # Eliminates the byte shuffle AND the JVM→Arrow→Python byte copies —
         # the frames plan's remaining bandwidth tax at full core width.
+        if _media_plan_transforms_bytes(media):
+            raise ValueError(
+                "media_side_path (blob mode) reads image bytes from the "
+                "on-disk parquet, but this media DataFrame COMPUTES its "
+                "image column (e.g. resize_frames) — the transformed bytes "
+                "would be silently ignored. Pass media_side_path=None so "
+                "the transformed bytes ride the shuffle."
+            )
         blob_path = build_media_blob(media_side_path)
         # The `media` DataFrame still gates WHICH refs run (a caller may
         # have filtered it); the gate joins ref strings only, never bytes —
@@ -500,6 +533,13 @@ def extract(
 
     if media_strategy == "broadcast":
         if media_side_path is not None:
+            if _media_plan_transforms_bytes(media):
+                raise ValueError(
+                    "media_side_path (blob mode) reads image bytes from the "
+                    "on-disk parquet, but this media DataFrame COMPUTES its "
+                    "image column — pass media_side_path=None so the "
+                    "transformed bytes are collected instead."
+                )
             blob_path = build_media_blob(media_side_path)
             fn = lambda it: _run_extract_batches(  # noqa: E731
                 it, cfg, weights_bc=weights_bc, media_side_path=blob_path
@@ -575,6 +615,41 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+#: bucket layout identifier recorded in the run manifest (sources/tables.py:
+#: Iceberg's bucket transform is murmur3-based and assigns doc_ids to
+#: DIFFERENT bucket numbers — one table must never mix the two layouts)
+BUCKET_LAYOUT = "parquet-xxhash64"
+
+
+def _check_manifest(out_dir: str, num_buckets: int) -> None:
+    """Fail fast when rerunning into an out_dir written under a different
+    bucket layout: dynamic partition overwrite only replaces buckets present
+    in the NEW result, so a num_buckets change would leave stale partitions
+    from the old layout — self-consistent lineage included, meaning a doc
+    could appear under two layouts while verify_lineage still reports ok.
+    The manifest pins (num_buckets, layout) at first write. At cluster
+    scale the same record belongs in the catalog's table properties."""
+    path = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if (
+            prev.get("num_buckets") != num_buckets
+            or prev.get("layout") != BUCKET_LAYOUT
+        ):
+            raise ValueError(
+                f"out_dir {out_dir!r} was written with "
+                f"num_buckets={prev.get('num_buckets')} layout={prev.get('layout')!r}; "
+                f"rerunning with num_buckets={num_buckets} layout={BUCKET_LAYOUT!r} "
+                "would strand stale bucket partitions. Use a fresh out_dir "
+                "(or delete the old one) to change the bucket layout."
+            )
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"num_buckets": num_buckets, "layout": BUCKET_LAYOUT}, f)
+
+
 def run_extract(
     spark: SparkSession,
     docs_path: str,
@@ -599,6 +674,7 @@ def run_extract(
     run_id = run_id or uuid.uuid4().hex[:12]
     spans_dir = os.path.join(out_dir, "spans")
     lineage_dir = os.path.join(out_dir, "lineage")
+    _check_manifest(out_dir, num_buckets)
 
     docs = with_bucket(spark.read.parquet(docs_path), num_buckets)
     media = spark.read.parquet(media_path)

@@ -507,6 +507,16 @@ def q_dedup_clusters(spark, sf):
     return D.connected_components_labels(pairs)
 
 
+def q_dedup_clusters_star(spark, sf):
+    """Same cluster assignment computed by the O(log n)-round
+    large-star/small-star alternation (functions/dedup.py:
+    connected_components_star, VERDICT r2 next-step #7) — the drop-in for
+    chain-shaped graphs where min-label propagation needs O(diameter)
+    rounds. Identical fixpoint, so it shares the recursive-CTE oracle."""
+    pairs = D.minhash_band_pairs(_corpus(spark, sf))
+    return D.connected_components_star(pairs)
+
+
 _SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_minhash_ctes(12, 3)},
 pairs AS (
@@ -1452,6 +1462,58 @@ FROM q GROUP BY quartile
 """
 
 
+def q_quartiles_bucketed(spark, sf):
+    """Scale-safe spend quartiles (VERDICT r2 'weak' #1 fix): sketch
+    cut-points broadcast + projection assignment — no global
+    single-partition sort (operators/quantiles.py, plan-pinned in
+    tests/test_plan_quality.py). Approximate by design, so the
+    driver-checkable output is a GATE (the ann_ivf_probed pattern): the
+    exact ntile assignment — the query it replaces at scale — serves as
+    the oracle, and the gate asserts >= 97% per-customer agreement plus
+    every bucket within 10% of N/4. The oracle SQL hard-codes the expected
+    gate row."""
+    from .operators.quantiles import quantile_buckets
+
+    o = _t(spark, sf, "orders")
+    totals = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    approx = quantile_buckets(
+        totals, "spend", n_buckets=4, bucket_col="quartile_approx"
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    exact = totals.select(
+        "o_custkey", F.ntile(4).over(w).alias("quartile_exact")
+    )
+    joined = approx.join(exact, "o_custkey")
+    agree = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("quartile_approx") == F.col("quartile_exact")).cast("int")
+        ).alias("n_agree"),
+    )
+    sizes = (
+        joined.groupBy("quartile_approx")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("max_bucket"), F.min("c").alias("min_bucket"))
+    )
+    gate = agree.crossJoin(sizes)
+    return gate.select(
+        F.lit(4).alias("n_buckets"),
+        (F.col("n_agree") >= F.col("n") * 0.97).alias("agreement_ok"),
+        (
+            (F.col("max_bucket") <= F.col("n") / 4 * 1.10)
+            & (F.col("min_bucket") >= F.col("n") / 4 * 0.90)
+        ).alias("balance_ok"),
+    )
+
+
+# Expected gate outcome: cut-points at accuracy=10000 are near-exact at the
+# driver's SF tiers, so assignment disagreement is confined to cut-point
+# ties and bucket sizes stay within 10% of N/4.
+_SQL_QUARTILES_BUCKETED_GATE = """
+SELECT 4 AS n_buckets, true AS agreement_ok, true AS balance_ok
+"""
+
+
 def q_left_outer_counts(spark, sf):
     """LEFT OUTER join + count(col) null semantics: customers keep a row
     even with zero orders (count of a NULL column is 0, sum coalesced)."""
@@ -1769,6 +1831,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash, _SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, _SQL_DEDUP_SIMHASH),
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_star": (q_dedup_clusters_star, _SQL_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, _SQL_ANN_COSINE),
     "ann_batch_topk": (q_ann_batch_topk, _SQL_ANN_BATCH),
     "ann_lsh_histogram": (q_ann_lsh_histogram, _SQL_ANN_LSH),
@@ -1803,6 +1866,7 @@ REGISTRY: dict[str, tuple] = {
     "left_outer_counts": (q_left_outer_counts, _SQL_LEFT_OUTER),
     "order_gap_days": (q_order_gap_days, _SQL_ORDER_GAPS),
     "ntile_spend_quartiles": (q_ntile_spend_quartiles, _SQL_NTILE),
+    "quartiles_bucketed": (q_quartiles_bucketed, _SQL_QUARTILES_BUCKETED_GATE),
     "range_moving_avg": (q_range_moving_avg, _SQL_RANGE_MOVAVG),
     "deterministic_split": (q_deterministic_split, _SQL_DET_SPLIT),
     "approx_quantiles_gate": (q_approx_quantiles_gate, _SQL_APPROX_QUANTILES),

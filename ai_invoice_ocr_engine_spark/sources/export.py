@@ -61,3 +61,122 @@ def write_text(result: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+# Excel's hard worksheet limit — also the honest scale bound for a
+# single-file sink: xlsx export is a driver-side materialization by nature
+# (the reference's to_excel, utils/export.py:16-25, is too).
+XLSX_MAX_ROWS = 1_048_576
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _col_letter(i: int) -> str:
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(65 + r) + out
+    return out
+
+
+def _sheet_xml(header: list[str], rows) -> str:
+    parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>']
+
+    def row_xml(r_idx: int, values) -> str:
+        cells = []
+        for c_idx, v in enumerate(values):
+            ref = f"{_col_letter(c_idx)}{r_idx}"
+            if isinstance(v, bool):
+                cells.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
+            elif isinstance(v, (int, float)) and v == v:  # not NaN
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            elif v is None:
+                cells.append(f'<c r="{ref}"/>')
+            else:
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                    f"{_xml_escape(str(v))}</t></is></c>"
+                )
+        return f'<row r="{r_idx}">{"".join(cells)}</row>'
+
+    parts.append(row_xml(1, header))
+    for i, row in enumerate(rows, start=2):
+        parts.append(row_xml(i, row))
+    parts.append("</sheetData></worksheet>")
+    return "".join(parts)
+
+
+def write_xlsx(result: DataFrame, path: str, max_rows: int = XLSX_MAX_ROWS) -> str:
+    """S5 analog of the reference's ``to_excel`` (utils/export.py:16-25,
+    CLI ``-f xlsx`` cli.py:33-38): the flat_spans projection serialized as
+    a minimal OOXML workbook — a zip of five XML parts with inline strings,
+    no third-party dependency.
+
+    A worksheet is a single driver-side file capped at Excel's own
+    1,048,576-row limit, so the flat rows stream through toLocalIterator
+    (no executor-side fan-in, no full collect) and the cap fails loudly;
+    bulk exports belong in the distributed csv/json sinks.
+    """
+    import os
+    import zipfile
+
+    flat = flat_spans(result)
+    header = flat.columns
+    n = 0
+    rows_iter = (tuple(r) for r in flat.toLocalIterator())
+
+    def counted():
+        nonlocal n
+        for r in rows_iter:
+            n += 1
+            if n + 1 > max_rows:  # +1: header occupies row 1
+                raise ValueError(
+                    f"xlsx sink exceeds {max_rows} rows (Excel's worksheet "
+                    "limit); use write_csv/write_json for bulk exports"
+                )
+            yield r
+
+    sheet = _sheet_xml(header, counted())
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="spans" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return path

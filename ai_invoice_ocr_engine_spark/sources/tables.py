@@ -4,10 +4,13 @@ otherwise.
 The north_rule targets Iceberg tables partitioned by ``bucket(doc_id)``.
 This sandbox has no Iceberg runtime jars, so the same logical layout is
 realized on parquet: an explicit ``bucket = pmod(xxhash64(doc_id), P)``
-column + ``partitionBy("bucket")`` — byte-compatible with what an Iceberg
-``bucket(P, doc_id)`` partition transform computes for resume/lineage
-purposes (both are hash-mod partitionings keyed on doc_id; the lineage
-anti-join only needs a stable doc_id→partition map).
+column + ``partitionBy("bucket")``. NOTE the two layouts are structurally
+equivalent but NOT bucket-for-bucket identical: Iceberg's ``bucket(P,
+doc_id)`` transform hashes with murmur3_32, this parquet fallback with
+Spark's xxhash64, so the same doc_id lands in different bucket numbers
+under the two schemes. Resume/lineage only needs a STABLE doc_id→partition
+map within one table, which both provide — but a single table must never
+mix the two layouts (the run manifest records which one is in use).
 
 On a cluster with Iceberg configured (spark.sql.catalog.* set and the
 runtime jar on the classpath), pass an ``iceberg://catalog.db.table``

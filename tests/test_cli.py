@@ -55,6 +55,14 @@ def test_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.splitlines()[-1])["docs"] == 40
 
+    r = _run("export", "--spans", f"{out}/spans",
+             "--out", str(tmp_path / "ex.xlsx"),
+             "--format", "xlsx", "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    import zipfile
+
+    assert zipfile.is_zipfile(tmp_path / "ex.xlsx")
+
     r = _run("verify-lineage", "--out", out, "--master", "local[4]")
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.splitlines()[-1])["ok"] is True

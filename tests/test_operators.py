@@ -101,3 +101,24 @@ def test_approx_distinct_within_tolerance(spark):
     for k, n in exact.items():
         assert rows[k].exact_parts == n
         assert rows[k].approx_ok, (k, n)
+
+
+def test_quantile_buckets_semantics(spark):
+    """Bucketed quantile assignment: monotone by value, both directions,
+    and near-balanced on a uniform column (sketch accuracy bound)."""
+    from ai_invoice_ocr_engine_spark.operators.quantiles import quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "id int, v double")
+    desc = quantile_buckets(df, "v", n_buckets=4, bucket_col="b").collect()
+    by_id = {r["id"]: r["b"] for r in desc}
+    # descending: larger value -> smaller-or-equal bucket id, extremes pinned
+    assert by_id[999] == 1 and by_id[0] == 4
+    ordered = [by_id[i] for i in range(1000)]
+    assert all(a >= b for a, b in zip(ordered, ordered[1:]))
+    sizes = sorted(
+        __import__("collections").Counter(ordered).values()
+    )
+    assert sizes[0] >= 200 and sizes[-1] <= 300  # ~250 each
+    asc = quantile_buckets(df, "v", n_buckets=4, bucket_col="b", descending=False)
+    by_id_a = {r["id"]: r["b"] for r in asc.collect()}
+    assert by_id_a[0] == 1 and by_id_a[999] == 4

@@ -167,6 +167,50 @@ def test_export_sinks(spark, corpus, tmp_path):
     write_json(res, str(tmp_path / "json"), run_id="t")
     back = spark.read.json(str(tmp_path / "json"))
     assert back.count() == 10 and "version" in back.columns
+
+    # S5 xlsx (reference utils/export.py:16-25 to_excel): round-trip the
+    # OOXML zip and compare cell values against the flat projection
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from ai_invoice_ocr_engine_spark.sources.export import write_xlsx
+
+    xp = str(tmp_path / "spans.xlsx")
+    write_xlsx(res, xp)
+    with zipfile.ZipFile(xp) as z:
+        assert set(z.namelist()) >= {
+            "[Content_Types].xml", "xl/workbook.xml", "xl/worksheets/sheet1.xml"
+        }
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    root = ET.fromstring(sheet)
+    rows = root.findall(".//m:row", ns)
+    assert len(rows) == n_spans + 1  # header + one row per span
+
+    def cell_val(c):
+        if c.get("t") == "inlineStr":
+            return c.find("m:is/m:t", ns).text or ""
+        v = c.find("m:v", ns)
+        return v.text if v is not None else None
+
+    header = [cell_val(c) for c in rows[0].findall("m:c", ns)]
+    assert header == ["doc_id", "idx", "kind", "text", "media_ref"]
+    got = sorted(
+        tuple(cell_val(c) for c in r.findall("m:c", ns)) for r in rows[1:]
+    )
+    want = sorted(
+        (r["doc_id"], str(r["idx"]), r["kind"], r["text"] or "", r["media_ref"] or "")
+        for r in flat.collect()
+    )
+    # empty strings serialize as empty inline cells; normalize Nones
+    got = sorted(tuple("" if v is None else v for v in t) for t in got)
+    assert got == want
+
+    # the Excel row cap fails loudly instead of writing a corrupt sheet
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="worksheet"):
+        write_xlsx(res, str(tmp_path / "over.xlsx"), max_rows=5)
     res.unpersist()
 
 

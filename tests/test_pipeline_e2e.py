@@ -265,3 +265,30 @@ def test_rotated_media_ocr_equals_upright_golden(spark, corpus, tmp_path):
         media_strategy="frames",
     )
     assert_span_equal(spans_key(result.collect()), golden)
+
+
+def test_blob_mode_rejects_transformed_media_bytes(spark, corpus, tmp_path):
+    """ADVICE r2 #3: blob mode OCRs the on-disk originals, so composing it
+    with a media plan that computes new image bytes (resize_frames) must
+    fail loudly instead of silently ignoring the transform. A filtered /
+    projected media plan (no byte computation) still passes the gate."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ai_invoice_ocr_engine_spark.functions.multimodal import resize_frames
+
+    docs = spark.read.parquet(corpus["docs_path"])
+    media = spark.read.parquet(corpus["media_path"])
+    resized = resize_frames(media, 64, 64)
+    with _pytest.raises(ValueError, match="COMPUTES its image column"):
+        extract(
+            docs, resized, ExtractConfig(),
+            media_strategy="frames", media_side_path=corpus["media_path"],
+        )
+    # a pure filter keeps blob mode available (refs gate, bytes from disk)
+    filtered = media.where(F.xxhash64("media_ref") % 2 == 0)
+    out = extract(
+        docs, filtered, ExtractConfig(),
+        media_strategy="frames", media_side_path=corpus["media_path"],
+    )
+    assert out.count() > 0

@@ -155,3 +155,27 @@ def test_no_resume_rerun_keeps_lineage_consistent(spark, corpus, tmp_path):
     assert lin.count() == lin.select("partition_id").distinct().count()
     report = verify_lineage(spark, out)
     assert report["ok"], report
+
+
+def test_rerun_with_different_num_buckets_fails_fast(spark, corpus, tmp_path):
+    """ADVICE r2: dynamic partition overwrite only replaces buckets present
+    in the new result, so a num_buckets change on an existing out_dir would
+    strand stale partitions (with self-consistent lineage). The run manifest
+    pins the layout and the rerun must fail fast."""
+    import pytest as _pytest
+
+    from ai_invoice_ocr_engine_spark.pipeline import run_extract
+
+    out = str(tmp_path / "out_nb")
+    run_extract(
+        spark, corpus["docs_path"], corpus["media_path"], out, num_buckets=8
+    )
+    with _pytest.raises(ValueError, match="num_buckets=8"):
+        run_extract(
+            spark, corpus["docs_path"], corpus["media_path"], out, num_buckets=16
+        )
+    # same layout still resumes cleanly
+    stats = run_extract(
+        spark, corpus["docs_path"], corpus["media_path"], out, num_buckets=8
+    )
+    assert stats["docs"] == 0 and stats["buckets_skipped"] == 8

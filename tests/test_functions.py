@@ -361,3 +361,50 @@ def test_wav_codec_and_polymorphic_audio(spark):
     rows = {r["media_ref"]: r for r in M.audio_features(df, window=512).collect()}
     assert rows["a0"]["n_samples"] == rows["a1"]["n_samples"] == 2048
     assert rows["a0"]["rms"] == rows["a1"]["rms"]  # same samples, two containers
+
+
+def test_simhash_skew_guard_pathological_bucket(spark):
+    """VERDICT r2 next-step #6: a near-identical corpus shares one band's
+    bits, so one (band, value) bucket holds every doc and the candidate
+    self-join goes quadratic despite pigeonhole exactness. The bucket-size
+    cap re-splits oversized buckets with a second pigeonhole level —
+    row-count asserted: candidates collapse from ~n^2/2 to near the true
+    pair count, and the final pair set is IDENTICAL to the unguarded one."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark.functions.dedup import simhash_candidates
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(17)
+    n = 600
+    rows = []
+    # every hash shares band 0 (low 12 bits) = 0xABC; upper 48 bits random
+    # (pairwise Hamming ~24 >> 4), except 10 planted near-dup pairs
+    for i in range(n):
+        hi = int(rng.integers(0, 1 << 48))
+        rows.append((f"p{i:04d}", (hi << 12) | 0xABC))
+    for j in range(10):
+        base = rows[j][1]
+        rows.append((f"q{j:04d}", base ^ (1 << (20 + j))))  # Hamming 1
+    hashes = spark.createDataFrame(rows, "doc_id string, simhash long")
+
+    unguarded = simhash_candidates(hashes, max_bucket=None)
+    guarded = simhash_candidates(hashes, max_bucket=100)
+    n_un = unguarded.count()
+    n_g = guarded.count()
+    assert n_un >= (n * (n - 1)) // 2  # the quadratic blowup being guarded
+    assert n_g < n_un // 20  # candidates collapse by >20x
+    # exactness: identical final pair sets after the Hamming verify
+    def pairs(cand):
+        return sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in cand.withColumn("h", F.expr("bit_count(sim_a ^ sim_b)"))
+            .where(F.col("h") <= 4)
+            .select("doc_a", "doc_b")
+            .distinct()
+            .collect()
+        )
+
+    want = pairs(unguarded)
+    assert pairs(guarded) == want
+    assert len(want) == 10  # exactly the planted near-dups

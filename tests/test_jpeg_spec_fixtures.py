@@ -1,0 +1,242 @@
+"""Decoder-independent JPEG fixtures (ADVICE r2 #5).
+
+The JPEG decoder was previously pinned only against the module's own
+encoder, so a mirrored encode/decode bug (Huffman build, bit conventions)
+could pass round-trips yet fail on real scanner output. These fixtures are
+assembled BY HAND from ITU-T T.81: Annex K's published Huffman tables,
+hand-packed entropy bits, and DC-only blocks whose decoded pixels follow
+analytically from the spec (IDCT of a DC-only block is the constant
+dequant(DC)/8, level-shifted by +128; with q0 = 8 the pixel value is
+exactly DC + 128). No code path of jpeg.py's encoder is involved.
+"""
+
+import numpy as np
+
+from ai_invoice_ocr_engine_spark.jpeg import decode_jpeg
+
+# ITU-T T.81 Annex K.3.3.1/2 — the published Huffman table specs
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+# AC tables: only the EOB code is exercised (DC-only blocks), but the DHT
+# segments carry the full published tables
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _codes(bits, vals):
+    """Canonical Huffman assignment of T.81 Annex C: codes of length L are
+    consecutive, starting from 2*(next code after length L-1)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BW:
+    """MSB-first bit packer with 0x00 stuffing after 0xFF (T.81 B.1.1.5)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def done(self):
+        while self.n:  # pad with 1-bits per spec
+            self.put(1, 1)
+        return bytes(self.out)
+
+
+def _put_dc(bw, codes, diff):
+    """DC coefficient: category code + `category` magnitude bits (F.1.2.1;
+    negative values use the one's-complement convention)."""
+    cat = 0 if diff == 0 else int(diff if diff > 0 else -diff).bit_length()
+    code, ln = codes[cat]
+    bw.put(code, ln)
+    if cat:
+        v = diff if diff > 0 else diff + (1 << cat) - 1
+        bw.put(v, cat)
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _dqt(tid, table64):
+    return _seg(0xDB, bytes([tid]) + bytes(table64))
+
+
+def _dht(tc, th, bits, vals):
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+# flat quant table q=8 everywhere: dequant(DC)/8 = DC, so pixel = DC + 128
+_Q8 = [8] * 64
+
+
+def _sof0(h, w, comps):
+    """comps: list of (cid, hsamp, vsamp, tq)."""
+    payload = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    payload += bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        payload += bytes([cid, (hs << 4) | vs, tq])
+    return _seg(0xC0, payload)
+
+
+def _sos(comps):
+    """comps: list of (cid, dc_table, ac_table)."""
+    payload = bytes([len(comps)])
+    for cid, td, ta in comps:
+        payload += bytes([cid, (td << 4) | ta])
+    payload += bytes([0, 63, 0])
+    return _seg(0xDA, payload)
+
+
+def test_hand_assembled_grayscale_dc_only():
+    """16x16 grayscale, 4 DC-only blocks with absolute DC values
+    (-100, -20, 30, 90): expected pixels are exactly DC + 128 per the
+    DC-only IDCT identity — no repo encoder involved."""
+    dc_abs = [-100, -20, 30, 90]
+    dcc = _codes(DC_LUM_BITS, DC_LUM_VALS)
+    acc = _codes(AC_LUM_BITS, AC_LUM_VALS)
+    bw2 = _BW()
+    pred = 0
+    for a in dc_abs:
+        _put_dc(bw2, dcc, a - pred)
+        pred = a
+        bw2.put(acc[0x00][0], acc[0x00][1])  # EOB ends the block after DC
+    stream = (
+        b"\xff\xd8"
+        + _dqt(0, _Q8)
+        + _sof0(16, 16, [(1, 1, 1, 0)])
+        + _dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+        + _dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+        + _sos([(1, 0, 0)])
+        + bw2.done()
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(stream)
+    assert img.shape == (16, 16)
+    # blocks in raster order: TL, TR, BL, BR
+    expect = [v + 128 for v in dc_abs]
+    assert int(img[0, 0]) == expect[0] and int(img[0, 15]) == expect[1]
+    assert int(img[15, 0]) == expect[2] and int(img[15, 15]) == expect[3]
+    for (sy, sx), e in zip([(0, 0), (0, 8), (8, 0), (8, 8)], expect):
+        blk = img[sy : sy + 8, sx : sx + 8]
+        assert blk.min() == blk.max() == e
+
+
+def test_hand_assembled_single_block_and_odd_size():
+    """8x8 single block, and a 12x10 image (one padded MCU cropped to the
+    declared frame size): DC+128 everywhere."""
+    dcc = _codes(DC_LUM_BITS, DC_LUM_VALS)
+    acc = _codes(AC_LUM_BITS, AC_LUM_VALS)
+    for h, w in ((8, 8), (12, 10)):
+        bw = _BW()
+        blocks_x = (w + 7) // 8
+        blocks_y = (h + 7) // 8
+        pred = 0
+        for _ in range(blocks_x * blocks_y):
+            _put_dc(bw, dcc, 55 - pred)
+            pred = 55
+            bw.put(acc[0x00][0], acc[0x00][1])
+        stream = (
+            b"\xff\xd8" + _dqt(0, _Q8) + _sof0(h, w, [(1, 1, 1, 0)])
+            + _dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+            + _dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+            + _sos([(1, 0, 0)]) + bw.done() + b"\xff\xd9"
+        )
+        img = decode_jpeg(stream)
+        assert img.shape == (h, w)
+        assert img.min() == img.max() == 55 + 128
+
+
+def test_hand_assembled_ycbcr_420_neutral_chroma():
+    """3-component 4:2:0, one MCU (16x16): four Y blocks with distinct DC
+    values, chroma DC = 0 → Cb = Cr = 128 (neutral), so the decoded
+    grayscale equals the Y plane exactly under BT.601 (the decoder's own
+    documented conversion maps neutral chroma to gray == Y)."""
+    y_abs = [-80, -10, 40, 100]
+    dly = _codes(DC_LUM_BITS, DC_LUM_VALS)
+    aly = _codes(AC_LUM_BITS, AC_LUM_VALS)
+    dch = _codes(DC_CHR_BITS, DC_CHR_VALS)
+    ach = _codes(AC_CHR_BITS, AC_CHR_VALS)
+    bw = _BW()
+    pred_y = 0
+    for a in y_abs:  # 4 Y blocks of the single interleaved MCU
+        _put_dc(bw, dly, a - pred_y)
+        pred_y = a
+        bw.put(aly[0x00][0], aly[0x00][1])
+    for _ in range(2):  # Cb then Cr, DC diff 0
+        _put_dc(bw, dch, 0)
+        bw.put(ach[0x00][0], ach[0x00][1])
+    stream = (
+        b"\xff\xd8"
+        + _dqt(0, _Q8) + _dqt(1, _Q8)
+        + _sof0(16, 16, [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)])
+        + _dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+        + _dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+        + _dht(0, 1, DC_CHR_BITS, DC_CHR_VALS)
+        + _dht(1, 1, AC_CHR_BITS, AC_CHR_VALS)
+        + _sos([(1, 0, 0), (2, 1, 1), (3, 1, 1)])
+        + bw.done()
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(stream)
+    assert img.shape == (16, 16)
+    expect = [v + 128 for v in y_abs]
+    for (sy, sx), e in zip([(0, 0), (0, 8), (8, 0), (8, 8)], expect):
+        blk = img[sy : sy + 8, sx : sx + 8].astype(int)
+        # neutral chroma: gray == Y exactly (allow ±1 for the decoder's
+        # fixed-point YCbCr→gray rounding)
+        assert abs(blk - e).max() <= 1

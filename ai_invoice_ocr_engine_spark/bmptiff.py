@@ -10,10 +10,11 @@ Scope mirrors what a scanner/export pipeline actually emits:
         PackBits, new-style JPEG (compression 7, strip- or tile-organized,
         with or without a shared JPEGTables tag) and old-style JPEG
         (compression 6 via JPEGInterchangeFormat — the form real writers
-        emit), chunky planar, 8-bit grayscale (white/black-is-zero) or
-        RGB(A), strip- OR tile-organized, either byte order,
-        horizontal-differencing predictor. Fax codecs (2/3/4) raise
-        NotImplementedError.
+        emit), CCITT fax G4/T.6 (compression 4) + MH (compression 2) and
+        1-bit packed bilevel via fax.py, chunky planar, 8-bit grayscale
+        (white/black-is-zero) or RGB(A), strip- OR tile-organized, either
+        byte order, horizontal-differencing predictor. Compression 3
+        (T.4 with EOLs) raises NotImplementedError.
 Malformed containers raise ValueError (same contract as decode_png).
 Color goes through kernels.rgb_to_gray — one grayscale definition for
 every codec in the engine.
@@ -342,9 +343,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt TIFF: {e}") from e
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 5, 6, 7, 8, 32946, 32773):
-        # 1=uncompressed, 5=LZW, 6=old-JPEG, 7=JPEG, 8/32946=Deflate,
-        # 32773=PackBits; fax codecs (2/3/4) remain seams
+    if comp not in (1, 2, 4, 5, 6, 7, 8, 32946, 32773):
+        # 1=uncompressed, 2=CCITT MH, 4=CCITT G4, 5=LZW, 6=old-JPEG,
+        # 7=JPEG, 8/32946=Deflate, 32773=PackBits; compression 3 (T.4 with
+        # EOLs / T4Options) remains a seam
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
@@ -352,11 +354,19 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if tags.get("planar", [1])[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
     jpeg_mode = comp in (6, 7)
+    bits = tags.get("bits", [8])
+    bilevel = bits == [1]
     if not jpeg_mode:
         # JPEG chunks carry their own precision/color model in the stream
-        bits = tags.get("bits", [8])
-        if any(b != 8 for b in bits):
+        if bilevel:
+            if comp not in (1, 2, 4):
+                raise NotImplementedError(
+                    f"1-bit TIFF with compression {comp} unsupported"
+                )
+        elif any(b != 8 for b in bits):
             raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
+    if comp in (2, 4) and not bilevel:
+        raise ValueError(f"CCITT compression {comp} requires 1-bit samples")
     photometric = tags.get("photometric", [1])[0]
     spp = tags.get("spp", [1])[0]
     ok_photo = (0, 1, 2, 6) if jpeg_mode else (0, 1, 2)
@@ -364,6 +374,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF photometric {photometric} / spp {spp} unsupported"
         )
+    if bilevel and spp != 1:
+        raise NotImplementedError("1-bit TIFF requires 1 sample per pixel")
     try:
         w = tags["width"][0]
         h = tags["height"][0]
@@ -427,6 +439,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if g.shape != (ch, cw):
                 raise ValueError("TIFF JPEG chunk dimensions mismatch")
             return g[:, :, None]
+        if comp in (2, 4):  # CCITT fax, 1 = black ("min" under photometric 0)
+            from .fax import decode_g4, decode_mh
+
+            mask = (decode_g4 if comp == 4 else decode_mh)(chunk, cw, ch)
+            return (mask * 255).astype(np.uint8)[:, :, None]
         if comp in (8, 32946):  # Deflate (zlib-wrapped)
             import zlib
 
@@ -438,6 +455,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
             chunk = _unpackbits(chunk)
         elif comp == 5:  # LZW
             chunk = _lzw_decode(chunk)
+        if bilevel:  # comp 1, 1-bit packed rows (MSB first, rows byte-padded)
+            row_bytes = (cw + 7) // 8
+            need = ch * row_bytes
+            if len(chunk) < need:
+                raise ValueError("TIFF pixel data truncated")
+            packed = np.frombuffer(bytes(chunk), np.uint8, count=need)
+            unpacked = np.unpackbits(packed.reshape(ch, row_bytes), axis=1)[:, :cw]
+            return (unpacked * 255).astype(np.uint8)[:, :, None]
         need = ch * cw * spp
         if len(chunk) < need:
             raise ValueError("TIFF pixel data truncated")
@@ -705,6 +730,38 @@ def encode_tiff_jpeg(img: np.ndarray, quality: int = 90, tile: int | None = None
         return es
 
     return _assemble_tiff(bo, chunks, entries)
+
+
+def encode_tiff_fax(mask: np.ndarray, compression: int = 4,
+                    big_endian: bool = False) -> bytes:
+    """Bilevel fax TIFF (fixture writer): 1-bit, photometric 0 (white-is-
+    zero, the fax convention — stored 1 = black), single strip, CCITT G4
+    (compression 4), MH (compression 2), or packed uncompressed (1).
+    ``mask``: (h, w), nonzero = black."""
+    from . import fax
+
+    assert mask.ndim == 2
+    m = (np.asarray(mask) != 0).astype(np.uint8)
+    bo = ">" if big_endian else "<"
+    h, w = m.shape
+    if compression == 4:
+        pix = fax.encode_g4(m)
+    elif compression == 2:
+        pix = fax.encode_mh(m)
+    elif compression == 1:
+        pix = np.packbits(m, axis=1).tobytes()
+    else:
+        raise ValueError(f"encode_tiff_fax compression {compression} unsupported")
+
+    def entries(offs):
+        return [
+            (256, 3, [w]), (257, 3, [h]), (258, 3, [1]),
+            (259, 3, [compression]), (262, 3, [0]), (273, 4, offs),
+            (277, 3, [1]), (278, 3, [h]), (279, 4, [len(pix)]),
+            (284, 3, [1]),
+        ]
+
+    return _assemble_tiff(bo, [pix], entries)
 
 
 def encode_tiff_oldjpeg(img: np.ndarray, quality: int = 90,

@@ -107,8 +107,10 @@ def _png_chunks(data: bytes):
             break
 
 
-def _unfilter_png(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
-    """Undo PNG scanline filters (types 0-4) — per-spec byte arithmetic.
+def _unfilter_png(raw: np.ndarray, h: int, rb: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters (types 0-4) — per-spec byte arithmetic
+    over rows of ``rb`` bytes with filter offset ``bpp`` (= max(1,
+    channels*depth/8), so sub-byte depths filter at 1-byte distance).
 
     None/Up/Sub are vectorized (Sub via modular prefix sum); Average and
     Paeth are inherently sequential per-byte recurrences (the left operand
@@ -116,42 +118,42 @@ def _unfilter_png(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
     tight PYTHON-LIST loops — ~30x faster than numpy scalar indexing
     (measured 1,050 → 35 ms for a Paeth-filtered 640x640 page), which
     matters because real-world PNG encoders overwhelmingly pick Paeth."""
-    stride = w * nch
-    out = np.zeros((h, stride), np.uint8)
+    out = np.zeros((h, rb), np.uint8)
     pos = 0
-    prev = np.zeros(stride, np.int32)
+    prev = np.zeros(rb, np.int32)
     for y in range(h):
         ftype = int(raw[pos])
-        line = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
-        pos += 1 + stride
+        line = raw[pos + 1 : pos + 1 + rb].astype(np.int32)
+        pos += 1 + rb
         if ftype == 0:
             cur = line
-        elif ftype == 1:  # Sub: per-channel modular prefix sum (exact —
+        elif ftype == 1:  # Sub: per-offset modular prefix sum (exact —
             # modular addition is associative, so cumsum-then-mask equals
-            # the per-byte recurrence)
+            # the per-byte recurrence); rb is always a multiple of bpp
             cur = (
-                np.cumsum(line.reshape(w, nch), axis=0, dtype=np.int64) & 0xFF
-            ).reshape(stride).astype(np.int32)
+                np.cumsum(line.reshape(rb // bpp, bpp), axis=0, dtype=np.int64)
+                & 0xFF
+            ).reshape(rb).astype(np.int32)
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average
             cl = line.tolist()
             pl = prev.tolist()
-            for x in range(nch):
+            for x in range(bpp):
                 cl[x] = (cl[x] + (pl[x] >> 1)) & 0xFF
-            for x in range(nch, stride):
-                cl[x] = (cl[x] + ((cl[x - nch] + pl[x]) >> 1)) & 0xFF
+            for x in range(bpp, rb):
+                cl[x] = (cl[x] + ((cl[x - bpp] + pl[x]) >> 1)) & 0xFF
             cur = np.array(cl, np.int32)
         elif ftype == 4:  # Paeth
             cl = line.tolist()
             pl = prev.tolist()
-            for x in range(nch):
+            for x in range(bpp):
                 # a = c = 0: predictor reduces to b
                 cl[x] = (cl[x] + pl[x]) & 0xFF
-            for x in range(nch, stride):
-                a = cl[x - nch]
+            for x in range(bpp, rb):
+                a = cl[x - bpp]
                 b = pl[x]
-                c = pl[x - nch]
+                c = pl[x - bpp]
                 p = a + b - c
                 pa = p - a if p >= a else a - p
                 pb = p - b if p >= b else b - p
@@ -164,6 +166,29 @@ def _unfilter_png(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
         out[y] = cur.astype(np.uint8)
         prev = cur
     return out
+
+
+#: Adam7 pass layout: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unpack(rows: np.ndarray, w: int, nch: int, depth: int) -> np.ndarray:
+    """(h, row_bytes) filtered-out rows → (h, w, nch) RAW sample values
+    (16-bit reduced to the high byte; sub-byte values NOT yet scaled)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        return rows[:, : w * nch * 2].reshape(h, w, nch, 2)[..., 0]
+    # 1/2/4-bit: MSB-first bit groups
+    bits = np.unpackbits(rows, axis=1)[:, : w * nch * depth]
+    groups = bits.reshape(h, w * nch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, w, nch)
 
 
 def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
@@ -180,8 +205,11 @@ def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG → grayscale uint8 (h, w). Supports bit depth 8, color types
-    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlacing.
+    """PNG → grayscale uint8 (h, w). Supports bit depths 1/2/4/8/16,
+    color types 0 (gray), 2 (RGB), 3 (palette + PLTE), 4 (gray+alpha),
+    6 (RGBA); interlace 0 (none) and 1 (Adam7). Alpha is dropped, 16-bit
+    reduces to the high byte, sub-byte gray scales to full range,
+    palette indices expand through PLTE before the shared rgb_to_gray.
 
     Error contract: NotImplementedError for valid-but-unsupported variants,
     ValueError for anything malformed (truncated chunks, bad zlib stream,
@@ -193,33 +221,70 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     w = h = None
     nch = 0
+    depth = ctype = interlace = 0
     idat = []
+    plte = None
     try:
         for typ, payload in _png_chunks(data):
             if typ == b"IHDR":
                 w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", payload
                 )
-                if depth != 8:
+                if depth not in (1, 2, 4, 8, 16):
                     raise NotImplementedError(f"PNG bit depth {depth} unsupported")
-                if interlace:
-                    raise NotImplementedError("interlaced PNG unsupported")
-                nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+                if interlace not in (0, 1):
+                    raise NotImplementedError(f"PNG interlace {interlace} unsupported")
+                nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
                 if nch is None:
                     raise NotImplementedError(f"PNG color type {ctype} unsupported")
+                if ctype in (2, 4, 6) and depth not in (8, 16):
+                    raise ValueError(f"PNG depth {depth} invalid for color type {ctype}")
+                if ctype == 3 and depth == 16:
+                    raise ValueError("PNG palette images cannot be 16-bit")
+            elif typ == b"PLTE":
+                if len(payload) % 3:
+                    raise ValueError("PNG PLTE length not a multiple of 3")
+                plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
             elif typ == b"IDAT":
                 idat.append(payload)
         if w is None or not idat:
             raise ValueError("PNG missing IHDR/IDAT")
+        if ctype == 3 and plte is None:
+            raise ValueError("PNG palette image missing PLTE")
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-        if len(raw) < h * (1 + w * nch):
-            raise ValueError("PNG pixel data truncated")
-        px = _unfilter_png(raw, h, w, nch).reshape(h, w, nch)
+        bpp = max(1, nch * depth // 8)
+
+        def read_pass(buf, pos, pw, ph):
+            rb = (pw * nch * depth + 7) // 8
+            need = ph * (1 + rb)
+            if len(buf) - pos < need:
+                raise ValueError("PNG pixel data truncated")
+            rows = _unfilter_png(buf[pos : pos + need], ph, rb, bpp)
+            return _png_unpack(rows, pw, nch, depth), pos + need
+
+        if interlace:
+            px = np.zeros((h, w, nch), np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, pos = read_pass(raw, pos, pw, ph)
+                px[y0::dy, x0::dx] = sub
+        else:
+            px, _ = read_pass(raw, 0, w, h)
     except (zlib.error, struct.error, IndexError) as e:
         raise ValueError(f"corrupt PNG: {e}") from e
-    if nch == 1:
-        return px[:, :, 0].copy()
-    if nch == 2:  # gray + alpha: drop alpha
+    if ctype == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG pixel index outside the palette")
+        return rgb_to_gray(plte[idx])
+    if depth in (1, 2, 4):  # scale sub-byte gray to full range
+        mx = (1 << depth) - 1
+        return (px[:, :, 0].astype(np.uint16) * 255 // mx).astype(np.uint8)
+    if nch in (1, 2):  # gray / gray+alpha: drop alpha
         return px[:, :, 0].copy()
     return rgb_to_gray(px[:, :, :3])
 
@@ -266,6 +331,66 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def encode_png_ext(
+    samples: np.ndarray,
+    depth: int = 8,
+    ctype: int = 0,
+    interlace: int = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Extended PNG fixture writer: gray at depth 1/2/4/8/16, palette
+    (ctype 3 + PLTE), RGB (ctype 2), optional Adam7 interlace. ``samples``
+    holds RAW sample values (0..2^depth-1 for sub-byte gray and palette
+    indices; uint8 for depth 8/16 — 16-bit writes v*257 so the high byte
+    round-trips). Filter type 0 per scanline (the non-zero filters are
+    exercised by encode_png at depth 8)."""
+    import zlib
+
+    h, w = samples.shape[:2]
+    nch = {0: 1, 2: 3, 3: 1}[ctype]
+    if ctype == 2:
+        assert samples.ndim == 3 and samples.shape[2] == 3
+
+    def pack_rows(sub: np.ndarray) -> bytes:
+        sh, sw = sub.shape[:2]
+        flat = sub.reshape(sh, sw * nch).astype(np.uint16)
+        out = bytearray()
+        for y in range(sh):
+            out.append(0)  # filter type none
+            if depth == 8:
+                out += flat[y].astype(np.uint8).tobytes()
+            elif depth == 16:
+                out += (flat[y] * 257).astype(">u2").tobytes()
+            else:
+                bits = ((flat[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1)
+                out += np.packbits(bits.reshape(-1).astype(np.uint8)).tobytes()
+        return bytes(out)
+
+    if interlace:
+        body = b"".join(
+            pack_rows(samples[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if samples[y0::dy, x0::dx].shape[0] and samples[y0::dy, x0::dx].shape[1]
+        )
+    else:
+        body = pack_rows(samples)
+    idat = zlib.compress(body)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        b = typ + payload
+        return struct.pack(">I", len(payload)) + b + struct.pack(
+            ">I", zlib.crc32(b) & 0xFFFFFFFF
+        )
+
+    out = PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if ctype == 3:
+        assert palette is not None
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def decode_image(data: bytes) -> np.ndarray:

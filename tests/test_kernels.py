@@ -453,7 +453,7 @@ def test_bmp_tiff_roundtrip_and_contract():
         BT.decode_bmp(bytes(rle4))
     faxtif = bytearray(BT.encode_tiff(img))
     ifd_off = struct.unpack_from("<I", faxtif, 4)[0]
-    struct.pack_into("<H", faxtif, ifd_off + 2 + 3 * 12 + 8, 4)  # CCITT G4 fax
+    struct.pack_into("<H", faxtif, ifd_off + 2 + 3 * 12 + 8, 3)  # T.4-w/-EOLs
     with pytest.raises(NotImplementedError):
         BT.decode_tiff(bytes(faxtif))
     with pytest.raises(ValueError):
@@ -748,3 +748,115 @@ def test_jpeg_noninterleaved_baseline_scans():
     assert np.array_equal(
         jm.decode_jpeg(blob), jm.decode_jpeg(jm.encode_jpeg(rgb, 88, "444"))
     )
+
+
+def test_tiff_fax_and_bilevel():
+    """CCITT fax G4 (compression 4) + MH (compression 2) + packed 1-bit
+    uncompressed: exact round-trips both endians; photometric 0 maps
+    stored 1 (black) to gray 0; a G4-encoded rendered page still yields
+    the full line set through the normal extraction path."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+    from ai_invoice_ocr_engine_spark import fax
+
+    rng = np.random.default_rng(13)
+    masks = [
+        (rng.random((80, 130)) < 0.25).astype(np.uint8),
+        np.zeros((10, 50), np.uint8),          # all white
+        np.ones((10, 50), np.uint8),           # all black
+        np.tile(np.arange(64) % 2, (8, 1)).astype(np.uint8),  # max changes
+    ]
+    wide = np.zeros((4, 3000), np.uint8)
+    wide[1, 100:2900] = 1                       # runs past the 1728 makeups
+    masks.append(wide)
+    for m in masks:
+        h, w = m.shape
+        assert np.array_equal(fax.decode_g4(fax.encode_g4(m), w, h), m)
+        assert np.array_equal(fax.decode_mh(fax.encode_mh(m), w, h), m)
+    mask = masks[0]
+    want = np.where(mask == 1, 0, 255).astype(np.uint8)
+    for comp in (1, 2, 4):
+        for be in (False, True):
+            g = BT.decode_tiff(BT.encode_tiff_fax(mask, compression=comp, big_endian=be))
+            assert np.array_equal(g, want), (comp, be)
+    assert np.array_equal(K.decode_image(BT.encode_tiff_fax(mask)), want)
+    # spec vector (not a round-trip): all-white 1728 MH line must be the
+    # published makeup-1728 + terminating-0 codes
+    bits = "".join(f"{b:08b}" for b in fax.encode_mh(np.zeros((1, 1728), np.uint8)))
+    assert bits.startswith("010011011" + "00110101")
+    # compression 3 (T.4 w/ EOLs) stays a loud seam
+    import struct
+
+    blob = bytearray(BT.encode_tiff_fax(mask, compression=2))
+    ifd_off = struct.unpack_from("<I", blob, 4)[0]
+    struct.pack_into("<H", blob, ifd_off + 2 + 3 * 12 + 8, 3)
+    with pytest.raises(NotImplementedError):
+        BT.decode_tiff(bytes(blob))
+
+
+def test_fax_page_extraction_end_to_end():
+    """A rendered page thresholded to bilevel, G4-encoded, must come back
+    through decode_image and produce the same number of reading-order
+    lines as the grayscale original (fax is how archival invoices arrive)."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+    from ai_invoice_ocr_engine_spark import fixtures as FX
+    from ai_invoice_ocr_engine_spark.config import ExtractConfig
+    from ai_invoice_ocr_engine_spark.extractor import extract_media_lines
+
+    img, _n = FX.render_media(np.random.default_rng(7), 500, 400, header_footer=False)
+    cfg = ExtractConfig()
+    w = K.crnn_weights(cfg.rec.weight_seed)
+    gray_lines = extract_media_lines(K.encode_synf(img), cfg, w)
+    blob = BT.encode_tiff_fax((img < 128).astype(np.uint8), compression=4)
+    fax_lines = extract_media_lines(bytes(blob), cfg, w)
+    assert len(fax_lines) == len(gray_lines) == 8
+
+
+def test_png_extended_depths_palette_interlace():
+    """PNG seams closed: 1/2/4/16-bit gray, palette (PLTE), RGB through
+    the ext writer, all × Adam7 interlace — exact round-trips with the
+    documented reductions (high byte for 16-bit, full-range scaling for
+    sub-byte, PLTE expansion through the shared rgb_to_gray)."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (45, 67), dtype=np.uint8)
+    # Adam7 pass table covers every pixel exactly once
+    cov = np.zeros((16, 16), int)
+    for x0, y0, dx, dy in K._ADAM7:
+        cov[y0::dy, x0::dx] += 1
+    assert (cov == 1).all()
+    assert np.array_equal(K.decode_png(K.encode_png_ext(img)), img)
+    assert np.array_equal(K.decode_png(K.encode_png_ext(img, interlace=1)), img)
+    assert np.array_equal(K.decode_png(K.encode_png_ext(img, depth=16)), img)
+    assert np.array_equal(
+        K.decode_png(K.encode_png_ext(img, depth=16, interlace=1)), img
+    )
+    for d in (1, 2, 4):
+        mx = (1 << d) - 1
+        s = rng.integers(0, mx + 1, (23, 31)).astype(np.uint8)
+        want = (s.astype(np.uint16) * 255 // mx).astype(np.uint8)
+        assert np.array_equal(K.decode_png(K.encode_png_ext(s, depth=d)), want)
+        assert np.array_equal(
+            K.decode_png(K.encode_png_ext(s, depth=d, interlace=1)), want
+        )
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (30, 40)).astype(np.uint8)
+    want = K.rgb_to_gray(pal[idx])
+    for d in (4, 8):
+        assert np.array_equal(
+            K.decode_png(K.encode_png_ext(idx, depth=d, ctype=3, palette=pal)), want
+        )
+    assert np.array_equal(
+        K.decode_png(K.encode_png_ext(idx, depth=8, ctype=3, palette=pal, interlace=1)),
+        want,
+    )
+    rgb = rng.integers(0, 256, (20, 25, 3), dtype=np.uint8)
+    assert np.array_equal(K.decode_png(K.encode_png_ext(rgb, ctype=2)), K.rgb_to_gray(rgb))
+    # contracts: truncated palette stream, index past PLTE, missing PLTE
+    blob = K.encode_png_ext(idx, depth=8, ctype=3, palette=pal)
+    with pytest.raises(ValueError):
+        K.decode_png(blob[:60])
+    with pytest.raises(ValueError):
+        K.decode_png(K.encode_png_ext(idx + 100, depth=8, ctype=3, palette=pal[:8]))

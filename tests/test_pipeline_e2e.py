@@ -184,7 +184,19 @@ def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
         m = dict(m)
         img = K.decode_synf(bytes(m["image"]))
         if i % 5 == 1:
-            m["image"] = K.encode_png(img, filter_type=i % 5)
+            pv = (i // 5) % 4
+            if pv == 0:
+                m["image"] = K.encode_png(img, filter_type=i % 5)
+            elif pv == 1:
+                m["image"] = K.encode_png_ext(img, interlace=1)  # Adam7
+            elif pv == 2:
+                m["image"] = K.encode_png_ext(img, depth=16)  # high byte
+            else:
+                # gray ramp palette: identity through PLTE expansion
+                import numpy as _np
+
+                pal = _np.stack([_np.arange(256, dtype=_np.uint8)] * 3, axis=1)
+                m["image"] = K.encode_png_ext(img, ctype=3, palette=pal)
         elif i % 5 == 2:
             if i % 2 == 0:  # alternate baseline and progressive streams
                 m["image"] = encode_jpeg(img, quality=95, subsampling="gray")
@@ -196,8 +208,11 @@ def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
             m["image"] = encode_bmp(img)
         elif i % 5 == 4:
             # cycle the TIFF container family: plain strips, tiled,
-            # JPEG-in-TIFF strip, JPEG-in-TIFF tiled+shared-tables, old-style
-            variant = (i // 5) % 5
+            # JPEG-in-TIFF strip, JPEG-in-TIFF tiled+shared-tables,
+            # old-style JPEG, G4 fax bilevel
+            from ai_invoice_ocr_engine_spark.bmptiff import encode_tiff_fax
+
+            variant = (i // 5) % 6
             if variant == 0:
                 m["image"] = encode_tiff(img, big_endian=bool(i % 2))
             elif variant == 1:
@@ -208,8 +223,11 @@ def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
                 m["image"] = encode_tiff_jpeg(
                     img, quality=95, tile=64, shared_tables=True
                 )
-            else:
+            elif variant == 4:
                 m["image"] = encode_tiff_oldjpeg(img, quality=95)
+            else:
+                # bilevel: threshold the rendering (oracle sees same bytes)
+                m["image"] = encode_tiff_fax((img < 128).astype("uint8"))
         media_rows.append(m)
     mixed_path = str(tmp_path / "media_mixed5.parquet")
     spark.createDataFrame(

@@ -103,7 +103,7 @@ def main(argv=None) -> int:
     x = sub.add_parser("export", help="export an extracted spans table")
     x.add_argument("--spans", required=True, help="OUT/spans dir of `extract`")
     x.add_argument("--out", required=True)
-    x.add_argument("--format", default="json", choices=["json", "csv", "txt", "xlsx"])
+    x.add_argument("--format", default="json", choices=["json", "csv", "txt", "xlsx", "html"])
     x.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -176,7 +176,7 @@ def main(argv=None) -> int:
         try:
             result = spark.read.parquet(args.spans)
             writer = {"json": X.write_json, "csv": X.write_csv, "txt": X.write_text,
-                      "xlsx": X.write_xlsx}
+                      "xlsx": X.write_xlsx, "html": X.write_html}
             writer[args.format](result, args.out)
             n = result.count()
         finally:

@@ -417,6 +417,34 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError("unknown image format")
 
 
+def decode_image_ref(src: "bytes | str") -> np.ndarray:
+    """Polymorphic source reference — the reference's ``imread`` surface
+    (/root/reference/utils/image.py:4-11) minus the network: raw bytes
+    route to decode_image; ``data:image/...;base64,...`` URIs (and bare
+    base64 strings, utils/image.py:56-58 from_base64) decode inline.
+    http(s) URLs raise NotImplementedError — this engine takes no external
+    data; at scale URL fetch belongs in an ingest stage, not the decoder."""
+    import base64
+    import binascii
+
+    if isinstance(src, (bytes, bytearray)):
+        return decode_image(bytes(src))
+    if src.startswith(("http://", "https://")):
+        raise NotImplementedError("URL sources are an ingest-stage seam")
+    if src.startswith("data:"):
+        if "," not in src:
+            raise ValueError("malformed data: URI")
+        meta, payload = src.split(",", 1)
+        if ";base64" not in meta:
+            raise NotImplementedError("non-base64 data: URI unsupported")
+        src = payload
+    try:
+        raw = base64.b64decode(src, validate=True)
+    except (binascii.Error, ValueError) as e:
+        raise ValueError(f"invalid base64 image: {e}") from e
+    return decode_image(raw)
+
+
 # --------------------------------------------------------------------------
 # Detection — Otsu fallback path (/root/reference/detect/db.py:10-23:
 # GaussianBlur(5,5) → Otsu THRESH_BINARY_INV → close×2 → open×1, prob map is

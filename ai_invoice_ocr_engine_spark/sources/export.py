@@ -180,3 +180,55 @@ def write_xlsx(result: DataFrame, path: str, max_rows: int = XLSX_MAX_ROWS) -> s
         z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     return path
+
+
+#: driver-side report cap — an HTML report is for human eyes, not bulk IO
+HTML_MAX_DOCS = 10_000
+
+
+def write_html(result: DataFrame, path: str, run_id: str = "",
+               max_docs: int = HTML_MAX_DOCS) -> str:
+    """S6 analog of the reference's ``to_html`` (utils/export.py:26-43):
+    one styled table per document with span kind/text rows. A report is a
+    single driver-side file for human review, so it streams through
+    toLocalIterator with a loud cap (same posture as write_xlsx); bulk
+    exports belong in the distributed sinks. No timestamp — output is a
+    pure function of the input (the engine's determinism contract), with
+    the run_id as provenance instead."""
+    import html as _html
+    import os
+
+    parts = [
+        '<!DOCTYPE html><html><head><meta charset="utf-8">'
+        "<title>Extraction Results</title>",
+        "<style>body{font-family:Arial;margin:20px}"
+        "table{border-collapse:collapse;width:100%}"
+        "th,td{border:1px solid #ddd;padding:8px;text-align:left}"
+        "th{background:#4CAF50;color:white}"
+        "tr:nth-child(even){background:#f2f2f2}"
+        ".kind{color:#666;font-size:0.9em}</style></head><body>",
+        f"<h1>Extraction Results</h1><p>run_id: {_html.escape(run_id)}</p>",
+    ]
+    n = 0
+    for row in result.select("doc_id", "spans_out").toLocalIterator():
+        n += 1
+        if n > max_docs:
+            raise ValueError(
+                f"html report exceeds {max_docs} documents; use "
+                "write_json/write_csv for bulk exports"
+            )
+        parts.append(f"<h2>Document {n}: {_html.escape(row['doc_id'])}</h2>")
+        parts.append("<table><tr><th>#</th><th>Kind</th><th>Text</th>"
+                     "<th>Media</th></tr>")
+        for j, s in enumerate(row["spans_out"] or []):
+            parts.append(
+                f"<tr><td>{j + 1}</td><td class=\"kind\">{_html.escape(s['kind'])}</td>"
+                f"<td>{_html.escape(s['text'] or '')}</td>"
+                f"<td>{_html.escape(s['media_ref'] or '')}</td></tr>"
+            )
+        parts.append("</table>")
+    parts.append("</body></html>")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))
+    return path

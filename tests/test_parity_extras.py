@@ -239,3 +239,51 @@ def test_recognize_crops_decode_seam():
     assert beam == [K.ctc_beam(lg, beam_width=5)]
     with pytest.raises(ValueError):
         K.recognize_crops([crop], w, decode="nope")
+
+
+def test_html_sink(spark, corpus, tmp_path):
+    """S6 analog (reference utils/export.py:26-43 to_html): per-document
+    styled tables, XML-escaped, doc cap fails loudly."""
+    import pytest as _pytest
+
+    from ai_invoice_ocr_engine_spark.config import ExtractConfig
+    from ai_invoice_ocr_engine_spark.pipeline import extract
+    from ai_invoice_ocr_engine_spark.sources.export import write_html
+
+    docs = spark.read.parquet(corpus["docs_path"]).limit(6)
+    media = spark.read.parquet(corpus["media_path"])
+    res = extract(docs, media, ExtractConfig(), media_strategy="broadcast")
+    res.persist()
+    p = str(tmp_path / "report.html")
+    write_html(res, p, run_id="r3")
+    html = open(p, encoding="utf-8").read()
+    assert html.count("<h2>Document") == 6
+    assert "run_id: r3" in html and html.rstrip().endswith("</html>")
+    n_spans = res.agg(F.sum(F.size("spans_out"))).collect()[0][0]
+    assert html.count("<tr><td>") == n_spans  # one row per span
+    with _pytest.raises(ValueError, match="documents"):
+        write_html(res, str(tmp_path / "over.html"), max_docs=2)
+    res.unpersist()
+
+
+def test_decode_image_ref_base64_and_data_uri():
+    """K24 made real for the no-network subset of the reference imread
+    (utils/image.py:4-11): raw bytes, bare base64, data: URIs; URLs stay a
+    loud ingest-stage seam."""
+    import base64
+
+    import numpy as np
+    import pytest as _pytest
+
+    img = np.random.default_rng(4).integers(0, 256, (20, 30)).astype(np.uint8)
+    blob = K.encode_png(img)
+    assert np.array_equal(K.decode_image_ref(blob), img)
+    b64 = base64.b64encode(blob).decode()
+    assert np.array_equal(K.decode_image_ref(b64), img)
+    assert np.array_equal(
+        K.decode_image_ref("data:image/png;base64," + b64), img
+    )
+    with _pytest.raises(NotImplementedError):
+        K.decode_image_ref("https://example.com/x.png")
+    with _pytest.raises(ValueError):
+        K.decode_image_ref("!!!not-base64!!!")

@@ -34,6 +34,10 @@ SHOW = [
     "asof_forward_activation",
     "range_moving_avg",
     "deterministic_split",
+    # round 3 additions
+    "quartiles_bucketed",
+    "dedup_clusters_star",
+    "ntile_spend_quartiles",
 ]
 
 

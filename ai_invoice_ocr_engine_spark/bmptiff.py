@@ -13,8 +13,8 @@ Scope mirrors what a scanner/export pipeline actually emits:
         emit), CCITT fax G4/T.6 (compression 4) + MH (compression 2) and
         1-bit packed bilevel via fax.py, chunky planar, 8-bit grayscale
         (white/black-is-zero) or RGB(A), strip- OR tile-organized, either
-        byte order, horizontal-differencing predictor. Compression 3
-        (T.4 with EOLs) raises NotImplementedError.
+        byte order, horizontal-differencing predictor. The only remaining
+        fax seam is G3 2D lines (T4Options bit 0).
 Malformed containers raise ValueError (same contract as decode_png).
 Color goes through kernels.rgb_to_gray — one grayscale definition for
 every codec in the engine.
@@ -194,7 +194,7 @@ _TIFF_TAGS = {
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
     317: "predictor", 322: "tile_w", 323: "tile_h",
     324: "tile_offsets", 325: "tile_counts",
-    347: "jpeg_tables", 513: "jpeg_if", 514: "jpeg_if_len",
+    292: "t4_options", 347: "jpeg_tables", 513: "jpeg_if", 514: "jpeg_if_len",
 }
 
 
@@ -343,10 +343,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt TIFF: {e}") from e
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 2, 4, 5, 6, 7, 8, 32946, 32773):
-        # 1=uncompressed, 2=CCITT MH, 4=CCITT G4, 5=LZW, 6=old-JPEG,
-        # 7=JPEG, 8/32946=Deflate, 32773=PackBits; compression 3 (T.4 with
-        # EOLs / T4Options) remains a seam
+    if comp not in (1, 2, 3, 4, 5, 6, 7, 8, 32946, 32773):
+        # 1=uncompressed, 2=CCITT MH, 3=G3/T.4 with EOLs, 4=CCITT G4,
+        # 5=LZW, 6=old-JPEG, 7=JPEG, 8/32946=Deflate, 32773=PackBits
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
@@ -359,13 +358,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if not jpeg_mode:
         # JPEG chunks carry their own precision/color model in the stream
         if bilevel:
-            if comp not in (1, 2, 4):
+            if comp not in (1, 2, 3, 4):
                 raise NotImplementedError(
                     f"1-bit TIFF with compression {comp} unsupported"
                 )
         elif any(b != 8 for b in bits):
             raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
-    if comp in (2, 4) and not bilevel:
+    if comp in (2, 3, 4) and not bilevel:
         raise ValueError(f"CCITT compression {comp} requires 1-bit samples")
     photometric = tags.get("photometric", [1])[0]
     spp = tags.get("spp", [1])[0]
@@ -439,10 +438,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if g.shape != (ch, cw):
                 raise ValueError("TIFF JPEG chunk dimensions mismatch")
             return g[:, :, None]
-        if comp in (2, 4):  # CCITT fax, 1 = black ("min" under photometric 0)
-            from .fax import decode_g4, decode_mh
+        if comp in (2, 3, 4):  # CCITT fax, 1 = black ("min" under photometric 0)
+            from .fax import decode_g4, decode_mh, decode_t4
 
-            mask = (decode_g4 if comp == 4 else decode_mh)(chunk, cw, ch)
+            if comp == 4:
+                mask = decode_g4(chunk, cw, ch)
+            elif comp == 3:
+                t4opts = tags.get("t4_options", [0])[0]
+                mask = decode_t4(chunk, cw, ch, two_d=bool(t4opts & 1))
+            else:
+                mask = decode_mh(chunk, cw, ch)
             return (mask * 255).astype(np.uint8)[:, :, None]
         if comp in (8, 32946):  # Deflate (zlib-wrapped)
             import zlib
@@ -736,8 +741,8 @@ def encode_tiff_fax(mask: np.ndarray, compression: int = 4,
                     big_endian: bool = False) -> bytes:
     """Bilevel fax TIFF (fixture writer): 1-bit, photometric 0 (white-is-
     zero, the fax convention — stored 1 = black), single strip, CCITT G4
-    (compression 4), MH (compression 2), or packed uncompressed (1).
-    ``mask``: (h, w), nonzero = black."""
+    (compression 4), MH (compression 2), G3/T.4-with-EOLs (compression 3), or packed
+    uncompressed (1). ``mask``: (h, w), nonzero = black."""
     from . import fax
 
     assert mask.ndim == 2
@@ -746,6 +751,8 @@ def encode_tiff_fax(mask: np.ndarray, compression: int = 4,
     h, w = m.shape
     if compression == 4:
         pix = fax.encode_g4(m)
+    elif compression == 3:
+        pix = fax.encode_t4(m)
     elif compression == 2:
         pix = fax.encode_mh(m)
     elif compression == 1:

@@ -259,6 +259,47 @@ def decode_mh(data: bytes, w: int, h: int) -> np.ndarray:
     return out
 
 
+_EOL = "000000000001"
+
+
+def decode_t4(data: bytes, w: int, h: int, two_d: bool = False) -> np.ndarray:
+    """T.4 with EOLs (TIFF compression 3, Group 3): each line is preceded
+    by an EOL code (fill bits allowed before it). 1D-coded lines only —
+    the T4Options=0 default every plain G3 writer emits; the optional 2D
+    mode (T4Options bit 0) raises."""
+    if two_d:
+        raise NotImplementedError("G3 2D (T4Options bit 0) unsupported")
+    b = _Bits(data)
+    out = np.zeros((h, w), np.uint8)
+
+    def expect_eol():
+        # EOL = eleven 0-bits + a 1; any extra leading 0s are fill bits
+        zeros = 0
+        while b.pos < b.n and b.peek(1) == 0:
+            b.skip(1)
+            zeros += 1
+            if zeros > 76:  # 64 fill + 11 code zeros, with headroom
+                raise ValueError("corrupt G3 stream: runaway fill")
+        if zeros < 11 or b.pos >= b.n:
+            raise ValueError("corrupt G3 stream: missing EOL")
+        b.skip(1)  # the terminating 1
+
+    for y in range(h):
+        expect_eol()
+        pos = 0
+        black = False
+        changes: list[int] = []
+        while pos < w:
+            run = _read_run(b, black=black)
+            pos += run
+            if pos > w:
+                raise ValueError("corrupt fax stream: run past line end")
+            changes.append(pos)
+            black = not black
+        _fill(out[y], changes, w)
+    return out
+
+
 class _BitW:
     def __init__(self):
         self.out = bytearray()
@@ -335,6 +376,27 @@ def encode_g4(mask: np.ndarray) -> bytes:
                 a0 = a2
                 i += 2
         ref = cur
+    return bw.done()
+
+
+def encode_t4(mask: np.ndarray) -> bytes:
+    """(h, w) mask → T.4/G3 1D stream (fixture writer): EOL before every
+    line, then the MH run codes, no byte alignment."""
+    h, w = mask.shape
+    bw = _BitW()
+    for y in range(h):
+        bw.put_str(_EOL)
+        changes = _changes_of(mask[y]) + [w]
+        pos = 0
+        black = False
+        for c in changes:
+            if c == pos and not black and pos != 0:
+                continue
+            _emit_run(bw, c - pos, black=black)
+            pos = c
+            black = not black
+            if pos >= w:
+                break
     return bw.done()
 
 

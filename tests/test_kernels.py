@@ -451,11 +451,16 @@ def test_bmp_tiff_roundtrip_and_contract():
     struct.pack_into("<I", rle4, 30, 2)  # BI_RLE4
     with pytest.raises(NotImplementedError):
         BT.decode_bmp(bytes(rle4))
-    faxtif = bytearray(BT.encode_tiff(img))
-    ifd_off = struct.unpack_from("<I", faxtif, 4)[0]
-    struct.pack_into("<H", faxtif, ifd_off + 2 + 3 * 12 + 8, 3)  # T.4-w/-EOLs
+    oddtif = bytearray(BT.encode_tiff(img))
+    ifd_off = struct.unpack_from("<I", oddtif, 4)[0]
+    struct.pack_into("<H", oddtif, ifd_off + 2 + 3 * 12 + 8, 32809)  # ThunderScan
     with pytest.raises(NotImplementedError):
-        BT.decode_tiff(bytes(faxtif))
+        BT.decode_tiff(bytes(oddtif))
+    # fax compression on 8-bit samples is malformed, not a seam
+    badfax = bytearray(BT.encode_tiff(img))
+    struct.pack_into("<H", badfax, ifd_off + 2 + 3 * 12 + 8, 4)
+    with pytest.raises(ValueError):
+        BT.decode_tiff(bytes(badfax))
     with pytest.raises(ValueError):
         BT.decode_bmp(b"BMxx")
     with pytest.raises(ValueError):
@@ -774,9 +779,10 @@ def test_tiff_fax_and_bilevel():
         h, w = m.shape
         assert np.array_equal(fax.decode_g4(fax.encode_g4(m), w, h), m)
         assert np.array_equal(fax.decode_mh(fax.encode_mh(m), w, h), m)
+        assert np.array_equal(fax.decode_t4(fax.encode_t4(m), w, h), m)
     mask = masks[0]
     want = np.where(mask == 1, 0, 255).astype(np.uint8)
-    for comp in (1, 2, 4):
+    for comp in (1, 2, 3, 4):
         for be in (False, True):
             g = BT.decode_tiff(BT.encode_tiff_fax(mask, compression=comp, big_endian=be))
             assert np.array_equal(g, want), (comp, be)
@@ -785,14 +791,9 @@ def test_tiff_fax_and_bilevel():
     # published makeup-1728 + terminating-0 codes
     bits = "".join(f"{b:08b}" for b in fax.encode_mh(np.zeros((1, 1728), np.uint8)))
     assert bits.startswith("010011011" + "00110101")
-    # compression 3 (T.4 w/ EOLs) stays a loud seam
-    import struct
-
-    blob = bytearray(BT.encode_tiff_fax(mask, compression=2))
-    ifd_off = struct.unpack_from("<I", blob, 4)[0]
-    struct.pack_into("<H", blob, ifd_off + 2 + 3 * 12 + 8, 3)
+    # G3 2D (T4Options bit 0) stays a loud seam
     with pytest.raises(NotImplementedError):
-        BT.decode_tiff(bytes(blob))
+        fax.decode_t4(b"", 10, 10, two_d=True)
 
 
 def test_fax_page_extraction_end_to_end():

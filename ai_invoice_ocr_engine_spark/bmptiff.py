@@ -295,6 +295,13 @@ def _lzw_encode(raw: bytes) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], width)
+        # the decoder appends a table entry for this final code too, which
+        # can cross the early-change boundary — EOI must be written at the
+        # width the decoder will read it with (review finding r3: streams
+        # ending exactly at a width boundary were undecodable)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(EOI, width)
     if nb:
         out.append((buf << (8 - nb)) & 0xFF)
@@ -412,7 +419,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError("TIFF tile dimensions must be positive multiples of 16")
         tiles_across = (w + tw - 1) // tw
         tiles_down = (h + tl - 1) // tl
-        if len(offsets) < tiles_across * tiles_down:
+        if min(len(offsets), len(counts)) < tiles_across * tiles_down:
             raise ValueError("TIFF tile index truncated")
     else:
         try:

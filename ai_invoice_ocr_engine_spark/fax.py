@@ -8,8 +8,9 @@ Implements the two encodings real scanned-document TIFFs carry:
   * MH / T.4 one-dimensional (TIFF compression 2, "CCITTRLE"): each line
     is an independent sequence of alternating white/black run codes,
     rows byte-aligned (the libtiff convention for compression 2).
-
-T.4-with-EOLs (TIFF compression 3) remains a seam in bmptiff.decode_tiff.
+  * G3 / T.4-with-EOLs (TIFF compression 3): EOL-prefixed 1D lines with
+    fill bits; the optional 2D mode (T4Options bit 0) raises — the one
+    remaining fax seam.
 
 Code tables are transcribed from ITU-T T.4 §2.2.2.2 (white/black
 terminating + makeup codes, shared extended makeups) and T.6 §2.2.4
@@ -22,6 +23,8 @@ fax-compressed bilevel is the dominant encoding of archival invoice scans.
 """
 
 from __future__ import annotations
+
+import bisect
 
 import numpy as np
 
@@ -189,8 +192,6 @@ def _b1_b2(ref: list[int], a0: int, color: int, w: int) -> tuple[int, int]:
     """First changing element on the reference line right of a0 with color
     opposite to `color` (b1), and the next one (b2). Changes to black sit
     at even indices (lines start white)."""
-    import bisect
-
     i = bisect.bisect_right(ref, a0)
     if (i & 1) != (0 if color == 0 else 1):
         i += 1

@@ -709,10 +709,34 @@ def connected_components_hulls(mask: np.ndarray, prob: np.ndarray | None = None)
     return out
 
 
+def order_quad(pts: np.ndarray) -> np.ndarray:
+    """Adjacency-safe quad ordering: tl-most corner first, then around the
+    quad's own cycle. The reference's sum/diff rule (order_points) picks
+    each role independently and can pair DIAGONAL corners as 'adjacent'
+    on rects rotated toward 45° (review finding r3 — the recomputed edge
+    lengths then measure diagonals). Here the cycle is recovered by angle
+    sort around the centroid (exact for any convex quad), the start corner
+    is the reference's min-(x+y), and the traversal direction is chosen by
+    the reference's min-(y-x) rule for the second corner, so roughly
+    upright quads order identically to order_points."""
+    pts = np.asarray(pts, dtype=np.float32)
+    c = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+    cyc = pts[np.argsort(ang)]
+    start = int(np.argmin(cyc.sum(axis=1)))
+    idx = [(start + k) % 4 for k in range(4)]
+    fwd = cyc[idx]
+    bwd = cyc[[(start - k) % 4 for k in range(4)]]
+    d_f = fwd[1, 1] - fwd[1, 0]
+    d_b = bwd[1, 1] - bwd[1, 0]
+    return fwd if d_f <= d_b else bwd
+
+
 def order_points(pts: np.ndarray) -> np.ndarray:
     """Order 4 quad points as top-left, top-right, bottom-right, bottom-left
     by the reference's sum/diff rule (/root/reference/postprocess.py:11-14
-    `_order_points`; dup /root/reference/utils/image.py:37-40)."""
+    `_order_points`; dup /root/reference/utils/image.py:37-40). Valid for
+    roughly-upright quads; rotated-rect internals use order_quad."""
     pts = np.asarray(pts, dtype=np.float32)
     rect = np.zeros((4, 2), dtype=np.float32)
     sm = pts.sum(axis=1)
@@ -776,6 +800,12 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
     lens = np.hypot(edges[:, 0], edges[:, 1])
     keep = lens > 1e-12
     ux = edges[keep] / lens[keep, None]          # (E,2) unit edge directions
+    # The flush-edge optimality theorem holds for TRUE area; the pixel
+    # objective below is (extent+1)^2-style, for which a hull-edge-flush
+    # orientation can lose to axis-aligned on small point sets (review
+    # finding r3). Adding the axis-aligned candidate guarantees the result
+    # never exceeds the AABB under the pixel objective (property-tested).
+    ux = np.vstack([ux, [[1.0, 0.0]]])
     uy = np.stack([-ux[:, 1], ux[:, 0]], axis=1)  # perpendiculars
     pu = hull @ ux.T                              # (H,E) projections
     pv = hull @ uy.T
@@ -794,8 +824,9 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
             p0 + h_ext * uy[e],
         ]
     ).astype(np.float32)
-    quad = order_points(quad)
-    # order_points may swap which side is "width": recompute extents
+    quad = order_quad(quad)
+    # ordering may swap which side is "width": recompute extents from the
+    # (adjacency-safe) ordered corners
     w_ord = float(np.hypot(*(quad[1] - quad[0])))
     h_ord = float(np.hypot(*(quad[3] - quad[0])))
     return quad, w_ord, h_ord
@@ -820,6 +851,26 @@ def _is_axis_aligned(quad: np.ndarray, tol: float = 1e-4) -> bool:
     )
 
 
+def _bilinear_sample(img: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Bilinear sample `img` at float coords (clamped to borders), rounded
+    to uint8 — the one sampling definition shared by crop_quad and
+    rotate_any so their semantics can never diverge."""
+    ih, iw = img.shape
+    xs = np.clip(xs, 0.0, iw - 1.0)
+    ys = np.clip(ys, 0.0, ih - 1.0)
+    x0 = np.floor(xs).astype(np.intp)
+    y0 = np.floor(ys).astype(np.intp)
+    x1 = np.minimum(x0 + 1, iw - 1)
+    y1 = np.minimum(y0 + 1, ih - 1)
+    fx = xs - x0
+    fy = ys - y0
+    im = img.astype(np.float64)
+    top = im[y0, x0] * (1.0 - fx) + im[y0, x1] * fx
+    bot = im[y1, x0] * (1.0 - fx) + im[y1, x1] * fx
+    out = top * (1.0 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def crop_quad(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     """Perspective-crop a quad to an upright (th, tw) patch.
 
@@ -834,7 +885,7 @@ def crop_quad(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     General path: 4-point homography (closed-form DLT, exact affine for
     parallelograms) + bilinear sampling clamped at image borders.
     """
-    quad = order_points(quad)
+    quad = order_quad(quad)
     if _is_axis_aligned(quad):
         return crop_box(img, quad_to_aabb(quad))
     p0, p1, p2, p3 = quad.astype(np.float64)
@@ -859,20 +910,7 @@ def crop_quad(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     den = H[2, 0] * uu + H[2, 1] * vv + H[2, 2]
     xs = (H[0, 0] * uu + H[0, 1] * vv + H[0, 2]) / den
     ys = (H[1, 0] * uu + H[1, 1] * vv + H[1, 2]) / den
-    ih, iw = img.shape
-    xs = np.clip(xs, 0.0, iw - 1.0)
-    ys = np.clip(ys, 0.0, ih - 1.0)
-    x0 = np.floor(xs).astype(np.intp)
-    y0 = np.floor(ys).astype(np.intp)
-    x1 = np.minimum(x0 + 1, iw - 1)
-    y1 = np.minimum(y0 + 1, ih - 1)
-    fx = xs - x0
-    fy = ys - y0
-    im = img.astype(np.float64)
-    top = im[y0, x0] * (1.0 - fx) + im[y0, x1] * fx
-    bot = im[y1, x0] * (1.0 - fx) + im[y1, x1] * fx
-    out = top * (1.0 - fy) + bot * fy
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return _bilinear_sample(img, xs, ys)
 
 
 def extract_boxes_rotated(
@@ -1592,20 +1630,8 @@ def rotate_any(
     xs = c * uu - s * vv + cx
     ys = s * uu + c * vv + cy
     inb = (xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1)
-    xc = np.clip(xs, 0.0, w - 1.0)
-    yc = np.clip(ys, 0.0, h - 1.0)
-    x0 = np.floor(xc).astype(np.intp)
-    y0 = np.floor(yc).astype(np.intp)
-    x1 = np.minimum(x0 + 1, w - 1)
-    y1 = np.minimum(y0 + 1, h - 1)
-    fx = xc - x0
-    fy = yc - y0
-    im = img.astype(np.float64)
-    top = im[y0, x0] * (1.0 - fx) + im[y0, x1] * fx
-    bot = im[y1, x0] * (1.0 - fx) + im[y1, x1] * fx
-    out = top * (1.0 - fy) + bot * fy
-    out = np.where(inb, out, float(fill))
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    out = _bilinear_sample(img, xs, ys)
+    return np.where(inb, out, np.uint8(fill))
 
 
 def pad_to_multiple(img: np.ndarray, m: int = 32) -> tuple[np.ndarray, tuple[int, int]]:

@@ -621,18 +621,20 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
 BUCKET_LAYOUT = "parquet-xxhash64"
 
 
-def _check_manifest(out_dir: str, num_buckets: int) -> None:
+def _check_manifest(spark: SparkSession, out_dir: str, num_buckets: int) -> None:
     """Fail fast when rerunning into an out_dir written under a different
     bucket layout: dynamic partition overwrite only replaces buckets present
     in the NEW result, so a num_buckets change would leave stale partitions
     from the old layout — self-consistent lineage included, meaning a doc
     could appear under two layouts while verify_lineage still reports ok.
-    The manifest pins (num_buckets, layout) at first write. At cluster
-    scale the same record belongs in the catalog's table properties."""
+    The manifest pins (num_buckets, layout) at first write, through the
+    Hadoop FileSystem for '://' out_dirs (hdfs://, s3a://, …) so the guard
+    fires on cluster storage too, not only local paths (review finding
+    r3). At catalog-managed scale the same record belongs in the table's
+    properties."""
     path = os.path.join(out_dir, "_manifest.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            prev = json.load(f)
+    if _path_exists(spark, path):
+        prev = json.loads(_read_text(spark, path))
         if (
             prev.get("num_buckets") != num_buckets
             or prev.get("layout") != BUCKET_LAYOUT
@@ -645,9 +647,47 @@ def _check_manifest(out_dir: str, num_buckets: int) -> None:
                 "(or delete the old one) to change the bucket layout."
             )
         return
-    os.makedirs(out_dir, exist_ok=True)
-    with open(path, "w") as f:
-        json.dump({"num_buckets": num_buckets, "layout": BUCKET_LAYOUT}, f)
+    _write_text(
+        spark, path, json.dumps({"num_buckets": num_buckets, "layout": BUCKET_LAYOUT})
+    )
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    if "://" not in path:
+        with open(path) as f:
+            return f.read()
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    if "://" not in path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def run_extract(
@@ -674,7 +714,7 @@ def run_extract(
     run_id = run_id or uuid.uuid4().hex[:12]
     spans_dir = os.path.join(out_dir, "spans")
     lineage_dir = os.path.join(out_dir, "lineage")
-    _check_manifest(out_dir, num_buckets)
+    _check_manifest(spark, out_dir, num_buckets)
 
     docs = with_bucket(spark.read.parquet(docs_path), num_buckets)
     media = spark.read.parquet(media_path)

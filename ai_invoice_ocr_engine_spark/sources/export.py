@@ -85,33 +85,24 @@ def _col_letter(i: int) -> str:
     return out
 
 
-def _sheet_xml(header: list[str], rows) -> str:
-    parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-             '<worksheet xmlns="http://schemas.openxmlformats.org/'
-             'spreadsheetml/2006/main"><sheetData>']
-
-    def row_xml(r_idx: int, values) -> str:
-        cells = []
-        for c_idx, v in enumerate(values):
-            ref = f"{_col_letter(c_idx)}{r_idx}"
-            if isinstance(v, bool):
-                cells.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
-            elif isinstance(v, (int, float)) and v == v:  # not NaN
-                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
-            elif v is None:
-                cells.append(f'<c r="{ref}"/>')
-            else:
-                cells.append(
-                    f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-                    f"{_xml_escape(str(v))}</t></is></c>"
-                )
-        return f'<row r="{r_idx}">{"".join(cells)}</row>'
-
-    parts.append(row_xml(1, header))
-    for i, row in enumerate(rows, start=2):
-        parts.append(row_xml(i, row))
-    parts.append("</sheetData></worksheet>")
-    return "".join(parts)
+def _row_xml(r_idx: int, values) -> str:
+    cells = []
+    for c_idx, v in enumerate(values):
+        ref = f"{_col_letter(c_idx)}{r_idx}"
+        if isinstance(v, bool):
+            cells.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
+        elif isinstance(v, (int, float)) and v == v and v not in (
+            float("inf"), float("-inf")
+        ):  # finite number (inf/NaN are not valid OOXML numerics)
+            cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+        elif v is None:
+            cells.append(f'<c r="{ref}"/>')
+        else:
+            cells.append(
+                f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f"{_xml_escape(str(v))}</t></is></c>"
+            )
+    return f'<row r="{r_idx}">{"".join(cells)}</row>'
 
 
 def write_xlsx(result: DataFrame, path: str, max_rows: int = XLSX_MAX_ROWS) -> str:
@@ -122,29 +113,16 @@ def write_xlsx(result: DataFrame, path: str, max_rows: int = XLSX_MAX_ROWS) -> s
 
     A worksheet is a single driver-side file capped at Excel's own
     1,048,576-row limit, so the flat rows stream through toLocalIterator
-    (no executor-side fan-in, no full collect) and the cap fails loudly;
-    bulk exports belong in the distributed csv/json sinks.
+    AND into the zip entry itself (zipfile's streaming writer — O(1)
+    driver memory, never one giant XML string; review finding r3); the
+    cap fails loudly; bulk exports belong in the distributed csv/json
+    sinks.
     """
     import os
     import zipfile
 
     flat = flat_spans(result)
     header = flat.columns
-    n = 0
-    rows_iter = (tuple(r) for r in flat.toLocalIterator())
-
-    def counted():
-        nonlocal n
-        for r in rows_iter:
-            n += 1
-            if n + 1 > max_rows:  # +1: header occupies row 1
-                raise ValueError(
-                    f"xlsx sink exceeds {max_rows} rows (Excel's worksheet "
-                    "limit); use write_csv/write_json for bulk exports"
-                )
-            yield r
-
-    sheet = _sheet_xml(header, counted())
     ct = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
@@ -173,12 +151,41 @@ def write_xlsx(result: DataFrame, path: str, max_rows: int = XLSX_MAX_ROWS) -> s
         "</Relationships>"
     )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        _write_xlsx_zip(path, ct, rels, wb, wb_rels, header, flat, max_rows)
+    except BaseException:
+        if os.path.exists(path):  # never leave a truncated workbook behind
+            os.remove(path)
+        raise
+    return path
+
+
+def _write_xlsx_zip(path, ct, rels, wb, wb_rels, header, flat, max_rows):
+    import zipfile
+
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", ct)
         z.writestr("_rels/.rels", rels)
         z.writestr("xl/workbook.xml", wb)
         z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
-        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        with z.open("xl/worksheets/sheet1.xml", "w") as f:
+            f.write(
+                b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                b'<worksheet xmlns="http://schemas.openxmlformats.org/'
+                b'spreadsheetml/2006/main"><sheetData>'
+            )
+            f.write(_row_xml(1, header).encode())
+            n = 0
+            for r in flat.toLocalIterator():
+                n += 1
+                if n + 1 > max_rows:  # +1: header occupies row 1
+                    raise ValueError(
+                        f"xlsx sink exceeds {max_rows} rows (Excel's "
+                        "worksheet limit); use write_csv/write_json for "
+                        "bulk exports"
+                    )
+                f.write(_row_xml(n + 1, tuple(r)).encode())
+            f.write(b"</sheetData></worksheet>")
     return path
 
 

@@ -3,9 +3,10 @@ accepted-format list (/root/reference/engine.py:46: png/jpg/jpeg/bmp/tiff;
 polymorphic imread at /root/reference/utils/image.py:4-11).
 
 Scope mirrors what a scanner/export pipeline actually emits:
-  BMP: uncompressed BI_RGB (8-bit paletted / 24-bit / 32-bit, bottom-up
-       or top-down rows) and BI_RLE8. RLE4 and 1/4/16-bit raise
-       NotImplementedError.
+  BMP: uncompressed BI_RGB (1/4/8-bit paletted, 16-bit 555, 24-bit,
+       32-bit, bottom-up or top-down rows), 16-bit 565 via BI_BITFIELDS,
+       BI_RLE8 and BI_RLE4. 2-bit depth and nonstandard bitfield masks
+       raise NotImplementedError.
   TIFF: uncompressed, LZW (early-change), Deflate (zlib strips),
         PackBits, new-style JPEG (compression 7, strip- or tile-organized,
         with or without a shared JPEGTables tag) and old-style JPEG
@@ -27,6 +28,20 @@ import struct
 import numpy as np
 
 
+#: standard 16-bit BI_BITFIELDS mask sets (565 and the 555 BI_RGB default)
+_BMP16_MASKS = {(0xF800, 0x07E0, 0x001F), (0x7C00, 0x03E0, 0x001F)}
+
+
+def _mask_channel(vals: np.ndarray, mask: int) -> np.ndarray:
+    """Extract a masked channel and scale to 0..255 (v*255/maxv)."""
+    if mask == 0:
+        return np.zeros(vals.shape, np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    mx = mask >> shift
+    ch = (vals >> shift) & mx
+    return ((ch.astype(np.uint32) * 255) // mx).astype(np.uint8)
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     from .kernels import rgb_to_gray
 
@@ -40,35 +55,52 @@ def decode_bmp(data: bytes) -> np.ndarray:
         w, h_signed = struct.unpack_from("<ii", data, 18)
         planes, bpp = struct.unpack_from("<HH", data, 26)
         compression = struct.unpack_from("<I", data, 30)[0]
-        if compression not in (0, 1, 3):  # BI_RGB / BI_RLE8 / BI_BITFIELDS
+        if compression not in (0, 1, 2, 3):
+            # BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS
             raise NotImplementedError(f"BMP compression {compression} unsupported")
+        masks = None
         if compression == 3:
-            # bitfields accepted ONLY when the masks declare the standard
-            # BGRA layout the fast path assumes — anything else is a loud
-            # seam, not silently swapped channels
             masks = struct.unpack_from("<III", data, 14 + 40)
-            if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            if bpp == 32:
+                # 32-bit bitfields accepted ONLY for the standard BGRA
+                # layout the fast path assumes — anything else is a loud
+                # seam, not silently swapped channels
+                if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                    raise NotImplementedError(
+                        f"BMP bitfields masks {tuple(hex(m) for m in masks)} unsupported"
+                    )
+            elif bpp == 16:
+                if masks not in _BMP16_MASKS:
+                    raise NotImplementedError(
+                        f"BMP 16-bit masks {tuple(hex(m) for m in masks)} unsupported"
+                    )
+            else:
                 raise NotImplementedError(
-                    f"BMP bitfields masks {tuple(hex(m) for m in masks)} unsupported"
+                    f"BMP bitfields with {bpp}-bit pixels unsupported"
                 )
         if compression == 1 and bpp != 8:
             raise ValueError("BI_RLE8 requires 8-bit BMP")
-        if bpp not in (8, 24, 32):
+        if compression == 2 and bpp != 4:
+            raise ValueError("BI_RLE4 requires 4-bit BMP")
+        if bpp not in (1, 4, 8, 16, 24, 32):
             raise NotImplementedError(f"{bpp}-bit BMP unsupported")
         if w <= 0 or h_signed == 0:
             raise ValueError("BMP has empty dimensions")
         top_down = h_signed < 0
         h = abs(h_signed)
-        if bpp == 8:
-            n_colors = struct.unpack_from("<I", data, 46)[0] or 256
-            pal_off = 14 + hdr_size
+        pal = None
+        if bpp <= 8:
+            n_colors = struct.unpack_from("<I", data, 46)[0] or (1 << bpp)
+            pal_off = 14 + hdr_size + (12 if compression == 3 else 0)
             pal = np.frombuffer(
                 data, np.uint8, count=n_colors * 4, offset=pal_off
             ).reshape(n_colors, 4)  # BGRA
         if compression == 1:
             rows = _decode_rle8(data, pix_off, w, h)
+        elif compression == 2:
+            rows = _decode_rle4(data, pix_off, w, h)
         else:
-            row_bytes = (w * bpp // 8 + 3) & ~3
+            row_bytes = ((w * bpp + 31) // 32) * 4
             need = row_bytes * h
             raw = np.frombuffer(data, np.uint8, count=need, offset=pix_off)
             rows = raw.reshape(h, row_bytes)
@@ -78,16 +110,79 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt BMP: {e}") from e
     if not top_down:
         rows = rows[::-1]
-    if bpp == 8:
+    if bpp in (1, 4) and compression == 0:
+        # sub-byte palette indices, MSB-first within each byte
+        bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+        if bpp == 1:
+            idx = bits
+        else:
+            g = bits.reshape(h, w, 4)
+            idx = (g[..., 0] << 3 | g[..., 1] << 2 | g[..., 2] << 1 | g[..., 3])
+        idx = idx.astype(np.uint8)
+    elif bpp <= 8:
         idx = rows[:, :w]
+    if bpp <= 8:
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("BMP pixel index outside the palette")
         rgb = pal[idx][:, :, [2, 1, 0]]  # BGRA -> RGB
+        return rgb_to_gray(np.ascontiguousarray(rgb))
+    if bpp == 16:
+        if masks is None:
+            masks = (0x7C00, 0x03E0, 0x001F)  # BI_RGB 16-bit default is 555
+        vals = rows[:, : w * 2].reshape(h, w, 2)
+        v16 = vals[..., 0].astype(np.uint16) | (vals[..., 1].astype(np.uint16) << 8)
+        rgb = np.stack([_mask_channel(v16, m) for m in masks], axis=2)
         return rgb_to_gray(np.ascontiguousarray(rgb))
     nch = bpp // 8
     px = rows[:, : w * nch].reshape(h, w, nch)
     rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB
     return rgb_to_gray(np.ascontiguousarray(rgb))
+
+
+def _decode_rle4(data: bytes, pos: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE4 → (h, w) index rows, bottom-up order as stored: encoded runs
+    alternate two nibbles; escapes 0=EOL, 1=EOD, 2=delta, n>=3 absolute
+    (nibbles packed high-first, padded to a word boundary)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    n = len(data)
+    while pos + 1 < n:
+        b0 = data[pos]
+        b1 = data[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded run: alternate high/low nibble of b1
+            hi, lo = b1 >> 4, b1 & 0xF
+            end = min(x + b0, w)
+            for k in range(end - x):
+                out[y, x + k] = hi if k % 2 == 0 else lo
+            x = end
+        elif b1 == 0:  # end of line
+            x = 0
+            y += 1
+            if y >= h:
+                break
+        elif b1 == 1:  # end of data
+            return out
+        elif b1 == 2:  # delta
+            if pos + 1 >= n:
+                raise ValueError("BMP RLE4 delta truncated")
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+            if y >= h:
+                raise ValueError("BMP RLE4 delta out of bounds")
+        else:  # absolute run of b1 nibbles
+            cnt = b1
+            nbytes = (cnt + 1) // 2
+            if pos + nbytes > n:
+                raise ValueError("BMP RLE4 absolute run truncated")
+            end = min(x + cnt, w)
+            for k in range(end - x):
+                byte = data[pos + k // 2]
+                out[y, x + k] = (byte >> 4) if k % 2 == 0 else (byte & 0xF)
+            x = end
+            pos += nbytes + (nbytes & 1)
+    return out
 
 
 def _decode_rle8(data: bytes, pos: int, w: int, h: int) -> np.ndarray:
@@ -186,6 +281,122 @@ def encode_bmp(img: np.ndarray) -> bytes:
         "<IHHI", pix_off + len(body), 0, 0, pix_off
     ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 256, 0)
     return bytes(hdr) + pal + bytes(body)
+
+
+def _bmp_header(w: int, h: int, bpp: int, compression: int, body_len: int,
+                pal: bytes, masks: tuple | None = None) -> bytes:
+    extra = struct.pack("<III", *masks) if masks else b""
+    pix_off = 14 + 40 + len(extra) + len(pal)
+    n_colors = len(pal) // 4
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + body_len, 0, 0, pix_off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                       body_len, 2835, 2835, n_colors, 0)
+    return hdr + extra + pal
+
+
+def encode_bmp_lowbit(idx: np.ndarray, bpp: int,
+                      palette: np.ndarray | None = None) -> bytes:
+    """1- or 4-bit paletted bottom-up BMP (fixture writer). ``idx``: (h, w)
+    palette indices < 2^bpp; default palette is the gray ramp."""
+    assert bpp in (1, 4) and idx.ndim == 2
+    h, w = idx.shape
+    n = 1 << bpp
+    assert int(idx.max(initial=0)) < n
+    if palette is None:
+        step = 255 // (n - 1)
+        palette = np.stack([np.arange(n) * step] * 3, axis=1).astype(np.uint8)
+    pal = b"".join(bytes([int(b), int(g), int(r), 0]) for r, g, b in palette)
+    row_bytes = ((w * bpp + 31) // 32) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        if bpp == 1:
+            bits = np.zeros(row_bytes * 8, np.uint8)
+            bits[:w] = idx[y]
+            body += np.packbits(bits).tobytes()
+        else:
+            nib = np.zeros(row_bytes * 2, np.uint8)
+            nib[:w] = idx[y]
+            body += ((nib[0::2] << 4) | nib[1::2]).astype(np.uint8).tobytes()
+    return _bmp_header(w, h, bpp, 0, len(body), pal) + bytes(body)
+
+
+def encode_bmp16(img_rgb: np.ndarray, fmt: str = "565") -> bytes:
+    """16-bit BMP (fixture writer): '565' via BI_BITFIELDS masks, '555'
+    via plain BI_RGB. ``img_rgb``: (h, w, 3) uint8 — channel low bits are
+    truncated by the format."""
+    assert img_rgb.ndim == 3 and img_rgb.shape[2] == 3
+    h, w = img_rgb.shape[:2]
+    r = img_rgb[..., 0].astype(np.uint16)
+    g = img_rgb[..., 1].astype(np.uint16)
+    b = img_rgb[..., 2].astype(np.uint16)
+    if fmt == "565":
+        v = ((r >> 3) << 11) | ((g >> 2) << 5) | (b >> 3)
+        masks = (0xF800, 0x07E0, 0x001F)
+        comp = 3
+    elif fmt == "555":
+        v = ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)
+        masks = None
+        comp = 0
+    else:
+        raise ValueError(f"unknown 16-bit format {fmt!r}")
+    row_bytes = ((w * 16 + 31) // 32) * 4
+    body = bytearray()
+    pad = bytes(row_bytes - w * 2)
+    for y in range(h - 1, -1, -1):
+        body += v[y].astype("<u2").tobytes() + pad
+    return _bmp_header(w, h, 16, comp, len(body), b"", masks) + bytes(body)
+
+
+def encode_bmp_rle4(idx: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """4-bit BI_RLE4 BMP (fixture writer): encoded nibble-pair runs for
+    repeats, absolute packets otherwise; EOL per row, EOD at end."""
+    assert idx.ndim == 2 and int(idx.max(initial=0)) < 16
+    h, w = idx.shape
+    if palette is None:
+        palette = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+    pal = b"".join(bytes([int(b), int(g), int(r), 0]) for r, g, b in palette)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = idx[y]
+        x = 0
+        while x < w:
+            a = int(row[x])
+            b = int(row[x + 1]) if x + 1 < w else a
+            # encoded run = alternating a,b,a,b,... pattern
+            run = 1
+            while (
+                x + run < w and run < 254
+                and int(row[x + run]) == (a if run % 2 == 0 else b)
+            ):
+                run += 1
+            if run >= 3 or w - x <= 2:
+                run = min(run, w - x)
+                body += bytes([run, (a << 4) | (b if run > 1 else a)])
+                x += run
+                continue
+            # absolute packet up to the next >=3 alternating repeat
+            j = x + 1
+            while j < w and (j - x) < 254:
+                if j + 2 < w and int(row[j + 2]) == int(row[j]):
+                    break
+                j += 1
+            cnt = j - x
+            if cnt < 3:  # absolute packets need >= 3; emit encoded singles
+                for k in range(cnt):
+                    body += bytes([1, int(row[x + k]) << 4])
+                x = j
+                continue
+            body += bytes([0, cnt])
+            nib = np.zeros(((cnt + 1) // 2) * 2, np.uint8)
+            nib[:cnt] = row[x:j]
+            packed = ((nib[0::2] << 4) | nib[1::2]).astype(np.uint8).tobytes()
+            body += packed
+            if len(packed) & 1:
+                body += b"\x00"
+            x = j
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of data
+    return _bmp_header(w, h, 4, 2, len(body), pal) + bytes(body)
 
 
 _TIFF_TAGS = {

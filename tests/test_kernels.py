@@ -447,10 +447,14 @@ def test_bmp_tiff_roundtrip_and_contract():
         assert np.array_equal(BT.decode_bmp(blob), im)
         assert np.array_equal(K.decode_image(blob), im)
     # unsupported variants stay loud seams
-    rle4 = bytearray(BT.encode_bmp(img))
-    struct.pack_into("<I", rle4, 30, 2)  # BI_RLE4
+    badrle = bytearray(BT.encode_bmp(img))
+    struct.pack_into("<I", badrle, 30, 2)  # BI_RLE4 on 8-bit: malformed
+    with pytest.raises(ValueError):
+        BT.decode_bmp(bytes(badrle))
+    twobit = bytearray(BT.encode_bmp(img))
+    struct.pack_into("<H", twobit, 28, 2)  # 2-bit depth: unsupported seam
     with pytest.raises(NotImplementedError):
-        BT.decode_bmp(bytes(rle4))
+        BT.decode_bmp(bytes(twobit))
     oddtif = bytearray(BT.encode_tiff(img))
     ifd_off = struct.unpack_from("<I", oddtif, 4)[0]
     struct.pack_into("<H", oddtif, ifd_off + 2 + 3 * 12 + 8, 32809)  # ThunderScan
@@ -861,3 +865,43 @@ def test_png_extended_depths_palette_interlace():
         K.decode_png(blob[:60])
     with pytest.raises(ValueError):
         K.decode_png(K.encode_png_ext(idx + 100, depth=8, ctype=3, palette=pal[:8]))
+
+
+def test_bmp_lowbit_rle4_and_16bit():
+    """BMP seams closed: 1/4-bit paletted, BI_RLE4, and 16-bit 565/555
+    (bitfields + BI_RGB default) — exact vs the analytic channel
+    expansion, all through the shared rgb_to_gray."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+
+    rng = np.random.default_rng(41)
+    for bpp in (1, 4):
+        n = 1 << bpp
+        idx = rng.integers(0, n, (37, 53)).astype(np.uint8)
+        pal = np.stack([np.arange(n) * (255 // (n - 1))] * 3, axis=1).astype(np.uint8)
+        want = K.rgb_to_gray(pal[idx])
+        assert np.array_equal(BT.decode_bmp(BT.encode_bmp_lowbit(idx, bpp)), want)
+    for pat in (
+        rng.integers(0, 16, (20, 31)).astype(np.uint8),
+        np.tile(np.array([5] * 10 + [3, 7] * 5 + [1], np.uint8), (8, 1)),
+        np.zeros((5, 9), np.uint8),
+    ):
+        pal = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+        want = K.rgb_to_gray(pal[pat])
+        assert np.array_equal(BT.decode_bmp(BT.encode_bmp_rle4(pat)), want)
+    rgb = rng.integers(0, 256, (25, 40, 3), dtype=np.uint8).astype(np.int64)
+    for fmt, gdiv in (("565", 63), ("555", 31)):
+        r = (rgb[..., 0] >> 3) * 255 // 31
+        g = (rgb[..., 1] >> (2 if fmt == "565" else 3)) * 255 // gdiv
+        b = (rgb[..., 2] >> 3) * 255 // 31
+        want = K.rgb_to_gray(np.stack([r, g, b], axis=2).astype(np.uint8))
+        got = BT.decode_bmp(BT.encode_bmp16(rgb.astype(np.uint8), fmt))
+        assert np.array_equal(got, want), fmt
+    # seams stay loud: 16-bit with nonstandard masks, 2-bit depth
+    import struct
+
+    blob = bytearray(BT.encode_bmp16(rgb.astype(np.uint8), "565"))
+    struct.pack_into("<III", blob, 54, 0xF00, 0xF0, 0xF)
+    with pytest.raises(NotImplementedError):
+        BT.decode_bmp(bytes(blob))

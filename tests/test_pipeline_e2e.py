@@ -205,7 +205,27 @@ def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
 
                 m["image"] = encode_jpeg_progressive(img, quality=95, subsampling="gray")
         elif i % 5 == 3:
-            m["image"] = encode_bmp(img)
+            bv = (i // 5) % 4
+            if bv == 0:
+                m["image"] = encode_bmp(img)
+            elif bv == 1:
+                from ai_invoice_ocr_engine_spark.bmptiff import encode_bmp_rle8
+
+                m["image"] = encode_bmp_rle8(img)
+            elif bv == 2:
+                from ai_invoice_ocr_engine_spark.bmptiff import encode_bmp16
+                import numpy as _np
+
+                # 16-bit quantizes pixels; oracle sees the same bytes
+                m["image"] = encode_bmp16(
+                    _np.stack([img] * 3, axis=2), "565" if i % 2 else "555"
+                )
+            else:
+                from ai_invoice_ocr_engine_spark.bmptiff import encode_bmp_lowbit
+                import numpy as _np
+
+                # 4-bit: quantize to 16 gray levels via the ramp palette
+                m["image"] = encode_bmp_lowbit((img >> 4).astype(_np.uint8), 4)
         elif i % 5 == 4:
             # cycle the TIFF container family: plain strips, tiled,
             # JPEG-in-TIFF strip, JPEG-in-TIFF tiled+shared-tables,

@@ -33,6 +33,9 @@ def _add_cfg_flags(sp) -> None:
                     help="disable page-orientation correction (prep.ori)")
     sp.add_argument("--no-cls", action="store_true",
                     help="disable textline 0/180 classification (cls.en)")
+    sp.add_argument("--unwarp", action="store_true",
+                    help="page perspective rectification before orientation "
+                         "(reference prep.uwp, off by default there too)")
     sp.add_argument("--rotated", action="store_true",
                     help="min-area-rect quads + perspective crop for skewed "
                          "text lines (reference detect/postprocess.py "
@@ -51,7 +54,10 @@ def _cfg_from(args):
         rec=dataclasses.replace(
             base.rec, decode=args.decode, beam_width=args.beam_width
         ),
-        prep=dataclasses.replace(base.prep, ori=not args.no_orient),
+        prep=dataclasses.replace(
+            base.prep, ori=not args.no_orient,
+            unwarp=getattr(args, "unwarp", False),
+        ),
         cls=dataclasses.replace(base.cls, en=not args.no_cls),
     )
 

@@ -53,8 +53,11 @@ class ClsConfig:
 
 @dataclass(frozen=True)
 class PrepConfig:
-    ori: bool = True   # orientation correction on (reference config.py:48 prep.ori)
-    oth: float = 0.9   # orientation confidence gate (reference config.py:50 oth)
+    ori: bool = True    # orientation correction on (reference config.py:48 prep.ori)
+    oth: float = 0.9    # orientation confidence gate (reference config.py:50 oth)
+    unwarp: bool = False  # page perspective rectification (reference
+                          # config.py:49 uwp — off by default there too)
+    uwth: float = 0.5   # unwarp confidence gate (reference config.py:51 uwth)
 
 
 @dataclass(frozen=True)

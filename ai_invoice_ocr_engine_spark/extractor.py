@@ -68,6 +68,11 @@ def extract_media_lines(
     (/root/reference/postprocess.py:54-68).
     """
     img = K.decode_image(image_bytes)  # polymorphic: SYNF/PNG/JPEG (S2)
+    if cfg.prep.unwarp:
+        # F6 unwarp gate (reference preprocess/core.py:18-25, uwp off by
+        # default): perspective-rectify a photographed page before the
+        # orientation stage, pass-through below the confidence gate
+        img, _uw_conf = K.unwarp_page(img, uwth=cfg.prep.uwth)
     if cfg.prep.ori:
         # F5 orientation gate (reference preprocess/core.py:13-17): rotate
         # only when the classifier clears the confidence threshold

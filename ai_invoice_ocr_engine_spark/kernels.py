@@ -891,22 +891,32 @@ def crop_quad(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     p0, p1, p2, p3 = quad.astype(np.float64)
     tw = max(int(round(max(np.hypot(*(p1 - p0)), np.hypot(*(p2 - p3))))), 1)
     th = max(int(round(max(np.hypot(*(p3 - p0)), np.hypot(*(p2 - p1))))), 1)
-    # homography dst->src: (0,0)->p0, (tw,0)->p1, (tw,th)->p2, (0,th)->p3
-    src = np.stack([p0, p1, p2, p3])
     dst = np.array([[0, 0], [tw, 0], [tw, th], [0, th]], dtype=np.float64)
+    H = homography(dst, np.stack([p0, p1, p2, p3]))
+    return _warp_by_homography(img, H, th, tw)
+
+
+def homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """3x3 projective transform mapping the 4 src points onto the 4 dst
+    points (closed-form DLT; the cv2.getPerspectiveTransform analog)."""
     A = np.zeros((8, 8))
     b = np.zeros(8)
     for i in range(4):
-        u, v = dst[i]
-        x, y = src[i]
+        u, v = src[i]
+        x, y = dst[i]
         A[2 * i] = [u, v, 1, 0, 0, 0, -u * x, -v * x]
         A[2 * i + 1] = [0, 0, 0, u, v, 1, -u * y, -v * y]
         b[2 * i] = x
         b[2 * i + 1] = y
     hvec = np.linalg.solve(A, b)
-    H = np.append(hvec, 1.0).reshape(3, 3)
-    uu, vv = np.meshgrid(np.arange(tw, dtype=np.float64),
-                         np.arange(th, dtype=np.float64))
+    return np.append(hvec, 1.0).reshape(3, 3)
+
+
+def _warp_by_homography(img: np.ndarray, H: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Sample img at H(output grid) — H maps OUTPUT coords to SOURCE coords
+    (the inverse map, as cv2.warpPerspective uses internally)."""
+    uu, vv = np.meshgrid(np.arange(out_w, dtype=np.float64),
+                         np.arange(out_h, dtype=np.float64))
     den = H[2, 0] * uu + H[2, 1] * vv + H[2, 2]
     xs = (H[0, 0] * uu + H[0, 1] * vv + H[0, 2]) / den
     ys = (H[1, 0] * uu + H[1, 1] * vv + H[1, 2]) / den
@@ -1632,6 +1642,112 @@ def rotate_any(
     inb = (xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1)
     out = _bilinear_sample(img, xs, ys)
     return np.where(inb, out, np.uint8(fill))
+
+
+def _dp_polyline(pts: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker simplification of an open polyline (iterative)."""
+    n = len(pts)
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = pts[i], pts[j]
+        ab = b - a
+        ln = np.hypot(*ab)
+        seg = pts[i + 1 : j]
+        if ln < 1e-12:
+            d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            d = np.abs(ab[0] * (seg[:, 1] - a[1]) - ab[1] * (seg[:, 0] - a[0])) / ln
+        k = int(np.argmax(d))
+        if d[k] > eps:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return pts[keep]
+
+
+def approx_poly(hull: np.ndarray, eps: float) -> np.ndarray:
+    """Closed-polygon Douglas-Peucker (the cv2.approxPolyDP analog): split
+    the ring at its two mutually-farthest vertices, simplify both arcs."""
+    n = len(hull)
+    if n <= 3:
+        return hull
+    # farthest pair (hull is small: O(n^2) is fine)
+    d2 = ((hull[:, None, :] - hull[None, :, :]) ** 2).sum(axis=2)
+    i, j = np.unravel_index(int(np.argmax(d2)), d2.shape)
+    if i > j:
+        i, j = j, i
+    arc1 = hull[i : j + 1]
+    arc2 = np.concatenate([hull[j:], hull[: i + 1]])
+    s1 = _dp_polyline(arc1, eps)
+    s2 = _dp_polyline(arc2, eps)
+    return np.concatenate([s1[:-1], s2[:-1]])
+
+
+def find_page_quad(gray: np.ndarray) -> tuple[np.ndarray | None, float]:
+    """Locate the document page as a quadrilateral, or fail gracefully.
+
+    The no-cv2 analog of the reference unwarper's fallback
+    (/root/reference/preprocess/unwarp.py:32-53 _predict_fallback:
+    Canny → largest contour → approxPolyDP → require exactly 4 vertices).
+    Here: Otsu segmentation of the LIGHT region (a scanned page on a
+    darker bed — a documented substitution for Canny edges; deterministic,
+    no hysteresis), largest component's convex hull, closed-polygon
+    Douglas-Peucker at eps = 0.02 x perimeter (the reference's epsilon).
+    Returns (quad ordered tl,tr,br,bl, confidence): (quad, 0.7) on a clean
+    4-vertex fit, (None, 0.3) otherwise — the reference's same scores.
+    """
+    mask = (gray > otsu_threshold(gray)).astype(np.uint8)
+    comps = connected_components_hulls(mask)
+    if not comps:
+        return None, 0.3
+    comp = max(comps, key=lambda c: c[4])
+    h, w = gray.shape
+    if comp[4] < 0.1 * h * w:  # page must dominate the frame
+        return None, 0.3
+    hull = convex_hull(comp[5])
+    if len(hull) < 4:
+        return None, 0.3
+    closed = np.vstack([hull, hull[:1]])
+    per = float(np.hypot(*(np.diff(closed, axis=0).T)).sum())
+    quad = approx_poly(hull, eps=0.02 * per)
+    if len(quad) != 4:
+        return None, 0.3
+    # a quad covering (almost) the whole frame means the page is already
+    # flat/full-frame — nothing to rectify (identity homography); report
+    # the no-warp outcome instead of paying a pointless resample
+    x = quad[:, 0]
+    y = quad[:, 1]
+    area = 0.5 * abs(
+        float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    )
+    if area >= 0.97 * h * w:
+        return None, 0.3
+    return order_quad(quad.astype(np.float32)), 0.7
+
+
+def unwarp_page(gray: np.ndarray, uwth: float = 0.5) -> tuple[np.ndarray, float]:
+    """Perspective-rectify a photographed/warped page to the full frame.
+
+    K19/F6 made real for the reference's own fallback path
+    (/root/reference/preprocess/unwarp.py + preprocess/core.py:18-25
+    `unwarp`, gated at cfg.uwth=0.5; the U-Net flow predictor remains an
+    external-model seam): page quad → homography onto the frame corners →
+    bilinear resample. Below the gate (no clean quad) the image passes
+    through unchanged, exactly like the reference's zero flow field.
+    """
+    quad, conf = find_page_quad(gray)
+    if quad is None or conf < uwth:
+        return gray, conf
+    h, w = gray.shape
+    frame = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
+    H = homography(frame, quad.astype(np.float64))  # output -> source
+    return _warp_by_homography(gray, H, h, w), conf
 
 
 def pad_to_multiple(img: np.ndarray, m: int = 32) -> tuple[np.ndarray, tuple[int, int]]:

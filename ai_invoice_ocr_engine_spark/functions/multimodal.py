@@ -22,6 +22,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -312,3 +313,106 @@ def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
             yield pd.DataFrame(out)
 
     return audio.select("media_ref", "audio").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing — frame-level near-dup for multimodal corpora
+# --------------------------------------------------------------------------
+
+_PHASH_N = 32  # DCT input side
+_DCT32 = None  # lazy 32x32 DCT-II basis
+
+
+def _dct32() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        n = _PHASH_N
+        k = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+        m[0] *= 1 / np.sqrt(2)
+        _DCT32 = m * np.sqrt(2 / n)
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (classic pHash): resize to 32x32 → 2D DCT-II
+    → top-left 8x8 low-frequency block → threshold against the median of
+    the 63 AC coefficients (bit 0, the DC slot, is fixed 0). Hamming
+    distance between hashes tracks visual similarity — robust to resize,
+    mild noise, and re-encoding, which content (exact) hashes are not.
+    Pure float64 numpy: deterministic across partitions/platforms."""
+    from .. import kernels as K
+
+    small = K.resize_bilinear(img, _PHASH_N, _PHASH_N).astype(np.float64)
+    d = _dct32()
+    coef = d @ small @ d.T
+    block = coef[:8, :8].reshape(-1)
+    med = float(np.median(block[1:]))
+    h = 0
+    for i in range(1, 64):
+        if block[i] > med:
+            h |= 1 << i
+    return h - (1 << 64) if h >= 1 << 63 else h  # signed 64-bit for Spark
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_frames(media: DataFrame) -> DataFrame:
+    """media(media_ref, image) → (media_ref, phash) — one Arrow crossing,
+    decode via the polymorphic reader; undecodable frames are dropped
+    (they cannot be near anything)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import kernels as K
+
+        for pdf in batches:
+            refs, hashes = [], []
+            for ref, blob in zip(pdf["media_ref"], pdf["image"]):
+                try:
+                    img = K.decode_image(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    continue
+                refs.append(ref)
+                hashes.append(phash64(img))
+            yield pd.DataFrame({"media_ref": refs, "phash": hashes})
+
+    return media.select("media_ref", "image").mapInPandas(fn, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 6, max_bucket: int | None = 4096
+) -> DataFrame:
+    """Frame-level near-duplicate pairs: pHash + the SAME banded-pigeonhole
+    candidate machinery as SimHash text dedup (functions/dedup.py:
+    simhash_candidates — 64-bit hashes, (max_hamming+1) bands, oversized
+    buckets re-split, exact popcount verify). The image analog of
+    text near-dedup for a multimodal training corpus: resized / lightly
+    noised / re-encoded copies of a frame land within max_hamming bits.
+
+    Returns (ref_a, ref_b, hamming)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import simhash_candidates
+
+    hashes = phash_frames(media).select(
+        F.col("media_ref").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    cand = simhash_candidates(
+        hashes, bits=64, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("doc_a").alias("ref_a"),
+            F.col("doc_b").alias("ref_b"),
+            "hamming",
+        )
+    )

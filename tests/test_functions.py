@@ -408,3 +408,45 @@ def test_simhash_skew_guard_pathological_bucket(spark):
     want = pairs(unguarded)
     assert pairs(guarded) == want
     assert len(want) == 10  # exactly the planted near-dups
+
+
+def test_phash_near_dup_frames(spark):
+    """Perceptual image dedup: planted near-duplicates (resized, noised,
+    JPEG-re-encoded copies) pair with their originals through the banded
+    pHash join; distinct pages do not. The image analog of text near-dedup
+    for a multimodal corpus."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import fixtures as FX
+    from ai_invoice_ocr_engine_spark.functions import multimodal as MM
+    from ai_invoice_ocr_engine_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    rows = []
+    expected_pairs = set()
+    # structurally distinct pages (varied dims + header bands): pairwise
+    # pHash Hamming >= 18, far above the max_hamming=6 pairing radius
+    specs = [(320, 260, False), (480, 200, True), (200, 400, False),
+             (360, 360, True), (260, 320, False), (420, 240, True)]
+    for i, (pw, ph_, hf) in enumerate(specs):
+        img, _ = FX.render_media(np.random.default_rng(200 + i), pw, ph_, hf)
+        rows.append((f"orig{i}", bytearray(K.encode_synf(img))))
+        if i < 3:  # plant one variant per original for the first three
+            if i == 0:
+                var = K.resize_bilinear(img, 200, 240)
+            elif i == 1:
+                var = np.clip(
+                    img.astype(int) + rng.integers(-6, 7, img.shape), 0, 255
+                ).astype(np.uint8)
+            else:
+                var = decode_jpeg(encode_jpeg(img, quality=85))
+            rows.append((f"var{i}", bytearray(K.encode_synf(var))))
+            expected_pairs.add(tuple(sorted((f"orig{i}", f"var{i}"))))
+    media = spark.createDataFrame(rows, "media_ref string, image binary")
+    pairs = {
+        tuple(sorted((r["ref_a"], r["ref_b"])))
+        for r in MM.phash_near_dup_pairs(media, max_hamming=6).collect()
+    }
+    assert expected_pairs <= pairs
+    # no originals pair with each other (distinct pages are >> 6 bits apart)
+    assert not any(a.startswith("orig") and b.startswith("orig") for a, b in pairs)

@@ -14,8 +14,8 @@ Scope mirrors what a scanner/export pipeline actually emits:
         emit), CCITT fax G4/T.6 (compression 4) + MH (compression 2) and
         1-bit packed bilevel via fax.py, chunky planar, 8-bit grayscale
         (white/black-is-zero) or RGB(A), strip- OR tile-organized, either
-        byte order, horizontal-differencing predictor. The only remaining
-        fax seam is G3 2D lines (T4Options bit 0).
+        byte order, horizontal-differencing predictor. The CCITT fax
+        family (MH / G3 1D+2D / G4) is fully covered.
 Malformed containers raise ValueError (same contract as decode_png).
 Color goes through kernels.rgb_to_gray — one grayscale definition for
 every codec in the engine.
@@ -956,7 +956,7 @@ def encode_tiff_jpeg(img: np.ndarray, quality: int = 90, tile: int | None = None
 
 
 def encode_tiff_fax(mask: np.ndarray, compression: int = 4,
-                    big_endian: bool = False) -> bytes:
+                    big_endian: bool = False, two_d: bool = False) -> bytes:
     """Bilevel fax TIFF (fixture writer): 1-bit, photometric 0 (white-is-
     zero, the fax convention — stored 1 = black), single strip, CCITT G4
     (compression 4), MH (compression 2), G3/T.4-with-EOLs (compression 3), or packed
@@ -970,7 +970,7 @@ def encode_tiff_fax(mask: np.ndarray, compression: int = 4,
     if compression == 4:
         pix = fax.encode_g4(m)
     elif compression == 3:
-        pix = fax.encode_t4(m)
+        pix = fax.encode_t4(m, two_d=two_d)
     elif compression == 2:
         pix = fax.encode_mh(m)
     elif compression == 1:
@@ -979,12 +979,15 @@ def encode_tiff_fax(mask: np.ndarray, compression: int = 4,
         raise ValueError(f"encode_tiff_fax compression {compression} unsupported")
 
     def entries(offs):
-        return [
+        es = [
             (256, 3, [w]), (257, 3, [h]), (258, 3, [1]),
             (259, 3, [compression]), (262, 3, [0]), (273, 4, offs),
             (277, 3, [1]), (278, 3, [h]), (279, 4, [len(pix)]),
             (284, 3, [1]),
         ]
+        if compression == 3 and two_d:
+            es.append((292, 4, [1]))  # T4Options: bit 0 = 2D coding
+        return es
 
     return _assemble_tiff(bo, [pix], entries)
 

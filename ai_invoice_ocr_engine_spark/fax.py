@@ -8,9 +8,10 @@ Implements the two encodings real scanned-document TIFFs carry:
   * MH / T.4 one-dimensional (TIFF compression 2, "CCITTRLE"): each line
     is an independent sequence of alternating white/black run codes,
     rows byte-aligned (the libtiff convention for compression 2).
-  * G3 / T.4-with-EOLs (TIFF compression 3): EOL-prefixed 1D lines with
-    fill bits; the optional 2D mode (T4Options bit 0) raises — the one
-    remaining fax seam.
+  * G3 / T.4-with-EOLs (TIFF compression 3): EOL-prefixed lines with
+    fill bits; both plain 1D and the 2D mode (T4Options bit 0 — tag bit
+    after each EOL, 2D lines share the T.6 mode machinery, K-factor
+    alternation). The fax family is seam-free.
 
 Code tables are transcribed from ITU-T T.4 §2.2.2.2 (white/black
 terminating + makeup codes, shared extended makeups) and T.6 §2.2.4
@@ -200,40 +201,48 @@ def _b1_b2(ref: list[int], a0: int, color: int, w: int) -> tuple[int, int]:
     return b1, b2
 
 
+def _decode_2d_line(b: _Bits, ref: list[int], w: int) -> list[int]:
+    """Decode one 2D-coded line (the shared mode machinery of T.6 and
+    G3-2D) against the reference line's changing elements; returns this
+    line's changing elements."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # white
+    while a0 < w:
+        b1, b2 = _b1_b2(ref, a0, color, w)
+        mode, d = _read_mode(b)
+        if mode == "P":
+            a0 = b2
+        elif mode == "V":
+            a1 = b1 + d
+            if not (0 <= a1 <= w):
+                raise ValueError("corrupt fax stream: vertical out of line")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+        else:  # Horizontal: two runs, current color then opposite
+            start = max(a0, 0)
+            r1 = _read_run(b, black=bool(color))
+            r2 = _read_run(b, black=not bool(color))
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > w and a1 <= w:
+                a2 = w
+            if a1 > w:
+                raise ValueError("corrupt fax stream: run past line end")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+    return cur
+
+
 def decode_g4(data: bytes, w: int, h: int) -> np.ndarray:
     """T.6 MMR → (h, w) uint8 mask, 1 = black."""
     b = _Bits(data)
     out = np.zeros((h, w), np.uint8)
     ref: list[int] = []  # imaginary all-white reference line
     for y in range(h):
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # white
-        while a0 < w:
-            b1, b2 = _b1_b2(ref, a0, color, w)
-            mode, d = _read_mode(b)
-            if mode == "P":
-                a0 = b2
-            elif mode == "V":
-                a1 = b1 + d
-                if not (0 <= a1 <= w):
-                    raise ValueError("corrupt fax stream: vertical out of line")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-            else:  # Horizontal: two runs, current color then opposite
-                start = max(a0, 0)
-                r1 = _read_run(b, black=bool(color))
-                r2 = _read_run(b, black=not bool(color))
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > w and a1 <= w:
-                    a2 = w
-                if a1 > w:
-                    raise ValueError("corrupt fax stream: run past line end")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
+        cur = _decode_2d_line(b, ref, w)
         _fill(out[y], cur, w)
         ref = cur
     return out
@@ -265,11 +274,11 @@ _EOL = "000000000001"
 
 def decode_t4(data: bytes, w: int, h: int, two_d: bool = False) -> np.ndarray:
     """T.4 with EOLs (TIFF compression 3, Group 3): each line is preceded
-    by an EOL code (fill bits allowed before it). 1D-coded lines only —
-    the T4Options=0 default every plain G3 writer emits; the optional 2D
-    mode (T4Options bit 0) raises."""
-    if two_d:
-        raise NotImplementedError("G3 2D (T4Options bit 0) unsupported")
+    by an EOL code (fill bits allowed before it). With ``two_d``
+    (T4Options bit 0), every EOL is followed by a tag bit — 1 = the line
+    is 1D-coded runs, 0 = 2D-coded against the previous line with the
+    shared T.6 mode machinery (the K-factor alternation real G3-2D
+    writers emit)."""
     b = _Bits(data)
     out = np.zeros((h, w), np.uint8)
 
@@ -285,19 +294,30 @@ def decode_t4(data: bytes, w: int, h: int, two_d: bool = False) -> np.ndarray:
             raise ValueError("corrupt G3 stream: missing EOL")
         b.skip(1)  # the terminating 1
 
+    ref: list[int] = []
     for y in range(h):
         expect_eol()
-        pos = 0
-        black = False
-        changes: list[int] = []
-        while pos < w:
-            run = _read_run(b, black=black)
-            pos += run
-            if pos > w:
-                raise ValueError("corrupt fax stream: run past line end")
-            changes.append(pos)
-            black = not black
+        one_d = True
+        if two_d:
+            one_d = b.peek(1) == 1
+            b.skip(1)
+        if one_d:
+            pos = 0
+            black = False
+            changes: list[int] = []
+            while pos < w:
+                run = _read_run(b, black=black)
+                pos += run
+                if pos > w:
+                    raise ValueError("corrupt fax stream: run past line end")
+                changes.append(pos)
+                black = not black
+        else:
+            if y == 0:
+                raise ValueError("corrupt G3-2D stream: first line must be 1D")
+            changes = _decode_2d_line(b, ref, w)
         _fill(out[y], changes, w)
+        ref = changes
     return out
 
 
@@ -342,6 +362,40 @@ def _changes_of(row: np.ndarray) -> list[int]:
     return list(np.nonzero(d)[0])
 
 
+_V_CODES = {0: "1", 1: "011", -1: "010", 2: "000011",
+            -2: "000010", 3: "0000011", -3: "0000010"}
+
+
+def _encode_2d_line(bw: _BitW, cur: list[int], ref: list[int], w: int) -> None:
+    """Emit one 2D-coded line (shared by the T.6 and G3-2D writers)."""
+    a0 = -1
+    color = 0
+    i = 0  # index into cur of the next change with the right parity
+    while a0 < w:
+        # a1: next change right of a0 (changes alternate so parity is
+        # implicit in the scan order)
+        while i < len(cur) and cur[i] <= a0:
+            i += 1
+        a1 = cur[i] if i < len(cur) else w
+        b1, b2 = _b1_b2(ref, a0, color, w)
+        if b2 < a1:
+            bw.put_str("0001")  # Pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bw.put_str(_V_CODES[a1 - b1])
+            a0 = a1
+            color ^= 1
+            i += 1
+        else:  # Horizontal
+            a2 = cur[i + 1] if i + 1 < len(cur) else w
+            start = max(a0, 0)
+            bw.put_str("001")
+            _emit_run(bw, a1 - start, black=bool(color))
+            _emit_run(bw, a2 - a1, black=not bool(color))
+            a0 = a2
+            i += 2
+
+
 def encode_g4(mask: np.ndarray) -> bytes:
     """(h, w) mask (nonzero = black) → T.6 stream (fixture writer)."""
     h, w = mask.shape
@@ -349,55 +403,39 @@ def encode_g4(mask: np.ndarray) -> bytes:
     ref: list[int] = []
     for y in range(h):
         cur = _changes_of(mask[y])
-        a0 = -1
-        color = 0
-        i = 0  # index into cur of the next change with the right parity
-        while a0 < w:
-            # a1: next change right of a0 (changes alternate so parity is
-            # implicit in the scan order)
-            while i < len(cur) and cur[i] <= a0:
-                i += 1
-            a1 = cur[i] if i < len(cur) else w
-            b1, b2 = _b1_b2(ref, a0, color, w)
-            if b2 < a1:
-                bw.put_str("0001")  # Pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bw.put_str({0: "1", 1: "011", -1: "010", 2: "000011",
-                            -2: "000010", 3: "0000011", -3: "0000010"}[a1 - b1])
-                a0 = a1
-                color ^= 1
-                i += 1
-            else:  # Horizontal
-                a2 = cur[i + 1] if i + 1 < len(cur) else w
-                start = max(a0, 0)
-                bw.put_str("001")
-                _emit_run(bw, a1 - start, black=bool(color))
-                _emit_run(bw, a2 - a1, black=not bool(color))
-                a0 = a2
-                i += 2
+        _encode_2d_line(bw, cur, ref, w)
         ref = cur
     return bw.done()
 
 
-def encode_t4(mask: np.ndarray) -> bytes:
-    """(h, w) mask → T.4/G3 1D stream (fixture writer): EOL before every
-    line, then the MH run codes, no byte alignment."""
+def encode_t4(mask: np.ndarray, two_d: bool = False, k: int = 2) -> bytes:
+    """(h, w) mask → T.4/G3 stream (fixture writer): EOL before every
+    line; 1D run codes, or — with ``two_d`` — the K-factor alternation
+    (every k-th line 1D with tag bit 1, the rest 2D with tag bit 0)."""
     h, w = mask.shape
     bw = _BitW()
+    ref: list[int] = []
     for y in range(h):
         bw.put_str(_EOL)
-        changes = _changes_of(mask[y]) + [w]
-        pos = 0
-        black = False
-        for c in changes:
-            if c == pos and not black and pos != 0:
-                continue
-            _emit_run(bw, c - pos, black=black)
-            pos = c
-            black = not black
-            if pos >= w:
-                break
+        cur = _changes_of(mask[y])
+        if two_d and y % k != 0:
+            bw.put_str("0")  # tag: 2D line
+            _encode_2d_line(bw, cur, ref, w)
+        else:
+            if two_d:
+                bw.put_str("1")  # tag: 1D line
+            changes = cur + ([w] if not cur or cur[-1] != w else [])
+            pos = 0
+            black = False
+            for c in changes:
+                if c == pos and not black and pos != 0:
+                    continue
+                _emit_run(bw, c - pos, black=black)
+                pos = c
+                black = not black
+                if pos >= w:
+                    break
+        ref = cur
     return bw.done()
 
 

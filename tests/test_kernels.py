@@ -795,9 +795,12 @@ def test_tiff_fax_and_bilevel():
     # published makeup-1728 + terminating-0 codes
     bits = "".join(f"{b:08b}" for b in fax.encode_mh(np.zeros((1, 1728), np.uint8)))
     assert bits.startswith("010011011" + "00110101")
-    # G3 2D (T4Options bit 0) stays a loud seam
-    with pytest.raises(NotImplementedError):
-        fax.decode_t4(b"", 10, 10, two_d=True)
+    # G3 2D (T4Options bit 0): K-factor alternating streams round-trip
+    m2 = masks[0]
+    h2, w2 = m2.shape
+    for k in (2, 4):
+        enc = fax.encode_t4(m2, two_d=True, k=k)
+        assert np.array_equal(fax.decode_t4(enc, w2, h2, two_d=True), m2)
 
 
 def test_fax_page_extraction_end_to_end():

@@ -33,6 +33,9 @@ def _add_cfg_flags(sp) -> None:
                     help="disable page-orientation correction (prep.ori)")
     sp.add_argument("--no-cls", action="store_true",
                     help="disable textline 0/180 classification (cls.en)")
+    sp.add_argument("--skip-bad-media", action="store_true",
+                    help="count corrupt/unsupported media toward "
+                         "n_media_missing instead of failing the task")
     sp.add_argument("--unwarp", action="store_true",
                     help="page perspective rectification before orientation "
                          "(reference prep.uwp, off by default there too)")
@@ -50,6 +53,7 @@ def _cfg_from(args):
     base = ExtractConfig()
     return dataclasses.replace(
         base,
+        on_bad_media="skip" if getattr(args, "skip_bad_media", False) else "fail",
         det=dataclasses.replace(base.det, rotated=getattr(args, "rotated", False)),
         rec=dataclasses.replace(
             base.rec, decode=args.decode, beam_width=args.beam_width

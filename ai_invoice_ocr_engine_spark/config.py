@@ -68,6 +68,12 @@ class ExtractConfig:
     prep: PrepConfig = field(default_factory=PrepConfig)
     cls: ClsConfig = field(default_factory=ClsConfig)
     extract_fields: bool = True
+    #: corrupt/unsupported media bytes: 'fail' (reference parity — the
+    #: task dies, with the offending media_ref named) or 'skip' (the 100
+    #: TB posture: the frame counts toward n_media_missing and the rest of
+    #: the document extracts — one rotten blob in 10^12 must not kill a
+    #: 1000-executor stage)
+    on_bad_media: str = "fail" 
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -156,7 +156,14 @@ def extract_doc(
             if blob is None:
                 n_media_missing += 1
                 continue
-            for line in extract_media_lines(bytes(blob), cfg, weights):
+            try:
+                lines = extract_media_lines(bytes(blob), cfg, weights)
+            except (ValueError, NotImplementedError) as e:
+                if cfg.on_bad_media == "skip":
+                    n_media_missing += 1
+                    continue
+                raise type(e)(f"media_ref {ref!r}: {e}") from e
+            for line in lines:
                 for text, _score in line:
                     out.append({"kind": KIND_OCR, "text": text, "media_ref": ref})
                     n_ocr += 1

@@ -275,7 +275,14 @@ def _ocr_frame_batches(
                 # shuffle path: a NULL image column is corrupt input — fail
                 # loudly rather than silently dropping the frame's lines
                 raise ValueError(f"media row {ref!r} has NULL image bytes")
-            lines = extract_media_lines(bytes(raw), cfg, weights)
+            try:
+                lines = extract_media_lines(bytes(raw), cfg, weights)
+            except (ValueError, NotImplementedError) as e:
+                if cfg.on_bad_media == "skip":
+                    # emit no row: the doc-side left join records the frame
+                    # missing, identical to a ref absent from the media table
+                    continue
+                raise type(e)(f"media_ref {ref!r}: {e}") from e
             refs.append(ref)
             lines_out.append([t for line in lines for (t, _sc) in line])
         yield pd.DataFrame({"media_ref": refs, "lines": lines_out})

@@ -330,3 +330,42 @@ def test_blob_mode_rejects_transformed_media_bytes(spark, corpus, tmp_path):
         media_strategy="frames", media_side_path=corpus["media_path"],
     )
     assert out.count() > 0
+
+
+def test_corrupt_media_policy(spark, corpus, tmp_path):
+    """100 TB posture: one rotten blob must not kill the stage. Default
+    ('fail', reference parity) raises with the offending media_ref named;
+    on_bad_media='skip' extracts the rest of every document and counts the
+    frame toward n_media_missing — identical to the same corpus with the
+    corrupt frame absent."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    media_rows = [dict(m) for m in corpus["media"]]
+    bad_ref = media_rows[3]["media_ref"]
+    media_rows[3]["image"] = b"\x89PNG\r\n\x1a\ngarbage-not-a-png"
+    bad_path = str(tmp_path / "media_bad.parquet")
+    spark.createDataFrame(
+        [(m["media_ref"], m["width"], m["height"], bytearray(m["image"]), m["n_lines"])
+         for m in media_rows],
+        "media_ref string, width int, height int, image binary, n_lines int",
+    ).write.parquet(bad_path)
+
+    docs = spark.read.parquet(corpus["docs_path"])
+    media = spark.read.parquet(bad_path)
+    with _pytest.raises(Exception, match="media_ref"):  # task fails loudly,
+        # naming the offending frame (wrapped by Spark's Python-worker error)
+        extract(docs, media, ExtractConfig(), media_strategy="frames").collect()
+
+    cfg_skip = dataclasses.replace(ExtractConfig(), on_bad_media="skip")
+    got = spans_key(extract(docs, media, cfg_skip, media_strategy="frames").collect())
+    # golden: same corpus with the corrupt frame simply absent
+    absent = [m for m in media_rows if m["media_ref"] != bad_ref]
+    want = spans_key(O.run_oracle(corpus["docs"], absent, cfg_skip))
+    assert_span_equal(got, want)
+    # per-document plans route through extract_doc's policy branch: same result
+    got_b = spans_key(
+        extract(docs, media, cfg_skip, media_strategy="broadcast").collect()
+    )
+    assert_span_equal(got_b, want)

@@ -88,6 +88,9 @@ def decode_bmp(data: bytes) -> np.ndarray:
             raise ValueError("BMP has empty dimensions")
         top_down = h_signed < 0
         h = abs(h_signed)
+        from .kernels import _check_dims
+
+        _check_dims(w, h, "BMP")
         pal = None
         if bpp <= 8:
             n_colors = struct.unpack_from("<I", data, 46)[0] or (1 << bpp)
@@ -557,7 +560,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
             name = _TIFF_TAGS.get(tag)
             if name is None:
                 continue
-            tags[name] = _tiff_values(data, bo, typ, count, data[base + 8 : base + 12])
+            vals = _tiff_values(data, bo, typ, count, data[base + 8 : base + 12])
+            if not vals:  # count=0 tags are malformed noise; ignore them
+                continue
+            tags[name] = vals
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt TIFF: {e}") from e
     comp = tags.get("compression", [1])[0]
@@ -598,6 +604,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
         h = tags["height"][0]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag: {e}") from e
+    from .kernels import _check_dims
+
+    _check_dims(w, h, "TIFF")
 
     if comp == 6:
         # Old-style JPEG (TIFF 6.0 §22) in its one sane incarnation: the

@@ -335,7 +335,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             # tolerate a missing EOI after the last scan
             return _reconstruct(store, frame, qt, rgb_to_gray)
         raise ValueError("JPEG has no scan (SOS) segment")
-    except IndexError as e:
+    except (IndexError, OverflowError, MemoryError, ZeroDivisionError) as e:
         raise ValueError(f"corrupt JPEG: {e}") from e
 
 

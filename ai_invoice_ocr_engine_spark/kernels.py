@@ -76,12 +76,17 @@ def encode_synf(img: np.ndarray) -> bytes:
 
 
 def decode_synf(data: bytes) -> np.ndarray:
-    """Returns grayscale uint8 (h, w). Raises ValueError on bad magic."""
+    """Returns grayscale uint8 (h, w). Raises ValueError on bad magic or a
+    truncated header/payload (the skip-policy contract: decoders raise
+    ONLY ValueError / NotImplementedError)."""
     if data[:4] != SYNF_MAGIC:
         raise ValueError("not a SYNF frame")
-    w, h = struct.unpack("<II", data[4:12])
-    img = np.frombuffer(data[12 : 12 + h * w], dtype=np.uint8)
-    return img.reshape(h, w).copy()
+    try:
+        w, h = struct.unpack("<II", data[4:12])
+        img = np.frombuffer(data[12 : 12 + h * w], dtype=np.uint8)
+        return img.reshape(h, w).copy()
+    except (struct.error, ValueError) as e:
+        raise ValueError(f"corrupt SYNF frame: {e}") from e
 
 
 # --------------------------------------------------------------------------
@@ -94,6 +99,19 @@ def decode_synf(data: bytes) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: decode-side plausibility cap shared by every codec: output buffers are
+#: allocated from HEADER dims, so a corrupt 4-byte field could demand a
+#: multi-GB memset before any pixel data is validated (found by fuzzing —
+#: a 2s decode stall per bad frame is a stage straggler at 10^12 docs).
+#: 2^26 px = an 8192x8192 page — beyond poster-size at 600 dpi, while
+#: keeping worst-case decode buffers (palette expansion x4) sub-second.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int, what: str) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"implausible {what} dimensions {w}x{h}")
 
 
 def _png_chunks(data: bytes):
@@ -237,6 +255,7 @@ def decode_png(data: bytes) -> np.ndarray:
                 nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
                 if nch is None:
                     raise NotImplementedError(f"PNG color type {ctype} unsupported")
+                _check_dims(w, h, "PNG")
                 if ctype in (2, 4, 6) and depth not in (8, 16):
                     raise ValueError(f"PNG depth {depth} invalid for color type {ctype}")
                 if ctype == 3 and depth == 16:

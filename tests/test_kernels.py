@@ -908,3 +908,54 @@ def test_bmp_lowbit_rle4_and_16bit():
     struct.pack_into("<III", blob, 54, 0xF00, 0xF0, 0xF)
     with pytest.raises(NotImplementedError):
         BT.decode_bmp(bytes(blob))
+
+
+def test_decode_image_error_contract_fuzz():
+    """The skip-policy contract, fuzz-pinned: decode_image on corrupt bytes
+    (truncations, random mutations, garbage behind every magic) raises ONLY
+    ValueError / NotImplementedError — never struct.error / IndexError /
+    OverflowError (each of which was found and fixed by this fuzz) — and
+    header-driven buffer allocation is capped (MAX_DECODE_PIXELS) so a
+    corrupt dims field cannot demand a multi-GB memset."""
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = np.full((24, 32), 255, np.uint8)
+    img[6:12, 6:26] = 40
+    valids = [
+        K.encode_synf(img), K.encode_png(img, 4),
+        K.encode_png_ext(img, interlace=1), encode_jpeg(img, quality=80),
+        BT.encode_bmp(img), BT.encode_bmp_rle8(img),
+        BT.encode_tiff(img, compression=5), BT.encode_tiff_tiled(img, tile=16),
+        BT.encode_tiff_jpeg(img, quality=80),
+        BT.encode_tiff_fax((img < 128).astype(np.uint8)),
+        BT.encode_bmp16(np.stack([img] * 3, axis=2)),
+        BT.encode_bmp_lowbit((img >> 4).astype(np.uint8), 4),
+        BT.encode_bmp_rle4((img >> 4).astype(np.uint8)),
+    ]
+
+    def probe(data):
+        try:
+            K.decode_image(bytes(data))
+        except (ValueError, NotImplementedError):
+            pass  # the ONLY allowed failure modes
+
+    for v in valids:
+        for cut in range(0, len(v), max(1, len(v) // 25)):
+            probe(v[:cut])
+        for _ in range(40):
+            bb = bytearray(v)
+            for _k in range(int(rng.integers(1, 6))):
+                bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
+            probe(bytes(bb))
+    for m in (b"SYNF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"BM", b"II*\x00"):
+        for _ in range(60):
+            probe(m + bytes(rng.integers(0, 256, int(rng.integers(0, 120)), dtype=np.uint8)))
+    # the dims cap itself
+    import struct as _struct
+
+    huge = bytearray(BT.encode_bmp(img))
+    _struct.pack_into("<ii", huge, 18, 1 << 20, 1 << 20)
+    with pytest.raises(ValueError, match="implausible"):
+        BT.decode_bmp(bytes(huge))

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .. import audio as _audio
 from .. import kernels as K
 
 MEDIA_META_SCHEMA = StructType(
@@ -228,47 +229,160 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
-def decode_wav(data: bytes) -> np.ndarray:
-    """RIFF/WAVE PCM → int16 mono samples (multi-channel averaged).
+def encode_wav_ext(
+    samples: np.ndarray,
+    codec: str = "pcm16",
+    sample_rate: int = 16000,
+    extensible: bool = False,
+) -> bytes:
+    """Fixture-side WAV writer covering every decode_wav codec path.
 
-    Supports PCM (format 1) at 8-bit unsigned or 16-bit signed — what
-    scanners/telephony exports actually produce. Compressed formats
-    (mp3/aac/ADPCM, format != 1) raise NotImplementedError; malformed
-    RIFF raises ValueError."""
+    codec: pcm16 | pcm24 | pcm32 | float32 | float64 | alaw | ulaw | adpcm.
+    ``samples`` is int16 (n,) mono or (n, ch); multi-channel is written
+    interleaved. ``extensible=True`` wraps the fmt in WAVE_FORMAT_EXTENSIBLE
+    with the standard SubFormat GUID (decode_wav must unwrap it)."""
+    s = np.asarray(samples, np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_frames, n_ch = s.shape
+    inter = s.reshape(-1)  # row-major == frame-interleaved
+    fact = None
+    if codec == "pcm16":
+        tag, bits, data = 1, 16, inter.astype("<i2").tobytes()
+        block = 2 * n_ch
+    elif codec == "pcm24":
+        v = inter.astype(np.int32) << 8
+        b = np.zeros((len(v), 3), np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        tag, bits, data, block = 1, 24, b.tobytes(), 3 * n_ch
+    elif codec == "pcm32":
+        tag, bits, block = 1, 32, 4 * n_ch
+        data = (inter.astype(np.int32) << 16).astype("<i4").tobytes()
+    elif codec in ("float32", "float64"):
+        bits = 32 if codec == "float32" else 64
+        f = inter.astype(np.float64) / 32767.0
+        data = f.astype("<f4" if bits == 32 else "<f8").tobytes()
+        tag, block = 3, bits // 8 * n_ch
+    elif codec == "alaw":
+        tag, bits, block = 6, 8, n_ch
+        data = _audio.alaw_encode(inter).tobytes()
+    elif codec == "ulaw":
+        tag, bits, block = 7, 8, n_ch
+        data = _audio.ulaw_encode(inter).tobytes()
+    elif codec == "adpcm":
+        spb = min(505, (max(n_frames - 1, 8) + 7) // 8 * 8 + 1)
+        data, block, spb = _audio.ima_adpcm_encode(s, spb)
+        tag, bits, fact = 0x11, 4, n_frames
+    else:
+        raise ValueError(f"unknown fixture codec {codec!r}")
+    byte_rate = sample_rate * block
+    if extensible:
+        fmt = _struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE, n_ch, sample_rate, byte_rate, block, bits, 22, bits,
+            (1 << n_ch) - 1,
+        ) + _struct.pack("<H", tag) + _WAVEEXT_GUID_TAIL
+    elif codec == "adpcm":
+        spb_field = (block - 4 * n_ch) * 2 // n_ch + 1
+        fmt = _struct.pack(
+            "<HHIIHHHH", tag, n_ch, sample_rate, byte_rate, block, bits, 2,
+            spb_field,
+        )
+    else:
+        fmt = _struct.pack("<HHIIHH", tag, n_ch, sample_rate, byte_rate, block, bits)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    if fact is not None:
+        body += b"fact" + _struct.pack("<II", 4, fact)
+    body += b"data" + _struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+#: KSDATAFORMAT_SUBTYPE GUID tail shared by the PCM/float/A-law/mu-law/ADPCM
+#: subformats of WAVE_FORMAT_EXTENSIBLE — the leading uint16 is the classic
+#: format tag (Microsoft multimedia registration, public spec)
+_WAVEEXT_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """RIFF/WAVE → int16 mono samples (multi-channel averaged).
+
+    Supported format tags: 1 (PCM at 8/16/24/32 bit), 3 (IEEE float 32/64),
+    6 (G.711 A-law), 7 (G.711 mu-law), 0x11 (IMA/DVI ADPCM), and 0xFFFE
+    (WAVE_FORMAT_EXTENSIBLE routed by its SubFormat GUID to any of the
+    above). Genuinely-compressed codecs (mp3-in-WAV 0x55, MS ADPCM 2, …)
+    raise NotImplementedError; malformed RIFF raises ValueError."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
     pcm = None
+    fact_samples = None
     try:
         while pos + 8 <= len(data):
             cid = data[pos : pos + 4]
             (size,) = _struct.unpack_from("<I", data, pos + 4)
             body = data[pos + 8 : pos + 8 + size]
             if cid == b"fmt ":
-                audio_fmt, n_ch, _rate, _br, _ba, bits = _struct.unpack_from(
-                    "<HHIIHH", body
+                audio_fmt, n_ch, _rate, _br, block_align, bits = (
+                    _struct.unpack_from("<HHIIHH", body)
                 )
-                if audio_fmt != 1:
-                    raise NotImplementedError(
-                        f"WAV format {audio_fmt} (non-PCM) unsupported"
-                    )
-                if bits not in (8, 16):
-                    raise NotImplementedError(f"{bits}-bit WAV unsupported")
-                fmt = (n_ch, bits)
+                if audio_fmt == 0xFFFE:
+                    # extensible: cbSize(2) validBits(2) chanMask(4) GUID(16)
+                    if len(body) < 40:
+                        raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE")
+                    if body[26:40] != _WAVEEXT_GUID_TAIL:
+                        raise NotImplementedError(
+                            "non-standard WAVE_FORMAT_EXTENSIBLE SubFormat"
+                        )
+                    (audio_fmt,) = _struct.unpack_from("<H", body, 24)
+                fmt = (audio_fmt, n_ch, bits, block_align)
             elif cid == b"data":
                 pcm = body
+            elif cid == b"fact" and size >= 4:
+                (fact_samples,) = _struct.unpack_from("<I", body)
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if fmt is None or pcm is None:
             raise ValueError("WAV missing fmt/data chunk")
     except _struct.error as e:
         raise ValueError(f"corrupt WAV: {e}") from e
-    n_ch, bits = fmt
-    if bits == 8:
-        s = np.frombuffer(pcm, np.uint8).astype(np.int32)
-        s = (s - 128) << 8
+    audio_fmt, n_ch, bits, block_align = fmt
+    if n_ch < 1:
+        raise ValueError("WAV with zero channels")
+    if audio_fmt == 1:
+        if bits == 8:
+            s = (np.frombuffer(pcm, np.uint8).astype(np.int32) - 128) << 8
+        elif bits == 16:
+            s = np.frombuffer(pcm[: len(pcm) // 2 * 2], "<i2").astype(np.int32)
+        elif bits == 24:
+            s = _audio.pcm24_to_int16(pcm).astype(np.int32)
+        elif bits == 32:
+            raw = np.frombuffer(pcm[: len(pcm) // 4 * 4], "<i4")
+            s = (raw >> 16).astype(np.int32)
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM WAV unsupported")
+    elif audio_fmt == 3:
+        if bits not in (32, 64):
+            raise NotImplementedError(f"{bits}-bit float WAV unsupported")
+        s = _audio.float_to_int16(pcm, bits).astype(np.int32)
+    elif audio_fmt == 6:
+        s = _audio.alaw_decode(np.frombuffer(pcm, np.uint8)).astype(np.int32)
+    elif audio_fmt == 7:
+        s = _audio.ulaw_decode(np.frombuffer(pcm, np.uint8)).astype(np.int32)
+    elif audio_fmt == 0x11:
+        frames = _audio.ima_adpcm_decode(pcm, n_ch, block_align)
+        if fact_samples is not None:
+            frames = frames[:fact_samples]  # drop final-block pad nibbles
+        return frames.mean(axis=1).astype(np.int16) if n_ch > 1 else frames[
+            :, 0
+        ].astype(np.int16)
     else:
-        s = np.frombuffer(pcm[: len(pcm) // 2 * 2], "<i2").astype(np.int32)
+        raise NotImplementedError(
+            f"WAV format {audio_fmt} (compressed codec) unsupported"
+        )
     if n_ch > 1:
         s = s[: len(s) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1).astype(np.int32)
     return s.astype(np.int16)

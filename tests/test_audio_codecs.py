@@ -1,0 +1,165 @@
+"""G.711 / IMA ADPCM / float / wide-PCM WAV codec tests (audio.py +
+multimodal.decode_wav routing). Everything pins against spec-derived
+invariants, not just the repo's own encoders:
+
+* G.711's defining invariant encode(decode(code)) == code holds for all
+  256 codes in both laws, with the one spec exception: mu-law 0x7F
+  ("negative zero") decodes to 0, which canonically re-encodes to 0xFF
+  (positive zero) — Sun g711.c behaves identically.
+* Spot values from the published expand tables.
+* IMA ADPCM single blocks decoded by hand against the step/index tables.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ai_invoice_ocr_engine_spark import audio as A
+from ai_invoice_ocr_engine_spark.functions import multimodal as M
+
+
+def test_g711_all_codes_are_fixed_points():
+    codes = np.arange(256, dtype=np.uint8)
+    re_u = A.ulaw_encode(A.ulaw_decode(codes))
+    # mu-law negative zero (0x7F) decodes to 0 -> canonical +0 code 0xFF
+    want_u = codes.copy()
+    want_u[0x7F] = 0xFF
+    assert np.array_equal(re_u, want_u)
+    assert np.array_equal(A.alaw_encode(A.alaw_decode(codes)), codes)
+
+
+def test_g711_spot_values():
+    # published expand-table anchors (Sun g711.c semantics)
+    # mu-law is transmitted inverted; sign bit 1 = positive (G.711 table 2a)
+    assert A.ulaw_decode(np.array([0xFF], np.uint8))[0] == 0  # +0
+    assert A.ulaw_decode(np.array([0x7F], np.uint8))[0] == 0  # -0
+    assert A.ulaw_decode(np.array([0x00], np.uint8))[0] == -32124  # neg max
+    assert A.ulaw_decode(np.array([0x80], np.uint8))[0] == 32124  # pos max
+    assert A.alaw_decode(np.array([0x55], np.uint8))[0] == -8  # closest to 0
+    assert A.alaw_decode(np.array([0xD5], np.uint8))[0] == 8
+    assert A.alaw_decode(np.array([0x2A], np.uint8))[0] == -32256  # neg max
+    assert A.alaw_decode(np.array([0xAA], np.uint8))[0] == 32256
+
+
+def test_g711_roundtrip_error_bounded_by_segment_step():
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, 4000).astype(np.int16)
+    # error bound = max(half the widest segment's cell, the clip-region
+    # error at full scale: mu-law tops out at 32124, so |32767| -> 643)
+    for enc, dec, bound in (
+        (A.ulaw_encode, A.ulaw_decode, 32767 - 32124),
+        (A.alaw_encode, A.alaw_decode, 1 << 10),
+    ):
+        rec = dec(enc(s)).astype(np.int32)
+        err = np.abs(rec - s.astype(np.int32))
+        assert err.max() <= bound, (enc.__name__, err.max())
+        shift = 2 if enc is A.ulaw_encode else 3
+        # and small near zero: quiet samples stay quiet
+        quiet = np.abs(s) < 64
+        assert err[quiet].max() <= 1 << (shift + 1)
+
+
+def test_ima_adpcm_hand_block():
+    """One mono block decoded against the spec tables by hand.
+
+    Header: predictor=100, index=0 (step 7). Nibbles low-first:
+    byte 0x81 -> nibble 1 then 8.
+      nibble 1: diff = 7>>3 + 7>>2 = 0+1 = 1 -> 101, index 0-1 -> 0
+      nibble 8: diff = 7>>3 = 0 -> 101, index 0-1 -> 0
+    remaining 3 bytes are 0x00: diff 0, predictor stays 101.
+    """
+    block = struct.pack("<hBB", 100, 0, 0) + bytes([0x81, 0, 0, 0])
+    out = A.ima_adpcm_decode(block, 1, len(block))
+    assert out[:, 0].tolist() == [100, 101, 101, 101, 101, 101, 101, 101, 101]
+
+
+def test_ima_adpcm_roundtrip_snr():
+    t = np.arange(4001)
+    s = (8000 * np.sin(t / 16.0) + 2000 * np.sin(t / 3.1)).astype(np.int16)
+    payload, block_align, spb = A.ima_adpcm_encode(s, 505)
+    rec = A.ima_adpcm_decode(payload, 1, block_align)[: len(s), 0]
+    err = rec.astype(np.float64) - s.astype(np.float64)
+    snr = 10 * np.log10((s.astype(np.float64) ** 2).mean() / (err**2).mean())
+    assert snr > 25, snr  # ADPCM nominal ~ 4-bit quantizer on deltas
+
+
+def test_ima_adpcm_stereo_interleave_matches_mono_decode():
+    rng = np.random.default_rng(3)
+    base = np.cumsum(rng.integers(-300, 300, 1025)).clip(-30000, 30000)
+    st = np.stack([base, -base // 2], axis=1).astype(np.int16)
+    payload, block_align, _ = A.ima_adpcm_encode(st, 513)
+    out = A.ima_adpcm_decode(payload, 2, block_align)
+    # each channel equals its own independent mono encode/decode
+    for c in range(2):
+        p_mono, ba_mono, _ = A.ima_adpcm_encode(st[:, c], 513)
+        mono = A.ima_adpcm_decode(p_mono, 1, ba_mono)[:, 0]
+        assert np.array_equal(out[: len(mono), c], mono)
+
+
+def test_wav_routing_all_codecs():
+    rng = np.random.default_rng(11)
+    s = np.cumsum(rng.integers(-500, 500, 2048)).clip(-30000, 30000).astype(np.int16)
+    # exact paths
+    for codec in ("pcm16", "pcm24", "pcm32", "float32", "float64"):
+        wav = M.encode_wav_ext(s, codec)
+        out = M.decode_wav(wav)
+        assert np.array_equal(out, s), codec
+    # companded paths: bounded error (half widest cell + >>2 floor trunc)
+    for codec, tol in (("alaw", 1 << 10), ("ulaw", (1 << 9) + 8)):
+        out = M.decode_wav(M.encode_wav_ext(s, codec))
+        assert len(out) == len(s)
+        assert np.abs(out.astype(np.int32) - s.astype(np.int32)).max() <= tol
+    # ADPCM: fact chunk trims to the exact frame count
+    out = M.decode_wav(M.encode_wav_ext(s, "adpcm"))
+    assert len(out) == len(s)
+    err = out.astype(np.float64) - s.astype(np.float64)
+    assert np.sqrt((err**2).mean()) < 200
+
+
+def test_wav_extensible_and_stereo():
+    rng = np.random.default_rng(5)
+    st = rng.integers(-20000, 20000, (777, 2)).astype(np.int16)
+    want = st.astype(np.int32).mean(axis=1).astype(np.int32).astype(np.int16)
+    for codec in ("pcm16", "float32"):
+        got = M.decode_wav(M.encode_wav_ext(st, codec, extensible=True))
+        assert np.array_equal(got, want), codec
+    # extensible with a garbage GUID is a loud seam, not silence
+    wav = bytearray(M.encode_wav_ext(st, "pcm16", extensible=True))
+    i = wav.index(b"fmt ") + 8 + 26
+    wav[i] ^= 0xFF
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(bytes(wav))
+
+
+def test_wav_error_contract_still_loud():
+    with pytest.raises(NotImplementedError):  # mp3-in-WAV stays a codec seam
+        fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", 0)
+        M.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError):  # truncated extensible fmt
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", 0)
+        M.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_features_accepts_companded_wav(spark):
+    """The distributed feature stage sees identical windows through any
+    lossless container codec of the same samples."""
+    t = np.arange(2048)
+    s = (12000 * np.sin(t / 9.0)).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            ("pcm", bytearray(M.encode_wav(s))),
+            ("f32", bytearray(M.encode_wav_ext(s, "float32"))),
+            ("p24", bytearray(M.encode_wav_ext(s, "pcm24"))),
+        ],
+        "media_ref string, audio binary",
+    )
+    rows = {r["media_ref"]: r for r in M.audio_features(df, window=512).collect()}
+    assert rows["pcm"]["rms"] == rows["f32"]["rms"] == rows["p24"]["rms"]
+    assert rows["pcm"]["n_samples"] == 2048

@@ -170,6 +170,19 @@ def decode_synv(data: bytes) -> list[bytes]:
     return frames
 
 
+def video_frame_payloads(data: bytes) -> list[bytes]:
+    """Polymorphic animation/video → list of frame payloads decodable by
+    kernels.decode_image. SYNV yields its stored SYNF payloads verbatim;
+    animated GIF composites each frame (disposal/transparency honored)
+    and re-packs it as SYNF so downstream frame consumers stay
+    format-agnostic. mp4 remains the ffmpeg codec seam."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..gif import gif_frames
+
+        return [K.encode_synf(f) for f in gif_frames(data)]
+    return decode_synv(data)
+
+
 def sample_video_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
     """videos(media_ref, video binary) → one row per sampled frame
     (media_ref, frame_idx, image) — frame sampling for a multimodal
@@ -180,7 +193,7 @@ def sample_video_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             refs, idxs, imgs = [], [], []
             for ref, blob in zip(pdf["media_ref"], pdf["video"]):
-                for i, frame in enumerate(decode_synv(bytes(blob))):
+                for i, frame in enumerate(video_frame_payloads(bytes(blob))):
                     if i % every_n == 0:
                         refs.append(ref)
                         idxs.append(i)

@@ -416,7 +416,8 @@ def decode_image(data: bytes) -> np.ndarray:
     """Polymorphic reader (S2, /root/reference/utils/image.py:4-11): SYNF,
     PNG, baseline JPEG, BMP or TIFF → grayscale uint8 — the reference's
     full accepted list (png/jpg/jpeg/bmp/tiff, /root/reference/engine.py:46)
-    plus the synthetic container."""
+    plus the synthetic container and GIF (beyond-reference: web corpora
+    are full of GIFs; animations yield their first composited frame)."""
     if data[:4] == SYNF_MAGIC:
         return decode_synf(data)
     if data[:8] == PNG_MAGIC:
@@ -433,6 +434,10 @@ def decode_image(data: bytes) -> np.ndarray:
         from .bmptiff import decode_tiff
 
         return decode_tiff(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(data)
     raise ValueError("unknown image format")
 
 

@@ -934,6 +934,10 @@ def test_decode_image_error_contract_fuzz():
         BT.encode_bmp_lowbit((img >> 4).astype(np.uint8), 4),
         BT.encode_bmp_rle4((img >> 4).astype(np.uint8)),
     ]
+    from ai_invoice_ocr_engine_spark.gif import encode_gif
+
+    valids += [encode_gif(img), encode_gif(img, interlace=True),
+               encode_gif([img, img[4:12, 4:20]], offsets=[(0, 0), (4, 4)])]
 
     def probe(data):
         try:
@@ -949,7 +953,8 @@ def test_decode_image_error_contract_fuzz():
             for _k in range(int(rng.integers(1, 6))):
                 bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
             probe(bytes(bb))
-    for m in (b"SYNF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"BM", b"II*\x00"):
+    for m in (b"SYNF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"BM", b"II*\x00",
+              b"GIF89a", b"GIF87a"):
         for _ in range(60):
             probe(m + bytes(rng.integers(0, 256, int(rng.integers(0, 120)), dtype=np.uint8)))
     # the dims cap itself

@@ -183,7 +183,17 @@ def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
     for i, m in enumerate(corpus["media"]):
         m = dict(m)
         img = K.decode_synf(bytes(m["image"]))
-        if i % 5 == 1:
+        if i % 5 == 0:
+            # alternate the native container with lossless GIF (identity
+            # gray palette) — plain and interlaced
+            from ai_invoice_ocr_engine_spark.gif import encode_gif
+
+            gv = (i // 5) % 3
+            if gv == 1:
+                m["image"] = encode_gif(img)
+            elif gv == 2:
+                m["image"] = encode_gif(img, interlace=True)
+        elif i % 5 == 1:
             pv = (i // 5) % 4
             if pv == 0:
                 m["image"] = K.encode_png(img, filter_type=i % 5)

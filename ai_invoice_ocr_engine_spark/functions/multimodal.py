@@ -402,12 +402,22 @@ def decode_wav(data: bytes) -> np.ndarray:
 
 
 def decode_audio(data: bytes) -> np.ndarray:
-    """Polymorphic audio reader: SYNA or PCM WAV → int16 mono samples.
-    mp3 stays a codec seam."""
+    """Polymorphic audio reader: SYNA, WAV (PCM/float/G.711/ADPCM) or
+    FLAC → int16 mono samples. mp3/aac stay codec seams."""
     if data[:4] == SYNA_MAGIC:
         return decode_syna(data)
     if data[:4] == b"RIFF":
         return decode_wav(data)
+    if data[:4] == b"fLaC":
+        from ..flac import decode_flac
+
+        s, _rate, bps = decode_flac(data)
+        mono = (s.mean(axis=1) if s.shape[1] > 1 else s[:, 0]).astype(np.int64)
+        if bps > 16:
+            mono >>= bps - 16  # reduce to int16 by declared depth
+        elif bps < 16:
+            mono <<= 16 - bps
+        return mono.astype(np.int16)
     if data[:3] == b"ID3" or (
         len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):

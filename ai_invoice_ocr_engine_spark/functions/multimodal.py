@@ -175,11 +175,18 @@ def video_frame_payloads(data: bytes) -> list[bytes]:
     kernels.decode_image. SYNV yields its stored SYNF payloads verbatim;
     animated GIF composites each frame (disposal/transparency honored)
     and re-packs it as SYNF so downstream frame consumers stay
-    format-agnostic. mp4 remains the ffmpeg codec seam."""
+    format-agnostic; mp4 demuxes for real (box tree + stsc/stsz/stco
+    sample map, mp4.py) with raw-frame sample entries decoding
+    end-to-end — only the compressed avc1/aac bitstreams remain the
+    ffmpeg codec seam (NotImplementedError naming the codec)."""
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from ..gif import gif_frames
 
         return [K.encode_synf(f) for f in gif_frames(data)]
+    if data[4:8] == b"ftyp":
+        from ..mp4 import mp4_frame_payloads
+
+        return mp4_frame_payloads(data)
     return decode_synv(data)
 
 

@@ -8,6 +8,7 @@ subcommands) re-shaped for a distributed batch engine:
         --media DIR/media.parquet --out OUTDIR [--buckets 32] [--no-resume] \
         [--strategy auto|broadcast|join] [--master local[32]]
     python -m ai_invoice_ocr_engine_spark oracle --docs ... --media ... --out golden.parquet
+    python -m ai_invoice_ocr_engine_spark ingest --pdfs DIR_OF_PDFS --out TABLES_DIR
 
 On a real cluster the same module rides ``spark-submit --py-files
 ai_invoice_ocr_engine_spark.zip -m ...`` — there is no driver-side state
@@ -90,6 +91,17 @@ def main(argv=None) -> int:
     e.add_argument("--run-id", default=None)
     _add_cfg_flags(e)
 
+    # PDF front-end (north rule "PDF/layout parse"): raw PDFs → the two
+    # input tables `extract` consumes
+    ing = sub.add_parser("ingest", help="parse raw PDFs into documents/media tables")
+    ing.add_argument("--pdfs", required=True,
+                     help="directory of .pdf files (read via Spark binaryFile) "
+                          "or a parquet path with (doc_id string, pdf binary)")
+    ing.add_argument("--out", required=True, help="output dir for the two tables")
+    ing.add_argument("--skip-bad", action="store_true",
+                     help="record parse errors per doc instead of failing")
+    ing.add_argument("--master", default=None)
+
     v = sub.add_parser("verify-lineage", help="recompute checksums vs lineage")
     v.add_argument("--out", required=True)
     v.add_argument("--master", default=None)
@@ -150,6 +162,49 @@ def main(argv=None) -> int:
             spark.stop()
         print(json.dumps(stats))
         return 0
+
+    if args.cmd == "ingest":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from .sources.ingest import ingest_pdfs, split_ingest
+        from .sources.session import get_spark
+
+        spark = get_spark(app="ingest", master=args.master)
+        try:
+            if os.path.isdir(args.pdfs) and any(
+                f.lower().endswith(".pdf") for f in os.listdir(args.pdfs)
+            ):
+                src = (
+                    spark.read.format("binaryFile")
+                    .option("pathGlobFilter", "*.pdf")
+                    .load(args.pdfs)
+                    .select(
+                        F.regexp_extract(
+                            F.col("path"), r"([^/]+)\.pdf$", 1
+                        ).alias("doc_id"),
+                        F.col("content").alias("pdf"),
+                    )
+                )
+            else:
+                src = spark.read.parquet(args.pdfs)
+            combined = ingest_pdfs(
+                src, on_bad="skip" if args.skip_bad else "fail"
+            )
+            docs, media = split_ingest(combined)
+            dp = os.path.join(args.out, "documents.parquet")
+            mp = os.path.join(args.out, "media.parquet")
+            docs.write.mode("overwrite").parquet(dp)
+            media.write.mode("overwrite").parquet(mp)
+            n_docs = docs.count()
+            n_media = media.count()
+            n_err = combined.where(F.col("error").isNotNull()).count()
+        finally:
+            spark.stop()
+        print(json.dumps({"documents": dp, "media": mp, "n_docs": n_docs,
+                          "n_media": n_media, "n_errors": n_err}))
+        return 0 if n_err == 0 else 1
 
     if args.cmd == "eval":
         from pyspark.sql import functions as F

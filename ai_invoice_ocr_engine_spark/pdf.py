@@ -1,0 +1,1092 @@
+"""PDF parse → interleaved (kind, text, media_ref, offset) spans, in pure
+numpy/stdlib.
+
+The north rule's ingestion front-end: "PDF/layout parse" feeding the
+engine's interleaved text+media document model. A PDF *is* an
+interleaved document — native text runs positioned by the text matrix,
+with raster images (the scanned regions OCR handles) embedded as image
+XObjects. This module parses the COS object layer (ISO 32000-1, public
+spec): classic xref tables with /Prev chains, PDF 1.5 cross-reference
+streams and /ObjStm compressed objects, FlateDecode (+ PNG predictors)
+/ ASCIIHexDecode / DCTDecode filters, the page tree with inherited
+resources, and enough of the content-stream operator set (q/Q/cm, BT/ET,
+Tf/Td/TD/Tm/T*/TL, Tj/TJ/'/", Do with nested Form XObjects) to recover
+positioned text runs and placed images. Output spans are ordered by the
+same reading-order discipline as the OCR side (top-to-bottom lines,
+left-to-right within a line).
+
+Seams (loud): encrypted PDFs, Type0/CID composite fonts (ToUnicode
+CMaps), and exotic filters (JBIG2/JPX/CCITT-in-PDF) raise
+NotImplementedError naming the feature. Simple fonts decode via
+latin-1 — correct for the Standard/WinAnsi encodings fixtures and most
+western invoices. Embedded DCTDecode images hand their bytes to this
+repo's own jpeg.py through kernels.decode_image.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+import numpy as np
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):
+        return f"{self.num} {self.gen} R"
+
+
+class _Name(str):
+    """PDF name object (/Foo) — distinct from strings."""
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.d, len(self.d)
+        while self.pos < n:
+            c = self.d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek(self) -> int:
+        self._skip_ws()
+        if self.pos >= len(self.d):
+            raise ValueError("PDF object stream truncated")
+        return self.d[self.pos]
+
+    def _regular_token(self) -> bytes:
+        self._skip_ws()
+        start = self.pos
+        d, n = self.d, len(self.d)
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:
+            raise ValueError(f"PDF syntax error at byte {start}")
+        return d[start : self.pos]
+
+    def obj(self):
+        """Parse one object (dict/array/name/string/number/bool/null/ref)."""
+        c = self.peek()
+        d = self.d
+        if c == 0x3C:  # < or <<
+            if d[self.pos : self.pos + 2] == b"<<":
+                return self._dict()
+            return self._hex_string()
+        if c == 0x28:
+            return self._lit_string()
+        if c == 0x5B:
+            return self._array()
+        if c == 0x2F:
+            return self._name()
+        tok = self._regular_token()
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        # number — possibly the start of "num gen R"
+        try:
+            if b"." in tok:
+                return float(tok)
+            num = int(tok)
+        except ValueError as e:
+            raise ValueError(f"unexpected PDF token {tok!r}") from e
+        save = self.pos
+        try:
+            tok2 = self._peek_regular()
+            if tok2 is not None and tok2.isdigit():
+                gen = int(tok2)
+                tok3 = self._peek_regular()
+                if tok3 == b"R":
+                    return _Ref(num, gen)
+        except ValueError:
+            pass
+        self.pos = save
+        return num
+
+    def _peek_regular(self):
+        self._skip_ws()
+        if self.pos >= len(self.d) or self.d[self.pos] in _DELIM:
+            return None
+        return self._regular_token()
+
+    def _name(self) -> _Name:
+        self.pos += 1  # /
+        start = self.pos
+        d, n = self.d, len(self.d)
+        out = bytearray()
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            c = d[self.pos]
+            if c == 0x23 and self.pos + 2 < n:  # #xx escape
+                out.append(int(d[self.pos + 1 : self.pos + 3], 16))
+                self.pos += 3
+            else:
+                out.append(c)
+                self.pos += 1
+        del start
+        return _Name(out.decode("latin-1"))
+
+    def _lit_string(self) -> bytes:
+        self.pos += 1  # (
+        out = bytearray()
+        depth = 1
+        d, n = self.d, len(self.d)
+        while self.pos < n:
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                self.pos += 1
+                esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                       0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+                if e in esc:
+                    out.append(esc[e])
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    val = e - 0x30
+                    for _ in range(2):
+                        if self.pos < n and 0x30 <= d[self.pos] <= 0x37:
+                            val = val * 8 + (d[self.pos] - 0x30)
+                            self.pos += 1
+                    out.append(val & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+        raise ValueError("unterminated PDF string")
+
+    def _hex_string(self) -> bytes:
+        self.pos += 1  # <
+        hexd = []
+        d, n = self.d, len(self.d)
+        while self.pos < n and d[self.pos] != 0x3E:
+            c = d[self.pos]
+            if c not in _WS:
+                hexd.append(chr(c))
+            self.pos += 1
+        if self.pos >= n:
+            raise ValueError("unterminated PDF hex string")
+        self.pos += 1
+        if len(hexd) % 2:
+            hexd.append("0")
+        try:
+            return bytes.fromhex("".join(hexd))
+        except ValueError as e:
+            raise ValueError(f"invalid PDF hex string: {e}") from e
+
+    def _array(self) -> list:
+        self.pos += 1  # [
+        out = []
+        while True:
+            c = self.peek()
+            if c == 0x5D:
+                self.pos += 1
+                return out
+            out.append(self.obj())
+
+    def _dict(self) -> dict:
+        self.pos += 2  # <<
+        out = {}
+        while True:
+            c = self.peek()
+            if self.d[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            if c != 0x2F:
+                raise ValueError("PDF dict key must be a name")
+            key = self._name()
+            out[str(key)] = self.obj()
+
+    def keyword(self) -> bytes:
+        self._skip_ws()
+        return self._regular_token()
+
+
+class PdfDocument:
+    """Random-access COS layer: xref resolution + object cache."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF file")
+        self.xref: dict[int, tuple] = {}  # num → ('f', offset) | ('c', stmnum, idx)
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        try:
+            self._load_xref()
+        except (ValueError, struct.error, zlib.error):
+            self._rebuild_xref()
+        if not self.xref or "Root" not in self.trailer:
+            self._rebuild_xref()
+        if "Encrypt" in self.trailer:
+            raise NotImplementedError("encrypted PDFs are unsupported")
+        if "Root" not in self.trailer:
+            raise ValueError("PDF trailer missing /Root")
+
+    # -- xref ----------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        tail = self.d[-2048:]
+        ms = list(re.finditer(rb"startxref\s+(\d+)", tail))
+        if not ms:
+            raise ValueError("PDF missing startxref")
+        off = int(ms[-1].group(1))
+        seen = set()
+        while off and off not in seen:
+            seen.add(off)
+            off = self._load_xref_section(off)
+
+    def _load_xref_section(self, off: int) -> int:
+        if off >= len(self.d):
+            raise ValueError("PDF xref offset out of bounds")
+        lex = _Lexer(self.d, off)
+        if self.d[off : off + 4] == b"xref":
+            lex.pos += 4
+            while True:
+                lex._skip_ws()
+                if self.d[lex.pos : lex.pos + 7] == b"trailer":
+                    lex.pos += 7
+                    trailer = lex.obj()
+                    break
+                start = int(lex._regular_token())
+                count = int(lex._regular_token())
+                lex._skip_ws()
+                for i in range(count):
+                    entry = self.d[lex.pos : lex.pos + 20]
+                    if len(entry) < 18:
+                        raise ValueError("PDF xref entry truncated")
+                    eoff, _gen, typ = entry[:10], entry[11:16], entry[17:18]
+                    if typ == b"n" and (start + i) not in self.xref:
+                        self.xref[start + i] = ("f", int(eoff))
+                    lex.pos += 20
+        else:
+            # PDF 1.5 cross-reference stream
+            num = int(lex._regular_token())
+            int(lex._regular_token())
+            if lex.keyword() != b"obj":
+                raise ValueError("bad xref stream object header")
+            d = lex.obj()
+            if d.get("Type") != "XRef":
+                raise ValueError("xref stream is not /XRef")
+            raw = self._read_stream_at(lex, d)
+            data = _apply_filters(raw, d, self._resolve)
+            w = [int(x) for x in d["W"]]
+            index = d.get("Index", [0, d["Size"]])
+            rowlen = sum(w)
+            pos = 0
+            for k in range(0, len(index), 2):
+                first, cnt = int(index[k]), int(index[k + 1])
+                for i in range(cnt):
+                    row = data[pos : pos + rowlen]
+                    if len(row) < rowlen:
+                        raise ValueError("xref stream truncated")
+                    pos += rowlen
+                    fields = []
+                    o = 0
+                    for width in w:
+                        fields.append(
+                            int.from_bytes(row[o : o + width], "big") if width else 1
+                        )
+                        o += width
+                    typ = fields[0]
+                    objnum = first + i
+                    if objnum in self.xref:
+                        continue
+                    if typ == 1:
+                        self.xref[objnum] = ("f", fields[1])
+                    elif typ == 2:
+                        self.xref[objnum] = ("c", fields[1], fields[2])
+            trailer = d
+            del num
+        if not isinstance(trailer, dict):
+            raise ValueError("PDF trailer is not a dictionary")
+        for k, v in trailer.items():
+            self.trailer.setdefault(k, v)
+        prev = trailer.get("Prev")
+        return int(prev) if prev is not None else 0
+
+    def _rebuild_xref(self) -> None:
+        """Scan fallback for damaged xref tables: find every 'N G obj'."""
+        self.xref = {k: v for k, v in self.xref.items() if v[0] == "c"}
+        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.d):
+            self.xref[int(m.group(1))] = ("f", m.start())
+        if "Root" not in self.trailer:
+            for m in re.finditer(rb"trailer", self.d):
+                try:
+                    lex = _Lexer(self.d, m.end())
+                    t = lex.obj()
+                    for k, v in t.items():
+                        self.trailer.setdefault(k, v)
+                except ValueError:
+                    continue
+        if "Root" not in self.trailer:
+            # last resort: any object with /Type /Catalog
+            for num in self.xref:
+                try:
+                    o = self.get(num)
+                except (ValueError, NotImplementedError):
+                    continue
+                if isinstance(o, dict) and o.get("Type") == "Catalog":
+                    self.trailer["Root"] = _Ref(num, 0)
+                    break
+
+    # -- objects -------------------------------------------------------
+
+    def _resolve(self, o):
+        while isinstance(o, _Ref):
+            o = self.get(o.num)
+        return o
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        if entry is None:
+            return None
+        self._cache[num] = None  # cycle guard
+        if entry[0] == "f":
+            lex = _Lexer(self.d, entry[1])
+            got = int(lex._regular_token())
+            int(lex._regular_token())
+            if lex.keyword() != b"obj" or got != num:
+                raise ValueError(f"PDF object {num} not at its xref offset")
+            obj = lex.obj()
+            lex._skip_ws()
+            if self.d[lex.pos : lex.pos + 6] == b"stream":
+                raw = self._read_stream_at(lex, obj)
+                obj = _Stream(obj, raw)
+        else:  # compressed in an object stream
+            _tag, stm_num, idx = entry
+            stm = self._resolve(self.get(stm_num))
+            if not isinstance(stm, _Stream) or stm.dict.get("Type") != "ObjStm":
+                raise ValueError(f"PDF object {num} points into a non-ObjStm")
+            data = _apply_filters(stm.raw, stm.dict, self._resolve)
+            n = int(self._resolve(stm.dict["N"]))
+            first = int(self._resolve(stm.dict["First"]))
+            head = _Lexer(data, 0)
+            pairs = [(int(head._regular_token()), int(head._regular_token()))
+                     for _ in range(n)]
+            if idx >= n or pairs[idx][0] != num:
+                raise ValueError(f"PDF ObjStm index mismatch for object {num}")
+            obj = _Lexer(data, first + pairs[idx][1]).obj()
+        self._cache[num] = obj
+        return obj
+
+    def _read_stream_at(self, lex: _Lexer, d: dict) -> bytes:
+        lex._skip_ws()
+        if self.d[lex.pos : lex.pos + 6] != b"stream":
+            raise ValueError("PDF stream keyword missing")
+        lex.pos += 6
+        if self.d[lex.pos : lex.pos + 2] == b"\r\n":
+            lex.pos += 2
+        elif self.d[lex.pos : lex.pos + 1] in (b"\n", b"\r"):
+            lex.pos += 1
+        length = self._resolve(d.get("Length"))
+        if not isinstance(length, int):
+            end = self.d.find(b"endstream", lex.pos)
+            if end < 0:
+                raise ValueError("PDF stream missing endstream")
+            length = end - lex.pos
+        raw = self.d[lex.pos : lex.pos + length]
+        if len(raw) < length:
+            raise ValueError("PDF stream truncated")
+        return raw
+
+
+class _Stream:
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+
+def _png_unpredict(data: bytes, colors: int, columns: int) -> bytes:
+    rb = colors * columns
+    out = bytearray()
+    prev = bytearray(rb)
+    pos = 0
+    while pos + 1 + rb <= len(data) + rb and pos < len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rb])
+        pos += 1 + rb
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(colors, len(row)):
+                row[i] = (row[i] + row[i - colors]) & 0xFF
+        elif ft == 2:
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(len(row)):
+                a = row[i - colors] if i >= colors else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(len(row)):
+                a = row[i - colors] if i >= colors else 0
+                b = prev[i]
+                c = prev[i - colors] if i >= colors else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PDF PNG predictor row filter {ft} invalid")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _unpredict(raw: bytes, p: dict, resolve) -> bytes:
+    """Predictor post-pass shared by FlateDecode and LZWDecode."""
+    pred = int(resolve(p.get("Predictor", 1)))
+    if pred == 1:
+        return raw
+    if pred >= 10:
+        return _png_unpredict(
+            raw,
+            int(resolve(p.get("Colors", 1)))
+            * max(1, int(resolve(p.get("BitsPerComponent", 8))) // 8),
+            int(resolve(p.get("Columns", 1))),
+        )
+    raise NotImplementedError(f"PDF TIFF predictor {pred}")
+
+
+def _rle_decode(raw: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000-1 §7.4.5) — PackBits with an explicit
+    128 EOD marker."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        l = raw[i]
+        i += 1
+        if l == 128:
+            return bytes(out)
+        if l < 128:
+            chunk = raw[i : i + l + 1]
+            if len(chunk) < l + 1:
+                raise ValueError("PDF RunLength literal truncated")
+            out += chunk
+            i += l + 1
+        else:
+            if i >= n:
+                raise ValueError("PDF RunLength repeat truncated")
+            out += raw[i : i + 1] * (257 - l)
+            i += 1
+    raise ValueError("PDF RunLength stream missing EOD")
+
+
+def _a85_decode(raw: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups, 'z' shorthand, '~>' EOD."""
+    txt = bytes(c for c in raw.split(b"~>")[0] if c not in _WS)
+    if txt.startswith(b"<~"):
+        txt = txt[2:]
+    out = bytearray()
+    group: list[int] = []
+    for c in txt:
+        if c == 0x7A:  # 'z' = four zero bytes, only legal between groups
+            if group:
+                raise ValueError("PDF ASCII85 'z' inside group")
+            out += b"\0\0\0\0"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError(f"PDF ASCII85 byte {c} out of range")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("PDF ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if len(group) == 1:
+        raise ValueError("PDF ASCII85 dangling single digit")
+    if group:
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _apply_filters(raw: bytes, d: dict, resolve) -> bytes:
+    filters = resolve(d.get("Filter"))
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = resolve(d.get("DecodeParms"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    for f, p in zip(filters, parms):
+        f = str(resolve(f))
+        p = resolve(p) or {}
+        if f == "FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(f"PDF Flate stream corrupt: {e}") from e
+            raw = _unpredict(raw, p, resolve)
+        elif f == "LZWDecode":
+            # PDF LZW with EarlyChange=1 (the default) is byte-identical
+            # to the TIFF §13 variant bmptiff implements
+            if int(resolve(p.get("EarlyChange", 1))) != 1:
+                raise NotImplementedError("PDF LZW EarlyChange=0")
+            from .bmptiff import _lzw_decode
+
+            raw = _unpredict(_lzw_decode(raw), p, resolve)
+        elif f == "RunLengthDecode":
+            raw = _rle_decode(raw)
+        elif f == "ASCII85Decode":
+            raw = _a85_decode(raw)
+        elif f == "ASCIIHexDecode":
+            txt = raw.split(b">")[0]
+            txt = bytes(c for c in txt if c not in _WS)
+            if len(txt) % 2:
+                txt += b"0"
+            raw = bytes.fromhex(txt.decode("ascii", "replace"))
+        elif f == "DCTDecode":
+            return raw  # JPEG bytes — handed to the image layer as-is
+        else:
+            raise NotImplementedError(f"PDF filter {f} unsupported")
+    return raw
+
+
+# --------------------------------------------------------------------------
+# Content-stream interpretation → positioned runs
+# --------------------------------------------------------------------------
+
+
+def _mat_mul(a, b):
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _decode_pdf_text(b: bytes, font: dict | None) -> str:
+    if font:
+        sub = font.get("Subtype")
+        if sub == "Type0":
+            raise NotImplementedError(
+                "PDF Type0/CID composite fonts (ToUnicode CMap) unsupported"
+            )
+    return b.decode("latin-1")
+
+
+def _interp_content(
+    doc: PdfDocument, content: bytes, resources: dict, runs: list,
+    images: list, ctm, depth: int = 0,
+) -> None:
+    if depth > 8:
+        raise ValueError("PDF Form XObject nesting too deep")
+    resolve = doc._resolve
+    fonts = resolve(resources.get("Font")) or {}
+    xobjects = resolve(resources.get("XObject")) or {}
+    lex = _Lexer(content, 0)
+    stack: list = []
+    gstack: list = []
+    tm = tlm = _ID
+    leading = 0.0
+    font_size = 0.0
+    cur_font = None
+
+    def show(b: bytes) -> None:
+        x, y = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4], tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
+        txt = _decode_pdf_text(b, cur_font)
+        if txt:
+            runs.append((x, y, font_size * tm[3], txt))
+
+    def newline(ty: float) -> None:
+        nonlocal tm, tlm
+        tlm = _mat_mul((1, 0, 0, 1, 0, ty), tlm)
+        tm = tlm
+
+    while True:
+        lex._skip_ws()
+        if lex.pos >= len(content):
+            break
+        c = content[lex.pos]
+        if c in b"/[(<" or c == 0x3C or (0x30 <= c <= 0x39) or c in b"+-.":
+            stack.append(lex.obj())
+            continue
+        op = lex.keyword()
+        if op == b"q":
+            gstack.append(ctm)
+        elif op == b"Q":
+            ctm = gstack.pop() if gstack else ctm
+        elif op == b"cm" and len(stack) >= 6:
+            m = tuple(float(v) for v in stack[-6:])
+            ctm = _mat_mul(m, ctm)
+        elif op == b"BT":
+            tm = tlm = _ID
+        elif op == b"ET":
+            pass
+        elif op == b"Tf" and len(stack) >= 2:
+            font_size = float(stack[-1])
+            fname = str(stack[-2])
+            cur_font = resolve(fonts.get(fname))
+        elif op == b"TL" and stack:
+            leading = float(stack[-1])
+        elif op == b"Td" and len(stack) >= 2:
+            tlm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+            tm = tlm
+        elif op == b"TD" and len(stack) >= 2:
+            leading = -float(stack[-1])
+            tlm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+            tm = tlm
+        elif op == b"Tm" and len(stack) >= 6:
+            tm = tlm = tuple(float(v) for v in stack[-6:])
+        elif op == b"T*":
+            newline(-leading)
+        elif op == b"Tj" and stack:
+            show(stack[-1])
+        elif op == b"'" and stack:
+            newline(-leading)
+            show(stack[-1])
+        elif op == b'"' and len(stack) >= 3:
+            newline(-leading)
+            show(stack[-1])
+        elif op == b"TJ" and stack and isinstance(stack[-1], list):
+            parts = [p for p in stack[-1] if isinstance(p, bytes)]
+            show(b"".join(parts))
+        elif op == b"Do" and stack:
+            xo = resolve(xobjects.get(str(stack[-1])))
+            if isinstance(xo, _Stream):
+                sub = doc._resolve(xo.dict.get("Subtype"))
+                if sub == "Image":
+                    images.append((ctm, xo))
+                elif sub == "Form":
+                    inner_res = resolve(xo.dict.get("Resources")) or resources
+                    inner_ctm = ctm
+                    mtx = resolve(xo.dict.get("Matrix"))
+                    if mtx:
+                        inner_ctm = _mat_mul(tuple(float(v) for v in mtx), ctm)
+                    _interp_content(
+                        doc, _apply_filters(xo.raw, xo.dict, resolve),
+                        inner_res, runs, images, inner_ctm, depth + 1,
+                    )
+        elif op in (b"BI",):
+            raise NotImplementedError("PDF inline images (BI/ID/EI) unsupported")
+        if op not in (b"q", b"Q"):
+            stack.clear()
+
+
+def _bits_to_gray(bits: np.ndarray, decode, resolve) -> np.ndarray:
+    """1-bit sample values → uint8 gray via the /Decode array (default
+    [0 1]: sample 0 → black)."""
+    d0, d1 = 0.0, 1.0
+    if decode is not None:
+        vals = [float(resolve(v)) for v in decode]
+        if len(vals) != 2:
+            raise ValueError("PDF bilevel Decode array must have 2 entries")
+        d0, d1 = vals
+    gray01 = d0 + (d1 - d0) * bits.astype(np.float32)
+    return np.clip(np.rint(gray01 * 255.0), 0, 255).astype(np.uint8)
+
+
+def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
+    """Image XObject → bytes decodable by kernels.decode_image."""
+    d = stream.dict
+    resolve = doc._resolve
+    filters = resolve(d.get("Filter"))
+    flist = [str(resolve(f)) for f in (filters if isinstance(filters, list)
+                                       else [filters] if filters else [])]
+    parms = resolve(d.get("DecodeParms"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(flist)
+    w = int(resolve(d.get("Width", 0)))
+    h = int(resolve(d.get("Height", 0)))
+    bpc = int(resolve(d.get("BitsPerComponent", 8)))
+    cs = resolve(d.get("ColorSpace"))
+    from . import kernels as K
+
+    if "DCTDecode" in flist:
+        raw = stream.raw
+        for f in flist:
+            if f == "DCTDecode":
+                break
+            raise NotImplementedError(f"PDF image filter chain {flist}")
+        return raw  # JPEG stream, decoded by jpeg.py downstream
+    if any(f in ("JPXDecode", "JBIG2Decode") for f in flist):
+        raise NotImplementedError(f"PDF image filter {flist} unsupported")
+    if "CCITTFaxDecode" in flist:
+        # scanned-invoice bilevel: outer transport filters (A85/AHx) first,
+        # then the fax payload through this repo's T.4/T.6 decoder (fax.py)
+        i = flist.index("CCITTFaxDecode")
+        if i != len(flist) - 1:
+            raise ValueError("CCITTFaxDecode must be the final filter")
+        raw = _apply_filters(
+            stream.raw, {"Filter": flist[:i], "DecodeParms": parms[:i]}, resolve
+        )
+        p = resolve(parms[i]) or {}
+        k = int(resolve(p.get("K", 0)))
+        cols = int(resolve(p.get("Columns", 1728)))
+        rows = int(resolve(p.get("Rows", h)))
+        if resolve(p.get("EncodedByteAlign", False)):
+            raise NotImplementedError("CCITT EncodedByteAlign")
+        if cols != w or rows != h:
+            raise ValueError("CCITT Columns/Rows disagree with image dims")
+        from .fax import decode_g4, decode_mh, decode_t4
+
+        if k < 0:
+            mask = decode_g4(raw, cols, rows)  # G4 / T.6
+        elif k == 0:
+            mask = decode_mh(raw, cols, rows)  # G3 1D MH
+        else:
+            mask = decode_t4(raw, cols, rows, two_d=True)  # G3 mixed 2D
+        # wire format: mask 1 = black; /BlackIs1 picks the decoded bit
+        # value for black (default false → black = sample 0)
+        black_is_1 = bool(resolve(p.get("BlackIs1", False)))
+        bits = mask.astype(np.uint8) if black_is_1 else (1 - mask).astype(np.uint8)
+        gray = _bits_to_gray(bits, resolve(d.get("Decode")), resolve)
+        return K.encode_synf(np.ascontiguousarray(gray))
+    raw = _apply_filters(stream.raw, d, resolve)
+    if bpc == 1 and cs in ("DeviceGray", None):
+        row_bytes = (w + 7) // 8
+        need = h * row_bytes
+        if len(raw) < need:
+            raise ValueError("PDF image data truncated")
+        packed = np.frombuffer(raw[:need], np.uint8).reshape(h, row_bytes)
+        bits = np.unpackbits(packed, axis=1)[:, :w]
+        gray = _bits_to_gray(bits, resolve(d.get("Decode")), resolve)
+        return K.encode_synf(np.ascontiguousarray(gray))
+    if bpc != 8:
+        raise NotImplementedError(f"PDF raw image bpc {bpc} unsupported")
+    if cs == "DeviceRGB":
+        px = np.frombuffer(raw[: w * h * 3], np.uint8)
+        if px.size < w * h * 3:
+            raise ValueError("PDF image data truncated")
+        gray = K.rgb_to_gray(px.reshape(h, w, 3))
+    elif cs in ("DeviceGray", None):
+        px = np.frombuffer(raw[: w * h], np.uint8)
+        if px.size < w * h:
+            raise ValueError("PDF image data truncated")
+        gray = px.reshape(h, w)
+    else:
+        raise NotImplementedError(f"PDF color space {cs} unsupported")
+    return K.encode_synf(np.ascontiguousarray(gray))
+
+
+def pdf_spans(data: bytes, line_tol: float = 2.0):
+    """Parse a PDF into the engine's interleaved span model.
+
+    Returns (spans, media): spans is a list of dicts (kind 'text' |
+    'image', text, media_ref, offset) in reading order (pages in order;
+    within a page top-to-bottom, left-to-right with line grouping at
+    ``line_tol`` points); media maps media_ref → image payload bytes
+    (JPEG or SYNF) for every placed image.
+
+    Error contract (same as decode_image): corrupt input raises
+    ValueError, unimplemented features raise NotImplementedError —
+    never a bare structural exception."""
+    try:
+        return _pdf_spans(data, line_tol)
+    except (ValueError, NotImplementedError):
+        raise
+    except (
+        AttributeError,
+        TypeError,
+        KeyError,
+        IndexError,
+        OverflowError,
+        RecursionError,
+        MemoryError,
+        UnicodeDecodeError,
+        struct.error,
+        zlib.error,
+    ) as e:
+        raise ValueError(f"corrupt PDF: {type(e).__name__}: {e}") from e
+
+
+def _pdf_spans(data: bytes, line_tol: float):
+    doc = PdfDocument(data)
+    root = doc._resolve(doc.trailer["Root"])
+    if not isinstance(root, dict):
+        raise ValueError("PDF catalog missing or not a dictionary")
+    pages: list[dict] = []
+
+    def walk(node, inherited):
+        node = doc._resolve(node)
+        if node is None:
+            return
+        merged = dict(inherited)
+        for k in ("Resources", "MediaBox"):
+            if k in node:
+                merged[k] = node[k]
+        typ = node.get("Type")
+        if typ == "Pages" or "Kids" in node:
+            for kid in doc._resolve(node.get("Kids")) or []:
+                walk(kid, merged)
+        else:
+            pages.append({**node, **{k: v for k, v in merged.items() if k not in node}})
+
+    walk(root.get("Pages"), {})
+    if not pages:
+        raise ValueError("PDF has no pages")
+    spans: list[dict] = []
+    media: dict[str, bytes] = {}
+    offset = 0
+    for pno, page in enumerate(pages):
+        contents = doc._resolve(page.get("Contents"))
+        streams = contents if isinstance(contents, list) else [contents]
+        body = b"\n".join(
+            _apply_filters(s.raw, s.dict, doc._resolve)
+            for s in (doc._resolve(s) for s in streams)
+            if isinstance(s, _Stream)
+        )
+        resources = doc._resolve(page.get("Resources")) or {}
+        runs: list = []
+        images: list = []
+        _interp_content(doc, body, resources, runs, images, _ID)
+        items: list[tuple[float, float, str, object]] = []
+        for x, y, _sz, txt in runs:
+            items.append((y, x, "text", txt))
+        for ctm, stm in images:
+            # placement rectangle: unit square through the CTM; anchor at
+            # its top edge so reading order interleaves correctly
+            ys = (ctm[5], ctm[1] + ctm[3] + ctm[5])
+            items.append((max(ys), min(ctm[4], ctm[0] + ctm[2] + ctm[4]),
+                          "image", stm))
+        # reading order: descending y (PDF origin is bottom-left), line
+        # grouping within tolerance, then ascending x
+        items.sort(key=lambda t: (-t[0], t[1]))
+        lines: list[list] = []
+        for it in items:
+            if lines and abs(lines[-1][0][0] - it[0]) <= line_tol:
+                lines[-1].append(it)
+            else:
+                lines.append([it])
+        for line in lines:
+            line.sort(key=lambda t: t[1])
+            for y, x, kind, payload in line:
+                if kind == "text":
+                    spans.append(
+                        {"kind": "text", "text": payload, "media_ref": None,
+                         "offset": offset}
+                    )
+                else:
+                    ref = f"pdf:p{pno}:img{len(media)}"
+                    media[ref] = _image_payload(doc, payload)
+                    spans.append(
+                        {"kind": "image", "text": None, "media_ref": ref,
+                         "offset": offset}
+                    )
+                offset += 1
+    return spans, media
+
+
+# --------------------------------------------------------------------------
+# Fixture encoder — same strategy as every codec in this repo: tests
+# round-trip through an independent writer without external tools.
+# --------------------------------------------------------------------------
+
+
+def _esc_pdf_string(s: str) -> bytes:
+    out = s.encode("latin-1")
+    return out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def encode_pdf(
+    pages: list[list[tuple]],
+    compress: bool = True,
+    use_objstm: bool = False,
+) -> bytes:
+    """Fixture-side PDF writer. Each page is a list of items:
+    ``("text", x, y, size, s)`` or ``("image", x, y, w, h, payload,
+    fmt)`` with fmt 'jpeg' (DCTDecode bytes) | 'gray' | 'rgb' (raw
+    numpy array, Flate-compressed). ``use_objstm=True`` writes PDF 1.5
+    compressed object streams + a cross-reference stream with PNG
+    predictor 12 — the modern layout — instead of a classic xref
+    table."""
+    objs: dict[int, bytes] = {}  # full object bodies (without N 0 obj wrapper)
+    is_stream: dict[int, bool] = {}
+    next_num = 1
+
+    def add(body: bytes, stream: bool = False) -> int:
+        nonlocal next_num
+        n = next_num
+        next_num += 1
+        objs[n] = body
+        is_stream[n] = stream
+        return n
+
+    def stream_obj(data: bytes, extra: str = "") -> bytes:
+        head = "<< " + extra + f" /Length {len(data)} >>"
+        return head.encode() + b"\nstream\n" + data + b"\nendstream"
+
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_nums = []
+    page_objs = []
+    for items in pages:
+        content_parts = []
+        xobjects = {}
+        for it in items:
+            if it[0] == "text":
+                _k, x, y, size, s = it
+                content_parts.append(
+                    b"BT /F1 %d Tf 1 0 0 1 %d %d Tm (%s) Tj ET"
+                    % (size, int(x), int(y), _esc_pdf_string(s))
+                )
+            else:
+                _k, x, y, w, h, payload, fmt = it
+                if fmt == "jpeg":
+                    body = stream_obj(
+                        payload,
+                        "/Type /XObject /Subtype /Image /Width 0 /Height 0 "
+                        "/BitsPerComponent 8 /ColorSpace /DeviceGray "
+                        "/Filter /DCTDecode",
+                    )
+                else:
+                    arr = np.asarray(payload, np.uint8)
+                    ih, iw = arr.shape[:2]
+                    cs = "DeviceRGB" if fmt == "rgb" else "DeviceGray"
+                    data = zlib.compress(arr.tobytes())
+                    body = stream_obj(
+                        data,
+                        f"/Type /XObject /Subtype /Image /Width {iw} "
+                        f"/Height {ih} /BitsPerComponent 8 /ColorSpace "
+                        f"/{cs} /Filter /FlateDecode",
+                    )
+                n = add(body, stream=True)
+                name = f"Im{len(xobjects)}"
+                xobjects[name] = n
+                content_parts.append(
+                    b"q %d 0 0 %d %d %d cm /%s Do Q"
+                    % (int(w), int(h), int(x), int(y), name.encode())
+                )
+        content = b"\n".join(content_parts)
+        if compress:
+            cbody = stream_obj(zlib.compress(content), "/Filter /FlateDecode")
+        else:
+            cbody = stream_obj(content, "")
+        content_num = add(cbody, stream=True)
+        xo = "".join(f"/{k} {v} 0 R " for k, v in xobjects.items())
+        page_objs.append((content_num, xo))
+    pages_num = next_num + len(page_objs)  # pages node comes after page objects
+    for content_num, xo in page_objs:
+        body = (
+            f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> "
+            f"/XObject << {xo}>> >> /Contents {content_num} 0 R >>"
+        ).encode()
+        page_nums.append(add(body))
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    got_pages_num = add(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>".encode()
+    )
+    assert got_pages_num == pages_num
+    catalog_num = add(f"<< /Type /Catalog /Pages {got_pages_num} 0 R >>".encode())
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    if not use_objstm:
+        for n in sorted(objs):
+            offsets[n] = len(out)
+            out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+        xref_off = len(out)
+        out += b"xref\n0 %d\n" % (next_num)
+        out += b"0000000000 65535 f \n"
+        for n in range(1, next_num):
+            out += b"%010d 00000 n \n" % offsets[n]
+        out += (
+            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (next_num, catalog_num, xref_off)
+        )
+        return bytes(out)
+    # PDF 1.5 layout: streams stay top-level; plain objects go into ObjStm
+    plain = [n for n in sorted(objs) if not is_stream[n]]
+    streams = [n for n in sorted(objs) if is_stream[n]]
+    for n in streams:
+        offsets[n] = len(out)
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    pairs = []
+    pos = 0
+    for n in plain:
+        pairs.append(f"{n} {pos}")
+        pos += len(objs[n]) + 1
+    payload = b" ".join(objs[n] for n in plain)
+    header = (" ".join(pairs)).encode() + b" "
+    objstm_data = header + payload
+    objstm_num = next_num
+    offsets[objstm_num] = len(out)
+    comp = zlib.compress(objstm_data)
+    out += b"%d 0 obj\n" % objstm_num
+    out += (
+        f"<< /Type /ObjStm /N {len(plain)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(comp)} >>"
+    ).encode()
+    out += b"\nstream\n" + comp + b"\nendstream\nendobj\n"
+    xref_num = objstm_num + 1
+    size = xref_num + 1
+    # xref stream rows: W [1 4 2]
+    rows = bytearray()
+    rows += bytes([1]) + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+    for n in range(1, size):
+        if n in offsets:
+            rows += bytes([1]) + offsets[n].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        elif n in plain:
+            rows += bytes([2]) + objstm_num.to_bytes(4, "big") + plain.index(n).to_bytes(2, "big")
+        else:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+    # PNG predictor 12 (Up) over 7-byte rows exercises _png_unpredict
+    rowlen = 7
+    pred = bytearray()
+    prev = bytes(rowlen)
+    for i in range(0, len(rows), rowlen):
+        row = rows[i : i + rowlen]
+        pred.append(2)
+        pred += bytes((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+        prev = row
+    xdata = zlib.compress(bytes(pred))
+    xref_off = len(out)
+    offsets[xref_num] = xref_off
+    out += b"%d 0 obj\n" % xref_num
+    out += (
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root {catalog_num} 0 R "
+        f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        f"/Length {len(xdata)} >>"
+    ).encode()
+    out += b"\nstream\n" + xdata + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)

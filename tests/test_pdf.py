@@ -1,0 +1,440 @@
+"""PDF parser tests: span extraction round-trips through the fixture
+writer (classic xref and PDF 1.5 ObjStm/xref-stream layouts), reading
+order, interleaved text+image spans whose payloads decode through
+kernels.decode_image, hand-crafted content streams pinning the
+interpreter independently of the fixture (TJ arrays, ', Td/TD/T*, Form
+XObjects, escapes), the xref-rebuild fallback, named seams, and the
+fuzz error contract."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from ai_invoice_ocr_engine_spark import kernels as K
+from ai_invoice_ocr_engine_spark.pdf import PdfDocument, encode_pdf, pdf_spans
+
+
+def _texts(spans):
+    return [s["text"] for s in spans if s["kind"] == "text"]
+
+
+def _kinds(spans):
+    return [s["kind"] for s in spans]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("use_objstm", [False, True])
+def test_text_reading_order(compress, use_objstm):
+    page = [
+        ("text", 72, 700, 12, "INVOICE 2024-001"),
+        ("text", 72, 650, 10, "Item A"),
+        ("text", 300, 650, 10, "42.00"),
+        ("text", 72, 600, 10, "Total"),
+    ]
+    blob = encode_pdf([page], compress=compress, use_objstm=use_objstm)
+    spans, media = pdf_spans(blob)
+    assert _texts(spans) == ["INVOICE 2024-001", "Item A", "42.00", "Total"]
+    assert media == {}
+    assert [s["offset"] for s in spans] == list(range(4))
+
+
+def test_multi_page_order():
+    blob = encode_pdf(
+        [[("text", 72, 700, 12, "page one")], [("text", 72, 700, 12, "page two")]]
+    )
+    spans, _ = pdf_spans(blob)
+    assert _texts(spans) == ["page one", "page two"]
+
+
+def test_interleaved_image_spans_decode():
+    rng = np.random.RandomState(0)
+    gray = rng.randint(0, 256, (24, 30), np.uint8)
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg
+
+    jpeg = encode_jpeg(np.full((16, 16), 200, np.uint8), quality=90)
+    page = [
+        ("text", 72, 720, 12, "above"),
+        ("image", 72, 500, 200, 150, gray, "gray"),
+        ("text", 72, 400, 12, "below"),
+        ("image", 72, 200, 100, 80, jpeg, "jpeg"),
+    ]
+    spans, media = pdf_spans(encode_pdf([page]))
+    assert _kinds(spans) == ["text", "image", "text", "image"]
+    refs = [s["media_ref"] for s in spans if s["kind"] == "image"]
+    assert np.array_equal(K.decode_image(media[refs[0]]), gray)
+    assert K.decode_image(media[refs[1]]).shape == (16, 16)
+
+
+def test_rgb_image_grayscale_matches_shared_luma():
+    rgb = np.random.RandomState(1).randint(0, 256, (10, 12, 3), np.uint8)
+    spans, media = pdf_spans(
+        encode_pdf([[("image", 0, 0, 10, 10, rgb, "rgb")]])
+    )
+    (ref,) = [s["media_ref"] for s in spans]
+    assert np.array_equal(K.decode_image(media[ref]), K.rgb_to_gray(rgb))
+
+
+# --------------------------------------------------------------------------
+# Hand-crafted PDFs: the interpreter pinned independently of encode_pdf
+# --------------------------------------------------------------------------
+
+
+def _raw_pdf(
+    content: bytes, extra_objs: str = "", font: str = "", content_filter: str = ""
+) -> bytes:
+    """Assemble a minimal classic-xref PDF around a raw content stream."""
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << {font} >> /Contents 4 0 R >>",
+        f"<< /Length {len(content)} {content_filter} >>\nstream\n".encode().decode()
+        + content.decode("latin-1")
+        + "\nendstream",
+    ]
+    if extra_objs:
+        objs.append(extra_objs)
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n{o}\nendobj\n".encode("latin-1")
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref,
+    )
+    return bytes(out)
+
+
+def test_tj_array_and_line_ops():
+    content = (
+        b"BT /F1 10 Tf 20 700 Td [ (Hel) -120 (lo) ] TJ "
+        b"0 -14 TD (world) Tj T* (third) Tj ET"
+    )
+    spans, _ = pdf_spans(_raw_pdf(content))
+    assert _texts(spans) == ["Hello", "world", "third"]
+
+
+def test_quote_operator_and_escapes():
+    content = rb"BT /F1 10 Tf 20 700 Td (a\(b\)c) Tj 14 TL (next\\line) ' ET"
+    spans, _ = pdf_spans(_raw_pdf(content))
+    assert _texts(spans) == ["a(b)c", "next\\line"]
+
+
+def test_hex_string_and_octal():
+    content = b"BT /F1 10 Tf 20 700 Td <48495F> Tj 0 -20 Td (\\101\\102) Tj ET"
+    spans, _ = pdf_spans(_raw_pdf(content))
+    assert _texts(spans) == ["HI_", "AB"]
+
+
+def test_form_xobject_positions_text():
+    form = b"BT /F1 8 Tf 0 0 Td (inner) Tj ET"
+    extra = (
+        "<< /Type /XObject /Subtype /Form /BBox [0 0 100 100] "
+        f"/Matrix [1 0 0 1 50 -200] /Length {len(form)} >>\nstream\n"
+        + form.decode() + "\nendstream"
+    )
+    content = (
+        b"BT /F1 10 Tf 20 700 Td (top) Tj ET "
+        b"q 1 0 0 1 0 600 cm /Fm1 Do Q "
+        b"BT /F1 10 Tf 20 300 Td (bottom) Tj ET"
+    )
+    blob = _raw_pdf(content, extra_objs=extra,
+                    font="/XObject << /Fm1 5 0 R >>")
+    spans, _ = pdf_spans(blob)
+    # form places 'inner' at y = 0 + (-200) + 600 = 400 → between the two
+    assert _texts(spans) == ["top", "inner", "bottom"]
+
+
+def test_xref_rebuild_fallback():
+    blob = bytearray(encode_pdf([[("text", 72, 700, 12, "resilient")]]))
+    i = blob.rindex(b"startxref")
+    blob[i + 10 : i + 12] = b"99"  # corrupt the xref offset
+    spans, _ = pdf_spans(bytes(blob))
+    assert _texts(spans) == ["resilient"]
+
+
+def test_incremental_update_prev_chain():
+    """Classic incremental update: body + second xref with /Prev."""
+    base = encode_pdf([[("text", 72, 700, 12, "v1")]])
+    # append an updated page-content object (object 2 is the content
+    # stream in encode_pdf's layout? — locate by scanning for the stream)
+    doc = PdfDocument(base)
+    # find the content stream object number
+    content_num = next(
+        n for n in doc.xref
+        if hasattr(doc.get(n), "dict") and "Length" in doc.get(n).dict
+    )
+    new_stream = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (v2) Tj ET"
+    upd = bytearray(base)
+    new_off = len(upd)
+    upd += b"%d 0 obj\n<< /Length %d >>\nstream\n" % (content_num, len(new_stream))
+    upd += new_stream + b"\nendstream\nendobj\n"
+    xref_off = len(upd)
+    old_xref = base.rindex(b"xref\n")
+    upd += b"xref\n%d 1\n%010d 00000 n \n" % (content_num, new_off)
+    upd += b"trailer\n<< /Size 99 /Prev %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        old_xref, xref_off,
+    )
+    # /Root object number in encode_pdf is the catalog (last object); get
+    # it from the original trailer instead of assuming 1
+    root = base[base.rindex(b"/Root") : base.rindex(b"/Root") + 20].split()[1]
+    upd = upd.replace(b"/Root 1 0 R", b"/Root " + root + b" 0 R")
+    spans, _ = pdf_spans(bytes(upd))
+    assert _texts(spans) == ["v2"]
+
+
+# --------------------------------------------------------------------------
+# Seams + error contract
+# --------------------------------------------------------------------------
+
+
+def test_encrypted_is_a_seam():
+    blob = encode_pdf([[("text", 72, 700, 12, "secret")]])
+    bad = blob.replace(b"/Root", b"/Encrypt 9 0 R /Root", 1)
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        pdf_spans(bad)
+
+
+def test_type0_font_is_a_seam():
+    extra = "<< /Type /Font /Subtype /Type0 /BaseFont /CJK >>"
+    content = b"BT /F1 10 Tf 20 700 Td (x) Tj ET"
+    blob = _raw_pdf(content, extra_objs=extra, font="/Font << /F1 5 0 R >>")
+    with pytest.raises(NotImplementedError, match="Type0"):
+        pdf_spans(blob)
+
+
+def test_inline_image_is_a_seam():
+    content = b"BI /W 2 /H 2 ID \x00\x01\x02\x03 EI"
+    with pytest.raises(NotImplementedError, match="inline"):
+        pdf_spans(_raw_pdf(content))
+
+
+def test_not_pdf():
+    with pytest.raises(ValueError, match="not a PDF"):
+        pdf_spans(b"GIF89a not a pdf")
+
+
+def test_fuzz_error_contract():
+    rng = np.random.default_rng(5)
+    gray = np.full((8, 8), 128, np.uint8)
+    blob = encode_pdf(
+        [[("text", 72, 700, 12, "fuzz me"), ("image", 72, 300, 50, 50, gray, "gray")]]
+    )
+    for variant in (blob, encode_pdf([[("text", 10, 10, 8, "x")]], use_objstm=True)):
+        for _ in range(120):
+            bb = bytearray(variant)
+            for _k in range(int(rng.integers(1, 6))):
+                bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
+            try:
+                pdf_spans(bytes(bb))
+            except (ValueError, NotImplementedError):
+                pass
+    for _ in range(60):
+        junk = b"%PDF-1.4\n" + bytes(
+            rng.integers(0, 256, int(rng.integers(0, 200)), dtype=np.uint8)
+        )
+        try:
+            pdf_spans(junk)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_zlib_bomb_guard():
+    # a Flate stream decompressing to ~100 MB should not be a problem for
+    # correctness, but dims caps keep image allocation bounded
+    big = zlib.compress(b"\x00" * (1 << 20))
+    extra = (
+        f"<< /Type /XObject /Subtype /Image /Width 99999 /Height 99999 "
+        f"/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /FlateDecode "
+        f"/Length {len(big)} >>\nstream\n" + big.decode("latin-1") + "\nendstream"
+    )
+    content = b"q 10 0 0 10 0 0 cm /Im0 Do Q"
+    blob = _raw_pdf(content, extra_objs=extra, font="/XObject << /Im0 5 0 R >>")
+    with pytest.raises(ValueError):
+        pdf_spans(blob)
+
+
+# ---------------------------------------------------------------------------
+# Transport filters beyond Flate/AHx: LZW, RunLength, ASCII85 — and the
+# scanned-document image codecs (CCITT fax, packed bilevel).
+# ---------------------------------------------------------------------------
+
+_FILTER_CONTENT = b"BT /F1 10 Tf 20 700 Td (filtered) Tj 0 -20 Td (stream) Tj ET"
+
+
+def _rle_encode(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        run = 1
+        while i + run < len(raw) and run < 128 and raw[i + run] == raw[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, raw[i]])
+            i += run
+        else:
+            j = min(i + 128, len(raw))
+            k = i + 1
+            while k < j:
+                if k + 2 < len(raw) and raw[k] == raw[k + 1] == raw[k + 2]:
+                    break
+                k += 1
+            out += bytes([k - i - 1]) + raw[i:k]
+            i = k
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "name,encode",
+    [
+        ("LZWDecode", None),  # filled in below (needs the bmptiff encoder)
+        ("RunLengthDecode", _rle_encode),
+        ("ASCII85Decode", None),  # stdlib base64.a85encode — independent pin
+    ],
+)
+def test_content_stream_transport_filters(name, encode):
+    if name == "LZWDecode":
+        from ai_invoice_ocr_engine_spark.bmptiff import _lzw_encode as encode
+    elif name == "ASCII85Decode":
+        import base64
+
+        encode = lambda b: base64.a85encode(b) + b"~>"  # noqa: E731
+    body = encode(_FILTER_CONTENT)
+    blob = _raw_pdf(body, content_filter=f"/Filter /{name}")
+    spans, _ = pdf_spans(blob)
+    assert _texts(spans) == ["filtered", "stream"]
+
+
+def test_filter_chain_a85_then_flate():
+    import base64
+
+    body = base64.a85encode(zlib.compress(_FILTER_CONTENT)) + b"~>"
+    blob = _raw_pdf(
+        body, content_filter="/Filter [/ASCII85Decode /FlateDecode]"
+    )
+    spans, _ = pdf_spans(blob)
+    assert _texts(spans) == ["filtered", "stream"]
+
+
+def test_ascii85_error_contract():
+    from ai_invoice_ocr_engine_spark.pdf import _a85_decode, _rle_decode
+
+    with pytest.raises(ValueError, match="z"):
+        _a85_decode(b"ABz~>")
+    with pytest.raises(ValueError, match="dangling"):
+        _a85_decode(b"A~>")
+    with pytest.raises(ValueError, match="out of range"):
+        _a85_decode(b"\x7f\x7f\x7f\x7f\x7f~>")
+    with pytest.raises(ValueError, match="EOD"):
+        _rle_decode(b"\x02abc")
+    with pytest.raises(ValueError, match="truncated"):
+        _rle_decode(b"\x05ab")
+    # pin against the stdlib for random payloads
+    import base64
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        payload = bytes(rng.integers(0, 256, int(rng.integers(0, 99)), dtype=np.uint8))
+        assert _a85_decode(base64.a85encode(payload) + b"~>") == payload
+
+
+def _bilevel_mask(w=64, h=48) -> np.ndarray:
+    mask = np.zeros((h, w), np.uint8)
+    mask[10:16, 8:56] = 1  # a black band
+    mask[24:30, 8:40] = 1
+    mask[38:40, 20:22] = 1
+    return mask
+
+
+def _image_pdf(img_dict: str, payload: bytes) -> bytes:
+    extra = (
+        f"<< /Type /XObject /Subtype /Image {img_dict} "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = b"q 128 0 0 96 72 400 cm /Im0 Do Q"
+    return _raw_pdf(content, extra_objs=extra, font="/XObject << /Im0 5 0 R >>")
+
+
+@pytest.mark.parametrize("k", [-1, 0, 1])
+def test_ccitt_image_decodes(k):
+    from ai_invoice_ocr_engine_spark.fax import encode_g4, encode_mh, encode_t4
+
+    mask = _bilevel_mask()
+    h, w = mask.shape
+    data = {-1: encode_g4, 0: encode_mh}.get(k, lambda m: encode_t4(m, two_d=True))(mask)
+    blob = _image_pdf(
+        f"/Width {w} /Height {h} /BitsPerComponent 1 /ColorSpace /DeviceGray "
+        f"/Filter /CCITTFaxDecode /DecodeParms << /K {k} /Columns {w} /Rows {h} >>",
+        data,
+    )
+    spans, media = pdf_spans(blob)
+    assert [s["kind"] for s in spans] == ["image"]
+    img = K.decode_image(media[spans[0]["media_ref"]])
+    assert img.shape == (h, w)
+    # fax wire 1 = black → default BlackIs1=false → sample 0 → gray 0
+    np.testing.assert_array_equal(img == 0, mask.astype(bool))
+
+
+def test_ccitt_blackis1_flips():
+    from ai_invoice_ocr_engine_spark.fax import encode_g4
+
+    mask = _bilevel_mask()
+    h, w = mask.shape
+    blob = _image_pdf(
+        f"/Width {w} /Height {h} /BitsPerComponent 1 /ColorSpace /DeviceGray "
+        f"/Filter /CCITTFaxDecode "
+        f"/DecodeParms << /K -1 /Columns {w} /Rows {h} /BlackIs1 true >>",
+        encode_g4(mask),
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    # BlackIs1 without a reversed /Decode renders the mask inverted
+    np.testing.assert_array_equal(img == 255, mask.astype(bool))
+
+
+@pytest.mark.parametrize("decode,expect_black", [("", True), ("/Decode [1 0]", False)])
+def test_bilevel_flate_image(decode, expect_black):
+    mask = _bilevel_mask()
+    h, w = mask.shape
+    packed = np.packbits(1 - mask, axis=1)  # sample 0 = black (default Decode)
+    payload = zlib.compress(packed.tobytes())
+    blob = _image_pdf(
+        f"/Width {w} /Height {h} /BitsPerComponent 1 /ColorSpace /DeviceGray "
+        f"/Filter /FlateDecode {decode}",
+        payload,
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    want = mask.astype(bool) if expect_black else ~mask.astype(bool)
+    np.testing.assert_array_equal(img == 0, want)
+
+
+def test_lzw_image_with_png_predictor():
+    from ai_invoice_ocr_engine_spark.bmptiff import _lzw_encode
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (20, 31), dtype=np.uint8)
+    # PNG predictor 2 (Up) rows: filter byte + (row - prev_row)
+    pred = bytearray()
+    prev = np.zeros(31, np.uint8)
+    for r in gray:
+        pred.append(2)
+        pred += ((r.astype(np.int16) - prev) % 256).astype(np.uint8).tobytes()
+        prev = r
+    blob = _image_pdf(
+        "/Width 31 /Height 20 /BitsPerComponent 8 /ColorSpace /DeviceGray "
+        "/Filter /LZWDecode /DecodeParms << /Predictor 12 /Columns 31 >>",
+        _lzw_encode(bytes(pred)),
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    np.testing.assert_array_equal(img, gray)

@@ -7,20 +7,24 @@ interleaved document — native text runs positioned by the text matrix,
 with raster images (the scanned regions OCR handles) embedded as image
 XObjects. This module parses the COS object layer (ISO 32000-1, public
 spec): classic xref tables with /Prev chains, PDF 1.5 cross-reference
-streams and /ObjStm compressed objects, FlateDecode (+ PNG predictors)
-/ ASCIIHexDecode / DCTDecode filters, the page tree with inherited
-resources, and enough of the content-stream operator set (q/Q/cm, BT/ET,
-Tf/Td/TD/Tm/T*/TL, Tj/TJ/'/", Do with nested Form XObjects) to recover
-positioned text runs and placed images. Output spans are ordered by the
-same reading-order discipline as the OCR side (top-to-bottom lines,
-left-to-right within a line).
+streams and /ObjStm compressed objects, the Flate (+ PNG predictors) /
+LZW / RunLength / ASCII85 / ASCIIHex / DCT filter set, the page tree
+with inherited resources, and enough of the content-stream operator set
+(q/Q/cm, BT/ET, Tf/Td/TD/Tm/T*/TL, Tj/TJ/'/", Do with nested Form
+XObjects, BI/ID/EI inline images) to recover positioned text runs and
+placed images. Image XObjects cover DCT (JPEG, via this repo's
+jpeg.py), raw gray/RGB, packed bilevel with /Decode, and CCITT G3/G4
+fax (via fax.py) with /BlackIs1. Text decodes via latin-1 for simple
+fonts (Standard/WinAnsi western invoices) and through the embedded
+ToUnicode CMap (codespace ranges + bfchar/bfrange) for Type0/CID
+composite fonts. Output spans are ordered by the same reading-order
+discipline as the OCR side (top-to-bottom lines, left-to-right within
+a line).
 
-Seams (loud): encrypted PDFs, Type0/CID composite fonts (ToUnicode
-CMaps), and exotic filters (JBIG2/JPX/CCITT-in-PDF) raise
-NotImplementedError naming the feature. Simple fonts decode via
-latin-1 — correct for the Standard/WinAnsi encodings fixtures and most
-western invoices. Embedded DCTDecode images hand their bytes to this
-repo's own jpeg.py through kernels.decode_image.
+Seams (loud): encrypted PDFs, Type0 fonts WITHOUT a ToUnicode CMap
+(mapping CIDs would need the font program), JBIG2/JPX image codecs,
+TIFF-style predictors, and LZW EarlyChange=0 raise NotImplementedError
+naming the feature.
 """
 
 from __future__ import annotations
@@ -604,14 +608,183 @@ def _mat_mul(a, b):
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
-def _decode_pdf_text(b: bytes, font: dict | None) -> str:
-    if font:
-        sub = font.get("Subtype")
-        if sub == "Type0":
+def _parse_tounicode(data: bytes):
+    """Parse a ToUnicode CMap (Adobe CMap/PostScript syntax, the public
+    9.10.3 subset): codespace ranges fix the code-unit byte widths,
+    bfchar/bfrange map codes to UTF-16BE strings."""
+    lex = _Lexer(data, 0)
+    stack: list = []
+    widths: set[int] = set()
+    chars: dict[tuple[int, int], str] = {}
+    ranges: list[tuple[int, int, int, int, int]] = []
+    n = len(data)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = data[lex.pos]
+        if c in b"/[(<" or 0x30 <= c <= 0x39 or c in b"+-.":
+            try:
+                stack.append(lex.obj())
+            except (ValueError, NotImplementedError):
+                lex.pos += 1
+            continue
+        kw = lex.keyword()
+        if kw == b"endcodespacerange":
+            for i in range(0, len(stack) - 1, 2):
+                lo = stack[i]
+                if isinstance(lo, bytes) and lo:
+                    widths.add(len(lo))
+            stack.clear()
+        elif kw == b"endbfchar":
+            for i in range(0, len(stack) - 1, 2):
+                src, dst = stack[i], stack[i + 1]
+                if isinstance(src, bytes) and isinstance(dst, bytes) and src:
+                    chars[(len(src), int.from_bytes(src, "big"))] = dst.decode(
+                        "utf-16-be", "replace"
+                    )
+            stack.clear()
+        elif kw == b"endbfrange":
+            for i in range(0, len(stack) - 2, 3):
+                lo, hi, dst = stack[i : i + 3]
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes) and lo):
+                    continue
+                w = len(lo)
+                lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+                if isinstance(dst, list):
+                    for k, d in enumerate(dst):
+                        if isinstance(d, bytes) and lo_i + k <= hi_i:
+                            chars[(w, lo_i + k)] = d.decode("utf-16-be", "replace")
+                elif isinstance(dst, bytes) and dst:
+                    ranges.append(
+                        (w, lo_i, hi_i, int.from_bytes(dst, "big"), len(dst))
+                    )
+            stack.clear()
+        elif kw in (b"begincodespacerange", b"beginbfchar", b"beginbfrange"):
+            stack.clear()
+        # other CMap/PostScript operators (def, begincmap, usecmap, …)
+        # reset the operand stack like a content-stream op would
+        elif kw not in (b"",):
+            stack.clear()
+    return (widths or {2}), chars, ranges
+
+
+def _cmap_decoder(widths, chars, ranges):
+    order = sorted(widths)
+
+    def dec(b: bytes) -> str:
+        out: list[str] = []
+        i, n = 0, len(b)
+        while i < n:
+            hit = False
+            for w in order:
+                if i + w > n:
+                    continue
+                code = int.from_bytes(b[i : i + w], "big")
+                s = chars.get((w, code))
+                if s is None:
+                    for rw, lo, hi, dlo, dbytes in ranges:
+                        if rw == w and lo <= code <= hi:
+                            v = dlo + (code - lo)
+                            s = v.to_bytes(max(dbytes, 2), "big").decode(
+                                "utf-16-be", "replace"
+                            )
+                            break
+                if s is not None:
+                    out.append(s)
+                    i += w
+                    hit = True
+                    break
+            if not hit:
+                out.append("�")
+                i += order[0]
+        return "".join(out)
+
+    return dec
+
+
+def _font_decoder(doc: PdfDocument, font: dict | None):
+    """Per-font bytes→str decoder, built once at Tf time.
+
+    Simple fonts decode via latin-1 (correct for Standard/WinAnsi
+    fixtures and most western invoices); Type0/CID composite fonts
+    decode through their embedded ToUnicode CMap (the reference's text
+    model is Unicode strings, so ToUnicode IS the authoritative map);
+    Type0 WITHOUT ToUnicode stays a loud seam (mapping CIDs to text
+    would require the font program itself)."""
+    if font and font.get("Subtype") == "Type0":
+        tu = doc._resolve(font.get("ToUnicode"))
+        if not isinstance(tu, _Stream):
             raise NotImplementedError(
-                "PDF Type0/CID composite fonts (ToUnicode CMap) unsupported"
+                "PDF Type0/CID font without a ToUnicode CMap unsupported"
             )
-    return b.decode("latin-1")
+        cache = getattr(doc, "_cmap_cache", None)
+        if cache is None:
+            cache = doc._cmap_cache = {}
+        key = id(tu)
+        if key not in cache:
+            cache[key] = _cmap_decoder(
+                *_parse_tounicode(_apply_filters(tu.raw, tu.dict, doc._resolve))
+            )
+        return cache[key]
+    return lambda b: b.decode("latin-1")
+
+
+_INLINE_KEYS = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+    "D": "Decode", "IM": "ImageMask", "L": "Length",
+}
+_INLINE_VALS = {
+    "G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+    "I": "Indexed", "AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+    "LZW": "LZWDecode", "Fl": "FlateDecode", "RL": "RunLengthDecode",
+    "CCF": "CCITTFaxDecode", "DCT": "DCTDecode",
+}
+
+
+def _inline_image(img_d: dict, content: bytes, start: int, resolve):
+    """BI/ID/EI inline image (§8.9.7): expand abbreviated keys/values to a
+    synthetic image-XObject stream and find the data extent.
+
+    Returns (_Stream, end_pos) with end_pos just before the EI keyword."""
+    d: dict = {}
+    for k, v in img_d.items():
+        k = _INLINE_KEYS.get(k, k)
+        if isinstance(v, _Name):
+            v = _Name(_INLINE_VALS.get(str(v), str(v)))
+        elif isinstance(v, list):
+            v = [_Name(_INLINE_VALS.get(str(x), str(x)))
+                 if isinstance(x, _Name) else x for x in v]
+        d[k] = v
+    if d.get("ImageMask"):
+        # stencil mask: 1-bit, default Decode [0 1] → sample 0 paints
+        # (black), same convention as _bits_to_gray's default
+        d.setdefault("BitsPerComponent", 1)
+        d.setdefault("ColorSpace", _Name("DeviceGray"))
+    if d.get("Filter") is None:
+        w = int(resolve(d.get("Width", 0)))
+        h = int(resolve(d.get("Height", 0)))
+        bpc = int(resolve(d.get("BitsPerComponent", 8)))
+        ncomp = 3 if resolve(d.get("ColorSpace")) == "DeviceRGB" else 1
+        n = h * ((w * bpc * ncomp + 7) // 8)
+        data = content[start : start + n]
+        if len(data) < n:
+            raise ValueError("PDF inline image data truncated")
+        return _Stream(d, data), start + n
+    if "Length" in d:
+        n = int(resolve(d["Length"]))
+        data = content[start : start + n]
+        if len(data) < n:
+            raise ValueError("PDF inline image data truncated")
+        return _Stream(d, data), start + n
+    # filtered without /L: scan for whitespace-delimited EI (the standard
+    # reader heuristic; AHx/A85 payloads can never contain it)
+    m = re.search(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)",
+                  content[start:])
+    if m is None:
+        raise ValueError("PDF inline image missing EI")
+    return _Stream(d, content[start : start + m.start()]), start + m.start()
 
 
 def _interp_content(
@@ -629,11 +802,11 @@ def _interp_content(
     tm = tlm = _ID
     leading = 0.0
     font_size = 0.0
-    cur_font = None
+    cur_dec = _font_decoder(doc, None)
 
     def show(b: bytes) -> None:
         x, y = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4], tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
-        txt = _decode_pdf_text(b, cur_font)
+        txt = cur_dec(b)
         if txt:
             runs.append((x, y, font_size * tm[3], txt))
 
@@ -665,7 +838,7 @@ def _interp_content(
         elif op == b"Tf" and len(stack) >= 2:
             font_size = float(stack[-1])
             fname = str(stack[-2])
-            cur_font = resolve(fonts.get(fname))
+            cur_dec = _font_decoder(doc, resolve(fonts.get(fname)))
         elif op == b"TL" and stack:
             leading = float(stack[-1])
         elif op == b"Td" and len(stack) >= 2:
@@ -706,8 +879,22 @@ def _interp_content(
                         doc, _apply_filters(xo.raw, xo.dict, resolve),
                         inner_res, runs, images, inner_ctm, depth + 1,
                     )
-        elif op in (b"BI",):
-            raise NotImplementedError("PDF inline images (BI/ID/EI) unsupported")
+        elif op == b"BI":
+            img_d: dict = {}
+            while True:
+                lex._skip_ws()
+                if lex.pos >= len(content):
+                    raise ValueError("PDF inline image truncated")
+                if content[lex.pos] == 0x2F:
+                    key = str(lex.obj())
+                    img_d[key] = lex.obj()
+                else:
+                    if lex.keyword() != b"ID":
+                        raise ValueError("PDF inline image: expected ID")
+                    break
+            stream, end = _inline_image(img_d, content, lex.pos + 1, resolve)
+            images.append((ctm, stream))
+            lex.pos = end  # the main loop consumes the trailing EI keyword
         if op not in (b"q", b"Q"):
             stack.clear()
 

@@ -94,7 +94,9 @@ def _raw_pdf(
         + "\nendstream",
     ]
     if extra_objs:
-        objs.append(extra_objs)
+        objs.extend(
+            [extra_objs] if isinstance(extra_objs, str) else extra_objs
+        )
     out = bytearray(b"%PDF-1.4\n")
     offs = []
     for i, o in enumerate(objs, start=1):
@@ -209,10 +211,41 @@ def test_type0_font_is_a_seam():
         pdf_spans(blob)
 
 
-def test_inline_image_is_a_seam():
-    content = b"BI /W 2 /H 2 ID \x00\x01\x02\x03 EI"
-    with pytest.raises(NotImplementedError, match="inline"):
-        pdf_spans(_raw_pdf(content))
+def test_inline_image_raw():
+    content = b"q 2 0 0 2 10 10 cm BI /W 2 /H 2 /BPC 8 /CS /G ID \x00\x41\x82\xc3 EI Q"
+    spans, media = pdf_spans(_raw_pdf(content))
+    assert [s["kind"] for s in spans] == ["image"]
+    img = K.decode_image(media[spans[0]["media_ref"]])
+    np.testing.assert_array_equal(img, np.array([[0x00, 0x41], [0x82, 0xC3]]))
+
+
+def test_inline_image_ahx_filter_and_interleave():
+    # AHx payload, EI found by the whitespace scan; text above and below
+    content = (
+        b"BT /F1 10 Tf 20 700 Td (above) Tj ET "
+        b"q 50 0 0 50 20 400 cm BI /W 2 /H 1 /BPC 8 /CS /G /F /AHx ID 7fFF> EI Q "
+        b"BT /F1 10 Tf 20 100 Td (below) Tj ET"
+    )
+    spans, media = pdf_spans(_raw_pdf(content))
+    assert _kinds(spans) == ["text", "image", "text"]
+    img = K.decode_image(media[spans[1]["media_ref"]])
+    np.testing.assert_array_equal(img, np.array([[0x7F, 0xFF]]))
+
+
+def test_inline_image_mask_and_flate_length():
+    mask = np.array([[1, 0, 1, 0, 0, 0, 1, 1]], np.uint8)  # sample bits
+    payload = zlib.compress(np.packbits(mask).tobytes())
+    content = (
+        b"q 8 0 0 1 0 0 cm BI /W 8 /H 1 /IM true /F /Fl /L "
+        + str(len(payload)).encode()
+        + b" ID "
+        + payload
+        + b" EI Q"
+    )
+    _spans, media = pdf_spans(_raw_pdf(content))
+    img = K.decode_image(next(iter(media.values())))
+    # ImageMask default Decode [0 1]: sample 0 → black
+    np.testing.assert_array_equal(img == 0, mask == 0)
 
 
 def test_not_pdf():
@@ -438,3 +471,91 @@ def test_lzw_image_with_png_predictor():
     _spans, media = pdf_spans(blob)
     img = K.decode_image(next(iter(media.values())))
     np.testing.assert_array_equal(img, gray)
+
+
+# ---------------------------------------------------------------------------
+# Type0 / CID composite fonts via ToUnicode CMaps
+# ---------------------------------------------------------------------------
+
+_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (T) /Ordering (U) /Supplement 0 >> def
+/CMapName /T-U def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0041> <0048>
+<0042> <0065>
+endbfchar
+2 beginbfrange
+<0050> <0052> <006C>
+<0060> <0061> [<0057006F> <0072>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def _type0_pdf(content: bytes, cmap: bytes = _CMAP) -> bytes:
+    objs = [
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Test /Encoding /Identity-H "
+        "/ToUnicode 6 0 R >>",
+        f"<< /Length {len(cmap)} >>\nstream\n" + cmap.decode("latin-1")
+        + "\nendstream",
+    ]
+    return _raw_pdf(content, extra_objs=objs, font="/Font << /F1 5 0 R >>")
+
+
+def test_type0_tounicode_bfchar_and_bfrange():
+    # codes: 0041→H 0042→e, range 0050..0052→l,m,n, list-range 0060→"Wo" 0061→r
+    content = (
+        b"BT /F1 10 Tf 20 700 Td <00410042005000500051> Tj "
+        b"0 -20 Td <0060006100520042> Tj ET"
+    )
+    spans, _ = pdf_spans(_type0_pdf(content))
+    assert _texts(spans) == ["Hellm", "Worne"]
+
+
+def test_type0_unmapped_code_is_replacement():
+    spans, _ = pdf_spans(_type0_pdf(b"BT /F1 10 Tf 20 700 Td <0041FFFE> Tj ET"))
+    assert _texts(spans) == ["H�"]
+
+
+def test_type0_surrogate_pair_dst():
+    cmap = _CMAP.replace(
+        b"2 beginbfchar\n<0041> <0048>\n<0042> <0065>\nendbfchar",
+        b"2 beginbfchar\n<0041> <D83DDE00>\n<0042> <0065>\nendbfchar",
+    )
+    spans, _ = pdf_spans(
+        _type0_pdf(b"BT /F1 10 Tf 20 700 Td <00410042> Tj ET", cmap=cmap)
+    )
+    assert _texts(spans) == ["\U0001F600e"]
+
+
+def test_type0_without_tounicode_stays_a_seam():
+    objs = ["<< /Type /Font /Subtype /Type0 /BaseFont /Test /Encoding /Identity-H >>"]
+    blob = _raw_pdf(b"BT /F1 10 Tf 20 700 Td <0041> Tj ET",
+                    extra_objs=objs, font="/Font << /F1 5 0 R >>")
+    with pytest.raises(NotImplementedError, match="ToUnicode"):
+        pdf_spans(blob)
+
+
+def test_type0_mixed_with_simple_font():
+    objs = [
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Test /Encoding /Identity-H "
+        "/ToUnicode 7 0 R >>",
+        "<< /Type /Font /Subtype /TrueType /BaseFont /Helv >>",
+        f"<< /Length {len(_CMAP)} >>\nstream\n" + _CMAP.decode("latin-1")
+        + "\nendstream",
+    ]
+    content = (
+        b"BT /F1 10 Tf 20 700 Td <00410042> Tj ET "
+        b"BT /F2 10 Tf 20 650 Td (plain) Tj ET"
+    )
+    blob = _raw_pdf(content, extra_objs=objs,
+                    font="/Font << /F1 5 0 R /F2 6 0 R >>")
+    spans, _ = pdf_spans(blob)
+    assert _texts(spans) == ["He", "plain"]

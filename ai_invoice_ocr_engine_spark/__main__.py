@@ -76,6 +76,10 @@ def main(argv=None) -> int:
     g.add_argument("--docs", type=int, default=200)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--max-side", type=int, default=960)
+    g.add_argument("--pdfs", default=None, metavar="DIR",
+                   help="also render the corpus as raw .pdf files into DIR "
+                        "(dangling-ref edge docs are skipped), ready for "
+                        "the `ingest` subcommand")
 
     e = sub.add_parser("extract", help="run the Spark extraction job")
     e.add_argument("--docs", required=True)
@@ -131,13 +135,25 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
-        from .fixtures import gen_corpus, write_corpus
+        from .fixtures import gen_corpus, write_corpus, write_pdf_corpus
 
         docs, media = gen_corpus(
             seed=args.seed, n_docs=args.docs, max_media_side=args.max_side
         )
         dp, mp = write_corpus(args.out, docs, media)
-        print(json.dumps({"documents": dp, "media": mp, "n_docs": len(docs), "n_media": len(media)}))
+        rep = {"documents": dp, "media": mp, "n_docs": len(docs),
+               "n_media": len(media)}
+        if args.pdfs:
+            refs = {m["media_ref"] for m in media}
+            renderable = [
+                d for d in docs
+                if all(s["media_ref"] in refs for s in d["spans"]
+                       if s["kind"] == "media")
+            ]
+            write_pdf_corpus(args.pdfs, renderable, media)
+            rep["pdfs"] = args.pdfs
+            rep["n_pdfs"] = len(renderable)
+        print(json.dumps(rep))
         return 0
 
     if args.cmd == "extract":

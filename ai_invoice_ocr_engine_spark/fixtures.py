@@ -278,6 +278,38 @@ def write_corpus(out_dir: str, docs: list[dict], media: list[dict]) -> tuple[str
     return docs_path, media_path
 
 
+def write_pdf_corpus(out_dir: str, docs: list[dict], media: list[dict]) -> str:
+    """Render interleaved documents as actual PDF FILES — the raw-file
+    form of the same corpus: text spans become native PDF text runs (one
+    line per span, descending y so reading order reconstructs the span
+    order), media spans embed the frame's full-resolution pixels as
+    grayscale image XObjects (display size is immaterial; the payload
+    carries the pixels bit-for-bit). Feeding these through
+    sources.ingest reconstructs the two-table corpus: span kinds/texts/
+    offsets identical, media content-addressed.
+
+    Docs referencing media absent from the media table (the dangling-ref
+    edge case) cannot be rendered and raise KeyError — filter them out
+    first when building a round-trip fixture."""
+    from .pdf import encode_pdf
+
+    lookup = {m["media_ref"]: m["image"] for m in media}
+    os.makedirs(out_dir, exist_ok=True)
+    for d in docs:
+        items = []
+        y = 770.0
+        for s in d["spans"]:
+            if s["kind"] == "text":
+                items.append(("text", 72, y, 10, s["text"]))
+            else:
+                img = K.decode_synf(lookup[s["media_ref"]])
+                items.append(("image", 72, y - 10, 12, 10, img, "gray"))
+            y -= 14.0
+        with open(os.path.join(out_dir, f"{d['doc_id']}.pdf"), "wb") as f:
+            f.write(encode_pdf([items]))
+    return out_dir
+
+
 def ensure_corpus(
     out_dir: str, seed: int = 42, n_docs: int = 200, max_media_side: int = 960
 ) -> tuple[str, str]:

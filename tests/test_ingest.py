@@ -122,6 +122,70 @@ def test_ingested_tables_run_the_pipeline(spark, pdf_corpus):
     assert "ocr_text" in kinds and kinds[0] == "text"
 
 
+def test_pdf_corpus_roundtrip(spark, tmp_path):
+    """The synthetic interleaved corpus rendered as raw PDF files, fed
+    through ingest, must reconstruct the span model exactly — and the
+    full extraction over the ingested tables must produce the same
+    (kind, text, order) sequences as extraction over the original
+    tables (media_refs are renamed content-addressed, content is
+    bit-identical)."""
+    docs, media = FX.gen_corpus(seed=9, n_docs=24, max_media_side=320)
+    lookup = {m["media_ref"] for m in media}
+    docs = [d for d in docs
+            if all(s["media_ref"] in lookup for s in d["spans"]
+                   if s["kind"] == "media")]
+    assert len(docs) >= 20  # only the dangling-ref edge doc drops
+    pdir = str(tmp_path / "pdfs")
+    FX.write_pdf_corpus(pdir, docs, media)
+
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load(pdir)
+        .select(F.regexp_extract(F.col("path"), r"([^/]+)\.pdf$", 1).alias("doc_id"),
+                F.col("content").alias("pdf"))
+    )
+    ing_docs, ing_media = split_ingest(ingest_pdfs(src))
+
+    # 1) span model reconstructs: same kinds/texts/offsets per doc
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["offset"])
+                         for s in r.asDict(recursive=True)["spans"]]
+           for r in ing_docs.collect()}
+    for d in docs:
+        want = [(s["kind"], s["text"] or "", s["offset"]) for s in d["spans"]]
+        assert got[d["doc_id"]] == want, d["doc_id"]
+
+    # 2) media content round-trips bit-for-bit (SYNF re-encode is exact)
+    blob_by_md5 = {}
+    import hashlib
+    for m in media:
+        blob_by_md5["m-" + hashlib.md5(m["image"]).hexdigest()[:16]] = m["image"]
+    for r in ing_media.collect():
+        assert bytes(r["image"]) == blob_by_md5[r["media_ref"]]
+
+    # 3) full extraction equality modulo the media_ref rename
+    cfg = ExtractConfig()
+    orig_docs = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in d["spans"]]) for d in docs],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    orig_media = spark.createDataFrame(
+        [(m["media_ref"], bytearray(m["image"])) for m in media],
+        "media_ref string, image binary",
+    )
+    key = lambda rows: {  # noqa: E731
+        r["doc_id"]: [(s["kind"], s["text"], s["order"])
+                      for s in r.asDict(recursive=True)["spans_out"]]
+        for r in rows
+    }
+    a = key(extract(ing_docs, ing_media, cfg, media_strategy="frames").collect())
+    b = key(extract(orig_docs, orig_media, cfg, media_strategy="frames").collect())
+    assert a == b
+
+
 def test_cli_ingest_directory(tmp_path, pdf_corpus):
     """`python -m … ingest` over a directory of .pdf files (Spark's
     binaryFile source) writes the two tables extract consumes."""

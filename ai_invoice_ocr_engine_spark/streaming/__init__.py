@@ -1,4 +1,4 @@
-from .incremental import incremental_extract
+from .incremental import incremental_extract, incremental_pdf_ingest
 from .windows import (
     closed_sessions_batch,
     stateful_sessions,
@@ -7,6 +7,7 @@ from .windows import (
 
 __all__ = [
     "incremental_extract",
+    "incremental_pdf_ingest",
     "windowed_event_stats",
     "stateful_sessions",
     "closed_sessions_batch",

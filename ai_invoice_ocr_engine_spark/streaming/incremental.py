@@ -73,3 +73,74 @@ def incremental_extract(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_pdf_ingest(
+    spark: SparkSession,
+    pdf_stream_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    on_bad: str = "fail",
+    max_files_per_trigger: int = 32,
+    trigger_once: bool = True,
+):
+    """Watch a landing directory for raw .pdf files and incrementally build
+    the two input tables — the streaming face of ``sources.ingest``.
+
+        readStream(binaryFile *.pdf) → foreachBatch(ingest_pdfs + append)
+
+    Each micro-batch reuses the SAME parse stage as the batch path, so the
+    two cannot diverge. Documents append per batch (doc_ids are unique per
+    file, and the streaming checkpoint guarantees each file is processed
+    once). Media rows are content-addressed, so cross-batch duplicates are
+    dropped with an anti-join against the already-written table; on an
+    Iceberg cluster that anti-join becomes ``MERGE INTO ... WHEN NOT
+    MATCHED`` keyed on the content hash (idempotent under retries). The
+    anti-join reads only the media_ref column — one string per distinct
+    asset, not the image bytes.
+
+    Returns the StreamingQuery.
+    """
+    from ..sources.ingest import ingest_pdfs, split_ingest
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src = batch_df.select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.pdf$", 1).alias("doc_id"),
+            F.col("content").alias("pdf"),
+        )
+        combined = ingest_pdfs(src, on_bad=on_bad).persist()
+        try:
+            docs, media = split_ingest(combined, persist=False)
+            docs.write.mode("append").parquet(f"{out_dir}/documents.parquet")
+            try:
+                existing = spark.read.parquet(f"{out_dir}/media.parquet").select(
+                    "media_ref"
+                )
+                media = media.join(existing, "media_ref", "left_anti")
+            except Exception:
+                pass  # first batch: no media table yet
+            media.write.mode("append").parquet(f"{out_dir}/media.parquet")
+        finally:
+            combined.unpersist()
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed by the source, but streaming file
+        # sources require it stated explicitly
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.pdf")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(pdf_stream_dir)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

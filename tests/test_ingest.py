@@ -186,6 +186,41 @@ def test_pdf_corpus_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_streaming_pdf_ingest_matches_batch(spark, tmp_path, pdf_corpus):
+    """Two micro-batches of landing .pdf files == one batch ingest; media
+    rows sharing content across batches land exactly once (the anti-join
+    MERGE stand-in)."""
+    from ai_invoice_ocr_engine_spark.streaming import incremental_pdf_ingest
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = str(tmp_path / "stream_tables")
+    ck = str(tmp_path / "ckpt")
+
+    first = {k: pdf_corpus[k] for k in ("pdf-a", "pdf-c")}
+    for name, blob in first.items():
+        (land / f"{name}.pdf").write_bytes(blob)
+    q = incremental_pdf_ingest(spark, str(land), out, ck, trigger_once=True)
+    q.awaitTermination(300)
+
+    # second batch: pdf-b shares the page image already embedded by pdf-a
+    (land / "pdf-b.pdf").write_bytes(pdf_corpus["pdf-b"])
+    q = incremental_pdf_ingest(spark, str(land), out, ck, trigger_once=True)
+    q.awaitTermination(300)
+
+    sdocs = spark.read.parquet(f"{out}/documents.parquet")
+    smedia = spark.read.parquet(f"{out}/media.parquet")
+    bdocs, bmedia = split_ingest(ingest_pdfs(_pdf_df(spark, pdf_corpus)))
+    skey = lambda df: {  # noqa: E731
+        r["doc_id"]: [tuple(s.values()) for s in r.asDict(recursive=True)["spans"]]
+        for r in df.collect()
+    }
+    assert skey(sdocs) == skey(bdocs)
+    got_media = sorted((r["media_ref"], bytes(r["image"])) for r in smedia.collect())
+    want_media = sorted((r["media_ref"], bytes(r["image"])) for r in bmedia.collect())
+    assert got_media == want_media  # no cross-batch duplicate rows
+
+
 def test_cli_ingest_directory(tmp_path, pdf_corpus):
     """`python -m … ingest` over a directory of .pdf files (Spark's
     binaryFile source) writes the two tables extract consumes."""

@@ -164,3 +164,27 @@ def test_quantile_buckets_no_global_sort(spark):
     assert "Window" not in plan
     assert "Sort" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row cut-point frame
+
+
+def test_pdf_ingest_is_a_narrow_map_stage(spark):
+    """The PDF parse must be scan → one MapInPandas with no Exchange
+    before it (a shuffle in front of the parse would move every raw PDF
+    byte twice at 100 TB); the only shuffle in the split is the media
+    dedup, and the docs side must have none at all."""
+    from ai_invoice_ocr_engine_spark.pdf import encode_pdf
+    from ai_invoice_ocr_engine_spark.sources.ingest import ingest_pdfs, split_ingest
+
+    src = spark.createDataFrame(
+        [("d1", bytearray(encode_pdf([[("text", 72, 700, 10, "x")]])))],
+        "doc_id string, pdf binary",
+    )
+    combined = ingest_pdfs(src)
+    docs, media = split_ingest(combined, persist=False)
+    dplan = docs._jdf.queryExecution().executedPlan().toString()
+    mplan = media._jdf.queryExecution().executedPlan().toString()
+    assert dplan.count("MapInPandas") == 1
+    assert "Exchange" not in dplan.split("MapInPandas")[-1], (
+        "shuffle upstream of the PDF parse")
+    assert "Exchange" not in dplan, "docs side must not shuffle at all"
+    # media side: exactly the one dedup exchange
+    assert mplan.count("Exchange") <= 1

@@ -104,6 +104,13 @@ def main(argv=None) -> int:
     ing.add_argument("--out", required=True, help="output dir for the two tables")
     ing.add_argument("--skip-bad", action="store_true",
                      help="record parse errors per doc instead of failing")
+    ing.add_argument("--stream", action="store_true",
+                     help="treat --pdfs as a landing directory: Structured "
+                          "Streaming binaryFile source, incremental append "
+                          "with cross-batch media dedup; rerun to pick up "
+                          "new files (checkpointed)")
+    ing.add_argument("--checkpoint", default=None,
+                     help="streaming checkpoint dir (default OUT/_checkpoint)")
     ing.add_argument("--master", default=None)
 
     v = sub.add_parser("verify-lineage", help="recompute checksums vs lineage")
@@ -188,6 +195,24 @@ def main(argv=None) -> int:
         from .sources.session import get_spark
 
         spark = get_spark(app="ingest", master=args.master)
+        if args.stream:
+            from .streaming import incremental_pdf_ingest
+
+            ck = args.checkpoint or os.path.join(args.out, "_checkpoint")
+            try:
+                q = incremental_pdf_ingest(
+                    spark, args.pdfs, args.out, ck,
+                    on_bad="skip" if args.skip_bad else "fail",
+                    trigger_once=True,
+                )
+                q.awaitTermination()
+                dp = os.path.join(args.out, "documents.parquet")
+                n_docs = spark.read.parquet(dp).count()
+            finally:
+                spark.stop()
+            print(json.dumps({"out": args.out, "n_docs_total": n_docs,
+                              "checkpoint": ck}))
+            return 0
         try:
             if os.path.isdir(args.pdfs) and any(
                 f.lower().endswith(".pdf") for f in os.listdir(args.pdfs)

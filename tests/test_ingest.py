@@ -243,3 +243,30 @@ def test_cli_ingest_directory(tmp_path, pdf_corpus):
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout.splitlines()[-1])
     assert rep["n_docs"] == 3 and rep["n_media"] == 2 and rep["n_errors"] == 0
+
+
+def test_cli_ingest_stream_incremental(tmp_path, pdf_corpus):
+    """`ingest --stream` over a landing directory is checkpointed: a rerun
+    after a new file lands appends only that file's rows."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    pdir = tmp_path / "landing"
+    pdir.mkdir()
+    (pdir / "pdf-c.pdf").write_bytes(pdf_corpus["pdf-c"])
+    out = tmp_path / "tables"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, "-m", "ai_invoice_ocr_engine_spark", "ingest",
+           "--pdfs", str(pdir), "--out", str(out), "--stream",
+           "--master", "local[4]"]
+    r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.splitlines()[-1])["n_docs_total"] == 1
+    (pdir / "pdf-a.pdf").write_bytes(pdf_corpus["pdf-a"])
+    r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.splitlines()[-1])["n_docs_total"] == 2

@@ -14,6 +14,7 @@ the streaming checkpoint (source offsets) and the idempotent lineage rows.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import ExtractConfig
@@ -119,7 +120,7 @@ def incremental_pdf_ingest(
                     "media_ref"
                 )
                 media = media.join(existing, "media_ref", "left_anti")
-            except Exception:
+            except AnalysisException:
                 pass  # first batch: no media table yet
             media.write.mode("append").parquet(f"{out_dir}/media.parquet")
         finally:

@@ -139,6 +139,21 @@ def main(argv=None) -> int:
     x.add_argument("--format", default="json", choices=["json", "csv", "txt", "xlsx", "html"])
     x.add_argument("--master", default=None)
 
+    # the reference CLI's --visualize save loop (cli.py:42: draw boxes on
+    # each frame, write one annotated image per input)
+    vz = sub.add_parser("viz", help="write per-frame detection overlay PNGs")
+    vz.add_argument("--media", required=True, help="media parquet")
+    vz.add_argument("--out", required=True, help="directory for overlay PNGs")
+    vz.add_argument("--limit", type=int, default=0,
+                    help="annotate only the first N frames (0 = all)")
+    vz.add_argument("--thickness", type=int, default=2)
+    vz.add_argument("--labels", action="store_true",
+                    help="draw recognized text + score per box "
+                         "(the reference cli.py:42 draw_ocr_result loop)")
+    vz.add_argument("--font-size", type=int, default=18)
+    vz.add_argument("--master", default=None)
+    _add_cfg_flags(vz)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -288,6 +303,35 @@ def main(argv=None) -> int:
         finally:
             spark.stop()
         print(json.dumps({"format": args.format, "docs": n, "out": args.out}))
+        return 0
+
+    if args.cmd == "viz":
+        from pyspark.sql import functions as F
+
+        from .api import init
+        from .sources.session import get_spark
+        from .sources.viz import write_viz, write_viz_labeled
+
+        spark = get_spark(app="viz", master=args.master)
+        try:
+            media = spark.read.parquet(args.media)
+            if args.limit:
+                media = media.orderBy("media_ref").limit(args.limit)
+            if args.labels:
+                rep = write_viz_labeled(media, args.out, cfg=_cfg_from(args),
+                                        font_size=args.font_size)
+            else:
+                eng = init(spark, cfg=_cfg_from(args))
+                boxes = eng.detect_only(media)
+                rep = write_viz(media, boxes, args.out,
+                                thickness=args.thickness)
+            n_frames, n_boxes = rep.groupBy().agg(
+                F.count("*"), F.sum("n_boxes")
+            ).collect()[0]
+        finally:
+            spark.stop()
+        print(json.dumps({"frames": n_frames, "boxes": int(n_boxes or 0),
+                          "out": args.out}))
         return 0
 
     if args.cmd == "verify-lineage":

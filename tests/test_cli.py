@@ -67,6 +67,21 @@ def test_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.splitlines()[-1])["ok"] is True
 
+    # S9 viz sink, both modes (reference cli.py:40-43 --visualize loop)
+    vdir = tmp_path / "viz"
+    r = _run("viz", "--media", f"{corpus}/media.parquet", "--out", str(vdir),
+             "--limit", "3", "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.splitlines()[-1])
+    assert rep["frames"] == 3 and rep["boxes"] > 0
+    assert len(list(vdir.glob("*.png"))) == 3
+
+    r = _run("viz", "--media", f"{corpus}/media.parquet", "--out", str(vdir),
+             "--limit", "2", "--labels", "--master", "local[4]")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.splitlines()[-1])["frames"] == 2
+    assert len(list(vdir.glob("*_vis.png"))) == 2
+
 
 def test_cfg_flags_mapping():
     """--decode/--beam-width/--no-orient/--no-cls map onto the nested

@@ -59,6 +59,73 @@ def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top2_th: float = 0.18,
+    dup3_th: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1.1:
+    fraction of the text inside the most common n-gram; fraction of
+    duplicate n-grams), on word n-grams: per document the dominant-bigram
+    share, the duplicate-trigram fraction, and the keep/drop decision.
+
+    Scale shape: the duplicate fraction is a per-row linear pass
+    (array_distinct, no shuffle). The dominant-bigram count uses
+    explode → count(doc_id, bigram) → max(doc_id) — two map-side-combinable
+    aggregations — instead of a per-row quadratic fold, so book-length
+    documents cost O(len · log) across the cluster, not O(len²) on one core.
+    """
+    words = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit("")).alias("ws"),
+    )
+    grams = words.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.when(F.size("ws") < 2, F.array().cast("array<string>"))
+        .otherwise(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        )
+        .alias("bis"),
+        F.when(F.size("ws") < 3, F.array().cast("array<string>"))
+        .otherwise(
+            F.expr(
+                "transform(sequence(1, size(ws) - 2), "
+                "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
+                "element_at(ws, i + 2)))"
+            )
+        )
+        .alias("tris"),
+    )
+    top = (
+        grams.select("doc_id", F.explode("bis").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    s = grams.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+        F.when(F.size("bis") == 0, F.lit(0.0))
+        .otherwise(F.round(F.coalesce(F.col("top_bigram_n"), F.lit(0)) / F.size("bis"), 4))
+        .alias("top_bigram_frac"),
+        F.when(F.size("tris") == 0, F.lit(0.0))
+        .otherwise(F.round(1.0 - F.size(F.array_distinct("tris")) / F.size("tris"), 4))
+        .alias("dup_trigram_frac"),
+    )
+    keep = (
+        F.when((F.col("top_bigram_frac") > top2_th) | (F.col("dup_trigram_frac") > dup3_th), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    return s.withColumn("keep", keep)
+
+
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: 60-bit integer from md5 of the
     whitespace-normalized lowercased text (stable across engines)."""

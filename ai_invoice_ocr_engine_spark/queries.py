@@ -645,6 +645,55 @@ FROM base
 """
 
 
+def q_repetition_filter(spark, sf):
+    """Gopher-style repetition quality gates (Rae et al. 2021 A1.1) on word
+    n-grams: dominant-bigram share + duplicate-trigram fraction + keep flag.
+    The dominant-bigram count is explode → two map-side-combinable
+    aggregations (never a per-row quadratic fold), so it holds for
+    book-length docs at 10^12 rows."""
+    return T.with_repetition_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+_SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ws) AS n_words,
+    CASE WHEN len(ws) < 2 THEN []::varchar[]
+         ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+    END AS bis,
+    CASE WHEN len(ws) < 3 THEN []::varchar[]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+    END AS tris
+  FROM w
+),
+bc AS (
+  SELECT doc_id, bigram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(bis) AS bigram FROM base)
+  GROUP BY 1, 2
+),
+top AS (SELECT doc_id, max(cnt) AS top_bigram_n FROM bc GROUP BY 1),
+s AS (
+  SELECT b.doc_id, b.n_words,
+         coalesce(t.top_bigram_n, 0) AS top_bigram_n,
+         CASE WHEN len(b.bis) = 0 THEN 0.0
+              ELSE round(coalesce(t.top_bigram_n, 0) / len(b.bis), 4)
+         END AS top_bigram_frac,
+         CASE WHEN len(b.tris) = 0 THEN 0.0
+              ELSE round(1.0 - len(list_distinct(b.tris)) / len(b.tris), 4)
+         END AS dup_trigram_frac
+  FROM base b LEFT JOIN top t USING (doc_id)
+)
+SELECT doc_id, n_words, top_bigram_n, top_bigram_frac, dup_trigram_frac,
+       CASE WHEN top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30
+            THEN 0 ELSE 1 END AS keep
+FROM s ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprint(spark, sf):
     return T.with_fingerprint(_t(spark, sf, "documents"))
 
@@ -1875,4 +1924,5 @@ REGISTRY: dict[str, tuple] = {
     "revenue_share_by_nation": (q_revenue_share, _SQL_REVENUE_SHARE),
     "bag_set_ops": (q_bag_set_ops, _SQL_BAG_SETOPS),
     "approx_distinct_parts": (q_approx_distinct, _SQL_APPROX_DISTINCT),
+    "repetition_filter": (q_repetition_filter, _SQL_REPETITION),
 }

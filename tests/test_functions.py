@@ -450,3 +450,45 @@ def test_phash_near_dup_frames(spark):
     assert expected_pairs <= pairs
     # no originals pair with each other (distinct pages are >> 6 bits apart)
     assert not any(a.startswith("orig") and b.startswith("orig") for a, b in pairs)
+
+
+def test_repetition_stats_gopher_gates(spark):
+    """with_repetition_stats: dominant-bigram share + duplicate-trigram
+    fraction (Gopher A1.1 shape) with hand-computed values, incl. the
+    degenerate 0/1/2-word documents and the keep thresholds."""
+    from ai_invoice_ocr_engine_spark.functions import text as T
+
+    rows = [
+        ("clean", "alpha beta gamma delta epsilon zeta eta theta"),
+        # "spam spam" bigram appears 4x of 5 bigrams; trigram "spam spam spam"
+        # dups: 4 trigrams, 1 distinct -> dup_frac 0.75
+        ("loop", "spam spam spam spam spam spam"),
+        ("two", "only two"),
+        ("one", "single"),
+        ("empty", "   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in T.with_repetition_stats(df).collect()}
+
+    clean = got["clean"]
+    assert clean.n_words == 8 and clean.top_bigram_n == 1
+    assert clean.top_bigram_frac == round(1 / 7, 4)
+    assert clean.dup_trigram_frac == 0.0 and clean.keep == 1
+
+    loop = got["loop"]
+    assert loop.n_words == 6 and loop.top_bigram_n == 5
+    assert loop.top_bigram_frac == 1.0
+    assert loop.dup_trigram_frac == 0.75 and loop.keep == 0
+
+    two = got["two"]
+    assert two.n_words == 2 and two.top_bigram_n == 1
+    assert two.top_bigram_frac == 1.0  # one bigram dominates trivially
+    assert two.dup_trigram_frac == 0.0 and two.keep == 0
+
+    one = got["one"]
+    assert (one.n_words, one.top_bigram_n) == (1, 0)
+    assert one.top_bigram_frac == 0.0 and one.dup_trigram_frac == 0.0
+    assert one.keep == 1
+
+    empty = got["empty"]
+    assert empty.n_words == 0 and empty.top_bigram_n == 0 and empty.keep == 1

@@ -62,13 +62,17 @@ def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def with_repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
-    top2_th: float = 0.18,
-    dup3_th: float = 0.30,
+    top2_th: float = 0.12,
+    dup3_th: float = 0.05,
 ) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, appendix A1.1:
     fraction of the text inside the most common n-gram; fraction of
     duplicate n-grams), on word n-grams: per document the dominant-bigram
     share, the duplicate-trigram fraction, and the keep/drop decision.
+    Gopher's published thresholds are char-fractions over full web pages;
+    these defaults are calibrated to this corpus's short word-stream docs
+    (flag the extreme tail of the measured distribution) and are plain
+    parameters for real corpora.
 
     Scale shape: the duplicate fraction is a per-row linear pass
     (array_distinct, no shuffle). The dominant-bigram count uses

@@ -688,9 +688,127 @@ s AS (
   FROM base b LEFT JOIN top t USING (doc_id)
 )
 SELECT doc_id, n_words, top_bigram_n, top_bigram_frac, dup_trigram_frac,
-       CASE WHEN top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30
+       CASE WHEN top_bigram_frac > 0.12 OR dup_trigram_frac > 0.05
             THEN 0 ELSE 1 END AS keep
 FROM s ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Balanced deterministic downsampling — cap every stratum (lang) at
+    `cap` docs by keeping doc_id hash-percentiles below 10000*cap/n. Pure
+    function of (doc_id, stratum counts): any rerun at 10^12 docs recomputes
+    the identical sample, and the per-stratum threshold arrives by a
+    broadcast join of one tiny count row per stratum (two map-side
+    aggregations, no RNG, no sort). Integer threshold arithmetic
+    ((10000*cap) div n) keeps Spark and the oracle bit-identical — no float
+    division at the keep/drop boundary."""
+    cap = 100
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    h = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10000"
+    )
+    j = d.join(F.broadcast(counts), "lang")
+    th = F.least(F.lit(10000).cast("bigint"), F.expr(f"(10000 * {cap}) div n_total"))
+    return (
+        j.withColumn("kept", (h < th).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_STRATIFIED = """
+WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+j AS (
+  SELECT d.lang, c.n_total,
+         CASE WHEN ('0x' || substr(md5(d.doc_id::varchar), 1, 15))::bigint % 10000
+                   < least(10000, (10000 * 100) // c.n_total)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN c USING (lang)
+)
+SELECT lang, max(n_total) AS n_total, sum(kept) AS n_kept
+FROM j GROUP BY lang ORDER BY lang
+"""
+
+
+def q_corpus_funnel(spark, sf):
+    """The training-data funnel, composed from the pipeline's own gates:
+    total docs → quality_score ≥ 0.75 → repetition keep → both → exact-dedup
+    unique among the kept (distinct fingerprints). One row of stage counts —
+    the acceptance report a 100 TB curation run prints per snapshot. The
+    per-row gates (quality, fingerprint) are pure projections; the only
+    aggregate input is the repetition keep flag, joined back on doc_id."""
+    d = _t(spark, sf, "documents")
+    q = T.with_token_stats(d).select("doc_id", "quality_score")
+    r = T.with_repetition_stats(d).select("doc_id", "keep")
+    fp = T.with_fingerprint(d).select("doc_id", "fingerprint")
+    j = q.join(r, "doc_id").join(fp, "doc_id")
+    pass_q = F.col("quality_score") >= 0.75
+    pass_r = F.col("keep") == 1
+    both = pass_q & pass_r
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pass_q.cast("long")).alias("n_pass_quality"),
+        F.sum(pass_r.cast("long")).alias("n_pass_repetition"),
+        F.sum(both.cast("long")).alias("n_pass_both"),
+        F.countDistinct(F.when(both, F.col("fingerprint"))).alias("n_unique_kept"),
+    )
+
+
+_SQL_FUNNEL = r"""
+WITH q AS (
+  SELECT doc_id,
+         round(0.4 * least(len(list_filter(string_split(text, ' '), t -> t <> '')) / 100.0, 1.0)
+             + 0.6 * (1.0 - round(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','on','for','it')))
+                 / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 4)), 4)
+           AS quality_score,
+         ('0x' || substr(md5(regexp_replace(lower(text), '\s+', '', 'g')), 1, 15))::bigint
+           AS fingerprint
+  FROM documents
+),
+w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ws) AS n_words,
+    CASE WHEN len(ws) < 2 THEN []::varchar[]
+         ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+    END AS bis,
+    CASE WHEN len(ws) < 3 THEN []::varchar[]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+    END AS tris
+  FROM w
+),
+bc AS (
+  SELECT doc_id, bigram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(bis) AS bigram FROM base)
+  GROUP BY 1, 2
+),
+topb AS (SELECT doc_id, max(cnt) AS top_bigram_n FROM bc GROUP BY 1),
+rep AS (
+  SELECT b.doc_id,
+    CASE WHEN (CASE WHEN len(b.bis) = 0 THEN 0.0
+                    ELSE round(coalesce(t.top_bigram_n, 0) / len(b.bis), 4) END) > 0.12
+           OR (CASE WHEN len(b.tris) = 0 THEN 0.0
+                    ELSE round(1.0 - len(list_distinct(b.tris)) / len(b.tris), 4) END) > 0.05
+         THEN 0 ELSE 1 END AS keep
+  FROM base b LEFT JOIN topb t USING (doc_id)
+)
+SELECT count(*) AS n_docs,
+       sum(CASE WHEN q.quality_score >= 0.75 THEN 1 ELSE 0 END) AS n_pass_quality,
+       sum(rep.keep) AS n_pass_repetition,
+       sum(CASE WHEN q.quality_score >= 0.75 AND rep.keep = 1 THEN 1 ELSE 0 END) AS n_pass_both,
+       count(DISTINCT CASE WHEN q.quality_score >= 0.75 AND rep.keep = 1
+                           THEN q.fingerprint END) AS n_unique_kept
+FROM q JOIN rep USING (doc_id)
 """
 
 
@@ -1925,4 +2043,6 @@ REGISTRY: dict[str, tuple] = {
     "bag_set_ops": (q_bag_set_ops, _SQL_BAG_SETOPS),
     "approx_distinct_parts": (q_approx_distinct, _SQL_APPROX_DISTINCT),
     "repetition_filter": (q_repetition_filter, _SQL_REPETITION),
+    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
+    "corpus_funnel": (q_corpus_funnel, _SQL_FUNNEL),
 }

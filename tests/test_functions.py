@@ -459,7 +459,7 @@ def test_repetition_stats_gopher_gates(spark):
     from ai_invoice_ocr_engine_spark.functions import text as T
 
     rows = [
-        ("clean", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("clean", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
         # "spam spam" bigram appears 4x of 5 bigrams; trigram "spam spam spam"
         # dups: 4 trigrams, 1 distinct -> dup_frac 0.75
         ("loop", "spam spam spam spam spam spam"),
@@ -471,8 +471,8 @@ def test_repetition_stats_gopher_gates(spark):
     got = {r.doc_id: r for r in T.with_repetition_stats(df).collect()}
 
     clean = got["clean"]
-    assert clean.n_words == 8 and clean.top_bigram_n == 1
-    assert clean.top_bigram_frac == round(1 / 7, 4)
+    assert clean.n_words == 10 and clean.top_bigram_n == 1
+    assert clean.top_bigram_frac == round(1 / 9, 4)
     assert clean.dup_trigram_frac == 0.0 and clean.keep == 1
 
     loop = got["loop"]

@@ -650,8 +650,10 @@ def q_repetition_filter(spark, sf):
     n-grams: dominant-bigram share + duplicate-trigram fraction + keep flag.
     The dominant-bigram count is explode → two map-side-combinable
     aggregations (never a per-row quadratic fold), so it holds for
-    book-length docs at 10^12 rows."""
-    return T.with_repetition_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+    book-length docs at 10^12 rows. No output ordering: a global sort of
+    every document would be the only all-to-one stage in the plan, and the
+    correctness compare is order-insensitive."""
+    return T.with_repetition_stats(_t(spark, sf, "documents"))
 
 
 _SQL_REPETITION = """
@@ -690,7 +692,7 @@ s AS (
 SELECT doc_id, n_words, top_bigram_n, top_bigram_frac, dup_trigram_frac,
        CASE WHEN top_bigram_frac > 0.12 OR dup_trigram_frac > 0.05
             THEN 0 ELSE 1 END AS keep
-FROM s ORDER BY doc_id
+FROM s
 """
 
 

@@ -38,6 +38,10 @@ SHOW = [
     "quartiles_bucketed",
     "dedup_clusters_star",
     "ntile_spend_quartiles",
+    # round 3 curation additions
+    "repetition_filter",
+    "stratified_sample",
+    "corpus_funnel",
 ]
 
 

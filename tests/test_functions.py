@@ -492,3 +492,43 @@ def test_repetition_stats_gopher_gates(spark):
 
     empty = got["empty"]
     assert empty.n_words == 0 and empty.top_bigram_n == 0 and empty.keep == 1
+
+
+def test_repetition_stats_randomized_vs_pure_python(spark):
+    """120 seeded random word-stream docs (skewed word distribution so
+    repeats actually occur, plus degenerate 0/1/2-word docs) — Spark output
+    equals an independent pure-python computation of every column."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ai_invoice_ocr_engine_spark.functions import text as T
+
+    def r4(x):  # Spark/DuckDB round() is HALF_UP; python round() is banker's
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    rng = np.random.default_rng(4242)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(120):
+        n = int(rng.integers(0, 40))
+        # zipf-ish skew: low indexes dominate -> repeated bigrams/trigrams
+        idx = np.minimum(rng.zipf(1.7, size=n) - 1, len(vocab) - 1)
+        rows.append((f"d{i}", " ".join(vocab[j] for j in idx)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in T.with_repetition_stats(df).collect()}
+    assert len(got) == 120
+
+    for doc_id, text in rows:
+        ws = [t for t in text.split(" ") if t]
+        bis = [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+        tris = [f"{ws[i]} {ws[i+1]} {ws[i+2]}" for i in range(len(ws) - 2)]
+        top_n = max(Counter(bis).values()) if bis else 0
+        top_frac = r4(top_n / len(bis)) if bis else 0.0
+        dup_frac = r4(1.0 - len(set(tris)) / len(tris)) if tris else 0.0
+        keep = 0 if (top_frac > 0.12 or dup_frac > 0.05) else 1
+        r = got[doc_id]
+        assert r.n_words == len(ws), doc_id
+        assert r.top_bigram_n == top_n, doc_id
+        assert r.top_bigram_frac == top_frac, doc_id
+        assert r.dup_trigram_frac == dup_frac, doc_id
+        assert r.keep == keep, doc_id

@@ -204,7 +204,20 @@ class OCREngineSpark:
         self.cfg = cfg
 
 
+#: per-SparkSession singleton state for init(), mirroring OCREngine._inst/_cfg
+_SINGLETON: dict[int, tuple[ExtractConfig | None, OCREngineSpark]] = {}
+
+
 def init(spark: SparkSession, cfg: ExtractConfig | None = None) -> OCREngineSpark:
     """Module-level constructor mirroring dococr.init
-    (/root/reference/__init__.py:5-7)."""
-    return OCREngineSpark(spark, cfg)
+    (/root/reference/__init__.py:5-7) INCLUDING the engine's config-keyed
+    singleton contract (/root/reference/engine.py:17-21): repeated init()
+    returns the SAME engine — stats accumulate across calls like the
+    reference's get_stats — a different cfg replaces the instance, and
+    cfg=None never invalidates an existing one. Keyed per SparkSession so
+    two sessions never share an engine."""
+    key = id(spark)
+    prev = _SINGLETON.get(key)
+    if prev is None or (cfg is not None and cfg != prev[0]):
+        _SINGLETON[key] = (cfg, OCREngineSpark(spark, cfg))
+    return _SINGLETON[key][1]

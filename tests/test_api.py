@@ -123,3 +123,24 @@ def test_decode_config_seam_beam(spark):
     )
     want_t, want_s = K.ctc_beam(lg, beam_width=3)
     assert (out[0].text, round(out[0].score, 5)) == (want_t, round(want_s, 5))
+
+
+def test_init_singleton_contract(spark):
+    """Reference engine.py:17-21 singleton: same engine across init() calls
+    (stats accumulate), new instance only on a different cfg, cfg=None never
+    invalidates."""
+    from ai_invoice_ocr_engine_spark.api import init
+    from ai_invoice_ocr_engine_spark.config import ExtractConfig
+
+    a = init(spark)
+    assert init(spark) is a                       # no-cfg call: cached
+    cfg = ExtractConfig()
+    b = init(spark, cfg)                          # differs from stored None
+    assert b is not a
+    assert init(spark, cfg) is b                  # equal cfg: cached
+    assert init(spark) is b                       # None never invalidates
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, det=dataclasses.replace(cfg.det, th=0.9))
+    c = init(spark, cfg2)                         # different cfg: replaced
+    assert c is not b and c.cfg.det.th == 0.9

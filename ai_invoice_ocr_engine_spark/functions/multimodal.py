@@ -435,6 +435,144 @@ def decode_audio(data: bytes) -> np.ndarray:
     raise ValueError("unknown audio format")
 
 
+# -- audio metadata (header-level, no sample decode needed) -----------------
+
+#: MPEG audio bitrate tables, kbps (ISO/IEC 11172-3 / 13818-3), index 1-14
+_MP3_BITRATE = {
+    # (version_group, layer): table;  version_group: 1 = MPEG1, 2 = MPEG2/2.5
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+#: sample-rate by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1) and sr index
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+#: ADTS sampling_frequency_index (ISO/IEC 14496-3)
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350]
+
+AUDIO_META_SCHEMA = (
+    "media_ref string, format string, codec string, sample_rate int, "
+    "channels int, bits int, n_samples bigint, duration_s double"
+)
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (syncsafe 28-bit size), else 0."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    sz = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    return 10 + sz
+
+
+def audio_metadata(data: bytes) -> dict:
+    """Header-level audio metadata — format, codec, rate, channels, bits,
+    sample count and duration — WITHOUT decoding samples. SYNA/WAV/FLAC are
+    exact (shared parsers); mp3 and ADTS AAC are parsed from the first frame
+    header (public ISO/IEC 11172-3 / 14496-3 tables) with duration estimated
+    from the byte count at the first frame's bitrate (exact for CBR, an
+    estimate for VBR — documented); sample DECODE for both stays the
+    NotImplementedError seam in decode_audio. Unknown fields are -1/None."""
+    import struct
+
+    if data[:4] == SYNA_MAGIC:
+        (n,) = struct.unpack_from("<I", data, 4)
+        return {"format": "syna", "codec": "pcm16", "sample_rate": 16000,
+                "channels": 1, "bits": 16, "n_samples": n,
+                "duration_s": n / 16000.0}
+    if data[:4] == b"RIFF":
+        # reuse decode_wav's fmt walk cheaply: find the fmt chunk
+        pos, fmt = 12, None
+        while pos + 8 <= len(data):
+            cid, sz = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+            if cid == b"fmt ":
+                fmt = data[pos + 8 : pos + 8 + sz]
+            if cid == b"data":
+                data_sz = sz
+                break
+            pos += 8 + sz + (sz & 1)
+        else:
+            data_sz = 0
+        if fmt is None or len(fmt) < 16:
+            raise ValueError("WAV missing fmt chunk")
+        audio_fmt, n_ch, rate, _br, block, bits = struct.unpack_from("<HHIIHH", fmt)
+        if audio_fmt == 0xFFFE and len(fmt) >= 26:
+            audio_fmt = struct.unpack_from("<H", fmt, 24)[0]
+        codec = {1: f"pcm{bits}", 3: f"float{bits}", 6: "alaw", 7: "ulaw",
+                 0x11: "adpcm"}.get(audio_fmt, f"wav_fmt_{audio_fmt}")
+        n = (data_sz // block) if block else -1
+        if audio_fmt == 0x11:  # IMA ADPCM: samples/block from the codec math
+            n = -1
+        return {"format": "wav", "codec": codec, "sample_rate": int(rate),
+                "channels": int(n_ch), "bits": int(bits), "n_samples": n,
+                "duration_s": (n / rate) if n >= 0 and rate else -1.0}
+    if data[:4] == b"fLaC":
+        if len(data) < 26:
+            raise ValueError("FLAC too short for STREAMINFO")
+        si = data[8:]  # first metadata block must be STREAMINFO (34 bytes)
+        rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+        n_ch = ((si[12] >> 1) & 0x7) + 1
+        bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+        n = ((si[13] & 0x0F) << 32) | struct.unpack_from(">I", si, 14)[0]
+        return {"format": "flac", "codec": "flac", "sample_rate": rate,
+                "channels": n_ch, "bits": bps, "n_samples": n,
+                "duration_s": (n / rate) if rate else -1.0}
+    off = _id3v2_size(data)
+    h = data[off : off + 4]
+    if len(h) == 4 and h[0] == 0xFF and (h[1] & 0xE0) == 0xE0:
+        if (h[1] & 0xF6) == 0xF0:  # ADTS AAC: layer 00, MPEG-4/2 syntax
+            sri = (h[2] >> 2) & 0x0F
+            rate = _ADTS_RATES[sri] if sri < len(_ADTS_RATES) else -1
+            n_ch = ((h[2] & 1) << 2) | (h[3] >> 6)
+            return {"format": "aac", "codec": "aac_adts", "sample_rate": rate,
+                    "channels": n_ch, "bits": -1, "n_samples": -1,
+                    "duration_s": -1.0}
+        version_bits = (h[1] >> 3) & 0x3
+        layer = 4 - ((h[1] >> 1) & 0x3)  # bits 01=LIII, 10=LII, 11=LI
+        if version_bits == 1 or layer == 4:
+            raise ValueError("reserved MPEG audio header")
+        vgroup = 1 if version_bits == 3 else 2
+        bri = (h[2] >> 4) & 0x0F
+        sri = (h[2] >> 2) & 0x3
+        if bri in (0, 15) or sri == 3:
+            raise ValueError("free-format/reserved MPEG audio header")
+        kbps = _MP3_BITRATE[(vgroup, layer)][bri - 1]
+        rate = _MP3_RATES[version_bits][sri]
+        n_ch = 1 if ((h[3] >> 6) & 0x3) == 3 else 2
+        dur = (len(data) - off) * 8.0 / (kbps * 1000.0)
+        name = "mp3" if layer == 3 else f"mpeg_l{layer}"
+        return {"format": name, "codec": f"{name}_{kbps}kbps",
+                "sample_rate": rate, "channels": n_ch, "bits": -1,
+                "n_samples": -1, "duration_s": round(dur, 4)}
+    raise ValueError("unknown audio format")
+
+
+def audio_meta(audio: DataFrame) -> DataFrame:
+    """audio(media_ref, audio binary) → header-level metadata rows, one Arrow
+    crossing, no shuffle (the survey-the-lake stage a 100 TB audio corpus
+    runs before deciding what to transcode)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "format": [], "codec": [], "sample_rate": [],
+                   "channels": [], "bits": [], "n_samples": [], "duration_s": []}
+            for ref, blob in zip(pdf["media_ref"], pdf["audio"]):
+                try:
+                    m = audio_metadata(bytes(blob))
+                except (ValueError, NotImplementedError, IndexError):
+                    m = {"format": "unsupported", "codec": "", "sample_rate": -1,
+                         "channels": -1, "bits": -1, "n_samples": -1,
+                         "duration_s": -1.0}
+                out["media_ref"].append(ref)
+                for k, v in m.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return audio.select("media_ref", "audio").mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
 def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
     """audio(media_ref, audio binary) → per-window RMS + zero-crossing count
     (the shape of a real feature-extraction stage; one Arrow crossing)."""

@@ -532,3 +532,69 @@ def test_repetition_stats_randomized_vs_pure_python(spark):
         assert r.top_bigram_frac == top_frac, doc_id
         assert r.dup_trigram_frac == dup_frac, doc_id
         assert r.keep == keep, doc_id
+
+
+def test_audio_metadata_header_parsers(spark):
+    """audio_metadata: exact for SYNA/WAV/FLAC (shared parsers), frame-header
+    parse for mp3 (ISO 11172-3 tables, ID3v2 skip) and ADTS AAC — while
+    sample DECODE for mp3/aac stays the NotImplementedError seam."""
+    from ai_invoice_ocr_engine_spark.flac import encode_flac
+    from ai_invoice_ocr_engine_spark.functions.multimodal import (
+        audio_meta, audio_metadata, decode_audio, encode_syna, encode_wav_ext)
+
+    t = np.arange(3200)
+    pcm = (1000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+
+    m = audio_metadata(encode_syna(pcm))
+    assert (m["format"], m["n_samples"], m["duration_s"]) == ("syna", 3200, 0.2)
+
+    m = audio_metadata(encode_wav_ext(pcm, codec="pcm16", sample_rate=8000))
+    assert (m["format"], m["codec"], m["sample_rate"]) == ("wav", "pcm16", 8000)
+    assert m["channels"] == 1 and m["bits"] == 16 and m["n_samples"] == 3200
+
+    m = audio_metadata(encode_wav_ext(pcm, codec="alaw", sample_rate=16000))
+    assert m["codec"] == "alaw" and m["sample_rate"] == 16000
+
+    m = audio_metadata(encode_flac(pcm, sample_rate=22050))
+    assert (m["format"], m["sample_rate"], m["channels"], m["bits"]) == (
+        "flac", 22050, 1, 16)
+    assert m["n_samples"] == 3200 and round(m["duration_s"], 4) == round(3200 / 22050, 4)
+
+    # MPEG1 Layer III, bitrate idx 9 = 128 kbps, sr idx 0 = 44100, joint stereo
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0x44]) + b"\x00" * (16000 - 4)
+    m = audio_metadata(mp3)
+    assert (m["format"], m["codec"]) == ("mp3", "mp3_128kbps")
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["duration_s"] == 1.0  # 16000 bytes at 128 kbps = exactly 1 s
+    with pytest.raises(NotImplementedError):
+        decode_audio(mp3)  # decode stays a seam
+
+    # same frame behind an ID3v2 tag (syncsafe size 100)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x64" + b"\x00" * 100 + mp3
+    m2 = audio_metadata(id3)
+    assert (m2["sample_rate"], m2["channels"], m2["duration_s"]) == (44100, 2, 1.0)
+
+    # MPEG2 Layer III 8 kbps mono, sr idx 0 = 22050
+    m = audio_metadata(bytes([0xFF, 0xF3, 0x10, 0xC4]) + b"\x00" * 96)
+    assert m["codec"] == "mp3_8kbps" and m["sample_rate"] == 22050
+    assert m["channels"] == 1
+
+    # ADTS AAC-LC, sr idx 4 = 44100, channel config 2
+    m = audio_metadata(bytes([0xFF, 0xF1, 0x50, 0x80, 0x00, 0x1F, 0xFC]))
+    assert (m["format"], m["sample_rate"], m["channels"]) == ("aac", 44100, 2)
+
+    with pytest.raises(ValueError):
+        audio_metadata(b"\x00\x01\x02\x03 garbage")
+    with pytest.raises(ValueError):
+        audio_metadata(bytes([0xFF, 0xEB, 0x90, 0x44]))  # reserved version
+    with pytest.raises(ValueError):
+        audio_metadata(bytes([0xFF, 0xFB, 0x04, 0x44]))  # free-format bitrate
+
+    # DataFrame wrapper: one Arrow crossing, bad rows -> 'unsupported'
+    rows = [("a", bytearray(encode_syna(pcm))), ("b", bytearray(mp3)),
+            ("c", bytearray(b"junkjunk"))]
+    df = spark.createDataFrame(rows, "media_ref string, audio binary")
+    got = {r.media_ref: r for r in audio_meta(df).collect()}
+    assert got["a"].format == "syna" and got["a"].n_samples == 3200
+    assert got["b"].codec == "mp3_128kbps" and got["b"].duration_s == 1.0
+    assert got["c"].format == "unsupported" and got["c"].sample_rate == -1

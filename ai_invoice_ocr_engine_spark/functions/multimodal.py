@@ -435,6 +435,77 @@ def decode_audio(data: bytes) -> np.ndarray:
     raise ValueError("unknown audio format")
 
 
+# -- video metadata (header-level, no sample decode needed) -----------------
+
+VIDEO_META_SCHEMA = (
+    "media_ref string, format string, codec string, width int, height int, "
+    "n_frames int, n_tracks int, duration_s double"
+)
+
+
+def video_metadata(data: bytes) -> dict:
+    """Header-level video/container metadata: SYNV (frame count + dims from
+    the first SYNF header), ISO-BMFF mp4 (mvhd duration + per-track sample
+    counts — sample DECODE stays the seam), GIF (logical-screen dims +
+    frame count). The survey stage before deciding what to transcode."""
+    import struct
+
+    if data[:4] == SYNV_MAGIC:
+        (n,) = struct.unpack_from("<I", data, 4)
+        w = h = -1
+        if n and len(data) >= 20:
+            # first frame payload: SYNF magic + u32le w, h
+            (flen,) = struct.unpack_from("<I", data, 8)
+            if flen >= 12 and data[12:16] == b"SYNF":
+                w, h = struct.unpack_from("<II", data, 16)
+        return {"format": "synv", "codec": "synf", "width": w, "height": h,
+                "n_frames": int(n), "n_tracks": 1, "duration_s": -1.0}
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from ..mp4 import mp4_metadata
+
+        m = mp4_metadata(data)
+        vids = [t for t in m["tracks"] if t["handler"] == "vide"]
+        lead = vids[0] if vids else m["tracks"][0]
+        return {"format": "mp4", "codec": lead["codec"], "width": -1,
+                "height": -1, "n_frames": lead["n_samples"],
+                "n_tracks": m["n_tracks"], "duration_s": m["duration_s"]}
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", data, 6)
+        # frame count = image descriptors; reuse the real parser (GIF blobs
+        # are small; the structural walk and the decode share the cost)
+        from ..gif import gif_frames
+
+        n = len(gif_frames(data))
+        return {"format": "gif", "codec": "gif_lzw", "width": int(w),
+                "height": int(h), "n_frames": n, "n_tracks": 1,
+                "duration_s": -1.0}
+    raise ValueError("unknown video format")
+
+
+def video_meta(videos: DataFrame) -> DataFrame:
+    """videos(media_ref, video binary) → header-level metadata rows, one
+    Arrow crossing, no shuffle (companion to audio_meta/media_metadata)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "format": [], "codec": [], "width": [],
+                   "height": [], "n_frames": [], "n_tracks": [], "duration_s": []}
+            for ref, blob in zip(pdf["media_ref"], pdf["video"]):
+                try:
+                    m = video_metadata(bytes(blob))
+                except (ValueError, NotImplementedError, IndexError,
+                        _struct.error):
+                    m = {"format": "unsupported", "codec": "", "width": -1,
+                         "height": -1, "n_frames": -1, "n_tracks": -1,
+                         "duration_s": -1.0}
+                out["media_ref"].append(ref)
+                for k, v in m.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return videos.select("media_ref", "video").mapInPandas(fn, VIDEO_META_SCHEMA)
+
+
 # -- audio metadata (header-level, no sample decode needed) -----------------
 
 #: MPEG audio bitrate tables, kbps (ISO/IEC 11172-3 / 13818-3), index 1-14

@@ -157,6 +157,38 @@ def parse_mp4(data: bytes) -> list[Mp4Track]:
     return tracks
 
 
+def mp4_metadata(data: bytes) -> dict:
+    """Header-level container metadata without touching sample payloads:
+    movie duration from mvhd (version 0: 32-bit timescale/duration at body
+    offsets 12/16; version 1: 64-bit at 20/28 — ISO/IEC 14496-12 8.2.2) plus
+    per-track handler/codec/sample counts from the already-parsed sample
+    tables. Codec DECODE stays the NotImplementedError seam."""
+    tracks = parse_mp4(data)
+    moov = _find(data, 0, len(data), b"moov")
+    mvhd = _find(data, *moov, b"mvhd")
+    timescale = duration = 0
+    if mvhd is not None:
+        b = mvhd[0]
+        version = data[b]
+        if version == 1:
+            timescale = struct.unpack_from(">I", data, b + 20)[0]
+            duration = struct.unpack_from(">Q", data, b + 24)[0]
+        else:
+            timescale, duration = struct.unpack_from(">II", data, b + 12)
+    return {
+        "n_tracks": len(tracks),
+        "duration_s": (duration / timescale) if timescale else -1.0,
+        "tracks": [
+            {
+                "handler": t.handler.decode("latin-1"),
+                "codec": t.codec.decode("latin-1"),
+                "n_samples": len(t.samples),
+            }
+            for t in tracks
+        ],
+    }
+
+
 def mp4_frame_payloads(data: bytes) -> list[bytes]:
     """Extract the video track's sample payloads as decodable frames.
 

@@ -598,3 +598,45 @@ def test_audio_metadata_header_parsers(spark):
     assert got["a"].format == "syna" and got["a"].n_samples == 3200
     assert got["b"].codec == "mp3_128kbps" and got["b"].duration_s == 1.0
     assert got["c"].format == "unsupported" and got["c"].sample_rate == -1
+
+
+def test_video_metadata_header_parsers(spark):
+    """video_metadata: SYNV frame count + dims, mp4 mvhd duration + track
+    sample counts (decode stays the seam), GIF logical screen + frames."""
+    from ai_invoice_ocr_engine_spark.gif import encode_gif
+    from ai_invoice_ocr_engine_spark.mp4 import encode_mp4
+    from ai_invoice_ocr_engine_spark.functions.multimodal import (
+        decode_synv, encode_synv, video_meta, video_metadata)
+
+    rng = np.random.default_rng(11)
+    frames = [K.encode_synf(rng.integers(0, 256, (24, 32), dtype=np.uint8))
+              for _ in range(3)]
+
+    m = video_metadata(encode_synv(frames))
+    assert (m["format"], m["codec"], m["n_frames"]) == ("synv", "synf", 3)
+    assert (m["width"], m["height"]) == (32, 24)
+
+    mp4 = encode_mp4(frames)
+    m = video_metadata(mp4)
+    assert m["format"] == "mp4" and m["codec"] == "synf"
+    assert m["n_frames"] == 3 and m["n_tracks"] == 1
+    assert m["duration_s"] == 3 / 1000.0  # fixture mvhd: timescale 1000
+    with pytest.raises(NotImplementedError):
+        decode_synv(mp4)  # decode stays the seam
+
+    gif_frames_px = [rng.integers(0, 256, (10, 12), dtype=np.uint8)
+                     for _ in range(2)]
+    m = video_metadata(encode_gif(gif_frames_px))
+    assert (m["format"], m["width"], m["height"], m["n_frames"]) == (
+        "gif", 12, 10, 2)
+
+    with pytest.raises(ValueError):
+        video_metadata(b"\x00" * 32)
+
+    rows = [("s", bytearray(encode_synv(frames))), ("m", bytearray(mp4)),
+            ("bad", bytearray(b"nope"))]
+    df = spark.createDataFrame(rows, "media_ref string, video binary")
+    got = {r.media_ref: r for r in video_meta(df).collect()}
+    assert got["s"].n_frames == 3 and got["s"].width == 32
+    assert got["m"].format == "mp4" and got["m"].n_frames == 3
+    assert got["bad"].format == "unsupported"

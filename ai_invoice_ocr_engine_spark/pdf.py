@@ -249,6 +249,8 @@ class PdfDocument:
         self.xref: dict[int, tuple] = {}  # num → ('f', offset) | ('c', stmnum, idx)
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._crypt = None
+        self._crypt_skip: set[int] = set()
         try:
             self._load_xref()
         except (ValueError, struct.error, zlib.error):
@@ -256,7 +258,24 @@ class PdfDocument:
         if not self.xref or "Root" not in self.trailer:
             self._rebuild_xref()
         if "Encrypt" in self.trailer:
-            raise NotImplementedError("encrypted PDFs are unsupported")
+            from .pdfcrypt import StandardSecurityHandler
+
+            encref = self.trailer["Encrypt"]
+            if isinstance(encref, _Ref):
+                # the /Encrypt dictionary's own strings (O, U, OE, UE,
+                # Perms) are never encrypted — exempt the object
+                self._crypt_skip.add(encref.num)
+            enc = self._resolve(encref)
+            if not isinstance(enc, dict):
+                raise ValueError("PDF /Encrypt is not a dictionary")
+            ids = self._resolve(self.trailer.get("ID"))
+            id0 = b""
+            if isinstance(ids, list) and ids:
+                id0 = bytes(self._resolve(ids[0]))
+            self._crypt = StandardSecurityHandler(enc, id0, self._resolve)
+            # anything fetched before the handler existed (e.g. during a
+            # damaged-xref rebuild) was cached undecrypted — flush it
+            self._cache.clear()
         if "Root" not in self.trailer:
             raise ValueError("PDF trailer missing /Root")
 
@@ -384,13 +403,17 @@ class PdfDocument:
         if entry[0] == "f":
             lex = _Lexer(self.d, entry[1])
             got = int(lex._regular_token())
-            int(lex._regular_token())
+            gen = int(lex._regular_token())
             if lex.keyword() != b"obj" or got != num:
                 raise ValueError(f"PDF object {num} not at its xref offset")
             obj = lex.obj()
             lex._skip_ws()
+            if self._crypt is not None and num not in self._crypt_skip:
+                obj = self._decrypt_strings(obj, num, gen)
             if self.d[lex.pos : lex.pos + 6] == b"stream":
                 raw = self._read_stream_at(lex, obj)
+                if self._crypt is not None and self._stream_encrypted(obj, num):
+                    raw = self._crypt.decrypt_stream(raw, num, gen)
                 obj = _Stream(obj, raw)
         else:  # compressed in an object stream
             _tag, stm_num, idx = entry
@@ -408,6 +431,43 @@ class PdfDocument:
             obj = _Lexer(data, first + pairs[idx][1]).obj()
         self._cache[num] = obj
         return obj
+
+    def _decrypt_strings(self, o, num: int, gen: int):
+        """Decrypt every literal/hex string in a top-level object tree.
+        Strings inside ObjStm payloads are NOT individually encrypted
+        (the container stream was), so only the 'f' fetch path calls
+        this.  _Name is a str subclass and passes through untouched."""
+        if isinstance(o, bytes):
+            return self._crypt.decrypt_string(o, num, gen)
+        if isinstance(o, list):
+            return [self._decrypt_strings(v, num, gen) for v in o]
+        if isinstance(o, dict):
+            return {k: self._decrypt_strings(v, num, gen) for k, v in o.items()}
+        return o
+
+    def _stream_encrypted(self, d: dict, num: int) -> bool:
+        """Streams the default stream crypt filter does NOT cover:
+        cross-reference streams (never encrypted), the exempted
+        /Encrypt object, XMP metadata when EncryptMetadata is false,
+        and streams naming their own /Crypt filter (Identity passes
+        through; a named filter is a loud seam)."""
+        if num in self._crypt_skip:
+            return False
+        typ = d.get("Type")
+        if typ == "XRef":
+            return False
+        if typ == "Metadata" and not self._crypt.encrypt_metadata:
+            return False
+        filt = self._resolve(d.get("Filter"))
+        filters = filt if isinstance(filt, list) else [filt]
+        if any(str(self._resolve(f)) == "Crypt" for f in filters if f is not None):
+            parms = self._resolve(d.get("DecodeParms"))
+            parms = parms if isinstance(parms, dict) else {}
+            name = str(self._resolve(parms.get("Name", "Identity")))
+            if name == "Identity":
+                return False
+            raise NotImplementedError(f"PDF per-stream crypt filter {name!r}")
+        return True
 
     def _read_stream_at(self, lex: _Lexer, d: dict) -> bytes:
         lex._skip_ws()
@@ -585,6 +645,8 @@ def _apply_filters(raw: bytes, d: dict, resolve) -> bytes:
             raw = bytes.fromhex(txt.decode("ascii", "replace"))
         elif f == "DCTDecode":
             return raw  # JPEG bytes — handed to the image layer as-is
+        elif f == "Crypt":
+            continue  # handled (or exempted) by the security layer
         else:
             raise NotImplementedError(f"PDF filter {f} unsupported")
     return raw
@@ -1118,6 +1180,7 @@ def encode_pdf(
     pages: list[list[tuple]],
     compress: bool = True,
     use_objstm: bool = False,
+    encrypt: str | None = None,
 ) -> bytes:
     """Fixture-side PDF writer. Each page is a list of items:
     ``("text", x, y, size, s)`` or ``("image", x, y, w, h, payload,
@@ -1125,7 +1188,8 @@ def encode_pdf(
     numpy array, Flate-compressed). ``use_objstm=True`` writes PDF 1.5
     compressed object streams + a cross-reference stream with PNG
     predictor 12 — the modern layout — instead of a classic xref
-    table."""
+    table. ``encrypt`` applies the standard security handler with
+    empty passwords: 'rc4-40' | 'rc4-128' | 'aesv2' | 'aesv3'."""
     objs: dict[int, bytes] = {}  # full object bodies (without N 0 obj wrapper)
     is_stream: dict[int, bool] = {}
     next_num = 1
@@ -1205,20 +1269,47 @@ def encode_pdf(
     assert got_pages_num == pages_num
     catalog_num = add(f"<< /Type /Catalog /Pages {got_pages_num} 0 R >>".encode())
 
+    crypt = None
+    enc_num = None
+    trailer_extra = b""
+    if encrypt is not None:
+        from .pdfcrypt import make_encryptor
+
+        id0 = bytes.fromhex("0123456789abcdef0123456789abcdef")
+        enc_body, crypt = make_encryptor(encrypt, id0)
+        enc_num = add(enc_body)
+        # the /Encrypt dictionary must stay a top-level object (it can
+        # never live inside an ObjStm); flagging it keeps it out
+        is_stream[enc_num] = True
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_num, id0.hex().encode(), id0.hex().encode(),
+        )
+
+    def maybe_encrypt(n: int, body: bytes) -> bytes:
+        """Re-cipher a finished stream object body for object n."""
+        if crypt is None or n == enc_num or b"\nstream\n" not in body:
+            return body
+        head, sep, rest = body.partition(b"\nstream\n")
+        m = re.search(rb"/Length (\d+)", head)
+        payload, tail = rest[: int(m.group(1))], rest[int(m.group(1)) :]
+        ct = crypt.encrypt_stream(payload, n, 0)
+        head = head[: m.start()] + b"/Length %d" % len(ct) + head[m.end() :]
+        return head + sep + ct + tail
+
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     if not use_objstm:
         for n in sorted(objs):
             offsets[n] = len(out)
-            out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+            out += b"%d 0 obj\n" % n + maybe_encrypt(n, objs[n]) + b"\nendobj\n"
         xref_off = len(out)
         out += b"xref\n0 %d\n" % (next_num)
         out += b"0000000000 65535 f \n"
         for n in range(1, next_num):
             out += b"%010d 00000 n \n" % offsets[n]
         out += (
-            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (next_num, catalog_num, xref_off)
+            b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (next_num, catalog_num, trailer_extra, xref_off)
         )
         return bytes(out)
     # PDF 1.5 layout: streams stay top-level; plain objects go into ObjStm
@@ -1226,7 +1317,7 @@ def encode_pdf(
     streams = [n for n in sorted(objs) if is_stream[n]]
     for n in streams:
         offsets[n] = len(out)
-        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+        out += b"%d 0 obj\n" % n + maybe_encrypt(n, objs[n]) + b"\nendobj\n"
     pairs = []
     pos = 0
     for n in plain:
@@ -1238,6 +1329,8 @@ def encode_pdf(
     objstm_num = next_num
     offsets[objstm_num] = len(out)
     comp = zlib.compress(objstm_data)
+    if crypt is not None:
+        comp = crypt.encrypt_stream(comp, objstm_num, 0)
     out += b"%d 0 obj\n" % objstm_num
     out += (
         f"<< /Type /ObjStm /N {len(plain)} /First {len(header)} "
@@ -1272,8 +1365,8 @@ def encode_pdf(
     out += (
         f"<< /Type /XRef /Size {size} /W [1 4 2] /Root {catalog_num} 0 R "
         f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
-        f"/Length {len(xdata)} >>"
-    ).encode()
+        f"/Length {len(xdata)}"
+    ).encode() + trailer_extra + b" >>"
     out += b"\nstream\n" + xdata + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)

@@ -196,10 +196,12 @@ def test_incremental_update_prev_chain():
 # --------------------------------------------------------------------------
 
 
-def test_encrypted_is_a_seam():
+def test_encrypted_supported_but_malformed_encrypt_is_loud():
+    # real encryption is now supported (tests/test_pdfcrypt.py); an
+    # /Encrypt pointing at a missing object is a malformed-file error
     blob = encode_pdf([[("text", 72, 700, 12, "secret")]])
-    bad = blob.replace(b"/Root", b"/Encrypt 9 0 R /Root", 1)
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    bad = blob.replace(b"/Root", b"/Encrypt 999 0 R /Root", 1)
+    with pytest.raises(ValueError, match="Encrypt"):
         pdf_spans(bad)
 
 

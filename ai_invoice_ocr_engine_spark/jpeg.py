@@ -5,9 +5,11 @@ codec seam made real (/root/reference/engine.py:46 accepts png/jpg/jpeg;
 Decoder: baseline sequential (SOF0) AND progressive (SOF2 — spectral
 selection + successive approximation, T.81 Annex G: DC/AC first and
 refinement scans, EOB runs, correction bits), Huffman entropy coding,
-8-bit precision, grayscale / YCbCr with ANY integer sampling factors
-(4:4:4, 4:2:2, 4:2:0, ...), restart markers. Arithmetic coding, lossless,
-12-bit and CMYK raise NotImplementedError (valid-but-unsupported);
+8-bit precision, grayscale / YCbCr / Adobe RGB / Adobe CMYK + YCCK
+(APP14 transform flag, inverted-ink convention) with ANY integer
+sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart markers.
+Arithmetic coding, lossless and 12-bit raise NotImplementedError
+(valid-but-unsupported);
 malformed streams raise ValueError — the same error contract as
 decode_png. The progressive ENCODER below exists to pin the decoder:
 progressive transmission is a lossless reordering of the same quantized
@@ -224,6 +226,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (h, w, comps) ; comps: list of dict(id, hs, vs, tq)
     progressive = False
     store: dict[int, np.ndarray] | None = None  # raster-grid zigzag coeffs
+    adobe_transform = None  # APP14 color-transform flag (0 CMYK/RGB, 1 YCbCr, 2 YCCK)
     pos = 2
     n = len(data)
     try:
@@ -236,7 +239,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 continue
             if marker == 0xD9:  # EOI
                 if store is not None:
-                    return _reconstruct(store, frame, qt, rgb_to_gray)
+                    return _reconstruct(store, frame, qt, rgb_to_gray, adobe_transform)
                 raise ValueError("JPEG EOI before scan data")
             if 0xD0 <= marker <= 0xD7:
                 continue
@@ -271,7 +274,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 h = (seg[1] << 8) | seg[2]
                 w = (seg[3] << 8) | seg[4]
                 nc = seg[5]
-                if nc not in (1, 3):
+                if nc not in (1, 3, 4):
                     raise NotImplementedError(f"{nc}-component JPEG unsupported")
                 comps = []
                 for c in range(nc):
@@ -290,6 +293,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             elif marker == 0xDD:  # DRI
                 restart_interval = (seg[0] << 8) | seg[1]
+            elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]  # APP14: CMYK/RGB=0, YCbCr=1, YCCK=2
             elif marker == 0xDA:  # SOS
                 if frame is None:
                     raise ValueError("JPEG SOS before SOF")
@@ -333,7 +338,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += seg_len
         if store is not None:
             # tolerate a missing EOI after the last scan
-            return _reconstruct(store, frame, qt, rgb_to_gray)
+            return _reconstruct(store, frame, qt, rgb_to_gray, adobe_transform)
         raise ValueError("JPEG has no scan (SOS) segment")
     except (IndexError, OverflowError, MemoryError, ZeroDivisionError) as e:
         raise ValueError(f"corrupt JPEG: {e}") from e
@@ -463,9 +468,16 @@ def _decode_baseline_scan(data, pos, frame, scan, store, huff_dc, huff_ac,
     return end
 
 
-def _reconstruct(store, frame, qt, rgb_to_gray):
+def _reconstruct(store, frame, qt, rgb_to_gray, adobe_transform=None):
     """Raster-grid zigzag coefficients → dequant → IDCT → planes → gray.
-    Shared by the baseline one-shot path and the progressive EOI path."""
+    Shared by the baseline one-shot path and the progressive EOI path.
+
+    Color interpretation follows the APP14 Adobe transform flag when
+    present: 3 components are YCbCr (flag 1 or absent — the JFIF
+    default) or plain RGB (flag 0); 4 components are YCCK (flag 2) or
+    CMYK (flag 0).  Adobe writers store 4-component data INVERTED
+    (255 = no ink) — honored whenever APP14 is present; a 4-component
+    stream with no APP14 at all is taken as non-inverted CMYK."""
     h, w, comps = frame
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
@@ -491,13 +503,36 @@ def _reconstruct(store, frame, qt, rgb_to_gray):
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return planes[0]
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
-    r = np.clip(np.rint(y + 1.402 * cr), 0, 255).astype(np.uint8)
-    g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255).astype(np.uint8)
-    b = np.clip(np.rint(y + 1.772 * cb), 0, 255).astype(np.uint8)
-    return rgb_to_gray(np.stack([r, g, b], axis=-1))
+
+    def ycc_to_rgb(yp, cbp, crp):
+        y = yp.astype(np.float64)
+        cb = cbp.astype(np.float64) - 128.0
+        cr = crp.astype(np.float64) - 128.0
+        r = np.clip(np.rint(y + 1.402 * cr), 0, 255).astype(np.uint8)
+        g = np.clip(
+            np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255
+        ).astype(np.uint8)
+        b = np.clip(np.rint(y + 1.772 * cb), 0, 255).astype(np.uint8)
+        return np.stack([r, g, b], axis=-1)
+
+    if len(planes) == 3:
+        if adobe_transform == 0:  # APP14 flag 0 with 3 comps: already RGB
+            return rgb_to_gray(np.stack(planes, axis=-1))
+        return rgb_to_gray(ycc_to_rgb(*planes))
+    # 4 components: recover INVERTED cmyk (255 = no ink) then composite
+    if adobe_transform == 2:  # YCCK: YCbCr over inverted CMY, K separate
+        inv_cmy = ycc_to_rgb(*planes[:3])
+        inv_k = planes[3]
+    else:
+        inv_cmy = np.stack(planes[:3], axis=-1)
+        inv_k = planes[3]
+        if adobe_transform is None:  # no APP14: non-inverted CMYK
+            inv_cmy = 255 - inv_cmy
+            inv_k = 255 - inv_k
+    rgb = (
+        inv_cmy.astype(np.uint16) * inv_k[..., None].astype(np.uint16) + 127
+    ) // 255
+    return rgb_to_gray(rgb.astype(np.uint8))
 
 
 class _SegBits:
@@ -932,6 +967,76 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
 # coefficient at natural position i — used when quantizing in natural order
 ZIGZAG_INV = np.zeros(64, dtype=np.int32)
 ZIGZAG_INV[ZIGZAG] = np.arange(64)
+
+
+def encode_jpeg_cmyk(cmyk: np.ndarray, quality: int = 90,
+                     transform: int = 2) -> bytes:
+    """Encode (h, w, 4) uint8 NON-inverted CMYK ink coverage (0 = no
+    ink) as an Adobe 4-component baseline JPEG, 4:4:4.
+
+    ``transform`` selects the APP14 color transform: 0 stores the four
+    inverted ink planes directly (Adobe CMYK convention: 255 = no ink);
+    2 stores YCCK (YCbCr over the inverted CMY planes + inverted K) —
+    what Photoshop emits for print-workflow scans. Exists so the decoder
+    can be exercised on the 4-component streams real print/scan
+    pipelines produce."""
+    assert cmyk.ndim == 3 and cmyk.shape[2] == 4 and cmyk.dtype == np.uint8
+    if transform not in (0, 2):
+        raise ValueError("CMYK transform must be 0 (CMYK) or 2 (YCCK)")
+    inv = 255 - cmyk
+    h, w = cmyk.shape[:2]
+    ql = _scale_quant(QUANT_LUM, quality)
+    qc = _scale_quant(QUANT_CHROM, quality)
+    dc0 = _HuffTable(DC_LUM_BITS, DC_LUM_VALS)
+    ac0 = _HuffTable(AC_LUM_BITS, AC_LUM_VALS)
+    dc1 = _HuffTable(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac1 = _HuffTable(AC_CHROM_BITS, AC_CHROM_VALS)
+    if transform == 2:
+        y, cb, cr = _rgb_to_ycbcr(inv[..., :3])
+        planes = [y, cb, cr, inv[..., 3]]
+        tqs = [0, 1, 1, 0]  # luma table for Y and K, chroma for Cb/Cr
+    else:
+        planes = [inv[..., i] for i in range(4)]
+        tqs = [0, 0, 0, 0]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+
+    def grid(plane):
+        p = np.pad(plane.astype(np.int32) - 128,
+                   ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge")
+        return p.reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3)
+
+    grids = [grid(p) for p in planes]
+    qnat = [ql[ZIGZAG_INV], qc[ZIGZAG_INV]]
+    huffs = [(dc0, ac0), (dc1, ac1)]
+    bw = _BitWriter()
+    preds = [0, 0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(4):
+                preds[ci] = _encode_component(
+                    bw, grids[ci][my, mx][None], qnat[tqs[ci]],
+                    *huffs[tqs[ci]], preds[ci],
+                )
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xEE, b"Adobe\x00\x65\x00\x00\x00\x00" + bytes([transform]))
+    out += _seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
+    out += _seg(0xDB, bytes([0x01]) + bytes(qc.tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([4])
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, tqs[ci]])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, DC_LUM_BITS, DC_LUM_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, AC_LUM_BITS, AC_LUM_VALS))
+    out += _seg(0xC4, _dht_payload(0, 1, DC_CHROM_BITS, DC_CHROM_VALS))
+    out += _seg(0xC4, _dht_payload(1, 1, AC_CHROM_BITS, AC_CHROM_VALS))
+    sos = bytes([4])
+    for ci in range(4):
+        sos += bytes([ci + 1, (tqs[ci] << 4) | tqs[ci]])
+    out += _seg(0xDA, sos + bytes([0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -240,3 +240,85 @@ def test_hand_assembled_ycbcr_420_neutral_chroma():
         # neutral chroma: gray == Y exactly (allow ±1 for the decoder's
         # fixed-point YCbCr→gray rounding)
         assert abs(blk - e).max() <= 1
+
+
+# -- Adobe 4-component CMYK / YCCK (APP14) -----------------------------------
+
+
+def _grad_rgb(h=80, w=96):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([(xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256], -1)
+    return (rgb // 4 * 4).astype(np.uint8)
+
+
+def test_cmyk_and_ycck_match_rgb_luma():
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg_cmyk
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    rgb = _grad_rgb()
+    want = rgb_to_gray(rgb).astype(np.int32)
+    cmyk = np.concatenate(
+        [255 - rgb, np.zeros(rgb.shape[:2] + (1,), np.uint8)], -1
+    )
+    for transform in (0, 2):
+        got = decode_jpeg(encode_jpeg_cmyk(cmyk, 95, transform=transform))
+        assert np.abs(got.astype(np.int32) - want).max() <= 2, transform
+
+
+def test_cmyk_constant_color_exact_composite():
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg_cmyk
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    c = np.zeros((32, 32, 4), np.uint8)
+    c[..., 0] = 200  # cyan ink
+    c[..., 3] = 40  # some black
+    inv_c, inv_k = 255 - 200, 255 - 40
+    r = (inv_c * inv_k + 127) // 255
+    gb = (255 * inv_k + 127) // 255
+    exp = rgb_to_gray(np.full((32, 32, 3), [r, gb, gb], np.uint8))[0, 0]
+    for transform in (0, 2):
+        got = decode_jpeg(encode_jpeg_cmyk(c, 90, transform=transform))
+        assert int(got[0, 0]) == int(exp), transform
+
+
+def test_cmyk_without_app14_reads_noninverted():
+    """Stripping the APP14 marker flips the convention: stored planes
+    are then taken as non-inverted ink values (documented decision)."""
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg_cmyk
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    c = np.zeros((32, 32, 4), np.uint8)
+    c[..., 0] = 200
+    c[..., 3] = 40
+    enc = encode_jpeg_cmyk(c, 90, transform=0)
+    i = enc.find(b"\xff\xee")
+    seglen = (enc[i + 2] << 8) | enc[i + 3]
+    stripped = enc[:i] + enc[i + 2 + seglen :]
+    # stored planes are 255-ink; read back non-inverted they ARE the ink,
+    # so the effective inverted planes equal the original ink values
+    ink = 255 - np.array([200, 0, 0, 40])
+    invp = 255 - ink
+    r = (invp[0] * invp[3] + 127) // 255
+    gb = (invp[1] * invp[3] + 127) // 255
+    exp = rgb_to_gray(
+        np.full((32, 32, 3), [r, gb, gb], np.uint8)
+    )[0, 0]
+    got = decode_jpeg(stripped)
+    assert int(got[0, 0]) == int(exp)
+
+
+def test_adobe_rgb_transform0_three_component():
+    """APP14 transform 0 with 3 components means plain RGB planes."""
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg_cmyk  # noqa: F401
+    from ai_invoice_ocr_engine_spark.jpeg import (
+        _seg,  # reuse the segment writer to splice an APP14 into a gray file
+    )
+    # craft: encode YCbCr 444, then add APP14 transform 1 (YCbCr) — decode
+    # must be unchanged vs no marker (flag 1 == default interpretation)
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg
+
+    rgb = _grad_rgb(40, 48)
+    enc = encode_jpeg(rgb, 95, subsampling="444")
+    app14 = _seg(0xEE, b"Adobe\x00\x65\x00\x00\x00\x00\x01")
+    spliced = enc[:2] + bytes(app14) + enc[2:]
+    assert np.array_equal(decode_jpeg(spliced), decode_jpeg(enc))

@@ -438,6 +438,11 @@ def decode_image(data: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(data)
+    if data[:8] == b"\x97JB2\r\n\x1a\n":
+        from .jbig2 import decode_jbig2
+
+        # bilevel wire convention 1 = black → gray 0
+        return ((1 - decode_jbig2(data)) * 255).astype(np.uint8)
     raise ValueError("unknown image format")
 
 

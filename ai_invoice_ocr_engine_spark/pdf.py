@@ -997,8 +997,34 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
                 break
             raise NotImplementedError(f"PDF image filter chain {flist}")
         return raw  # JPEG stream, decoded by jpeg.py downstream
-    if any(f in ("JPXDecode", "JBIG2Decode") for f in flist):
+    if "JPXDecode" in flist:
         raise NotImplementedError(f"PDF image filter {flist} unsupported")
+    if "JBIG2Decode" in flist:
+        # scanned-invoice bilevel: outer transport filters first, then the
+        # embedded JBIG2 stream (+ optional shared /JBIG2Globals)
+        i = flist.index("JBIG2Decode")
+        if i != len(flist) - 1:
+            raise ValueError("JBIG2Decode must be the final filter")
+        raw = _apply_filters(
+            stream.raw, {"Filter": flist[:i], "DecodeParms": parms[:i]}, resolve
+        )
+        p = resolve(parms[i]) or {}
+        gstream = resolve(p.get("JBIG2Globals"))
+        gdata = b""
+        if gstream is not None:
+            if not isinstance(gstream, _Stream):
+                raise ValueError("JBIG2Globals is not a stream")
+            gdata = _apply_filters(gstream.raw, gstream.dict, resolve)
+        from .jbig2 import decode_jbig2
+
+        bitmap = decode_jbig2(raw, gdata)
+        if bitmap.shape != (h, w):
+            raise ValueError("JBIG2 page dims disagree with image dims")
+        # JBIG2 wire convention: 1 = black; PDF sample convention: 0 = black
+        gray = _bits_to_gray(
+            (1 - bitmap).astype(np.uint8), resolve(d.get("Decode")), resolve
+        )
+        return K.encode_synf(np.ascontiguousarray(gray))
     if "CCITTFaxDecode" in flist:
         # scanned-invoice bilevel: outer transport filters (A85/AHx) first,
         # then the fax payload through this repo's T.4/T.6 decoder (fax.py)

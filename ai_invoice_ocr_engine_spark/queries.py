@@ -1978,6 +1978,415 @@ FROM base
 
 
 # --------------------------------------------------------------------------
+# TPC-H breadth: the remaining canonical query shapes this schema supports.
+# Q2/Q11/Q16/Q20 need the partsupp table, which TESTDATA.md does not
+# generate — documented out of scope. Shapes needing absent columns
+# (o_shippriority, l_commitdate/receiptdate, c_phone) are adapted with the
+# closest available predicate, noted per query.
+# --------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3: segment filter + 3-way join + top-10 revenue orders.
+    Catalyst broadcasts customer; TakeOrderedAndProject caps the sort."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6: pure filter + scalar aggregate — the pushdown benchmark
+    (every predicate reaches the parquet scan; no shuffle but the final
+    1-row combine)."""
+    li = _t(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 10)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+_SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10
+"""
+
+
+def q7_volume_shipping(spark, sf):
+    """TPC-H Q7: bidirectional nation-pair trade volume by year. The two
+    nation dims broadcast; the OR-of-pairs predicate stays JVM-side."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_SQL_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark, sf):
+    """TPC-H Q8: one nation's share of regional promo-part volume per
+    year — conditional-sum ratio over an 8-way star join."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_SQL_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+def q9_product_profit(spark, sf):
+    """TPC-H Q9 adapted: partsupp is absent from the corpus, so supply
+    cost is proxied as 0.6 * p_retailprice (documented deviation;
+    the query shape — LIKE-filtered part dim, nation × year profit
+    rollup — is preserved)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+    )
+
+
+_SQL_Q9 = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q10_returned_items(spark, sf):
+    """TPC-H Q10: top-20 customers by returned revenue in a quarter."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13: order-count histogram over a conditional LEFT join
+    (customers with zero qualifying orders land in bucket 0)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_SQL_Q13 = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15: quarterly revenue per supplier, equality with the
+    global max (scalar aggregate subquery — broadcast 1-row join, no
+    global sort)."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_SQL_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 adapted: l_commitdate/l_receiptdate are absent, so
+    'late' is l_shipdate > o_orderdate + 60 days (same shape: EXISTS a
+    co-supplier on the order, NOT EXISTS a co-supplier who was ALSO
+    late). Both existentials are semi/anti joins on l_orderkey — no
+    correlated re-scan."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_4")
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    cand = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_SQL_Q21 = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
+def q22_sales_opportunity(spark, sf):
+    """TPC-H Q22 adapted: c_phone is absent, so the 'country code' is
+    c_nationkey % 7, and NOT EXISTS checks urgent orders (at this
+    corpus's order density every customer has SOME order, which would
+    make the canonical predicate vacuous). Same shape: above-average
+    balances, NOT EXISTS, grouped counts; the average is an
+    uncorrelated scalar subquery — a broadcast 1-row join."""
+    c = _t(spark, sf, "customer").withColumn(
+        "cntrycode", F.col("c_nationkey") % 7
+    ).where(F.col("cntrycode").isin(0, 1, 2))
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_SQL_Q22 = """
+WITH pot AS (
+  SELECT c_custkey, c_acctbal, c_nationkey % 7 AS cntrycode
+  FROM customer WHERE c_nationkey % 7 IN (0, 1, 2)
+)
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM pot
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM pot WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2047,4 +2456,14 @@ REGISTRY: dict[str, tuple] = {
     "repetition_filter": (q_repetition_filter, _SQL_REPETITION),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
     "corpus_funnel": (q_corpus_funnel, _SQL_FUNNEL),
+    "q3_shipping_priority": (q3_shipping_priority, _SQL_Q3),
+    "q6_forecast_revenue": (q6_forecast_revenue, _SQL_Q6),
+    "q7_volume_shipping": (q7_volume_shipping, _SQL_Q7),
+    "q8_market_share": (q8_market_share, _SQL_Q8),
+    "q9_product_profit": (q9_product_profit, _SQL_Q9),
+    "q10_returned_items": (q10_returned_items, _SQL_Q10),
+    "q13_customer_distribution": (q13_customer_distribution, _SQL_Q13),
+    "q15_top_supplier": (q15_top_supplier, _SQL_Q15),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, _SQL_Q21),
+    "q22_sales_opportunity": (q22_sales_opportunity, _SQL_Q22),
 }

@@ -188,3 +188,37 @@ def test_pdf_ingest_is_a_narrow_map_stage(spark):
     assert "Exchange" not in dplan, "docs side must not shuffle at all"
     # media side: exactly the one dedup exchange
     assert mplan.count("Exchange") <= 1
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q10_returned_items"])
+def test_tpch_topk_uses_take_ordered(spark, name):
+    plan = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT-k
+
+
+def test_q6_predicates_reach_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # the date range and measure predicates reach the parquet scan (the
+    # PushedFilters list itself is elided in toString, so assert on the
+    # scan's DataFilters and the pruned ReadSchema)
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "DataFilters: [isnotnull(l_shipdate" in scan
+    assert "l_orderkey" not in scan.split("ReadSchema")[0].split("[", 1)[1].split("]")[0]
+
+
+def test_q15_scalar_max_is_broadcast_join(spark):
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_existentials_are_semi_anti(spark):
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q8_star_dims_broadcast(spark):
+    plan = plan_of(spark, "q8_market_share")
+    # part, both nation views, and region all broadcast
+    assert plan.count("BroadcastHashJoin") >= 4

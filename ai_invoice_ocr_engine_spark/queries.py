@@ -1978,6 +1978,173 @@ FROM base
 
 
 # --------------------------------------------------------------------------
+# Training-data curation, continued: contamination scan, TF-IDF near-dup,
+# distributional fluency scoring.
+# --------------------------------------------------------------------------
+
+
+def q_contamination_scan(spark, sf):
+    """Benchmark-contamination check — the pre-training hygiene pass:
+    flag corpus documents sharing any 8-gram with a (tiny) held-out
+    benchmark set. The benchmark grams are a broadcast set; the corpus
+    side is one scan + one groupBy — no self-join, which is what makes
+    this shape viable when the corpus is 10^12 docs and the benchmark
+    is thousands."""
+    k = 8
+    d = _t(spark, sf, "documents")
+    gram_expr = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> substr(text, i, {k}))"
+    )
+    bench = (
+        d.where(F.col("doc_id").isin(7, 13))
+        .select(F.explode(gram_expr).alias("g"))
+        .distinct()
+    )
+    corpus = d.where(~F.col("doc_id").isin(7, 13)).select(
+        "doc_id", F.explode(gram_expr).alias("g")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.countDistinct("g").alias("n_grams"))
+    )
+
+
+_SQL_CONTAMINATION = """
+WITH bench AS (
+  SELECT DISTINCT substr(text, i, 8) AS g
+  FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS t(i)
+  WHERE doc_id IN (7, 13)
+),
+corpus AS (
+  SELECT doc_id, substr(text, i, 8) AS g
+  FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS t(i)
+  WHERE doc_id NOT IN (7, 13)
+)
+SELECT doc_id, count(*) AS n_hits, count(DISTINCT corpus.g) AS n_grams
+FROM corpus JOIN bench ON corpus.g = bench.g
+GROUP BY doc_id
+"""
+
+
+def q_tfidf_cosine_pairs(spark, sf):
+    """TF-IDF cosine near-duplicate pairs via a document-frequency-capped
+    inverted index: weights and norms from two aggregations, candidate
+    dot products only through words with df <= cap (a common word
+    contributes nothing to discrimination but everything to join
+    blow-up), exact cosine on the surviving pairs. Same sub-quadratic
+    candidate shape as the n-gram Jaccard dedup."""
+    max_df, tau = 20, 0.5
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    n_docs = words.select("doc_id").distinct().count()
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    wts = tf.join(F.broadcast(df), "w").select(
+        "doc_id", "w", "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wt"),
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = wts.where(F.col("df") <= max_df).select(
+        F.col("doc_id").alias("a"), "w", F.col("wt").alias("wa")
+    )
+    b = wts.where(F.col("df") <= max_df).select(
+        F.col("doc_id").alias("b"), "w", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "a").join(nb, "b")
+        .select(
+            "a", "b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= tau)
+    )
+
+
+_SQL_TFIDF_PAIRS = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 300)
+  WHERE w <> ''
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words),
+wts AS (
+  SELECT doc_id, tf.w, df, tf * ln(n_docs / df) AS wt
+  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wts GROUP BY 1),
+dots AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, sum(x.wt * y.wt) AS dot
+  FROM wts x JOIN wts y ON x.w = y.w AND x.doc_id < y.doc_id
+  WHERE x.df <= 20 AND y.df <= 20
+  GROUP BY 1, 2
+)
+SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = a
+JOIN norms nb ON nb.doc_id = b
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
+"""
+
+
+def q_unigram_logprob(spark, sf):
+    """Distributional fluency score — the unigram-LM cousin of
+    perplexity filtering (CCNet-style): corpus word frequencies from
+    one aggregation (broadcast back), per-doc mean -ln p(w). Low scores
+    mean stock phrasing, high scores mean rare-token soup; both tails
+    get culled in a real curation pipeline."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    totals = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = words.count()
+    return (
+        words.join(F.broadcast(totals), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.lit(float(total)))), 4
+            ).alias("logprob_score"),
+        )
+    )
+
+
+_SQL_UNIGRAM_LP = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+freq AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+total AS (SELECT count(*) AS t FROM words)
+SELECT doc_id, count(*) AS n_words,
+       round(avg(-ln(c / t)), 4) AS logprob_score
+FROM words JOIN freq ON words.w = freq.w CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H breadth: the remaining canonical query shapes this schema supports.
 # Q2/Q11/Q16/Q20 need the partsupp table, which TESTDATA.md does not
 # generate — documented out of scope. Shapes needing absent columns
@@ -2456,6 +2623,9 @@ REGISTRY: dict[str, tuple] = {
     "repetition_filter": (q_repetition_filter, _SQL_REPETITION),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
     "corpus_funnel": (q_corpus_funnel, _SQL_FUNNEL),
+    "contamination_scan": (q_contamination_scan, _SQL_CONTAMINATION),
+    "tfidf_cosine_pairs": (q_tfidf_cosine_pairs, _SQL_TFIDF_PAIRS),
+    "unigram_logprob": (q_unigram_logprob, _SQL_UNIGRAM_LP),
     "q3_shipping_priority": (q3_shipping_priority, _SQL_Q3),
     "q6_forecast_revenue": (q6_forecast_revenue, _SQL_Q6),
     "q7_volume_shipping": (q7_volume_shipping, _SQL_Q7),

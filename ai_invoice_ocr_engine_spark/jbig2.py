@@ -1,14 +1,18 @@
-"""JBIG2 (ITU-T T.88) generic-region decoder, pure numpy + stdlib.
+"""JBIG2 (ITU-T T.88) decoder, pure numpy + stdlib.
 
-Covers the PDF ``JBIG2Decode`` embedded stream organization that generic-
-mode encoders (e.g. jbig2enc without symbol coding) produce for scanned
-bilevel invoices: page information segments plus immediate (lossless)
-generic region segments, decoded with either the MQ arithmetic coder
-(templates 0-3, optional TPGDON typical-prediction) or MMR (T.6 — routed
-to this repo's fax.py G4 decoder). Symbol/text/halftone/refinement
-segments raise NotImplementedError loudly — the same policy as every
-other codec seam (arithmetic JPEG, mp3, ...): fail with the feature
-named rather than guess.
+Covers the PDF ``JBIG2Decode`` embedded stream organization scanned
+bilevel invoices actually use: page information segments, immediate
+(lossless) generic region segments — MQ arithmetic coder, templates 0-3,
+optional TPGDON typical-prediction, or MMR (T.6, routed to this repo's
+fax.py G4 decoder) — AND the symbol-coded path jbig2enc-style encoders
+emit by default: symbol dictionaries (arithmetic, height classes,
+IADH/IADW/IAEX integer procedures) plus text regions (strip-based
+IADT/IAFS/IADS/IAIT placement, IAID symbol selection, all four reference
+corners, any SBSTRIPS). Huffman-coded dictionaries/regions, refinement/
+aggregate coding, transposed text regions, and halftone segments raise
+NotImplementedError loudly — the same policy as every other codec seam
+(arithmetic JPEG, mp3, ...): fail with the feature named rather than
+guess.
 
 The MQ coder follows T.88 Annex E software conventions; the Qe state
 table and the coder are shared with JPEG2000 (ITU T.800). The encoder
@@ -239,11 +243,13 @@ def _template_pixels(template: int, at: list) -> list:
 
 
 def _region_bits(w: int, h: int, template: int, at: list, tpgdon: bool,
-                 coder, bitmap=None):
+                 coder, bitmap=None, cx=None):
     """Shared decode/encode walk. With ``bitmap`` None, decodes into a
     new array; otherwise encodes ``bitmap``. Rows are plain python lists
     (scalar numpy indexing in a per-pixel loop is ~4x slower). Pixels
-    outside the region read as 0 per T.88 6.2.5.2."""
+    outside the region read as 0 per T.88 6.2.5.2. ``cx`` lets a symbol
+    dictionary share one generic-region context set (and one coder)
+    across every symbol bitmap, per 6.5.8.2.1."""
     pixels = _template_pixels(template, at)
     decode = bitmap is None
     if decode:
@@ -251,7 +257,8 @@ def _region_bits(w: int, h: int, template: int, at: list, tpgdon: bool,
     else:
         rows = np.asarray(bitmap, np.uint8).tolist()
     zero_row = [0] * w
-    cx = {}
+    if cx is None:
+        cx = {}
     ltp = 0
     sltp_label = _TPGDON_CTX[template]
     for y in range(h):
@@ -299,6 +306,352 @@ def encode_generic_region(bitmap: np.ndarray, template: int = 0,
     return enc.flush()
 
 
+# -- generic refinement region (T.88 6.3) --------------------------------------
+
+# fixed template pixels as (current-bitmap list, reference-bitmap list);
+# template 0 additionally takes AT1 on the current and AT2 on the reference
+_REFINE_TEMPLATES = {
+    0: ([(0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]),
+    1: ([(-1, -1), (0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)]),
+}
+
+
+def _refine_bits(w: int, h: int, template: int, at: list, ref,
+                 dx: int, dy: int, coder, cx, bitmap=None):
+    """Generic refinement decode/encode walk: each pixel's context mixes
+    already-coded current-bitmap neighbors with a 3x3 window of the
+    reference bitmap displaced by (dx, dy). TPGRON is a loud seam."""
+    coding, reference = _REFINE_TEMPLATES[template]
+    if template == 0:
+        if len(at) != 2:
+            raise ValueError("refinement template 0 needs 2 AT pixels")
+        coding = coding + [at[0]]
+        reference = reference + [at[1]]
+    ref_rows = np.asarray(ref, np.uint8).tolist()
+    rh = len(ref_rows)
+    rw = len(ref_rows[0]) if rh else 0
+    decode = bitmap is None
+    rows = [[0] * w for _ in range(h)] if decode else np.asarray(
+        bitmap, np.uint8).tolist()
+    for y in range(h):
+        row = rows[y]
+        for x in range(w):
+            label = 0
+            for cdx, cdy in coding:
+                # coding neighbors are always above/left — already coded
+                px, py = x + cdx, y + cdy
+                v = rows[py][px] if (0 <= px < w and 0 <= py < h) else 0
+                label = (label << 1) | v
+            for rdx, rdy in reference:
+                px, py = x - dx + rdx, y - dy + rdy
+                v = ref_rows[py][px] if (0 <= px < rw and 0 <= py < rh) else 0
+                label = (label << 1) | v
+            c = cx.setdefault(label, [0, 0])
+            if decode:
+                row[x] = coder.decode(c)
+            else:
+                coder.encode(c, row[x])
+    return np.array(rows, np.uint8) if decode else None
+
+
+# -- arithmetic integer decoding (T.88 Annex A) --------------------------------
+
+_OOB = object()  # out-of-band marker (end of a width class / strip)
+
+# (prefix-selected value ranges: offset, number of value bits)
+_INT_RANGES = [(0, 2), (4, 4), (20, 6), (84, 8), (340, 12), (4436, 32)]
+
+
+class _IntCtx:
+    """One IAx decoding procedure: a 512-entry context set addressed by
+    the PREV prefix register (A.2)."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self):
+        self.cx = {}
+
+    def _bit_dec(self, coder, prev: int) -> int:
+        return coder.decode(self.cx.setdefault(prev, [0, 0]))
+
+    def _bit_enc(self, coder, prev: int, bit: int) -> None:
+        coder.encode(self.cx.setdefault(prev, [0, 0]), bit)
+
+    def decode(self, coder):
+        prev = 1
+
+        def bit():
+            nonlocal prev
+            b = self._bit_dec(coder, prev)
+            prev = ((prev << 1) | b) if prev < 256 else (
+                ((((prev << 1) | b) & 511) | 256)
+            )
+            return b
+
+        s = bit()
+        for i, (offset, nbits) in enumerate(_INT_RANGES):
+            if i == len(_INT_RANGES) - 1 or not bit():
+                v = 0
+                for _ in range(nbits):
+                    v = (v << 1) | bit()
+                v += offset
+                break
+        if s and v == 0:
+            return _OOB
+        return -v if s else v
+
+    def encode(self, coder, value) -> None:
+        prev = 1
+
+        def bit(b):
+            nonlocal prev
+            self._bit_enc(coder, prev, b)
+            prev = ((prev << 1) | b) if prev < 256 else (
+                ((((prev << 1) | b) & 511) | 256)
+            )
+
+        if value is _OOB:
+            s, v = 1, 0
+        else:
+            s, v = (1, -value) if value < 0 else (0, value)
+        bit(s)
+        for i, (offset, nbits) in enumerate(_INT_RANGES):
+            last = i == len(_INT_RANGES) - 1
+            nxt = _INT_RANGES[i + 1][0] if not last else None
+            if last or v < nxt:
+                if not last:
+                    bit(0)
+                for k in range(nbits - 1, -1, -1):
+                    bit((v - offset) >> k & 1)
+                return
+            bit(1)
+
+
+class _IDCtx:
+    """IAID: SYMCODELEN-bit symbol-ID tree decoding (A.3)."""
+
+    __slots__ = ("cx", "n")
+
+    def __init__(self, symcodelen: int):
+        self.cx = {}
+        self.n = symcodelen
+
+    def decode(self, coder) -> int:
+        prev = 1
+        for _ in range(self.n):
+            b = coder.decode(self.cx.setdefault(prev, [0, 0]))
+            prev = (prev << 1) | b
+        return prev - (1 << self.n)
+
+    def encode(self, coder, value: int) -> None:
+        prev = 1
+        for k in range(self.n - 1, -1, -1):
+            b = (value >> k) & 1
+            coder.encode(self.cx.setdefault(prev, [0, 0]), b)
+            prev = (prev << 1) | b
+
+
+# -- symbol dictionary + text region (T.88 6.4 / 6.5, arithmetic) --------------
+
+
+def _decode_symbol_dict(body: bytes, in_syms: list) -> list:
+    """Type-0 segment → exported symbol list (numpy bitmaps). Arithmetic
+    coding only; Huffman tables and refinement/aggregation are loud."""
+    if len(body) < 2:
+        raise ValueError("JBIG2 symbol dictionary truncated")
+    flags = int.from_bytes(body[:2], "big")
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
+    if sdhuff:
+        raise NotImplementedError("JBIG2 Huffman-coded symbol dictionary")
+    bp = 2
+    at = []
+    for _ in range(4 if template == 0 else 1):
+        ax = int.from_bytes(body[bp : bp + 1], "big", signed=True)
+        ay = int.from_bytes(body[bp + 1 : bp + 2], "big", signed=True)
+        at.append((ax, ay))
+        bp += 2
+    rat = []
+    if sdrefagg and rtemplate == 0:
+        for _ in range(2):
+            ax = int.from_bytes(body[bp : bp + 1], "big", signed=True)
+            ay = int.from_bytes(body[bp + 1 : bp + 2], "big", signed=True)
+            rat.append((ax, ay))
+            bp += 2
+    num_ex = struct.unpack(">I", body[bp : bp + 4])[0]
+    num_new = struct.unpack(">I", body[bp + 4 : bp + 8])[0]
+    bp += 8
+    coder = MQDecoder(body[bp:])
+    iadh, iadw, iaex, iaai = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
+    symcodelen = max(1, (max(len(in_syms) + num_new, 1) - 1).bit_length())
+    iaid = _IDCtx(symcodelen)
+    gb_cx: dict = {}
+    gr_cx: dict = {}
+    new_syms: list = []
+    hcheight = 0
+    while len(new_syms) < num_new:
+        dh = iadh.decode(coder)
+        if dh is _OOB:
+            raise ValueError("JBIG2 OOB height-class delta")
+        hcheight += dh
+        symwidth = 0
+        while True:
+            dw = iadw.decode(coder)
+            if dw is _OOB:
+                break
+            symwidth += dw
+            if len(new_syms) >= num_new:
+                raise ValueError("JBIG2 symbol dictionary overruns NUMNEWSYMS")
+            if symwidth <= 0 or hcheight <= 0:
+                raise ValueError("JBIG2 non-positive symbol dims")
+            if sdrefagg:
+                # 6.5.8.2: aggregate instance count, then (for the common
+                # single-instance case) a refinement of an earlier symbol
+                ninst = iaai.decode(coder)
+                if ninst is not _OOB and ninst == 1:
+                    ref_id = iaid.decode(coder)
+                    rdx = iardx.decode(coder)
+                    rdy = iardy.decode(coder)
+                    pool = list(in_syms) + new_syms
+                    if ref_id >= len(pool):
+                        raise ValueError("JBIG2 refinement reference out of range")
+                    bm = _refine_bits(symwidth, hcheight, rtemplate, rat,
+                                      pool[ref_id], rdx, rdy, coder, gr_cx)
+                else:
+                    raise NotImplementedError(
+                        "JBIG2 multi-instance aggregate symbol coding"
+                    )
+            else:
+                bm = _region_bits(symwidth, hcheight, template, at, False,
+                                  coder, cx=gb_cx)
+            new_syms.append(bm)
+    # export flags: alternating IAEX run lengths over input+new symbols,
+    # starting with a not-exported run (6.5.10)
+    all_syms = list(in_syms) + new_syms
+    exported = []
+    i = 0
+    cur_export = 0
+    while i < len(all_syms) and len(exported) < num_ex:
+        run = iaex.decode(coder)
+        if run is _OOB or run < 0:
+            raise ValueError("JBIG2 bad export run length")
+        if cur_export:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        cur_export ^= 1
+    if len(exported) != num_ex:
+        raise ValueError("JBIG2 export count mismatch")
+    return exported
+
+
+def _decode_text_region(body: bytes, syms: list):
+    """Type 4/6/7 segment → (bitmap, region info). Arithmetic, no
+    refinement; both strip sizes and all four reference corners."""
+    if len(body) < 17 + 2 + 4:
+        raise ValueError("JBIG2 text region truncated")
+    rw, rh, rx, ry = struct.unpack(">IIII", body[:16])
+    comb_op = body[16] & 7
+    flags = int.from_bytes(body[17:19], "big")
+    sbhuff = flags & 1
+    sbrefine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sb_def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit
+    rtemplate = (flags >> 15) & 1
+    if sbhuff:
+        raise NotImplementedError("JBIG2 Huffman-coded text region")
+    strips = 1 << log_strips
+    bp = 19
+    rat = []
+    if sbrefine and rtemplate == 0:
+        for _ in range(2):
+            ax = int.from_bytes(body[bp : bp + 1], "big", signed=True)
+            ay = int.from_bytes(body[bp + 1 : bp + 2], "big", signed=True)
+            rat.append((ax, ay))
+            bp += 2
+    num_instances = struct.unpack(">I", body[bp : bp + 4])[0]
+    coder = MQDecoder(body[bp + 4 :])
+    n_syms = max(len(syms), 1)
+    symcodelen = max(1, (n_syms - 1).bit_length())
+    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
+    gr_cx: dict = {}
+    iaid = _IDCtx(symcodelen)
+    page = np.full((rh, rw), sb_def_pixel, np.uint8)
+    stript = iadt.decode(coder)
+    if stript is _OOB:
+        raise ValueError("JBIG2 OOB initial strip T")
+    stript *= -strips
+    firsts = 0
+    placed = 0
+    while placed < num_instances:
+        dt = iadt.decode(coder)
+        if dt is _OOB:
+            raise ValueError("JBIG2 OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = iafs.decode(coder)
+                if dfs is _OOB:
+                    raise ValueError("JBIG2 OOB first-symbol S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = iads.decode(coder)
+                if ids is _OOB:
+                    break  # end of strip
+                curs += ids + ds_offset
+            curt = 0 if strips == 1 else iait.decode(coder)
+            t = stript + curt
+            sym_id = iaid.decode(coder)
+            if sym_id >= len(syms):
+                raise ValueError("JBIG2 symbol ID out of range")
+            bm = syms[sym_id]
+            if sbrefine:
+                ri = iari.decode(coder)
+                if ri is _OOB:
+                    raise ValueError("JBIG2 OOB refinement flag")
+                if ri:
+                    rdw = iardw.decode(coder)
+                    rdh = iardh.decode(coder)
+                    rdx = iardx.decode(coder)
+                    rdy = iardy.decode(coder)
+                    nw, nh = bm.shape[1] + rdw, bm.shape[0] + rdh
+                    if nw <= 0 or nh <= 0:
+                        raise ValueError("JBIG2 refined instance dims")
+                    bm = _refine_bits(
+                        nw, nh, rtemplate, rat, bm,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy, coder, gr_cx,
+                    )
+            sh, sw = bm.shape
+            if transposed:
+                raise NotImplementedError("JBIG2 transposed text region")
+            y = t if refcorner in (1, 3) else t - sh + 1  # TOP vs BOTTOM
+            x = curs
+            if y < 0 or x < 0 or y + sh > rh or x + sw > rw:
+                raise ValueError("JBIG2 symbol instance out of region")
+            win = page[y : y + sh, x : x + sw]
+            win |= bm  # per-instance combine: OR (SBCOMBOP subset)
+            curs += sw - 1
+            placed += 1
+            if placed >= num_instances:
+                break
+    return page, (rw, rh, rx, ry, comb_op)
+
+
 # -- segment layer (embedded / PDF organization) ------------------------------
 
 
@@ -337,8 +690,7 @@ def _parse_segment_header(d: bytes, pos: int):
 
 
 _UNSUPPORTED = {
-    0: "symbol dictionary", 4: "intermediate text region",
-    6: "immediate text region", 7: "immediate lossless text region",
+    4: "intermediate text region",
     16: "pattern dictionary", 20: "intermediate halftone region",
     22: "immediate halftone region", 23: "immediate lossless halftone region",
     40: "intermediate refinement region", 42: "immediate refinement region",
@@ -358,6 +710,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
         data = data[pos:]
     d = globals_data + data
     page = None
+    sym_dicts: dict[int, list] = {}  # segment number → exported symbols
     pos = 0
     while pos < len(d):
         seg = _parse_segment_header(d, pos)
@@ -366,7 +719,28 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             raise ValueError("JBIG2 segment data truncated")
         pos = seg["data_pos"] + seg["length"]
         styp = seg["type"]
-        if styp == 48:  # page information
+        if styp == 0:  # symbol dictionary
+            in_syms = []
+            for ref in seg["refs"]:
+                in_syms.extend(sym_dicts.get(ref, []))
+            sym_dicts[seg["num"]] = _decode_symbol_dict(body, in_syms)
+        elif styp in (6, 7):  # immediate (lossless) text region
+            if page is None:
+                raise ValueError("JBIG2 text region before page information")
+            syms = []
+            for ref in seg["refs"]:
+                syms.extend(sym_dicts.get(ref, []))
+            bm, (rw, rh, rx, ry, comb_op) = _decode_text_region(body, syms)
+            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
+                raise ValueError("JBIG2 text region exceeds page bounds")
+            win = page[ry : ry + rh, rx : rx + rw]
+            if comb_op == 0:
+                win |= bm
+            elif comb_op == 4:
+                win[:] = bm
+            else:
+                raise NotImplementedError(f"JBIG2 combine op {comb_op}")
+        elif styp == 48:  # page information
             if len(body) < 19:
                 raise ValueError("JBIG2 page info truncated")
             w, h = struct.unpack(">II", body[:8])
@@ -428,6 +802,193 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     if page is None:
         raise ValueError("JBIG2 stream has no page")
     return page
+
+
+def _encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
+    """Fixture side of _decode_symbol_dict: all symbols exported."""
+    at = list(_TEMPLATES[template][1])
+    coder = MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    gb_cx: dict = {}
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i].shape[0]
+        iadh.encode(coder, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(symbols) and symbols[i].shape[0] == hcheight:
+            w = symbols[i].shape[1]
+            iadw.encode(coder, w - symwidth)
+            symwidth = w
+            _region_bits(w, hcheight, template, at, False, coder,
+                         bitmap=symbols[i], cx=gb_cx)
+            i += 1
+        iadw.encode(coder, _OOB)
+    iaex.encode(coder, 0)  # first run: 0 symbols NOT exported
+    iaex.encode(coder, len(symbols))  # then: all exported
+    flags = (template & 3) << 10
+    body = flags.to_bytes(2, "big")
+    for ax, ay in at[: 4 if template == 0 else 1]:
+        body += struct.pack(">bb", ax, ay)
+    body += struct.pack(">II", len(symbols), len(symbols))
+    return body + coder.flush()
+
+
+def _encode_symbol_dict_refined(new_specs: list, in_syms: list,
+                                rtemplate: int = 0) -> bytes:
+    """Fixture side of the SDREFAGG=1 path: every new symbol is a
+    single-instance refinement (bitmap, ref_id, rdx, rdy) of a symbol
+    already in the pool (ref_id indexes imports + earlier news)."""
+    n_in = len(in_syms)
+    rat = [(-1, -1), (-1, -1)] if rtemplate == 0 else []
+    coder = MQEncoder()
+    iadh, iadw, iaex, iaai = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
+    symcodelen = max(1, (max(n_in + len(new_specs), 1) - 1).bit_length())
+    iaid = _IDCtx(symcodelen)
+    gr_cx: dict = {}
+    pool = list(in_syms)
+    hcheight = 0
+    i = 0
+    while i < len(new_specs):
+        h = new_specs[i][0].shape[0]
+        iadh.encode(coder, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(new_specs) and new_specs[i][0].shape[0] == hcheight:
+            bm, ref_id, rdx, rdy = new_specs[i]
+            iadw.encode(coder, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            iaai.encode(coder, 1)
+            iaid.encode(coder, ref_id)
+            iardx.encode(coder, rdx)
+            iardy.encode(coder, rdy)
+            _refine_bits(bm.shape[1], bm.shape[0], rtemplate, rat,
+                         pool[ref_id], rdx, rdy, coder, gr_cx, bitmap=bm)
+            pool.append(bm)
+            i += 1
+        iadw.encode(coder, _OOB)
+    iaex.encode(coder, n_in)  # imports not re-exported
+    iaex.encode(coder, len(new_specs))
+    flags = (1 << 1) | ((rtemplate & 1) << 12)
+    body = flags.to_bytes(2, "big")
+    body += struct.pack(">bb", 3, -1) + struct.pack(">bb", -3, -1) \
+        + struct.pack(">bb", 2, -2) + struct.pack(">bb", -2, -2)  # SDAT (unused)
+    for ax, ay in rat:
+        body += struct.pack(">bb", ax, ay)
+    body += struct.pack(">II", len(new_specs), len(new_specs))
+    return body + coder.flush()
+
+
+def _encode_text_region(placements: list, n_syms: int, syms: list,
+                        rw: int, rh: int, strips: int = 1) -> bytes:
+    """Fixture side of _decode_text_region: TOPLEFT corner, OR combine.
+    ``placements`` is [(sym_id, x, y)] or, for refined instances,
+    [(sym_id, x, y, refined_bitmap)] (encoded with RDX=RDY=0)."""
+    log_strips = strips.bit_length() - 1
+    if (1 << log_strips) != strips or strips > 8:
+        raise ValueError("strips must be 1, 2, 4 or 8")
+    refine = any(len(p) > 3 for p in placements)
+    rat = [(-1, -1), (-1, -1)] if refine else []
+    coder = MQEncoder()
+    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
+    gr_cx: dict = {}
+    iaid = _IDCtx(max(1, (max(n_syms, 1) - 1).bit_length()))
+    order = sorted(placements, key=lambda p: (p[2] // strips, p[1]))
+    iadt.encode(coder, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    k = 0
+    while k < len(order):
+        strip_t = order[k][2] // strips * strips
+        iadt.encode(coder, (strip_t - stript) // strips)
+        stript = strip_t
+        first = True
+        curs = 0
+        while k < len(order) and order[k][2] // strips * strips == strip_t:
+            p = order[k]
+            sym_id, x, y = p[0], p[1], p[2]
+            if first:
+                iafs.encode(coder, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                iads.encode(coder, x - curs)
+                curs = x
+            if strips > 1:
+                iait.encode(coder, y - strip_t)
+            iaid.encode(coder, sym_id)
+            placed = syms[sym_id]
+            if refine:
+                if len(p) > 3:
+                    placed = np.asarray(p[3], np.uint8)
+                    base = syms[sym_id]
+                    rdw = placed.shape[1] - base.shape[1]
+                    rdh = placed.shape[0] - base.shape[0]
+                    iari.encode(coder, 1)
+                    iardw.encode(coder, rdw)
+                    iardh.encode(coder, rdh)
+                    iardx.encode(coder, 0)
+                    iardy.encode(coder, 0)
+                    _refine_bits(placed.shape[1], placed.shape[0], 0, rat,
+                                 base, rdw >> 1, rdh >> 1, coder, gr_cx,
+                                 bitmap=placed)
+                else:
+                    iari.encode(coder, 0)
+            curs += placed.shape[1] - 1
+            k += 1
+        iads.encode(coder, _OOB)
+    flags = (1 << 4) | (log_strips << 2) | ((1 << 1) if refine else 0)
+    body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
+    body += flags.to_bytes(2, "big")
+    for ax, ay in rat:
+        body += struct.pack(">bb", ax, ay)
+    body += struct.pack(">I", len(placements))
+    return body + coder.flush()
+
+
+def encode_jbig2_text(symbols: list, placements: list, page_w: int,
+                      page_h: int, strips: int = 1,
+                      refined_symbols: list | None = None) -> bytes:
+    """Fixture encoder for the symbol-coded path jbig2enc-style scanned
+    PDFs take: one symbol dictionary + one immediate lossless text
+    region. ``placements`` is [(sym_id, x, y)] with (x, y) the top-left
+    corner of each instance, or [(sym_id, x, y, refined_bitmap)] for
+    per-instance refinement. ``refined_symbols`` adds a SECOND,
+    SDREFAGG=1 dictionary of (bitmap, ref_id, rdx, rdy) entries that
+    imports the first — their IDs follow the base symbols'."""
+    syms = [np.asarray(s, np.uint8) for s in symbols]
+
+    def seg(num: int, styp: int, refs: list, page: int, body: bytes) -> bytes:
+        hdr = struct.pack(">IB", num, styp)
+        hdr += bytes([(len(refs) << 5)])  # short-form referred count
+        for r in refs:
+            hdr += bytes([r])  # segment numbers stay < 256 here
+        hdr += bytes([page]) + struct.pack(">I", len(body))
+        return hdr + body
+
+    page_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x01\x00\x00"
+    out = seg(0, 48, [], 1, page_info)
+    out += seg(1, 0, [], 1, _encode_symbol_dict(syms))
+    text_refs = [1]
+    all_syms = list(syms)
+    nxt = 2
+    if refined_symbols:
+        specs = [(np.asarray(b, np.uint8), r, dx, dy)
+                 for b, r, dx, dy in refined_symbols]
+        out += seg(nxt, 0, [1], 1, _encode_symbol_dict_refined(specs, syms))
+        all_syms += [s[0] for s in specs]
+        text_refs = [1, nxt]
+        nxt += 1
+    out += seg(nxt, 7, text_refs, 1,
+               _encode_text_region(placements, len(all_syms), all_syms,
+                                   page_w, page_h, strips))
+    out += seg(nxt + 1, 49, [], 1, b"")
+    return out
 
 
 def encode_jbig2(bitmap: np.ndarray, template: int = 0,

@@ -110,11 +110,11 @@ def test_globals_stream_split():
     assert np.array_equal(decode_jbig2(rest, globals_part), bm)
 
 
-def test_symbol_dictionary_is_loud():
+def test_halftone_region_is_loud():
     import struct
 
-    seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", 0)
-    with pytest.raises(NotImplementedError, match="symbol dictionary"):
+    seg = struct.pack(">IB", 0, 22) + b"\x00\x01" + struct.pack(">I", 0)
+    with pytest.raises(NotImplementedError, match="halftone"):
         decode_jbig2(seg)
 
 
@@ -189,3 +189,179 @@ def test_mmr_mode_generic_region():
     page_info = struct.pack(">IIII", 64, 40, 0, 0) + b"\x01\x00\x00"
     data = seg(0, 48, page_info) + seg(1, 39, region)
     assert np.array_equal(decode_jbig2(data), bm)
+
+
+# -- symbol dictionary + text region (the jbig2enc-style scanned-PDF path) ----
+
+
+def _glyph(h, w, seed):
+    r = np.random.default_rng(seed)
+    g = (r.random((h, w)) < 0.45).astype(np.uint8)
+    g[0, :] = 1
+    g[:, 0] = 1
+    return g
+
+
+def _text_page(symbols, placements, pw, ph):
+    want = np.zeros((ph, pw), np.uint8)
+    for sid, x, y in placements:
+        s = symbols[sid]
+        want[y : y + s.shape[0], x : x + s.shape[1]] |= s
+    return want
+
+
+def _symbols_and_rows(seed=5):
+    # heights 9,9,12,7,7: three height classes incl. a NEGATIVE IADH delta
+    symbols = [_glyph(9, 6, 1), _glyph(9, 7, 2), _glyph(12, 8, 3),
+               _glyph(7, 5, 4), _glyph(7, 5, 5)]
+    rng = np.random.default_rng(seed)
+    placements = []
+    y = 3
+    for _row in range(6):
+        x = 4
+        for _k in range(10):
+            sid = int(rng.integers(0, len(symbols)))
+            placements.append((sid, x, y))
+            x += symbols[sid].shape[1] + 2
+        y += 14
+    return symbols, placements
+
+
+@pytest.mark.parametrize("strips", [1, 2, 4])
+def test_symbol_text_region_roundtrip(strips):
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text
+
+    symbols, placements = _symbols_and_rows()
+    data = encode_jbig2_text(symbols, placements, 140, 95, strips=strips)
+    got = decode_jbig2(data)
+    assert np.array_equal(got, _text_page(symbols, placements, 140, 95))
+
+
+def test_text_region_uneven_y_within_strip():
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text
+
+    symbols = [_glyph(6, 5, 1), _glyph(6, 4, 2)]
+    placements = [(0, 5, 3), (1, 20, 4), (0, 40, 2), (1, 60, 5)]
+    data = encode_jbig2_text(symbols, placements, 100, 30, strips=4)
+    assert np.array_equal(
+        decode_jbig2(data), _text_page(symbols, placements, 100, 30)
+    )
+
+
+def test_text_region_overlapping_instances_negative_ids():
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text
+
+    symbols = [_glyph(8, 10, 3)]
+    # second instance starts LEFT of where the first ended → negative IDS
+    placements = [(0, 5, 2), (0, 9, 2), (0, 30, 2)]
+    data = encode_jbig2_text(symbols, placements, 60, 15)
+    assert np.array_equal(
+        decode_jbig2(data), _text_page(symbols, placements, 60, 15)
+    )
+
+
+def test_symbol_dict_huffman_is_loud():
+    import struct
+
+    body = (1).to_bytes(2, "big") + struct.pack(">II", 0, 0)
+    seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        decode_jbig2(seg)
+
+
+def test_pdf_jbig2_symbol_coded_image():
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+    from ai_invoice_ocr_engine_spark.pdf import pdf_spans
+
+    from .test_pdf import _raw_pdf
+
+    symbols, placements = _symbols_and_rows(seed=11)
+    payload = encode_jbig2_text(symbols, placements, 140, 95)
+    img = (
+        "<< /Type /XObject /Subtype /Image /Width 140 /Height 95 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray "
+        "/Filter /JBIG2Decode "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = b"q 140 0 0 95 50 600 cm /Im0 Do Q"
+    blob = _raw_pdf(content, extra_objs=img,
+                    font="/XObject << /Im0 5 0 R >>")
+    _spans, media = pdf_spans(blob)
+    gray = decode_image(next(iter(media.values())))
+    want = _text_page(symbols, placements, 140, 95)
+    assert np.array_equal(gray, (1 - want) * 255)
+
+
+# -- refinement coding (the lossy-symbol path) --------------------------------
+
+
+def _render(symbols, placements, pw, ph):
+    want = np.zeros((ph, pw), np.uint8)
+    for p in placements:
+        s = np.asarray(p[3], np.uint8) if len(p) > 3 else symbols[p[0]]
+        want[p[2] : p[2] + s.shape[0], p[1] : p[1] + s.shape[1]] |= s
+    return want
+
+
+def test_refined_symbol_dictionary_roundtrip():
+    """Second dictionary with SDREFAGG=1: new symbols decoded as
+    single-instance refinements of imported ones (incl. a dim change)."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text
+
+    base = [_glyph(9, 6, 1), _glyph(9, 7, 2), _glyph(12, 8, 3)]
+    v0 = base[0].copy()
+    v0[3, 2] ^= 1
+    v1 = np.pad(base[1], ((0, 1), (1, 0)))[:10, :8]
+    v1[5, 5] ^= 1
+    refined = [(v0, 0, 0, 0), (v1, 1, 0, 0)]
+    all_syms = base + [v0, v1]
+    placements = [(0, 4, 3), (3, 20, 3), (1, 40, 3), (4, 60, 2), (2, 80, 1)]
+    data = encode_jbig2_text(base, placements, 110, 20,
+                             refined_symbols=refined)
+    assert np.array_equal(decode_jbig2(data),
+                          _render(all_syms, placements, 110, 20))
+
+
+def test_sbrefine_per_instance_refinement():
+    """Text region SBREFINE: some instances carry a refinement of their
+    symbol, including one that grows the bitmap (nonzero RDW/RDH)."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text
+
+    base = [_glyph(9, 6, 1), _glyph(9, 7, 2), _glyph(12, 8, 3)]
+    inst = base[2].copy()
+    inst[4:6, 3:5] ^= 1
+    bigger = np.pad(base[0], ((1, 1), (1, 1)))
+    bigger[0, :] = 1
+    placements = [(0, 4, 3), (2, 20, 2, inst), (1, 45, 3), (0, 60, 2, bigger)]
+    data = encode_jbig2_text(base, placements, 90, 20)
+    assert np.array_equal(decode_jbig2(data),
+                          _render(base, placements, 90, 20))
+
+
+def test_multi_instance_aggregate_is_loud():
+    """REFAGGNINST > 1 (an embedded text region inside the dictionary)
+    stays a named seam."""
+    import struct
+
+    from ai_invoice_ocr_engine_spark.jbig2 import (
+        MQEncoder, _IntCtx, encode_jbig2_text,
+    )
+
+    # hand-build a refagg dict whose first symbol claims 2 instances
+    coder = MQEncoder()
+    iadh, iadw, iaai = _IntCtx(), _IntCtx(), _IntCtx()
+    iadh.encode(coder, 5)
+    iadw.encode(coder, 4)
+    iaai.encode(coder, 2)
+    payload = coder.flush()
+    flags = (1 << 1)  # SDREFAGG, rtemplate 0
+    body = flags.to_bytes(2, "big")
+    body += struct.pack(">bbbbbbbb", 3, -1, -3, -1, 2, -2, -2, -2)
+    body += struct.pack(">bbbb", -1, -1, -1, -1)
+    body += struct.pack(">II", 1, 1) + payload
+    seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="aggregate"):
+        decode_jbig2(seg)

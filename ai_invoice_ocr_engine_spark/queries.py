@@ -2144,6 +2144,52 @@ GROUP BY doc_id
 """
 
 
+def q_zorder_stats(spark, sf):
+    """Z-order layout audit: Morton-interleave (l_partkey, l_suppkey),
+    bucket by the key's high bits, and report each Z-bucket's row count
+    and per-dimension min/max span. Tight spans are exactly why a
+    Z-ordered layout prunes files from footer stats under 2-D
+    predicates (operators/zorder.py — the OPTIMIZE ZORDER analog). Pure
+    JVM bit arithmetic, whole-stage codegen, one aggregation."""
+    from .operators.zorder import zvalue
+
+    li = _t(spark, sf, "lineitem")
+    z = zvalue(F.col("l_partkey"), F.col("l_suppkey"), 16)
+    return (
+        li.select(
+            F.shiftright(z, 18).alias("z_bucket"),
+            "l_partkey", "l_suppkey",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+def _sql_zorder_stats() -> str:
+    from .operators.zorder import zvalue_sql
+
+    return f"""
+WITH z AS (
+  SELECT ({zvalue_sql('l_partkey', 'l_suppkey', 16)}) >> 18 AS z_bucket,
+         l_partkey, l_suppkey
+  FROM lineitem
+)
+SELECT z_bucket, count(*) AS n_rows,
+       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+FROM z GROUP BY z_bucket
+"""
+
+
+_SQL_ZORDER = _sql_zorder_stats()
+
+
 # --------------------------------------------------------------------------
 # TPC-H breadth: the remaining canonical query shapes this schema supports.
 # Q2/Q11/Q16/Q20 need the partsupp table, which TESTDATA.md does not
@@ -2623,6 +2669,7 @@ REGISTRY: dict[str, tuple] = {
     "repetition_filter": (q_repetition_filter, _SQL_REPETITION),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
     "corpus_funnel": (q_corpus_funnel, _SQL_FUNNEL),
+    "zorder_stats": (q_zorder_stats, _SQL_ZORDER),
     "contamination_scan": (q_contamination_scan, _SQL_CONTAMINATION),
     "tfidf_cosine_pairs": (q_tfidf_cosine_pairs, _SQL_TFIDF_PAIRS),
     "unigram_logprob": (q_unigram_logprob, _SQL_UNIGRAM_LP),

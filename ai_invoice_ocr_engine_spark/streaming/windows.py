@@ -213,3 +213,24 @@ def closed_sessions_batch(events: DataFrame) -> DataFrame:
         .where(F.col("session_id") != F.col("last_id"))
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+def streaming_dedup_events(events: DataFrame,
+                           watermark: str = "240 hours") -> DataFrame:
+    """Cross-micro-batch exact dedup: first sighting of each
+    (user_id, event_type) pair wins, duplicates in LATER micro-batches
+    are suppressed by keyed state. dropDuplicatesWithinWatermark keeps
+    that state bounded by the watermark horizon — the plain
+    dropDuplicates variant never evicts and is the same slow OOM the
+    sessionizer's idle timeout exists to prevent. With a watermark at
+    least as long as the corpus span, the stream output equals the
+    batch DISTINCT (tested); with a shorter one, duplicates farther
+    apart than the horizon intentionally re-emit — that's the
+    state-size/completeness trade every 10^12-row streaming dedup has
+    to pick."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )

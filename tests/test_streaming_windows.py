@@ -247,3 +247,29 @@ def test_stateful_sessions_idle_timeout_stream_eviction(spark, tmp_path):
         q.stop()
     # gap-closure alone can never emit A (no later event); only eviction can
     assert rows == {(1, t0, t0 + 100, 2)}
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events_stream_dir, tmp_path):
+    from ai_invoice_ocr_engine_spark.streaming.windows import (
+        streaming_dedup_events,
+    )
+
+    stream = _run_stream(
+        spark,
+        streaming_dedup_events,
+        events_stream_dir,
+        str(tmp_path / "ck_dedup"),
+        "append",
+        "dedup_pairs",
+    )
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    cols = ["user_id", "event_type"]
+    got, want = _rows(stream, cols), _rows(batch, cols)
+    assert got == want
+    # the dedup actually suppressed cross-batch duplicates
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert len(got) < total

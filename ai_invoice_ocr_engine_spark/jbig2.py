@@ -8,8 +8,13 @@ fax.py G4 decoder) — AND the symbol-coded path jbig2enc-style encoders
 emit by default: symbol dictionaries (arithmetic, height classes,
 IADH/IADW/IAEX integer procedures) plus text regions (strip-based
 IADT/IAFS/IADS/IAIT placement, IAID symbol selection, all four reference
-corners, any SBSTRIPS). Huffman-coded dictionaries/regions, refinement/
-aggregate coding, transposed text regions, and halftone segments raise
+corners, any SBSTRIPS), refinement coding (SDREFAGG=1 single-instance
+refined dictionaries, SBREFINE per-instance refinement, generic
+refinement templates 0/1), and halftone coding (pattern dictionaries
+sliced from one collective generic region; gray-coded bitplane
+grayscale images; 1/256-pixel grid vectors). Huffman-coded
+dictionaries/regions, multi-instance aggregates, transposed text
+regions, TPGRON, HENABLESKIP, and intermediate regions raise
 NotImplementedError loudly — the same policy as every other codec seam
 (arithmetic JPEG, mp3, ...): fail with the feature named rather than
 guess.
@@ -652,6 +657,155 @@ def _decode_text_region(body: bytes, syms: list):
     return page, (rw, rh, rx, ry, comb_op)
 
 
+# -- pattern dictionary + halftone region (T.88 6.6 / 6.7) ---------------------
+
+
+def _decode_pattern_dict(body: bytes) -> list:
+    """Type-16 segment → list of HDPW×HDPH pattern bitmaps, decoded as
+    one collective generic region then sliced (6.7.5)."""
+    if len(body) < 7:
+        raise ValueError("JBIG2 pattern dictionary truncated")
+    flags = body[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = body[1], body[2]
+    graymax = struct.unpack(">I", body[3:7])[0]
+    if hdpw == 0 or hdph == 0:
+        raise ValueError("JBIG2 zero pattern dims")
+    total_w = (graymax + 1) * hdpw
+    if hdmmr:
+        from .fax import decode_g4
+
+        coll = decode_g4(body[7:], total_w, hdph).astype(np.uint8)
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+        coll = _region_bits(total_w, hdph, template, at[: 4 if template == 0 else 1],
+                            False, MQDecoder(body[7:]))
+    return [coll[:, k * hdpw : (k + 1) * hdpw] for k in range(graymax + 1)]
+
+
+def _decode_grayscale(coder, w: int, h: int, bpp: int, template: int) -> np.ndarray:
+    """Annex C gray-coded bitplane image: planes MSB→LSB, one shared
+    decoder + context set; bit_j = plane_j XOR bit_{j+1}."""
+    at = [(template <= 1 and 3 or 2, -1), (-3, -1), (2, -2), (-2, -2)]
+    at = at[: 4 if template == 0 else 1]
+    cx: dict = {}
+    val = np.zeros((h, w), np.int64)
+    prev = np.zeros((h, w), np.uint8)
+    for _j in range(bpp):
+        plane = _region_bits(w, h, template, at, False, coder, cx=cx)
+        bit = plane ^ prev
+        val = (val << 1) | bit
+        prev = bit
+    return val
+
+
+def _decode_halftone_region(body: bytes, patterns: list):
+    """Type 20/22/23 segment → (bitmap, region info)."""
+    if len(body) < 18 + 16 + 4:
+        raise ValueError("JBIG2 halftone region truncated")
+    rw, rh, rx, ry = struct.unpack(">IIII", body[:16])
+    comb_op = body[16] & 7
+    flags = body[17]
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enable_skip = (flags >> 3) & 1
+    hdef = (flags >> 7) & 1
+    if hmmr:
+        raise NotImplementedError("JBIG2 MMR-coded halftone grayscale")
+    if enable_skip:
+        raise NotImplementedError("JBIG2 halftone HENABLESKIP")
+    hgw, hgh = struct.unpack(">II", body[18:26])
+    hgx, hgy = struct.unpack(">ii", body[26:34])
+    hrx, hry = struct.unpack(">HH", body[34:38])
+    if not patterns:
+        raise ValueError("JBIG2 halftone region without pattern dictionary")
+    graymax = len(patterns) - 1
+    bpp = max(1, graymax.bit_length())
+    gray = _decode_grayscale(MQDecoder(body[38:]), hgw, hgh, bpp, template)
+    page = np.full((rh, rw), hdef, np.uint8)
+    ph, pw = patterns[0].shape
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            v = int(gray[mg, ng])
+            if v > graymax:
+                raise ValueError("JBIG2 halftone gray value out of range")
+            pat = patterns[v]
+            # clip the pattern to the region (grid cells may overhang)
+            y0, x0 = max(y, 0), max(x, 0)
+            y1, x1 = min(y + ph, rh), min(x + pw, rw)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            win = page[y0:y1, x0:x1]
+            win |= pat[y0 - y : y1 - y, x0 - x : x1 - x]
+    return page, (rw, rh, rx, ry, comb_op)
+
+
+def _encode_pattern_dict(patterns: list, template: int = 0) -> bytes:
+    pats = [np.asarray(p, np.uint8) for p in patterns]
+    hdph, hdpw = pats[0].shape
+    if any(p.shape != (hdph, hdpw) for p in pats):
+        raise ValueError("patterns must share one shape")
+    coll = np.concatenate(pats, axis=1)
+    at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+    at = at[: 4 if template == 0 else 1]
+    coder = MQEncoder()
+    _region_bits(coll.shape[1], hdph, template, at, False, coder, bitmap=coll)
+    body = bytes([(template & 3) << 1, hdpw, hdph])
+    body += struct.pack(">I", len(pats) - 1)
+    return body + coder.flush()
+
+
+def _encode_halftone_region(gray: np.ndarray, patterns: list, rw: int,
+                            rh: int, template: int = 0) -> bytes:
+    """Fixture side: grid vectors HRX = pattern width << 8, HRY = 0."""
+    pats = [np.asarray(p, np.uint8) for p in patterns]
+    ph, pw = pats[0].shape
+    hgh, hgw = gray.shape
+    graymax = len(pats) - 1
+    bpp = max(1, graymax.bit_length())
+    at = [(template <= 1 and 3 or 2, -1), (-3, -1), (2, -2), (-2, -2)]
+    at = at[: 4 if template == 0 else 1]
+    coder = MQEncoder()
+    cx: dict = {}
+    prev = np.zeros_like(gray, np.uint8)
+    for j in range(bpp - 1, -1, -1):
+        bit = ((gray >> j) & 1).astype(np.uint8)
+        plane = bit ^ prev
+        _region_bits(hgw, hgh, template, at, False, coder, bitmap=plane, cx=cx)
+        prev = bit
+    body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
+    body += bytes([(template & 3) << 1])
+    body += struct.pack(">II", hgw, hgh)
+    body += struct.pack(">ii", 0, 0)
+    body += struct.pack(">HH", pw << 8, 0)
+    return body + coder.flush()
+
+
+def encode_jbig2_halftone(gray: np.ndarray, patterns: list, page_w: int,
+                          page_h: int) -> bytes:
+    """Fixture encoder: pattern dictionary + one immediate lossless
+    halftone region rendering ``gray`` (values index ``patterns``)."""
+
+    def seg(num: int, styp: int, refs: list, body: bytes) -> bytes:
+        hdr = struct.pack(">IB", num, styp) + bytes([(len(refs) << 5)])
+        for r in refs:
+            hdr += bytes([r])
+        hdr += bytes([1]) + struct.pack(">I", len(body))
+        return hdr + body
+
+    page_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x01\x00\x00"
+    out = seg(0, 48, [], page_info)
+    out += seg(1, 16, [], _encode_pattern_dict(patterns))
+    out += seg(2, 23, [1],
+               _encode_halftone_region(np.asarray(gray), patterns,
+                                       page_w, page_h))
+    out += seg(3, 49, [], b"")
+    return out
+
+
 # -- segment layer (embedded / PDF organization) ------------------------------
 
 
@@ -691,8 +845,7 @@ def _parse_segment_header(d: bytes, pos: int):
 
 _UNSUPPORTED = {
     4: "intermediate text region",
-    16: "pattern dictionary", 20: "intermediate halftone region",
-    22: "immediate halftone region", 23: "immediate lossless halftone region",
+    20: "intermediate halftone region",
     40: "intermediate refinement region", 42: "immediate refinement region",
     43: "immediate lossless refinement region",
     53: "tables", 64: "extension",
@@ -711,6 +864,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     d = globals_data + data
     page = None
     sym_dicts: dict[int, list] = {}  # segment number → exported symbols
+    pat_dicts: dict[int, list] = {}  # segment number → pattern bitmaps
     pos = 0
     while pos < len(d):
         seg = _parse_segment_header(d, pos)
@@ -724,6 +878,24 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             for ref in seg["refs"]:
                 in_syms.extend(sym_dicts.get(ref, []))
             sym_dicts[seg["num"]] = _decode_symbol_dict(body, in_syms)
+        elif styp == 16:  # pattern dictionary
+            pat_dicts[seg["num"]] = _decode_pattern_dict(body)
+        elif styp in (22, 23):  # immediate (lossless) halftone region
+            if page is None:
+                raise ValueError("JBIG2 halftone region before page information")
+            pats = []
+            for ref in seg["refs"]:
+                pats.extend(pat_dicts.get(ref, []))
+            bm, (rw, rh, rx, ry, comb_op) = _decode_halftone_region(body, pats)
+            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
+                raise ValueError("JBIG2 halftone region exceeds page bounds")
+            win = page[ry : ry + rh, rx : rx + rw]
+            if comb_op == 0:
+                win |= bm
+            elif comb_op == 4:
+                win[:] = bm
+            else:
+                raise NotImplementedError(f"JBIG2 combine op {comb_op}")
         elif styp in (6, 7):  # immediate (lossless) text region
             if page is None:
                 raise ValueError("JBIG2 text region before page information")

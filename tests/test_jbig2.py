@@ -110,12 +110,38 @@ def test_globals_stream_split():
     assert np.array_equal(decode_jbig2(rest, globals_part), bm)
 
 
-def test_halftone_region_is_loud():
+def test_refinement_region_segment_is_loud():
     import struct
 
-    seg = struct.pack(">IB", 0, 22) + b"\x00\x01" + struct.pack(">I", 0)
-    with pytest.raises(NotImplementedError, match="halftone"):
+    seg = struct.pack(">IB", 0, 42) + b"\x00\x01" + struct.pack(">I", 0)
+    with pytest.raises(NotImplementedError, match="refinement region"):
         decode_jbig2(seg)
+
+
+def _dot_patterns(levels=4):
+    pats = []
+    for lvl in range(levels):
+        p = np.zeros((4, 4), np.uint8)
+        for y, x in [(1, 1), (2, 2), (0, 3), (3, 0), (1, 3), (3, 2)][: lvl * 2]:
+            p[y, x] = 1
+        pats.append(p)
+    return pats
+
+
+@pytest.mark.parametrize("levels", [2, 4])
+def test_halftone_region_roundtrip(levels):
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_halftone
+
+    pats = _dot_patterns(levels)
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, levels, (12, 18))
+    data = encode_jbig2_halftone(gray, pats, 72, 48)
+    got = decode_jbig2(data)
+    want = np.zeros((48, 72), np.uint8)
+    for m in range(12):
+        for n in range(18):
+            want[m * 4 : m * 4 + 4, n * 4 : n * 4 + 4] |= pats[gray[m, n]]
+    assert np.array_equal(got, want)
 
 
 def test_pdf_jbig2_image_xobject():

@@ -2144,6 +2144,69 @@ GROUP BY doc_id
 """
 
 
+def q_corpus_diff(spark, sf):
+    """Snapshot diff (change-data-capture for a training corpus): v2 is
+    a deterministic perturbation of v1 — every doc_id % 13 == 0 dropped,
+    every doc_id % 7 == 0 reworded, a shifted-id tranche added — and the
+    diff classifies every doc by full-outer-joining the two snapshots on
+    doc_id and comparing content fingerprints. One join keyed on doc_id,
+    md5 only on the joined rows; at 10^12 docs both sides bucket by
+    doc_id so the join is shuffle-free on an Iceberg layout."""
+    v1 = _t(spark, sf, "documents").select("doc_id", "text")
+    v2 = (
+        v1.where(F.col("doc_id") % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit("v2 "), F.col("text"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionAll(
+            v1.where(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = v1.select("doc_id", F.md5("text").alias("fp1"))
+    b = v2.select("doc_id", F.md5("text").alias("fp2"))
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SQL_CORPUS_DIFF = """
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text
+  FROM v1 WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM v1 WHERE doc_id < 20
+),
+j AS (
+  SELECT a.doc_id AS id1, md5(a.text) AS fp1, b.doc_id AS id2,
+         md5(b.text) AS fp2
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 <> fp2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_docs
+FROM j GROUP BY 1
+"""
+
+
 def q_zorder_stats(spark, sf):
     """Z-order layout audit: Morton-interleave (l_partkey, l_suppkey),
     bucket by the key's high bits, and report each Z-bucket's row count
@@ -2670,6 +2733,7 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
     "corpus_funnel": (q_corpus_funnel, _SQL_FUNNEL),
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER),
+    "corpus_diff": (q_corpus_diff, _SQL_CORPUS_DIFF),
     "contamination_scan": (q_contamination_scan, _SQL_CONTAMINATION),
     "tfidf_cosine_pairs": (q_tfidf_cosine_pairs, _SQL_TFIDF_PAIRS),
     "unigram_logprob": (q_unigram_logprob, _SQL_UNIGRAM_LP),

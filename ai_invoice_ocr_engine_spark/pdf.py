@@ -1188,6 +1188,47 @@ def _pdf_spans(data: bytes, line_tol: float):
                          "offset": offset}
                     )
                 offset += 1
+    # AcroForm field values (interactive invoices routinely carry the
+    # totals/numbers in form fields rather than page content): walk the
+    # field tree in document order and append one span per filled text
+    # or choice/button value, after the page content (the fields have no
+    # page-intrinsic reading position of their own)
+    acro = doc._resolve(root.get("AcroForm"))
+    if isinstance(acro, dict):
+        def walk_fields(node, inherited_ft):
+            node = doc._resolve(node)
+            if not isinstance(node, dict):
+                return
+            ft = node.get("FT", inherited_ft)
+            kids = doc._resolve(node.get("Kids"))
+            if isinstance(kids, list) and kids:
+                for kid in kids:
+                    walk_fields(kid, ft)
+                return
+            v = doc._resolve(node.get("V"))
+            if v is None:
+                return
+            if isinstance(v, bytes):
+                if v[:2] == b"\xfe\xff":
+                    txt = v[2:].decode("utf-16-be", "replace")
+                else:
+                    txt = v.decode("latin-1")
+            elif isinstance(v, (str, int, float)):
+                txt = str(v)  # /Btn and /Ch values arrive as names
+            else:
+                return
+            name = doc._resolve(node.get("T"))
+            if isinstance(name, bytes):
+                name = name.decode("latin-1")
+            nonlocal_offset = spans[-1]["offset"] + 1 if spans else 0
+            spans.append(
+                {"kind": "text",
+                 "text": f"{name}: {txt}" if name else txt,
+                 "media_ref": None, "offset": nonlocal_offset}
+            )
+
+        for f in doc._resolve(acro.get("Fields")) or []:
+            walk_fields(f, None)
     return spans, media
 
 

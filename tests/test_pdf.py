@@ -81,11 +81,12 @@ def test_rgb_image_grayscale_matches_shared_luma():
 
 
 def _raw_pdf(
-    content: bytes, extra_objs: str = "", font: str = "", content_filter: str = ""
+    content: bytes, extra_objs: str = "", font: str = "",
+    content_filter: str = "", catalog_extra: str = ""
 ) -> bytes:
     """Assemble a minimal classic-xref PDF around a raw content stream."""
     objs = [
-        "<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Catalog /Pages 2 0 R {catalog_extra}>>",
         "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         f"/Resources << {font} >> /Contents 4 0 R >>",
@@ -561,3 +562,60 @@ def test_type0_mixed_with_simple_font():
                     font="/Font << /F1 5 0 R /F2 6 0 R >>")
     spans, _ = pdf_spans(blob)
     assert _texts(spans) == ["He", "plain"]
+
+
+def test_acroform_field_values_extracted():
+    """Filled form fields (text, choice, checkbox) become trailing text
+    spans in field-tree order; empty fields are skipped."""
+    fields = (
+        "<< /FT /Tx /T (total) /V (99.50) >>",          # obj 5
+        "<< /FT /Tx /T (empty_field) >>",                # obj 6 (no /V)
+        "<< /T (group) /Kids [8 0 R] >>",                # obj 7
+        "<< /FT /Ch /T (currency) /V /EUR >>",           # obj 8 (kid)
+        "<< /FT /Tx /T (uni) /V <FEFF004100E9> >>",      # obj 9: UTF-16BE
+    )
+    blob = _raw_pdf(
+        b"BT /F1 10 Tf 50 700 Td (Invoice body) Tj ET",
+        extra_objs=list(fields),
+        font="/Font << /F1 99 0 R >>",
+        catalog_extra="/AcroForm << /Fields [5 0 R 6 0 R 7 0 R 9 0 R] >> ",
+    )
+    spans, _media = pdf_spans(blob)
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    assert texts == [
+        "Invoice body",
+        "total: 99.50",
+        "currency: EUR",
+        "uni: Aé",
+    ]
+    # offsets stay dense and ordered
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+def test_acroform_fields_in_encrypted_pdf():
+    """Field /V strings pass through per-object STRING decryption (the
+    content stream exercises stream decryption in the same file)."""
+    from ai_invoice_ocr_engine_spark.pdfcrypt import make_encryptor
+
+    id0 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    enc_body, handler = make_encryptor("rc4-128", id0)
+    content = b"BT /F1 10 Tf 50 700 Td (body) Tj ET"
+    ct_content = handler.encrypt_stream(content, 4, 0)  # content is obj 4
+    ct_name = handler.encrypt_string(b"total", 5, 0)
+    ct_val = handler.encrypt_string(b"99.50", 5, 0)
+    field = (
+        f"<< /FT /Tx /T <{ct_name.hex()}> /V <{ct_val.hex()}> >>"
+    )
+    blob = _raw_pdf(
+        ct_content,
+        extra_objs=[field, enc_body.decode("latin-1")],
+        font="/Font << /F1 99 0 R >>",
+        catalog_extra="/AcroForm << /Fields [5 0 R] >> ",
+    )
+    blob = blob.replace(
+        b"/Root 1 0 R",
+        b"/Root 1 0 R /Encrypt 6 0 R /ID [<%s> <%s>]"
+        % (id0.hex().encode(), id0.hex().encode()),
+    )
+    spans, _ = pdf_spans(blob)
+    assert [s["text"] for s in spans] == ["body", "total: 99.50"]

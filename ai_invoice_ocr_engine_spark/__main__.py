@@ -117,6 +117,11 @@ def main(argv=None) -> int:
     v.add_argument("--out", required=True)
     v.add_argument("--master", default=None)
 
+    lk = sub.add_parser("lookup", help="bucket-pruned point lookup by doc_id")
+    lk.add_argument("--out", required=True, help="extract out_dir")
+    lk.add_argument("--doc-ids", required=True, help="comma-separated ids")
+    lk.add_argument("--master", default=None)
+
     o = sub.add_parser("oracle", help="run the single-process golden oracle")
     o.add_argument("--docs", required=True)
     o.add_argument("--media", required=True)
@@ -345,6 +350,22 @@ def main(argv=None) -> int:
             spark.stop()
         print(json.dumps(rep))
         return 0 if rep["ok"] else 1
+
+    if args.cmd == "lookup":
+        from pyspark.sql import functions as F
+
+        from .pipeline import lookup_docs
+        from .sources.session import get_spark
+
+        spark = get_spark(app="lookup", master=args.master)
+        try:
+            rows = lookup_docs(
+                spark, args.out, args.doc_ids.split(",")
+            ).select("doc_id", F.size("spans_out").alias("n_spans")).collect()
+        finally:
+            spark.stop()
+        print(json.dumps({r["doc_id"]: r["n_spans"] for r in rows}))
+        return 0
 
     if args.cmd == "oracle":
         from .oracle import run_oracle_parquet

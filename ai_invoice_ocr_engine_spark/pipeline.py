@@ -843,3 +843,33 @@ def verify_lineage(spark: SparkSession, out_dir: str) -> dict:
         "mismatched": n_bad,
         "ok": n_bad == 0,
     }
+
+
+def lookup_docs(spark: SparkSession, out_dir: str, doc_ids) -> DataFrame:
+    """Bucket-pruned point lookup over the extracted spans table.
+
+    The layout is ``spans/bucket=pmod(xxhash64(doc_id), P)/``, so a
+    doc_id equality predicate maps to exactly one partition directory.
+    The buckets are computed DRIVER-SIDE with the repo's bit-compatible
+    pure-python xxhash64 (tests/test_xxh.py pins parity) and pushed as a
+    partition filter, so the scan lists and reads at most
+    ``len(set(buckets))`` of the P directories — at 10^12 docs a 10-doc
+    lookup touches ~10/P of the table's files instead of all of them;
+    the residual doc_id IN (...) filter prunes row groups via parquet
+    stats within those. P comes from the run manifest, so callers
+    cannot desync from the layout that actually wrote the table."""
+    from .xxh import spark_bucket
+
+    ids = list(doc_ids)
+    manifest = json.loads(_read_text(spark, os.path.join(out_dir, "_manifest.json")))
+    if manifest.get("layout") != BUCKET_LAYOUT:
+        raise ValueError(
+            f"out_dir layout {manifest.get('layout')!r} is not {BUCKET_LAYOUT!r}"
+        )
+    p = int(manifest["num_buckets"])
+    buckets = sorted({spark_bucket(d, p) for d in ids})
+    return (
+        spark.read.parquet(os.path.join(out_dir, "spans"))
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("doc_id").isin(ids))
+    )

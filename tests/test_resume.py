@@ -179,3 +179,38 @@ def test_rerun_with_different_num_buckets_fails_fast(spark, corpus, tmp_path):
         spark, corpus["docs_path"], corpus["media_path"], out, num_buckets=8
     )
     assert stats["docs"] == 0 and stats["buckets_skipped"] == 8
+
+
+def test_lookup_docs_prunes_partitions_and_matches_full_scan(spark, corpus, tmp_path):
+    """Point lookups read only the hash buckets of the requested ids:
+    the scan's partition filter carries `bucket`, and results equal the
+    brute-force full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from ai_invoice_ocr_engine_spark.pipeline import lookup_docs, run_extract
+    from ai_invoice_ocr_engine_spark.xxh import spark_bucket
+
+    out = str(tmp_path / "out_lookup")
+    run_extract(spark, corpus["docs_path"], corpus["media_path"], out,
+                num_buckets=8)
+    all_ids = [r["doc_id"] for r in
+               spark.read.parquet(corpus["docs_path"]).select("doc_id")
+               .orderBy("doc_id").limit(5).collect()]
+    got = lookup_docs(spark, out, all_ids)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters" in scan and "bucket" in scan.split(
+        "PartitionFilters", 1)[1][:120]
+    want = (
+        spark.read.parquet(f"{out}/spans")
+        .where(F.col("doc_id").isin(all_ids))
+    )
+    cols = ["doc_id"]
+    assert sorted(r["doc_id"] for r in got.select(*cols).collect()) == \
+        sorted(r["doc_id"] for r in want.select(*cols).collect())
+    assert got.count() == len(all_ids)
+    # driver-side bucket math matches the layout: every scanned bucket
+    # is one of the requested ids' buckets
+    buckets = {spark_bucket(d, 8) for d in all_ids}
+    got_buckets = {r["bucket"] for r in got.select("bucket").collect()}
+    assert got_buckets <= buckets

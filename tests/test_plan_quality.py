@@ -222,3 +222,50 @@ def test_q8_star_dims_broadcast(spark):
     plan = plan_of(spark, "q8_market_share")
     # part, both nation views, and region all broadcast
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB skew posture, demonstrated live: one hot key dominates
+    a sort-merge join; with AQE skew-join on (the engine's default
+    session config), the final adaptive plan marks the join skew=true
+    and splits the oversized partition instead of stranding one task."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                       "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("name"),
+        )
+        j = fact.join(dim.hint("merge"), "k")
+        # execute THIS DataFrame's own query execution (count()/write()
+        # build separate ones), then read its FINAL adaptive plan
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "skewed" in plan  # the AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

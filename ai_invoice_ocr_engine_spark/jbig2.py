@@ -489,6 +489,8 @@ def _decode_symbol_dict(body: bytes, in_syms: list) -> list:
             bp += 2
     num_ex = struct.unpack(">I", body[bp : bp + 4])[0]
     num_new = struct.unpack(">I", body[bp + 4 : bp + 8])[0]
+    if num_new > (1 << 20) or num_ex > num_new + len(in_syms):
+        raise ValueError("JBIG2 implausible symbol dictionary counts")
     bp += 8
     coder = MQDecoder(body[bp:])
     iadh, iadw, iaex, iaai = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
@@ -514,6 +516,9 @@ def _decode_symbol_dict(body: bytes, in_syms: list) -> list:
                 raise ValueError("JBIG2 symbol dictionary overruns NUMNEWSYMS")
             if symwidth <= 0 or hcheight <= 0:
                 raise ValueError("JBIG2 non-positive symbol dims")
+            from .kernels import _check_dims
+
+            _check_dims(symwidth, hcheight, "JBIG2 symbol")
             if sdrefagg:
                 # 6.5.8.2: aggregate instance count, then (for the common
                 # single-instance case) a refinement of an earlier symbol
@@ -560,6 +565,9 @@ def _decode_text_region(body: bytes, syms: list):
     if len(body) < 17 + 2 + 4:
         raise ValueError("JBIG2 text region truncated")
     rw, rh, rx, ry = struct.unpack(">IIII", body[:16])
+    from .kernels import MAX_DECODE_PIXELS, _check_dims
+
+    _check_dims(rw, rh, "JBIG2 text region")
     comb_op = body[16] & 7
     flags = int.from_bytes(body[17:19], "big")
     sbhuff = flags & 1
@@ -584,6 +592,8 @@ def _decode_text_region(body: bytes, syms: list):
             rat.append((ax, ay))
             bp += 2
     num_instances = struct.unpack(">I", body[bp : bp + 4])[0]
+    if num_instances > MAX_DECODE_PIXELS:
+        raise ValueError("JBIG2 implausible text-region instance count")
     coder = MQDecoder(body[bp + 4 :])
     n_syms = max(len(syms), 1)
     symcodelen = max(1, (n_syms - 1).bit_length())
@@ -637,6 +647,7 @@ def _decode_text_region(body: bytes, syms: list):
                     nw, nh = bm.shape[1] + rdw, bm.shape[0] + rdh
                     if nw <= 0 or nh <= 0:
                         raise ValueError("JBIG2 refined instance dims")
+                    _check_dims(nw, nh, "JBIG2 refined instance")
                     bm = _refine_bits(
                         nw, nh, rtemplate, rat, bm,
                         (rdw >> 1) + rdx, (rdh >> 1) + rdy, coder, gr_cx,
@@ -672,7 +683,10 @@ def _decode_pattern_dict(body: bytes) -> list:
     graymax = struct.unpack(">I", body[3:7])[0]
     if hdpw == 0 or hdph == 0:
         raise ValueError("JBIG2 zero pattern dims")
+    from .kernels import _check_dims
+
     total_w = (graymax + 1) * hdpw
+    _check_dims(total_w, hdph, "JBIG2 pattern dictionary")
     if hdmmr:
         from .fax import decode_g4
 
@@ -716,6 +730,10 @@ def _decode_halftone_region(body: bytes, patterns: list):
     if enable_skip:
         raise NotImplementedError("JBIG2 halftone HENABLESKIP")
     hgw, hgh = struct.unpack(">II", body[18:26])
+    from .kernels import _check_dims
+
+    _check_dims(max(hgw, 1), max(hgh, 1), "JBIG2 halftone grid")
+    _check_dims(rw, rh, "JBIG2 halftone region")
     hgx, hgy = struct.unpack(">ii", body[26:34])
     hrx, hry = struct.unpack(">HH", body[34:38])
     if not patterns:
@@ -825,6 +843,8 @@ def _parse_segment_header(d: bytes, pos: int):
     else:
         pos += 1
     ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
+    if count * ref_size > len(d) - pos:
+        raise ValueError("JBIG2 referred-segment list exceeds data")
     refs = []
     for _ in range(count):
         refs.append(int.from_bytes(d[pos : pos + ref_size], "big"))
@@ -855,7 +875,22 @@ _UNSUPPORTED = {
 def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Embedded-organization JBIG2 (PDF JBIG2Decode payload, with the
     optional JBIG2Globals stream prepended) → uint8 bitmap, 1 = black
-    (the JBIG2 wire convention; PDF callers invert for DeviceGray)."""
+    (the JBIG2 wire convention; PDF callers invert for DeviceGray).
+
+    Error contract (same as decode_image): corrupt bytes raise
+    ValueError, unimplemented features NotImplementedError — never a
+    bare structural exception, and implausible dims/counts are rejected
+    before any large allocation or long decode loop (fuzz-pinned)."""
+    try:
+        return _decode_jbig2(data, globals_data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, MemoryError,
+            RecursionError, struct.error) as e:
+        raise ValueError(f"corrupt JBIG2: {type(e).__name__}: {e}") from e
+
+
+def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     if data[:8] == b"\x97JB2\r\n\x1a\n":
         # standalone file header: flags byte + optional page count
         flags = data[8]
@@ -919,6 +954,9 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             pflags = body[16]
             if h == 0xFFFFFFFF:
                 raise NotImplementedError("JBIG2 unknown page height")
+            from .kernels import _check_dims
+
+            _check_dims(w, h, "JBIG2 page")
             page = np.full((h, w), (pflags >> 2) & 1, np.uint8)
         elif styp in (36, 38, 39):  # generic region (intermediate/immediate)
             if page is None:
@@ -926,6 +964,9 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             if len(body) < 18:
                 raise ValueError("JBIG2 region segment truncated")
             rw, rh, rx, ry = struct.unpack(">IIII", body[:16])
+            from .kernels import _check_dims
+
+            _check_dims(rw, rh, "JBIG2 region")
             comb_op = body[16] & 7
             gflags = body[17]
             mmr = gflags & 1

@@ -391,3 +391,24 @@ def test_multi_instance_aggregate_is_loud():
     seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", len(body)) + body
     with pytest.raises(NotImplementedError, match="aggregate"):
         decode_jbig2(seg)
+
+
+def test_fuzz_error_contract_and_no_stalls():
+    """Corrupt bytes must raise ValueError/NotImplementedError only, and
+    implausible dims/counts must be rejected BEFORE any large allocation
+    or long decode loop (each cap here was found by this fuzz hanging)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    hdr = b"\x97JB2\r\n\x1a\n"
+    t0 = time.time()
+    for i in range(300):
+        n = int(rng.integers(1, 300))
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        if i % 2:
+            data = hdr + data
+        try:
+            decode_jbig2(data)
+        except (ValueError, NotImplementedError):
+            pass
+    assert time.time() - t0 < 30  # no garbage input may stall a task

@@ -412,11 +412,12 @@ _TIFF_TAGS = {
 }
 
 
-def _lzw_decode(src: bytes) -> bytes:
+def _lzw_decode(src: bytes, early: int = 1) -> bytes:
     """TIFF-variant LZW (spec §13): MSB-first code packing, 9→12-bit codes,
     Clear=256, EOI=257, with the de-facto-standard 'early change' (the code
     width bumps one code early — the libtiff convention every real writer
-    follows)."""
+    follows). ``early=0`` is the PDF LZWDecode /EarlyChange 0 layout where
+    the width bumps exactly when the table fills the current width."""
     out = bytearray()
     nbits_total = len(src) * 8
     bitpos = 0
@@ -463,16 +464,16 @@ def _lzw_decode(src: bytes) -> bytes:
         out += entry
         table.append(prev + entry[:1])
         # early change, adjusted for the decoder's one-entry lag behind the
-        # encoder (the encoder bumps when ITS next code hits (1<<w)-1)
-        if len(table) == (1 << width) - 2 and width < 12:
+        # encoder (the encoder bumps when ITS next code hits (1<<w)-early)
+        if len(table) == (1 << width) - 1 - early and width < 12:
             width += 1
         prev = entry
     return bytes(out)
 
 
-def _lzw_encode(raw: bytes) -> bytes:
+def _lzw_encode(raw: bytes, early: int = 1) -> bytes:
     """TIFF-variant LZW writer (fixture side), mirroring _lzw_decode's
-    early-change convention."""
+    early-change convention (``early=0`` = PDF /EarlyChange 0)."""
     out = bytearray()
     buf = 0
     nb = 0
@@ -499,7 +500,7 @@ def _lzw_encode(raw: bytes) -> bytes:
         emit(table[w], width)
         table[wc] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:  # early change
+        if next_code == (1 << width) - early and width < 12:  # early change
             width += 1
         if next_code == 4094:  # table nearly full: reset
             emit(CLEAR, width)
@@ -514,7 +515,7 @@ def _lzw_encode(raw: bytes) -> bytes:
         # width the decoder will read it with (review finding r3: streams
         # ending exactly at a width boundary were undecodable)
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
+        if next_code == (1 << width) - early and width < 12:
             width += 1
     emit(EOI, width)
     if nb:

@@ -236,21 +236,27 @@ def _decode_2d_line(b: _Bits, ref: list[int], w: int) -> list[int]:
     return cur
 
 
-def decode_g4(data: bytes, w: int, h: int) -> np.ndarray:
-    """T.6 MMR → (h, w) uint8 mask, 1 = black."""
+def decode_g4(data: bytes, w: int, h: int, byte_align: bool = False) -> np.ndarray:
+    """T.6 MMR → (h, w) uint8 mask, 1 = black. ``byte_align`` starts every
+    coded line on a byte boundary (PDF CCITTFaxDecode /EncodedByteAlign)."""
     b = _Bits(data)
     out = np.zeros((h, w), np.uint8)
     ref: list[int] = []  # imaginary all-white reference line
     for y in range(h):
+        if byte_align:
+            b.align()
         cur = _decode_2d_line(b, ref, w)
         _fill(out[y], cur, w)
         ref = cur
     return out
 
 
-def decode_mh(data: bytes, w: int, h: int) -> np.ndarray:
-    """T.4 one-dimensional (modified Huffman), rows byte-aligned
-    (TIFF compression 2 convention) → (h, w) uint8 mask, 1 = black."""
+def decode_mh(data: bytes, w: int, h: int, row_align: bool = True) -> np.ndarray:
+    """T.4 one-dimensional (modified Huffman) → (h, w) uint8 mask,
+    1 = black. ``row_align`` (the default) byte-aligns each row — the
+    TIFF compression-2 convention and PDF /EncodedByteAlign true; PDF
+    K=0 with EncodedByteAlign false is the same code as one continuous
+    bitstream (``row_align=False``)."""
     b = _Bits(data)
     out = np.zeros((h, w), np.uint8)
     for y in range(h):
@@ -265,7 +271,8 @@ def decode_mh(data: bytes, w: int, h: int) -> np.ndarray:
             changes.append(pos)
             black = not black
         _fill(out[y], changes, w)
-        b.align()
+        if row_align:
+            b.align()
     return out
 
 
@@ -396,26 +403,38 @@ def _encode_2d_line(bw: _BitW, cur: list[int], ref: list[int], w: int) -> None:
             i += 2
 
 
-def encode_g4(mask: np.ndarray) -> bytes:
-    """(h, w) mask (nonzero = black) → T.6 stream (fixture writer)."""
+def encode_g4(mask: np.ndarray, byte_align: bool = False) -> bytes:
+    """(h, w) mask (nonzero = black) → T.6 stream (fixture writer).
+    ``byte_align`` pads each coded line to a byte boundary (the PDF
+    /EncodedByteAlign layout)."""
     h, w = mask.shape
     bw = _BitW()
     ref: list[int] = []
     for y in range(h):
+        if byte_align:
+            bw.align()
         cur = _changes_of(mask[y])
         _encode_2d_line(bw, cur, ref, w)
         ref = cur
     return bw.done()
 
 
-def encode_t4(mask: np.ndarray, two_d: bool = False, k: int = 2) -> bytes:
+def encode_t4(
+    mask: np.ndarray, two_d: bool = False, k: int = 2, byte_align: bool = False
+) -> bytes:
     """(h, w) mask → T.4/G3 stream (fixture writer): EOL before every
     line; 1D run codes, or — with ``two_d`` — the K-factor alternation
-    (every k-th line 1D with tag bit 1, the rest 2D with tag bit 0)."""
+    (every k-th line 1D with tag bit 1, the rest 2D with tag bit 0).
+    ``byte_align`` inserts fill bits so each EOL ends on a byte boundary
+    (the PDF /EncodedByteAlign layout for K>0)."""
     h, w = mask.shape
     bw = _BitW()
     ref: list[int] = []
     for y in range(h):
+        if byte_align:
+            total = len(bw.out) * 8 + bw.n
+            for _ in range((-(total + len(_EOL))) % 8):
+                bw.put_str("0")  # fill so the EOL's final 1 ends the byte
         bw.put_str(_EOL)
         cur = _changes_of(mask[y])
         if two_d and y % k != 0:
@@ -439,8 +458,10 @@ def encode_t4(mask: np.ndarray, two_d: bool = False, k: int = 2) -> bytes:
     return bw.done()
 
 
-def encode_mh(mask: np.ndarray) -> bytes:
-    """(h, w) mask (nonzero = black) → byte-aligned MH rows (compression 2)."""
+def encode_mh(mask: np.ndarray, row_align: bool = True) -> bytes:
+    """(h, w) mask (nonzero = black) → MH rows, byte-aligned by default
+    (compression 2 / PDF EncodedByteAlign); ``row_align=False`` writes
+    the continuous-bitstream layout of PDF K=0 without EncodedByteAlign."""
     h, w = mask.shape
     bw = _BitW()
     for y in range(h):
@@ -455,5 +476,6 @@ def encode_mh(mask: np.ndarray) -> bytes:
             black = not black
             if pos >= w:
                 break
-        bw.align()
+        if row_align:
+            bw.align()
     return bw.done()

@@ -8,16 +8,19 @@ fax.py G4 decoder) — AND the symbol-coded path jbig2enc-style encoders
 emit by default: symbol dictionaries (arithmetic, height classes,
 IADH/IADW/IAEX integer procedures) plus text regions (strip-based
 IADT/IAFS/IADS/IAIT placement, IAID symbol selection, all four reference
-corners, any SBSTRIPS), refinement coding (SDREFAGG=1 single-instance
-refined dictionaries, SBREFINE per-instance refinement, generic
-refinement templates 0/1), and halftone coding (pattern dictionaries
-sliced from one collective generic region; gray-coded bitplane
-grayscale images; 1/256-pixel grid vectors). Huffman-coded
-dictionaries/regions, multi-instance aggregates, transposed text
-regions, TPGRON, HENABLESKIP, and intermediate regions raise
+corners, any SBSTRIPS, TRANSPOSED regions with S running vertically),
+refinement coding (SDREFAGG=1 single-instance refined dictionaries,
+SBREFINE per-instance refinement, generic refinement templates 0/1),
+and halftone coding (pattern dictionaries sliced from one collective
+generic region; gray-coded bitplane grayscale images; 1/256-pixel grid
+vectors). Huffman-coded dictionaries/regions, multi-instance
+aggregates, TPGRON, HENABLESKIP, and intermediate regions raise
 NotImplementedError loudly — the same policy as every other codec seam
 (arithmetic JPEG, mp3, ...): fail with the feature named rather than
-guess.
+guess. (Huffman stays a seam deliberately: the standard tables
+B.6–B.15 have no independent implementation in this container to pin
+against, and a mis-transcribed table would decode real scanner output
+to silently-wrong pages — strictly worse than the loud error.)
 
 The MQ coder follows T.88 Annex E software conventions; the Qe state
 table and the coder are shared with JPEG2000 (ITU T.800). The encoder
@@ -654,14 +657,23 @@ def _decode_text_region(body: bytes, syms: list):
                     )
             sh, sw = bm.shape
             if transposed:
-                raise NotImplementedError("JBIG2 transposed text region")
-            y = t if refcorner in (1, 3) else t - sh + 1  # TOP vs BOTTOM
-            x = curs
+                # 6.4.5(3)(c)(viii-xi): S runs vertically. The BOTTOM
+                # corners advance CURS by H-1 before anchoring the bottom
+                # edge at it, which cancels to the same start row as the
+                # TOP corners — so only LEFT vs RIGHT changes the column.
+                y = curs
+                x = t if refcorner in (0, 1) else t - sw + 1
+            else:
+                # RIGHT corners advance CURS by W-1 before anchoring the
+                # right edge — the same cancellation, so only TOP vs
+                # BOTTOM changes the row.
+                y = t if refcorner in (1, 3) else t - sh + 1
+                x = curs
             if y < 0 or x < 0 or y + sh > rh or x + sw > rw:
                 raise ValueError("JBIG2 symbol instance out of region")
             win = page[y : y + sh, x : x + sw]
             win |= bm  # per-instance combine: OR (SBCOMBOP subset)
-            curs += sw - 1
+            curs += (sh - 1) if transposed else (sw - 1)
             placed += 1
             if placed >= num_instances:
                 break
@@ -1095,10 +1107,13 @@ def _encode_symbol_dict_refined(new_specs: list, in_syms: list,
 
 
 def _encode_text_region(placements: list, n_syms: int, syms: list,
-                        rw: int, rh: int, strips: int = 1) -> bytes:
-    """Fixture side of _decode_text_region: TOPLEFT corner, OR combine.
-    ``placements`` is [(sym_id, x, y)] or, for refined instances,
-    [(sym_id, x, y, refined_bitmap)] (encoded with RDX=RDY=0)."""
+                        rw: int, rh: int, strips: int = 1,
+                        transposed: bool = False, refcorner: int = 1) -> bytes:
+    """Fixture side of _decode_text_region: OR combine, any reference
+    corner, optionally TRANSPOSED (S runs vertically). ``placements`` is
+    [(sym_id, x, y)] with (x, y) always the instance's top-left pixel,
+    or, for refined instances, [(sym_id, x, y, refined_bitmap)] (encoded
+    with RDX=RDY=0)."""
     log_strips = strips.bit_length() - 1
     if (1 << log_strips) != strips or strips > 8:
         raise ValueError("strips must be 1, 2, 4 or 8")
@@ -1110,30 +1125,50 @@ def _encode_text_region(placements: list, n_syms: int, syms: list,
     iardx, iardy = _IntCtx(), _IntCtx()
     gr_cx: dict = {}
     iaid = _IDCtx(max(1, (max(n_syms, 1) - 1).bit_length()))
-    order = sorted(placements, key=lambda p: (p[2] // strips, p[1]))
+
+    def inst_dims(p):
+        bm = np.asarray(p[3], np.uint8) if len(p) > 3 else syms[p[0]]
+        return bm.shape  # (h, w)
+
+    def anchors(p):
+        """(t_anchor, s_start) for one placement under the current
+        corner/transposition — the wire coordinates, from top-left."""
+        sym_id, x, y = p[0], p[1], p[2]
+        h, w = inst_dims(p)
+        if transposed:
+            t = x if refcorner in (0, 1) else x + w - 1  # LEFT vs RIGHT
+            return t, y
+        t = y if refcorner in (1, 3) else y + h - 1  # TOP vs BOTTOM
+        return t, x
+
+    order = sorted(placements, key=lambda p: (anchors(p)[0] // strips,
+                                              anchors(p)[1]))
     iadt.encode(coder, 0)  # STRIPT starts at 0
     stript = 0
     firsts = 0
     k = 0
     while k < len(order):
-        strip_t = order[k][2] // strips * strips
+        strip_t = anchors(order[k])[0] // strips * strips
         iadt.encode(coder, (strip_t - stript) // strips)
         stript = strip_t
         first = True
         curs = 0
-        while k < len(order) and order[k][2] // strips * strips == strip_t:
+        while k < len(order) and (
+            anchors(order[k])[0] // strips * strips == strip_t
+        ):
             p = order[k]
-            sym_id, x, y = p[0], p[1], p[2]
+            sym_id = p[0]
+            t_anchor, s_start = anchors(p)
             if first:
-                iafs.encode(coder, x - firsts)
-                firsts = x
-                curs = x
+                iafs.encode(coder, s_start - firsts)
+                firsts = s_start
+                curs = s_start
                 first = False
             else:
-                iads.encode(coder, x - curs)
-                curs = x
+                iads.encode(coder, s_start - curs)
+                curs = s_start
             if strips > 1:
-                iait.encode(coder, y - strip_t)
+                iait.encode(coder, t_anchor - strip_t)
             iaid.encode(coder, sym_id)
             placed = syms[sym_id]
             if refine:
@@ -1152,10 +1187,13 @@ def _encode_text_region(placements: list, n_syms: int, syms: list,
                                  bitmap=placed)
                 else:
                     iari.encode(coder, 0)
-            curs += placed.shape[1] - 1
+            curs += placed.shape[0 if transposed else 1] - 1
             k += 1
         iads.encode(coder, _OOB)
-    flags = (1 << 4) | (log_strips << 2) | ((1 << 1) if refine else 0)
+    flags = (
+        (int(transposed) << 6) | (refcorner << 4) | (log_strips << 2)
+        | ((1 << 1) if refine else 0)
+    )
     body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
     body += flags.to_bytes(2, "big")
     for ax, ay in rat:
@@ -1166,7 +1204,8 @@ def _encode_text_region(placements: list, n_syms: int, syms: list,
 
 def encode_jbig2_text(symbols: list, placements: list, page_w: int,
                       page_h: int, strips: int = 1,
-                      refined_symbols: list | None = None) -> bytes:
+                      refined_symbols: list | None = None,
+                      transposed: bool = False, refcorner: int = 1) -> bytes:
     """Fixture encoder for the symbol-coded path jbig2enc-style scanned
     PDFs take: one symbol dictionary + one immediate lossless text
     region. ``placements`` is [(sym_id, x, y)] with (x, y) the top-left
@@ -1199,7 +1238,9 @@ def encode_jbig2_text(symbols: list, placements: list, page_w: int,
         nxt += 1
     out += seg(nxt, 7, text_refs, 1,
                _encode_text_region(placements, len(all_syms), all_syms,
-                                   page_w, page_h, strips))
+                                   page_w, page_h, strips,
+                                   transposed=transposed,
+                                   refcorner=refcorner))
     out += seg(nxt + 1, 49, [], 1, b"")
     return out
 

@@ -627,12 +627,14 @@ def _apply_filters(raw: bytes, d: dict, resolve) -> bytes:
             raw = _unpredict(raw, p, resolve)
         elif f == "LZWDecode":
             # PDF LZW with EarlyChange=1 (the default) is byte-identical
-            # to the TIFF §13 variant bmptiff implements
-            if int(resolve(p.get("EarlyChange", 1))) != 1:
-                raise NotImplementedError("PDF LZW EarlyChange=0")
+            # to the TIFF §13 variant bmptiff implements; EarlyChange=0
+            # shifts the code-width bump by one table entry
+            early = int(resolve(p.get("EarlyChange", 1)))
+            if early not in (0, 1):
+                raise ValueError(f"PDF LZW EarlyChange={early} invalid")
             from .bmptiff import _lzw_decode
 
-            raw = _unpredict(_lzw_decode(raw), p, resolve)
+            raw = _unpredict(_lzw_decode(raw, early=early), p, resolve)
         elif f == "RunLengthDecode":
             raw = _rle_decode(raw)
         elif f == "ASCII85Decode":
@@ -1038,18 +1040,22 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
         k = int(resolve(p.get("K", 0)))
         cols = int(resolve(p.get("Columns", 1728)))
         rows = int(resolve(p.get("Rows", h)))
-        if resolve(p.get("EncodedByteAlign", False)):
-            raise NotImplementedError("CCITT EncodedByteAlign")
+        byte_align = bool(resolve(p.get("EncodedByteAlign", False)))
         if cols != w or rows != h:
             raise ValueError("CCITT Columns/Rows disagree with image dims")
         from .fax import decode_g4, decode_mh, decode_t4
 
         if k < 0:
-            mask = decode_g4(raw, cols, rows)  # G4 / T.6
+            # G4 / T.6; EncodedByteAlign starts each coded line on a byte
+            mask = decode_g4(raw, cols, rows, byte_align=byte_align)
         elif k == 0:
-            mask = decode_mh(raw, cols, rows)  # G3 1D MH
+            # G3 1D MH: one continuous bitstream unless EncodedByteAlign
+            # pads each row to a byte boundary (PDF 1.7 §7.4.6)
+            mask = decode_mh(raw, cols, rows, row_align=byte_align)
         else:
-            mask = decode_t4(raw, cols, rows, two_d=True)  # G3 mixed 2D
+            # G3 mixed 2D: EncodedByteAlign only pads fill bits before
+            # each EOL, which the EOL scanner already absorbs
+            mask = decode_t4(raw, cols, rows, two_d=True)
         # wire format: mask 1 = black; /BlackIs1 picks the decoded bit
         # value for black (default false → black = sample 0)
         black_is_1 = bool(resolve(p.get("BlackIs1", False)))
@@ -1057,7 +1063,8 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
         gray = _bits_to_gray(bits, resolve(d.get("Decode")), resolve)
         return K.encode_synf(np.ascontiguousarray(gray))
     raw = _apply_filters(stream.raw, d, resolve)
-    if bpc == 1 and cs in ("DeviceGray", None):
+    model, palette = _resolve_colorspace(cs, resolve, _apply_filters)
+    if bpc == 1 and model == "gray":
         row_bytes = (w + 7) // 8
         need = h * row_bytes
         if len(raw) < need:
@@ -1066,21 +1073,118 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
         bits = np.unpackbits(packed, axis=1)[:, :w]
         gray = _bits_to_gray(bits, resolve(d.get("Decode")), resolve)
         return K.encode_synf(np.ascontiguousarray(gray))
-    if bpc != 8:
-        raise NotImplementedError(f"PDF raw image bpc {bpc} unsupported")
-    if cs == "DeviceRGB":
-        px = np.frombuffer(raw[: w * h * 3], np.uint8)
-        if px.size < w * h * 3:
+    decode = resolve(d.get("Decode"))
+    if decode is not None:
+        # only the identity arrays ride this path silently; an inverted
+        # or range-mapped Decode on multi-bit samples stays a loud seam
+        vals = [float(resolve(v)) for v in decode]
+        hival = (1 << bpc) - 1 if model == "indexed" else 1
+        ident = [0.0, float(hival)] * (len(vals) // 2)
+        if vals != ident[: len(vals)]:
+            raise NotImplementedError(
+                f"PDF /Decode {vals} on {bpc}-bit {model} image unsupported"
+            )
+    ncomp = {"gray": 1, "rgb": 3, "cmyk": 4, "indexed": 1}[model]
+    if bpc not in (1, 2, 4, 8) or (bpc != 8 and ncomp != 1):
+        raise NotImplementedError(
+            f"PDF raw image bpc {bpc} x {ncomp} components unsupported"
+        )
+    if bpc == 8:
+        need = w * h * ncomp
+        px = np.frombuffer(raw[:need], np.uint8)
+        if px.size < need:
             raise ValueError("PDF image data truncated")
-        gray = K.rgb_to_gray(px.reshape(h, w, 3))
-    elif cs in ("DeviceGray", None):
-        px = np.frombuffer(raw[: w * h], np.uint8)
-        if px.size < w * h:
-            raise ValueError("PDF image data truncated")
-        gray = px.reshape(h, w)
+        samples = px.reshape(h, w, ncomp)
     else:
-        raise NotImplementedError(f"PDF color space {cs} unsupported")
+        # sub-byte samples: rows pad to byte boundaries (PDF 1.7 §8.9.3)
+        row_bytes = (w * bpc + 7) // 8
+        need = h * row_bytes
+        if len(raw) < need:
+            raise ValueError("PDF image data truncated")
+        packed = np.frombuffer(raw[:need], np.uint8).reshape(h, row_bytes)
+        bits = np.unpackbits(packed, axis=1)[:, : w * bpc]
+        weights = 1 << np.arange(bpc - 1, -1, -1, dtype=np.uint8)
+        samples = (
+            (bits.reshape(h, w, bpc) * weights).sum(axis=2).astype(np.uint8)
+        )[..., None]
+    if model == "indexed":
+        base_model, pal = palette
+        idx = samples[..., 0].astype(np.int64)
+        nc = {"gray": 1, "rgb": 3, "cmyk": 4}[base_model]
+        lut = np.frombuffer(pal, np.uint8)
+        if idx.max(initial=0) >= len(lut) // nc:
+            raise ValueError("PDF indexed sample exceeds palette")
+        samples = lut.reshape(-1, nc)[idx]
+        model = base_model
+        bpc = 8  # palette entries are full-range bytes regardless of index width
+    if model == "cmyk":
+        s = samples.astype(np.float32)
+        rgb = (255.0 - s[..., :3]) * (255.0 - s[..., 3:4]) / 255.0
+        gray = K.rgb_to_gray(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))
+    elif model == "rgb":
+        gray = K.rgb_to_gray(samples)
+    else:
+        g = samples[..., 0]
+        if bpc != 8:  # scale 2/4-bit gray levels to full range
+            g = (g.astype(np.uint16) * 255 // ((1 << bpc) - 1)).astype(np.uint8)
+        gray = g
     return K.encode_synf(np.ascontiguousarray(gray))
+
+
+def _resolve_colorspace(cs, resolve, apply_filters):
+    """PDF /ColorSpace → ('gray'|'rgb'|'cmyk'|'indexed', palette_info).
+
+    Handles the color spaces placed raster invoices actually use:
+    Device*/Cal* families, ICCBased by component count /N (the profile
+    itself is advisory for grayscale extraction), and Indexed with a
+    string or stream lookup over any of those bases. Separation / DeviceN
+    / Lab / Pattern stay loud NotImplementedError seams."""
+    cs = resolve(cs)
+    if cs is None or cs in ("DeviceGray", "CalGray", "G"):
+        return "gray", None
+    if cs in ("DeviceRGB", "CalRGB", "RGB"):
+        return "rgb", None
+    if cs in ("DeviceCMYK", "CMYK"):
+        return "cmyk", None
+    if isinstance(cs, list) and cs:
+        head = str(resolve(cs[0]))
+        if head in ("CalGray",):
+            return "gray", None
+        if head in ("CalRGB",):
+            return "rgb", None
+        if head == "ICCBased":
+            if len(cs) < 2:
+                raise ValueError("ICCBased colorspace missing stream")
+            st = resolve(cs[1])
+            n = int(resolve(st.dict.get("N", 0))) if isinstance(st, _Stream) else 0
+            if n == 1:
+                return "gray", None
+            if n == 3:
+                return "rgb", None
+            if n == 4:
+                return "cmyk", None
+            raise NotImplementedError(f"ICCBased colorspace N={n} unsupported")
+        if head in ("Indexed", "I"):
+            if len(cs) != 4:
+                raise ValueError("Indexed colorspace needs 4 entries")
+            base_model, base_pal = _resolve_colorspace(cs[1], resolve, apply_filters)
+            if base_model == "indexed":
+                raise ValueError("Indexed base cannot itself be Indexed")
+            lookup = resolve(cs[3])
+            if isinstance(lookup, _Stream):
+                pal = apply_filters(lookup.raw, lookup.dict, resolve)
+            elif isinstance(lookup, bytes):
+                pal = lookup
+            elif isinstance(lookup, str):
+                pal = lookup.encode("latin-1")
+            else:
+                raise ValueError("Indexed lookup must be string or stream")
+            nc = {"gray": 1, "rgb": 3, "cmyk": 4}[base_model]
+            hival = int(resolve(cs[2]))
+            if len(pal) < nc * (hival + 1):
+                raise ValueError("Indexed lookup shorter than hival implies")
+            return "indexed", (base_model, pal)
+    raise NotImplementedError(f"PDF color space {cs} unsupported")
 
 
 def pdf_spans(data: bytes, line_tol: float = 2.0):

@@ -286,6 +286,59 @@ def test_text_region_overlapping_instances_negative_ids():
     )
 
 
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+def test_transposed_text_region(refcorner):
+    """TRANSPOSED=1: S runs vertically (columns of glyphs), any corner.
+    Expected page rendered by direct numpy placement — independent of
+    the codec — so a mirrored encode/decode geometry bug cannot hide."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text
+
+    symbols = [_glyph(9, 6, 1), _glyph(7, 8, 2), _glyph(12, 5, 3)]
+    rng = np.random.default_rng(11)
+    placements = []
+    x = 4
+    for _col in range(5):
+        y = 3
+        for _k in range(6):
+            sid = int(rng.integers(0, len(symbols)))
+            placements.append((sid, x, y))
+            y += symbols[sid].shape[0] + 2
+        x += 12
+    data = encode_jbig2_text(symbols, placements, 70, 90, strips=4,
+                             transposed=True, refcorner=refcorner)
+    got = decode_jbig2(data)
+    assert np.array_equal(got, _text_page(symbols, placements, 70, 90))
+
+
+def test_transposed_differs_from_normal_wire():
+    """The transposed flag genuinely changes the wire bytes (the test
+    above pins decode; this pins that we didn't encode the same stream
+    twice)."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text
+
+    symbols = [_glyph(6, 5, 1)]
+    placements = [(0, 4, 3), (0, 4, 12), (0, 20, 3)]
+    a = encode_jbig2_text(symbols, placements, 40, 25, strips=4,
+                          transposed=True)
+    b = encode_jbig2_text(symbols, placements, 40, 25, strips=4)
+    assert a != b
+    want = _text_page(symbols, placements, 40, 25)
+    assert np.array_equal(decode_jbig2(a), want)
+    assert np.array_equal(decode_jbig2(b), want)
+
+
+def test_transposed_negative_ids_overlap():
+    # vertically overlapping instances → negative IDS deltas in S (=y)
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text
+
+    symbols = [_glyph(10, 7, 4)]
+    placements = [(0, 5, 2), (0, 5, 7), (0, 5, 30)]
+    data = encode_jbig2_text(symbols, placements, 30, 45, transposed=True)
+    assert np.array_equal(
+        decode_jbig2(data), _text_page(symbols, placements, 30, 45)
+    )
+
+
 def test_symbol_dict_huffman_is_loud():
     import struct
 

@@ -406,7 +406,12 @@ def test_ccitt_image_decodes(k):
 
     mask = _bilevel_mask()
     h, w = mask.shape
-    data = {-1: encode_g4, 0: encode_mh}.get(k, lambda m: encode_t4(m, two_d=True))(mask)
+    # default EncodedByteAlign=false: K=0 rows form ONE continuous
+    # bitstream (PDF 1.7 §7.4.6), unlike the byte-aligned TIFF layout
+    data = {
+        -1: encode_g4,
+        0: lambda m: encode_mh(m, row_align=False),
+    }.get(k, lambda m: encode_t4(m, two_d=True))(mask)
     blob = _image_pdf(
         f"/Width {w} /Height {h} /BitsPerComponent 1 /ColorSpace /DeviceGray "
         f"/Filter /CCITTFaxDecode /DecodeParms << /K {k} /Columns {w} /Rows {h} >>",
@@ -418,6 +423,61 @@ def test_ccitt_image_decodes(k):
     assert img.shape == (h, w)
     # fax wire 1 = black → default BlackIs1=false → sample 0 → gray 0
     np.testing.assert_array_equal(img == 0, mask.astype(bool))
+
+
+@pytest.mark.parametrize("k", [-1, 0, 1])
+def test_ccitt_encoded_byte_align(k):
+    """/EncodedByteAlign true: every coded line (K<=0) starts on a byte
+    boundary; for K>0 the fill bits before each EOL do the aligning."""
+    from ai_invoice_ocr_engine_spark.fax import encode_g4, encode_mh, encode_t4
+
+    mask = _bilevel_mask()
+    h, w = mask.shape
+    data = {
+        -1: lambda m: encode_g4(m, byte_align=True),
+        0: encode_mh,  # default = byte-aligned rows
+    }.get(k, lambda m: encode_t4(m, two_d=True, byte_align=True))(mask)
+    if k == -1:
+        # the aligned stream must actually differ from the packed one,
+        # or this test pins nothing
+        assert data != encode_g4(mask)
+    blob = _image_pdf(
+        f"/Width {w} /Height {h} /BitsPerComponent 1 /ColorSpace /DeviceGray "
+        f"/Filter /CCITTFaxDecode /DecodeParms "
+        f"<< /K {k} /Columns {w} /Rows {h} /EncodedByteAlign true >>",
+        data,
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    np.testing.assert_array_equal(img == 0, mask.astype(bool))
+
+
+def test_lzw_early_change_zero():
+    """/EarlyChange 0 bumps the code width one table entry later; the
+    stream layouts genuinely diverge once the table crosses a width
+    boundary, so a long content stream pins the parameter."""
+    from ai_invoice_ocr_engine_spark.bmptiff import _lzw_decode, _lzw_encode
+
+    # deterministic incompressible payload long enough to cross the
+    # 9->10->11-bit width bumps in both conventions
+    import hashlib
+
+    blob_bytes = b"".join(
+        hashlib.sha256(bytes([i])).digest() for i in range(200)
+    )
+    e0 = _lzw_encode(blob_bytes, early=0)
+    e1 = _lzw_encode(blob_bytes)
+    assert e0 != e1
+    assert _lzw_decode(e0, early=0) == blob_bytes
+    assert _lzw_decode(e1) == blob_bytes
+
+    body = _lzw_encode(_FILTER_CONTENT + b" " * 600, early=0)
+    blob = _raw_pdf(
+        body,
+        content_filter="/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+    )
+    spans, _ = pdf_spans(blob)
+    assert _texts(spans) == ["filtered", "stream"]
 
 
 def test_ccitt_blackis1_flips():
@@ -452,6 +512,138 @@ def test_bilevel_flate_image(decode, expect_black):
     img = K.decode_image(next(iter(media.values())))
     want = mask.astype(bool) if expect_black else ~mask.astype(bool)
     np.testing.assert_array_equal(img == 0, want)
+
+
+def _image_pdf_multi(img_dict: str, payload: bytes, more_objs: list) -> bytes:
+    """Like _image_pdf but with extra indirect objects at 6 0 R onward
+    (ICCBased profile streams, Indexed lookup streams)."""
+    extra = [
+        f"<< /Type /XObject /Subtype /Image {img_dict} "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    ] + more_objs
+    content = b"q 128 0 0 96 72 400 cm /Im0 Do Q"
+    return _raw_pdf(content, extra_objs=extra, font="/XObject << /Im0 5 0 R >>")
+
+
+def test_cmyk_raw_image():
+    rng = np.random.default_rng(7)
+    cmyk = rng.integers(0, 256, (12, 17, 4), dtype=np.uint8)
+    blob = _image_pdf(
+        "/Width 17 /Height 12 /BitsPerComponent 8 /ColorSpace /DeviceCMYK",
+        cmyk.tobytes(),
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    s = cmyk.astype(np.float32)
+    rgb = np.clip(
+        np.rint((255.0 - s[..., :3]) * (255.0 - s[..., 3:4]) / 255.0), 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(img, K.rgb_to_gray(rgb))
+
+
+def test_gray_4bit_raw_image():
+    rng = np.random.default_rng(8)
+    g4 = rng.integers(0, 16, (10, 13), dtype=np.uint8)  # odd width: row pad
+    packed = np.packbits(
+        np.unpackbits(g4[..., None], axis=2)[..., 4:].reshape(10, -1), axis=1
+    )
+    blob = _image_pdf(
+        "/Width 13 /Height 10 /BitsPerComponent 4 /ColorSpace /DeviceGray",
+        packed.tobytes(),
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    np.testing.assert_array_equal(img, (g4.astype(np.uint16) * 255 // 15))
+
+
+def test_indexed_hexstring_palette():
+    # 2-bit indices into a 4-entry RGB palette given as a hex string
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]], np.uint8
+    )
+    idx = np.tile(np.array([[0, 1, 2, 3, 2, 1, 0]], np.uint8), (6, 1))
+    bits = np.unpackbits(idx[..., None], axis=2)[..., 6:]
+    packed = np.packbits(bits.reshape(6, -1), axis=1)
+    hexpal = pal.tobytes().hex().upper()
+    blob = _image_pdf(
+        "/Width 7 /Height 6 /BitsPerComponent 2 "
+        f"/ColorSpace [/Indexed /DeviceRGB 3 <{hexpal}>]",
+        packed.tobytes(),
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    np.testing.assert_array_equal(img, K.rgb_to_gray(pal[idx]))
+
+
+def test_indexed_stream_palette_gray_base():
+    # 8-bit indices, lookup carried in a Flate stream, base DeviceGray
+    pal = np.arange(0, 160, dtype=np.uint8)
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 160, (9, 11), dtype=np.uint8)
+    payload = zlib.compress(pal.tobytes())
+    lut_obj = (
+        f"<< /Length {len(payload)} /Filter /FlateDecode >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    blob = _image_pdf_multi(
+        "/Width 11 /Height 9 /BitsPerComponent 8 "
+        "/ColorSpace [/Indexed /DeviceGray 159 6 0 R]",
+        idx.tobytes(),
+        [lut_obj],
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    np.testing.assert_array_equal(img, pal[idx])
+
+
+@pytest.mark.parametrize("n,ncomp", [(1, 1), (3, 3)])
+def test_iccbased_by_component_count(n, ncomp):
+    rng = np.random.default_rng(10 + n)
+    px = rng.integers(0, 256, (8, 9, ncomp), dtype=np.uint8)
+    profile = b"\0" * 16  # advisory bytes; only /N is load-bearing
+    icc_obj = (
+        f"<< /N {n} /Length {len(profile)} >>\nstream\n"
+        + profile.decode("latin-1")
+        + "\nendstream"
+    )
+    blob = _image_pdf_multi(
+        f"/Width 9 /Height 8 /BitsPerComponent 8 /ColorSpace [/ICCBased 6 0 R]",
+        px.tobytes(),
+        [icc_obj],
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    want = px[..., 0] if ncomp == 1 else K.rgb_to_gray(px)
+    np.testing.assert_array_equal(img, want)
+
+
+def test_calrgb_list_form():
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    blob = _image_pdf(
+        "/Width 7 /Height 6 /BitsPerComponent 8 "
+        "/ColorSpace [/CalRGB << /WhitePoint [0.9505 1 1.089] >>]",
+        px.tobytes(),
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    np.testing.assert_array_equal(img, K.rgb_to_gray(px))
+
+
+def test_nondefault_decode_on_8bit_is_loud():
+    # an inverting Decode on multi-bit samples is a loud seam, never
+    # silently-wrong pixels
+    px = np.zeros((4, 4), np.uint8)
+    blob = _image_pdf(
+        "/Width 4 /Height 4 /BitsPerComponent 8 /ColorSpace /DeviceGray "
+        "/Decode [1 0]",
+        px.tobytes(),
+    )
+    with pytest.raises(NotImplementedError):
+        pdf_spans(blob)
 
 
 def test_lzw_image_with_png_predictor():

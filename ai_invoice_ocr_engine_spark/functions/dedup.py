@@ -93,6 +93,107 @@ def jaccard_pairs(
     )
 
 
+def substring_dup_of(corpus: DataFrame, k: int = 64, step: int = 8) -> DataFrame:
+    """Exact-substring dedup: for every document that shares at least one
+    exact k-character shingle with a lower-numbered document, the smallest
+    such doc_id (``dup_of`` — the canonical survivor to keep).
+
+    Scale shape: min-label propagation through the shingle inverted index.
+    The first aggregation keeps only min(doc_id) PER SHINGLE (map-side
+    combinable — one row per distinct shingle enters the shuffle), and the
+    join back fans each shingle out to its own documents only. A shingle
+    shared by a million documents therefore contributes ONE label row,
+    never the ~10^12 rows a pair-enumerating self-join would — which is
+    why, unlike jaccard_pairs, this needs no max_df cap to survive a
+    near-identical corpus. Shuffles key on xxhash64 of the shingle (8-byte
+    keys; at 500M distinct shingles the collision expectation is ~0.007).
+    Documents shorter than k characters produce no shingle and never match.
+    """
+    sh = (
+        corpus.where(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(sequence(1, length(text) - {k - 1}, {step}))"
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", F.xxhash64(F.expr(f"substr(text, i, {k})")).alias("h")
+        )
+        .distinct()
+    )
+    mins = sh.groupBy("h").agg(F.min("doc_id").alias("min_doc"))
+    return (
+        sh.join(mins, "h")
+        .where(F.col("min_doc") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("min_doc").alias("dup_of"))
+    )
+
+
+def word_ngrams(corpus: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, g): distinct space-joined word n-grams per document."""
+    return (
+        corpus.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(transform(sequence(1, size(w) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(w, i, {n}))))"
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def containment_pairs(
+    corpus: DataFrame, n: int = 5, max_df: int = 20,
+    min_containment: float = 0.9,
+) -> DataFrame:
+    """Directional near-dup pairs: containment(src in dst) =
+    |grams(src) ∩ grams(dst)| / |grams(src)| over rare word n-grams.
+
+    Catches the subset case symmetric Jaccard misses: a short document
+    wholly embedded in a long one has containment ~1 while its Jaccard
+    ~|src|/|dst| can sit arbitrarily below any threshold. Same
+    inverted-index + document-frequency-cap shape as jaccard_pairs (the
+    pair join only ever touches grams with df <= max_df), and sizes are
+    counted over the SAME rare-gram set so the ratio stays internally
+    consistent.
+    """
+    g = word_ngrams(corpus, n)
+    rare = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("g")
+    )
+    rg = g.join(rare, "g")
+    sizes = rg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    a = rg.alias("a")
+    b = rg.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src_doc"),
+            F.col("b.doc_id").alias("dst_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "src_doc"), "src_doc")
+        .withColumn("containment", F.round(F.col("shared") / F.col("n_g"), 4))
+        .where(F.col("containment") >= min_containment)
+        .select("src_doc", "dst_doc", "shared", "containment")
+    )
+
+
 def minhash_band_pairs(
     corpus: DataFrame, k: int = 12, band_rows: int = 3, fast_hash: bool = False
 ) -> DataFrame:

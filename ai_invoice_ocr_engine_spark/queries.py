@@ -398,6 +398,86 @@ WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
 """
 
 
+def q_substring_dedup(spark, sf):
+    """Exact 64-char-substring dedup via shingle min-label propagation —
+    no pair enumeration, no df cap needed (functions/dedup.py
+    substring_dup_of)."""
+    return D.substring_dup_of(_corpus(spark, sf), k=64, step=8)
+
+
+_SQL_SUBSTRING_DEDUP = f"""
+WITH {_CORPUS_SQL},
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 64) AS g
+  FROM corpus, LATERAL (SELECT unnest(range(1, length(text) - 63 + 1, 8)) AS i) t
+  WHERE length(text) >= 64
+),
+mins AS (SELECT g, min(doc_id) AS min_doc FROM sh GROUP BY g)
+SELECT sh.doc_id AS doc_id, min(min_doc) AS dup_of
+FROM sh JOIN mins USING (g)
+WHERE min_doc < sh.doc_id
+GROUP BY sh.doc_id
+"""
+
+
+def q_containment_pairs(spark, sf):
+    """Directional word-5-gram containment (subset near-dup) pairs
+    (functions/dedup.py containment_pairs)."""
+    return D.containment_pairs(_corpus(spark, sf), n=5, max_df=20,
+                               min_containment=0.9)
+
+
+_SQL_CONTAINMENT_PAIRS = f"""
+WITH {_CORPUS_SQL},
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM w, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) t
+  WHERE len(w) >= 5
+),
+rare AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 20),
+rg AS (SELECT g.doc_id, g.g FROM g JOIN rare USING (g)),
+sizes AS (SELECT doc_id, count(*) AS n_g FROM rg GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS shared
+  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_doc, dst_doc, shared, round(shared / s.n_g, 4) AS containment
+FROM shared JOIN sizes s ON s.doc_id = src_doc
+WHERE round(shared / s.n_g, 4) >= 0.9
+"""
+
+
+def q_mixture_weights(spark, sf):
+    """Corpus-mixing weights: temperature-scaled source sampling
+    (alpha = 0.5 via sqrt, which is IEEE-exact on both engines) and
+    target doc counts for a 100k-doc budget. The per-source count is the
+    only scale-relevant work (one map-side-combining aggregation); the
+    sqrt-sum rides a broadcast of the tiny per-source table, not a
+    single-partition global window."""
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum(F.sqrt("n_docs")).alias("z"))
+    weight = F.round(F.sqrt("n_docs") / F.col("z"), 6)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        weight.alias("weight"),
+        F.round(weight * 100000).cast("bigint").alias("target_docs"),
+    )
+
+
+_SQL_MIXTURE_WEIGHTS = """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT sum(sqrt(n_docs)) AS z FROM counts)
+SELECT source, n_docs,
+       round(sqrt(n_docs) / z, 6) AS weight,
+       cast(round(round(sqrt(n_docs) / z, 6) * 100000) AS bigint) AS target_docs
+FROM counts, tot
+"""
+
+
 def q_dedup_minhash(spark, sf):
     return D.minhash_band_pairs(_corpus(spark, sf), k=12, band_rows=3)
 
@@ -2682,6 +2762,9 @@ REGISTRY: dict[str, tuple] = {
     "lineage_counts": (q_lineage_counts, _SQL_LINEAGE),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_jaccard, _SQL_DEDUP_JACCARD),
+    "substring_dedup": (q_substring_dedup, _SQL_SUBSTRING_DEDUP),
+    "containment_pairs": (q_containment_pairs, _SQL_CONTAINMENT_PAIRS),
+    "mixture_weights": (q_mixture_weights, _SQL_MIXTURE_WEIGHTS),
     "dedup_minhash_lsh": (q_dedup_minhash, _SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, _SQL_DEDUP_SIMHASH),
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),

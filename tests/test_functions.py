@@ -36,6 +36,40 @@ def test_jaccard_finds_near_dups(text_df):
     assert not any(4 in p for p in pairs)
 
 
+def test_substring_dedup_min_label(spark):
+    """Every doc sharing an exact k-gram with a lower doc_id gets the
+    SMALLEST such doc as dup_of; short docs never match."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4  # 192 chars
+    rows = [
+        (10, base),
+        (20, base),                      # exact dup of 10
+        (30, base + "trailing extras"),  # shares every base shingle
+        (40, "short text"),              # < k chars: no shingle
+        (50, "x" * 200),                 # long but disjoint content
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["dup_of"]
+           for r in D.substring_dup_of(df, k=64, step=8).collect()}
+    assert out == {20: 10, 30: 10}
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment ~1 while
+    symmetric Jaccard sits far below any usable threshold."""
+    words = [f"w{i}" for i in range(120)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[40:60])  # 20/120 words -> Jaccard ~0.14
+    rows = [(1, long_doc), (2, short_doc), (3, "unrelated stuff entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cont = {(r["src_doc"], r["dst_doc"]): r["containment"] for r in
+            D.containment_pairs(df, n=5, max_df=20, min_containment=0.9).collect()}
+    assert cont[(2, 1)] == 1.0      # short contained in long
+    assert (1, 2) not in cont       # the reverse direction is NOT a dup
+    jac = {(r["doc_a"], r["doc_b"]) for r in
+           D.jaccard_pairs(df, max_df=20, min_jaccard=0.5).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac  # Jaccard misses it
+
+
 def test_minhash_lsh_finds_dups(text_df):
     pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in
              D.minhash_band_pairs(text_df, k=12, band_rows=3).collect()}

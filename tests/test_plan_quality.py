@@ -143,6 +143,22 @@ def test_minhash_no_k_way_explode(spark):
     assert "partial_min" in plan
 
 
+def test_substring_dedup_no_pair_join(spark):
+    """substring_dup_of must be min-label propagation, not pair
+    enumeration: the shingle relation is aggregated to min(doc_id) with a
+    map-side partial BEFORE any join (a hot shingle contributes one row,
+    never O(n^2) pairs), and the only Generates are the two shingle
+    explodes (one per side of the label join)."""
+    from ai_invoice_ocr_engine_spark.functions import dedup as D
+    from ai_invoice_ocr_engine_spark.queries import _corpus
+
+    df = D.substring_dup_of(_corpus(spark, SF))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan          # map-side combine on the labels
+    assert plan.count("Generate") <= 2    # shingle explode per join side
+    assert "CartesianProduct" not in plan
+
+
 def test_quantile_buckets_no_global_sort(spark):
     """VERDICT r2 'weak' #1 pinned: the scale-safe quantile assignment must
     contain no Window and no Sort (the global single-partition ntile sort it

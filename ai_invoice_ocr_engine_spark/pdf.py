@@ -1073,18 +1073,26 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
         bits = np.unpackbits(packed, axis=1)[:, :w]
         gray = _bits_to_gray(bits, resolve(d.get("Decode")), resolve)
         return K.encode_synf(np.ascontiguousarray(gray))
+    ncomp = {"gray": 1, "rgb": 3, "cmyk": 4, "indexed": 1}[model]
+    decode_vals = None
     decode = resolve(d.get("Decode"))
     if decode is not None:
-        # only the identity arrays ride this path silently; an inverted
-        # or range-mapped Decode on multi-bit samples stays a loud seam
         vals = [float(resolve(v)) for v in decode]
-        hival = (1 << bpc) - 1 if model == "indexed" else 1
-        ident = [0.0, float(hival)] * (len(vals) // 2)
-        if vals != ident[: len(vals)]:
-            raise NotImplementedError(
-                f"PDF /Decode {vals} on {bpc}-bit {model} image unsupported"
+        if len(vals) != 2 * ncomp:
+            raise ValueError(
+                f"PDF /Decode needs {2 * ncomp} entries for {model}, "
+                f"got {len(vals)}"
             )
-    ncomp = {"gray": 1, "rgb": 3, "cmyk": 4, "indexed": 1}[model]
+        hival = (1 << bpc) - 1 if model == "indexed" else 1
+        ident = [0.0, float(hival)] * ncomp
+        if vals != ident:
+            if model == "indexed":
+                # a remapped palette-index range is vanishingly rare and
+                # ambiguous with fractional results — keep the loud seam
+                raise NotImplementedError(
+                    f"PDF /Decode {vals} on Indexed image unsupported"
+                )
+            decode_vals = vals
     if bpc not in (1, 2, 4, 8) or (bpc != 8 and ncomp != 1):
         raise NotImplementedError(
             f"PDF raw image bpc {bpc} x {ncomp} components unsupported"
@@ -1107,6 +1115,17 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
         samples = (
             (bits.reshape(h, w, bpc) * weights).sum(axis=2).astype(np.uint8)
         )[..., None]
+    if decode_vals is not None:
+        # per-component /Decode mapping (PDF 1.7 §8.9.5.2):
+        # v -> Dmin + v*(Dmax-Dmin)/maxval, the [0,1] result widened to a
+        # full-range byte (handles inverted [1 0] scans and narrowed ranges)
+        maxv = float((1 << bpc) - 1)
+        s = samples.astype(np.float32)
+        for c in range(ncomp):
+            d0, d1 = decode_vals[2 * c], decode_vals[2 * c + 1]
+            s[..., c] = (d0 + s[..., c] * ((d1 - d0) / maxv)) * 255.0
+        samples = np.clip(np.rint(s), 0, 255).astype(np.uint8)
+        bpc = 8  # components are now full-range bytes
     if model == "indexed":
         base_model, pal = palette
         idx = samples[..., 0].astype(np.int64)

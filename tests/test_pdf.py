@@ -633,14 +633,44 @@ def test_calrgb_list_form():
     np.testing.assert_array_equal(img, K.rgb_to_gray(px))
 
 
-def test_nondefault_decode_on_8bit_is_loud():
-    # an inverting Decode on multi-bit samples is a loud seam, never
-    # silently-wrong pixels
-    px = np.zeros((4, 4), np.uint8)
+def test_decode_array_inverts_8bit_gray():
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (5, 6), dtype=np.uint8)
     blob = _image_pdf(
-        "/Width 4 /Height 4 /BitsPerComponent 8 /ColorSpace /DeviceGray "
+        "/Width 6 /Height 5 /BitsPerComponent 8 /ColorSpace /DeviceGray "
         "/Decode [1 0]",
         px.tobytes(),
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    np.testing.assert_array_equal(img, 255 - px)
+
+
+def test_decode_array_narrowed_range_4bit():
+    # /Decode [0.2 0.8] on 4-bit gray: v -> (0.2 + v*0.6/15) * 255
+    g4 = np.arange(16, dtype=np.uint8).reshape(2, 8)
+    packed = np.packbits(
+        np.unpackbits(g4[..., None], axis=2)[..., 4:].reshape(2, -1), axis=1
+    )
+    blob = _image_pdf(
+        "/Width 8 /Height 2 /BitsPerComponent 4 /ColorSpace /DeviceGray "
+        "/Decode [0.2 0.8]",
+        packed.tobytes(),
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    want = np.clip(
+        np.rint((0.2 + g4.astype(np.float32) * (0.6 / 15.0)) * 255.0), 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(img, want)
+
+
+def test_decode_array_on_indexed_is_loud():
+    pal = bytes(range(12))
+    blob = _image_pdf(
+        "/Width 4 /Height 1 /BitsPerComponent 8 "
+        f"/ColorSpace [/Indexed /DeviceRGB 3 <{pal.hex()}>] /Decode [3 0]",
+        bytes([0, 1, 2, 3]),
     )
     with pytest.raises(NotImplementedError):
         pdf_spans(blob)

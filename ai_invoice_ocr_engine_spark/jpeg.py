@@ -5,10 +5,12 @@ codec seam made real (/root/reference/engine.py:46 accepts png/jpg/jpeg;
 Decoder: baseline sequential (SOF0) AND progressive (SOF2 — spectral
 selection + successive approximation, T.81 Annex G: DC/AC first and
 refinement scans, EOB runs, correction bits), Huffman entropy coding,
-8-bit precision, grayscale / YCbCr / Adobe RGB / Adobe CMYK + YCCK
-(APP14 transform flag, inverted-ink convention) with ANY integer
-sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart markers.
-Arithmetic coding, lossless and 12-bit raise NotImplementedError
+8-bit precision plus 12-bit extended sequential/progressive (SOF1/SOF2
+with 16-bit quant tables; decoded at full 12-bit range then rounded
+once to the engine's 8-bit grayscale), grayscale / YCbCr / Adobe RGB /
+Adobe CMYK + YCCK (APP14 transform flag, inverted-ink convention) with
+ANY integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
+markers. Arithmetic coding and lossless raise NotImplementedError
 (valid-but-unsupported);
 malformed streams raise ValueError — the same error contract as
 decode_png. The progressive ENCODER below exists to pin the decoder:
@@ -252,12 +254,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 while sp < len(seg):
                     pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
                     sp += 1
-                    if pq == 1:
-                        raise NotImplementedError("16-bit quant tables unsupported")
-                    qt[tq] = np.frombuffer(
-                        seg[sp : sp + 64], np.uint8
-                    ).astype(np.int32)
-                    sp += 64
+                    nbytes = 128 if pq == 1 else 64
+                    if len(seg) - sp < nbytes:
+                        raise ValueError("JPEG DQT truncated")
+                    if pq == 1:  # 16-bit entries (12-bit precision streams)
+                        qt[tq] = np.frombuffer(
+                            seg[sp : sp + 128], ">u2"
+                        ).astype(np.int32)
+                    else:
+                        qt[tq] = np.frombuffer(
+                            seg[sp : sp + 64], np.uint8
+                        ).astype(np.int32)
+                    sp += nbytes
             elif marker == 0xC4:  # DHT
                 sp = 0
                 while sp < len(seg):
@@ -269,8 +277,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     sp += 17 + cnt
             elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
                 prec = seg[0]
-                if prec != 8:
+                if prec not in (8, 12):
                     raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+                if prec == 12 and marker == 0xC0:
+                    raise ValueError("baseline SOF0 must be 8-bit (T.81)")
                 h = (seg[1] << 8) | seg[2]
                 w = (seg[3] << 8) | seg[4]
                 nc = seg[5]
@@ -284,7 +294,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         {"id": cid, "hs": hv >> 4, "vs": hv & 0x0F,
                          "tq": seg[8 + c * 3]}
                     )
-                frame = (h, w, comps)
+                frame = (h, w, comps, prec)
                 progressive = marker == 0xC2
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
@@ -351,7 +361,7 @@ def _decode_baseline_scan(data, pos, frame, scan, store, huff_dc, huff_ac,
     per T.81 A.2.2 (covers only the component's real block grid, one block
     per restart unit) — the shape scan-per-component baseline writers emit;
     multi-component scans interleave over the padded MCU grid."""
-    h, w, comps = frame
+    h, w, comps = frame[:3]
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -478,7 +488,9 @@ def _reconstruct(store, frame, qt, rgb_to_gray, adobe_transform=None):
     CMYK (flag 0).  Adobe writers store 4-component data INVERTED
     (255 = no ink) — honored whenever APP14 is present; a 4-component
     stream with no APP14 at all is taken as non-inverted CMYK."""
-    h, w, comps = frame
+    h, w, comps = frame[:3]
+    prec = frame[3] if len(frame) > 3 else 8
+    level, maxval = 1 << (prec - 1), (1 << prec) - 1
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -495,7 +507,12 @@ def _reconstruct(store, frame, qt, rgb_to_gray, adobe_transform=None):
         blocks = nat.reshape(by, bx, 8, 8)
         spatial = _idct_blocks(blocks.astype(np.float64))
         plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        plane = np.clip(np.rint(plane) + 128, 0, 255).astype(np.uint8)
+        plane = np.clip(np.rint(plane) + level, 0, maxval)
+        if prec > 8:
+            # clamp at full 12-bit range, THEN one rounding rescale to
+            # 8-bit (the engine's single grayscale depth)
+            plane = (plane * 255 + maxval // 2) // maxval
+        plane = plane.astype(np.uint8)
         # upsample to full-resolution grid (nearest/replication)
         ry, rx = vmax // c["vs"], hmax // c["hs"]
         if ry > 1 or rx > 1:
@@ -584,7 +601,7 @@ def _decode_progressive_scan(data, pos, frame, scan, store, huff_dc, huff_ac,
     AC first / AC refine, restart-aware. Mutates `store` (raster-grid,
     zigzag order); returns the absolute offset just past the scan's
     entropy data (at the next marker)."""
-    h, w, comps = frame
+    h, w, comps = frame[:3]
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcux = -(-w // (8 * hmax))

@@ -322,3 +322,76 @@ def test_adobe_rgb_transform0_three_component():
     app14 = _seg(0xEE, b"Adobe\x00\x65\x00\x00\x00\x00\x01")
     spliced = enc[:2] + bytes(app14) + enc[2:]
     assert np.array_equal(decode_jpeg(spliced), decode_jpeg(enc))
+
+
+# -- 12-bit extended sequential (SOF1) ---------------------------------------
+
+# 12-bit streams must carry their own DC tables (Annex K's are 8-bit-only):
+# categories 0..14 at 4 bits, 15 at 5 — a valid canonical table.
+DC12_BITS = [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC12_VALS = list(range(16))
+
+
+def _dqt16(tid, table64):
+    """Pq=1: 16-bit big-endian quant entries (12-bit precision streams)."""
+    body = bytes([(1 << 4) | tid])
+    for v in table64:
+        body += int(v).to_bytes(2, "big")
+    return _seg(0xDB, body)
+
+
+def _sof(marker, prec, h, w, comps):
+    payload = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    payload += bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        payload += bytes([cid, (hs << 4) | vs, tq])
+    return _seg(marker, payload)
+
+
+def test_hand_assembled_12bit_sof1_dc_only():
+    """16-wide 12-bit SOF1, two DC-only blocks, q0 = 300 carried in a
+    16-bit DQT. Expected pixels follow analytically: DC-only IDCT is
+    dequant(DC)/8, level shift +2048, clamp to 0..4095, then the
+    documented rounding rescale (v*255 + 2047) // 4095 — no repo encoder
+    involved."""
+    q = [300] + [1] * 63
+    dc_abs = [4, -8]
+    dcc = _codes(DC12_BITS, DC12_VALS)
+    acc = _codes(AC_LUM_BITS, AC_LUM_VALS)
+    bw = _BW()
+    pred = 0
+    for a in dc_abs:
+        _put_dc(bw, dcc, a - pred)
+        pred = a
+        bw.put(acc[0x00][0], acc[0x00][1])  # EOB
+    stream = (
+        b"\xff\xd8"
+        + _dqt16(0, q)
+        + _sof(0xC1, 12, 8, 16, [(1, 1, 1, 0)])
+        + _dht(0, 0, DC12_BITS, DC12_VALS)
+        + _dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+        + _sos([(1, 0, 0)])
+        + bw.done()
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(stream)
+    assert img.shape == (8, 16)
+    # block1: 2048 + 4*300/8 = 2198 -> (2198*255+2047)//4095 = 137
+    # block2: 2048 - 8*300/8 = 1748 -> (1748*255+2047)//4095 = 109
+    assert np.all(img[:, :8] == 137)
+    assert np.all(img[:, 8:] == 109)
+
+
+def test_12bit_baseline_sof0_rejected():
+    """T.81: baseline SOF0 is 8-bit only — a 12-bit SOF0 is corrupt, not
+    a seam."""
+    import pytest
+
+    stream = (
+        b"\xff\xd8"
+        + _dqt(0, _Q8)
+        + _sof(0xC0, 12, 8, 8, [(1, 1, 1, 0)])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(stream)

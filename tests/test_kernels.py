@@ -389,7 +389,7 @@ def test_jpeg_error_contract_and_dispatch():
         J.decode_jpeg(b"\xff\xd8\xff\xc9\x00\x04\x08\x00")
     with pytest.raises(ValueError):  # truncated SOF2 header
         J.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
-    with pytest.raises(NotImplementedError):  # 16-bit quant table
+    with pytest.raises(ValueError):  # truncated 16-bit quant table
         J.decode_jpeg(b"\xff\xd8\xff\xdb\x00\x05\x10\x01\x02")
     with pytest.raises(ValueError):  # garbage after SOI
         J.decode_jpeg(b"\xff\xd8\x00\x00")

@@ -416,8 +416,9 @@ def decode_image(data: bytes) -> np.ndarray:
     """Polymorphic reader (S2, /root/reference/utils/image.py:4-11): SYNF,
     PNG, baseline JPEG, BMP or TIFF → grayscale uint8 — the reference's
     full accepted list (png/jpg/jpeg/bmp/tiff, /root/reference/engine.py:46)
-    plus the synthetic container and GIF (beyond-reference: web corpora
-    are full of GIFs; animations yield their first composited frame)."""
+    plus the synthetic container, GIF (beyond-reference: web corpora are
+    full of GIFs; animations yield their first composited frame), and
+    Netpbm P1-P6 (the OCR-tooling interchange format; pnm.py)."""
     if data[:4] == SYNF_MAGIC:
         return decode_synf(data)
     if data[:8] == PNG_MAGIC:
@@ -443,6 +444,15 @@ def decode_image(data: bytes) -> np.ndarray:
 
         # bilevel wire convention 1 = black → gray 0
         return ((1 - decode_jbig2(data)) * 255).astype(np.uint8)
+    if (
+        len(data) > 2
+        and data[0:1] == b"P"
+        and data[1:2] in b"123456"
+        and (data[2:3].isspace() or data[2:3] == b"#")
+    ):
+        from .pnm import decode_pnm
+
+        return decode_pnm(data)
     raise ValueError("unknown image format")
 
 

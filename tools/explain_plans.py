@@ -42,6 +42,11 @@ SHOW = [
     "repetition_filter",
     "stratified_sample",
     "corpus_funnel",
+    # session 4: exact-substring dedup (no-pair-join), containment,
+    # mixture weights
+    "substring_dedup",
+    "containment_pairs",
+    "mixture_weights",
 ]
 
 

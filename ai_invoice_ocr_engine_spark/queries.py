@@ -1505,6 +1505,40 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_unpivot_revenue(spark, sf):
+    """Unpivot (wide→long melt, the pivot inverse): per order status, the
+    three revenue components as (component, amount) rows via
+    DataFrame.unpivot — one pass, no union-of-selects re-scan."""
+    li = _t(spark, sf, "lineitem").join(
+        _t(spark, sf, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    wide = li.groupBy("o_orderstatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("base"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "discount"
+        ),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 2).alias("tax"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["base", "discount", "tax"], "component", "amount"
+    ).select(F.col("o_orderstatus").alias("status"), "component", "amount")
+
+
+_SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT o_orderstatus AS status,
+         round(sum(l_extendedprice), 2) AS base,
+         round(sum(l_extendedprice * l_discount), 2) AS discount,
+         round(sum(l_extendedprice * l_tax), 2) AS tax
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT status, component, amount
+FROM wide UNPIVOT (amount FOR component IN (base, discount, tax))
+"""
+
+
 def q_order_gap_days(spark, sf):
     """lead() + datediff: days between consecutive orders per customer
     (the forward-looking window twin of the lag-based sessionization)."""
@@ -2795,6 +2829,7 @@ REGISTRY: dict[str, tuple] = {
     "range_join_buckets": (q_range_join_buckets, _SQL_RANGE_JOIN),
     "multi_distinct": (q_multi_distinct, _SQL_MULTI_DISTINCT),
     "pivot_status_priority": (q_pivot_status_priority, _SQL_PIVOT),
+    "unpivot_revenue": (q_unpivot_revenue, _SQL_UNPIVOT),
     "array_word_stats": (q_array_word_stats, _SQL_ARRAY_STATS),
     "ann_ivf_full_probe": (q_ann_ivf_full_probe, _SQL_ANN_COSINE),
     "ann_ivf_probed": (q_ann_ivf_probed, _SQL_IVF_PROBED_GATE),

@@ -769,3 +769,87 @@ def phash_near_dup_pairs(
             "hamming",
         )
     )
+
+
+# -- audio near-dup: energy-contour fingerprint + banded Hamming pairing ----
+
+
+def audio_fingerprint64(samples: np.ndarray, n_windows: int = 65) -> int:
+    """64-bit energy-contour fingerprint — the audio analog of phash64.
+
+    The mono samples split into 65 equal time windows; bit i is set when
+    window i+1's RMS energy exceeds window i's (64 deltas). Comparing
+    CONSECUTIVE energies makes the hash exactly gain-invariant (scaling
+    preserves every comparison) and robust to resampling and lossy
+    re-encoding (windows are fractions of total duration; companding
+    noise rarely flips an energy ordering). Pure float64 numpy —
+    deterministic across partitions and platforms."""
+    s = np.asarray(samples, np.float64)
+    rms = np.array(
+        [float(np.sqrt(np.mean(w * w))) if len(w) else 0.0
+         for w in np.array_split(s, n_windows)]
+    )
+    h = 0
+    for i in range(min(n_windows - 1, 64)):
+        if rms[i + 1] > rms[i]:
+            h |= 1 << i
+    return h - (1 << 64) if h >= 1 << 63 else h  # signed 64-bit for Spark
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprints(audio: DataFrame) -> DataFrame:
+    """audio(media_ref, audio binary) → (media_ref, afp) — one Arrow
+    crossing through the polymorphic decode_audio; undecodable or
+    codec-seam clips are dropped (they cannot be near anything)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, fps = [], []
+            for ref, blob in zip(pdf["media_ref"], pdf["audio"]):
+                try:
+                    samples = decode_audio(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    continue
+                refs.append(ref)
+                fps.append(audio_fingerprint64(samples))
+            yield pd.DataFrame({"media_ref": refs, "afp": fps})
+
+    return audio.select("media_ref", "audio").mapInPandas(fn, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    audio: DataFrame, max_hamming: int = 8, max_bucket: int | None = 4096
+) -> DataFrame:
+    """Clip-level near-duplicate pairs: the energy-contour fingerprint
+    paired through the SAME banded-pigeonhole machinery as SimHash text
+    dedup and pHash frame dedup (functions/dedup.py simhash_candidates:
+    (max_hamming+1) bands, oversized buckets re-split, exact popcount
+    verify). Gain-changed, companded (A-law/mu-law), and resampled
+    copies of a clip land within max_hamming bits; unrelated audio does
+    not. Returns (ref_a, ref_b, hamming)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import simhash_candidates
+
+    hashes = audio_fingerprints(audio).select(
+        F.col("media_ref").alias("doc_id"), F.col("afp").alias("simhash")
+    )
+    cand = simhash_candidates(
+        hashes, bits=64, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("doc_a").alias("ref_a"),
+            F.col("doc_b").alias("ref_b"),
+            "hamming",
+        )
+    )

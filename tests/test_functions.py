@@ -674,3 +674,37 @@ def test_video_metadata_header_parsers(spark):
     assert got["s"].n_frames == 3 and got["s"].width == 32
     assert got["m"].format == "mp4" and got["m"].n_frames == 3
     assert got["bad"].format == "unsupported"
+
+
+def test_audio_fingerprint_gain_invariant_unit():
+    t = np.arange(32000)
+    env = 0.2 + 0.8 * (1 + np.sin(t / 2500.0)) / 2
+    sig = env * np.sin(2 * np.pi * 440 * t / 16000)
+    a = M.audio_fingerprint64(sig * 30000)
+    b = M.audio_fingerprint64(sig * 300)  # 40 dB quieter, float-exact
+    assert a == b and a != 0
+
+
+def test_audio_near_dup_pairs(spark):
+    rng = np.random.default_rng(8)
+    n = 48000
+    t = np.arange(n)
+    env = 0.2 + 0.8 * (1 + np.sin(t / 3500.0)) / 2  # ~2 envelope cycles
+    base = (12000 * env * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    half = (base.astype(np.int32) // 2).astype(np.int16)  # -6 dB int copy
+    resamp = np.repeat(base[::2], 2)[:n]  # crude 2x down-up resample
+    noise = (rng.standard_normal(n) * 9000).astype(np.int16)
+    rows = [
+        ("orig", M.encode_wav(base)),
+        ("gain", M.encode_wav(half)),
+        ("resamp", M.encode_wav(resamp)),
+        ("noise", M.encode_wav(noise)),
+        ("seam", b"ID3\x04\x00junk"),  # codec seam: dropped, not fatal
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, audio binary")
+    pairs = {(r["ref_a"], r["ref_b"]): r["hamming"]
+             for r in M.audio_near_dup_pairs(df, max_hamming=8).collect()}
+    keys = set(frozenset(k) for k in pairs)
+    assert frozenset({"orig", "gain"}) in keys
+    assert frozenset({"orig", "resamp"}) in keys
+    assert not any("noise" in k or "seam" in k for k in keys)

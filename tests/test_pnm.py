@@ -92,3 +92,16 @@ def test_error_contract(blob, msg):
 def test_sample_exceeding_maxval_is_loud():
     with pytest.raises(ValueError, match="exceeds maxval"):
         decode_pnm(b"P2\n2 1\n10\n5 11\n")
+
+
+def test_pnm_fuzz_never_raises_bare_exceptions():
+    """Same fuzz contract as the other codecs: arbitrary bytes behind a
+    PNM magic must raise ValueError, never a bare structural exception."""
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        body = bytes(rng.integers(0, 256, int(rng.integers(0, 80)), dtype=np.uint8))
+        blob = b"P" + bytes([int(rng.integers(0x31, 0x37))]) + body
+        try:
+            decode_pnm(blob)
+        except ValueError:
+            pass

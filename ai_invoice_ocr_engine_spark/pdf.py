@@ -1202,7 +1202,9 @@ def _resolve_colorspace(cs, resolve, apply_filters):
             hival = int(resolve(cs[2]))
             if len(pal) < nc * (hival + 1):
                 raise ValueError("Indexed lookup shorter than hival implies")
-            return "indexed", (base_model, pal)
+            # trailing pad bytes beyond hival+1 entries are legal — trim so
+            # the palette reshapes cleanly
+            return "indexed", (base_model, pal[: nc * (hival + 1)])
     raise NotImplementedError(f"PDF color space {cs} unsupported")
 
 

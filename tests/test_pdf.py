@@ -841,3 +841,17 @@ def test_acroform_fields_in_encrypted_pdf():
     )
     spans, _ = pdf_spans(blob)
     assert [s["text"] for s in spans] == ["body", "total: 99.50"]
+
+
+def test_indexed_palette_with_trailing_pad_bytes():
+    # palettes are often padded past hival+1 entries; extra bytes are legal
+    pal = np.array([[10, 20, 30], [40, 50, 60]], np.uint8)
+    padded = pal.tobytes() + b"\x00\x00"  # 2 pad bytes -> len not multiple of 3
+    blob = _image_pdf(
+        "/Width 4 /Height 1 /BitsPerComponent 8 "
+        f"/ColorSpace [/Indexed /DeviceRGB 1 <{padded.hex()}>]",
+        bytes([0, 1, 1, 0]),
+    )
+    _spans, media = pdf_spans(blob)
+    img = K.decode_image(next(iter(media.values())))
+    np.testing.assert_array_equal(img, K.rgb_to_gray(pal[[0, 1, 1, 0]])[None, :])

@@ -13,14 +13,23 @@ refinement coding (SDREFAGG=1 single-instance refined dictionaries,
 SBREFINE per-instance refinement, generic refinement templates 0/1),
 and halftone coding (pattern dictionaries sliced from one collective
 generic region; gray-coded bitplane grayscale images; 1/256-pixel grid
-vectors). Huffman-coded dictionaries/regions, multi-instance
-aggregates, TPGRON, HENABLESKIP, and intermediate regions raise
-NotImplementedError loudly — the same policy as every other codec seam
-(arithmetic JPEG, mp3, ...): fail with the feature named rather than
-guess. (Huffman stays a seam deliberately: the standard tables
-B.6–B.15 have no independent implementation in this container to pin
-against, and a mis-transcribed table would decode real scanner output
-to silently-wrong pages — strictly worse than the loud error.)
+vectors). HUFFMAN coding (T.88 Annex B) decodes where it can be done
+safely: custom table segments (type 53 — self-describing, zero
+transcription risk), standard tables B.1-B.5 (pinned against the
+spec's own code columns in the tests), symbol dictionaries with
+SDHUFF=1 (whose selectors only ever reach B.1-B.5 or custom tables;
+height-class collective bitmaps both uncompressed and MMR), and text
+regions whose FS/DS/DT selectors point at referred custom tables —
+including the runcode-coded symbol-ID lengths of 7.4.3.1.7. The
+standard text-region DEFAULTS B.6-B.15 stay deliberate loud seams:
+there is no independent implementation in this container to pin a
+15-table transcription against, and a mis-transcribed table decodes
+real scanner output to silently-wrong pages — strictly worse than the
+named error. Huffman+refinement/aggregation, multi-instance
+aggregates, TPGRON, HENABLESKIP, and intermediate regions likewise
+raise NotImplementedError loudly — the same policy as every other
+codec seam (arithmetic JPEG, mp3, ...): fail with the feature named
+rather than guess.
 
 The MQ coder follows T.88 Annex E software conventions; the Qe state
 table and the coder are shared with JPEG2000 (ITU T.800). The encoder
@@ -461,12 +470,263 @@ class _IDCtx:
             prev = (prev << 1) | b
 
 
+# -- Huffman machinery (T.88 Annex B) ----------------------------------------
+#
+# Scope: custom table segments (type 53 — fully self-describing, B.2) and
+# the standard tables B.1-B.5, which are ALL a Huffman symbol dictionary
+# can select (DH: B.4/B.5, DW: B.2/B.3, BMSIZE/AGG/EX: B.1). Standard
+# tables B.6-B.15 (text-region FS/DS/DT/RD* defaults) stay loud seams:
+# there is no independent implementation in this container to pin a
+# transcription against, and a wrong table decodes real pages to silent
+# garbage. Huffman TEXT regions therefore decode when the stream carries
+# custom FS/DS/DT tables (selector 3) and raise a named error when it
+# selects a B.6+ default.
+
+
+class _HBits:
+    """MSB-first bit reader with byte-boundary access (collective bitmaps
+    and MMR payloads start byte-aligned)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            p = self.pos
+            if p >= len(self.data) * 8:
+                raise ValueError("JBIG2 Huffman bitstream exhausted")
+            v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        if self.pos & 7:
+            raise ValueError("JBIG2 bit position not byte-aligned")
+        return self.pos >> 3
+
+
+class _HuffTable:
+    """Prefix-code table per T.88 Annex B: lines of (PREFLEN, RANGELEN,
+    RANGELOW, kind) in the spec's printed order; kind 'n' normal,
+    'l' lower range (VAL = RANGELOW - offset32), 'u' upper range
+    (VAL = RANGELOW + offset32), 'o' OOB. Codes assigned canonically by
+    (prefix length, printed order) — B.3."""
+
+    def __init__(self, lines):
+        self.lines = [ln for ln in lines if ln[0] > 0]
+        self.codes = {}
+        code = 0
+        for length in range(1, 33):
+            for ln in self.lines:
+                if ln[0] == length:
+                    self.codes[(length, code)] = ln
+                    code += 1
+            code <<= 1
+
+    def decode(self, b: _HBits):
+        code = 0
+        for length in range(1, 33):
+            code = (code << 1) | b.read(1)
+            ln = self.codes.get((length, code))
+            if ln is not None:
+                pref, rlen, rlow, kind = ln
+                if kind == "o":
+                    return _OOB
+                if kind == "l":
+                    return rlow - b.read(32)
+                if kind == "u":
+                    return rlow + b.read(32)
+                return rlow + b.read(rlen)
+        raise ValueError("JBIG2 Huffman: no code matched in 32 bits")
+
+    # fixture-encoder side -------------------------------------------------
+    def _inv(self):
+        return {id(ln): key for key, ln in self.codes.items()}
+
+    def encode(self, bw, value) -> None:
+        inv = self._inv()
+        if value is _OOB:
+            for ln in self.lines:
+                if ln[3] == "o":
+                    length, code = inv[id(ln)]
+                    bw.put(code, length)
+                    return
+            raise ValueError("table has no OOB code")
+        best = None
+        for ln in self.lines:
+            pref, rlen, rlow, kind = ln
+            if kind == "n" and rlow <= value < rlow + (1 << rlen):
+                best = ln
+                break
+        if best is None:
+            for ln in self.lines:
+                pref, rlen, rlow, kind = ln
+                if (kind == "u" and value >= rlow) or (
+                    kind == "l" and value <= rlow
+                ):
+                    best = ln
+                    break
+        if best is None:
+            raise ValueError(f"value {value} outside table range")
+        length, code = inv[id(best)]
+        bw.put(code, length)
+        pref, rlen, rlow, kind = best
+        if kind == "n":
+            bw.put(value - rlow, rlen)
+        elif kind == "u":
+            bw.put(value - rlow, 32)
+        else:
+            bw.put(rlow - value, 32)
+
+
+class _HBitW:
+    """MSB-first bit writer (fixture side)."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        while self.n:
+            self.put(0, 1)
+
+    def put_bytes(self, data: bytes) -> None:
+        if self.n:
+            raise ValueError("put_bytes requires byte alignment")
+        self.out += data
+
+    def done(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _std_table(n: int) -> _HuffTable:
+    """Standard tables B.1-B.5 (transcribed from T.88 Annex B; the code
+    columns of the spec were cross-checked against the canonical
+    assignment these line lists produce). B.6-B.15 are deliberately
+    absent — see the section comment."""
+    if n == 1:
+        return _HuffTable([
+            (1, 4, 0, "n"), (2, 8, 16, "n"), (3, 16, 272, "n"),
+            (3, 32, 65808, "u"),
+        ])
+    if n == 2:
+        return _HuffTable([
+            (1, 0, 0, "n"), (2, 0, 1, "n"), (3, 0, 2, "n"),
+            (4, 3, 3, "n"), (5, 6, 11, "n"), (6, 32, 75, "u"),
+            (6, 0, 0, "o"),
+        ])
+    if n == 3:
+        return _HuffTable([
+            (8, 8, -256, "n"), (1, 0, 0, "n"), (2, 0, 1, "n"),
+            (3, 0, 2, "n"), (4, 3, 3, "n"), (5, 6, 11, "n"),
+            (8, 32, -257, "l"), (7, 32, 75, "u"), (6, 0, 0, "o"),
+        ])
+    if n == 4:
+        return _HuffTable([
+            (1, 0, 1, "n"), (2, 0, 2, "n"), (3, 0, 3, "n"),
+            (4, 3, 4, "n"), (5, 6, 12, "n"), (5, 32, 76, "u"),
+        ])
+    if n == 5:
+        return _HuffTable([
+            (1, 0, 1, "n"), (2, 0, 2, "n"), (3, 0, 3, "n"),
+            (4, 3, 4, "n"), (5, 6, 12, "n"), (7, 8, -255, "n"),
+            (7, 32, -256, "l"), (6, 32, 76, "u"),
+        ])
+    raise NotImplementedError(
+        f"JBIG2 standard Huffman table B.{n} unsupported (no independent "
+        "pin available in this container); supply a custom table segment"
+    )
+
+
+def _parse_table_segment(body: bytes) -> _HuffTable:
+    """Type-53 custom table segment (B.2): flags, HTLOW/HTHIGH, then
+    (PREFLEN, RANGELEN) pairs covering [HTLOW, HTHIGH), a lower-range
+    prefix, an upper-range prefix, and (with HTOOB) an OOB prefix."""
+    if len(body) < 9:
+        raise ValueError("JBIG2 table segment truncated")
+    flags = body[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    low = int.from_bytes(body[1:5], "big", signed=True)
+    high = int.from_bytes(body[5:9], "big", signed=True)
+    if high <= low:
+        raise ValueError("JBIG2 table segment HTHIGH <= HTLOW")
+    b = _HBits(body, 9 * 8)
+    lines = []
+    cur = low
+    while cur < high:
+        pref = b.read(htps)
+        rlen = b.read(htrs)
+        if rlen > 32:
+            raise ValueError("JBIG2 table range length > 32")
+        lines.append((pref, rlen, cur, "n"))
+        cur += 1 << rlen
+        if len(lines) > 4096:
+            raise ValueError("JBIG2 table segment implausibly long")
+    lines.append((b.read(htps), 32, low - 1, "l"))
+    lines.append((b.read(htps), 32, high, "u"))
+    if htoob:
+        lines.append((b.read(htps), 0, 0, "o"))
+    return _HuffTable(lines)
+
+
+def _encode_table_segment(
+    values, htoob: bool = True, rangelen: int = 0
+) -> tuple[bytes, _HuffTable]:
+    """Fixture writer: a custom table with one normal line per value
+    range step (all PREFLEN equal-ish via a flat assignment). `values`
+    is (low, high); lines step by 2^rangelen."""
+    low, high = values
+    n_lines = -(-(high - low) // (1 << rangelen)) + 2 + (1 if htoob else 0)
+    pref = max(1, (n_lines - 1).bit_length() + 1)
+    bw = _HBitW()
+    htps, htrs = pref, max(1, rangelen.bit_length() + 1)
+    flags = (1 if htoob else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    bw.put_bytes(bytes([flags]))
+    bw.put_bytes(low.to_bytes(4, "big", signed=True))
+    bw.put_bytes(high.to_bytes(4, "big", signed=True))
+    cur = low
+    while cur < high:
+        bw.put(pref, htps)
+        bw.put(rangelen, htrs)
+        cur += 1 << rangelen
+    bw.put(pref, htps)  # lower
+    bw.put(pref, htps)  # upper
+    if htoob:
+        bw.put(pref, htps)
+    body = bw.done()
+    return body, _parse_table_segment(body)
+
+
 # -- symbol dictionary + text region (T.88 6.4 / 6.5, arithmetic) --------------
 
 
-def _decode_symbol_dict(body: bytes, in_syms: list) -> list:
+def _decode_symbol_dict(body: bytes, in_syms: list, tables: list | None = None) -> list:
     """Type-0 segment → exported symbol list (numpy bitmaps). Arithmetic
-    coding only; Huffman tables and refinement/aggregation are loud."""
+    coding, or Huffman (SDHUFF=1, SDREFAGG=0) — the dictionary's table
+    selectors only ever reach B.1-B.5 or referred custom tables, all of
+    which are supported; Huffman refinement/aggregation stays loud."""
     if len(body) < 2:
         raise ValueError("JBIG2 symbol dictionary truncated")
     flags = int.from_bytes(body[:2], "big")
@@ -475,7 +735,11 @@ def _decode_symbol_dict(body: bytes, in_syms: list) -> list:
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     if sdhuff:
-        raise NotImplementedError("JBIG2 Huffman-coded symbol dictionary")
+        if sdrefagg:
+            raise NotImplementedError(
+                "JBIG2 Huffman symbol dictionary with refinement/aggregation"
+            )
+        return _decode_symbol_dict_huffman(body, flags, in_syms, tables or [])
     bp = 2
     at = []
     for _ in range(4 if template == 0 else 1):
@@ -562,9 +826,131 @@ def _decode_symbol_dict(body: bytes, in_syms: list) -> list:
     return exported
 
 
-def _decode_text_region(body: bytes, syms: list):
-    """Type 4/6/7 segment → (bitmap, region info). Arithmetic, no
-    refinement; both strip sizes and all four reference corners."""
+def _decode_symbol_dict_huffman(
+    body: bytes, flags: int, in_syms: list, tables: list
+) -> list:
+    """SDHUFF=1, SDREFAGG=0 (6.5.5/6.5.9): per height class, DH/DW deltas
+    through the selected tables, then ONE byte-aligned collective bitmap
+    (uncompressed when BMSIZE=0, else an MMR/T.6 stream of BMSIZE bytes)
+    sliced into the class's symbols by width. Export runs ride Table B.1.
+    Custom tables are consumed from the referred-segment list in selector
+    order: DH, DW, BMSIZE, AGG (7.4.3.1.6 analog)."""
+    from .kernels import _check_dims
+
+    sel_dh = (flags >> 2) & 3
+    sel_dw = (flags >> 4) & 3
+    sel_bm = (flags >> 6) & 1
+    sel_ag = (flags >> 7) & 1
+    ti = iter(tables)
+
+    def custom():
+        try:
+            return next(ti)
+        except StopIteration:
+            raise ValueError(
+                "JBIG2 Huffman symbol dictionary missing a referred table"
+            ) from None
+
+    if sel_dh == 0:
+        t_dh = _std_table(4)
+    elif sel_dh == 1:
+        t_dh = _std_table(5)
+    elif sel_dh == 3:
+        t_dh = custom()
+    else:
+        raise ValueError("JBIG2 SDHUFFDH selector 2 is reserved")
+    if sel_dw == 0:
+        t_dw = _std_table(2)
+    elif sel_dw == 1:
+        t_dw = _std_table(3)
+    elif sel_dw == 3:
+        t_dw = custom()
+    else:
+        raise ValueError("JBIG2 SDHUFFDW selector 2 is reserved")
+    t_bm = custom() if sel_bm else _std_table(1)
+    _t_agg = custom() if sel_ag else _std_table(1)  # consumed; unused (SDREFAGG=0)
+    t_ex = _std_table(1)
+
+    num_ex = struct.unpack(">I", body[2:6])[0]
+    num_new = struct.unpack(">I", body[6:10])[0]
+    if num_new > (1 << 20) or num_ex > num_new + len(in_syms):
+        raise ValueError("JBIG2 implausible symbol dictionary counts")
+    hb = _HBits(body, 10 * 8)
+    new_syms: list = []
+    hcheight = 0
+    while len(new_syms) < num_new:
+        dh = t_dh.decode(hb)
+        if dh is _OOB:
+            raise ValueError("JBIG2 OOB height-class delta")
+        hcheight += dh
+        symwidth = 0
+        widths: list[int] = []
+        totwidth = 0
+        while True:
+            dw = t_dw.decode(hb)
+            if dw is _OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or hcheight <= 0:
+                raise ValueError("JBIG2 non-positive symbol dims")
+            if len(new_syms) + len(widths) >= num_new:
+                raise ValueError("JBIG2 symbol dictionary overruns NUMNEWSYMS")
+            _check_dims(symwidth, hcheight, "JBIG2 symbol")
+            widths.append(symwidth)
+            totwidth += symwidth
+        if not widths:
+            continue  # empty height class
+        _check_dims(totwidth, hcheight, "JBIG2 height-class collective")
+        bmsize = t_bm.decode(hb)
+        if bmsize is _OOB or bmsize < 0:
+            raise ValueError("JBIG2 bad collective bitmap size")
+        hb.align()
+        start = hb.byte_pos()
+        if bmsize == 0:
+            # uncompressed: rows padded to byte boundaries (6.5.9)
+            row_bytes = (totwidth + 7) // 8
+            need = row_bytes * hcheight
+            raw = body[start : start + need]
+            if len(raw) < need:
+                raise ValueError("JBIG2 collective bitmap truncated")
+            coll = np.unpackbits(
+                np.frombuffer(raw, np.uint8).reshape(hcheight, row_bytes),
+                axis=1,
+            )[:, :totwidth]
+            hb.pos = (start + need) * 8
+        else:
+            payload = body[start : start + bmsize]
+            if len(payload) < bmsize:
+                raise ValueError("JBIG2 collective bitmap truncated")
+            from .fax import decode_g4
+
+            coll = decode_g4(payload, totwidth, hcheight).astype(np.uint8)
+            hb.pos = (start + bmsize) * 8
+        x = 0
+        for wd in widths:
+            new_syms.append(np.ascontiguousarray(coll[:, x : x + wd]))
+            x += wd
+    all_syms = list(in_syms) + new_syms
+    exported: list = []
+    i = 0
+    cur_export = 0
+    while i < len(all_syms) and len(exported) < num_ex:
+        run = t_ex.decode(hb)
+        if run is _OOB or run < 0:
+            raise ValueError("JBIG2 bad export run length")
+        if cur_export:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        cur_export ^= 1
+    if len(exported) != num_ex:
+        raise ValueError("JBIG2 export count mismatch")
+    return exported
+
+
+def _decode_text_region(body: bytes, syms: list, tables: list | None = None):
+    """Type 4/6/7 segment → (bitmap, region info). Arithmetic or Huffman
+    (SBHUFF=1 without refinement); both strip sizes, all four reference
+    corners, TRANSPOSED."""
     if len(body) < 17 + 2 + 4:
         raise ValueError("JBIG2 text region truncated")
     rw, rh, rx, ry = struct.unpack(">IIII", body[:16])
@@ -584,7 +970,17 @@ def _decode_text_region(body: bytes, syms: list):
         ds_offset -= 32  # signed 5-bit
     rtemplate = (flags >> 15) & 1
     if sbhuff:
-        raise NotImplementedError("JBIG2 Huffman-coded text region")
+        if sbrefine:
+            raise NotImplementedError(
+                "JBIG2 Huffman text region with refinement"
+            )
+        return _decode_text_region_huffman(
+            body,
+            syms,
+            tables or [],
+            (rw, rh, rx, ry, comb_op),
+            (refcorner, transposed, sb_def_pixel, ds_offset, log_strips),
+        )
     strips = 1 << log_strips
     bp = 19
     rat = []
@@ -673,6 +1069,127 @@ def _decode_text_region(body: bytes, syms: list):
                 raise ValueError("JBIG2 symbol instance out of region")
             win = page[y : y + sh, x : x + sw]
             win |= bm  # per-instance combine: OR (SBCOMBOP subset)
+            curs += (sh - 1) if transposed else (sw - 1)
+            placed += 1
+            if placed >= num_instances:
+                break
+    return page, (rw, rh, rx, ry, comb_op)
+
+
+def _decode_text_region_huffman(body, syms, tables, region, opts):
+    """SBHUFF=1 text region (6.4.5 with 7.4.3.1.5-7.4.3.1.7): the 16-bit
+    SBHUFFFLAGS select FS/DS/DT (custom tables consumed in that order;
+    the B.6-B.15 standard defaults are loud seams — see _std_table),
+    symbol IDs ride the runcode-coded per-symbol prefix lengths, and CURT
+    is ceil(log2(SBSTRIPS)) raw bits. Placement/corner/TRANSPOSED
+    geometry is shared with the arithmetic path's rules."""
+    from .kernels import MAX_DECODE_PIXELS, _check_dims
+
+    rw, rh, rx, ry, comb_op = region
+    refcorner, transposed, sb_def_pixel, ds_offset, log_strips = opts
+    strips = 1 << log_strips
+    hflags = int.from_bytes(body[19:21], "big")
+    sel_fs = hflags & 3
+    sel_ds = (hflags >> 2) & 3
+    sel_dt = (hflags >> 4) & 3
+    # RDW/RDH/RDX/RDY/RSIZE selectors (bits 6-14) are only meaningful with
+    # SBREFINE, which the caller already rejected
+    ti = iter(tables)
+
+    def custom(name):
+        try:
+            return next(ti)
+        except StopIteration:
+            raise ValueError(
+                f"JBIG2 Huffman text region missing referred {name} table"
+            ) from None
+
+    def pick(sel, std_ids, name):
+        if sel == 3:
+            return custom(name)
+        if sel < len(std_ids):
+            return _std_table(std_ids[sel])
+        raise ValueError(f"JBIG2 {name} selector {sel} is reserved")
+
+    t_fs = pick(sel_fs, (6, 7), "FS")
+    t_ds = pick(sel_ds, (8, 9, 10), "DS")
+    t_dt = pick(sel_dt, (11, 12, 13), "DT")
+    num_instances = struct.unpack(">I", body[21:25])[0]
+    if num_instances > MAX_DECODE_PIXELS:
+        raise ValueError("JBIG2 implausible text-region instance count")
+    hb = _HBits(body, 25 * 8)
+    # 7.4.3.1.7: 35 five-bit runcode lengths → runcode table → per-symbol
+    # code lengths (32: repeat prev 3-6, 33: zeros 3-10, 34: zeros 11-138)
+    n_syms = len(syms)
+    runtab = _HuffTable(
+        [(hb.read(5), 0, i, "n") for i in range(35)]
+    )
+    symlens: list[int] = []
+    prev = 0
+    while len(symlens) < n_syms:
+        c = runtab.decode(hb)
+        if c is _OOB:
+            raise ValueError("JBIG2 runcode OOB")
+        if c < 32:
+            symlens.append(c)
+            prev = c
+        elif c == 32:
+            if not symlens:
+                raise ValueError("JBIG2 runcode 32 with no previous length")
+            symlens.extend([prev] * (3 + hb.read(2)))
+        elif c == 33:
+            symlens.extend([0] * (3 + hb.read(3)))
+        else:
+            symlens.extend([0] * (11 + hb.read(7)))
+    if len(symlens) != n_syms:
+        raise ValueError("JBIG2 symbol code lengths overrun")
+    symtab = _HuffTable(
+        [(symlens[i], 0, i, "n") for i in range(n_syms)]
+    )
+    hb.align()  # 7.4.3.1.7: skip to a byte boundary after the ID codes
+    page = np.full((rh, rw), sb_def_pixel, np.uint8)
+    stript = t_dt.decode(hb)
+    if stript is _OOB:
+        raise ValueError("JBIG2 OOB initial strip T")
+    stript *= -strips
+    firsts = 0
+    placed = 0
+    while placed < num_instances:
+        dt = t_dt.decode(hb)
+        if dt is _OOB:
+            raise ValueError("JBIG2 OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = t_fs.decode(hb)
+                if dfs is _OOB:
+                    raise ValueError("JBIG2 OOB first-symbol S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = t_ds.decode(hb)
+                if ids is _OOB:
+                    break  # end of strip
+                curs += ids + ds_offset
+            curt = 0 if strips == 1 else hb.read(log_strips)
+            t = stript + curt
+            sym_id = symtab.decode(hb)
+            if sym_id is _OOB or sym_id >= len(syms):
+                raise ValueError("JBIG2 symbol ID out of range")
+            bm = syms[sym_id]
+            sh, sw = bm.shape
+            if transposed:
+                y = curs
+                x = t if refcorner in (0, 1) else t - sw + 1
+            else:
+                y = t if refcorner in (1, 3) else t - sh + 1
+                x = curs
+            if y < 0 or x < 0 or y + sh > rh or x + sw > rw:
+                raise ValueError("JBIG2 symbol instance out of region")
+            page[y : y + sh, x : x + sw] |= bm
             curs += (sh - 1) if transposed else (sw - 1)
             placed += 1
             if placed >= num_instances:
@@ -880,7 +1397,7 @@ _UNSUPPORTED = {
     20: "intermediate halftone region",
     40: "intermediate refinement region", 42: "immediate refinement region",
     43: "immediate lossless refinement region",
-    53: "tables", 64: "extension",
+    64: "extension",
 }
 
 
@@ -912,6 +1429,7 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page = None
     sym_dicts: dict[int, list] = {}  # segment number → exported symbols
     pat_dicts: dict[int, list] = {}  # segment number → pattern bitmaps
+    tab_segs: dict[int, _HuffTable] = {}  # segment number → custom table
     pos = 0
     while pos < len(d):
         seg = _parse_segment_header(d, pos)
@@ -924,7 +1442,10 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             in_syms = []
             for ref in seg["refs"]:
                 in_syms.extend(sym_dicts.get(ref, []))
-            sym_dicts[seg["num"]] = _decode_symbol_dict(body, in_syms)
+            tables = [tab_segs[r] for r in seg["refs"] if r in tab_segs]
+            sym_dicts[seg["num"]] = _decode_symbol_dict(body, in_syms, tables)
+        elif styp == 53:  # custom Huffman table
+            tab_segs[seg["num"]] = _parse_table_segment(body)
         elif styp == 16:  # pattern dictionary
             pat_dicts[seg["num"]] = _decode_pattern_dict(body)
         elif styp in (22, 23):  # immediate (lossless) halftone region
@@ -949,7 +1470,10 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             syms = []
             for ref in seg["refs"]:
                 syms.extend(sym_dicts.get(ref, []))
-            bm, (rw, rh, rx, ry, comb_op) = _decode_text_region(body, syms)
+            tables = [tab_segs[r] for r in seg["refs"] if r in tab_segs]
+            bm, (rw, rh, rx, ry, comb_op) = _decode_text_region(
+                body, syms, tables
+            )
             if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
                 raise ValueError("JBIG2 text region exceeds page bounds")
             win = page[ry : ry + rh, rx : rx + rw]
@@ -1058,6 +1582,166 @@ def _encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
         body += struct.pack(">bb", ax, ay)
     body += struct.pack(">II", len(symbols), len(symbols))
     return body + coder.flush()
+
+
+def _encode_symbol_dict_huffman(symbols: list, mmr: bool = False) -> bytes:
+    """Fixture side of _decode_symbol_dict_huffman: SDHUFF=1, SDREFAGG=0,
+    DH via B.5 and DW via B.3 (both sign-capable, so height classes ride
+    in input order exactly like the arithmetic fixture encoder), BMSIZE
+    via B.1, collective bitmaps uncompressed (``mmr=False``) or T.6
+    (``mmr=True``). All symbols exported."""
+    from .fax import encode_g4
+
+    t_dh, t_dw, t_bm, t_ex = (
+        _std_table(5), _std_table(3), _std_table(1), _std_table(1)
+    )
+    bw = _HBitW()
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i].shape[0]
+        t_dh.encode(bw, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        cls = []
+        while i < len(symbols) and symbols[i].shape[0] == hcheight:
+            w = symbols[i].shape[1]
+            t_dw.encode(bw, w - symwidth)
+            symwidth = w
+            cls.append(symbols[i])
+            i += 1
+        t_dw.encode(bw, _OOB)
+        coll = np.concatenate(cls, axis=1).astype(np.uint8)
+        if mmr:
+            payload = encode_g4(coll)
+            t_bm.encode(bw, len(payload))
+            bw.align()
+            bw.put_bytes(payload)
+        else:
+            t_bm.encode(bw, 0)
+            bw.align()
+            bw.put_bytes(np.packbits(coll, axis=1).tobytes())
+    t_ex.encode(bw, 0)  # first run: 0 symbols NOT exported
+    t_ex.encode(bw, len(symbols))
+    # flags: SDHUFF=1, SDHUFFDH=1 (B.5), SDHUFFDW=1 (B.3), BMSIZE/AGG std
+    flags = 1 | (1 << 2) | (1 << 4)
+    return (
+        flags.to_bytes(2, "big")
+        + struct.pack(">II", len(symbols), len(symbols))
+        + bw.done()
+    )
+
+
+def _encode_text_region_huffman(
+    placements: list, n_syms: int, syms: list, rw: int, rh: int,
+    strips: int = 1, transposed: bool = False, refcorner: int = 1,
+):
+    """Fixture side of _decode_text_region_huffman. FS/DS/DT ride CUSTOM
+    table segments (returned alongside the body) sized to the placement
+    deltas — the supported Huffman text-region shape; symbol IDs use a
+    flat equal-length code. Returns (body, [fs_tab, ds_tab, dt_tab])."""
+    log_strips = strips.bit_length() - 1
+    if (1 << log_strips) != strips or strips > 8:
+        raise ValueError("strips must be 1, 2, 4 or 8")
+    if n_syms < 2:
+        raise ValueError("huffman fixture needs >= 2 symbols")
+
+    def anchors(p):
+        sym_id, x, y = p[0], p[1], p[2]
+        h, w = syms[sym_id].shape
+        if transposed:
+            return (x if refcorner in (0, 1) else x + w - 1), y
+        return (y if refcorner in (1, 3) else y + h - 1), x
+
+    order = sorted(placements, key=lambda p: (anchors(p)[0] // strips,
+                                              anchors(p)[1]))
+    # one wide 13-bit line each keeps the fixture tables tiny and legal
+    fs_body, t_fs = _encode_table_segment(
+        (-(1 << 12), 1 << 12), htoob=False, rangelen=13
+    )
+    ds_body, t_ds = _encode_table_segment(
+        (-(1 << 12), 1 << 12), htoob=True, rangelen=13
+    )
+    dt_body, t_dt = _encode_table_segment((0, 1 << 12), htoob=False, rangelen=12)
+    bw = _HBitW()
+    symlen = max(1, (n_syms - 1).bit_length())
+    # runcode lengths: one 1-bit code for value `symlen`
+    for i in range(35):
+        bw.put(1 if i == symlen else 0, 5)
+    for _ in range(n_syms):
+        bw.put(0, 1)  # every symbol: length `symlen`
+    bw.align()
+    t_dt.encode(bw, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    k = 0
+    while k < len(order):
+        strip_t = anchors(order[k])[0] // strips * strips
+        t_dt.encode(bw, (strip_t - stript) // strips)
+        stript = strip_t
+        first = True
+        curs = 0
+        while k < len(order) and (
+            anchors(order[k])[0] // strips * strips == strip_t
+        ):
+            p = order[k]
+            t_anchor, s_start = anchors(p)
+            if first:
+                t_fs.encode(bw, s_start - firsts)
+                firsts = s_start
+                curs = s_start
+                first = False
+            else:
+                t_ds.encode(bw, s_start - curs)
+                curs = s_start
+            if strips > 1:
+                bw.put(t_anchor - strip_t, log_strips)
+            bw.put(p[0], symlen)
+            bm = syms[p[0]]
+            curs += bm.shape[0 if transposed else 1] - 1
+            k += 1
+        t_ds.encode(bw, _OOB)
+    # region flags: SBHUFF=1 + corner/strips/transposed; SBHUFFFLAGS:
+    # FS/DS/DT all custom (selector 3)
+    flags = 1 | (int(transposed) << 6) | (refcorner << 4) | (log_strips << 2)
+    hflags = 3 | (3 << 2) | (3 << 4)
+    body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
+    body += flags.to_bytes(2, "big") + hflags.to_bytes(2, "big")
+    body += struct.pack(">I", len(placements))
+    return body + bw.done(), [fs_body, ds_body, dt_body]
+
+
+def encode_jbig2_text_huffman(
+    symbols: list, placements: list, page_w: int, page_h: int,
+    strips: int = 1, mmr: bool = False, transposed: bool = False,
+    refcorner: int = 1,
+) -> bytes:
+    """Fixture encoder for the Huffman-coded symbol path: page info +
+    three custom FS/DS/DT table segments + a SDHUFF symbol dictionary +
+    one immediate lossless Huffman text region referring dict + tables."""
+    syms = [np.asarray(s, np.uint8) for s in symbols]
+
+    def seg(num: int, styp: int, refs: list, page: int, body: bytes) -> bytes:
+        hdr = struct.pack(">IB", num, styp)
+        hdr += bytes([(len(refs) << 5)])
+        for r in refs:
+            hdr += bytes([r])
+        hdr += bytes([page]) + struct.pack(">I", len(body))
+        return hdr + body
+
+    tr_body, tab_bodies = _encode_text_region_huffman(
+        placements, len(syms), syms, page_w, page_h, strips,
+        transposed=transposed, refcorner=refcorner,
+    )
+    page_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x01\x00\x00"
+    out = seg(0, 48, [], 1, page_info)
+    out += seg(1, 0, [], 1, _encode_symbol_dict_huffman(syms, mmr=mmr))
+    out += seg(2, 53, [], 1, tab_bodies[0])
+    out += seg(3, 53, [], 1, tab_bodies[1])
+    out += seg(4, 53, [], 1, tab_bodies[2])
+    out += seg(5, 7, [1, 2, 3, 4], 1, tr_body)
+    out += seg(6, 49, [], 1, b"")
+    return out
 
 
 def _encode_symbol_dict_refined(new_specs: list, in_syms: list,

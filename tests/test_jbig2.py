@@ -339,12 +339,14 @@ def test_transposed_negative_ids_overlap():
     )
 
 
-def test_symbol_dict_huffman_is_loud():
+def test_symbol_dict_huffman_refagg_is_loud():
+    # SDHUFF itself now decodes; the Huffman + refinement/aggregation
+    # combination remains the named seam
     import struct
 
-    body = (1).to_bytes(2, "big") + struct.pack(">II", 0, 0)
+    body = (3).to_bytes(2, "big") + struct.pack(">II", 0, 0)
     seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", len(body)) + body
-    with pytest.raises(NotImplementedError, match="Huffman"):
+    with pytest.raises(NotImplementedError, match="refinement/aggregation"):
         decode_jbig2(seg)
 
 
@@ -465,3 +467,195 @@ def test_fuzz_error_contract_and_no_stalls():
         except (ValueError, NotImplementedError):
             pass
     assert time.time() - t0 < 30  # no garbage input may stall a task
+
+
+# -- Huffman-coded symbol dictionaries + text regions -------------------------
+
+
+def _hbits(s: str) -> bytes:
+    s = s + "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def test_standard_tables_against_spec_codes():
+    """B.1-B.5 pinned against the CODE column of T.88 Annex B (hand-packed
+    bitstreams, no encoder involved)."""
+    from ai_invoice_ocr_engine_spark.jbig2 import _HBits, _OOB, _std_table
+
+    t1 = _std_table(1)
+    b = _HBits(_hbits("0" + "0101" + "110" + format(28, "016b")))
+    assert t1.decode(b) == 5 and t1.decode(b) == 300
+    t2 = _std_table(2)
+    b = _HBits(_hbits("0" + "110" + "111111" + "1110" + "100"
+                      + "111110" + format(1, "032b")))
+    assert t2.decode(b) == 0 and t2.decode(b) == 2 and t2.decode(b) is _OOB
+    assert t2.decode(b) == 7 and t2.decode(b) == 76
+    t3 = _std_table(3)
+    b = _HBits(_hbits("11111110" + format(0, "08b")
+                      + "11111111" + format(43, "032b")
+                      + "1111110" + format(0, "032b")))
+    assert t3.decode(b) == -256 and t3.decode(b) == -300 and t3.decode(b) == 75
+    t4 = _std_table(4)
+    b = _HBits(_hbits("0" + "11110" + format(0, "06b")
+                      + "11111" + format(0, "032b")))
+    assert t4.decode(b) == 1 and t4.decode(b) == 12 and t4.decode(b) == 76
+    t5 = _std_table(5)
+    b = _HBits(_hbits("1111110" + format(0, "08b")
+                      + "1111111" + format(5, "032b")
+                      + "111110" + format(0, "032b")))
+    assert t5.decode(b) == -255 and t5.decode(b) == -261 and t5.decode(b) == 76
+
+
+def test_standard_tables_encode_decode_roundtrip():
+    from ai_invoice_ocr_engine_spark.jbig2 import (
+        _HBits, _HBitW, _OOB, _std_table,
+    )
+
+    cases = [
+        (1, [0, 15, 16, 271, 272, 65807, 65808, 70000]),
+        (2, [0, 1, 2, 3, 10, 11, 74, 75, 200, _OOB]),
+        (3, [-256, -1, -257, -999, 0, 11, 75, 100, _OOB]),
+        (4, [1, 2, 3, 4, 11, 12, 75, 76, 100]),
+        (5, [1, 12, 75, -255, -248, -256, -400, 76, 100]),
+    ]
+    for n, vals in cases:
+        t = _std_table(n)
+        bw = _HBitW()
+        for v in vals:
+            t.encode(bw, v)
+        b = _HBits(bw.done())
+        assert [t.decode(b) for _ in vals] == vals
+
+
+def test_custom_table_segment_roundtrip():
+    from ai_invoice_ocr_engine_spark.jbig2 import (
+        _HBits, _HBitW, _OOB, _encode_table_segment,
+    )
+
+    _body, t = _encode_table_segment((-5, 20), htoob=True, rangelen=1)
+    vals = [-5, 0, 19, -6, 20, 55, _OOB]
+    bw = _HBitW()
+    for v in vals:
+        t.encode(bw, v)
+    b = _HBits(bw.done())
+    assert [t.decode(b) for _ in vals] == vals
+
+
+def test_huffman_symbol_dict_hand_packed():
+    """Byte-level pin of the SDHUFF path with the B.4/B.2 selectors
+    (flags=0x0001): every code word below is hand-derived from the spec
+    tables, and the collective bitmap is hand-packed — the module's
+    encoder (which uses B.5/B.3) is nowhere involved."""
+    import struct
+
+    from ai_invoice_ocr_engine_spark.jbig2 import _decode_symbol_dict
+
+    rows = ["10110101", "11010011", "01101001", "10010110"]
+    coll = np.array([[int(c) for c in r] for r in rows], np.uint8)
+    bits = (
+        "1110" + "000"      # DH: B.4 value 4 (line low=4, 3 range bits)
+        + "1110" + "000"    # DW: B.2 value 3 (line low=3, 3 range bits)
+        + "110"             # DW: B.2 value 2 -> width 5
+        + "111111"          # DW: B.2 OOB ends the class
+        + "0" + "0000"      # BMSIZE: B.1 value 0 -> uncompressed
+    )
+    pad = "0" * (-len(bits) % 8)
+    ex = "0" + "0000" + "0" + "0010"  # EX runs via B.1: 0 then 2
+    body = (
+        (1).to_bytes(2, "big")            # flags: SDHUFF=1, selectors 0
+        + struct.pack(">II", 2, 2)        # num_ex, num_new
+        + _hbits(bits + pad + "".join(rows) + ex)
+    )
+    a, b = _decode_symbol_dict(body, [])
+    assert np.array_equal(a, coll[:, :3])
+    assert np.array_equal(b, coll[:, 3:])
+
+
+@pytest.mark.parametrize("strips", [1, 2, 4])
+@pytest.mark.parametrize("mmr", [False, True])
+def test_huffman_symbol_text_region_roundtrip(strips, mmr):
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
+
+    symbols, placements = _symbols_and_rows()
+    data = encode_jbig2_text_huffman(
+        symbols, placements, 140, 95, strips=strips, mmr=mmr
+    )
+    assert np.array_equal(
+        decode_jbig2(data), _text_page(symbols, placements, 140, 95)
+    )
+
+
+def test_huffman_transposed_text_region():
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
+
+    symbols = [_glyph(9, 6, 1), _glyph(7, 8, 2)]
+    placements = [(0, 4, 3), (1, 4, 16), (0, 4, 30), (1, 20, 5), (0, 20, 18)]
+    data = encode_jbig2_text_huffman(
+        symbols, placements, 40, 50, strips=4, transposed=True, refcorner=2
+    )
+    assert np.array_equal(
+        decode_jbig2(data), _text_page(symbols, placements, 40, 50)
+    )
+
+
+def test_huffman_text_region_standard_fs_table_is_loud():
+    """A Huffman text region selecting a B.6+ standard default must fail
+    NAMING the table, not decode garbage (the deliberate-seam contract)."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
+
+    symbols = [_glyph(5, 4, 1), _glyph(5, 4, 2)]
+    data = bytearray(
+        encode_jbig2_text_huffman(symbols, [(0, 2, 2), (1, 10, 2)], 30, 12)
+    )
+    # SBHUFFFLAGS live 2 bytes after the region flags; flip FS to 0 (B.6)
+    i = data.rindex((3 | (3 << 2) | (3 << 4)).to_bytes(2, "big"))
+    data[i : i + 2] = ((3 << 2) | (3 << 4)).to_bytes(2, "big")
+    with pytest.raises(NotImplementedError, match="B.6"):
+        decode_jbig2(bytes(data))
+
+
+def test_huffman_missing_referred_table_is_loud():
+    from ai_invoice_ocr_engine_spark.jbig2 import (
+        _decode_text_region, encode_jbig2_text_huffman,
+    )
+
+    symbols = [_glyph(5, 4, 1), _glyph(5, 4, 2)]
+    # build a valid stream, then decode its text region body with NO tables
+    data = encode_jbig2_text_huffman(symbols, [(0, 2, 2), (1, 10, 2)], 30, 12)
+    from ai_invoice_ocr_engine_spark.jbig2 import _parse_segment_header
+
+    pos = 0
+    while True:
+        seg = _parse_segment_header(data, pos)
+        body = data[seg["data_pos"] : seg["data_pos"] + seg["length"]]
+        pos = seg["data_pos"] + seg["length"]
+        if seg["type"] == 7:
+            break
+    with pytest.raises(ValueError, match="referred"):
+        _decode_text_region(body, symbols, [])
+
+
+def test_pdf_jbig2_huffman_image():
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+    from ai_invoice_ocr_engine_spark.pdf import pdf_spans
+
+    from .test_pdf import _raw_pdf
+
+    symbols, placements = _symbols_and_rows()
+    payload = encode_jbig2_text_huffman(symbols, placements, 140, 95, mmr=True)
+    img_obj = (
+        "<< /Type /XObject /Subtype /Image /Width 140 /Height 95 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray "
+        "/Filter /JBIG2Decode "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = b"q 140 0 0 95 50 600 cm /Im0 Do Q"
+    blob = _raw_pdf(content, extra_objs=img_obj,
+                    font="/XObject << /Im0 5 0 R >>")
+    _spans, media = pdf_spans(blob)
+    img = decode_image(next(iter(media.values())))
+    want = _text_page(symbols, placements, 140, 95)
+    np.testing.assert_array_equal(img == 0, want.astype(bool))

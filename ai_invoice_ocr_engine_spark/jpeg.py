@@ -11,7 +11,10 @@ once to the engine's 8-bit grayscale), grayscale / YCbCr / Adobe RGB /
 Adobe CMYK + YCCK (APP14 transform flag, inverted-ink convention) with
 ANY integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
 markers. Arithmetic coding and lossless raise NotImplementedError
-(valid-but-unsupported);
+(valid-but-unsupported — arithmetic deliberately so: the QM-coder state
+table of T.81 Table D.3 has no independent implementation in this
+container to pin a transcription against, the same policy as the JBIG2
+standard Huffman tables B.6-B.15);
 malformed streams raise ValueError — the same error contract as
 decode_png. The progressive ENCODER below exists to pin the decoder:
 progressive transmission is a lossless reordering of the same quantized

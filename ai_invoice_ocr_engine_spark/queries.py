@@ -1505,6 +1505,68 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_revenue_calendar(spark, sf):
+    """Date-spine gap fill: EVERY month in the order-date range appears
+    exactly once per order status, zero-filled where no orders landed —
+    the generated-dimension + left-join shape reporting pipelines need
+    (a month with no sales must show 0, not vanish). The spine comes
+    from sequence() over the min/max aggregate (one tiny row,
+    broadcast); only the monthly aggregate touches the fact table."""
+    o = _t(spark, sf, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("month")
+    )
+    statuses = o.select("o_orderstatus").distinct()
+    spine = months.crossJoin(F.broadcast(statuses))
+    actual = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return (
+        spine.join(actual, ["month", "o_orderstatus"], "left")
+        .select(
+            "month",
+            F.col("o_orderstatus").alias("status"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+_SQL_REVENUE_CALENDAR = """
+WITH bounds AS (
+  SELECT date_trunc('month', min(o_orderdate))::date AS lo,
+         date_trunc('month', max(o_orderdate))::date AS hi
+  FROM orders
+),
+months AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::date AS month
+  FROM bounds
+),
+spine AS (
+  SELECT month, o_orderstatus FROM months
+  CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+),
+actual AS (
+  SELECT date_trunc('month', o_orderdate)::date AS month, o_orderstatus,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT spine.month AS month, spine.o_orderstatus AS status,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(revenue, 0.0) AS revenue
+FROM spine LEFT JOIN actual
+  ON actual.month = spine.month AND actual.o_orderstatus = spine.o_orderstatus
+"""
+
+
 def q_unpivot_revenue(spark, sf):
     """Unpivot (wide→long melt, the pivot inverse): per order status, the
     three revenue components as (component, amount) rows via
@@ -2830,6 +2892,7 @@ REGISTRY: dict[str, tuple] = {
     "multi_distinct": (q_multi_distinct, _SQL_MULTI_DISTINCT),
     "pivot_status_priority": (q_pivot_status_priority, _SQL_PIVOT),
     "unpivot_revenue": (q_unpivot_revenue, _SQL_UNPIVOT),
+    "revenue_calendar": (q_revenue_calendar, _SQL_REVENUE_CALENDAR),
     "array_word_stats": (q_array_word_stats, _SQL_ARRAY_STATS),
     "ann_ivf_full_probe": (q_ann_ivf_full_probe, _SQL_ANN_COSINE),
     "ann_ivf_probed": (q_ann_ivf_probed, _SQL_IVF_PROBED_GATE),

@@ -95,12 +95,22 @@ def main(argv=None) -> int:
     e.add_argument("--run-id", default=None)
     _add_cfg_flags(e)
 
-    # PDF front-end (north rule "PDF/layout parse"): raw PDFs → the two
-    # input tables `extract` consumes
-    ing = sub.add_parser("ingest", help="parse raw PDFs into documents/media tables")
-    ing.add_argument("--pdfs", required=True,
-                     help="directory of .pdf files (read via Spark binaryFile) "
-                          "or a parquet path with (doc_id string, pdf binary)")
+    # raw-file front-ends (north rule "HTML boilerplate strip, PDF/layout
+    # parse, DOM heuristics"): raw PDFs or HTML pages → the two input
+    # tables `extract` consumes
+    ing = sub.add_parser(
+        "ingest", help="parse raw PDFs or HTML into documents/media tables"
+    )
+    ing_src = ing.add_mutually_exclusive_group(required=True)
+    ing_src.add_argument("--pdfs", default=None,
+                         help="directory of .pdf files (read via Spark "
+                              "binaryFile) or a parquet path with "
+                              "(doc_id string, pdf binary)")
+    ing_src.add_argument("--html", default=None,
+                         help="directory of .html files (read via Spark "
+                              "binaryFile) or a parquet path with "
+                              "(doc_id string, html binary); boilerplate "
+                              "stripped via DOM heuristics")
     ing.add_argument("--out", required=True, help="output dir for the two tables")
     ing.add_argument("--skip-bad", action="store_true",
                      help="record parse errors per doc instead of failing")
@@ -211,10 +221,13 @@ def main(argv=None) -> int:
 
         from pyspark.sql import functions as F
 
-        from .sources.ingest import ingest_pdfs, split_ingest
+        from .sources.ingest import ingest_html, ingest_pdfs, split_ingest
         from .sources.session import get_spark
 
         spark = get_spark(app="ingest", master=args.master)
+        if args.stream and args.html:
+            spark.stop()
+            raise SystemExit("--stream currently supports the --pdfs source only")
         if args.stream:
             from .streaming import incremental_pdf_ingest
 
@@ -233,24 +246,30 @@ def main(argv=None) -> int:
             print(json.dumps({"out": args.out, "n_docs_total": n_docs,
                               "checkpoint": ck}))
             return 0
+        in_path = args.pdfs or args.html
+        col, exts, glob, ingest_fn = (
+            ("pdf", (".pdf",), "*.pdf", ingest_pdfs)
+            if args.pdfs
+            else ("html", (".html", ".htm"), "*.htm*", ingest_html)
+        )
         try:
-            if os.path.isdir(args.pdfs) and any(
-                f.lower().endswith(".pdf") for f in os.listdir(args.pdfs)
+            if os.path.isdir(in_path) and any(
+                f.lower().endswith(exts) for f in os.listdir(in_path)
             ):
                 src = (
                     spark.read.format("binaryFile")
-                    .option("pathGlobFilter", "*.pdf")
-                    .load(args.pdfs)
+                    .option("pathGlobFilter", glob)
+                    .load(in_path)
                     .select(
                         F.regexp_extract(
-                            F.col("path"), r"([^/]+)\.pdf$", 1
+                            F.col("path"), r"([^/]+)\.[A-Za-z]+$", 1
                         ).alias("doc_id"),
-                        F.col("content").alias("pdf"),
+                        F.col("content").alias(col),
                     )
                 )
             else:
-                src = spark.read.parquet(args.pdfs)
-            combined = ingest_pdfs(
+                src = spark.read.parquet(in_path)
+            combined = ingest_fn(
                 src, on_bad="skip" if args.skip_bad else "fail"
             )
             docs, media = split_ingest(combined)

@@ -1,8 +1,9 @@
-"""Raw-file ingestion: PDF blobs → the engine's two input tables.
+"""Raw-file ingestion: PDF or HTML blobs → the engine's two input tables.
 
-The north rule's front-end is "PDF/layout parse" feeding the interleaved
-document model. This stage turns a DataFrame of raw PDF bytes
-``(doc_id string, pdf binary)`` into
+The north rule's front-end is "HTML boilerplate strip, PDF/layout
+parse, DOM heuristics" feeding the interleaved document model. This
+stage turns a DataFrame of raw bytes ``(doc_id string, pdf|html
+binary)`` into
 
   documents(doc_id, spans array<struct<kind,text,media_ref,offset>>)
   media(media_ref, image binary)
@@ -102,22 +103,55 @@ def parse_pdf_doc(doc_id: str, data: bytes) -> tuple[list[dict], list[dict]]:
     return spans, media
 
 
-def ingest_pdfs(pdf_df: DataFrame, on_bad: str = "fail") -> DataFrame:
-    """(doc_id, pdf binary) → combined (doc_id, spans, media, error)."""
+def parse_html_doc(doc_id: str, data: bytes) -> tuple[list[dict], list[dict]]:
+    """Driver-testable single-document HTML parse → (spans, media), same
+    table shape as parse_pdf_doc: main-content text blocks + kept <img>
+    elements as interleaved spans (html_extract.html_spans does the
+    boilerplate strip), data-URI payloads content-addressed into media
+    rows. External-URL images keep their payload-less ``u-…`` refs —
+    they have no media row until a fetch stage supplies bytes."""
+    from ..html_extract import html_spans
+
+    raw_spans, raw_media = html_spans(data)
+    ref_map = {ref: _content_ref(payload) for ref, payload in raw_media.items()}
+    spans = []
+    for s in raw_spans:
+        if s["kind"] == "text":
+            spans.append(
+                {"kind": "text", "text": s["text"], "media_ref": "",
+                 "offset": s["offset"]}
+            )
+        else:
+            ref = ref_map.get(s["media_ref"], s["media_ref"])
+            spans.append(
+                {"kind": "media", "text": "", "media_ref": ref,
+                 "offset": s["offset"]}
+            )
+    seen: dict[str, bytes] = {}
+    for ref, payload in raw_media.items():
+        seen.setdefault(ref_map[ref], payload)
+    media = [{"media_ref": r, "image": p} for r, p in sorted(seen.items())]
+    return spans, media
+
+
+def _ingest(
+    raw_df: DataFrame, blob_col: str, parse, label: str, on_bad: str
+) -> DataFrame:
+    """Shared one-crossing ingest plumbing for every raw front-end."""
     if on_bad not in ("fail", "skip"):
         raise ValueError(f"on_bad must be 'fail' or 'skip', got {on_bad!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "spans": [], "media": [], "error": []}
-            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf"]):
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
                 try:
-                    spans, media = parse_pdf_doc(doc_id, bytes(blob))
+                    spans, media = parse(doc_id, bytes(blob))
                     err = None
                 except (ValueError, NotImplementedError) as e:
                     if on_bad == "fail":
                         raise ValueError(
-                            f"PDF parse failed for doc_id={doc_id!r}: {e}"
+                            f"{label} parse failed for doc_id={doc_id!r}: {e}"
                         ) from e
                     spans, media, err = [], [], f"{type(e).__name__}: {e}"
                 rows["doc_id"].append(doc_id)
@@ -133,7 +167,19 @@ def ingest_pdfs(pdf_df: DataFrame, on_bad: str = "fail") -> DataFrame:
                 rows["error"].append(err)
             yield pd.DataFrame(rows)
 
-    return pdf_df.select("doc_id", "pdf").mapInPandas(fn, INGEST_SCHEMA)
+    return raw_df.select("doc_id", blob_col).mapInPandas(fn, INGEST_SCHEMA)
+
+
+def ingest_pdfs(pdf_df: DataFrame, on_bad: str = "fail") -> DataFrame:
+    """(doc_id, pdf binary) → combined (doc_id, spans, media, error)."""
+    return _ingest(pdf_df, "pdf", parse_pdf_doc, "PDF", on_bad)
+
+
+def ingest_html(html_df: DataFrame, on_bad: str = "fail") -> DataFrame:
+    """(doc_id, html binary) → combined (doc_id, spans, media, error):
+    the HTML front-end of the same ingest — boilerplate-stripped main
+    content + embedded images in the interleaved span model."""
+    return _ingest(html_df, "html", parse_html_doc, "HTML", on_bad)
 
 
 def split_ingest(

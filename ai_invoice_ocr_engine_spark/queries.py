@@ -725,6 +725,65 @@ FROM base
 """
 
 
+#: PII patterns chosen for identical semantics under Java regex (Spark)
+#: and RE2 (DuckDB): no backreferences, no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction — the pre-training scrub pass every public corpus
+    pipeline runs (C4 and The Pile both strip contact strings): emails
+    and phone numbers replaced with typed placeholder tokens, per-doc
+    match counts kept for the curation report. Each document is enriched
+    with one deterministic synthetic contact line (doc_id-derived) so
+    the redaction path is exercised on every row, then scrubbed
+    email-first (so phone digits inside an address can't double-fire).
+
+    Scale: pure JVM regexp projection — whole-stage codegen, no Python,
+    no shuffle; at 10^12 docs this is a narrow map over the scan."""
+    d = _t(spark, sf, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit("@example.com or call +44 207 946 0958."),
+        ).alias("enriched"),
+    )
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("enriched", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("enriched", F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("enriched", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+_SQL_PII_SCRUB = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' Contact user' || (doc_id % 1000)::varchar ||
+         '@example.com or call +44 207 946 0958.' AS enriched
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(enriched,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(enriched,
+           '\+?[0-9][0-9() -]{6,}[0-9]')) AS n_phones,
+       regexp_replace(
+         regexp_replace(enriched,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM enriched
+"""
+
+
 def q_repetition_filter(spark, sf):
     """Gopher-style repetition quality gates (Rae et al. 2021 A1.1) on word
     n-grams: dominant-bigram share + duplicate-trigram fraction + keep flag.
@@ -2911,6 +2970,7 @@ REGISTRY: dict[str, tuple] = {
     "bag_set_ops": (q_bag_set_ops, _SQL_BAG_SETOPS),
     "approx_distinct_parts": (q_approx_distinct, _SQL_APPROX_DISTINCT),
     "repetition_filter": (q_repetition_filter, _SQL_REPETITION),
+    "pii_scrub": (q_pii_scrub, _SQL_PII_SCRUB),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
     "corpus_funnel": (q_corpus_funnel, _SQL_FUNNEL),
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER),

@@ -310,6 +310,49 @@ def write_pdf_corpus(out_dir: str, docs: list[dict], media: list[dict]) -> str:
     return out_dir
 
 
+def write_html_corpus(out_dir: str, docs: list[dict], media: list[dict]) -> str:
+    """Render interleaved documents as actual HTML FILES — the web form
+    of the same corpus: text spans become <p> paragraphs inside
+    <main><article>, media spans become <img> data: URIs carrying the
+    frame payload bit-for-bit, and every page gets the chrome a real
+    site would have (nav/breadcrumb/sidebar/footer) so the round-trip
+    also proves the boilerplate strip removes exactly the chrome and
+    nothing else. Feeding these through sources.ingest_html
+    reconstructs the two-table corpus: span kinds/texts/offsets
+    identical, media content-addressed.
+
+    Docs referencing media absent from the media table (the dangling-ref
+    edge case) embed nothing and raise KeyError — filter them out first,
+    as for write_pdf_corpus."""
+    import base64
+    from html import escape
+
+    lookup = {m["media_ref"]: m["image"] for m in media}
+    os.makedirs(out_dir, exist_ok=True)
+    for d in docs:
+        body = []
+        for s in d["spans"]:
+            if s["kind"] == "text":
+                body.append(f"<p>{escape(s['text'])}</p>")
+            else:
+                b64 = base64.b64encode(lookup[s["media_ref"]]).decode()
+                body.append(f'<img src="data:application/octet-stream;base64,{b64}">')
+        page = (
+            "<!doctype html><html><head><title>doc</title>"
+            "<style>p{margin:0}</style></head><body>"
+            '<header><nav><a href="/">Home</a> <a href="/all">Archive</a></nav>'
+            "</header>"
+            '<div class="breadcrumb"><a href="/">Home</a> &gt; doc</div>'
+            f"<main><article>{''.join(body)}</article></main>"
+            '<aside class="sidebar"><a href="/r1">Related</a></aside>'
+            "<footer>Copyright Example Corp. All rights reserved.</footer>"
+            "</body></html>"
+        )
+        with open(os.path.join(out_dir, f"{d['doc_id']}.html"), "w") as f:
+            f.write(page)
+    return out_dir
+
+
 def ensure_corpus(
     out_dir: str, seed: int = 42, n_docs: int = 200, max_media_side: int = 960
 ) -> tuple[str, str]:

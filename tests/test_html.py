@@ -261,3 +261,46 @@ def test_ingested_html_runs_the_pipeline(spark, tmp_path):
     assert spans[0]["kind"] == "text"
     assert spans[1]["kind"] == "ocr_text" and spans[1]["media_ref"].startswith("m-")
     assert [s["order"] for s in spans] == list(range(len(spans)))
+
+
+def test_html_corpus_roundtrip(spark, tmp_path):
+    """The synthetic interleaved corpus rendered as raw HTML FILES (with
+    full site chrome), fed through ingest_html, must reconstruct the
+    span model exactly — the strip removes the chrome and nothing else —
+    and media payloads round-trip bit-for-bit (mirror of
+    test_pdf_corpus_roundtrip for the HTML front-end)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ai_invoice_ocr_engine_spark import fixtures as FX
+
+    docs, media = FX.gen_corpus(seed=11, n_docs=24, max_media_side=256)
+    lookup = {m["media_ref"] for m in media}
+    docs = [d for d in docs
+            if all(s["media_ref"] in lookup for s in d["spans"]
+                   if s["kind"] == "media")]
+    assert len(docs) >= 20
+    hdir = str(tmp_path / "htmls")
+    FX.write_html_corpus(hdir, docs, media)
+
+    src = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.html")
+        .load(hdir)
+        .select(F.regexp_extract(F.col("path"), r"([^/]+)\.html$", 1).alias("doc_id"),
+                F.col("content").alias("html"))
+    )
+    ing_docs, ing_media = split_ingest(ingest_html(src))
+
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["offset"])
+                         for s in r.asDict(recursive=True)["spans"]]
+           for r in ing_docs.collect()}
+    for d in docs:
+        want = [(s["kind"], s["text"] or "", s["offset"]) for s in d["spans"]]
+        assert got[d["doc_id"]] == want, d["doc_id"]
+
+    blob_by_md5 = {
+        "m-" + hashlib.md5(m["image"]).hexdigest()[:16]: m["image"] for m in media
+    }
+    for r in ing_media.collect():
+        assert bytes(r["image"]) == blob_by_md5[r["media_ref"]]

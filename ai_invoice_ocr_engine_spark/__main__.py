@@ -115,7 +115,7 @@ def main(argv=None) -> int:
     ing.add_argument("--skip-bad", action="store_true",
                      help="record parse errors per doc instead of failing")
     ing.add_argument("--stream", action="store_true",
-                     help="treat --pdfs as a landing directory: Structured "
+                     help="treat --pdfs/--html as a landing directory: Structured "
                           "Streaming binaryFile source, incremental append "
                           "with cross-batch media dedup; rerun to pick up "
                           "new files (checkpointed)")
@@ -225,18 +225,16 @@ def main(argv=None) -> int:
         from .sources.session import get_spark
 
         spark = get_spark(app="ingest", master=args.master)
-        if args.stream and args.html:
-            spark.stop()
-            raise SystemExit("--stream currently supports the --pdfs source only")
         if args.stream:
             from .streaming import incremental_pdf_ingest
 
             ck = args.checkpoint or os.path.join(args.out, "_checkpoint")
             try:
                 q = incremental_pdf_ingest(
-                    spark, args.pdfs, args.out, ck,
+                    spark, args.pdfs or args.html, args.out, ck,
                     on_bad="skip" if args.skip_bad else "fail",
                     trigger_once=True,
+                    source="pdf" if args.pdfs else "html",
                 )
                 q.awaitTermination()
                 dp = os.path.join(args.out, "documents.parquet")

@@ -84,9 +84,11 @@ def incremental_pdf_ingest(
     on_bad: str = "fail",
     max_files_per_trigger: int = 32,
     trigger_once: bool = True,
+    source: str = "pdf",
 ):
-    """Watch a landing directory for raw .pdf files and incrementally build
-    the two input tables — the streaming face of ``sources.ingest``.
+    """Watch a landing directory for raw .pdf (or .html, ``source=
+    'html'``) files and incrementally build the two input tables — the
+    streaming face of ``sources.ingest``.
 
         readStream(binaryFile *.pdf) → foreachBatch(ingest_pdfs + append)
 
@@ -102,16 +104,23 @@ def incremental_pdf_ingest(
 
     Returns the StreamingQuery.
     """
-    from ..sources.ingest import ingest_pdfs, split_ingest
+    from ..sources.ingest import ingest_html, ingest_pdfs, split_ingest
+
+    if source not in ("pdf", "html"):
+        raise ValueError(f"source must be 'pdf' or 'html', got {source!r}")
+    glob = "*.pdf" if source == "pdf" else "*.htm*"
+    ingest_fn = ingest_pdfs if source == "pdf" else ingest_html
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         src = batch_df.select(
-            F.regexp_extract(F.col("path"), r"([^/]+)\.pdf$", 1).alias("doc_id"),
-            F.col("content").alias("pdf"),
+            F.regexp_extract(
+                F.col("path"), r"([^/]+)\.[A-Za-z]+$", 1
+            ).alias("doc_id"),
+            F.col("content").alias(source),
         )
-        combined = ingest_pdfs(src, on_bad=on_bad).persist()
+        combined = ingest_fn(src, on_bad=on_bad).persist()
         try:
             docs, media = split_ingest(combined, persist=False)
             docs.write.mode("append").parquet(f"{out_dir}/documents.parquet")
@@ -134,7 +143,7 @@ def incremental_pdf_ingest(
             "path string, modificationTime timestamp, "
             "length long, content binary"
         )
-        .option("pathGlobFilter", "*.pdf")
+        .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(pdf_stream_dir)
     )

@@ -304,3 +304,38 @@ def test_html_corpus_roundtrip(spark, tmp_path):
     }
     for r in ing_media.collect():
         assert bytes(r["image"]) == blob_by_md5[r["media_ref"]]
+
+
+def test_streaming_html_ingest_matches_batch(spark, tmp_path):
+    """Two micro-batches of landing .html files == one batch ingest;
+    content-addressed media dedups across batches (mirror of the PDF
+    streaming test through the shared foreachBatch path)."""
+    from ai_invoice_ocr_engine_spark.streaming import incremental_pdf_ingest
+
+    _, uri = _png_data_uri()
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "tables")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = incremental_pdf_ingest(spark, str(land), out, ck, source="html")
+        q.awaitTermination()
+
+    (land / "s1.html").write_text(
+        f'<main><p>Batch one body with enough words to keep.</p>'
+        f'<img src="{uri}"></main>'
+    )
+    run()
+    (land / "s2.htm").write_text(
+        f'<main><p>Batch two body with enough words to keep.</p>'
+        f'<img src="{uri}"></main>'  # same image: must dedup across batches
+    )
+    run()
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    media = spark.read.parquet(f"{out}/media.parquet")
+    assert docs.count() == 2
+    assert media.count() == 1  # cross-batch content dedup
+    spans = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    assert [s["kind"] for s in spans["s1"]] == ["text", "media"]
+    assert spans["s1"][1]["media_ref"] == spans["s2"][1]["media_ref"]

@@ -80,10 +80,16 @@ _DROP_TAGS = frozenset(
 _BLOCK_TAGS = frozenset(
     (
         "p div section article main blockquote pre li ul ol dl dt dd "
-        "table tr td th thead tbody tfoot caption figure figcaption "
+        "table tr thead tbody tfoot caption figure figcaption "
         "h1 h2 h3 h4 h5 h6 br hr address fieldset legend details summary"
     ).split()
 )
+
+#: table cells join into their row's block with this separator instead of
+#: flushing — an invoice line ("Widget | 2 | 42.00") is one unit of
+#: content, and per-cell blocks would fall to the short-block rule.
+_CELL_TAGS = frozenset(("td", "th"))
+_CELL_SEP = " | "
 
 _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 
@@ -209,7 +215,7 @@ class Block:
 
     __slots__ = (
         "kind", "text", "src", "alt", "tag", "words",
-        "link_density", "kept", "reason",
+        "link_density", "cells", "kept", "reason",
     )
 
     def __init__(self, kind, text="", src="", alt="", tag=""):
@@ -220,6 +226,7 @@ class Block:
         self.tag = tag  # nearest enclosing block tag at creation
         self.words = 0
         self.link_density = 0.0
+        self.cells = 0  # table cells merged into this block (tr rows)
         self.kept = False
         self.reason = ""
 
@@ -231,6 +238,7 @@ def _segment(root: _Node) -> list[Block]:
     cur_tag = [""]
     cur_boiler = [False]
     cur_reason = [""]
+    cur_cells = [0]
 
     def flush():
         raw = "".join(cur_parts)
@@ -239,11 +247,13 @@ def _segment(root: _Node) -> list[Block]:
             b = Block("text", text=text, tag=cur_tag[0])
             b.words = len(text.split())
             b.link_density = min(1.0, cur_link_chars[0] / max(len(text), 1))
+            b.cells = cur_cells[0]
             if cur_boiler[0]:
                 b.kept, b.reason = False, cur_reason[0]
             blocks.append(b)
         cur_parts.clear()
         cur_link_chars[0] = 0
+        cur_cells[0] = 0
 
     def walk(node: _Node, in_link: bool):
         for child in node.children:
@@ -270,6 +280,18 @@ def _segment(root: _Node) -> list[Block]:
                     b.kept = True
                 blocks.append(b)
                 continue
+            if child.tag in _CELL_TAGS:
+                # cells join their row's block with a separator — an
+                # invoice line is one content unit, not N short blocks.
+                # A cell individually condemned (class/id signal) simply
+                # contributes nothing to its row.
+                if child.boiler and not cur_boiler[0]:
+                    continue
+                if cur_cells[0] > 0:
+                    cur_parts.append(_CELL_SEP)
+                cur_cells[0] += 1
+                walk(child, in_link)
+                continue
             if child.tag in _BLOCK_TAGS:
                 flush()
                 prev_tag, prev_b, prev_r = cur_tag[0], cur_boiler[0], cur_reason[0]
@@ -281,8 +303,12 @@ def _segment(root: _Node) -> list[Block]:
                 cur_tag[0], cur_boiler[0], cur_reason[0] = prev_tag, prev_b, prev_r
             else:
                 if child.boiler and not node.boiler:
-                    # inline boilerplate (e.g. <span class="ad">): flush
-                    # around it so surrounding prose stays clean
+                    if cur_cells[0] > 0:
+                        # inside a table row: contribute nothing rather
+                        # than flushing (a flush would split the row)
+                        continue
+                    # inline boilerplate (e.g. <span class="sponsor">):
+                    # flush around it so surrounding prose stays clean
                     flush()
                     prev_b, prev_r = cur_boiler[0], cur_reason[0]
                     cur_boiler[0], cur_reason[0] = True, child.reason
@@ -308,6 +334,13 @@ def _classify(blocks: list[Block]) -> list[Block]:
             b.kept = any(c.isalnum() for c in b.text)
             if not b.kept:
                 b.reason = "empty_heading"
+        elif b.cells >= 2:
+            # a multi-cell table row is tabular data (invoice line items)
+            # — exempt from the word minimum; link density above still
+            # catches link-farm layout tables
+            b.kept = any(c.isalnum() for c in b.text)
+            if not b.kept:
+                b.reason = "empty_row"
         elif b.words >= _MIN_WORDS or b.text.endswith(_SENTENCE_END):
             b.kept = True
         else:

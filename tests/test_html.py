@@ -339,3 +339,28 @@ def test_streaming_html_ingest_matches_batch(spark, tmp_path):
     spans = {r["doc_id"]: r["spans"] for r in docs.collect()}
     assert [s["kind"] for s in spans["s1"]] == ["text", "media"]
     assert spans["s1"][1]["media_ref"] == spans["s2"][1]["media_ref"]
+
+
+def test_table_rows_are_single_blocks():
+    """A multi-cell row is one content unit ('Widget | 2 | 42.00'), exempt
+    from the word minimum; link-farm layout tables still drop on link
+    density; an inline-condemned span inside a cell contributes nothing
+    (and must not split the row)."""
+    page = """
+    <main><h2>Invoice 1042</h2><table>
+    <tr><th>Item</th><th>Qty</th><th>Amount</th></tr>
+    <tr><td>Widget</td><td>2</td><td>42.00</td></tr>
+    <tr><td>Gadget <span class="sponsor">BUY NOW</span> pro</td><td>7.50</td></tr>
+    <tr><td>lone</td></tr>
+    </table></main>
+    <table><tr><td><a href=1>Nav one</a></td><td><a href=2>Nav two</a></td></tr></table>
+    """
+    assert extract_main_text(page) == (
+        "Invoice 1042\n"
+        "Item | Qty | Amount\n"
+        "Widget | 2 | 42.00\n"
+        "Gadget pro | 7.50"
+    )
+    by_text = {b.text: b for b in html_blocks(page) if b.kind == "text"}
+    assert by_text["lone"].reason == "short"  # single cell: normal rules
+    assert by_text["Nav one | Nav two"].reason == "link_density"

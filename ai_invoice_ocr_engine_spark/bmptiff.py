@@ -3,10 +3,11 @@ accepted-format list (/root/reference/engine.py:46: png/jpg/jpeg/bmp/tiff;
 polymorphic imread at /root/reference/utils/image.py:4-11).
 
 Scope mirrors what a scanner/export pipeline actually emits:
-  BMP: uncompressed BI_RGB (1/4/8-bit paletted, 16-bit 555, 24-bit,
-       32-bit, bottom-up or top-down rows), 16-bit 565 via BI_BITFIELDS,
-       BI_RLE8 and BI_RLE4. 2-bit depth and nonstandard bitfield masks
-       raise NotImplementedError.
+  BMP: uncompressed BI_RGB (1/2/4/8-bit paletted, 16-bit 555, 24-bit,
+       32-bit, bottom-up or top-down rows), BI_BITFIELDS with ANY valid
+       mask triple (contiguous, non-overlapping, in-range — 565/555,
+       4-4-4, 2-10-10-10, byte-reversed 32-bit, ...; invalid masks are
+       corrupt → ValueError), BI_RLE8 and BI_RLE4.
   TIFF: uncompressed, LZW (early-change), Deflate (zlib strips),
         PackBits, new-style JPEG (compression 7, strip- or tile-organized,
         with or without a shared JPEGTables tag) and old-style JPEG
@@ -28,8 +29,26 @@ import struct
 import numpy as np
 
 
-#: standard 16-bit BI_BITFIELDS mask sets (565 and the 555 BI_RGB default)
-_BMP16_MASKS = {(0xF800, 0x07E0, 0x001F), (0x7C00, 0x03E0, 0x001F)}
+#: the 32-bit BGRA byte layout BI_RGB implies (fast slice path)
+_BMP32_STD = (0x00FF0000, 0x0000FF00, 0x000000FF)
+
+
+def _check_masks(masks: tuple, bpp: int) -> None:
+    """Validate a BI_BITFIELDS RGB mask triple: each mask non-zero,
+    within the pixel width, a single contiguous bit run, and pairwise
+    non-overlapping. Anything else is a corrupt header (the spec allows
+    no such file), so the error is ValueError, not a seam."""
+    limit = (1 << bpp) - 1
+    seen = 0
+    for m in masks:
+        if m == 0 or m > limit:
+            raise ValueError(f"BMP bitfields mask {m:#x} out of range for {bpp}-bit")
+        if m & seen:
+            raise ValueError("overlapping BMP bitfields masks")
+        seen |= m
+        mx = m >> ((m & -m).bit_length() - 1)
+        if mx & (mx + 1):
+            raise ValueError(f"non-contiguous BMP bitfields mask {m:#x}")
 
 
 def _mask_channel(vals: np.ndarray, mask: int) -> np.ndarray:
@@ -39,7 +58,7 @@ def _mask_channel(vals: np.ndarray, mask: int) -> np.ndarray:
     shift = (mask & -mask).bit_length() - 1
     mx = mask >> shift
     ch = (vals >> shift) & mx
-    return ((ch.astype(np.uint32) * 255) // mx).astype(np.uint8)
+    return ((ch.astype(np.uint64) * 255) // mx).astype(np.uint8)
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -60,29 +79,17 @@ def decode_bmp(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"BMP compression {compression} unsupported")
         masks = None
         if compression == 3:
+            # the mask triple sits right after the 40-byte info header
+            # (BITMAPV4/V5 embed it at the same offset inside the header)
             masks = struct.unpack_from("<III", data, 14 + 40)
-            if bpp == 32:
-                # 32-bit bitfields accepted ONLY for the standard BGRA
-                # layout the fast path assumes — anything else is a loud
-                # seam, not silently swapped channels
-                if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
-                    raise NotImplementedError(
-                        f"BMP bitfields masks {tuple(hex(m) for m in masks)} unsupported"
-                    )
-            elif bpp == 16:
-                if masks not in _BMP16_MASKS:
-                    raise NotImplementedError(
-                        f"BMP 16-bit masks {tuple(hex(m) for m in masks)} unsupported"
-                    )
-            else:
-                raise NotImplementedError(
-                    f"BMP bitfields with {bpp}-bit pixels unsupported"
-                )
+            if bpp not in (16, 32):
+                raise ValueError(f"BI_BITFIELDS with {bpp}-bit pixels is malformed")
+            _check_masks(masks, bpp)
         if compression == 1 and bpp != 8:
             raise ValueError("BI_RLE8 requires 8-bit BMP")
         if compression == 2 and bpp != 4:
             raise ValueError("BI_RLE4 requires 4-bit BMP")
-        if bpp not in (1, 4, 8, 16, 24, 32):
+        if bpp not in (1, 2, 4, 8, 16, 24, 32):
             raise NotImplementedError(f"{bpp}-bit BMP unsupported")
         if w <= 0 or h_signed == 0:
             raise ValueError("BMP has empty dimensions")
@@ -94,7 +101,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
         pal = None
         if bpp <= 8:
             n_colors = struct.unpack_from("<I", data, 46)[0] or (1 << bpp)
-            pal_off = 14 + hdr_size + (12 if compression == 3 else 0)
+            # the 12 mask bytes precede the palette only for the plain
+            # 40-byte header; V4/V5 headers already contain them
+            pal_off = 14 + hdr_size + (
+                12 if (compression == 3 and hdr_size == 40) else 0
+            )
             pal = np.frombuffer(
                 data, np.uint8, count=n_colors * 4, offset=pal_off
             ).reshape(n_colors, 4)  # BGRA
@@ -113,14 +124,16 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt BMP: {e}") from e
     if not top_down:
         rows = rows[::-1]
-    if bpp in (1, 4) and compression == 0:
+    if bpp in (1, 2, 4) and compression == 0:
         # sub-byte palette indices, MSB-first within each byte
         bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
         if bpp == 1:
             idx = bits
         else:
-            g = bits.reshape(h, w, 4)
-            idx = (g[..., 0] << 3 | g[..., 1] << 2 | g[..., 2] << 1 | g[..., 3])
+            g = bits.reshape(h, w, bpp)
+            idx = g[..., 0]
+            for k in range(1, bpp):
+                idx = (idx << 1) | g[..., k]
         idx = idx.astype(np.uint8)
     elif bpp <= 8:
         idx = rows[:, :w]
@@ -138,6 +151,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
         return rgb_to_gray(np.ascontiguousarray(rgb))
     nch = bpp // 8
     px = rows[:, : w * nch].reshape(h, w, nch)
+    if bpp == 32 and masks is not None and masks != _BMP32_STD:
+        v32 = (
+            px[..., 0].astype(np.uint32)
+            | (px[..., 1].astype(np.uint32) << 8)
+            | (px[..., 2].astype(np.uint32) << 16)
+            | (px[..., 3].astype(np.uint32) << 24)
+        )
+        rgb = np.stack([_mask_channel(v32, m) for m in masks], axis=2)
+        return rgb_to_gray(np.ascontiguousarray(rgb))
     rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB
     return rgb_to_gray(np.ascontiguousarray(rgb))
 
@@ -299,9 +321,9 @@ def _bmp_header(w: int, h: int, bpp: int, compression: int, body_len: int,
 
 def encode_bmp_lowbit(idx: np.ndarray, bpp: int,
                       palette: np.ndarray | None = None) -> bytes:
-    """1- or 4-bit paletted bottom-up BMP (fixture writer). ``idx``: (h, w)
-    palette indices < 2^bpp; default palette is the gray ramp."""
-    assert bpp in (1, 4) and idx.ndim == 2
+    """1-, 2- or 4-bit paletted bottom-up BMP (fixture writer). ``idx``:
+    (h, w) palette indices < 2^bpp; default palette is the gray ramp."""
+    assert bpp in (1, 2, 4) and idx.ndim == 2
     h, w = idx.shape
     n = 1 << bpp
     assert int(idx.max(initial=0)) < n
@@ -311,16 +333,42 @@ def encode_bmp_lowbit(idx: np.ndarray, bpp: int,
     pal = b"".join(bytes([int(b), int(g), int(r), 0]) for r, g, b in palette)
     row_bytes = ((w * bpp + 31) // 32) * 4
     body = bytearray()
+    per_byte = 8 // bpp
     for y in range(h - 1, -1, -1):
-        if bpp == 1:
-            bits = np.zeros(row_bytes * 8, np.uint8)
-            bits[:w] = idx[y]
-            body += np.packbits(bits).tobytes()
-        else:
-            nib = np.zeros(row_bytes * 2, np.uint8)
-            nib[:w] = idx[y]
-            body += ((nib[0::2] << 4) | nib[1::2]).astype(np.uint8).tobytes()
+        vals = np.zeros(row_bytes * per_byte, np.uint8)
+        vals[:w] = idx[y]
+        packed = np.zeros(row_bytes, np.uint8)
+        for k in range(per_byte):
+            packed |= vals[k::per_byte] << (8 - bpp * (k + 1))
+        body += packed.tobytes()
     return _bmp_header(w, h, bpp, 0, len(body), pal) + bytes(body)
+
+
+def encode_bmp_bitfields(img_rgb: np.ndarray, bpp: int,
+                         masks: tuple) -> bytes:
+    """BI_BITFIELDS BMP with an arbitrary valid mask triple, 16- or
+    32-bit pixels (fixture writer). Each 8-bit source channel is mapped
+    into its mask's bit width by truncation (nbits<=8) or left shift
+    (nbits>8) — the analytic inverse of decode's v*255//maxv scaling."""
+    assert img_rgb.ndim == 3 and img_rgb.shape[2] == 3 and bpp in (16, 32)
+    _check_masks(masks, bpp)
+    h, w = img_rgb.shape[:2]
+    v = np.zeros((h, w), np.uint32)
+    for ch, mask in zip(range(3), masks):
+        shift = (mask & -mask).bit_length() - 1
+        nbits = (mask >> shift).bit_length()
+        c = img_rgb[..., ch].astype(np.uint32)
+        c = (c >> (8 - nbits)) if nbits <= 8 else (c << (nbits - 8))
+        v |= c << shift
+    nch = bpp // 8
+    row_bytes = ((w * nch + 3) // 4) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = np.zeros(row_bytes, np.uint8)
+        for k in range(nch):
+            row[k : w * nch : nch] = (v[y] >> (8 * k)) & 0xFF
+        body += row.tobytes()
+    return _bmp_header(w, h, bpp, 3, len(body), b"", masks) + bytes(body)
 
 
 def encode_bmp16(img_rgb: np.ndarray, fmt: str = "565") -> bytes:

@@ -451,10 +451,10 @@ def test_bmp_tiff_roundtrip_and_contract():
     struct.pack_into("<I", badrle, 30, 2)  # BI_RLE4 on 8-bit: malformed
     with pytest.raises(ValueError):
         BT.decode_bmp(bytes(badrle))
-    twobit = bytearray(BT.encode_bmp(img))
-    struct.pack_into("<H", twobit, 28, 2)  # 2-bit depth: unsupported seam
+    threebit = bytearray(BT.encode_bmp(img))
+    struct.pack_into("<H", threebit, 28, 3)  # 3-bit depth: unsupported seam
     with pytest.raises(NotImplementedError):
-        BT.decode_bmp(bytes(twobit))
+        BT.decode_bmp(bytes(threebit))
     oddtif = bytearray(BT.encode_tiff(img))
     ifd_off = struct.unpack_from("<I", oddtif, 4)[0]
     struct.pack_into("<H", oddtif, ifd_off + 2 + 3 * 12 + 8, 32809)  # ThunderScan
@@ -901,13 +901,58 @@ def test_bmp_lowbit_rle4_and_16bit():
         want = K.rgb_to_gray(np.stack([r, g, b], axis=2).astype(np.uint8))
         got = BT.decode_bmp(BT.encode_bmp16(rgb.astype(np.uint8), fmt))
         assert np.array_equal(got, want), fmt
-    # seams stay loud: 16-bit with nonstandard masks, 2-bit depth
+    # invalid mask triples are corrupt headers, not seams
     import struct
 
     blob = bytearray(BT.encode_bmp16(rgb.astype(np.uint8), "565"))
-    struct.pack_into("<III", blob, 54, 0xF00, 0xF0, 0xF)
-    with pytest.raises(NotImplementedError):
-        BT.decode_bmp(bytes(blob))
+    for bad in ((0xF800, 0x0FE0, 0x001F),   # overlapping
+                (0xF800, 0x07E0, 0x0000),   # zero mask
+                (0xD800, 0x07E0, 0x001F),   # non-contiguous
+                (0x1F800, 0x07E0, 0x001F)):  # out of 16-bit range
+        struct.pack_into("<III", blob, 54, *bad)
+        with pytest.raises(ValueError):
+            BT.decode_bmp(bytes(blob))
+
+
+def test_bmp_2bit_and_arbitrary_bitfields():
+    """The last BMP seams closed: 2-bit paletted depth (Windows CE
+    variant) and BI_BITFIELDS with any valid mask triple — 4-4-4,
+    2-10-10-10, byte-reversed 32-bit — all checked against the analytic
+    per-channel expansion (pack truncation, then decode's v*255//maxv)."""
+    import numpy as np
+    import pytest
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+
+    rng = np.random.default_rng(17)
+    idx = rng.integers(0, 4, (23, 41)).astype(np.uint8)
+    pal = np.stack([np.arange(4) * 85] * 3, axis=1).astype(np.uint8)
+    want = K.rgb_to_gray(pal[idx])
+    blob = BT.encode_bmp_lowbit(idx, 2)
+    assert np.array_equal(BT.decode_bmp(blob), want)
+    assert np.array_equal(K.decode_image(blob), want)
+
+    rgb = rng.integers(0, 256, (19, 29, 3), dtype=np.uint8)
+    cases = [
+        (16, (0x0F00, 0x00F0, 0x000F)),            # 4-4-4
+        (16, (0x001F, 0x03E0, 0x7C00)),            # reversed 555
+        (32, (0x3FF00000, 0x000FFC00, 0x000003FF)),  # 10-10-10
+        (32, (0x000000FF, 0x0000FF00, 0x00FF0000)),  # RGB low-byte-first
+    ]
+    for bpp, masks in cases:
+        chans = []
+        for ch, m in zip(range(3), masks):
+            shift = (m & -m).bit_length() - 1
+            nbits = (m >> shift).bit_length()
+            mx = (1 << nbits) - 1
+            c = rgb[..., ch].astype(np.int64)
+            c = (c >> (8 - nbits)) if nbits <= 8 else (c << (nbits - 8))
+            chans.append(c * 255 // mx)
+        want = K.rgb_to_gray(np.stack(chans, axis=2).astype(np.uint8))
+        got = BT.decode_bmp(BT.encode_bmp_bitfields(rgb, bpp, masks))
+        assert np.array_equal(got, want), (bpp, masks)
+    with pytest.raises(ValueError):
+        BT.encode_bmp_bitfields(rgb, 16, (0xF800, 0x0FE0, 0x001F))
 
 
 def test_decode_image_error_contract_fuzz():

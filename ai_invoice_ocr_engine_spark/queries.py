@@ -2897,6 +2897,171 @@ GROUP BY cntrycode
 """
 
 
+def q_funnel_conversion(spark, sf):
+    """Ordered behavioral funnel view → click → purchase, each step
+    within 24 h of the previous one — the product-analytics query every
+    event warehouse runs. Shape at 10^12 events: three per-user min
+    aggregations chained by equi-joins on user_id (all co-partitioned —
+    ONE shuffle key throughout, no window, no self-join explosion);
+    the final counts are single-row combines."""
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("es") > F.col("t_view")) & (F.col("es") <= F.col("t_view") + 86400))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("es") > F.col("t_click")) & (F.col("es") <= F.col("t_click") + 86400))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_view"), 4).alias("view_to_click"),
+            F.round(F.col("n_purchase") / F.col("n_click"), 4).alias("click_to_purchase"),
+        )
+    )
+
+
+_SQL_FUNNEL_CONVERSION = """
+WITH e AS (SELECT user_id, event_type, floor(epoch(ts))::bigint AS es FROM events),
+v AS (SELECT user_id, min(es) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id AS user_id, min(es) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+                   AND e.es > v.t_view AND e.es <= v.t_view + 86400
+      WHERE event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id AS user_id, min(es) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+                   AND e.es > c.t_click AND e.es <= c.t_click + 86400
+      WHERE event_type = 'purchase' GROUP BY 1)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM c) / (SELECT count(*) FROM v), 4) AS view_to_click,
+       round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 4) AS click_to_purchase
+"""
+
+
+def q_retention_cohorts(spark, sf):
+    """Daily cohort retention triangle: cohort = the user's first active
+    day, every later active day counts into (cohort_day, day_offset).
+    One per-user min aggregation + a user_id equi-join back (again one
+    shuffle key), then a count-distinct per cohort cell — the standard
+    retention matrix with no per-day scan loop."""
+    e = _t(spark, sf, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        e.join(first, "user_id")
+        .groupBy("cohort_d", (F.col("d") - F.col("cohort_d")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_SQL_RETENTION = """
+WITH e AS (SELECT user_id, floor(epoch(ts))::bigint // 86400 AS d FROM events),
+f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+SELECT cohort_d, e.d - f.cohort_d AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_top_bigrams(spark, sf):
+    """Corpus-level frequent word bigrams with min support — vocabulary
+    induction / stock-phrase mining over the documents table. Pure JVM
+    lambda expressions (filter + transform + explode) feeding one
+    map-side-combinable count; TakeOrderedAndProject caps the output.
+    At 10^12 docs the only shuffle carries (bigram, partial count)."""
+    d = _t(spark, sf, "documents")
+    grams = (
+        d.select(F.filter(F.split("text", " "), lambda x: x != "").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+                )
+            ).alias("g")
+        )
+    )
+    return (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+        .orderBy(F.desc("n"), "g")
+        .limit(40)
+    )
+
+
+_SQL_TOP_BIGRAMS = """
+WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+g AS (SELECT ws[i] || ' ' || ws[i + 1] AS g
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2)
+SELECT g, count(*) AS n FROM g GROUP BY 1 HAVING count(*) >= 5
+ORDER BY n DESC, g LIMIT 40
+"""
+
+
+def q_event_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event streams:
+    lag() within (user_id ordered by ts, event_id tie-break) pairs each
+    event with its predecessor, then one count per (prev, next) cell and
+    a row-normalized probability. The window partitions by user_id —
+    bounded per-key state, no global sort; the normalizing window runs
+    over the k×k aggregated matrix (25 rows), not the events."""
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    pairs = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "prev",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy("prev")), 4).alias("p"),
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH e AS (SELECT user_id, event_id, event_type, floor(epoch(ts))::bigint AS es FROM events),
+l AS (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev
+      FROM e),
+t AS (SELECT prev, event_type, count(*) AS n
+      FROM l WHERE prev IS NOT NULL GROUP BY 1, 2)
+SELECT prev, event_type, n,
+       round(n / sum(n) OVER (PARTITION BY prev), 4) AS p
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2988,4 +3153,8 @@ REGISTRY: dict[str, tuple] = {
     "q15_top_supplier": (q15_top_supplier, _SQL_Q15),
     "q21_waiting_suppliers": (q21_waiting_suppliers, _SQL_Q21),
     "q22_sales_opportunity": (q22_sales_opportunity, _SQL_Q22),
+    "funnel_conversion": (q_funnel_conversion, _SQL_FUNNEL_CONVERSION),
+    "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),
+    "top_bigrams": (q_top_bigrams, _SQL_TOP_BIGRAMS),
+    "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
 }

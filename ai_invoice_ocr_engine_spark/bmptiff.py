@@ -16,7 +16,10 @@ Scope mirrors what a scanner/export pipeline actually emits:
         1-bit packed bilevel via fax.py, chunky planar, 8-bit grayscale
         (white/black-is-zero) or RGB(A), strip- OR tile-organized, either
         byte order, horizontal-differencing predictor. The CCITT fax
-        family (MH / G3 1D+2D / G4) is fully covered.
+        family (MH / G3 1D+2D / G4) is fully covered. Sample layouts:
+        4-bit gray (packed nibbles), 8-bit gray, 16-bit gray/RGB (high
+        byte kept, predictor-2 aware), 4/8-bit palette via ColorMap,
+        and planar configuration 2 for 8/16-bit strip-organized RGB.
 Malformed containers raise ValueError (same contract as decode_png).
 Color goes through kernels.rgb_to_gray — one grayscale definition for
 every codec in the engine.
@@ -456,7 +459,8 @@ _TIFF_TAGS = {
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
     317: "predictor", 322: "tile_w", 323: "tile_h",
     324: "tile_offsets", 325: "tile_counts",
-    292: "t4_options", 347: "jpeg_tables", 513: "jpeg_if", 514: "jpeg_if_len",
+    292: "t4_options", 320: "colormap",
+    347: "jpeg_tables", 513: "jpeg_if", 514: "jpeg_if_len",
 }
 
 
@@ -623,11 +627,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
-    if tags.get("planar", [1])[0] != 1:
-        raise NotImplementedError("TIFF planar configuration 2 unsupported")
     jpeg_mode = comp in (6, 7)
     bits = tags.get("bits", [8])
     bilevel = bits == [1]
+    sbits = bits[0]
+    spp = tags.get("spp", [1])[0]
     if not jpeg_mode:
         # JPEG chunks carry their own precision/color model in the stream
         if bilevel:
@@ -635,19 +639,37 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"1-bit TIFF with compression {comp} unsupported"
                 )
-        elif any(b != 8 for b in bits):
+        elif any(b != sbits for b in bits) or sbits not in (4, 8, 16):
             raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
+        if sbits == 4 and spp != 1:
+            raise NotImplementedError("4-bit TIFF requires 1 sample per pixel")
     if comp in (2, 3, 4) and not bilevel:
         raise ValueError(f"CCITT compression {comp} requires 1-bit samples")
     photometric = tags.get("photometric", [1])[0]
-    spp = tags.get("spp", [1])[0]
-    ok_photo = (0, 1, 2, 6) if jpeg_mode else (0, 1, 2)
+    ok_photo = (0, 1, 2, 6) if jpeg_mode else (0, 1, 2, 3)
     if photometric not in ok_photo or spp not in (1, 3, 4):
         raise NotImplementedError(
             f"TIFF photometric {photometric} / spp {spp} unsupported"
         )
+    if photometric == 3:
+        # palette: sub-16-bit single-sample indices into a ColorMap
+        if bilevel or jpeg_mode or sbits == 16 or spp != 1:
+            raise NotImplementedError("TIFF palette variant unsupported")
+        if "colormap" not in tags:
+            raise ValueError("palette TIFF missing ColorMap")
+        if len(tags["colormap"]) < 3 * (1 << sbits):
+            raise ValueError("palette TIFF ColorMap truncated")
     if bilevel and spp != 1:
         raise NotImplementedError("1-bit TIFF requires 1 sample per pixel")
+    planar = tags.get("planar", [1])[0]
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar} unsupported")
+    if spp == 1:
+        planar = 1  # planar layout is meaningless for one sample per pixel
+    if planar == 2 and (jpeg_mode or "tile_offsets" in tags or sbits == 4):
+        raise NotImplementedError(
+            "TIFF planar configuration 2 only for 8/16-bit strip-organized samples"
+        )
     try:
         w = tags["width"][0]
         h = tags["height"][0]
@@ -702,8 +724,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if jpeg_mode and "jpeg_tables" in tags:
         jpeg_tables = bytes(bytearray(tags["jpeg_tables"]))
 
-    def decode_chunk(off: int, cnt: int, cw: int, ch: int) -> np.ndarray:
-        """One strip/tile → (ch, cw, spp) uint8 (JPEG chunks → spp=1 gray)."""
+    def decode_chunk(off: int, cnt: int, cw: int, ch: int,
+                     spp_c: int = spp) -> np.ndarray:
+        """One strip/tile → (ch, cw, spp_c) uint8 samples (JPEG chunks →
+        spp=1 gray; 4-bit → raw 0..15 indices; 16-bit → high byte)."""
         chunk = data[off : off + cnt]
         if len(chunk) != cnt:
             raise ValueError("TIFF chunk truncated")
@@ -744,10 +768,35 @@ def decode_tiff(data: bytes) -> np.ndarray:
             packed = np.frombuffer(bytes(chunk), np.uint8, count=need)
             unpacked = np.unpackbits(packed.reshape(ch, row_bytes), axis=1)[:, :cw]
             return (unpacked * 255).astype(np.uint8)[:, :, None]
-        need = ch * cw * spp
+        if sbits == 4:  # packed nibbles, MSB first, rows byte-padded
+            row_bytes = (cw + 1) // 2
+            need = ch * row_bytes
+            if len(chunk) < need:
+                raise ValueError("TIFF pixel data truncated")
+            packed = np.frombuffer(bytes(chunk), np.uint8, count=need).reshape(
+                ch, row_bytes
+            )
+            nib = np.empty((ch, row_bytes * 2), np.uint8)
+            nib[:, 0::2] = packed >> 4
+            nib[:, 1::2] = packed & 0xF
+            px = nib[:, :cw][:, :, None]
+            if predictor == 2:
+                px = (np.cumsum(px.astype(np.int64), axis=1) & 0xF).astype(np.uint8)
+            return px
+        if sbits == 16:  # file byte order; downscale to the high byte
+            cnt16 = ch * cw * spp_c
+            if len(chunk) < cnt16 * 2:
+                raise ValueError("TIFF pixel data truncated")
+            arr = np.frombuffer(
+                bytes(chunk), np.dtype(bo + "u2"), count=cnt16
+            ).reshape(ch, cw, spp_c)
+            if predictor == 2:
+                arr = np.cumsum(arr.astype(np.int64), axis=1) & 0xFFFF
+            return (arr >> 8).astype(np.uint8)
+        need = ch * cw * spp_c
         if len(chunk) < need:
             raise ValueError("TIFF pixel data truncated")
-        px = np.frombuffer(bytes(chunk), np.uint8, count=need).reshape(ch, cw, spp)
+        px = np.frombuffer(bytes(chunk), np.uint8, count=need).reshape(ch, cw, spp_c)
         if predictor == 2:  # horizontal differencing per scanline
             px = (np.cumsum(px.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
         return px
@@ -761,6 +810,26 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 tile = decode_chunk(offsets[k], counts[k], tw, tl)
                 px[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
         px = px[:h, :w]
+    elif planar == 2:
+        # planar strips: all of plane 0's strips, then plane 1's, ...
+        strips_per_plane = (h + rps - 1) // rps
+        if min(len(offsets), len(counts)) < spp * strips_per_plane:
+            raise ValueError("TIFF planar strip index truncated")
+        planes = []
+        for p in range(spp):
+            parts = []
+            remaining = h
+            for k in range(strips_per_plane):
+                ch = min(rps, remaining)
+                if ch <= 0:
+                    break
+                i = p * strips_per_plane + k
+                parts.append(decode_chunk(offsets[i], counts[i], w, ch, spp_c=1))
+                remaining -= ch
+            if remaining > 0:
+                raise ValueError("TIFF pixel data truncated")
+            planes.append(parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0))
+        px = np.concatenate(planes, axis=2)
     else:
         parts = []
         remaining = h
@@ -773,8 +842,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if remaining > 0:
             raise ValueError("TIFF pixel data truncated")
         px = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    if photometric == 3:
+        n = 1 << sbits
+        cm = np.array(tags["colormap"][: 3 * n], np.uint32)
+        pal = (cm >> 8).astype(np.uint8).reshape(3, n).T  # 16-bit RGB → 8-bit
+        return rgb_to_gray(np.ascontiguousarray(pal[px[:, :, 0]]))
     if out_spp == 1:
         g = px[:, :, 0]
+        if sbits == 4 and comp != 7:
+            g = (g.astype(np.uint16) * 17).astype(np.uint8)  # 0..15 → 0..255
         if photometric == 0 and comp != 7:  # white-is-zero
             g = 255 - g
         return np.ascontiguousarray(g)
@@ -1069,6 +1145,95 @@ def encode_tiff_oldjpeg(img: np.ndarray, quality: int = 90,
         ]
 
     return _assemble_tiff(bo, [stream], entries)
+
+
+def _tiff_container(bo: str, entries: list, pix: bytes) -> bytes:
+    """Assemble magic + pixel data + one IFD. ``entries``: (tag, typ,
+    values) with typ 3 (SHORT) or 4 (LONG); multi-value fields spill to
+    an out-of-line value area after the IFD."""
+    size = {3: 2, 4: 4}
+    pix_off = 8
+    ifd_off = pix_off + len(pix)
+    n = len(entries)
+    extra_off = ifd_off + 2 + n * 12 + 4
+    extra = bytearray()
+    ifd = struct.pack(bo + "H", n)
+    for tag, typ, vals in sorted(entries):
+        fmt = bo + ("H" if typ == 3 else "I")
+        if len(vals) * size[typ] <= 4:
+            vf = b"".join(struct.pack(fmt, v) for v in vals).ljust(4, b"\x00")
+        else:
+            vf = struct.pack(bo + "I", extra_off + len(extra))
+            extra += b"".join(struct.pack(fmt, v) for v in vals)
+        ifd += struct.pack(bo + "HHI", tag, typ, len(vals)) + vf
+    ifd += struct.pack(bo + "I", 0)
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    return magic + struct.pack(bo + "I", ifd_off) + pix + ifd + bytes(extra)
+
+
+def encode_tiff_ext(img: np.ndarray, *, bits: int = 8,
+                    photometric: int | None = None,
+                    colormap: np.ndarray | None = None,
+                    planar: int = 1, rows_per_strip: int | None = None,
+                    big_endian: bool = False, predictor: int = 1) -> bytes:
+    """Extended-layout TIFF fixture writer (uncompressed): 4-bit gray,
+    16-bit gray/RGB (optionally predictor 2), 4/8-bit palette
+    (``colormap``: (n, 3) uint8, widened to the tag's 16-bit entries),
+    planar-configuration-2 RGB, multi-strip, either byte order. ``img``:
+    (h, w) sample values or (h, w, 3)."""
+    bo = ">" if big_endian else "<"
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    assert predictor == 1 or (bits == 16 and (spp == 1 or planar == 2))
+    samples = img if img.ndim == 3 else img[:, :, None]
+    rps = rows_per_strip or h
+    n_strips = (h + rps - 1) // rps
+
+    def pack_rows(rows: np.ndarray) -> bytes:  # (ch, cw) single-plane
+        if bits == 4:
+            rb = (rows.shape[1] + 1) // 2
+            nib = np.zeros((rows.shape[0], rb * 2), np.uint8)
+            nib[:, : rows.shape[1]] = rows
+            return ((nib[:, 0::2] << 4) | nib[:, 1::2]).tobytes()
+        if bits == 16:
+            v = rows.astype(np.int64) * 257  # widen 0..255 to 0..65535
+            if predictor == 2:
+                v = np.diff(v, axis=1, prepend=0) & 0xFFFF
+            return v.astype(np.dtype(bo + "u2")).tobytes()
+        return rows.astype(np.uint8).tobytes()
+
+    chunks = []
+    for p in range(spp) if planar == 2 else [None]:
+        for s in range(n_strips):
+            rows = samples[s * rps : min((s + 1) * rps, h)]
+            if planar == 2:
+                chunks.append(pack_rows(rows[:, :, p]))
+            elif spp == 1:
+                chunks.append(pack_rows(rows[:, :, 0]))
+            else:  # chunky multi-sample, 8/16-bit only
+                flat = rows.reshape(rows.shape[0], -1)
+                chunks.append(pack_rows(flat))
+    pix = b"".join(chunks)
+    offsets, pos = [], 8
+    for c in chunks:
+        offsets.append(pos)
+        pos += len(c)
+    if photometric is None:
+        photometric = 3 if colormap is not None else (1 if spp == 1 else 2)
+    entries = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [bits] * spp),
+        (259, 3, [1]), (262, 3, [photometric]), (273, 4, offsets),
+        (277, 3, [spp]), (278, 3, [rps]),
+        (279, 4, [len(c) for c in chunks]), (284, 3, [planar]),
+    ]
+    if predictor != 1:
+        entries.append((317, 3, [predictor]))
+    if colormap is not None:
+        n = 1 << bits
+        assert colormap.shape == (n, 3)
+        cm16 = colormap.astype(np.uint16) << 8 | colormap
+        entries.append((320, 3, [int(v) for v in cm16.T.reshape(-1)]))
+    return _tiff_container(bo, entries, pix)
 
 
 def encode_tiff(img: np.ndarray, big_endian: bool = False,

@@ -870,6 +870,70 @@ def test_png_extended_depths_palette_interlace():
         K.decode_png(K.encode_png_ext(idx + 100, depth=8, ctype=3, palette=pal[:8]))
 
 
+def test_tiff_sample_layouts():
+    """TIFF sample-layout seams closed: 4-bit gray (packed nibbles →
+    v*17 expansion), 16-bit gray/RGB (high byte, both byte orders,
+    predictor 2), 4/8-bit palette via ColorMap (16-bit entries → high
+    byte), and planar configuration 2 — each pinned against the
+    analytic expansion, not a round-trip of one code path."""
+    import numpy as np
+    import pytest
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+
+    rng = np.random.default_rng(29)
+    # 4-bit gray: stored nibbles expand v -> v*17
+    idx = rng.integers(0, 16, (21, 33)).astype(np.uint8)
+    for be in (False, True):
+        got = BT.decode_tiff(BT.encode_tiff_ext(idx, bits=4, big_endian=be))
+        assert np.array_equal(got, (idx.astype(np.uint16) * 17).astype(np.uint8))
+    # white-is-zero inverts the expanded value
+    got = BT.decode_tiff(BT.encode_tiff_ext(idx, bits=4, photometric=0))
+    assert np.array_equal(got, 255 - (idx.astype(np.uint16) * 17).astype(np.uint8))
+
+    # 16-bit gray keeps the high byte; multi-strip + predictor 2 + both orders
+    g = rng.integers(0, 256, (40, 27), dtype=np.uint8)
+    for be in (False, True):
+        for pred in (1, 2):
+            blob = BT.encode_tiff_ext(g, bits=16, big_endian=be,
+                                      predictor=pred, rows_per_strip=13)
+            assert np.array_equal(BT.decode_tiff(blob), g), (be, pred)
+
+    # 16-bit chunky RGB reduces through the shared luma
+    rgb = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    got = BT.decode_tiff(BT.encode_tiff_ext(rgb, bits=16))
+    assert np.array_equal(got, K.rgb_to_gray(rgb))
+
+    # palette 4- and 8-bit: ColorMap entries are 16-bit, decoder keeps
+    # the high byte, and white-is-zero must NOT invert palette output
+    for bits in (4, 8):
+        n = 1 << bits
+        pidx = rng.integers(0, n, (19, 31)).astype(np.uint8)
+        cmap = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        want = K.rgb_to_gray(cmap[pidx])
+        for be in (False, True):
+            blob = BT.encode_tiff_ext(pidx, bits=bits, colormap=cmap, big_endian=be)
+            assert np.array_equal(BT.decode_tiff(blob), want), (bits, be)
+        assert np.array_equal(K.decode_image(blob), want)
+
+    # planar configuration 2: plane-grouped strips reassemble exactly
+    for bits in (8, 16):
+        for rps in (None, 7):
+            blob = BT.encode_tiff_ext(rgb, bits=bits, planar=2, rows_per_strip=rps)
+            assert np.array_equal(BT.decode_tiff(blob), K.rgb_to_gray(rgb)), (bits, rps)
+
+    # planar for spp=1 is meaningless and must not change the result
+    assert np.array_equal(BT.decode_tiff(BT.encode_tiff_ext(g, planar=2)), g)
+
+    # seams stay loud / corrupt stays ValueError
+    with pytest.raises(ValueError):  # palette without ColorMap
+        blob = bytearray(BT.encode_tiff_ext(pidx, bits=8, colormap=cmap))
+        # truncate the colormap count via a fresh encode without the tag
+        BT.decode_tiff(BT.encode_tiff_ext(pidx, bits=8, photometric=3))
+    with pytest.raises(NotImplementedError):  # 2-bit samples
+        BT.decode_tiff(BT.encode_tiff_ext(idx, bits=2))
+
+
 def test_bmp_lowbit_rle4_and_16bit():
     """BMP seams closed: 1/4-bit paletted, BI_RLE4, and 16-bit 565/555
     (bitfields + BI_RGB default) — exact vs the analytic channel

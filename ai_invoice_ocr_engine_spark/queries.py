@@ -3062,6 +3062,76 @@ FROM t
 """
 
 
+def q_caption_pairs(spark, sf):
+    """Image-caption training pairs from interleaved documents — the
+    multimodal curation op the span model exists for: every media span
+    paired with up to 5 tokens of surrounding text on each side. Spans
+    are synthesized deterministically (docs %3 get one media span mid
+    document at an odd order slot between even-order tokens), then ONE
+    window per doc_id in reading order collects both context frames —
+    exactly the engine's spans_out layout, no self-join, state bounded
+    by the frame width."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select(
+        "doc_id",
+        (F.col("pos") * 2).alias("ord"),
+        F.lit("text").alias("kind"),
+        "token",
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+    med = (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("nt"))
+        .where((F.col("doc_id") % 3 == 0) & (F.col("nt") >= 4))
+        .select(
+            "doc_id",
+            (F.col("nt") - (F.col("nt") % 2) - 1).alias("ord"),
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("token"),
+            F.concat(F.lit("img-"), F.col("doc_id")).alias("media_ref"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    ctx = tok.unionByName(med).select(
+        "doc_id",
+        "kind",
+        "media_ref",
+        F.concat_ws(
+            " ", F.collect_list("token").over(w.rowsBetween(-5, -1))
+        ).alias("caption_before"),
+        F.concat_ws(
+            " ", F.collect_list("token").over(w.rowsBetween(1, 5))
+        ).alias("caption_after"),
+    )
+    return ctx.where(F.col("kind") == "media").select(
+        "doc_id", "media_ref", "caption_before", "caption_after"
+    )
+
+
+_SQL_CAPTION_PAIRS = """
+WITH t AS (
+  SELECT doc_id, (generate_subscripts(string_split(text, ' '), 1) - 1) * 2 AS ord,
+         'text' AS kind, unnest(string_split(text, ' ')) AS token,
+         NULL AS media_ref
+  FROM documents),
+m AS (
+  SELECT doc_id, 2 * (len(string_split(text, ' ')) // 2) - 1 AS ord,
+         'media' AS kind, NULL AS token, 'img-' || doc_id AS media_ref
+  FROM documents
+  WHERE doc_id % 3 = 0 AND len(string_split(text, ' ')) >= 4),
+s AS (SELECT * FROM t UNION ALL SELECT * FROM m),
+c AS (SELECT doc_id, kind, media_ref,
+        coalesce(string_agg(token, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+          ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), '') AS caption_before,
+        coalesce(string_agg(token, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+          ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING), '') AS caption_after
+      FROM s)
+SELECT doc_id, media_ref, caption_before, caption_after
+FROM c WHERE kind = 'media'
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3157,4 +3227,5 @@ REGISTRY: dict[str, tuple] = {
     "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),
     "top_bigrams": (q_top_bigrams, _SQL_TOP_BIGRAMS),
     "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
+    "caption_pairs": (q_caption_pairs, _SQL_CAPTION_PAIRS),
 }

@@ -127,6 +127,11 @@ def main(argv=None) -> int:
     v.add_argument("--out", required=True)
     v.add_argument("--master", default=None)
 
+    cp = sub.add_parser("compact", help="rewrite small span files per bucket")
+    cp.add_argument("--out", required=True, help="extract out_dir")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--master", default=None)
+
     lk = sub.add_parser("lookup", help="bucket-pruned point lookup by doc_id")
     lk.add_argument("--out", required=True, help="extract out_dir")
     lk.add_argument("--doc-ids", required=True, help="comma-separated ids")
@@ -367,6 +372,18 @@ def main(argv=None) -> int:
             spark.stop()
         print(json.dumps(rep))
         return 0 if rep["ok"] else 1
+
+    if args.cmd == "compact":
+        from .pipeline import compact_spans
+        from .sources.session import get_spark
+
+        spark = get_spark(app="compact", master=args.master)
+        try:
+            rep = compact_spans(spark, args.out, target_mb=args.target_mb)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
 
     if args.cmd == "lookup":
         from pyspark.sql import functions as F

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Iterator
@@ -843,6 +844,147 @@ def verify_lineage(spark: SparkSession, out_dir: str) -> dict:
         "mismatched": n_bad,
         "ok": n_bad == 0,
     }
+
+
+def _list_parquet_files(spark: SparkSession, d: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every parquet data file under ``d``, recursively —
+    local os.walk, or the Hadoop FileSystem for '://' paths."""
+    if "://" not in d:
+        out = []
+        for root, _, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out.append((p, os.path.getsize(p)))
+        return out
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(conf)
+    it = fs.listFiles(path, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(".parquet"):
+            out.append((p, st.getLen()))
+    return out
+
+
+def _move_path(spark: SparkSession, src: str, dst: str) -> None:
+    if "://" not in src:
+        os.rename(src, dst)
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise ValueError(f"rename {src!r} -> {dst!r} failed")
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    if "://" not in path:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, True)
+
+
+def compact_spans(
+    spark: SparkSession, out_dir: str, target_mb: int = 128
+) -> dict:
+    """Small-file compaction for the bucketed spans table — the
+    OPTIMIZE / rewrite_data_files analog. Long-running ingestion appends
+    one file set per run into every ``bucket=N`` partition; at 10^12
+    docs the accumulated small files dominate scan planning time and
+    NameNode/manifest pressure long before data size does.
+
+    Per bucket, the target file count is ceil(bucket_bytes/target) from
+    an actual file listing (no guessing from row counts). The rewrite
+    shuffles on (bucket, slot) where slot = pmod(xxhash64(doc_id, 1),
+    n_slots) — deterministic, and a task holds whole slots so each
+    bucket directory lands at most n_slots files. Safety protocol:
+    write to a temp dir, recompute the per-bucket lineage aggregate on
+    BOTH copies and require exact equality (doc_count + span_count +
+    checksum), then swap directories (spans → spans_backup → deleted;
+    a crash between the two renames leaves spans_backup intact to
+    restore). Lineage rows are untouched: content is identical, and the
+    checksum is order-insensitive, so verify_lineage passes unchanged
+    against the compacted table."""
+    spans_dir = os.path.join(out_dir, "spans")
+    manifest = json.loads(_read_text(spark, os.path.join(out_dir, "_manifest.json")))
+    if manifest.get("layout") != BUCKET_LAYOUT:
+        raise ValueError(
+            f"out_dir layout {manifest.get('layout')!r} is not {BUCKET_LAYOUT!r}"
+        )
+    target = int(target_mb) * 1024 * 1024
+    per: dict[int, list[int]] = {}
+    for path, size in _list_parquet_files(spark, spans_dir):
+        m = re.search(r"bucket=(\d+)", path)
+        if m is None:
+            continue
+        st = per.setdefault(int(m.group(1)), [0, 0])
+        st[0] += 1
+        st[1] += size
+    files_before = sum(st[0] for st in per.values())
+    slots = {b: max(1, -(-st[1] // target)) for b, st in per.items()}
+    stats = {
+        "buckets": len(per),
+        "files_before": files_before,
+        "bytes": sum(st[1] for st in per.values()),
+        "target_mb": int(target_mb),
+    }
+    if all(per[b][0] <= s for b, s in slots.items()):
+        return {**stats, "files_after": files_before, "rewritten": False}
+    slot_df = spark.createDataFrame(
+        [(b, int(s)) for b, s in sorted(slots.items())], "bucket int, n_slots int"
+    )
+    df = spark.read.parquet(spans_dir)
+    tmp = spans_dir + "_compact_tmp"
+    _delete_path(spark, tmp)
+    total_slots = int(sum(slots.values()))
+    (
+        df.join(F.broadcast(slot_df), "bucket", "inner")
+        .withColumn("slot", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.col("n_slots")))
+        .repartition(max(total_slots, 1), F.col("bucket"), F.col("slot"))
+        .drop("n_slots", "slot")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+
+    def _digest(d: str) -> list:
+        return (
+            spark.read.parquet(d)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.coalesce(F.sum(F.size("spans_out")), F.lit(0))
+                .cast("long")
+                .alias("span_count"),
+                F.bit_xor(F.xxhash64("doc_id", F.to_json("spans_out"))).alias(
+                    "checksum"
+                ),
+            )
+            .orderBy("bucket")
+            .collect()
+        )
+
+    if _digest(tmp) != _digest(spans_dir):
+        _delete_path(spark, tmp)
+        raise ValueError("compaction digest mismatch; original left untouched")
+    backup = spans_dir + "_backup"
+    _delete_path(spark, backup)
+    _move_path(spark, spans_dir, backup)
+    _move_path(spark, tmp, spans_dir)
+    _delete_path(spark, backup)
+    files_after = len(_list_parquet_files(spark, spans_dir))
+    return {**stats, "files_after": files_after, "rewritten": True}
 
 
 def lookup_docs(spark: SparkSession, out_dir: str, doc_ids) -> DataFrame:

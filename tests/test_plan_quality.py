@@ -285,3 +285,39 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_single_shuffle_key(spark):
+    """funnel_conversion: every join/aggregate keys on user_id — no
+    nested-loop joins except the final three 1-row count combines, and
+    no Exchange on anything but user_id before them."""
+    plan = plan_of(spark, "funnel_conversion")
+    body = plan.split("BroadcastNestedLoopJoin")[0]  # before the 1-row crossJoins
+    for line in body.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line
+
+
+def test_top_bigrams_topk_and_partial_agg(spark):
+    plan = plan_of(spark, "top_bigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine on (g, count)
+
+
+def test_caption_pairs_single_doc_window(spark):
+    """caption_pairs: one reading-order window partitioned by doc_id —
+    never a partition-less window (single task)."""
+    plan = plan_of(spark, "caption_pairs")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line, line
+    assert "SinglePartition" not in plan
+
+
+def test_ntile_no_single_partition_exchange(spark):
+    """The distributed-ranking rewrite's contract: no Exchange
+    SinglePartition anywhere in the quartile plan (the r2 verdict's weak
+    item), and the range repartition is present."""
+    plan = plan_of(spark, "ntile_spend_quartiles")
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan

@@ -47,6 +47,12 @@ SHOW = [
     "substring_dedup",
     "containment_pairs",
     "mixture_weights",
+    # session 5: analytics + interleaved-span curation + distributed rank
+    "funnel_conversion",
+    "retention_cohorts",
+    "top_bigrams",
+    "event_transitions",
+    "caption_pairs",
 ]
 
 

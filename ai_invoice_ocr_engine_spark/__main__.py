@@ -127,6 +127,10 @@ def main(argv=None) -> int:
     v.add_argument("--out", required=True)
     v.add_argument("--master", default=None)
 
+    st = sub.add_parser("stats", help="per-bucket layout/skew report")
+    st.add_argument("--out", required=True, help="extract out_dir")
+    st.add_argument("--master", default=None)
+
     cp = sub.add_parser("compact", help="rewrite small span files per bucket")
     cp.add_argument("--out", required=True, help="extract out_dir")
     cp.add_argument("--target-mb", type=int, default=128)
@@ -372,6 +376,18 @@ def main(argv=None) -> int:
             spark.stop()
         print(json.dumps(rep))
         return 0 if rep["ok"] else 1
+
+    if args.cmd == "stats":
+        from .pipeline import bucket_stats
+        from .sources.session import get_spark
+
+        spark = get_spark(app="stats", master=args.master)
+        try:
+            rep = bucket_stats(spark, args.out)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
 
     if args.cmd == "compact":
         from .pipeline import compact_spans

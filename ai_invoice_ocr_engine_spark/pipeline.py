@@ -987,6 +987,51 @@ def compact_spans(
     return {**stats, "files_after": files_after, "rewritten": True}
 
 
+def bucket_stats(spark: SparkSession, out_dir: str) -> dict:
+    """Per-bucket layout/skew report — the decision input for ``compact``
+    (files per bucket) and for salting (row skew). File counts/bytes come
+    from a listing; row counts from the lineage SUMS (no data scan at
+    all — the report is O(partitions) however large the table is).
+    skew = max/mean of per-bucket rows; >2 is the usual salt-or-split
+    signal (AQE handles it at join time, the layout fix is num_buckets
+    or salting at write)."""
+    spans_dir = os.path.join(out_dir, "spans")
+    per: dict[int, list[int]] = {}
+    for path, size in _list_parquet_files(spark, spans_dir):
+        m = re.search(r"bucket=(\d+)", path)
+        if m is None:
+            continue
+        st = per.setdefault(int(m.group(1)), [0, 0])
+        st[0] += 1
+        st[1] += size
+    rows = {
+        r["partition_id"]: r["docs"]
+        for r in spark.read.parquet(os.path.join(out_dir, "lineage"))
+        .groupBy("partition_id")
+        .agg(F.sum("doc_count").alias("docs"))
+        .collect()
+    }
+    buckets = sorted(set(per) | set(rows))
+    doc_counts = [int(rows.get(b, 0)) for b in buckets]
+    mean = (sum(doc_counts) / len(doc_counts)) if doc_counts else 0.0
+    return {
+        "buckets": len(buckets),
+        "files": sum(st[0] for st in per.values()),
+        "bytes": sum(st[1] for st in per.values()),
+        "docs": sum(doc_counts),
+        "max_files_per_bucket": max((st[0] for st in per.values()), default=0),
+        "doc_skew": round(max(doc_counts) / mean, 3) if mean else None,
+        "per_bucket": {
+            str(b): {
+                "files": per.get(b, [0, 0])[0],
+                "bytes": per.get(b, [0, 0])[1],
+                "docs": int(rows.get(b, 0)),
+            }
+            for b in buckets
+        },
+    }
+
+
 def lookup_docs(spark: SparkSession, out_dir: str, doc_ids) -> DataFrame:
     """Bucket-pruned point lookup over the extracted spans table.
 

@@ -97,3 +97,30 @@ def test_compact_splits_by_target_size(spark, corpus, tmp_path):
     )
     assert rep["files_after"] <= want_slots
     assert verify_lineage(spark, out)["ok"]
+
+
+def test_bucket_stats_report(spark, corpus, tmp_path):
+    """stats: files/bytes from the listing, docs from lineage sums (no
+    data scan), skew = max/mean of per-bucket docs."""
+    from ai_invoice_ocr_engine_spark.pipeline import bucket_stats
+
+    out = str(tmp_path / "out")
+    run_extract(
+        spark,
+        corpus["docs_path"],
+        corpus["media_path"],
+        out,
+        cfg=ExtractConfig(),
+        num_buckets=NB,
+        media_strategy="broadcast",
+        run_id="run-stats",
+    )
+    rep = bucket_stats(spark, out)
+    n_docs = spark.read.parquet(os.path.join(out, "spans")).count()
+    assert rep["docs"] == n_docs
+    assert rep["buckets"] == NB
+    assert rep["files"] == len(
+        _list_parquet_files(spark, os.path.join(out, "spans"))
+    )
+    assert rep["doc_skew"] >= 1.0
+    assert sum(v["docs"] for v in rep["per_bucket"].values()) == n_docs

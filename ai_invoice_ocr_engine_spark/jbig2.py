@@ -26,7 +26,7 @@ there is no independent implementation in this container to pin a
 15-table transcription against, and a mis-transcribed table decodes
 real scanner output to silently-wrong pages — strictly worse than the
 named error. Huffman+refinement/aggregation, multi-instance
-aggregates, TPGRON, HENABLESKIP, and intermediate regions likewise
+aggregates, TPGRON, and intermediate regions likewise
 raise NotImplementedError loudly — the same policy as every other
 codec seam (arithmetic JPEG, mp3, ...): fail with the feature named
 rather than guess.
@@ -260,13 +260,15 @@ def _template_pixels(template: int, at: list) -> list:
 
 
 def _region_bits(w: int, h: int, template: int, at: list, tpgdon: bool,
-                 coder, bitmap=None, cx=None):
+                 coder, bitmap=None, cx=None, skip=None):
     """Shared decode/encode walk. With ``bitmap`` None, decodes into a
     new array; otherwise encodes ``bitmap``. Rows are plain python lists
     (scalar numpy indexing in a per-pixel loop is ~4x slower). Pixels
     outside the region read as 0 per T.88 6.2.5.2. ``cx`` lets a symbol
     dictionary share one generic-region context set (and one coder)
-    across every symbol bitmap, per 6.5.8.2.1."""
+    across every symbol bitmap, per 6.5.8.2.1. ``skip`` (row lists of
+    0/1, USESKIP per 6.2.5.7): marked pixels are set 0 and NOT coded —
+    on encode they are zeroed too so neighbor contexts match decode."""
     pixels = _template_pixels(template, at)
     decode = bitmap is None
     if decode:
@@ -294,7 +296,11 @@ def _region_bits(w: int, h: int, template: int, at: list, tpgdon: bool,
                     rows[y] = list(rows[y - 1]) if y > 0 else [0] * w
                 continue
         row = rows[y]
+        skip_row = skip[y] if skip is not None else None
         for x in range(w):
+            if skip_row is not None and skip_row[x]:
+                row[x] = 0
+                continue
             label = 0
             for dx, dy in pixels:
                 px = x + dx
@@ -1227,20 +1233,40 @@ def _decode_pattern_dict(body: bytes) -> list:
     return [coll[:, k * hdpw : (k + 1) * hdpw] for k in range(graymax + 1)]
 
 
-def _decode_grayscale(coder, w: int, h: int, bpp: int, template: int) -> np.ndarray:
+def _decode_grayscale(coder, w: int, h: int, bpp: int, template: int,
+                      skip=None) -> np.ndarray:
     """Annex C gray-coded bitplane image: planes MSB→LSB, one shared
-    decoder + context set; bit_j = plane_j XOR bit_{j+1}."""
+    decoder + context set; bit_j = plane_j XOR bit_{j+1}. ``skip`` is
+    the HSKIP bitmap (HENABLESKIP): those grid cells are never coded in
+    any plane and decode to gray value 0."""
     at = [(template <= 1 and 3 or 2, -1), (-3, -1), (2, -2), (-2, -2)]
     at = at[: 4 if template == 0 else 1]
     cx: dict = {}
     val = np.zeros((h, w), np.int64)
     prev = np.zeros((h, w), np.uint8)
     for _j in range(bpp):
-        plane = _region_bits(w, h, template, at, False, coder, cx=cx)
+        plane = _region_bits(w, h, template, at, False, coder, cx=cx, skip=skip)
         bit = plane ^ prev
         val = (val << 1) | bit
         prev = bit
     return val
+
+
+def _halftone_skip(hgw: int, hgh: int, hgx: int, hgy: int, hrx: int,
+                   hry: int, pw: int, ph: int, rw: int, rh: int) -> list:
+    """HSKIP per T.88 6.6.5.1: grid cells whose pattern placement falls
+    entirely outside the region are never coded."""
+    out = []
+    for mg in range(hgh):
+        row = []
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            row.append(
+                1 if (x + pw <= 0 or x >= rw or y + ph <= 0 or y >= rh) else 0
+            )
+        out.append(row)
+    return out
 
 
 def _decode_halftone_region(body: bytes, patterns: list):
@@ -1256,8 +1282,6 @@ def _decode_halftone_region(body: bytes, patterns: list):
     hdef = (flags >> 7) & 1
     if hmmr:
         raise NotImplementedError("JBIG2 MMR-coded halftone grayscale")
-    if enable_skip:
-        raise NotImplementedError("JBIG2 halftone HENABLESKIP")
     hgw, hgh = struct.unpack(">II", body[18:26])
     from .kernels import _check_dims
 
@@ -1269,7 +1293,13 @@ def _decode_halftone_region(body: bytes, patterns: list):
         raise ValueError("JBIG2 halftone region without pattern dictionary")
     graymax = len(patterns) - 1
     bpp = max(1, graymax.bit_length())
-    gray = _decode_grayscale(MQDecoder(body[38:]), hgw, hgh, bpp, template)
+    hskip = None
+    if enable_skip:
+        p0h, p0w = patterns[0].shape
+        hskip = _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, p0w, p0h, rw, rh)
+    gray = _decode_grayscale(
+        MQDecoder(body[38:]), hgw, hgh, bpp, template, skip=hskip
+    )
     page = np.full((rh, rw), hdef, np.uint8)
     ph, pw = patterns[0].shape
     for mg in range(hgh):
@@ -1306,8 +1336,12 @@ def _encode_pattern_dict(patterns: list, template: int = 0) -> bytes:
 
 
 def _encode_halftone_region(gray: np.ndarray, patterns: list, rw: int,
-                            rh: int, template: int = 0) -> bytes:
-    """Fixture side: grid vectors HRX = pattern width << 8, HRY = 0."""
+                            rh: int, template: int = 0,
+                            enable_skip: bool = False) -> bytes:
+    """Fixture side: grid vectors HRX = pattern width << 8, HRY = 0.
+    With ``enable_skip``, grid cells placed fully outside the region
+    (gray wider/taller than the region allows) are not coded —
+    bit-exercising the decoder's HSKIP path."""
     pats = [np.asarray(p, np.uint8) for p in patterns]
     ph, pw = pats[0].shape
     hgh, hgw = gray.shape
@@ -1315,16 +1349,24 @@ def _encode_halftone_region(gray: np.ndarray, patterns: list, rw: int,
     bpp = max(1, graymax.bit_length())
     at = [(template <= 1 and 3 or 2, -1), (-3, -1), (2, -2), (-2, -2)]
     at = at[: 4 if template == 0 else 1]
+    hskip = None
+    if enable_skip:
+        hskip = _halftone_skip(hgw, hgh, 0, 0, pw << 8, 0, pw, ph, rw, rh)
     coder = MQEncoder()
     cx: dict = {}
     prev = np.zeros_like(gray, np.uint8)
     for j in range(bpp - 1, -1, -1):
         bit = ((gray >> j) & 1).astype(np.uint8)
         plane = bit ^ prev
-        _region_bits(hgw, hgh, template, at, False, coder, bitmap=plane, cx=cx)
+        _region_bits(hgw, hgh, template, at, False, coder, bitmap=plane,
+                     cx=cx, skip=hskip)
+        # the decoder reconstructs 0 at skipped cells in every plane, so
+        # its XOR-accumulated bit is 0 there — mirror that in prev
+        if hskip is not None:
+            bit = bit & (1 - np.array(hskip, np.uint8))
         prev = bit
     body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
-    body += bytes([(template & 3) << 1])
+    body += bytes([((template & 3) << 1) | (8 if enable_skip else 0)])
     body += struct.pack(">II", hgw, hgh)
     body += struct.pack(">ii", 0, 0)
     body += struct.pack(">HH", pw << 8, 0)
@@ -1332,7 +1374,7 @@ def _encode_halftone_region(gray: np.ndarray, patterns: list, rw: int,
 
 
 def encode_jbig2_halftone(gray: np.ndarray, patterns: list, page_w: int,
-                          page_h: int) -> bytes:
+                          page_h: int, enable_skip: bool = False) -> bytes:
     """Fixture encoder: pattern dictionary + one immediate lossless
     halftone region rendering ``gray`` (values index ``patterns``)."""
 
@@ -1348,7 +1390,8 @@ def encode_jbig2_halftone(gray: np.ndarray, patterns: list, page_w: int,
     out += seg(1, 16, [], _encode_pattern_dict(patterns))
     out += seg(2, 23, [1],
                _encode_halftone_region(np.asarray(gray), patterns,
-                                       page_w, page_h))
+                                       page_w, page_h,
+                                       enable_skip=enable_skip))
     out += seg(3, 49, [], b"")
     return out
 

@@ -659,3 +659,45 @@ def test_pdf_jbig2_huffman_image():
     img = decode_image(next(iter(media.values())))
     want = _text_page(symbols, placements, 140, 95)
     np.testing.assert_array_equal(img == 0, want.astype(bool))
+
+
+def test_halftone_henableskip():
+    """HENABLESKIP (T.88 6.6.5.1): grid cells placed fully outside the
+    region are never arithmetic-coded. The fixture makes the grid
+    overhang the region on the right AND bottom, encodes with the skip
+    bitmap, and the decode must equal direct numpy placement of the
+    in-region cells — an expectation independent of the coding layer.
+    A same-grid no-skip stream must produce the same page (skip only
+    removes coded bits, never visible pixels), while being LONGER
+    (proof the skipped cells really were excluded from the stream)."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_halftone
+
+    levels = 4
+    pats = _dot_patterns(levels)
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, levels, (14, 20))
+    # region covers only 16 of 20 grid columns and 12 of 14 rows
+    rw, rh = 16 * 4, 12 * 4
+    data = encode_jbig2_halftone(gray, pats, rw, rh, enable_skip=True)
+    got = decode_jbig2(data)
+    want = np.zeros((rh, rw), np.uint8)
+    for m in range(12):
+        for n in range(16):
+            want[m * 4 : m * 4 + 4, n * 4 : n * 4 + 4] |= pats[gray[m, n]]
+    assert np.array_equal(got, want)
+
+    plain = encode_jbig2_halftone(gray, pats, rw, rh, enable_skip=False)
+    assert np.array_equal(decode_jbig2(plain), want)
+    assert len(plain) > len(data)
+
+    # partially-overhanging cells are clipped, NOT skipped: a region cut
+    # mid-pattern keeps the visible slice of column 15 / row 11
+    rw2, rh2 = 16 * 4 - 2, 12 * 4 - 1
+    data2 = encode_jbig2_halftone(gray, pats, rw2, rh2, enable_skip=True)
+    got2 = decode_jbig2(data2)
+    want2 = np.zeros((rh2, rw2), np.uint8)
+    for m in range(12):
+        for n in range(16):
+            win = want2[m * 4 : m * 4 + 4, n * 4 : n * 4 + 4]
+            win |= pats[gray[m, n]][: win.shape[0], : win.shape[1]]
+    assert np.array_equal(got2, want2)

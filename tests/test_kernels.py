@@ -1041,7 +1041,18 @@ def test_decode_image_error_contract_fuzz():
         BT.encode_tiff_fax((img < 128).astype(np.uint8)),
         BT.encode_bmp16(np.stack([img] * 3, axis=2)),
         BT.encode_bmp_lowbit((img >> 4).astype(np.uint8), 4),
+        BT.encode_bmp_lowbit((img >> 6).astype(np.uint8), 2),
         BT.encode_bmp_rle4((img >> 4).astype(np.uint8)),
+        BT.encode_bmp_bitfields(
+            np.stack([img] * 3, axis=2), 32, (0x3FF00000, 0x000FFC00, 0x3FF)
+        ),
+        BT.encode_tiff_ext(img, bits=16, predictor=2, rows_per_strip=9),
+        BT.encode_tiff_ext(
+            (img >> 4).astype(np.uint8),
+            bits=4,
+            colormap=np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8),
+        ),
+        BT.encode_tiff_ext(np.stack([img] * 3, axis=2), planar=2, rows_per_strip=7),
     ]
     from ai_invoice_ocr_engine_spark.gif import encode_gif
 

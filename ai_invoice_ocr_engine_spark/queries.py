@@ -3140,6 +3140,92 @@ FROM c WHERE kind = 'media'
 """
 
 
+def q_dup_cluster_sizes(spark, sf):
+    """Duplicate-cluster size distribution — the curation readout that
+    tells you whether near-dups are pairwise noise or giant template
+    families (the latter demand different survivorship policy). One
+    aggregation over the already-computed cluster labels; at 10^12 docs
+    the histogram has at most max-cluster-size rows."""
+    pairs = D.minhash_band_pairs(_corpus(spark, sf))
+    labels = D.connected_components_labels(pairs)
+    return (
+        labels.groupBy("n_members")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+    )
+
+
+_SQL_DUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE {_minhash_ctes(12, 3)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS dd FROM pairs
+),
+reach AS (
+  SELECT s AS n, s AS lbl FROM edges
+  UNION
+  SELECT e.dd AS n, r.lbl FROM reach r JOIN edges e ON e.s = r.n
+),
+labels AS (SELECT n, min(lbl) AS lbl FROM reach GROUP BY n),
+sized AS (
+  SELECT n, lbl, (count(*) OVER (PARTITION BY lbl))::BIGINT AS n_members
+  FROM labels
+)
+SELECT n_members, count(DISTINCT lbl) AS n_clusters
+FROM sized GROUP BY 1
+"""
+
+
+def q_cross_source_overlap(spark, sf):
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct 32-char shingles (stride 16) both emit — the
+    "is source B scraping source A" readout run before mixing sources
+    into one training corpus. The inverted-index shape never explodes:
+    a shingle's posting list is DISTINCT sources (≤ source cardinality,
+    not documents), so the self-join fan-out per shingle is bounded by
+    the number of sources squared however many docs share it."""
+    d = _t(spark, sf, "documents")
+    sh = (
+        d.select(
+            "source",
+            F.expr(
+                "explode(sequence(1, greatest(length(text) - 31, 1), 16))"
+            ).alias("i"),
+            "text",
+        )
+        .select("source", F.expr("substr(text, i, 32)").alias("sh"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
+_SQL_CROSS_SOURCE = """
+WITH sh AS (
+  SELECT DISTINCT source, substr(text, i, 32) AS sh
+  FROM documents, unnest(range(1, greatest(length(text) - 31, 1) + 1, 16)) AS t(i)
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3236,4 +3322,6 @@ REGISTRY: dict[str, tuple] = {
     "top_bigrams": (q_top_bigrams, _SQL_TOP_BIGRAMS),
     "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
     "caption_pairs": (q_caption_pairs, _SQL_CAPTION_PAIRS),
+    "dup_cluster_sizes": (q_dup_cluster_sizes, _SQL_DUP_CLUSTER_SIZES),
+    "cross_source_overlap": (q_cross_source_overlap, _SQL_CROSS_SOURCE),
 }

@@ -660,6 +660,23 @@ def _check_manifest(spark: SparkSession, out_dir: str, num_buckets: int) -> None
     )
 
 
+def _read_manifest(spark: SparkSession, out_dir: str) -> dict:
+    """Load and validate the run manifest; a missing manifest means the
+    directory was not written by run_extract — a clear ValueError, not a
+    raw FileNotFoundError, so CLI callers see what went wrong."""
+    path = os.path.join(out_dir, "_manifest.json")
+    if not _path_exists(spark, path):
+        raise ValueError(
+            f"{out_dir!r} has no _manifest.json — not an extract out_dir"
+        )
+    manifest = json.loads(_read_text(spark, path))
+    if manifest.get("layout") != BUCKET_LAYOUT:
+        raise ValueError(
+            f"out_dir layout {manifest.get('layout')!r} is not {BUCKET_LAYOUT!r}"
+        )
+    return manifest
+
+
 def _read_text(spark: SparkSession, path: str) -> str:
     if "://" not in path:
         with open(path) as f:
@@ -917,11 +934,7 @@ def compact_spans(
     checksum is order-insensitive, so verify_lineage passes unchanged
     against the compacted table."""
     spans_dir = os.path.join(out_dir, "spans")
-    manifest = json.loads(_read_text(spark, os.path.join(out_dir, "_manifest.json")))
-    if manifest.get("layout") != BUCKET_LAYOUT:
-        raise ValueError(
-            f"out_dir layout {manifest.get('layout')!r} is not {BUCKET_LAYOUT!r}"
-        )
+    _read_manifest(spark, out_dir)
     target = int(target_mb) * 1024 * 1024
     per: dict[int, list[int]] = {}
     for path, size in _list_parquet_files(spark, spans_dir):
@@ -1048,11 +1061,7 @@ def lookup_docs(spark: SparkSession, out_dir: str, doc_ids) -> DataFrame:
     from .xxh import spark_bucket
 
     ids = list(doc_ids)
-    manifest = json.loads(_read_text(spark, os.path.join(out_dir, "_manifest.json")))
-    if manifest.get("layout") != BUCKET_LAYOUT:
-        raise ValueError(
-            f"out_dir layout {manifest.get('layout')!r} is not {BUCKET_LAYOUT!r}"
-        )
+    manifest = _read_manifest(spark, out_dir)
     p = int(manifest["num_buckets"])
     buckets = sorted({spark_bucket(d, p) for d in ids})
     return (

@@ -124,3 +124,18 @@ def test_bucket_stats_report(spark, corpus, tmp_path):
     )
     assert rep["doc_skew"] >= 1.0
     assert sum(v["docs"] for v in rep["per_bucket"].values()) == n_docs
+
+
+def test_ops_commands_need_manifest(spark, tmp_path):
+    """compact/lookup on a directory run_extract never wrote raise a
+    clear ValueError, not a raw FileNotFoundError."""
+    import pytest
+
+    from ai_invoice_ocr_engine_spark.pipeline import compact_spans, lookup_docs
+
+    bogus = str(tmp_path / "not_an_out_dir")
+    os.makedirs(bogus, exist_ok=True)
+    with pytest.raises(ValueError, match="_manifest"):
+        compact_spans(spark, bogus)
+    with pytest.raises(ValueError, match="_manifest"):
+        lookup_docs(spark, bogus, ["x"])

@@ -9,6 +9,8 @@ subcommands) re-shaped for a distributed batch engine:
         [--strategy auto|broadcast|join] [--master local[32]]
     python -m ai_invoice_ocr_engine_spark oracle --docs ... --media ... --out golden.parquet
     python -m ai_invoice_ocr_engine_spark ingest --pdfs DIR_OF_PDFS --out TABLES_DIR
+    python -m ai_invoice_ocr_engine_spark stats --out OUTDIR      # layout/skew report
+    python -m ai_invoice_ocr_engine_spark compact --out OUTDIR    # small-file rewrite
 
 On a real cluster the same module rides ``spark-submit --py-files
 ai_invoice_ocr_engine_spark.zip -m ...`` — there is no driver-side state

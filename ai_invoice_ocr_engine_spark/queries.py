@@ -1891,10 +1891,11 @@ def q_quartiles_bucketed(spark, sf):
     approx = quantile_buckets(
         totals, "spend", n_buckets=4, bucket_col="quartile_approx"
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
-    exact = totals.select(
-        "o_custkey", F.ntile(4).over(w).alias("quartile_exact")
-    )
+    from .operators.ranking import global_ntile
+
+    exact = global_ntile(
+        totals, 4, [F.desc("spend"), F.asc("o_custkey")], out="quartile_exact"
+    ).select("o_custkey", "quartile_exact")
     joined = approx.join(exact, "o_custkey")
     agree = joined.agg(
         F.count(F.lit(1)).alias("n"),

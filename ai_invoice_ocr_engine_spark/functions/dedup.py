@@ -20,6 +20,8 @@ what the correctness oracle leans on).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -625,3 +627,139 @@ def connected_components_star(
         F.col("lbl").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet-style) and broadcast Bloom-filter dedup.
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    corpus: DataFrame, window: int = 8, min_df: int = 2
+) -> DataFrame:
+    """CCNet-style corpus-level line deduplication (Wenzek et al. 2020):
+    drop every "line" that appears verbatim in >= ``min_df`` DISTINCT
+    documents — the pass that strips navigation bars, cookie banners and
+    boilerplate headers that survive per-document cleaning because they
+    are unremarkable *within* one document and only visible corpus-wide.
+
+    The synthetic corpus has no newlines, so a "line" is a non-overlapping
+    ``window``-word chunk (deterministic segmentation — the oracle segments
+    identically). Returns one row per document:
+
+      (doc_id, n_lines, n_dropped, kept_text)
+
+    where ``kept_text`` is the surviving lines re-joined in original order.
+
+    Scale shape (10^12 docs): posexplode is narrow; the document-frequency
+    count shuffles ONE row per distinct (doc, line-hash) with map-side
+    combine, keyed on a 60-bit md5-derived hash (8-byte shuffle keys, not
+    line strings; collision expectation at 10^10 distinct lines ~0.04 —
+    and a collision can only over-drop a line, never corrupt text). The
+    reassembly groupBy shuffles each line once — the same O(corpus) cost
+    as the extraction merge. No window functions, no global sort.
+    """
+    ws = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    d = corpus.select("doc_id", ws.alias("ws"))
+    n_chunks = F.expr(f"(size(ws) + {window - 1}) div {window}")
+    chunks = F.when(F.size("ws") > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice("ws", i * window + 1, window), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    lines = d.select("doc_id", F.posexplode(chunks).alias("pos", "line"))
+    lines = lines.withColumn(
+        "lh", F.expr(_hexint("line"))
+    )
+    common = (
+        lines.select("doc_id", "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= min_df)
+        .select("lh", F.lit(1).alias("is_common"))
+    )
+    flagged = lines.join(common, "lh", "left")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("is_common").isNull(), F.struct("pos", "line"))
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.coalesce("is_common", F.lit(0))).alias("n_dropped"),
+        F.array_join(
+            F.transform(kept, lambda x: x["line"]), " "
+        ).alias("kept_text"),
+    )
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int, k: int = 7):
+    """Build a portable Bloom filter over ``df[col]`` distributed, return it
+    as a numpy uint64 bitmap of ``m_bits // 64`` words (m_bits must be a
+    multiple of 64).
+
+    The k bit positions per key are ``pmod(xxhash64(j, col), m_bits)`` for
+    j in 0..k-1 — computed JVM-side (whole-stage codegen), so build and
+    probe (`bloom_hits`) share bit positions exactly. The build is
+    explode(k positions) -> groupBy(word index) -> bit_or(mask): map-side
+    combinable, at most m_bits/64 rows reach the driver — the bitmap
+    itself, which is by definition the artifact a broadcast dedup needs on
+    every node. At 10^12 reference keys you size m ~ 16 bits/key and ship
+    a few-GB bitmap once per node instead of shuffling a 10^12-row join —
+    that is the entire point of the structure.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    pos_arr = F.array(
+        *[F.pmod(F.xxhash64(F.lit(j), F.col(col)), F.lit(m_bits)) for j in range(k)]
+    )
+    words = (
+        df.select(F.explode(pos_arr).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap
+
+
+def bloom_hits(
+    df: DataFrame, col: str, bitmap, m_bits: int, k: int = 7
+) -> DataFrame:
+    """Probe: add a boolean ``bloom_hit`` column — True iff all k bits for
+    ``df[col]`` are set in ``bitmap`` (no false negatives by construction;
+    false-positive rate ~(1 - e^(-kn/m))^k).
+
+    Bit positions are the same JVM xxhash64 expressions as `bloom_build`;
+    only the bit TEST crosses to Python, as one Arrow-batched pandas_udf
+    over the k-position array with the bitmap broadcast once per executor
+    (numpy gather, no per-row Python). This is the incremental-dedup probe:
+    filtering a new crawl against an existing 10^12-doc corpus without any
+    join or shuffle — a narrow map over the scan.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def _hit(pos: pd.Series) -> pd.Series:
+        bm = bc.value
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        arr = np.stack(pos.to_numpy()).astype(np.int64)
+        w = arr >> 6
+        b = (arr & 63).astype(np.uint64)
+        hit = ((bm[w] >> b) & np.uint64(1)).astype(bool).all(axis=1)
+        return pd.Series(hit)
+
+    pos_arr = F.array(
+        *[F.pmod(F.xxhash64(F.lit(j), F.col(col)), F.lit(m_bits)) for j in range(k)]
+    )
+    return df.withColumn("bloom_hit", _hit(pos_arr))

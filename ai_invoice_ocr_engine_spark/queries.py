@@ -3232,7 +3232,177 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 #: name -> (spark_fn, oracle_sql | None)
+# --------------------------------------------------------------------------
+# Training-data curation, continued: corpus-level line dedup, canonical-doc
+# selection per near-dup cluster, broadcast Bloom-filter incremental dedup.
+# --------------------------------------------------------------------------
+
+
+def q_line_dedup(spark, sf):
+    """CCNet-style corpus-level line dedup (functions/dedup.py line_dedup):
+    drop every 8-word line appearing verbatim in >= 2 distinct documents,
+    report per-doc kept/dropped counts + surviving text. Runs over the
+    synthetic-dup corpus, so the exact-copy docs (%7 and their +200000
+    clones) lose every line while near-copies (8-char head shift changes
+    word boundaries) keep theirs — both paths fire on every run. Scale:
+    two shuffles (8-byte line-hash df count with map-side combine; per-doc
+    reassembly), no windows, no global sort."""
+    return D.line_dedup(_corpus(spark, sf), window=8, min_df=2)
+
+
+_SQL_LINE_DEDUP = f"""
+WITH {_CORPUS_SQL.strip()},
+w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+  FROM corpus
+),
+base AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+ln AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i*8+1 : i*8+8], ' ') AS line
+  FROM (SELECT doc_id, ws, unnest(range(0, (n + 7) // 8)) AS i FROM base)
+),
+df AS (SELECT line, count(DISTINCT doc_id) AS nd FROM ln GROUP BY 1),
+fl AS (SELECT l.doc_id, l.pos, l.line, (d.nd >= 2) AS is_common
+       FROM ln l JOIN df d USING (line))
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN is_common THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(string_agg(CASE WHEN NOT is_common THEN line END, ' '
+                           ORDER BY pos), '') AS kept_text
+FROM fl GROUP BY doc_id
+"""
+
+
+def q_canonical_per_cluster(spark, sf):
+    """Keep-best representative per near-dup cluster — the selection step
+    after cluster assignment: keep the LONGEST member (tie: min doc_id).
+    One max_by aggregation over cluster_id (map-side combinable struct
+    max), NOT a row_number window — at 10^12 docs the window would shuffle
+    and sort every row per cluster; max_by ships one partial per map task."""
+    labels = D.connected_components_labels(D.minhash_band_pairs(_corpus(spark, sf)))
+    chars = _corpus(spark, sf).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return labels.join(chars, "doc_id").groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("keep_id"),
+        F.max("n_members").alias("n_members"),
+        F.max("n_chars").alias("keep_chars"),
+    )
+
+
+_SQL_CANONICAL = f"""
+WITH RECURSIVE {_minhash_ctes(12, 3)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS dd FROM pairs
+),
+reach AS (
+  SELECT s AS n, s AS lbl FROM edges
+  UNION
+  SELECT e.dd AS n, r.lbl FROM reach r JOIN edges e ON e.s = r.n
+),
+labels AS (SELECT n, min(lbl) AS lbl FROM reach GROUP BY n),
+sized AS (
+  SELECT n AS doc_id, lbl AS cluster_id,
+         (count(*) OVER (PARTITION BY lbl))::BIGINT AS n_members
+  FROM labels
+),
+chars AS (SELECT doc_id, length(text)::BIGINT AS n_chars FROM corpus),
+ranked AS (
+  SELECT s.cluster_id, s.n_members, s.doc_id, c.n_chars,
+         row_number() OVER (PARTITION BY s.cluster_id
+                            ORDER BY c.n_chars DESC, s.doc_id) AS rk
+  FROM sized s JOIN chars c USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_id, n_members, n_chars AS keep_chars
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_bloom_dedup_gate(spark, sf):
+    """Broadcast Bloom-filter incremental dedup (functions/dedup.py
+    bloom_build/bloom_hits) — filtering a simulated recrawl against the
+    existing corpus WITHOUT a join: the reference corpus's fingerprints
+    build a 16-bits/key k=7 Bloom bitmap (distributed bit_or, collected
+    once — the bitmap IS the broadcast artifact), and the incoming set
+    (half reused texts, half novel) probes it as a narrow map. Gate row:
+    n_incoming and n_exact_hits are EXACT (oracle recomputes them);
+    false_neg_zero must hold by Bloom construction; fp_ok bounds the
+    false-positive count at max(5, 2% of incoming) — expected ~0.2% at
+    this sizing, so a broken hash/bitmap path trips the gate."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ref = d.select(F.md5("text").alias("fp"))
+    inc = d.select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" fresh recrawl suffix "),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        ).alias("fp"),
+    )
+    n_ref = ref.count()  # one tiny count job sizing the bitmap (like IVF's k centroids)
+    m_bits = max(((16 * n_ref + 63) // 64) * 64, 640)
+    bmp = D.bloom_build(ref, "fp", m_bits, k=7)
+    probed = D.bloom_hits(inc, "fp", bmp, m_bits, k=7)
+    refd = ref.distinct().withColumn("in_ref", F.lit(1))
+    j = probed.join(refd, "fp", "left").select(
+        "bloom_hit", F.coalesce("in_ref", F.lit(0)).alias("exact_hit")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum("exact_hit").alias("n_exact_hits"),
+        F.sum(
+            F.when((F.col("exact_hit") == 1) & ~F.col("bloom_hit"), 1).otherwise(0)
+        ).alias("n_false_neg"),
+        F.sum(
+            F.when((F.col("exact_hit") == 0) & F.col("bloom_hit"), 1).otherwise(0)
+        ).alias("n_fp"),
+    )
+    return agg.select(
+        "n_incoming",
+        "n_exact_hits",
+        (F.col("n_false_neg") == 0).alias("false_neg_zero"),
+        (
+            F.col("n_fp")
+            <= F.greatest(F.lit(5).cast("long"), F.expr("n_incoming div 50"))
+        ).alias("fp_ok"),
+    )
+
+
+# n_incoming / n_exact_hits are exact and recomputed by the oracle; the two
+# boolean gates are hard-coded expectations (the ann_ivf_probed pattern): a
+# false negative is impossible unless build/probe hash positions diverge,
+# and the FP bound has ~10x margin over the expected rate at 16 bits/key.
+_SQL_BLOOM_GATE = """
+WITH d AS (SELECT doc_id, text FROM documents),
+ref AS (SELECT DISTINCT md5(text) AS fp FROM d),
+inc AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 2 = 0 THEN text
+                  ELSE text || ' fresh recrawl suffix ' || doc_id::varchar
+             END) AS fp
+  FROM d
+)
+SELECT count(*)::BIGINT AS n_incoming,
+       sum(CASE WHEN fp IN (SELECT fp FROM ref) THEN 1 ELSE 0 END)::BIGINT AS n_exact_hits,
+       true AS false_neg_zero, true AS fp_ok
+FROM inc
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
+    "canonical_per_cluster": (q_canonical_per_cluster, _SQL_CANONICAL),
+    "bloom_dedup_gate": (q_bloom_dedup_gate, _SQL_BLOOM_GATE),
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "topk_orders": (q_topk_orders, _SQL_TOPK_ORDERS),
     "local_supplier_volume": (q_local_supplier_volume, _SQL_LOCAL_SUPPLIER),

@@ -708,3 +708,70 @@ def test_audio_near_dup_pairs(spark):
     assert frozenset({"orig", "gain"}) in keys
     assert frozenset({"orig", "resamp"}) in keys
     assert not any("noise" in k or "seam" in k for k in keys)
+
+
+def test_line_dedup_drops_shared_lines(spark):
+    """8-word lines shared by >=2 docs are dropped; per-doc order of the
+    surviving text is preserved; exact-dup docs lose everything."""
+    rows = [
+        (1, "a b c d e f g h x1 y1 z1"),
+        (2, "a b c d e f g h x2 y2 z2"),   # shares line 0 with doc 1
+        (3, "unique words only here none shared at all tail bit"),
+        (4, "a b c d e f g h x1 y1 z1"),   # exact dup of doc 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.line_dedup(df, window=8, min_df=2).collect()}
+    # doc 4 is an exact dup of doc 1, so BOTH of doc 1's lines are shared
+    assert out[1]["n_lines"] == 2 and out[1]["n_dropped"] == 2
+    assert out[1]["kept_text"] == ""
+    assert out[2]["kept_text"] == "x2 y2 z2"
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["kept_text"] == rows[2][1]
+    assert out[4]["n_dropped"] == 2 and out[4]["kept_text"] == ""
+
+
+def test_line_dedup_preserves_order(spark):
+    """Kept lines rejoin in original position order, not hash/sort order."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    text = "z9 z8 z7 z6 z5 z4 z3 z2 " + shared + " a1 a2 a3 a4 a5 a6 a7 a8"
+    rows = [(1, text), (2, shared)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.line_dedup(df, window=8, min_df=2).collect()}
+    assert out[1]["kept_text"] == "z9 z8 z7 z6 z5 z4 z3 z2 a1 a2 a3 a4 a5 a6 a7 a8"
+    assert out[1]["n_dropped"] == 1
+
+
+def test_bloom_no_false_negatives_and_bounded_fps(spark):
+    """Every reference key must hit (Bloom guarantee); false positives on
+    novel keys stay under the design bound at 16 bits/key."""
+    n = 500
+    ref = spark.createDataFrame(
+        [(i, f"refkey-{i}") for i in range(n)], "id bigint, fp string"
+    )
+    m_bits = ((16 * n + 63) // 64) * 64
+    bmp = D.bloom_build(ref, "fp", m_bits, k=7)
+    probe = spark.createDataFrame(
+        [(i, f"refkey-{i}") for i in range(n)]
+        + [(n + i, f"novel-{i}") for i in range(n)],
+        "id bigint, fp string",
+    )
+    got = D.bloom_hits(probe, "fp", bmp, m_bits, k=7).collect()
+    misses = [r for r in got if r["fp"].startswith("refkey") and not r["bloom_hit"]]
+    fps = [r for r in got if r["fp"].startswith("novel") and r["bloom_hit"]]
+    assert misses == []                 # no false negatives, ever
+    assert len(fps) <= max(5, n // 50)  # ~0.2% expected; 2% bound
+
+
+def test_bloom_build_deterministic(spark):
+    """Same inputs -> bit-identical bitmap (rerun-stable at any scale)."""
+    ref = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(64)], "id bigint, fp string"
+    )
+    a = D.bloom_build(ref, "fp", 1024, k=5)
+    b = D.bloom_build(ref.repartition(7), "fp", 1024, k=5)
+    assert (a == b).all()
+
+
+def test_bloom_build_rejects_bad_m():
+    with pytest.raises(ValueError):
+        D.bloom_build(None, "fp", 100, k=3)

@@ -321,3 +321,46 @@ def test_ntile_no_single_partition_exchange(spark):
     plan = plan_of(spark, "ntile_spend_quartiles")
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_line_dedup_no_window_no_global_sort(spark):
+    """line_dedup must stay two hash-shuffles: no window operator, no
+    single-partition exchange, and map-side partial aggregation on the
+    document-frequency count."""
+    plan = plan_of(spark, "line_dedup")
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+
+
+def test_canonical_per_cluster_uses_agg_not_window(spark):
+    """Keep-best selection is a max_by aggregation (map-side combinable),
+    never a per-cluster row_number window sort."""
+    plan = plan_of(spark, "canonical_per_cluster")
+    # connected_components_labels carries one PARTITIONED window (n_members
+    # per cluster label); the selection itself must add max_by aggregation,
+    # no additional window, and nothing may collapse to a single partition.
+    assert "Exchange SinglePartition" not in plan
+    assert "max_by" in plan
+    assert plan.count("Window") <= 1
+
+
+def test_bloom_probe_is_narrow_map(spark):
+    """The Bloom probe (bloom_hits) adds one ArrowEvalPython over the scan —
+    no shuffle, no join, no per-row Python on the probe side."""
+    from ai_invoice_ocr_engine_spark.functions import dedup as D
+    import numpy as np
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "md5(text) AS fp"
+    )
+    bmp = np.zeros(16, dtype=np.uint64)
+    plan = (
+        D.bloom_hits(df, "fp", bmp, 1024, k=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan and "Join" not in plan

@@ -3399,8 +3399,39 @@ FROM inc
 """
 
 
+def q_interval_join_attribution(spark, sf):
+    """The streaming attribution join's batch face: every purchase within
+    6h after a click by the same user (streaming/windows.py
+    stream_interval_join — the IDENTICAL function body; watermarks are a
+    no-op on batch, so this row checks the join semantics the stream==batch
+    pytest pins from the streaming side). Scale: one shuffle per side on
+    user_id; state in the streaming form is bounded by the watermark
+    horizon because the join condition bounds right-time against left-time."""
+    from .streaming.windows import stream_interval_join
+
+    e = _t(spark, sf, "events")
+    return stream_interval_join(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        gap_s=21600,
+        watermark="12 hours",
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+SELECT l.user_id,
+       floor(epoch(l.ts))::BIGINT AS left_ts,
+       floor(epoch(r.ts))::BIGINT AS right_ts,
+       (floor(epoch(r.ts)) - floor(epoch(l.ts)))::BIGINT AS lag_s
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+  AND epoch(r.ts) > epoch(l.ts) AND epoch(r.ts) <= epoch(l.ts) + 21600
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
+    "interval_join_attribution": (q_interval_join_attribution, _SQL_INTERVAL_JOIN),
     "canonical_per_cluster": (q_canonical_per_cluster, _SQL_CANONICAL),
     "bloom_dedup_gate": (q_bloom_dedup_gate, _SQL_BLOOM_GATE),
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),

@@ -234,3 +234,47 @@ def streaming_dedup_events(events: DataFrame,
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    gap_s: int = SESSION_GAP_S,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: every right event
+    within ``(l_ts, l_ts + gap_s]`` of a left event by the same user —
+    the streaming attribution join (click -> purchase within the window).
+
+    Both sides carry a watermark and the join condition bounds right-time
+    against left-time, which is exactly what lets Spark EVICT join state:
+    a buffered left row older than (right watermark - gap) can never match
+    again and is dropped, so state is bounded by the watermark horizon ×
+    event rate, not the stream's lifetime. Without the time bound this
+    would be an ever-growing state OOM — the same failure mode the
+    sessionizer's idle timeout and the dedup's withinWatermark variant
+    exist to prevent. The SAME function body runs on batch DataFrames
+    (watermarks are a no-op there), so stream==batch equality is testable
+    and tested.
+    """
+    l = left.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").cast("timestamp").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (l["user_id"] == r["r_user"])
+        & (r["r_ts"] > l["l_ts"])
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {int(gap_s)} SECONDS"))
+    )
+    return l.join(r, cond, "inner").select(
+        "user_id",
+        F.unix_timestamp("l_ts").alias("left_ts"),
+        F.unix_timestamp("r_ts").alias("right_ts"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("lag_s"),
+    )

@@ -273,3 +273,28 @@ def test_streaming_dedup_matches_batch_distinct(spark, events_stream_dir, tmp_pa
     # the dedup actually suppressed cross-batch duplicates
     total = spark.read.parquet(f"{SF}/events.parquet").count()
     assert len(got) < total
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_stream_dir, tmp_path):
+    """Watermarked stream-stream interval join (click -> purchase within the
+    session gap) drains to exactly the batch join's rows under availableNow."""
+    from ai_invoice_ocr_engine_spark.streaming.windows import stream_interval_join
+
+    def q(src):
+        # 6h attribution window (the sf0.001 corpus is sparse: the default
+        # 30-min gap yields only 2 pairs; 6h gives ~25 crossing micro-batches)
+        return stream_interval_join(
+            src.where(F.col("event_type") == "click"),
+            src.where(F.col("event_type") == "purchase"),
+            gap_s=21600,
+            watermark="12 hours",
+        )
+
+    stream = _run_stream(
+        spark, q, events_stream_dir, str(tmp_path / "ck_ssj"), "append", "ssj"
+    )
+    batch = q(spark.read.parquet(f"{SF}/events.parquet"))
+    cols = ["user_id", "left_ts", "right_ts", "lag_s"]
+    got, want = _rows(stream, cols), _rows(batch, cols)
+    assert got == want
+    assert len(got) > 5  # joins actually crossed micro-batch boundaries

@@ -3429,9 +3429,125 @@ WHERE l.event_type = 'click' AND r.event_type = 'purchase'
 """
 
 
+def q_pagerank_authority(spark, sf):
+    """Fixed-iteration PageRank (functions/graph.py) over a deterministic
+    synthetic link graph (each doc links to 3 arithmetic neighbors mod N —
+    the corpus has no native links, same convention as the synthetic dup
+    corpus): the authority-prior scoring a web-corpus pipeline runs on the
+    domain graph. 5 power iterations at damping 0.85; the oracle unrolls
+    the identical 5 rounds as chained CTEs. Per iteration: ONE map-side-
+    combinable shuffle (contributions by dst) + a left join to the node
+    set; lineage truncated per round."""
+    from .functions import graph as G
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    n = d.count()  # one tiny count sizing the teleport term (like IVF's k)
+    nodes = d.select(F.col("doc_id").alias("n"))
+    edges = (
+        d.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 31 + F.col("j") * 17) % n).alias("dst"),
+        )
+    )
+    pr = G.pagerank(nodes, edges, iters=5, damping=0.85)
+    return pr.select(
+        F.col("n").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85, fanout: int = 3) -> str:
+    lvls = []
+    for i in range(iters):
+        lvls.append(
+            f"""pr{i + 1} AS (
+  SELECT nodes.n, (SELECT t FROM params) + {damping} * coalesce(c.s, 0) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS n, sum(p.r / {fanout}.0) AS s
+    FROM pr{i} p JOIN edges e ON e.src = p.n GROUP BY 1
+  ) c USING (n)
+)"""
+        )
+    chain = ",\n".join(lvls)
+    return f"""
+WITH nodes AS (SELECT doc_id AS n FROM documents),
+params AS (
+  SELECT count(*)::DOUBLE AS nn, {1.0 - damping} / count(*) AS t FROM documents
+),
+edges AS (
+  SELECT doc_id AS src,
+         (doc_id * 31 + j * 17) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (1), (2), (3)) t(j)
+),
+pr0 AS (SELECT n, 1.0 / (SELECT nn FROM params) AS r FROM nodes),
+{chain}
+SELECT n AS doc_id, round(r, 6) AS pagerank FROM pr{iters}
+"""
+
+
+_SQL_PAGERANK = _pagerank_sql(5, 0.85, 3)
+
+
+def q_bpe_pair_counts(spark, sf):
+    """The first round of BPE vocabulary training, distributed: symbol-pair
+    frequencies over the word vocabulary weighted by word counts (Sennrich
+    et al. 2016's count step — the part that touches the whole corpus; the
+    merge choice itself is the argmax of this table). Two map-side-
+    combinable aggregations (word counts, then pair counts over DISTINCT
+    words — the pair explode runs over the vocabulary, not the corpus) and
+    a TakeOrderedAndProject top-20; at 10^12 docs the vocabulary table is
+    the only thing the second stage sees."""
+    d = _t(spark, sf, "documents")
+    w = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("word")
+    )
+    wc = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        F.expr(
+            "explode(transform(sequence(1, length(word) - 1),"
+            " i -> substr(word, i, 2)))"
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+_SQL_BPE_PAIRS = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word, count(*) AS cnt FROM w GROUP BY 1 HAVING length(word) >= 2
+),
+p AS (
+  SELECT substr(word, i, 2) AS pair, cnt
+  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i FROM wc)
+)
+SELECT pair, sum(cnt)::BIGINT AS n FROM p GROUP BY 1
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
     "interval_join_attribution": (q_interval_join_attribution, _SQL_INTERVAL_JOIN),
+    "pagerank_authority": (q_pagerank_authority, _SQL_PAGERANK),
+    "bpe_pair_counts": (q_bpe_pair_counts, _SQL_BPE_PAIRS),
     "canonical_per_cluster": (q_canonical_per_cluster, _SQL_CANONICAL),
     "bloom_dedup_gate": (q_bloom_dedup_gate, _SQL_BLOOM_GATE),
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),

@@ -775,3 +775,46 @@ def test_bloom_build_deterministic(spark):
 def test_bloom_build_rejects_bad_m():
     with pytest.raises(ValueError):
         D.bloom_build(None, "fp", 100, k=3)
+
+
+def test_pagerank_symmetric_two_cycle(spark):
+    """A <-> B is symmetric: both ranks stay exactly 0.5 every iteration."""
+    from ai_invoice_ocr_engine_spark.functions import graph as G
+
+    nodes = spark.createDataFrame([(0,), (1,)], ["n"])
+    edges = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    out = {r["n"]: r["rank"] for r in G.pagerank(nodes, edges, iters=4).collect()}
+    assert out == {0: 0.5, 1: 0.5}
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """Star graph: the node every leaf links to accumulates rank; leaves
+    (teleport-only) are equal and the total mass stays <= 1."""
+    from ai_invoice_ocr_engine_spark.functions import graph as G
+
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["n"])
+    # leaves 1..5 -> hub 0; hub -> leaf 1 (so the hub is not dangling)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, n)] + [(0, 1)], ["src", "dst"]
+    )
+    out = {r["n"]: r["rank"] for r in G.pagerank(nodes, edges, iters=5).collect()}
+    assert out[0] > out[1] > out[2]  # hub first, then the hub's target leaf
+    assert out[2] == out[3] == out[4] == out[5]
+    assert sum(out.values()) <= 1.0 + 1e-9
+
+
+def test_pagerank_rank_conservation_regular_graph(spark):
+    """On a 3-regular graph over contiguous ids (the query's edge synth)
+    no mass leaks: ranks sum to 1 after any number of iterations."""
+    from ai_invoice_ocr_engine_spark.functions import graph as G
+
+    n = 50
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["n"])
+    edges = spark.createDataFrame(
+        [(i, (i * 31 + j * 17) % n) for i in range(n) for j in (1, 2, 3)],
+        ["src", "dst"],
+    )
+    ranks = [r["rank"] for r in G.pagerank(nodes, edges, iters=5).collect()]
+    assert abs(sum(ranks) - 1.0) < 1e-9
+    assert len(ranks) == n

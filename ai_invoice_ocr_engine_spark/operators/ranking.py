@@ -66,6 +66,53 @@ def global_row_number(
     return ranked, acc
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+    pin: bool = True,
+) -> DataFrame:
+    """df + INCLUSIVE global running sum of ``value_col`` under
+    ``order_cols`` — the same partition-offset pattern as
+    `global_row_number` with per-partition SUMS as the offsets (P tiny
+    rows to the driver, no single-task window). Exactness requires
+    ``order_cols`` to be a total order."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    part = df.repartitionByRange(n, *order_cols)
+    if pin:
+        part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    pid = part.withColumn("_rk_pid", F.spark_partition_id())
+    sums = sorted(
+        pid.groupBy("_rk_pid")
+        .agg(F.sum(value_col).alias("_s"))
+        .collect(),
+        key=lambda r: r["_rk_pid"],
+    )
+    offsets, acc = {}, 0
+    for row in sums:
+        offsets[row["_rk_pid"]] = acc
+        acc += row["_s"] or 0
+    if offsets:
+        omap = F.create_map(
+            [F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+        off = F.coalesce(omap[F.col("_rk_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    w = (
+        Window.partitionBy("_rk_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return pid.withColumn(
+        out, (F.sum(value_col).over(w) + off).cast("long")
+    ).drop("_rk_pid")
+
+
 def global_ntile(
     df: DataFrame,
     n_tiles: int,

@@ -3543,11 +3543,135 @@ ORDER BY n DESC, pair LIMIT 20
 """
 
 
+def q_sequence_packing(spark, sf):
+    """Pretraining sequence packing (concat-and-chunk): documents in
+    doc_id order occupy token intervals [start_tok, start_tok + n_tokens);
+    context windows of 512 tokens cut the stream every 512, so each doc
+    reports its first/last pack and offset within the first pack — the
+    exact bookkeeping a dataloader shard map needs. The global running
+    token count comes from operators/ranking.py global_cumsum (range
+    partitions + partition-local window + broadcast offsets), NOT a
+    single-task global window — the r2-flagged ntile cliff pattern,
+    avoided the same way (plan-pinned)."""
+    from .operators.ranking import global_cumsum
+
+    ctx = 512
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+    )
+    c = global_cumsum(d, ["doc_id"], "n_tokens", out="end_tok")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+        F.expr(f"(end_tok - n_tokens) div {ctx}").alias("pack_first"),
+        F.expr(f"greatest(end_tok - 1, end_tok - n_tokens) div {ctx}").alias(
+            "pack_last"
+        ),
+        ((F.col("end_tok") - F.col("n_tokens")) % ctx).alias("offset_in_pack"),
+    )
+
+
+# empty docs (n_tokens = 0): start == end, pack_last = greatest(end-1, start)
+# div 512 keeps pack_last >= pack_first so the row stays well-formed.
+_SQL_SEQUENCE_PACKING = """
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       (end_tok - n_tokens) AS start_tok,
+       (end_tok - n_tokens) // 512 AS pack_first,
+       greatest(end_tok - 1, end_tok - n_tokens) // 512 AS pack_last,
+       (end_tok - n_tokens) % 512 AS offset_in_pack
+FROM c
+"""
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR-style importance weights (Xie et al. 2023): per-doc average
+    log-likelihood ratio between a TARGET unigram LM (the lang='en' slice
+    standing in for the high-quality target corpus) and the SOURCE LM (the
+    whole corpus), add-1 smoothed over the shared vocabulary. Docs scoring
+    high read like the target and get upsampled. Two frequency
+    aggregations broadcast back over the word stream — the same shape as
+    unigram_logprob, still one shuffle on doc_id for the final fold."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    src = words.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        words.where(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    n_vocab = src.count()
+    t_src = words.count()
+    t_tgt = words.where(F.col("lang") == "en").count()
+    freq = src.join(tgt, "w", "left").select(
+        "w",
+        (
+            F.log(
+                (F.coalesce("ct", F.lit(0)) + 1.0) / F.lit(float(t_tgt + n_vocab))
+            )
+            - F.log((F.col("cs") + 1.0) / F.lit(float(t_src + n_vocab)))
+        ).alias("llr"),
+    )
+    return (
+        words.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            # + 0.0 canonicalizes IEEE -0.0 (a doc whose words all have
+            # llr ~ -1e-17 rounds to negative zero in one engine only)
+            (F.round(F.avg("llr"), 4) + F.lit(0.0)).alias("dsir_weight"),
+        )
+    )
+
+
+_SQL_DSIR = """
+WITH words AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+src AS (SELECT w, count(*) AS cs FROM words GROUP BY 1),
+tgt AS (SELECT w, count(*) AS ct FROM words WHERE lang = 'en' GROUP BY 1),
+consts AS (
+  SELECT (SELECT count(*) FROM src) AS v,
+         (SELECT count(*) FROM words) AS ts,
+         (SELECT count(*) FROM words WHERE lang = 'en') AS tt
+),
+freq AS (
+  SELECT s.w,
+         ln((coalesce(t.ct, 0) + 1.0) / (c.tt + c.v))
+         - ln((s.cs + 1.0) / (c.ts + c.v)) AS llr
+  FROM src s LEFT JOIN tgt t ON s.w = t.w CROSS JOIN consts c
+)
+SELECT doc_id, count(*) AS n_words, round(avg(llr), 4) + 0.0 AS dsir_weight
+FROM words JOIN freq ON words.w = freq.w
+GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
     "interval_join_attribution": (q_interval_join_attribution, _SQL_INTERVAL_JOIN),
     "pagerank_authority": (q_pagerank_authority, _SQL_PAGERANK),
     "bpe_pair_counts": (q_bpe_pair_counts, _SQL_BPE_PAIRS),
+    "sequence_packing": (q_sequence_packing, _SQL_SEQUENCE_PACKING),
+    "dsir_weights": (q_dsir_weights, _SQL_DSIR),
     "canonical_per_cluster": (q_canonical_per_cluster, _SQL_CANONICAL),
     "bloom_dedup_gate": (q_bloom_dedup_gate, _SQL_BLOOM_GATE),
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),

@@ -364,3 +364,12 @@ def test_bloom_probe_is_narrow_map(spark):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_sequence_packing_no_single_task_cumsum(spark):
+    """The packing cumsum rides range partitions + per-partition windows
+    (global_cumsum), never a partition-less window's SinglePartition funnel."""
+    plan = plan_of(spark, "sequence_packing")
+    assert "rangepartitioning" in plan
+    assert "_rk_pid" in plan
+    assert "SinglePartition" not in plan.split("rangepartitioning")[0]

@@ -58,3 +58,29 @@ def test_plan_has_no_global_single_task_window(spark):
     # a global window would appear as windowspecdefinition(v ...) with no
     # partition spec; ours always carries the pid partition column
     assert "SinglePartition" not in plan.split("rangepartitioning")[0]
+
+
+@pytest.mark.parametrize("n", [1, 13, 500])
+def test_cumsum_matches_global_window(spark, n):
+    from ai_invoice_ocr_engine_spark.operators.ranking import global_cumsum
+
+    df = _df(spark, n, seed=300 + n).withColumn(
+        "tok", (F.col("v") % 37).cast("long")
+    )
+    got = global_cumsum(df, ["id"], "tok", out="c", num_partitions=5)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("c", F.sum("tok").over(w))
+    assert sorted(got.select("id", "c").collect()) == sorted(
+        want.select("id", "c").collect()
+    )
+
+
+def test_cumsum_plan_no_single_task_window(spark):
+    from ai_invoice_ocr_engine_spark.operators.ranking import global_cumsum
+
+    df = _df(spark, 200, seed=11).withColumn("tok", F.lit(3).cast("long"))
+    got = global_cumsum(df, ["id"], "tok", num_partitions=6)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "_rk_pid" in plan
+    assert "SinglePartition" not in plan.split("rangepartitioning")[0]

@@ -251,6 +251,38 @@ def decode_g4(data: bytes, w: int, h: int, byte_align: bool = False) -> np.ndarr
     return out
 
 
+def decode_g4_planes(data: bytes, w: int, h: int, n: int) -> list:
+    """n consecutive w×h T.6 planes from ONE bitstream (JBIG2 gray-scale
+    images with GSMMR=1, T.88 Annex C.5): each plane restarts from the
+    imaginary all-white reference line, but the BIT position carries over
+    between planes (no EOFB, no byte alignment between planes)."""
+    b = _Bits(data)
+    planes = []
+    for _ in range(n):
+        out = np.zeros((h, w), np.uint8)
+        ref: list[int] = []
+        for y in range(h):
+            cur = _decode_2d_line(b, ref, w)
+            _fill(out[y], cur, w)
+            ref = cur
+        planes.append(out)
+    return planes
+
+
+def encode_g4_planes(planes) -> bytes:
+    """Fixture writer for `decode_g4_planes`: planes back-to-back in one
+    bitstream, reference line reset per plane, no inter-plane alignment."""
+    bw = _BitW()
+    for mask in planes:
+        _h, w = mask.shape
+        ref: list[int] = []
+        for y in range(_h):
+            cur = _changes_of(mask[y])
+            _encode_2d_line(bw, cur, ref, w)
+            ref = cur
+    return bw.done()
+
+
 def decode_mh(data: bytes, w: int, h: int, row_align: bool = True) -> np.ndarray:
     """T.4 one-dimensional (modified Huffman) → (h, w) uint8 mask,
     1 = black. ``row_align`` (the default) byte-aligns each row — the

@@ -12,8 +12,9 @@ corners, any SBSTRIPS, TRANSPOSED regions with S running vertically),
 refinement coding (SDREFAGG=1 single-instance refined dictionaries,
 SBREFINE per-instance refinement, generic refinement templates 0/1),
 and halftone coding (pattern dictionaries sliced from one collective
-generic region; gray-coded bitplane grayscale images; 1/256-pixel grid
-vectors). HUFFMAN coding (T.88 Annex B) decodes where it can be done
+generic region; gray-coded bitplane grayscale images both MQ-coded and
+MMR — consecutive T.6 planes in one bitstream per Annex C.5; 1/256-pixel
+grid vectors). HUFFMAN coding (T.88 Annex B) decodes where it can be done
 safely: custom table segments (type 53 — self-describing, zero
 transcription risk), standard tables B.1-B.5 (pinned against the
 spec's own code columns in the tests), symbol dictionaries with
@@ -1280,8 +1281,6 @@ def _decode_halftone_region(body: bytes, patterns: list):
     template = (flags >> 1) & 3
     enable_skip = (flags >> 3) & 1
     hdef = (flags >> 7) & 1
-    if hmmr:
-        raise NotImplementedError("JBIG2 MMR-coded halftone grayscale")
     hgw, hgh = struct.unpack(">II", body[18:26])
     from .kernels import _check_dims
 
@@ -1295,11 +1294,28 @@ def _decode_halftone_region(body: bytes, patterns: list):
     bpp = max(1, graymax.bit_length())
     hskip = None
     if enable_skip:
+        if hmmr:
+            # skipped cells can't be "not coded" in an MMR line (runs span
+            # the whole row) — T.88 6.6.5.1 skip applies to arithmetic only
+            raise ValueError("JBIG2 MMR halftone with HENABLESKIP")
         p0h, p0w = patterns[0].shape
         hskip = _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, p0w, p0h, rw, rh)
-    gray = _decode_grayscale(
-        MQDecoder(body[38:]), hgw, hgh, bpp, template, skip=hskip
-    )
+    if hmmr:
+        # T.88 Annex C.5: bpp consecutive MMR planes in ONE bitstream,
+        # MSB first, then the same gray-code XOR chain as the MQ path
+        from .fax import decode_g4_planes
+
+        planes = decode_g4_planes(body[38:], hgw, hgh, bpp)
+        gray = np.zeros((hgh, hgw), np.int64)
+        prev = np.zeros((hgh, hgw), np.uint8)
+        for plane in planes:
+            bit = plane ^ prev
+            gray = (gray << 1) | bit
+            prev = bit
+    else:
+        gray = _decode_grayscale(
+            MQDecoder(body[38:]), hgw, hgh, bpp, template, skip=hskip
+        )
     page = np.full((rh, rw), hdef, np.uint8)
     ph, pw = patterns[0].shape
     for mg in range(hgh):
@@ -1337,7 +1353,8 @@ def _encode_pattern_dict(patterns: list, template: int = 0) -> bytes:
 
 def _encode_halftone_region(gray: np.ndarray, patterns: list, rw: int,
                             rh: int, template: int = 0,
-                            enable_skip: bool = False) -> bytes:
+                            enable_skip: bool = False,
+                            mmr: bool = False) -> bytes:
     """Fixture side: grid vectors HRX = pattern width << 8, HRY = 0.
     With ``enable_skip``, grid cells placed fully outside the region
     (gray wider/taller than the region allows) are not coded —
@@ -1349,32 +1366,48 @@ def _encode_halftone_region(gray: np.ndarray, patterns: list, rw: int,
     bpp = max(1, graymax.bit_length())
     at = [(template <= 1 and 3 or 2, -1), (-3, -1), (2, -2), (-2, -2)]
     at = at[: 4 if template == 0 else 1]
+    if enable_skip and mmr:
+        raise ValueError("MMR halftone cannot carry a skip bitmap")
     hskip = None
     if enable_skip:
         hskip = _halftone_skip(hgw, hgh, 0, 0, pw << 8, 0, pw, ph, rw, rh)
-    coder = MQEncoder()
-    cx: dict = {}
-    prev = np.zeros_like(gray, np.uint8)
-    for j in range(bpp - 1, -1, -1):
-        bit = ((gray >> j) & 1).astype(np.uint8)
-        plane = bit ^ prev
-        _region_bits(hgw, hgh, template, at, False, coder, bitmap=plane,
-                     cx=cx, skip=hskip)
-        # the decoder reconstructs 0 at skipped cells in every plane, so
-        # its XOR-accumulated bit is 0 there — mirror that in prev
-        if hskip is not None:
-            bit = bit & (1 - np.array(hskip, np.uint8))
-        prev = bit
+    if mmr:
+        from .fax import encode_g4_planes
+
+        planes = []
+        prev = np.zeros_like(gray, np.uint8)
+        for j in range(bpp - 1, -1, -1):
+            bit = ((gray >> j) & 1).astype(np.uint8)
+            planes.append(bit ^ prev)
+            prev = bit
+        payload = encode_g4_planes(planes)
+    else:
+        coder = MQEncoder()
+        cx: dict = {}
+        prev = np.zeros_like(gray, np.uint8)
+        for j in range(bpp - 1, -1, -1):
+            bit = ((gray >> j) & 1).astype(np.uint8)
+            plane = bit ^ prev
+            _region_bits(hgw, hgh, template, at, False, coder, bitmap=plane,
+                         cx=cx, skip=hskip)
+            # the decoder reconstructs 0 at skipped cells in every plane, so
+            # its XOR-accumulated bit is 0 there — mirror that in prev
+            if hskip is not None:
+                bit = bit & (1 - np.array(hskip, np.uint8))
+            prev = bit
+        payload = coder.flush()
     body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
-    body += bytes([((template & 3) << 1) | (8 if enable_skip else 0)])
+    body += bytes([(1 if mmr else 0) | ((template & 3) << 1)
+                   | (8 if enable_skip else 0)])
     body += struct.pack(">II", hgw, hgh)
     body += struct.pack(">ii", 0, 0)
     body += struct.pack(">HH", pw << 8, 0)
-    return body + coder.flush()
+    return body + payload
 
 
 def encode_jbig2_halftone(gray: np.ndarray, patterns: list, page_w: int,
-                          page_h: int, enable_skip: bool = False) -> bytes:
+                          page_h: int, enable_skip: bool = False,
+                          mmr: bool = False) -> bytes:
     """Fixture encoder: pattern dictionary + one immediate lossless
     halftone region rendering ``gray`` (values index ``patterns``)."""
 
@@ -1391,7 +1424,7 @@ def encode_jbig2_halftone(gray: np.ndarray, patterns: list, page_w: int,
     out += seg(2, 23, [1],
                _encode_halftone_region(np.asarray(gray), patterns,
                                        page_w, page_h,
-                                       enable_skip=enable_skip))
+                                       enable_skip=enable_skip, mmr=mmr))
     out += seg(3, 49, [], b"")
     return out
 

@@ -701,3 +701,47 @@ def test_halftone_henableskip():
             win = want2[m * 4 : m * 4 + 4, n * 4 : n * 4 + 4]
             win |= pats[gray[m, n]][: win.shape[0], : win.shape[1]]
     assert np.array_equal(got2, want2)
+
+
+@pytest.mark.parametrize("levels", [2, 4])
+def test_halftone_region_mmr(levels):
+    """HMMR=1: the gray-scale bitplanes are consecutive T.6 planes in ONE
+    bitstream (T.88 Annex C.5) — the decode must equal direct numpy
+    placement, and the stream must differ from the MQ-coded form (i.e. it
+    really took the MMR path)."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_halftone
+
+    pats = _dot_patterns(levels)
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, levels, (12, 18))
+    data = encode_jbig2_halftone(gray, pats, 72, 48, mmr=True)
+    got = decode_jbig2(data)
+    want = np.zeros((48, 72), np.uint8)
+    for m in range(12):
+        for n in range(18):
+            want[m * 4 : m * 4 + 4, n * 4 : n * 4 + 4] |= pats[gray[m, n]]
+    assert np.array_equal(got, want)
+    assert data != encode_jbig2_halftone(gray, pats, 72, 48, mmr=False)
+
+
+def test_g4_planes_stream_roundtrip():
+    """Multi-plane single-bitstream T.6: bit position carries across plane
+    boundaries (no byte alignment), reference line resets per plane."""
+    from ai_invoice_ocr_engine_spark.fax import decode_g4_planes, encode_g4_planes
+
+    rng = np.random.default_rng(5)
+    planes = [(rng.random((9, 31)) < p).astype(np.uint8) for p in (0.1, 0.5, 0.9)]
+    blob = encode_g4_planes(planes)
+    got = decode_g4_planes(blob, 31, 9, 3)
+    for a, b in zip(planes, got):
+        assert np.array_equal(a, b)
+
+
+def test_halftone_mmr_skip_is_invalid():
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_halftone
+
+    pats = _dot_patterns(2)
+    with pytest.raises(ValueError):
+        encode_jbig2_halftone(
+            np.zeros((3, 3), np.int64), pats, 24, 24, enable_skip=True, mmr=True
+        )

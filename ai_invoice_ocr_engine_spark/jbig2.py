@@ -9,8 +9,13 @@ emit by default: symbol dictionaries (arithmetic, height classes,
 IADH/IADW/IAEX integer procedures) plus text regions (strip-based
 IADT/IAFS/IADS/IAIT placement, IAID symbol selection, all four reference
 corners, any SBSTRIPS, TRANSPOSED regions with S running vertically),
-refinement coding (SDREFAGG=1 single-instance refined dictionaries,
-SBREFINE per-instance refinement, generic refinement templates 0/1),
+refinement coding (SDREFAGG=1 refined dictionaries — both the
+single-instance path and REFAGGNINST>1 aggregates decoded as embedded
+one-strip text regions per 6.5.8.2.2 — SBREFINE per-instance
+refinement, generic refinement templates 0/1 with TPGRON typical
+prediction, standalone refinement region segments 40/42/43 against the
+page or an intermediate region, and intermediate generic/text/halftone
+regions retained for later reference per 8.2),
 and halftone coding (pattern dictionaries sliced from one collective
 generic region; gray-coded bitplane grayscale images both MQ-coded and
 MMR — consecutive T.6 planes in one bitstream per Annex C.5; 1/256-pixel
@@ -26,11 +31,10 @@ standard text-region DEFAULTS B.6-B.15 stay deliberate loud seams:
 there is no independent implementation in this container to pin a
 15-table transcription against, and a mis-transcribed table decodes
 real scanner output to silently-wrong pages — strictly worse than the
-named error. Huffman+refinement/aggregation, multi-instance
-aggregates, TPGRON, and intermediate regions likewise
-raise NotImplementedError loudly — the same policy as every other
-codec seam (arithmetic JPEG, mp3, ...): fail with the feature named
-rather than guess.
+named error. Huffman+refinement/aggregation likewise raises
+NotImplementedError loudly — the same policy as every other codec seam
+(arithmetic JPEG, mp3, ...): fail with the feature named rather than
+guess.
 
 The MQ coder follows T.88 Annex E software conventions; the Qe state
 table and the coder are shared with JPEG2000 (ITU T.800). The encoder
@@ -342,11 +346,23 @@ _REFINE_TEMPLATES = {
 }
 
 
+# SLTP pseudo-pixel contexts for TPGRON (T.88 fig. 14/15), expressed in
+# this module's bit order (coding pixels MSB-first then reference pixels,
+# AT appended to each group): only the reference CENTER pixel is set —
+# template 0: bit 9 of 13 → 0x0020; template 1: bit 3 of 10 → 0x0008.
+_TPGRON_CTX = {0: 0x0020, 1: 0x0008}
+
+
 def _refine_bits(w: int, h: int, template: int, at: list, ref,
-                 dx: int, dy: int, coder, cx, bitmap=None):
+                 dx: int, dy: int, coder, cx, bitmap=None,
+                 tpgron: bool = False):
     """Generic refinement decode/encode walk: each pixel's context mixes
     already-coded current-bitmap neighbors with a 3x3 window of the
-    reference bitmap displaced by (dx, dy). TPGRON is a loud seam."""
+    reference bitmap displaced by (dx, dy). With ``tpgron`` (6.3.5.6) an
+    SLTP bit per row toggles typical-prediction mode: while LTP is on,
+    pixels whose displaced 3x3 reference neighborhood is uniform take
+    that uniform value WITHOUT being coded (the encode side only raises
+    LTP for rows where every such pixel matches its prediction)."""
     coding, reference = _REFINE_TEMPLATES[template]
     if template == 0:
         if len(at) != 2:
@@ -359,9 +375,48 @@ def _refine_bits(w: int, h: int, template: int, at: list, ref,
     decode = bitmap is None
     rows = [[0] * w for _ in range(h)] if decode else np.asarray(
         bitmap, np.uint8).tolist()
+
+    def typical(x, y):
+        """All-0 → 0, all-1 → 1, mixed → None over the 3x3 reference
+        window centered at the displaced position (outside reads 0, so
+        a total of 9 implies every cell was in-bounds and set)."""
+        total = 0
+        for ty in (y - dy - 1, y - dy, y - dy + 1):
+            for tx in (x - dx - 1, x - dx, x - dx + 1):
+                if 0 <= tx < rw and 0 <= ty < rh:
+                    total += ref_rows[ty][tx]
+        if total == 0:
+            return 0
+        return 1 if total == 9 else None
+
+    ltp = 0
+    sltp_label = _TPGRON_CTX[template]
     for y in range(h):
+        if tpgron:
+            c = cx.setdefault(sltp_label, [0, 0])
+            if decode:
+                ltp ^= coder.decode(c)
+            else:
+                # raise LTP only when every typical pixel in this row
+                # already equals its prediction (else the row can't be
+                # represented with prediction on)
+                want = 1
+                for x in range(w):
+                    t = typical(x, y)
+                    if t is not None and rows[y][x] != t:
+                        want = 0
+                        break
+                sltp = want ^ ltp
+                coder.encode(c, sltp)
+                ltp ^= sltp
         row = rows[y]
         for x in range(w):
+            if tpgron and ltp:
+                t = typical(x, y)
+                if t is not None:
+                    if decode:
+                        row[x] = t
+                    continue
             label = 0
             for cdx, cdy in coding:
                 # coding neighbors are always above/left — already coded
@@ -769,6 +824,10 @@ def _decode_symbol_dict(body: bytes, in_syms: list, tables: list | None = None) 
     coder = MQDecoder(body[bp:])
     iadh, iadw, iaex, iaai = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
     iardx, iardy = _IntCtx(), _IntCtx()
+    # text-region contexts for the REFAGGNINST>1 aggregate path — shared
+    # across every aggregate in this dictionary per 6.5.8.2.1
+    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
     symcodelen = max(1, (max(len(in_syms) + num_new, 1) - 1).bit_length())
     iaid = _IDCtx(symcodelen)
     gb_cx: dict = {}
@@ -807,8 +866,25 @@ def _decode_symbol_dict(body: bytes, in_syms: list, tables: list | None = None) 
                     bm = _refine_bits(symwidth, hcheight, rtemplate, rat,
                                       pool[ref_id], rdx, rdy, coder, gr_cx)
                 else:
-                    raise NotImplementedError(
-                        "JBIG2 multi-instance aggregate symbol coding"
+                    # 6.5.8.2.2: REFAGGNINST>1 — the symbol's bitmap is a
+                    # one-strip SBREFINE text region over the full pool
+                    # (TOPLEFT corner, no transposition, OR combine,
+                    # SBDSOFFSET=0), sharing this dictionary's coder and
+                    # integer contexts
+                    if ninst is _OOB or ninst <= 0:
+                        raise ValueError(
+                            "JBIG2 bad aggregate instance count"
+                        )
+                    if ninst > symwidth * hcheight:
+                        raise ValueError(
+                            "JBIG2 implausible aggregate instance count"
+                        )
+                    pool = list(in_syms) + new_syms
+                    ctxs = (iadt, iafs, iads, iait, iari, iardw, iardh,
+                            iardx, iardy, iaid)
+                    bm = _text_region_arith_core(
+                        coder, ctxs, gr_cx, pool, ninst, symwidth,
+                        hcheight, 1, 1, 0, 0, 0, True, rtemplate, rat,
                     )
             else:
                 bm = _region_bits(symwidth, hcheight, template, at, False,
@@ -1003,11 +1079,28 @@ def _decode_text_region(body: bytes, syms: list, tables: list | None = None):
     coder = MQDecoder(body[bp + 4 :])
     n_syms = max(len(syms), 1)
     symcodelen = max(1, (n_syms - 1).bit_length())
-    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
-    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
-    iardx, iardy = _IntCtx(), _IntCtx()
-    gr_cx: dict = {}
-    iaid = _IDCtx(symcodelen)
+    ctxs = (_IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(),
+            _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(), _IDCtx(symcodelen))
+    page = _text_region_arith_core(
+        coder, ctxs, {}, syms, num_instances, rw, rh, strips, refcorner,
+        transposed, sb_def_pixel, ds_offset, sbrefine, rtemplate, rat,
+    )
+    return page, (rw, rh, rx, ry, comb_op)
+
+
+def _text_region_arith_core(coder, ctxs, gr_cx, syms, num_instances,
+                            rw, rh, strips, refcorner, transposed,
+                            sb_def_pixel, ds_offset, sbrefine, rtemplate,
+                            rat):
+    """Shared instance-placement walk of 6.4.5 for arithmetic text
+    regions — called with fresh contexts by _decode_text_region, and with
+    the symbol dictionary's OWN coder and integer contexts by the
+    REFAGGNINST>1 aggregate path (6.5.8.2.2 decodes a new symbol's bitmap
+    as a one-strip TOPLEFT text region over the full symbol pool)."""
+    from .kernels import _check_dims
+
+    (iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy,
+     iaid) = ctxs
     page = np.full((rh, rw), sb_def_pixel, np.uint8)
     stript = iadt.decode(coder)
     if stript is _OOB:
@@ -1078,9 +1171,9 @@ def _decode_text_region(body: bytes, syms: list, tables: list | None = None):
             win |= bm  # per-instance combine: OR (SBCOMBOP subset)
             curs += (sh - 1) if transposed else (sw - 1)
             placed += 1
-            if placed >= num_instances:
-                break
-    return page, (rw, rh, rx, ry, comb_op)
+            if placed > num_instances:
+                raise ValueError("JBIG2 text region instance overrun")
+    return page
 
 
 def _decode_text_region_huffman(body, syms, tables, region, opts):
@@ -1469,10 +1562,6 @@ def _parse_segment_header(d: bytes, pos: int):
 
 
 _UNSUPPORTED = {
-    4: "intermediate text region",
-    20: "intermediate halftone region",
-    40: "intermediate refinement region", 42: "immediate refinement region",
-    43: "immediate lossless refinement region",
     64: "extension",
 }
 
@@ -1506,6 +1595,25 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     sym_dicts: dict[int, list] = {}  # segment number → exported symbols
     pat_dicts: dict[int, list] = {}  # segment number → pattern bitmaps
     tab_segs: dict[int, _HuffTable] = {}  # segment number → custom table
+    # intermediate region results (8.2: retained for later refinement
+    # segments instead of being composed onto the page)
+    aux_regions: dict[int, np.ndarray] = {}
+
+    def compose(bm, rw, rh, rx, ry, comb_op, what):
+        if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
+            raise ValueError(f"JBIG2 {what} exceeds page bounds")
+        win = page[ry : ry + rh, rx : rx + rw]
+        if comb_op == 0:  # OR
+            win |= bm
+        elif comb_op == 1:  # AND
+            win &= bm
+        elif comb_op == 2:  # XOR
+            win ^= bm
+        elif comb_op == 4:  # REPLACE
+            win[:] = bm
+        else:
+            raise NotImplementedError(f"JBIG2 combine op {comb_op}")
+
     pos = 0
     while pos < len(d):
         seg = _parse_segment_header(d, pos)
@@ -1524,23 +1632,18 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             tab_segs[seg["num"]] = _parse_table_segment(body)
         elif styp == 16:  # pattern dictionary
             pat_dicts[seg["num"]] = _decode_pattern_dict(body)
-        elif styp in (22, 23):  # immediate (lossless) halftone region
+        elif styp in (20, 22, 23):  # halftone region (intermediate/immediate)
             if page is None:
                 raise ValueError("JBIG2 halftone region before page information")
             pats = []
             for ref in seg["refs"]:
                 pats.extend(pat_dicts.get(ref, []))
             bm, (rw, rh, rx, ry, comb_op) = _decode_halftone_region(body, pats)
-            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
-                raise ValueError("JBIG2 halftone region exceeds page bounds")
-            win = page[ry : ry + rh, rx : rx + rw]
-            if comb_op == 0:
-                win |= bm
-            elif comb_op == 4:
-                win[:] = bm
+            if styp == 20:
+                aux_regions[seg["num"]] = bm
             else:
-                raise NotImplementedError(f"JBIG2 combine op {comb_op}")
-        elif styp in (6, 7):  # immediate (lossless) text region
+                compose(bm, rw, rh, rx, ry, comb_op, "halftone region")
+        elif styp in (4, 6, 7):  # text region (intermediate/immediate)
             if page is None:
                 raise ValueError("JBIG2 text region before page information")
             syms = []
@@ -1550,15 +1653,55 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             bm, (rw, rh, rx, ry, comb_op) = _decode_text_region(
                 body, syms, tables
             )
-            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
-                raise ValueError("JBIG2 text region exceeds page bounds")
-            win = page[ry : ry + rh, rx : rx + rw]
-            if comb_op == 0:
-                win |= bm
-            elif comb_op == 4:
-                win[:] = bm
+            if styp == 4:
+                aux_regions[seg["num"]] = bm
             else:
-                raise NotImplementedError(f"JBIG2 combine op {comb_op}")
+                compose(bm, rw, rh, rx, ry, comb_op, "text region")
+        elif styp in (40, 42, 43):  # refinement region (7.4.7)
+            if page is None:
+                raise ValueError("JBIG2 refinement region before page info")
+            if len(body) < 18:
+                raise ValueError("JBIG2 refinement segment truncated")
+            rw, rh, rx, ry = struct.unpack(">IIII", body[:16])
+            from .kernels import _check_dims
+
+            _check_dims(rw, rh, "JBIG2 refinement region")
+            comb_op = body[16] & 7
+            rflags = body[17]
+            rtemplate = rflags & 1
+            tpgron = bool(rflags & 2)
+            bp = 18
+            rat = []
+            if rtemplate == 0:
+                for _ in range(2):
+                    ax = int.from_bytes(body[bp : bp + 1], "big", signed=True)
+                    ay = int.from_bytes(body[bp + 1 : bp + 2], "big",
+                                        signed=True)
+                    rat.append((ax, ay))
+                    bp += 2
+            # reference: a referred intermediate region if any, else the
+            # page area under the region (7.4.7.2, GRREFERENCEDX/DY = 0)
+            ref_bm = None
+            for r in seg["refs"]:
+                if r in aux_regions:
+                    ref_bm = aux_regions[r]
+                    break
+            if ref_bm is None:
+                if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
+                    raise ValueError(
+                        "JBIG2 refinement region exceeds page bounds"
+                    )
+                ref_bm = page[ry : ry + rh, rx : rx + rw].copy()
+            elif ref_bm.shape != (rh, rw):
+                raise ValueError(
+                    "JBIG2 refinement reference region size mismatch"
+                )
+            bm = _refine_bits(rw, rh, rtemplate, rat, ref_bm, 0, 0,
+                              MQDecoder(body[bp:]), {}, tpgron=tpgron)
+            if styp == 40:
+                aux_regions[seg["num"]] = bm
+            else:
+                compose(bm, rw, rh, rx, ry, comb_op, "refinement region")
         elif styp == 48:  # page information
             if len(body) < 19:
                 raise ValueError("JBIG2 page info truncated")
@@ -1603,19 +1746,10 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             else:
                 bm = decode_generic_region(payload, rw, rh, template, at,
                                            tpgdon)
-            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
-                raise ValueError("JBIG2 region exceeds page bounds")
-            win = page[ry : ry + rh, rx : rx + rw]
-            if comb_op == 0:  # OR
-                win |= bm
-            elif comb_op == 1:  # AND
-                win &= bm
-            elif comb_op == 2:  # XOR
-                win ^= bm
-            elif comb_op == 4:  # REPLACE
-                win[:] = bm
+            if styp == 36:  # intermediate: retain, don't compose
+                aux_regions[seg["num"]] = bm
             else:
-                raise NotImplementedError(f"JBIG2 combine op {comb_op}")
+                compose(bm, rw, rh, rx, ry, comb_op, "region")
         elif styp in (49, 50, 51, 62):  # end of page/stripe/file, extension
             continue
         elif styp in _UNSUPPORTED:
@@ -1880,11 +2014,31 @@ def _encode_text_region(placements: list, n_syms: int, syms: list,
     refine = any(len(p) > 3 for p in placements)
     rat = [(-1, -1), (-1, -1)] if refine else []
     coder = MQEncoder()
-    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
-    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
-    iardx, iardy = _IntCtx(), _IntCtx()
-    gr_cx: dict = {}
-    iaid = _IDCtx(max(1, (max(n_syms, 1) - 1).bit_length()))
+    ctxs = (_IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(),
+            _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(),
+            _IDCtx(max(1, (max(n_syms, 1) - 1).bit_length())))
+    _text_region_encode_core(coder, ctxs, {}, placements, syms, strips,
+                             transposed, refcorner, refine, rat)
+    flags = (
+        (int(transposed) << 6) | (refcorner << 4) | (log_strips << 2)
+        | ((1 << 1) if refine else 0)
+    )
+    body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
+    body += flags.to_bytes(2, "big")
+    for ax, ay in rat:
+        body += struct.pack(">bb", ax, ay)
+    body += struct.pack(">I", len(placements))
+    return body + coder.flush()
+
+
+def _text_region_encode_core(coder, ctxs, gr_cx, placements, syms, strips,
+                             transposed, refcorner, refine, rat,
+                             rtemplate: int = 0):
+    """Instance-placement encode walk shared by _encode_text_region and
+    the aggregate symbol-dictionary fixture (mirrors
+    _text_region_arith_core)."""
+    (iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy,
+     iaid) = ctxs
 
     def inst_dims(p):
         bm = np.asarray(p[3], np.uint8) if len(p) > 3 else syms[p[0]]
@@ -1942,37 +2096,83 @@ def _encode_text_region(placements: list, n_syms: int, syms: list,
                     iardh.encode(coder, rdh)
                     iardx.encode(coder, 0)
                     iardy.encode(coder, 0)
-                    _refine_bits(placed.shape[1], placed.shape[0], 0, rat,
-                                 base, rdw >> 1, rdh >> 1, coder, gr_cx,
-                                 bitmap=placed)
+                    _refine_bits(placed.shape[1], placed.shape[0],
+                                 rtemplate, rat, base, rdw >> 1, rdh >> 1,
+                                 coder, gr_cx, bitmap=placed)
                 else:
                     iari.encode(coder, 0)
             curs += placed.shape[0 if transposed else 1] - 1
             k += 1
         iads.encode(coder, _OOB)
-    flags = (
-        (int(transposed) << 6) | (refcorner << 4) | (log_strips << 2)
-        | ((1 << 1) if refine else 0)
-    )
-    body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
-    body += flags.to_bytes(2, "big")
+
+
+def _encode_symbol_dict_aggregate(new_specs: list, in_syms: list,
+                                  rtemplate: int = 0) -> bytes:
+    """Fixture side of the REFAGGNINST>1 aggregate path (6.5.8.2.2):
+    each new symbol is (bitmap, placements) where ``placements`` is
+    [(ref_id, x, y)] or [(ref_id, x, y, refined_bitmap)] — ≥2 instances
+    of pool symbols composed (OR) into the new symbol's bitmap via the
+    one-strip TOPLEFT text-region procedure, sharing the dictionary's
+    coder and integer contexts exactly as the decoder does."""
+    n_in = len(in_syms)
+    rat = [(-1, -1), (-1, -1)] if rtemplate == 0 else []
+    coder = MQEncoder()
+    iadh, iadw, iaex, iaai = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
+    symcodelen = max(1, (max(n_in + len(new_specs), 1) - 1).bit_length())
+    iaid = _IDCtx(symcodelen)
+    ctxs = (iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy,
+            iaid)
+    gr_cx: dict = {}
+    pool = list(in_syms)
+    hcheight = 0
+    i = 0
+    while i < len(new_specs):
+        h = new_specs[i][0].shape[0]
+        iadh.encode(coder, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(new_specs) and new_specs[i][0].shape[0] == hcheight:
+            bm, places = new_specs[i]
+            if len(places) < 2:
+                raise ValueError("aggregate fixture needs ≥2 instances")
+            iadw.encode(coder, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            iaai.encode(coder, len(places))
+            _text_region_encode_core(coder, ctxs, gr_cx, places, pool,
+                                     1, False, 1, True, rat, rtemplate)
+            pool.append(bm)
+            i += 1
+        iadw.encode(coder, _OOB)
+    iaex.encode(coder, n_in)  # imports not re-exported
+    iaex.encode(coder, len(new_specs))
+    flags = (1 << 1) | ((rtemplate & 1) << 12)
+    body = flags.to_bytes(2, "big")
+    body += struct.pack(">bb", 3, -1) + struct.pack(">bb", -3, -1) \
+        + struct.pack(">bb", 2, -2) + struct.pack(">bb", -2, -2)  # SDAT (unused)
     for ax, ay in rat:
         body += struct.pack(">bb", ax, ay)
-    body += struct.pack(">I", len(placements))
+    body += struct.pack(">II", len(new_specs), len(new_specs))
     return body + coder.flush()
 
 
 def encode_jbig2_text(symbols: list, placements: list, page_w: int,
                       page_h: int, strips: int = 1,
                       refined_symbols: list | None = None,
-                      transposed: bool = False, refcorner: int = 1) -> bytes:
+                      transposed: bool = False, refcorner: int = 1,
+                      aggregate_symbols: list | None = None) -> bytes:
     """Fixture encoder for the symbol-coded path jbig2enc-style scanned
     PDFs take: one symbol dictionary + one immediate lossless text
     region. ``placements`` is [(sym_id, x, y)] with (x, y) the top-left
     corner of each instance, or [(sym_id, x, y, refined_bitmap)] for
     per-instance refinement. ``refined_symbols`` adds a SECOND,
     SDREFAGG=1 dictionary of (bitmap, ref_id, rdx, rdy) entries that
-    imports the first — their IDs follow the base symbols'."""
+    imports the first — their IDs follow the base symbols'.
+    ``aggregate_symbols`` adds an SDREFAGG=1 dictionary of
+    REFAGGNINST>1 entries (bitmap, [(ref_id, x, y), ...]) composed from
+    the base symbols; their IDs follow all earlier dictionaries'."""
     syms = [np.asarray(s, np.uint8) for s in symbols]
 
     def seg(num: int, styp: int, refs: list, page: int, body: bytes) -> bytes:
@@ -1996,11 +2196,76 @@ def encode_jbig2_text(symbols: list, placements: list, page_w: int,
         all_syms += [s[0] for s in specs]
         text_refs = [1, nxt]
         nxt += 1
+    if aggregate_symbols:
+        specs = [(np.asarray(b, np.uint8), places)
+                 for b, places in aggregate_symbols]
+        out += seg(nxt, 0, list(text_refs), 1,
+                   _encode_symbol_dict_aggregate(specs, all_syms))
+        all_syms += [s[0] for s in specs]
+        text_refs = text_refs + [nxt]
+        nxt += 1
     out += seg(nxt, 7, text_refs, 1,
                _encode_text_region(placements, len(all_syms), all_syms,
                                    page_w, page_h, strips,
                                    transposed=transposed,
                                    refcorner=refcorner))
+    out += seg(nxt + 1, 49, [], 1, b"")
+    return out
+
+
+def encode_jbig2_refinement(base: np.ndarray, target: np.ndarray,
+                            tpgron: bool = False, rtemplate: int = 0,
+                            intermediate_ref: np.ndarray | None = None,
+                            ) -> bytes:
+    """Fixture: page info + an immediate generic region painting
+    ``base`` + an immediate refinement region (type 42, REPLACE) whose
+    decode yields ``target``. With ``intermediate_ref`` the refinement
+    is coded against an INTERMEDIATE generic region (type 36) carrying
+    that bitmap — retained, never composed — instead of the page area,
+    which a decoder that wrongly refines the page cannot reproduce."""
+    base = np.asarray(base, np.uint8)
+    target = np.asarray(target, np.uint8)
+    if base.shape != target.shape:
+        raise ValueError("base/target shape mismatch")
+    h, w = base.shape
+
+    def seg(num: int, styp: int, refs: list, page: int, body: bytes) -> bytes:
+        hdr = struct.pack(">IB", num, styp)
+        hdr += bytes([(len(refs) << 5)])
+        for r in refs:
+            hdr += bytes([r])
+        hdr += bytes([page]) + struct.pack(">I", len(body))
+        return hdr + body
+
+    def generic_body(bm: np.ndarray) -> bytes:
+        at = _TEMPLATES[0][1]
+        body = struct.pack(">IIII", bm.shape[1], bm.shape[0], 0, 0)
+        body += bytes([0, 0])  # combine OR, gflags template 0
+        for ax, ay in at:
+            body += struct.pack(">bb", ax, ay)
+        return body + encode_generic_region(bm, 0, list(at), False)
+
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00"
+    out = seg(0, 48, [], 1, page_info)
+    out += seg(1, 39, [], 1, generic_body(base))
+    ref_bm = base if intermediate_ref is None else np.asarray(
+        intermediate_ref, np.uint8)
+    nxt = 2
+    refine_refs: list = []
+    if intermediate_ref is not None:
+        out += seg(nxt, 36, [], 1, generic_body(ref_bm))
+        refine_refs = [nxt]
+        nxt += 1
+    rat = [(-1, -1), (-1, -1)] if rtemplate == 0 else []
+    enc = MQEncoder()
+    _refine_bits(w, h, rtemplate, rat, ref_bm, 0, 0, enc, {},
+                 bitmap=target, tpgron=tpgron)
+    body = struct.pack(">IIII", w, h, 0, 0) + bytes([4])  # REPLACE
+    body += bytes([rtemplate | (2 if tpgron else 0)])
+    for ax, ay in rat:
+        body += struct.pack(">bb", ax, ay)
+    body += enc.flush()
+    out += seg(nxt, 42, refine_refs, 1, body)
     out += seg(nxt + 1, 49, [], 1, b"")
     return out
 

@@ -3665,7 +3665,134 @@ GROUP BY doc_id
 """
 
 
+def q_heavy_hitters(spark, sf):
+    """Distributed Count-Min Sketch (Cormode-Muthukrishnan) heavy
+    hitters: k=4 hash rows x m=64 buckets over the corpus token stream,
+    estimates checked against exact counts for the true top-15 tokens.
+    The sketch IS the map-side combine state: groupBy(j, bucket) over
+    the k-replicated token stream collapses every task's contribution
+    to <= k*m rows before the shuffle, so shuffle bytes are O(k*m) per
+    task REGARDLESS of corpus size — the mergeable-sketch property that
+    makes CMS the bounded-memory answer at 10^12 docs where exact
+    per-token state no longer fits. The k*m grid and the top-15 list
+    are broadcast for the estimate join; `overcount = cms_est - true_n`
+    is the CMS one-sided error (never negative), visible per token."""
+    k_rows, m, topn = 4, 64, 15
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit("")
+            )
+        ).alias("tok")
+    )
+    seeds = spark.range(k_rows).select(F.col("id").cast("int").alias("j"))
+    bucket = F.expr(
+        f"cast(conv(substr(md5(concat(j, ':', tok)), 1, 15), 16, 10)"
+        f" as bigint) % {m}"
+    )
+    sketch = (
+        toks.crossJoin(F.broadcast(seeds))
+        .select("j", bucket.alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), "tok")
+        .limit(topn)
+    )
+    return (
+        top.crossJoin(F.broadcast(seeds))
+        .withColumn("b", bucket)
+        .join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("n").alias("cms_est"))
+        .select(
+            "tok",
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_n"), "tok")
+    )
+
+
+_SQL_HEAVY_HITTERS = """
+WITH toks AS (
+  SELECT t AS tok
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS j),
+sk AS (
+  SELECT j,
+         ('0x' || substr(md5(j || ':' || tok), 1, 15))::BIGINT % 64 AS b,
+         count(*) AS n
+  FROM toks CROSS JOIN seeds GROUP BY 1, 2
+),
+tn AS (SELECT tok, count(*) AS true_n FROM toks GROUP BY 1),
+top AS (SELECT * FROM tn ORDER BY true_n DESC, tok LIMIT 15),
+est AS (
+  SELECT top.tok, top.true_n, min(sk.n) AS cms_est
+  FROM top CROSS JOIN seeds
+  JOIN sk ON sk.j = seeds.j
+   AND sk.b = ('0x' || substr(md5(seeds.j || ':' || top.tok), 1, 15))::BIGINT % 64
+  GROUP BY 1, 2
+)
+SELECT tok, true_n, cms_est, cms_est - true_n AS overcount
+FROM est ORDER BY true_n DESC, tok
+"""
+
+
+def q_pps_sample(spark, sf):
+    """Systematic probability-proportional-to-size sampling: order docs
+    by doc_id, take the k=50 docs whose cumulative weight (n_chars)
+    crosses a multiple of total/k — each doc's selection probability is
+    proportional to its size, the classic PPS design for weighted
+    corpus subsampling. Pure INTEGER arithmetic at the boundary
+    (floor(cum*k/tot) jump test), so reruns and the oracle agree
+    bit-for-bit; cum*k stays far under int64 even at 10^15 total
+    tokens. The running weight comes from operators/ranking.py
+    global_cumsum (range partitions + broadcast offsets — no
+    single-task window), and the 1-row total is a broadcast."""
+    k = 50
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    from .operators.ranking import global_cumsum
+
+    c = global_cumsum(d, ["doc_id"], "w", out="cum_w")
+    tot = d.agg(F.sum("w").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .where(
+            F.expr(f"(cum_w * {k}) div tot > ((cum_w - w) * {k}) div tot")
+        )
+        .select("doc_id", "w", "cum_w")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_PPS_SAMPLE = """
+WITH c AS (
+  SELECT doc_id, n_chars::BIGINT AS w,
+         sum(n_chars::BIGINT) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_w
+  FROM documents
+), t AS (SELECT sum(n_chars::BIGINT) AS tot FROM documents)
+SELECT doc_id, w, cum_w
+FROM c CROSS JOIN t
+WHERE (cum_w * 50) // tot > ((cum_w - w) * 50) // tot
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
     "interval_join_attribution": (q_interval_join_attribution, _SQL_INTERVAL_JOIN),
     "pagerank_authority": (q_pagerank_authority, _SQL_PAGERANK),

@@ -373,3 +373,29 @@ def test_sequence_packing_no_single_task_cumsum(spark):
     assert "rangepartitioning" in plan
     assert "_rk_pid" in plan
     assert "SinglePartition" not in plan.split("rangepartitioning")[0]
+
+
+def test_heavy_hitters_sketch_is_mergeable(spark):
+    """Count-Min heavy hitters: the sketch groupBy(j, bucket) must have
+    map-side partial aggregation (the mergeable-sketch property — each
+    task ships <= k*m rows), the k-seed and sketch joins must be
+    broadcasts, and the true-count side caps via TakeOrderedAndProject."""
+    plan = plan_of(spark, "heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final on sketch & counts
+    assert "BroadcastExchange" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pps_sample_distributed_cumsum(spark):
+    """Systematic PPS sampling rides global_cumsum's range partitions —
+    the only SinglePartition allowed is the 1-row total broadcast."""
+    plan = plan_of(spark, "pps_sample")
+    assert "rangepartitioning" in plan
+    assert "_rk_pid" in plan
+    # exactly ONE SinglePartition funnel: the 1-row sum(w) total that is
+    # then broadcast — never the cumsum window itself
+    assert plan.count("Exchange SinglePartition") == 1
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_rk_pid" in line, line

@@ -26,15 +26,18 @@ spec's own code columns in the tests), symbol dictionaries with
 SDHUFF=1 (whose selectors only ever reach B.1-B.5 or custom tables;
 height-class collective bitmaps both uncompressed and MMR), and text
 regions whose FS/DS/DT selectors point at referred custom tables —
-including the runcode-coded symbol-ID lengths of 7.4.3.1.7. The
-standard text-region DEFAULTS B.6-B.15 stay deliberate loud seams:
-there is no independent implementation in this container to pin a
-15-table transcription against, and a mis-transcribed table decodes
-real scanner output to silently-wrong pages — strictly worse than the
-named error. Huffman+refinement/aggregation likewise raises
-NotImplementedError loudly — the same policy as every other codec seam
-(arithmetic JPEG, mp3, ...): fail with the feature named rather than
-guess.
+including the runcode-coded symbol-ID lengths of 7.4.3.1.7 and, when
+the RDW/RDH/RDX/RDY selectors are custom too, SBREFINE per-instance
+refinement (6.4.11: RI as one raw bit, then a byte-aligned standalone
+MQ refinement of BMSIZE bytes). The standard text-region DEFAULTS
+B.6-B.15 stay deliberate loud seams: there is no independent
+implementation in this container to pin a 15-table transcription
+against, and a mis-transcribed table decodes real scanner output to
+silently-wrong pages — strictly worse than the named error. Huffman
+symbol DICTIONARIES with refinement/aggregation stay loud for the same
+reason: 6.5.8.2.2 mandates table B.15 for their RDX/RDY (not
+selectable) — the same policy as every other codec seam (arithmetic
+JPEG, mp3, ...): fail with the feature named rather than guess.
 
 The MQ coder follows T.88 Annex E software conventions; the Qe state
 table and the coder are shared with JPEG2000 (ITU T.800). The encoder
@@ -1053,16 +1056,14 @@ def _decode_text_region(body: bytes, syms: list, tables: list | None = None):
         ds_offset -= 32  # signed 5-bit
     rtemplate = (flags >> 15) & 1
     if sbhuff:
-        if sbrefine:
-            raise NotImplementedError(
-                "JBIG2 Huffman text region with refinement"
-            )
         return _decode_text_region_huffman(
             body,
             syms,
             tables or [],
             (rw, rh, rx, ry, comb_op),
             (refcorner, transposed, sb_def_pixel, ds_offset, log_strips),
+            sbrefine=sbrefine,
+            rtemplate=rtemplate,
         )
     strips = 1 << log_strips
     bp = 19
@@ -1176,13 +1177,18 @@ def _text_region_arith_core(coder, ctxs, gr_cx, syms, num_instances,
     return page
 
 
-def _decode_text_region_huffman(body, syms, tables, region, opts):
+def _decode_text_region_huffman(body, syms, tables, region, opts,
+                                sbrefine: int = 0, rtemplate: int = 0):
     """SBHUFF=1 text region (6.4.5 with 7.4.3.1.5-7.4.3.1.7): the 16-bit
-    SBHUFFFLAGS select FS/DS/DT (custom tables consumed in that order;
-    the B.6-B.15 standard defaults are loud seams — see _std_table),
-    symbol IDs ride the runcode-coded per-symbol prefix lengths, and CURT
-    is ceil(log2(SBSTRIPS)) raw bits. Placement/corner/TRANSPOSED
-    geometry is shared with the arithmetic path's rules."""
+    SBHUFFFLAGS select FS/DS/DT — and with SBREFINE also RDW/RDH/RDX/RDY
+    plus the RSIZE bit (custom tables consumed in that spec order; the
+    B.6-B.15 standard defaults are loud seams — see _std_table). Symbol
+    IDs ride the runcode-coded per-symbol prefix lengths, CURT is
+    ceil(log2(SBSTRIPS)) raw bits, and each refined instance (6.4.11,
+    RI read as one raw bit) carries RDW/RDH/RDX/RDY/BMSIZE through its
+    tables followed by a BYTE-ALIGNED standalone MQ-coded generic
+    refinement region of exactly BMSIZE bytes. Placement/corner/
+    TRANSPOSED geometry is shared with the arithmetic path's rules."""
     from .kernels import MAX_DECODE_PIXELS, _check_dims
 
     rw, rh, rx, ry, comb_op = region
@@ -1192,8 +1198,6 @@ def _decode_text_region_huffman(body, syms, tables, region, opts):
     sel_fs = hflags & 3
     sel_ds = (hflags >> 2) & 3
     sel_dt = (hflags >> 4) & 3
-    # RDW/RDH/RDX/RDY/RSIZE selectors (bits 6-14) are only meaningful with
-    # SBREFINE, which the caller already rejected
     ti = iter(tables)
 
     def custom(name):
@@ -1214,10 +1218,27 @@ def _decode_text_region_huffman(body, syms, tables, region, opts):
     t_fs = pick(sel_fs, (6, 7), "FS")
     t_ds = pick(sel_ds, (8, 9, 10), "DS")
     t_dt = pick(sel_dt, (11, 12, 13), "DT")
-    num_instances = struct.unpack(">I", body[21:25])[0]
+    bp = 21
+    rat: list = []
+    t_rdw = t_rdh = t_rdx = t_rdy = t_rsize = None
+    if sbrefine:
+        # selectors 0/1 are standard tables B.14/B.15 (loud), 3 custom
+        t_rdw = pick((hflags >> 6) & 3, (14, 15), "RDW")
+        t_rdh = pick((hflags >> 8) & 3, (14, 15), "RDH")
+        t_rdx = pick((hflags >> 10) & 3, (14, 15), "RDX")
+        t_rdy = pick((hflags >> 12) & 3, (14, 15), "RDY")
+        t_rsize = custom("RSIZE") if (hflags >> 14) & 1 else _std_table(1)
+        if rtemplate == 0:
+            for _ in range(2):
+                ax = int.from_bytes(body[bp : bp + 1], "big", signed=True)
+                ay = int.from_bytes(body[bp + 1 : bp + 2], "big",
+                                    signed=True)
+                rat.append((ax, ay))
+                bp += 2
+    num_instances = struct.unpack(">I", body[bp : bp + 4])[0]
     if num_instances > MAX_DECODE_PIXELS:
         raise ValueError("JBIG2 implausible text-region instance count")
-    hb = _HBits(body, 25 * 8)
+    hb = _HBits(body, (bp + 4) * 8)
     # 7.4.3.1.7: 35 five-bit runcode lengths → runcode table → per-symbol
     # code lengths (32: repeat prev 3-6, 33: zeros 3-10, 34: zeros 11-138)
     n_syms = len(syms)
@@ -1280,6 +1301,28 @@ def _decode_text_region_huffman(body, syms, tables, region, opts):
             if sym_id is _OOB or sym_id >= len(syms):
                 raise ValueError("JBIG2 symbol ID out of range")
             bm = syms[sym_id]
+            if sbrefine and hb.read(1):
+                rdw = t_rdw.decode(hb)
+                rdh = t_rdh.decode(hb)
+                rdx = t_rdx.decode(hb)
+                rdy = t_rdy.decode(hb)
+                bmsize = t_rsize.decode(hb)
+                if _OOB in (rdw, rdh, rdx, rdy, bmsize) or bmsize <= 0:
+                    raise ValueError("JBIG2 bad Huffman refinement fields")
+                nw, nh = bm.shape[1] + rdw, bm.shape[0] + rdh
+                if nw <= 0 or nh <= 0:
+                    raise ValueError("JBIG2 refined instance dims")
+                _check_dims(nw, nh, "JBIG2 refined instance")
+                hb.align()
+                start = hb.byte_pos()
+                if start + bmsize > len(body):
+                    raise ValueError("JBIG2 refinement data truncated")
+                bm = _refine_bits(
+                    nw, nh, rtemplate, rat, bm,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    MQDecoder(body[start : start + bmsize]), {},
+                )
+                hb.pos = (start + bmsize) * 8
             sh, sw = bm.shape
             if transposed:
                 y = curs
@@ -1849,16 +1892,25 @@ def _encode_text_region_huffman(
     """Fixture side of _decode_text_region_huffman. FS/DS/DT ride CUSTOM
     table segments (returned alongside the body) sized to the placement
     deltas — the supported Huffman text-region shape; symbol IDs use a
-    flat equal-length code. Returns (body, [fs_tab, ds_tab, dt_tab])."""
+    flat equal-length code. Placements of the form (sym_id, x, y,
+    refined_bitmap) turn on SBREFINE: RDW/RDH/RDX/RDY/RSIZE ride custom
+    tables too and each refinement is a byte-aligned standalone MQ
+    stream. Returns (body, [table bodies in spec consumption order])."""
     log_strips = strips.bit_length() - 1
     if (1 << log_strips) != strips or strips > 8:
         raise ValueError("strips must be 1, 2, 4 or 8")
     if n_syms < 2:
         raise ValueError("huffman fixture needs >= 2 symbols")
+    refine = any(len(p) > 3 for p in placements)
+    rat = [(-1, -1), (-1, -1)] if refine else []
+
+    def inst_dims(p):
+        bm = np.asarray(p[3], np.uint8) if len(p) > 3 else syms[p[0]]
+        return bm.shape  # (h, w)
 
     def anchors(p):
         sym_id, x, y = p[0], p[1], p[2]
-        h, w = syms[sym_id].shape
+        h, w = inst_dims(p)
         if transposed:
             return (x if refcorner in (0, 1) else x + w - 1), y
         return (y if refcorner in (1, 3) else y + h - 1), x
@@ -1873,6 +1925,16 @@ def _encode_text_region_huffman(
         (-(1 << 12), 1 << 12), htoob=True, rangelen=13
     )
     dt_body, t_dt = _encode_table_segment((0, 1 << 12), htoob=False, rangelen=12)
+    tab_bodies = [fs_body, ds_body, dt_body]
+    if refine:
+        rd_body, t_rd = _encode_table_segment(
+            (-(1 << 12), 1 << 12), htoob=False, rangelen=13
+        )
+        rs_body, t_rsize = _encode_table_segment(
+            (0, 1 << 13), htoob=False, rangelen=14
+        )
+        # RDW/RDH/RDX/RDY share one table shape; four referred segments
+        tab_bodies += [rd_body, rd_body, rd_body, rd_body, rs_body]
     bw = _HBitW()
     symlen = max(1, (n_syms - 1).bit_length())
     # runcode lengths: one 1-bit code for value `symlen`
@@ -1908,17 +1970,45 @@ def _encode_text_region_huffman(
                 bw.put(t_anchor - strip_t, log_strips)
             bw.put(p[0], symlen)
             bm = syms[p[0]]
+            if refine:
+                if len(p) > 3:
+                    refined = np.asarray(p[3], np.uint8)
+                    base = syms[p[0]]
+                    rdw = refined.shape[1] - base.shape[1]
+                    rdh = refined.shape[0] - base.shape[0]
+                    bw.put(1, 1)
+                    t_rd.encode(bw, rdw)
+                    t_rd.encode(bw, rdh)
+                    t_rd.encode(bw, 0)  # RDX
+                    t_rd.encode(bw, 0)  # RDY
+                    enc = MQEncoder()
+                    _refine_bits(refined.shape[1], refined.shape[0], 0,
+                                 rat, base, rdw >> 1, rdh >> 1, enc, {},
+                                 bitmap=refined)
+                    data = enc.flush()
+                    t_rsize.encode(bw, len(data))
+                    bw.align()
+                    bw.put_bytes(data)
+                    bm = refined
+                else:
+                    bw.put(0, 1)
             curs += bm.shape[0 if transposed else 1] - 1
             k += 1
         t_ds.encode(bw, _OOB)
-    # region flags: SBHUFF=1 + corner/strips/transposed; SBHUFFFLAGS:
-    # FS/DS/DT all custom (selector 3)
+    # region flags: SBHUFF=1 (+ SBREFINE) + corner/strips/transposed;
+    # SBHUFFFLAGS: FS/DS/DT (and with refinement RDW/RDH/RDX/RDY) all
+    # custom (selector 3), RSIZE custom (bit 14)
     flags = 1 | (int(transposed) << 6) | (refcorner << 4) | (log_strips << 2)
     hflags = 3 | (3 << 2) | (3 << 4)
+    if refine:
+        flags |= 1 << 1
+        hflags |= (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12) | (1 << 14)
     body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
     body += flags.to_bytes(2, "big") + hflags.to_bytes(2, "big")
+    for ax, ay in rat:
+        body += struct.pack(">bb", ax, ay)
     body += struct.pack(">I", len(placements))
-    return body + bw.done(), [fs_body, ds_body, dt_body]
+    return body + bw.done(), tab_bodies
 
 
 def encode_jbig2_text_huffman(
@@ -1933,7 +2023,11 @@ def encode_jbig2_text_huffman(
 
     def seg(num: int, styp: int, refs: list, page: int, body: bytes) -> bytes:
         hdr = struct.pack(">IB", num, styp)
-        hdr += bytes([(len(refs) << 5)])
+        if len(refs) <= 4:
+            hdr += bytes([(len(refs) << 5)])
+        else:  # long form: 3-bit 0b111 marker + 29-bit count + retain bits
+            hdr += struct.pack(">I", 0xE0000000 | len(refs))
+            hdr += b"\x00" * ((len(refs) + 8) // 8)
         for r in refs:
             hdr += bytes([r])
         hdr += bytes([page]) + struct.pack(">I", len(body))
@@ -1946,11 +2040,14 @@ def encode_jbig2_text_huffman(
     page_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x01\x00\x00"
     out = seg(0, 48, [], 1, page_info)
     out += seg(1, 0, [], 1, _encode_symbol_dict_huffman(syms, mmr=mmr))
-    out += seg(2, 53, [], 1, tab_bodies[0])
-    out += seg(3, 53, [], 1, tab_bodies[1])
-    out += seg(4, 53, [], 1, tab_bodies[2])
-    out += seg(5, 7, [1, 2, 3, 4], 1, tr_body)
-    out += seg(6, 49, [], 1, b"")
+    nxt = 2
+    tab_refs = []
+    for tb in tab_bodies:
+        out += seg(nxt, 53, [], 1, tb)
+        tab_refs.append(nxt)
+        nxt += 1
+    out += seg(nxt, 7, [1] + tab_refs, 1, tr_body)
+    out += seg(nxt + 1, 49, [], 1, b"")
     return out
 
 

@@ -866,3 +866,117 @@ def test_halftone_mmr_skip_is_invalid():
         encode_jbig2_halftone(
             np.zeros((3, 3), np.int64), pats, 24, 24, enable_skip=True, mmr=True
         )
+
+
+def test_pdf_jbig2_aggregate_and_refinement_image():
+    """Full-path integration: a PDF image XObject whose JBIG2 payload
+    uses an aggregate (REFAGGNINST=2) dictionary symbol, followed by a
+    TPGRON refinement region that touches up the composed page — the
+    combination a high-fidelity scanner encoder would emit."""
+    import struct as _s
+
+    from ai_invoice_ocr_engine_spark.jbig2 import (
+        MQEncoder, _TEMPLATES, _refine_bits, encode_generic_region,
+        encode_jbig2_text,
+    )
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+    from ai_invoice_ocr_engine_spark.pdf import pdf_spans
+
+    from .test_pdf import _raw_pdf
+
+    i_sym = np.zeros((8, 3), np.uint8)
+    i_sym[2:8, 1] = 1
+    i_sym[0, 1] = 1
+    j_sym = np.zeros((8, 4), np.uint8)
+    j_sym[0:7, 2] = 1
+    j_sym[7, 0:3] = 1
+    agg = np.zeros((8, 8), np.uint8)
+    agg[:, 0:3] |= i_sym
+    agg[:, 4:8] |= j_sym
+    pw, ph = 48, 20
+    placements = [(0, 2, 2), (2, 12, 2), (1, 28, 6)]
+    stream = encode_jbig2_text([i_sym, j_sym], placements, pw, ph,
+                               aggregate_symbols=[(agg, [(0, 0, 0),
+                                                         (1, 4, 0)])])
+    base = _render([i_sym, j_sym, agg], placements, pw, ph)
+    # append a TPGRON refinement region (REPLACE) flipping two pixels
+    target = base.copy()
+    target[1, 1] = 1
+    target[9, 14] = 0
+    rat = [(-1, -1), (-1, -1)]
+    enc = MQEncoder()
+    _refine_bits(pw, ph, 0, rat, base, 0, 0, enc, {}, bitmap=target,
+                 tpgron=True)
+    rbody = _s.pack(">IIII", pw, ph, 0, 0) + bytes([4, 0 | 2])
+    for ax, ay in rat:
+        rbody += _s.pack(">bb", ax, ay)
+    rbody += enc.flush()
+    rseg = (_s.pack(">IB", 9, 42) + b"\x00\x01"
+            + _s.pack(">I", len(rbody)) + rbody)
+    # splice before the trailing end-of-page segment (11-byte header)
+    eop = stream[-11:]
+    payload = stream[:-11] + rseg + eop
+    img = (
+        f"<< /Type /XObject /Subtype /Image /Width {pw} /Height {ph} "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray "
+        "/Filter /JBIG2Decode "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = f"q {pw} 0 0 {ph} 50 600 cm /Im0 Do Q".encode()
+    blob = _raw_pdf(content, extra_objs=img,
+                    font="/XObject << /Im0 5 0 R >>")
+    _spans, media = pdf_spans(blob)
+    gray = decode_image(next(iter(media.values())))
+    assert np.array_equal(gray, (1 - target) * 255)
+
+
+def test_huffman_text_region_with_refinement():
+    """SBHUFF=1 + SBREFINE=1 (6.4.11): RI read as one raw bit, RDW/RDH/
+    RDX/RDY/RSIZE through CUSTOM tables, each refinement a byte-aligned
+    standalone MQ stream of exactly BMSIZE bytes. Refined instances may
+    change dims; plain instances interleave (coder alignment pinned by
+    the instances decoded AFTER a refinement)."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
+
+    rng = np.random.default_rng(5)
+    a = (rng.random((9, 6)) < 0.4).astype(np.uint8)
+    b = (rng.random((9, 7)) < 0.4).astype(np.uint8)
+    ref1 = a.copy()
+    ref1[3, 2] ^= 1
+    ref1[7, 5] ^= 1
+    big = np.zeros((10, 8), np.uint8)
+    big[1:10, 1:7] = a
+    big[0, :] = 1
+    placements = [(0, 3, 2, ref1), (1, 20, 2), (0, 40, 3), (1, 55, 4, big)]
+    data = encode_jbig2_text_huffman([a, b], placements, 80, 20)
+    assert np.array_equal(decode_jbig2(data),
+                          _render([a, b], placements, 80, 20))
+
+
+def test_huffman_refinement_standard_rd_tables_stay_loud():
+    """RDW selector 0 would mean standard table B.14 — still a loud
+    seam (no independent pin for the B.6-B.15 transcription), so the
+    stream must raise the named error, not decode wrong."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
+
+    rng = np.random.default_rng(6)
+    a = (rng.random((9, 6)) < 0.4).astype(np.uint8)
+    b = (rng.random((9, 7)) < 0.4).astype(np.uint8)
+    ref1 = a.copy()
+    ref1[3, 2] ^= 1
+    data = bytearray(encode_jbig2_text_huffman(
+        [a, b], [(0, 3, 2, ref1), (1, 20, 2)], 60, 16))
+    # SBHUFFFLAGS are the 2 bytes after region-info(17)+flags(2) in the
+    # text-region body; flip the RDW selector from 3 (custom) to 0 (B.14)
+    hflags_full = 3 | (3 << 2) | (3 << 4) | (3 << 6) | (3 << 8) \
+        | (3 << 10) | (3 << 12) | (1 << 14)
+    needle = (1 | (1 << 1) | (1 << 4)).to_bytes(2, "big") \
+        + hflags_full.to_bytes(2, "big")
+    idx = bytes(data).find(needle)
+    assert idx > 0
+    patched = hflags_full & ~(3 << 6)
+    data[idx + 2 : idx + 4] = patched.to_bytes(2, "big")
+    with pytest.raises(NotImplementedError, match="B.14"):
+        decode_jbig2(bytes(data))

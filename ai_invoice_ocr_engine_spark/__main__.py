@@ -138,6 +138,20 @@ def main(argv=None) -> int:
     cp.add_argument("--target-mb", type=int, default=128)
     cp.add_argument("--master", default=None)
 
+    up = sub.add_parser(
+        "upsert",
+        help="re-extract (or --delete) a doc subset and MERGE INTO the "
+        "bucketed spans table, lineage updated",
+    )
+    up.add_argument("--out", required=True, help="extract out_dir")
+    up.add_argument("--docs", required=True)
+    up.add_argument("--media", default=None)
+    up.add_argument("--where", default="", help="SQL boolean over docs")
+    up.add_argument("--delete", action="store_true",
+                    help="purge matching docs instead of re-extracting")
+    up.add_argument("--master", default=None)
+    _add_cfg_flags(up)
+
     lk = sub.add_parser("lookup", help="bucket-pruned point lookup by doc_id")
     lk.add_argument("--out", required=True, help="extract out_dir")
     lk.add_argument("--doc-ids", required=True, help="comma-separated ids")
@@ -386,6 +400,26 @@ def main(argv=None) -> int:
         spark = get_spark(app="stats", master=args.master)
         try:
             rep = bucket_stats(spark, args.out)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "upsert":
+        from .pipeline import upsert_extract
+        from .sources.session import get_spark
+
+        spark = get_spark(app="upsert", master=args.master)
+        try:
+            rep = upsert_extract(
+                spark,
+                args.out,
+                args.docs,
+                media_path=args.media,
+                where=args.where,
+                cfg=_cfg_from(args),
+                delete=args.delete,
+            )
         finally:
             spark.stop()
         print(json.dumps(rep))

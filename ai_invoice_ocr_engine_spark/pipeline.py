@@ -817,6 +817,130 @@ def run_extract(
     }
 
 
+def upsert_extract(
+    spark: SparkSession,
+    out_dir: str,
+    docs_path: str,
+    media_path: str | None = None,
+    where: str = "",
+    cfg: ExtractConfig | None = None,
+    media_strategy: str = "auto",
+    run_id: str | None = None,
+    delete: bool = False,
+) -> dict:
+    """Targeted MERGE INTO for the bucketed spans table — the Iceberg
+    row-level-update analog a 10^12-doc corpus needs when a codec fix,
+    config change, or takedown affects a SUBSET of documents and a full
+    re-extract is off the table.
+
+    ``where`` is a SQL boolean over the docs table selecting the target
+    rows (e.g. ``doc_id IN (...)`` or ``lang = 'mix'``). With
+    ``delete=False`` the selected docs are re-extracted and their rows
+    replace existing ones (docs new to the table are inserted — upsert);
+    with ``delete=True`` their rows are purged (the GDPR/takedown path —
+    no media needed).
+
+    Scale + safety shape: only AFFECTED bucket partitions are read
+    (partition pruning on the bucket filter), merged rows go to a temp
+    dir first (never read-and-overwrite the same path in one job), then
+    land via the same dynamic partition overwrite run_extract uses —
+    data first, lineage rows strictly after, so a crash in the window
+    leaves verify_lineage flagging exactly the swapped-but-unrecorded
+    buckets and a RERUN of the same upsert is idempotent (re-extracting
+    a doc already replaced anti-joins it out and writes it again)."""
+    cfg = cfg or ExtractConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spans_dir = os.path.join(out_dir, "spans")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    manifest = _read_manifest(spark, out_dir)
+    num_buckets = int(manifest["num_buckets"])
+
+    docs = with_bucket(spark.read.parquet(docs_path), num_buckets)
+    sel = docs.where(where) if where else docs
+    affected = [r["bucket"] for r in sel.select("bucket").distinct().collect()]
+    if not affected:
+        return {"run_id": run_id, "docs": 0, "buckets": 0,
+                "deleted": bool(delete), "out": spans_dir}
+
+    if delete:
+        new = None
+        sel_ids = sel.select("doc_id")
+    else:
+        if media_path is None:
+            raise ValueError("upsert re-extraction requires media_path")
+        media = spark.read.parquet(media_path)
+        new = with_bucket(
+            extract(
+                sel,
+                media,
+                cfg,
+                media_strategy=media_strategy,
+                media_side_path=media_path if "://" not in media_path else None,
+            ),
+            num_buckets,
+        )
+        sel_ids = new.select("doc_id")
+
+    old = spark.read.parquet(spans_dir).where(
+        F.col("bucket").isin([int(b) for b in affected])
+    )
+    n_replaced = old.join(sel_ids, "doc_id", "left_semi").count()
+    kept = old.join(sel_ids, "doc_id", "left_anti")
+    merged = kept if new is None else kept.unionByName(
+        new.select(*kept.columns)
+    )
+
+    t0 = time.time()
+    tmp = spans_dir + "_upsert_tmp"
+    _delete_path(spark, tmp)
+    merged.write.partitionBy("bucket").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    # invariant gate before touching the live table: one row per doc
+    dup = staged.groupBy("doc_id").count().where(F.col("count") > 1).count()
+    if dup:
+        _delete_path(spark, tmp)
+        raise ValueError(
+            f"upsert staging has {dup} duplicate doc_ids; table untouched"
+        )
+    n_new = 0 if new is None else staged.join(
+        sel_ids, "doc_id", "left_semi"
+    ).count()
+    staged_buckets = {
+        r["bucket"] for r in staged.select("bucket").distinct().collect()
+    }
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(spans_dir)
+    )
+    (
+        lineage_of(staged, run_id)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("partition_id")
+        .parquet(lineage_dir)
+    )
+    # a bucket emptied by deletion has NO staged rows, so dynamic
+    # overwrite never touches it — drop its data and lineage explicitly
+    for b in affected:
+        if b not in staged_buckets:
+            _delete_path(spark, os.path.join(spans_dir, f"bucket={b}"))
+            _delete_path(
+                spark, os.path.join(lineage_dir, f"partition_id={b}")
+            )
+    _delete_path(spark, tmp)
+    secs = time.time() - t0
+    return {
+        "run_id": run_id,
+        "docs": int(n_new) if not delete else int(n_replaced),
+        "buckets": len(affected),
+        "deleted": bool(delete),
+        "secs": round(secs, 3),
+        "out": spans_dir,
+    }
+
+
 def verify_lineage(spark: SparkSession, out_dir: str) -> dict:
     """Operational integrity check: recompute per-bucket counts/checksums
     from the spans table and compare with the lineage rows. The 10^12-scale

@@ -64,3 +64,30 @@ def write_bucketed(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
         )
     out.write.mode(mode).partitionBy("bucket").parquet(target)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    key: str,
+    num_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Save ``df`` as a Spark BUCKETED catalog table (``bucketBy`` +
+    optional ``sortBy`` on the join key) — the co-located-join layout:
+    two tables bucketed by the same key with the same bucket count join
+    as a SortMergeJoin with ZERO Exchange (both sides arrive
+    pre-shuffled, and pre-sorted when ``sort``), the pattern that turns
+    a 100 TB fact⋈fact join from a full network shuffle into a local
+    merge. Distinct from `write_bucketed` above: that one lays out ONE
+    table's partitions for pruning/resume; this one aligns TWO tables
+    for shuffle-free joins (Iceberg equivalent: identical bucket(N, key)
+    partition transforms + storage-partitioned join). With ``path`` the
+    table is external (files live at ``path``; DROP TABLE keeps them)."""
+    w = df.write.bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.mode("overwrite").format("parquet").saveAsTable(name)

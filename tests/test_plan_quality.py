@@ -9,6 +9,7 @@ these tests pin the plan shape at the marker level.
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from ai_invoice_ocr_engine_spark.queries import REGISTRY
 
@@ -399,3 +400,79 @@ def test_pps_sample_distributed_cumsum(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "_rk_pid" in line, line
+
+
+def test_bucketed_table_join_no_exchange(spark, tmp_path):
+    """Co-located join contract: two tables bucketed by the join key
+    with equal bucket counts must SortMergeJoin with ZERO Exchange
+    (the control join of the raw parquet reads shuffles both sides).
+    At 100 TB this is the difference between a full network shuffle of
+    the fact table and a node-local merge."""
+    from ai_invoice_ocr_engine_spark.sources.tables import (
+        write_bucketed_table,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(li, "pq_bl", "l_orderkey", 8,
+                             path=str(tmp_path / "bl"))
+        write_bucketed_table(orders, "pq_bo", "o_orderkey", 8,
+                             path=str(tmp_path / "bo"))
+        bj = spark.table("pq_bl").join(
+            spark.table("pq_bo"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        bp = bj._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in bp
+        assert "Exchange" not in bp
+        cj = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        cp = cj._jdf.queryExecution().executedPlan().toString()
+        assert cp.count("Exchange") >= 2  # the shuffle the layout removes
+        assert bj.count() == cj.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pq_bl")
+        spark.sql("DROP TABLE IF EXISTS pq_bo")
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Runtime-filter posture: with the app-side size threshold met (at
+    100 TB the default 10 GB threshold meets itself), a selective dim
+    filter injects a Bloom might_contain onto the fact-side scan so
+    shuffle input drops before the join. Pinned here with the threshold
+    lowered — the conf wiring and plan shape, not the size gate."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    prev_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = li.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        op = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in op
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)

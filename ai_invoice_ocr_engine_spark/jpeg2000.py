@@ -1,0 +1,1311 @@
+"""JPEG 2000 (ITU-T T.800) lossless baseline decoder, pure numpy + stdlib.
+
+Scope: the reversible path scanned-document JPX streams use — raw
+codestreams (SOC..EOC) and JP2 containers, single or multiple tiles,
+grayscale or RGB (with the reversible color transform), 5/3 integer
+wavelet (any decomposition level count), EBCOT arithmetic coding with
+default code-block options, default (full-subband) precincts, any
+progression order for single-tile-part streams, one or more quality
+layers. The MQ arithmetic coder is SHARED with jbig2.py, where it is
+pinned against the ITU T.88 Annex H.2 conformance bitstream — the same
+coder the T.800 Annex C tables define (JBIG2 and JPEG 2000 specify the
+identical coder; only the context initial states differ, Table D.7
+here).
+
+Deliberate loud seams (NotImplementedError with the feature named —
+the repo-wide codec policy): the 9/7 irreversible wavelet and scalar
+quantization (lossy path), selective arithmetic bypass / per-pass
+termination / segmentation-symbol code-block styles, custom precinct
+sizes, ROI (RGN), packed packet headers (PPM/PPT), and COC/QCC
+component overrides.
+
+Convention notes pinned by tests rather than external fixtures (no
+independent JPEG 2000 implementation exists in this container): the
+DWT applies the horizontal pass first on synthesis (F.3.4 2D_SR:
+interleave -> HOR_SR rows -> VER_SR columns; analysis exactly
+mirrored), and tag-tree/packet-header bits follow B.10's incremental
+lower-bound queries with bit-stuffing after 0xFF bytes.
+
+Reference parity note: the reference engine does not accept .jp2
+(engine.py:46); this decoder serves the raw-PDF ingest path's
+JPXDecode filter (pdf.py), previously a loud seam.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .jbig2 import MQDecoder, MQEncoder
+
+# -- tag trees (B.10.2) --------------------------------------------------------
+
+
+class TagTree:
+    """2D tag tree over a w x h leaf grid: answers incremental queries
+    "is leaf value < threshold?" while coding each node's lower bound
+    once along the root->leaf path. Decode and encode walk identically;
+    the encoder is the fixture side (values set before encoding)."""
+
+    __slots__ = ("w", "h", "levels", "low", "value", "known")
+
+    def __init__(self, w: int, h: int):
+        if w <= 0 or h <= 0:
+            raise ValueError("tag tree dims must be positive")
+        self.w, self.h = w, h
+        self.levels = []
+        lw, lh = w, h
+        while True:
+            self.levels.append((lw, lh))
+            if lw == 1 and lh == 1:
+                break
+            lw, lh = (lw + 1) // 2, (lh + 1) // 2
+        # per level: current coded lower bound, final value (enc), known
+        self.low = [np.zeros((lh, lw), np.int32) for lw, lh in self.levels]
+        self.value = [np.full((lh, lw), 1 << 30, np.int32)
+                      for lw, lh in self.levels]
+        self.known = [np.zeros((lh, lw), bool) for lw, lh in self.levels]
+
+    def set_value(self, i: int, j: int, v: int) -> None:
+        """Encoder side: set leaf (i=x, j=y) value; parents become the
+        min over their children."""
+        self.value[0][j, i] = v
+        for lvl in range(1, len(self.levels)):
+            i, j = i // 2, j // 2
+            if v < self.value[lvl][j, i]:
+                self.value[lvl][j, i] = v
+            else:
+                break
+
+    def _path(self, i: int, j: int):
+        path = []
+        for lvl in range(len(self.levels) - 1, -1, -1):
+            path.append((lvl, i >> lvl, j >> lvl))
+        return path
+
+    def decode(self, bits, i: int, j: int, threshold: int) -> bool:
+        """True iff leaf (i, j) value < threshold, reading just the bits
+        needed to decide; partial knowledge persists across calls."""
+        low = 0
+        for lvl, x, y in self._path(i, j):
+            if self.low[lvl][y, x] < low:
+                self.low[lvl][y, x] = low
+            while (not self.known[lvl][y, x]
+                   and self.low[lvl][y, x] < threshold):
+                if bits.read(1):
+                    self.known[lvl][y, x] = True
+                    self.value[lvl][y, x] = self.low[lvl][y, x]
+                else:
+                    self.low[lvl][y, x] += 1
+            if self.known[lvl][y, x]:
+                low = self.value[lvl][y, x]
+                if low >= threshold:
+                    return False
+            else:
+                low = self.low[lvl][y, x]
+                return False  # bound reached threshold without resolving
+        return True
+
+    def encode(self, bits, i: int, j: int, threshold: int) -> None:
+        """Emit the bits `decode` will read for this query (values must
+        be set beforehand via set_value)."""
+        low = 0
+        for lvl, x, y in self._path(i, j):
+            if self.low[lvl][y, x] < low:
+                self.low[lvl][y, x] = low
+            v = int(self.value[lvl][y, x])
+            while (not self.known[lvl][y, x]
+                   and self.low[lvl][y, x] < threshold):
+                if self.low[lvl][y, x] == v:
+                    bits.put(1, 1)
+                    self.known[lvl][y, x] = True
+                else:
+                    bits.put(0, 1)
+                    self.low[lvl][y, x] += 1
+            if self.known[lvl][y, x]:
+                low = v
+                if low >= threshold:
+                    return
+            else:
+                return
+
+
+# -- packet-header bit IO with 0xFF stuffing (B.10.1) --------------------------
+
+
+class _PktBitReader:
+    """MSB-first reader with the packet-header unstuffing rule: a byte
+    following 0xFF carries only 7 payload bits (its MSB is a stuffed 0)."""
+
+    __slots__ = ("data", "pos", "acc", "n", "prev_ff")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.prev_ff = False
+
+    def read(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            if self.n == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG2000 packet header exhausted")
+                b = self.data[self.pos]
+                self.pos += 1
+                if self.prev_ff:
+                    if b & 0x80:
+                        raise ValueError("JPEG2000 invalid stuffing bit")
+                    self.acc = b
+                    self.n = 7
+                else:
+                    self.acc = b
+                    self.n = 8
+                self.prev_ff = b == 0xFF if not self.prev_ff else False
+                # note: a stuffed byte (7-bit) can itself not be 0xFF>=0x80
+            v = (v << 1) | ((self.acc >> (self.n - 1)) & 1)
+            self.n -= 1
+        return v
+
+    def align(self) -> int:
+        """Finish the header: discard partial bits. B.10.1: a header
+        whose last byte is 0xFF is terminated by one stuffed 0x00 byte,
+        which belongs to the header — consume it. Returns the byte
+        position where the packet body starts."""
+        if self.prev_ff:
+            if self.pos >= len(self.data) or self.data[self.pos] & 0x80:
+                raise ValueError("JPEG2000 missing header stuffing byte")
+            self.pos += 1
+        self.acc = 0
+        self.n = 0
+        self.prev_ff = False
+        return self.pos
+
+
+class _PktBitWriter:
+    """MSB-first writer emitting the stuffing 0 bit after 0xFF bytes."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def _flush_byte(self) -> None:
+        self.out.append(self.acc)
+        stuffed = self.acc == 0xFF
+        self.acc = 0
+        self.n = 1 if stuffed else 0  # stuffed 0 occupies the MSB
+
+    def put(self, code: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self._flush_byte()
+
+    def align(self) -> bytes:
+        if self.n:
+            self.acc <<= 8 - self.n
+            # a final 0xFF would need a stuffing byte; padding with zeros
+            # cannot produce one unless acc already is 0xFF
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        elif self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+# -- 5/3 reversible DWT (Annex F) ----------------------------------------------
+
+
+def _sr_1d(y: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """1D_SR (F.3.6): reconstruct interleaved signal y over [i0, i1)
+    given its extended lifting-domain representation. `y` holds the
+    interleaved coefficients indexed from i0."""
+    n = i1 - i0
+    if n == 0:
+        return y
+    if n == 1:
+        # F.3.5: single-sample signal — even index: value; odd: value/2
+        return y if i0 % 2 == 0 else y // 2
+    # work on an extended array so the lifting taps read mirrored values
+    idx = np.arange(i0 - 2, i1 + 2)
+    buf = _ext_interleaved(y, i0, i1, idx)
+    x = buf.copy()
+    # even samples: x[2n] = y[2n] - floor((y[2n-1] + y[2n+1] + 2)/4)
+    off = idx - (i0 - 2)
+    even = np.where(idx % 2 == 0)[0]
+    even = even[(idx[even] >= i0 - 1) & (idx[even] <= i1)]
+    x[even] = buf[even] - ((buf[even - 1] + buf[even + 1] + 2) >> 2)
+    # odd samples: x[2n+1] = y[2n+1] + floor((x[2n] + x[2n+2])/2)
+    odd = np.where(idx % 2 == 1)[0]
+    odd = odd[(idx[odd] >= i0) & (idx[odd] < i1)]
+    x[odd] = buf[odd] + ((x[odd - 1] + x[odd + 1]) >> 1)
+    sl = slice(i0 - (i0 - 2), i0 - (i0 - 2) + n)
+    return x[sl]
+
+
+def _ext_interleaved(y: np.ndarray, i0: int, i1: int,
+                     idx: np.ndarray) -> np.ndarray:
+    """Symmetric extension of the interleaved subband signal defined on
+    [i0, i1) to the positions in idx (F.3.7)."""
+    n = i1 - i0
+    if n == 1:
+        return np.full(idx.shape, y[0], y.dtype)
+    p = 2 * (n - 1)
+    k = np.abs(idx - i0) % p
+    k = np.where(k >= n, p - k, k)
+    return y[k]
+
+
+def _sd_1d(x: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """1D_SD (forward, F.4.8): interleaved analysis of x over [i0, i1)."""
+    n = i1 - i0
+    if n == 0:
+        return x
+    if n == 1:
+        return x if i0 % 2 == 0 else x * 2
+    idx = np.arange(i0 - 2, i1 + 2)
+    buf = _ext_interleaved(x, i0, i1, idx)
+    y = buf.copy()
+    # odd (high-pass): y[2n+1] = x[2n+1] - floor((x[2n] + x[2n+2])/2)
+    odd = np.where(idx % 2 == 1)[0]
+    odd_in = odd[(idx[odd] >= i0 - 1) & (idx[odd] <= i1)]
+    y[odd_in] = buf[odd_in] - ((buf[odd_in - 1] + buf[odd_in + 1]) >> 1)
+    # even (low-pass): y[2n] = x[2n] + floor((y[2n-1] + y[2n+1] + 2)/4)
+    even = np.where(idx % 2 == 0)[0]
+    even_in = even[(idx[even] >= i0) & (idx[even] < i1)]
+    y[even_in] = buf[even_in] + ((y[even_in - 1] + y[even_in + 1] + 2) >> 2)
+    sl = slice(2, 2 + n)
+    return y[sl]
+
+
+def _interleave(ll, hl, lh, hh, u0, v0, u1, v1):
+    """2D_INTERLEAVE (F.3.3): place subband coefficients at their
+    even/odd positions of the resolution grid [u0,u1) x [v0,v1)."""
+    a = np.zeros((v1 - v0, u1 - u0), np.int64)
+    # positions are absolute; local array offset by (v0, u0)
+    ue = np.arange(_ceil2(u0), u1, 2)    # even columns
+    uo = np.arange(u0 | 1, u1, 2)        # odd columns
+    ve = np.arange(_ceil2(v0), v1, 2)
+    vo = np.arange(v0 | 1, v1, 2)
+    if ll.size:
+        a[np.ix_(ve - v0, ue - u0)] = ll
+    if hl.size:
+        a[np.ix_(ve - v0, uo - u0)] = hl
+    if lh.size:
+        a[np.ix_(vo - v0, ue - u0)] = lh
+    if hh.size:
+        a[np.ix_(vo - v0, uo - u0)] = hh
+    return a
+
+
+def _deinterleave(a, u0, v0, u1, v1):
+    ue = np.arange(_ceil2(u0), u1, 2) - u0
+    uo = np.arange(u0 | 1, u1, 2) - u0
+    ve = np.arange(_ceil2(v0), v1, 2) - v0
+    vo = np.arange(v0 | 1, v1, 2) - v0
+    ll = a[np.ix_(ve, ue)]
+    hl = a[np.ix_(ve, uo)]
+    lh = a[np.ix_(vo, ue)]
+    hh = a[np.ix_(vo, uo)]
+    return ll, hl, lh, hh
+
+
+def _ceil2(x: int) -> int:
+    return x + (x & 1)
+
+
+def sr_2d(ll, hl, lh, hh, u0, v0, u1, v1):
+    """2D_SR (F.3.4): interleave, then HOR_SR on every row, then VER_SR
+    on every column — the synthesis step for one resolution level."""
+    a = _interleave(ll, hl, lh, hh, u0, v0, u1, v1)
+    for r in range(a.shape[0]):
+        a[r, :] = _sr_1d(a[r, :], u0, u1)
+    for c in range(a.shape[1]):
+        a[:, c] = _sr_1d(a[:, c], v0, v1)
+    return a
+
+
+def sd_2d(a, u0, v0, u1, v1):
+    """2D_SD (forward analysis, exact inverse of sr_2d)."""
+    a = np.asarray(a, np.int64).copy()
+    for c in range(a.shape[1]):
+        a[:, c] = _sd_1d(a[:, c], v0, v1)
+    for r in range(a.shape[0]):
+        a[r, :] = _sd_1d(a[r, :], u0, u1)
+    return _deinterleave(a, u0, v0, u1, v1)
+
+
+def idwt_53(ll, bands, x0, y0, x1, y1):
+    """Full multi-level inverse: `bands` is a list of (hl, lh, hh) from
+    the coarsest level to the finest; (x0, y0, x1, y1) the tile-component
+    region on the reference grid."""
+    nl = len(bands)
+    a = ll
+    for r in range(1, nl + 1):
+        d = nl - r  # remaining halvings after this synthesis
+        u0, v0 = -(-x0 >> d), -(-y0 >> d)
+        u1, v1 = -(-x1 >> d), -(-y1 >> d)
+        hl, lh, hh = bands[r - 1]
+        a = sr_2d(a, hl, lh, hh, u0, v0, u1, v1)
+    return a
+
+
+def dwt_53(a, nl, x0, y0, x1, y1):
+    """Full multi-level forward: returns (ll, [(hl, lh, hh) coarsest
+    first])."""
+    out = []
+    cur = np.asarray(a, np.int64)
+    for r in range(nl):
+        d = r  # current grid is the original halved r times
+        u0, v0 = -(-x0 >> d), -(-y0 >> d)
+        u1, v1 = -(-x1 >> d), -(-y1 >> d)
+        ll, hl, lh, hh = sd_2d(cur, u0, v0, u1, v1)
+        out.append((hl, lh, hh))
+        cur = ll
+    return cur, out[::-1]
+
+
+# -- EBCOT Tier-1 code-block coding (Annex D) ----------------------------------
+
+# context numbering: 0-8 significance, 9-13 sign, 14-16 magnitude
+# refinement, 17 run-length, 18 UNIFORM
+_CTX_RUN = 17
+_CTX_UNI = 18
+
+# Table D.7 initial (index, MPS) — everything else starts at (0, 0)
+_T1_INIT = {0: 4, _CTX_RUN: 3, _CTX_UNI: 46}
+
+
+def _t1_contexts() -> list:
+    return [[_T1_INIT.get(i, 0), 0] for i in range(19)]
+
+
+def _sig_ctx(h: int, v: int, d: int, band: int) -> int:
+    """Table D.1. band: 0=LL, 1=HL, 2=LH, 3=HH. HL transposes h/v; HH
+    keys on the diagonal count."""
+    if band == 1:
+        h, v = v, h
+    if band != 3:
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else (1 if d == 1 else 0)
+    hv = h + v
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    return 2 if hv >= 2 else (1 if hv == 1 else 0)
+
+
+# Table D.3: (hc+1, vc+1) -> (context, xor bit)
+_SIGN_CTX = {
+    (2, 2): (13, 0), (2, 1): (12, 0), (2, 0): (11, 0),
+    (1, 2): (10, 0), (1, 1): (9, 0), (1, 0): (10, 1),
+    (0, 2): (11, 1), (0, 1): (12, 1), (0, 0): (13, 1),
+}
+
+
+class _T1:
+    """One code-block's coding state; `coder` is an MQDecoder or
+    MQEncoder and `values` (encode side) the signed coefficients."""
+
+    def __init__(self, w: int, h: int, band: int, coder, values=None):
+        self.w, self.h, self.band = w, h, band
+        self.coder = coder
+        self.cx = _t1_contexts()
+        # padded state planes (1-sample border of zeros)
+        self.sig = np.zeros((h + 2, w + 2), np.uint8)
+        self.sgn = np.zeros((h + 2, w + 2), np.uint8)
+        self.visited = np.zeros((h + 2, w + 2), np.uint8)
+        self.refined = np.zeros((h + 2, w + 2), np.uint8)
+        self.mag = np.zeros((h, w), np.int64)
+        self.encode = values is not None
+        if self.encode:
+            v = np.asarray(values, np.int64)
+            self.vmag = np.abs(v)
+            self.vsgn = (v < 0).astype(np.uint8)
+
+    # -- neighbor counts on the padded planes (x, y are 0-based) --
+
+    def _hvd(self, x: int, y: int):
+        s = self.sig
+        px, py = x + 1, y + 1
+        h = int(s[py, px - 1]) + int(s[py, px + 1])
+        v = int(s[py - 1, px]) + int(s[py + 1, px])
+        d = (int(s[py - 1, px - 1]) + int(s[py - 1, px + 1])
+             + int(s[py + 1, px - 1]) + int(s[py + 1, px + 1]))
+        return h, v, d
+
+    def _bit(self, ctx: int, enc_bit: int | None = None) -> int:
+        c = self.cx[ctx]
+        if self.encode:
+            self.coder.encode(c, enc_bit)
+            return enc_bit
+        return self.coder.decode(c)
+
+    def _code_sign(self, x: int, y: int) -> None:
+        s, g = self.sig, self.sgn
+        px, py = x + 1, y + 1
+
+        def contrib(sig_v, sgn_v):
+            if not sig_v:
+                return 0
+            return -1 if sgn_v else 1
+
+        hc = contrib(s[py, px - 1], g[py, px - 1]) + contrib(
+            s[py, px + 1], g[py, px + 1])
+        vc = contrib(s[py - 1, px], g[py - 1, px]) + contrib(
+            s[py + 1, px], g[py + 1, px])
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        ctx, xor = _SIGN_CTX[(hc + 1, vc + 1)]
+        if self.encode:
+            self._bit(ctx, int(self.vsgn[y, x]) ^ xor)
+            g[py, px] = self.vsgn[y, x]
+        else:
+            g[py, px] = self._bit(ctx) ^ xor
+
+    def _set_sig(self, x: int, y: int, plane: int) -> None:
+        self.sig[y + 1, x + 1] = 1
+        self.mag[y, x] |= 1 << plane
+
+    # -- the three passes (D.4) --
+
+    def _stripes(self):
+        for k0 in range(0, self.h, 4):
+            for x in range(self.w):
+                yield k0, x
+
+    def spp(self, plane: int) -> None:
+        """Significance propagation: code insignificant samples with a
+        non-zero context."""
+        for k0, x in self._stripes():
+            for y in range(k0, min(k0 + 4, self.h)):
+                if self.sig[y + 1, x + 1]:
+                    continue
+                h, v, d = self._hvd(x, y)
+                ctx = _sig_ctx(h, v, d, self.band)
+                if ctx == 0:
+                    continue
+                bit = self._bit(
+                    ctx,
+                    int((self.vmag[y, x] >> plane) & 1)
+                    if self.encode else None,
+                )
+                self.visited[y + 1, x + 1] = 1
+                if bit:
+                    self._set_sig(x, y, plane)
+                    self._code_sign(x, y)
+
+    def mrp(self, plane: int) -> None:
+        """Magnitude refinement of samples significant before this
+        plane (significant and not visited this plane)."""
+        for k0, x in self._stripes():
+            for y in range(k0, min(k0 + 4, self.h)):
+                if not self.sig[y + 1, x + 1] or self.visited[y + 1, x + 1]:
+                    continue
+                if self.refined[y + 1, x + 1]:
+                    ctx = 16
+                else:
+                    h, v, d = self._hvd(x, y)
+                    ctx = 15 if h + v + d > 0 else 14
+                bit = self._bit(
+                    ctx,
+                    int((self.vmag[y, x] >> plane) & 1)
+                    if self.encode else None,
+                )
+                if bit:
+                    self.mag[y, x] |= 1 << plane
+                self.refined[y + 1, x + 1] = 1
+
+    def cup(self, plane: int) -> None:
+        """Cleanup pass with column run-length mode."""
+        for k0, x in self._stripes():
+            rows = range(k0, min(k0 + 4, self.h))
+            y = k0
+            # run mode: full 4-row column, all insignificant/unvisited
+            # with all-zero contexts
+            if len(rows) == 4 and all(
+                not self.sig[yy + 1, x + 1]
+                and not self.visited[yy + 1, x + 1]
+                and _sig_ctx(*self._hvd(x, yy), self.band) == 0
+                for yy in rows
+            ):
+                if self.encode:
+                    r = next(
+                        (i for i, yy in enumerate(rows)
+                         if (self.vmag[yy, x] >> plane) & 1), None)
+                    if r is None:
+                        self._bit(_CTX_RUN, 0)
+                        self._clear_visited_col(x, rows)
+                        continue
+                    self._bit(_CTX_RUN, 1)
+                    self._bit(_CTX_UNI, (r >> 1) & 1)
+                    self._bit(_CTX_UNI, r & 1)
+                else:
+                    if not self._bit(_CTX_RUN):
+                        self._clear_visited_col(x, rows)
+                        continue
+                    r = (self._bit(_CTX_UNI) << 1) | self._bit(_CTX_UNI)
+                y = k0 + r
+                self._set_sig(x, y, plane)
+                self._code_sign(x, y)
+                y += 1
+            for yy in range(y, min(k0 + 4, self.h)):
+                if self.sig[yy + 1, x + 1] or self.visited[yy + 1, x + 1]:
+                    self.visited[yy + 1, x + 1] = 0
+                    continue
+                h, v, d = self._hvd(x, yy)
+                ctx = _sig_ctx(h, v, d, self.band)
+                bit = self._bit(
+                    ctx,
+                    int((self.vmag[yy, x] >> plane) & 1)
+                    if self.encode else None,
+                )
+                if bit:
+                    self._set_sig(x, yy, plane)
+                    self._code_sign(x, yy)
+            # clear visited for rows already handled above
+            for yy in rows:
+                self.visited[yy + 1, x + 1] = 0
+
+    def _clear_visited_col(self, x, rows):
+        for yy in rows:
+            self.visited[yy + 1, x + 1] = 0
+
+    def run(self, start_plane: int, npasses: int) -> None:
+        """Execute `npasses` coding passes starting at the cleanup pass
+        of `start_plane` (the first coded plane has only CUP)."""
+        plane = start_plane
+        done = 0
+        first = True
+        while done < npasses:
+            if plane < 0:
+                raise ValueError("JPEG2000 too many coding passes")
+            passes = (self.cup,) if first else (self.spp, self.mrp, self.cup)
+            for p in passes:
+                p(plane)
+                done += 1
+                if done >= npasses:
+                    break
+            first = False
+            plane -= 1
+
+    def result(self) -> np.ndarray:
+        v = self.mag.copy()
+        neg = self.sgn[1:-1, 1:-1] == 1
+        v[neg] = -v[neg]
+        return v
+
+
+def t1_decode(data: bytes, w: int, h: int, band: int, start_plane: int,
+              npasses: int) -> np.ndarray:
+    t = _T1(w, h, band, MQDecoder(data))
+    t.run(start_plane, npasses)
+    return t.result()
+
+
+def t1_encode(values: np.ndarray, band: int) -> tuple[bytes, int, int]:
+    """Losslessly encode a code-block; returns (data, start_plane,
+    npasses). start_plane = highest set magnitude bit."""
+    values = np.asarray(values, np.int64)
+    vmax = int(np.abs(values).max(initial=0))
+    if vmax == 0:
+        return b"", -1, 0
+    start_plane = vmax.bit_length() - 1
+    enc = MQEncoder()
+    t = _T1(values.shape[1], values.shape[0], band, enc, values=values)
+    npasses = 1 + 3 * start_plane
+    t.run(start_plane, npasses)
+    return enc.flush(), start_plane, npasses
+
+
+# -- codestream structures (Annex A/B) -----------------------------------------
+
+_PROGRESSIONS = ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL")
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class _Subband:
+    __slots__ = ("band", "x0", "y0", "x1", "y1", "cbs", "exp")
+
+    def __init__(self, band, x0, y0, x1, y1):
+        self.band = band  # 0 LL, 1 HL, 2 LH, 3 HH
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.cbs = []  # list of dicts, raster order
+
+
+def _band_rect(tcx0, tcy0, tcx1, tcy1, nb, xob, yob):
+    s = 1 << nb
+    h = 1 << (nb - 1) if nb else 0
+    return (
+        _ceil_div(tcx0 - h * xob, s), _ceil_div(tcy0 - h * yob, s),
+        _ceil_div(tcx1 - h * xob, s), _ceil_div(tcy1 - h * yob, s),
+    )
+
+
+def _make_codeblocks(sb: _Subband, xcb: int, ycb: int):
+    if sb.x1 <= sb.x0 or sb.y1 <= sb.y0:
+        return
+    cw, ch = 1 << xcb, 1 << ycb
+    for cy in range(sb.y0 // ch, _ceil_div(sb.y1, ch)):
+        for cx in range(sb.x0 // cw, _ceil_div(sb.x1, cw)):
+            x0 = max(sb.x0, cx * cw)
+            y0 = max(sb.y0, cy * ch)
+            x1 = min(sb.x1, (cx + 1) * cw)
+            y1 = min(sb.y1, (cy + 1) * ch)
+            sb.cbs.append({
+                "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                "included": False, "zbp": 0, "passes": 0,
+                "lblock": 3, "data": b"",
+            })
+
+
+def _tile_structure(tcx0, tcy0, tcx1, tcy1, nl, xcb, ycb):
+    """Per resolution r=0..nl: list of subbands with codeblock grids."""
+    res = []
+    for r in range(nl + 1):
+        bands = []
+        if r == 0:
+            x0, y0, x1, y1 = _band_rect(tcx0, tcy0, tcx1, tcy1, nl, 0, 0)
+            bands.append(_Subband(0, x0, y0, x1, y1))
+        else:
+            nb = nl - r + 1
+            for band, (xob, yob) in ((1, (1, 0)), (2, (0, 1)), (3, (1, 1))):
+                x0, y0, x1, y1 = _band_rect(tcx0, tcy0, tcx1, tcy1,
+                                            nb, xob, yob)
+                bands.append(_Subband(band, x0, y0, x1, y1))
+        for sb in bands:
+            _make_codeblocks(sb, xcb, ycb)
+        res.append(bands)
+    return res
+
+
+def _npasses_read(br) -> int:
+    if not br.read(1):
+        return 1
+    if not br.read(1):
+        return 2
+    v = br.read(2)
+    if v < 3:
+        return 3 + v
+    v = br.read(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.read(7)
+
+
+def _npasses_write(bw, n: int) -> None:
+    if n == 1:
+        bw.put(0, 1)
+    elif n == 2:
+        bw.put(2, 2)
+    elif n <= 5:
+        bw.put(3, 2)
+        bw.put(n - 3, 2)
+    elif n <= 36:
+        bw.put(0xF, 4)
+        bw.put(n - 6, 5)
+    elif n <= 164:
+        bw.put(0x1FF, 9)
+        bw.put(n - 37, 7)
+    else:
+        raise ValueError("JPEG2000 too many passes")
+
+
+def _decode_packet(br, res_bands, layer_idx, trees):
+    """One packet header (+ returns list of (cb, nbytes) bodies)."""
+    bodies = []
+    if not br.read(1):  # zero-length packet
+        br.align()
+        return bodies
+    for bi, sb in enumerate(res_bands):
+        if not sb.cbs:
+            continue
+        incl_tree, zbp_tree = trees[bi]
+        for cb in sb.cbs:
+            gi, gj = cb["_gi"], cb["_gj"]
+            if not cb["included"]:
+                inc = incl_tree.decode(br, gi, gj, layer_idx + 1)
+            else:
+                inc = bool(br.read(1))
+            if not inc:
+                continue
+            if not cb["included"]:
+                cb["included"] = True
+                t = 1
+                while not zbp_tree.decode(br, gi, gj, t):
+                    t += 1
+                cb["zbp"] = t - 1
+            npasses = _npasses_read(br)
+            while br.read(1):
+                cb["lblock"] += 1
+            nbits = cb["lblock"] + int(math.floor(math.log2(npasses)))
+            nbytes = br.read(nbits)
+            cb["passes"] += npasses
+            bodies.append((cb, nbytes))
+    br.align()
+    return bodies
+
+
+def _encode_packet(bw, res_bands, layer_idx, trees, payload):
+    """Encoder: one packet carrying each codeblock's full lossless
+    stream in this (single) layer. A resolution whose subbands hold no
+    codeblocks emits no packet at all (mirrored by the decoder)."""
+    if not any(sb.cbs for sb in res_bands):
+        return
+    bw.put(1, 1)
+    for bi, sb in enumerate(res_bands):
+        if not sb.cbs:
+            continue
+        incl_tree, zbp_tree = trees[bi]
+        for cb in sb.cbs:
+            gi, gj = cb["_gi"], cb["_gj"]
+            incl_tree.encode(bw, gi, gj, layer_idx + 1)
+            if not cb["included"]:
+                cb["included"] = True
+                t = 1
+                while True:
+                    zbp_tree.encode(bw, gi, gj, t)
+                    if cb["zbp"] < t:
+                        break
+                    t += 1
+            npasses = cb["passes"]
+            _npasses_write(bw, npasses)
+            nbytes = len(cb["data"])
+            nbits_needed = max(1, nbytes.bit_length())
+            want = cb["lblock"] + int(math.floor(math.log2(npasses)))
+            while want < nbits_needed:
+                bw.put(1, 1)
+                cb["lblock"] += 1
+                want += 1
+            bw.put(0, 1)
+            bw.put(nbytes, want)
+            payload.append(cb["data"])
+
+
+def _grid_index(sb: _Subband, xcb: int, ycb: int):
+    """Assign each codeblock its (gi, gj) position in the subband's
+    codeblock grid and return the grid dims."""
+    cw, ch = 1 << xcb, 1 << ycb
+    gx0, gy0 = sb.x0 // cw, sb.y0 // ch
+    gx1, gy1 = _ceil_div(sb.x1, cw), _ceil_div(sb.y1, ch)
+    for cb in sb.cbs:
+        cb["_gi"] = cb["x0"] // cw - gx0
+        cb["_gj"] = cb["y0"] // ch - gy0
+    return max(1, gx1 - gx0), max(1, gy1 - gy0)
+
+
+# -- main codestream decode (A.4) ----------------------------------------------
+
+
+def _parse_markers(d: bytes):
+    """Yield (marker, body, body_pos) for the main header; stops at the
+    first SOT. Returns (segments, pos_of_first_SOT)."""
+    if d[:2] != b"\xff\x4f":
+        raise ValueError("JPEG2000 missing SOC")
+    pos = 2
+    segs = []
+    while True:
+        if pos + 2 > len(d):
+            raise ValueError("JPEG2000 truncated main header")
+        m = struct.unpack(">H", d[pos : pos + 2])[0]
+        if m == 0xFF90:  # SOT
+            return segs, pos
+        if pos + 4 > len(d):
+            raise ValueError("JPEG2000 truncated marker segment")
+        ln = struct.unpack(">H", d[pos + 2 : pos + 4])[0]
+        body = d[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("JPEG2000 marker segment overruns data")
+        segs.append((m, body))
+        pos += 2 + ln
+
+
+_UNSUPPORTED_MARKERS = {
+    0xFF53: "COC component coding override",
+    0xFF5D: "QCC component quantization override",
+    0xFF5E: "RGN region of interest",
+    0xFF5F: "POC progression order change",
+    0xFF60: "PPM packed packet headers",
+    0xFF61: "PPT packed packet headers",
+}
+
+
+def decode_jpeg2000(data: bytes) -> np.ndarray:
+    """JP2 container or raw codestream → grayscale uint8 (RGB via the
+    repo's cv2-exact luma, matching every other decoder here).
+
+    Error contract (decode_image-wide): corrupt bytes raise ValueError,
+    valid-but-unsupported features NotImplementedError."""
+    try:
+        comps, depth = _decode_j2k_components(_unbox(data))
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, MemoryError,
+            struct.error) as e:
+        raise ValueError(f"corrupt JPEG2000: {type(e).__name__}: {e}") from e
+    mx = (1 << depth) - 1
+    scaled = [
+        np.clip(c, 0, mx).astype(np.float64) * (255.0 / mx)
+        for c in comps
+    ]
+    if len(comps) == 1:
+        return np.clip(np.rint(scaled[0]), 0, 255).astype(np.uint8)
+    if len(comps) == 3:
+        from .kernels import rgb_to_gray
+
+        rgb = np.stack(
+            [np.clip(np.rint(c), 0, 255).astype(np.uint8) for c in scaled],
+            axis=-1,
+        )
+        return rgb_to_gray(rgb)
+    raise NotImplementedError(
+        f"JPEG2000 {len(comps)}-component image unsupported"
+    )
+
+
+def _unbox(data: bytes) -> bytes:
+    """Extract the contiguous codestream from a JP2 container, or pass a
+    raw codestream through."""
+    if data[:2] == b"\xff\x4f":
+        return data
+    if data[4:8] != b"jP  " or data[:4] != b"\x00\x00\x00\x0c":
+        raise ValueError("not a JPEG2000 stream")
+    pos = 0
+    while pos + 8 <= len(data):
+        ln = struct.unpack(">I", data[pos : pos + 4])[0]
+        typ = data[pos + 4 : pos + 8]
+        if ln == 1:  # extended length
+            ln = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+            body_off = 16
+        else:
+            body_off = 8
+        if ln == 0:
+            body_end = len(data)
+        else:
+            body_end = pos + ln
+        if typ == b"jp2c":
+            return data[pos + body_off : body_end]
+        pos = body_end
+    raise ValueError("JP2 container has no jp2c codestream box")
+
+
+def _decode_j2k_components(d: bytes):
+    segs, pos = _parse_markers(d)
+    siz = cod = qcd = None
+    for m, body in segs:
+        if m == 0xFF51:
+            siz = body
+        elif m == 0xFF52:
+            cod = body
+        elif m == 0xFF5C:
+            qcd = body
+        elif m in _UNSUPPORTED_MARKERS:
+            raise NotImplementedError(
+                f"JPEG2000 {_UNSUPPORTED_MARKERS[m]} unsupported"
+            )
+        # COM/TLM/PLM/CRG are informational — skipped
+    if siz is None or cod is None or qcd is None:
+        raise ValueError("JPEG2000 missing SIZ/COD/QCD")
+
+    (xsiz, ysiz, xo, yo, xt, yt, xto, yto) = struct.unpack(">8I", siz[2:34])
+    ncomp = struct.unpack(">H", siz[34:36])[0]
+    from .kernels import _check_dims
+
+    _check_dims(xsiz - xo, ysiz - yo, "JPEG2000 image")
+    comps_info = []
+    for c in range(ncomp):
+        ssiz, xr, yr = siz[36 + 3 * c : 39 + 3 * c]
+        if xr != 1 or yr != 1:
+            raise NotImplementedError("JPEG2000 subsampled components")
+        comps_info.append((ssiz & 0x7F, bool(ssiz & 0x80)))
+    depth = comps_info[0][0] + 1
+    if any(dep != depth - 1 or sg for dep, sg in
+           [(d0, s0) for d0, s0 in comps_info]):
+        if any(sg for _, sg in comps_info):
+            raise NotImplementedError("JPEG2000 signed components")
+        raise NotImplementedError("JPEG2000 mixed component depths")
+
+    scod = cod[0]
+    if scod & 1:
+        raise NotImplementedError("JPEG2000 custom precinct sizes")
+    use_sop = bool(scod & 2)
+    use_eph = bool(scod & 4)
+    prog = cod[1]
+    if prog > 4:
+        raise ValueError("JPEG2000 bad progression order")
+    layers = struct.unpack(">H", cod[2:4])[0]
+    mct = cod[4]
+    nl = cod[5]
+    xcb = (cod[6] & 0xF) + 2
+    ycb = (cod[7] & 0xF) + 2
+    if xcb + ycb > 12:
+        raise ValueError("JPEG2000 code-block size exceeds 4096")
+    cbstyle = cod[8]
+    if cbstyle:
+        raise NotImplementedError(
+            "JPEG2000 code-block style options (bypass/reset/termall/"
+            "causal/predictable/segsym)"
+        )
+    transform = cod[9]
+    if transform != 1:
+        raise NotImplementedError("JPEG2000 9/7 irreversible wavelet")
+
+    sqcd = qcd[0]
+    if (sqcd & 0x1F) != 0:
+        raise NotImplementedError("JPEG2000 scalar quantization (lossy)")
+    guard = sqcd >> 5
+    exps = [b >> 3 for b in qcd[1:]]
+    if len(exps) < 3 * nl + 1:
+        raise ValueError("JPEG2000 QCD too short")
+
+    ntx = _ceil_div(xsiz - xto, xt)
+    nty = _ceil_div(ysiz - yto, yt)
+    comps = [
+        np.zeros((ysiz - yo, xsiz - xo), np.int64) for _ in range(ncomp)
+    ]
+
+    while pos + 2 <= len(d):
+        m = struct.unpack(">H", d[pos : pos + 2])[0]
+        if m == 0xFFD9:  # EOC
+            break
+        if m != 0xFF90:
+            raise ValueError(f"JPEG2000 unexpected marker {m:#06x}")
+        lsot, isot, psot, tpsot, tnsot = struct.unpack(
+            ">HHIBB", d[pos + 2 : pos + 12]
+        )
+        if tpsot != 0 or tnsot not in (0, 1):
+            raise NotImplementedError("JPEG2000 multiple tile-parts")
+        if psot == 0:
+            psot = len(d) - pos
+        tile_end = pos + psot
+        tpos = pos + 12
+        # tile-part header: only SOD expected (COD/QCD overrides loud)
+        while True:
+            tm = struct.unpack(">H", d[tpos : tpos + 2])[0]
+            if tm == 0xFF93:  # SOD
+                tpos += 2
+                break
+            if tm in (0xFF52, 0xFF5C, 0xFF53, 0xFF5D):
+                raise NotImplementedError("JPEG2000 per-tile coding override")
+            ln = struct.unpack(">H", d[tpos + 2 : tpos + 4])[0]
+            tpos += 2 + ln
+        body = d[tpos:tile_end]
+        p, q = isot % ntx, isot // ntx
+        tx0 = max(xto + p * xt, xo)
+        ty0 = max(yto + q * yt, yo)
+        tx1 = min(xto + (p + 1) * xt, xsiz)
+        ty1 = min(yto + (q + 1) * yt, ysiz)
+        tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb,
+                            guard, exps, layers, prog, use_sop, use_eph,
+                            depth, mct)
+        for c in range(ncomp):
+            comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
+        pos = tile_end
+    return comps, depth
+
+
+def _mb_for(band: int, guard: int, exps: list, nl: int, r: int) -> int:
+    """Mb = guard + exponent - 1 (E.1, reversible): exponent indexed LL
+    then (HL, LH, HH) per resolution."""
+    if r == 0:
+        e = exps[0]
+    else:
+        e = exps[1 + 3 * (r - 1) + (band - 1)]
+    return guard + e - 1
+
+
+def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, guard,
+                 exps, layers, prog, use_sop, use_eph, depth, mct):
+    structs = [
+        _tile_structure(tx0, ty0, tx1, ty1, nl, xcb, ycb)
+        for _ in range(ncomp)
+    ]
+    trees = [
+        [
+            [
+                (TagTree(*_grid_index(sb, xcb, ycb)),
+                 TagTree(*_grid_index(sb, xcb, ycb)))
+                if sb.cbs else None
+                for sb in res
+            ]
+            for res in structs[c]
+        ]
+        for c in range(ncomp)
+    ]
+
+    # packet iteration order
+    def packet_seq():
+        if prog == 0:  # LRCP
+            for layer in range(layers):
+                for r in range(nl + 1):
+                    for c in range(ncomp):
+                        yield layer, r, c
+        elif prog == 1:  # RLCP
+            for r in range(nl + 1):
+                for layer in range(layers):
+                    for c in range(ncomp):
+                        yield layer, r, c
+        elif prog == 2:  # RPCL (single precinct)
+            for r in range(nl + 1):
+                for c in range(ncomp):
+                    for layer in range(layers):
+                        yield layer, r, c
+        elif prog == 3:  # PCRL
+            for c in range(ncomp):
+                for r in range(nl + 1):
+                    for layer in range(layers):
+                        yield layer, r, c
+        else:  # CPRL
+            for c in range(ncomp):
+                for r in range(nl + 1):
+                    for layer in range(layers):
+                        yield layer, r, c
+    # note: with one precinct per resolution, PCRL and CPRL coincide
+
+    pos = 0
+    for layer, r, c in packet_seq():
+        if use_sop and body[pos : pos + 2] == b"\xff\x91":
+            pos += 6
+        br = _PktBitReader(body, pos)
+        bands = structs[c][r]
+        tr = [t for t in trees[c][r] if t is not None]
+        nonempty = [sb for sb in bands if sb.cbs]
+        bodies = _decode_packet(br, nonempty, layer,
+                                tr) if nonempty else []
+        if nonempty:
+            pos = br.align()
+        if use_eph:
+            if body[pos : pos + 2] != b"\xff\x92":
+                raise ValueError("JPEG2000 missing EPH")
+            pos += 2
+        for cb, nbytes in bodies:
+            cb["data"] += body[pos : pos + nbytes]
+            if len(cb["data"]) < nbytes:
+                raise ValueError("JPEG2000 packet body truncated")
+            pos += nbytes
+
+    out = []
+    for c in range(ncomp):
+        res = structs[c]
+        # decode codeblocks into subband coefficient arrays
+        band_arrays = []
+        for r in range(nl + 1):
+            arrs = []
+            for sb in res[r]:
+                a = np.zeros((sb.y1 - sb.y0, sb.x1 - sb.x0), np.int64)
+                mb = _mb_for(sb.band, guard, exps, nl, r)
+                for cb in sb.cbs:
+                    if cb["passes"] == 0:
+                        continue
+                    start_plane = mb - 1 - cb["zbp"]
+                    if start_plane < 0:
+                        raise ValueError("JPEG2000 zero-bitplanes exceed Mb")
+                    v = t1_decode(
+                        cb["data"], cb["x1"] - cb["x0"],
+                        cb["y1"] - cb["y0"], sb.band, start_plane,
+                        cb["passes"],
+                    )
+                    a[cb["y0"] - sb.y0 : cb["y1"] - sb.y0,
+                      cb["x0"] - sb.x0 : cb["x1"] - sb.x0] = v
+                arrs.append(a)
+            band_arrays.append(arrs)
+        ll = band_arrays[0][0]
+        bands_fine = [tuple(band_arrays[r]) for r in range(1, nl + 1)]
+        out.append(idwt_53(ll, bands_fine, tx0, ty0, tx1, ty1))
+
+    if mct:
+        if ncomp < 3:
+            raise ValueError("JPEG2000 MCT with fewer than 3 components")
+        y, u, v = out[0], out[1], out[2]
+        g = y - ((u + v) >> 2)
+        r_ = v + g
+        b_ = u + g
+        out[0], out[1], out[2] = r_, g, b_
+    # DC level shift (unsigned components)
+    shift = 1 << (depth - 1)
+    return [o + shift for o in out]
+
+
+# -- fixture encoder -----------------------------------------------------------
+
+_ENC_GUARD = 2
+_ENC_EXP = 20  # loose reversible exponent: Mb = 21 covers every subband
+
+
+def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
+                    tile: tuple | None = None, prog: int = 0,
+                    jp2: bool = False, sop: bool = False,
+                    eph: bool = False) -> bytes:
+    """Lossless fixture encoder: 8-bit grayscale (2D) or RGB (3D, coded
+    through the reversible color transform), 5/3 wavelet with ``nl``
+    levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
+    progression order label, single quality layer, raw codestream or
+    JP2 container."""
+    img = np.asarray(img, np.uint8)
+    ncomp = 1 if img.ndim == 2 else img.shape[2]
+    if ncomp not in (1, 3):
+        raise ValueError("encoder supports gray or RGB")
+    h, w = img.shape[:2]
+    xt, yt = tile if tile is not None else (w, h)
+    xcb, ycb = cb
+    mct = 1 if ncomp == 3 else 0
+    out = bytearray(b"\xff\x4f")  # SOC
+
+    def seg(marker, body):
+        out.extend(struct.pack(">HH", marker, len(body) + 2))
+        out.extend(body)
+
+    siz = struct.pack(">H8IH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
+    for _ in range(ncomp):
+        siz += bytes([7, 1, 1])
+    seg(0xFF51, siz)
+    scod = (2 if sop else 0) | (4 if eph else 0)
+    cod = bytes([scod, prog]) + struct.pack(">H", 1) + bytes(
+        [mct, nl, xcb - 2, ycb - 2, 0, 1]
+    )
+    seg(0xFF52, cod)
+    qcd = bytes([_ENC_GUARD << 5]) + bytes([_ENC_EXP << 3] * (3 * nl + 1))
+    seg(0xFF5C, qcd)
+
+    ntx, nty = _ceil_div(w, xt), _ceil_div(h, yt)
+    mb = _ENC_GUARD + _ENC_EXP - 1
+    for q in range(nty):
+        for p in range(ntx):
+            tx0, ty0 = p * xt, q * yt
+            tx1, ty1 = min((p + 1) * xt, w), min((q + 1) * yt, h)
+            comps = []
+            sub = img[ty0:ty1, tx0:tx1]
+            if ncomp == 1:
+                comps = [sub.astype(np.int64) - 128]
+            else:
+                r_ = sub[..., 0].astype(np.int64) - 128
+                g_ = sub[..., 1].astype(np.int64) - 128
+                b_ = sub[..., 2].astype(np.int64) - 128
+                y_ = (r_ + 2 * g_ + b_) >> 2
+                u_ = b_ - g_
+                v_ = r_ - g_
+                comps = [y_, u_, v_]
+            structs = []
+            for c in range(ncomp):
+                res = _tile_structure(tx0, ty0, tx1, ty1, nl, xcb, ycb)
+                ll, bands = dwt_53(comps[c], nl, tx0, ty0, tx1, ty1)
+                arrays = [[ll]] + [list(b) for b in bands]
+                for r in range(nl + 1):
+                    for bi, sb in enumerate(res[r]):
+                        a = arrays[r][bi]
+                        for cbk in sb.cbs:
+                            v = a[cbk["y0"] - sb.y0 : cbk["y1"] - sb.y0,
+                                  cbk["x0"] - sb.x0 : cbk["x1"] - sb.x0]
+                            data, sp, np_ = t1_encode(v, sb.band)
+                            cbk["data"] = data
+                            cbk["passes"] = np_
+                            cbk["zbp"] = mb - 1 - sp if np_ else mb - 1
+                            if np_ == 0:
+                                # all-zero block: never included is not an
+                                # option in a lossless single layer — code
+                                # one empty cleanup pass instead
+                                enc = MQEncoder()
+                                t = _T1(v.shape[1], v.shape[0], sb.band,
+                                        enc, values=v)
+                                t.run(0, 1)
+                                cbk["data"] = enc.flush()
+                                cbk["passes"] = 1
+                                cbk["zbp"] = mb - 1
+                structs.append(res)
+            trees = [
+                [
+                    [
+                        (TagTree(*_grid_index(sb, xcb, ycb)),
+                         TagTree(*_grid_index(sb, xcb, ycb)))
+                        if sb.cbs else None
+                        for sb in res_r
+                    ]
+                    for res_r in structs[c]
+                ]
+                for c in range(ncomp)
+            ]
+            for c in range(ncomp):
+                for r in range(nl + 1):
+                    for bi, sb in enumerate(structs[c][r]):
+                        if not sb.cbs:
+                            continue
+                        it, zt = trees[c][r][bi]
+                        for cbk in sb.cbs:
+                            it.set_value(cbk["_gi"], cbk["_gj"], 0)
+                            zt.set_value(cbk["_gi"], cbk["_gj"], cbk["zbp"])
+                        for cbk in sb.cbs:
+                            cbk["included"] = False
+                            cbk["lblock"] = 3
+
+            def packet_seq():
+                if prog == 0:
+                    for r in range(nl + 1):
+                        for c in range(ncomp):
+                            yield r, c
+                elif prog in (1, 2):
+                    for r in range(nl + 1):
+                        for c in range(ncomp):
+                            yield r, c
+                else:
+                    for c in range(ncomp):
+                        for r in range(nl + 1):
+                            yield r, c
+
+            body = bytearray()
+            for r, c in packet_seq():
+                nonempty = [sb for sb in structs[c][r] if sb.cbs]
+                if not nonempty:
+                    continue
+                if sop:
+                    body.extend(struct.pack(">HHH", 0xFF91, 4, 0))
+                bw = _PktBitWriter()
+                payload = []
+                tr = [t for t in trees[c][r] if t is not None]
+                _encode_packet(bw, nonempty, 0, tr, payload)
+                body.extend(bw.align())
+                if eph:
+                    body.extend(b"\xff\x92")
+                for pdata in payload:
+                    body.extend(pdata)
+            isot = q * ntx + p
+            psot = 12 + 2 + len(body)
+            seg_hdr = struct.pack(">HHHIBB", 0xFF90, 10, isot, psot, 0, 1)
+            out.extend(seg_hdr)
+            out.extend(b"\xff\x93")
+            out.extend(body)
+    out.extend(b"\xff\xd9")  # EOC
+    stream = bytes(out)
+    if not jp2:
+        return stream
+    def box(typ, payload):
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    ftyp = box(b"ftyp", b"jp2 \x00\x00\x00\x00jp2 ")
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, ncomp, 7, 7, 0, 0))
+    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(
+        ">I", 17 if ncomp == 1 else 16))
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", stream)

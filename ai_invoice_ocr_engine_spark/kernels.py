@@ -417,8 +417,10 @@ def decode_image(data: bytes) -> np.ndarray:
     PNG, baseline JPEG, BMP or TIFF → grayscale uint8 — the reference's
     full accepted list (png/jpg/jpeg/bmp/tiff, /root/reference/engine.py:46)
     plus the synthetic container, GIF (beyond-reference: web corpora are
-    full of GIFs; animations yield their first composited frame), and
-    Netpbm P1-P6 (the OCR-tooling interchange format; pnm.py)."""
+    full of GIFs; animations yield their first composited frame),
+    Netpbm P1-P6 (the OCR-tooling interchange format; pnm.py), JBIG2
+    standalone files (jbig2.py), and JPEG 2000 — JP2 containers or raw
+    codestreams, the PDF JPXDecode payload (jpeg2000.py)."""
     if data[:4] == SYNF_MAGIC:
         return decode_synf(data)
     if data[:8] == PNG_MAGIC:
@@ -444,6 +446,11 @@ def decode_image(data: bytes) -> np.ndarray:
 
         # bilevel wire convention 1 = black → gray 0
         return ((1 - decode_jbig2(data)) * 255).astype(np.uint8)
+    if (data[:8] == b"\x00\x00\x00\x0cjP  "
+            or data[:4] == b"\xff\x4f\xff\x51"):
+        from .jpeg2000 import decode_jpeg2000
+
+        return decode_jpeg2000(data)
     if (
         len(data) > 2
         and data[0:1] == b"P"

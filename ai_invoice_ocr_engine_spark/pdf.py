@@ -21,10 +21,11 @@ composite fonts. Output spans are ordered by the same reading-order
 discipline as the OCR side (top-to-bottom lines, left-to-right within
 a line).
 
-Seams (loud): encrypted PDFs, Type0 fonts WITHOUT a ToUnicode CMap
-(mapping CIDs would need the font program), JBIG2/JPX image codecs,
-TIFF-style predictors, and LZW EarlyChange=0 raise NotImplementedError
-naming the feature.
+Seams (loud): Type0 fonts WITHOUT a ToUnicode CMap (mapping CIDs would
+need the font program), non-empty-user-password / public-key-handler
+encryption (pdfcrypt.py covers the common owner-locked R2-R6 cases),
+and unsupported codec variants inside JBIG2 (jbig2.py) / JPEG 2000
+(jpeg2000.py) raise NotImplementedError naming the feature.
 """
 
 from __future__ import annotations
@@ -1000,7 +1001,15 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
             raise NotImplementedError(f"PDF image filter chain {flist}")
         return raw  # JPEG stream, decoded by jpeg.py downstream
     if "JPXDecode" in flist:
-        raise NotImplementedError(f"PDF image filter {flist} unsupported")
+        # JPEG 2000: outer transport filters first, then the raw JP2 /
+        # J2K payload rides to kernels.decode_image (jpeg2000.py)
+        i = flist.index("JPXDecode")
+        if i != len(flist) - 1:
+            raise ValueError("JPXDecode must be the final filter")
+        return _apply_filters(
+            stream.raw, {"Filter": flist[:i], "DecodeParms": parms[:i]},
+            resolve,
+        )
     if "JBIG2Decode" in flist:
         # scanned-invoice bilevel: outer transport filters first, then the
         # embedded JBIG2 stream (+ optional shared /JBIG2Globals)

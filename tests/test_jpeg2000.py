@@ -1,0 +1,258 @@
+"""JPEG 2000 lossless baseline (jpeg2000.py): DWT / tag-tree / T1 unit
+pins plus full-codestream round-trips and the PDF JPXDecode integration.
+
+The MQ coder is pinned independently in test_jbig2.py against the ITU
+T.88 Annex H.2 conformance data (T.800 Annex C specifies the identical
+coder); everything above it is pinned by analytic hand computations and
+encoder round-trips over layout/size/option matrices."""
+
+import numpy as np
+import pytest
+
+from ai_invoice_ocr_engine_spark.jpeg2000 import (
+    TagTree,
+    _PktBitReader,
+    _PktBitWriter,
+    _sd_1d,
+    decode_jpeg2000,
+    dwt_53,
+    encode_jpeg2000,
+    idwt_53,
+    t1_decode,
+    t1_encode,
+)
+
+
+# -- DWT -----------------------------------------------------------------------
+
+
+def test_dwt_53_hand_computed_1d():
+    """x=[1,2,3,4] on [0,4): high y1=2-floor((1+3)/2)=0,
+    y3=4-floor((3+x(4))/2) with mirror x(4)=x(2)=3 -> 1; low
+    y0=1+floor((y(-1)+y1+2)/4) with y(-1)=y1 -> 1, y2=3+floor((0+1+2)/4)=3."""
+    y = _sd_1d(np.array([1, 2, 3, 4], np.int64), 0, 4)
+    assert list(y) == [1, 0, 3, 1]
+
+
+@pytest.mark.parametrize("region", [(0, 0, 8, 8), (0, 0, 7, 5),
+                                    (3, 1, 10, 9), (1, 1, 2, 2),
+                                    (0, 0, 1, 7), (5, 5, 6, 6),
+                                    (2, 3, 9, 4)])
+def test_dwt_53_roundtrip_regions(region):
+    """Reversibility over odd sizes and odd grid origins (the parity of
+    the tile-component origin changes which samples are low-pass)."""
+    x0, y0, x1, y1 = region
+    rng = np.random.default_rng(1)
+    a = rng.integers(-300, 300, (y1 - y0, x1 - x0)).astype(np.int64)
+    for nl in range(4):
+        ll, bands = dwt_53(a, nl, x0, y0, x1, y1)
+        assert np.array_equal(idwt_53(ll, bands, x0, y0, x1, y1), a)
+
+
+def test_dwt_53_constant_has_zero_detail():
+    ll, bands = dwt_53(np.full((8, 8), 77, np.int64), 2, 0, 0, 8, 8)
+    assert all((b == 0).all() for t in bands for b in t)
+
+
+# -- tag trees + header bit IO -------------------------------------------------
+
+
+def test_tag_tree_roundtrip_incremental():
+    vals = [[0, 2, 1], [3, 0, 2]]
+    enc, dec = TagTree(3, 2), TagTree(3, 2)
+    for j in range(2):
+        for i in range(3):
+            enc.set_value(i, j, vals[j][i])
+    bw = _PktBitWriter()
+    queries = []
+    for t in range(1, 5):
+        for j in range(2):
+            for i in range(3):
+                enc.encode(bw, i, j, t)
+                queries.append((i, j, t, vals[j][i] < t))
+    br = _PktBitReader(bw.align())
+    for i, j, t, want in queries:
+        assert dec.decode(br, i, j, t) == want, (i, j, t)
+
+
+def test_header_bit_stuffing():
+    """B.10.1: a 0 bit is stuffed after every 0xFF header byte, and a
+    header ending in 0xFF is terminated by a stuffed byte the reader
+    must consume at align time."""
+    bw = _PktBitWriter()
+    bw.put(0xFFFF, 16)
+    data = bw.align()
+    assert data == bytes.fromhex("ff7f80")
+    br = _PktBitReader(data)
+    assert br.read(16) == 0xFFFF
+    bw = _PktBitWriter()
+    bw.put(0xFF, 8)
+    data = bw.align()
+    assert data == b"\xff\x00"
+    br = _PktBitReader(data)
+    assert br.read(8) == 0xFF
+    assert br.align() == 2  # stuffing byte belongs to the header
+
+
+# -- T1 ------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("band", [0, 1, 2, 3])
+def test_t1_roundtrip_bands(band):
+    """All four context models (LL/HL/LH/HH tables), dense and sparse
+    blocks, odd shapes (stripe remainders), sign coding throughout."""
+    rng = np.random.default_rng(9 + band)
+    for trial in range(6):
+        h, w = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+        v = rng.integers(-200, 200, (h, w)).astype(np.int64)
+        if trial % 3 == 0:
+            v[rng.random((h, w)) < 0.7] = 0
+        data, sp, npasses = t1_encode(v, band)
+        if npasses == 0:
+            assert (v == 0).all()
+            continue
+        assert np.array_equal(t1_decode(data, w, h, band, sp, npasses), v)
+
+
+def test_t1_run_mode_exercised():
+    """A mostly-zero block must be SMALLER than a bit-identical dense
+    encoding path would suggest — and still decode exactly (run mode +
+    UNIFORM position coding)."""
+    v = np.zeros((16, 16), np.int64)
+    v[9, 9] = 5
+    data, sp, npasses = t1_encode(v, 0)
+    assert np.array_equal(t1_decode(data, 16, 16, 0, sp, npasses), v)
+    assert len(data) < 20
+
+
+# -- full codestream -----------------------------------------------------------
+
+
+def _exact(img, **kw):
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    comps, _depth = _decode_j2k_components(_unbox(encode_jpeg2000(img, **kw)))
+    if img.ndim == 2:
+        assert np.array_equal(comps[0], img)
+    else:
+        for i in range(img.shape[2]):
+            assert np.array_equal(comps[i], img[..., i])
+
+
+@pytest.mark.parametrize("shape", [(37, 29), (8, 8), (1, 17), (64, 33)])
+def test_lossless_gray_sizes(shape):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    for nl in (0, 1, 3):
+        _exact(img, nl=nl, cb=(4, 4))
+
+
+def test_lossless_tiled_and_small_codeblocks():
+    rng = np.random.default_rng(3)
+    _exact(rng.integers(0, 256, (50, 70)).astype(np.uint8),
+           nl=2, cb=(4, 5), tile=(32, 24))
+    _exact(rng.integers(0, 256, (40, 40)).astype(np.uint8), nl=2, cb=(2, 2))
+
+
+def test_lossless_rgb_mct_and_luma():
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, (33, 21, 3)).astype(np.uint8)
+    _exact(rgb, nl=2, cb=(4, 4))
+    g = decode_jpeg2000(encode_jpeg2000(rgb, nl=2, cb=(4, 4)))
+    assert np.array_equal(g, rgb_to_gray(rgb))
+
+
+def test_jp2_container_sop_eph_progressions():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (25, 31)).astype(np.uint8)
+    _exact(img, nl=2, cb=(4, 4), jp2=True)
+    _exact(img, nl=2, cb=(4, 4), sop=True, eph=True)
+    for prog in range(5):
+        _exact(img, nl=1, cb=(4, 4), prog=prog)
+
+
+def test_flat_images():
+    _exact(np.full((20, 20), 200, np.uint8), nl=3, cb=(4, 4))
+    _exact(np.zeros((16, 16), np.uint8), nl=2, cb=(4, 4))
+
+
+def test_decode_image_routes_jp2_and_raw_codestream():
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (19, 23)).astype(np.uint8)
+    assert np.array_equal(
+        decode_image(encode_jpeg2000(img, nl=1, cb=(4, 4), jp2=True)), img
+    )
+    assert np.array_equal(
+        decode_image(encode_jpeg2000(img, nl=1, cb=(4, 4))), img
+    )
+
+
+def test_unsupported_features_are_loud():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    data = bytearray(encode_jpeg2000(img, nl=1, cb=(4, 4)))
+    # flip the transform byte (last byte of COD body) to 0 = 9/7
+    cod_at = bytes(data).find(b"\xff\x52")
+    assert cod_at > 0
+    lcod = int.from_bytes(data[cod_at + 2 : cod_at + 4], "big")
+    data[cod_at + 2 + lcod - 1] = 0
+    with pytest.raises(NotImplementedError, match="9/7"):
+        decode_jpeg2000(bytes(data))
+    data[cod_at + 2 + lcod - 1] = 1
+    data[cod_at + 2 + lcod - 2] = 1  # code-block style: bypass
+    with pytest.raises(NotImplementedError, match="style"):
+        decode_jpeg2000(bytes(data))
+
+
+def test_fuzz_error_contract():
+    """Corrupt bytes raise ValueError/NotImplementedError only — never a
+    structural exception, never a hang."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    base = encode_jpeg2000(img, nl=2, cb=(4, 4))
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg2000(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(base), 11):
+        try:
+            decode_jpeg2000(base[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_pdf_jpx_image_xobject():
+    """Full-path integration: a PDF image XObject with /Filter
+    /JPXDecode lands in the media table as the JP2 payload and decodes
+    through kernels.decode_image."""
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+    from ai_invoice_ocr_engine_spark.pdf import pdf_spans
+
+    from .test_pdf import _raw_pdf
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (30, 40)).astype(np.uint8)
+    payload = encode_jpeg2000(img, nl=2, cb=(4, 4), jp2=True)
+    obj = (
+        "<< /Type /XObject /Subtype /Image /Width 40 /Height 30 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceGray "
+        "/Filter /JPXDecode "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = b"q 40 0 0 30 50 600 cm /Im0 Do Q"
+    blob = _raw_pdf(content, extra_objs=obj,
+                    font="/XObject << /Im0 5 0 R >>")
+    _spans, media = pdf_spans(blob)
+    assert np.array_equal(decode_image(next(iter(media.values()))), img)

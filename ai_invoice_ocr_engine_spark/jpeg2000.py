@@ -1,20 +1,22 @@
 """JPEG 2000 (ITU-T T.800) lossless baseline decoder, pure numpy + stdlib.
 
-Scope: the reversible path scanned-document JPX streams use — raw
+Scope: both coding paths scanned-document JPX streams use — raw
 codestreams (SOC..EOC) and JP2 containers, single or multiple tiles,
-grayscale or RGB (with the reversible color transform), 5/3 integer
-wavelet (any decomposition level count), EBCOT arithmetic coding with
-default code-block options, default (full-subband) precincts, any
-progression order for single-tile-part streams, one or more quality
-layers. The MQ arithmetic coder is SHARED with jbig2.py, where it is
-pinned against the ITU T.88 Annex H.2 conformance bitstream — the same
-coder the T.800 Annex C tables define (JBIG2 and JPEG 2000 specify the
-identical coder; only the context initial states differ, Table D.7
-here).
+grayscale or RGB, the REVERSIBLE path (5/3 integer wavelet + RCT, no
+quantization — bit-exact) AND the IRREVERSIBLE path (9/7 float wavelet
++ ICT + scalar quantization, derived or expounded, midpoint
+reconstruction — pinned by PSNR/error bounds, floats cannot be
+bit-pinned), any decomposition level count, EBCOT arithmetic coding
+with default code-block options, default (full-subband) precincts,
+any progression order for single-tile-part streams, one or more
+quality layers. The MQ arithmetic coder is SHARED with jbig2.py, where
+it is pinned against the ITU T.88 Annex H.2 conformance bitstream —
+the same coder the T.800 Annex C tables define (JBIG2 and JPEG 2000
+specify the identical coder; only the context initial states differ,
+Table D.7 here).
 
 Deliberate loud seams (NotImplementedError with the feature named —
-the repo-wide codec policy): the 9/7 irreversible wavelet and scalar
-quantization (lossy path), selective arithmetic bypass / per-pass
+the repo-wide codec policy): selective arithmetic bypass / per-pass
 termination / segmentation-symbol code-block styles, custom precinct
 sizes, ROI (RGN), packed packet headers (PPM/PPT), and COC/QCC
 component overrides.
@@ -970,21 +972,18 @@ def _decode_j2k_components(d: bytes):
             "causal/predictable/segsym)"
         )
     transform = cod[9]
-    if transform != 1:
-        raise NotImplementedError("JPEG2000 9/7 irreversible wavelet")
+    if transform not in (0, 1):
+        raise ValueError("JPEG2000 bad transform byte")
 
-    sqcd = qcd[0]
-    if (sqcd & 0x1F) != 0:
-        raise NotImplementedError("JPEG2000 scalar quantization (lossy)")
-    guard = sqcd >> 5
-    exps = [b >> 3 for b in qcd[1:]]
-    if len(exps) < 3 * nl + 1:
-        raise ValueError("JPEG2000 QCD too short")
+    qstyle, guard, quant = _qcd_parse(qcd, nl, depth)
+    if (transform == 1) != (qstyle == 0):
+        raise ValueError("JPEG2000 transform/quantization style mismatch")
 
     ntx = _ceil_div(xsiz - xto, xt)
     nty = _ceil_div(ysiz - yto, yt)
+    dt = np.int64 if transform == 1 else np.float64
     comps = [
-        np.zeros((ysiz - yo, xsiz - xo), np.int64) for _ in range(ncomp)
+        np.zeros((ysiz - yo, xsiz - xo), dt) for _ in range(ncomp)
     ]
 
     while pos + 2 <= len(d):
@@ -1019,26 +1018,21 @@ def _decode_j2k_components(d: bytes):
         tx1 = min(xto + (p + 1) * xt, xsiz)
         ty1 = min(yto + (q + 1) * yt, ysiz)
         tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb,
-                            guard, exps, layers, prog, use_sop, use_eph,
-                            depth, mct)
+                            quant, layers, prog, use_sop, use_eph,
+                            depth, mct, transform)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
         pos = tile_end
     return comps, depth
 
 
-def _mb_for(band: int, guard: int, exps: list, nl: int, r: int) -> int:
-    """Mb = guard + exponent - 1 (E.1, reversible): exponent indexed LL
-    then (HL, LH, HH) per resolution."""
-    if r == 0:
-        e = exps[0]
-    else:
-        e = exps[1 + 3 * (r - 1) + (band - 1)]
-    return guard + e - 1
+def _sb_index(band: int, r: int) -> int:
+    """Quantization-table index: LL then (HL, LH, HH) per resolution."""
+    return 0 if r == 0 else 1 + 3 * (r - 1) + (band - 1)
 
 
-def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, guard,
-                 exps, layers, prog, use_sop, use_eph, depth, mct):
+def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
+                 layers, prog, use_sop, use_eph, depth, mct, transform):
     structs = [
         _tile_structure(tx0, ty0, tx1, ty1, nl, xcb, ycb)
         for _ in range(ncomp)
@@ -1116,7 +1110,7 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, guard,
             arrs = []
             for sb in res[r]:
                 a = np.zeros((sb.y1 - sb.y0, sb.x1 - sb.x0), np.int64)
-                mb = _mb_for(sb.band, guard, exps, nl, r)
+                mb, delta = quant[_sb_index(sb.band, r)]
                 for cb in sb.cbs:
                     if cb["passes"] == 0:
                         continue
@@ -1130,19 +1124,34 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, guard,
                     )
                     a[cb["y0"] - sb.y0 : cb["y1"] - sb.y0,
                       cb["x0"] - sb.x0 : cb["x1"] - sb.x0] = v
-                arrs.append(a)
+                if delta is not None:
+                    # E.1 midpoint reconstruction: sign * (|q| + 0.5) * Δ
+                    f = np.where(
+                        a != 0, (np.abs(a) + 0.5) * delta * np.sign(a), 0.0
+                    )
+                    arrs.append(f)
+                else:
+                    arrs.append(a)
             band_arrays.append(arrs)
         ll = band_arrays[0][0]
         bands_fine = [tuple(band_arrays[r]) for r in range(1, nl + 1)]
-        out.append(idwt_53(ll, bands_fine, tx0, ty0, tx1, ty1))
+        if transform == 1:
+            out.append(idwt_53(ll, bands_fine, tx0, ty0, tx1, ty1))
+        else:
+            out.append(idwt_97(ll, bands_fine, tx0, ty0, tx1, ty1))
 
     if mct:
         if ncomp < 3:
             raise ValueError("JPEG2000 MCT with fewer than 3 components")
         y, u, v = out[0], out[1], out[2]
-        g = y - ((u + v) >> 2)
-        r_ = v + g
-        b_ = u + g
+        if transform == 1:  # RCT (G.2)
+            g = y - ((u + v) >> 2)
+            r_ = v + g
+            b_ = u + g
+        else:  # ICT (G.3): YCbCr floats
+            r_ = y + 1.402 * v
+            g = y - 0.344136 * u - 0.714136 * v
+            b_ = y + 1.772 * u
         out[0], out[1], out[2] = r_, g, b_
     # DC level shift (unsigned components)
     shift = 1 << (depth - 1)
@@ -1158,12 +1167,14 @@ _ENC_EXP = 20  # loose reversible exponent: Mb = 21 covers every subband
 def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     tile: tuple | None = None, prog: int = 0,
                     jp2: bool = False, sop: bool = False,
-                    eph: bool = False) -> bytes:
-    """Lossless fixture encoder: 8-bit grayscale (2D) or RGB (3D, coded
-    through the reversible color transform), 5/3 wavelet with ``nl``
+                    eph: bool = False, lossy: bool = False,
+                    qexp_extra: int = 3) -> bytes:
+    """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
-    JP2 container."""
+    JP2 container. Default reversible (5/3 + RCT, bit-exact); with
+    ``lossy`` the 9/7 + ICT + scalar-expounded-quantization path, step
+    size 2^-qexp_extra of each subband's nominal range (Annex E)."""
     img = np.asarray(img, np.uint8)
     ncomp = 1 if img.ndim == 2 else img.shape[2]
     if ncomp not in (1, 3):
@@ -1183,15 +1194,33 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         siz += bytes([7, 1, 1])
     seg(0xFF51, siz)
     scod = (2 if sop else 0) | (4 if eph else 0)
+    transform = 0 if lossy else 1
     cod = bytes([scod, prog]) + struct.pack(">H", 1) + bytes(
-        [mct, nl, xcb - 2, ycb - 2, 0, 1]
+        [mct, nl, xcb - 2, ycb - 2, 0, transform]
     )
     seg(0xFF52, cod)
-    qcd = bytes([_ENC_GUARD << 5]) + bytes([_ENC_EXP << 3] * (3 * nl + 1))
+    if lossy:
+        # scalar expounded: eps = Rb + qexp_extra, mu = 0 -> delta =
+        # 2^-qexp_extra for every subband
+        entries = b""
+        deltas = []
+        for i in range(3 * nl + 1):
+            gain = 0 if i == 0 else _BAND_GAIN[1 + (i - 1) % 3]
+            eps = 8 + gain + qexp_extra
+            entries += struct.pack(">H", (eps << 11) | 0)
+            deltas.append(2.0 ** (-qexp_extra))
+        qcd = bytes([(_ENC_GUARD << 5) | 2]) + entries
+        mbs = [_ENC_GUARD + ((e >> 11) & 0x1F) - 1 for e in
+               [struct.unpack(">H", entries[2*i:2*i+2])[0]
+                for i in range(3 * nl + 1)]]
+    else:
+        qcd = bytes([_ENC_GUARD << 5]) + bytes(
+            [_ENC_EXP << 3] * (3 * nl + 1))
+        deltas = None
+        mbs = [_ENC_GUARD + _ENC_EXP - 1] * (3 * nl + 1)
     seg(0xFF5C, qcd)
 
     ntx, nty = _ceil_div(w, xt), _ceil_div(h, yt)
-    mb = _ENC_GUARD + _ENC_EXP - 1
     for q in range(nty):
         for p in range(ntx):
             tx0, ty0 = p * xt, q * yt
@@ -1200,7 +1229,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             sub = img[ty0:ty1, tx0:tx1]
             if ncomp == 1:
                 comps = [sub.astype(np.int64) - 128]
-            else:
+            elif not lossy:
                 r_ = sub[..., 0].astype(np.int64) - 128
                 g_ = sub[..., 1].astype(np.int64) - 128
                 b_ = sub[..., 2].astype(np.int64) - 128
@@ -1208,18 +1237,37 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 u_ = b_ - g_
                 v_ = r_ - g_
                 comps = [y_, u_, v_]
+            else:
+                r_ = sub[..., 0].astype(np.float64) - 128
+                g_ = sub[..., 1].astype(np.float64) - 128
+                b_ = sub[..., 2].astype(np.float64) - 128
+                y_ = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+                u_ = -0.16875 * r_ - 0.331260 * g_ + 0.5 * b_
+                v_ = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+                comps = [y_, u_, v_]
             structs = []
             for c in range(ncomp):
                 res = _tile_structure(tx0, ty0, tx1, ty1, nl, xcb, ycb)
-                ll, bands = dwt_53(comps[c], nl, tx0, ty0, tx1, ty1)
+                if lossy:
+                    ll, bands = dwt_97(comps[c], nl, tx0, ty0, tx1, ty1)
+                else:
+                    ll, bands = dwt_53(comps[c], nl, tx0, ty0, tx1, ty1)
                 arrays = [[ll]] + [list(b) for b in bands]
                 for r in range(nl + 1):
                     for bi, sb in enumerate(res[r]):
                         a = arrays[r][bi]
+                        mb = mbs[_sb_index(sb.band, r)]
+                        if lossy:
+                            d = deltas[_sb_index(sb.band, r)]
+                            a = (np.sign(a)
+                                 * np.floor(np.abs(a) / d)).astype(np.int64)
                         for cbk in sb.cbs:
                             v = a[cbk["y0"] - sb.y0 : cbk["y1"] - sb.y0,
                                   cbk["x0"] - sb.x0 : cbk["x1"] - sb.x0]
                             data, sp, np_ = t1_encode(v, sb.band)
+                            if np_ and sp >= mb:
+                                raise ValueError(
+                                    "JPEG2000 encoder Mb too small")
                             cbk["data"] = data
                             cbk["passes"] = np_
                             cbk["zbp"] = mb - 1 - sp if np_ else mb - 1
@@ -1309,3 +1357,173 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         ">I", 17 if ncomp == 1 else 16))
     jp2h = box(b"jp2h", ihdr + colr)
     return sig + ftyp + jp2h + box(b"jp2c", stream)
+
+
+# -- 9/7 irreversible DWT (Annex F, Table F.4) ----------------------------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _sd97_1d(x: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """1D 9/7 analysis over [i0, i1), interleaved output; scaling
+    convention: low-pass x (1/K), high-pass x K (inverted exactly by
+    _sr97_1d — the lossy path is pinned by PSNR, not bit equality)."""
+    n = i1 - i0
+    if n == 0:
+        return x
+    if n == 1:
+        return x.astype(np.float64)
+    idx = np.arange(i0 - 4, i1 + 4)
+    y = _ext_interleaved(np.asarray(x, np.float64), i0, i1, idx)
+    even = np.where(idx % 2 == 0)[0]
+    odd = np.where(idx % 2 == 1)[0]
+
+    def upd(sel, lo, hi, coef):
+        s = sel[(idx[sel] >= lo) & (idx[sel] <= hi)]
+        y[s] += coef * (y[s - 1] + y[s + 1])
+
+    upd(odd, i0 - 3, i1 + 2, _A97)
+    upd(even, i0 - 2, i1 + 1, _B97)
+    upd(odd, i0 - 1, i1, _G97)
+    upd(even, i0, i1 - 1, _D97)
+    out = y[4 : 4 + n].copy()
+    loc = np.arange(i0, i1)
+    out[loc % 2 == 0] *= 1.0 / _K97
+    out[loc % 2 == 1] *= _K97
+    return out
+
+
+def _sr97_1d(y: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """Exact float inverse of _sd97_1d."""
+    n = i1 - i0
+    if n == 0:
+        return y
+    if n == 1:
+        return y.astype(np.float64)
+    loc = np.arange(i0, i1)
+    yy = np.asarray(y, np.float64).copy()
+    yy[loc % 2 == 0] *= _K97
+    yy[loc % 2 == 1] *= 1.0 / _K97
+    idx = np.arange(i0 - 4, i1 + 4)
+    buf = _ext_interleaved(yy, i0, i1, idx)
+    even = np.where(idx % 2 == 0)[0]
+    odd = np.where(idx % 2 == 1)[0]
+
+    def upd(sel, lo, hi, coef):
+        s = sel[(idx[sel] >= lo) & (idx[sel] <= hi)]
+        buf[s] -= coef * (buf[s - 1] + buf[s + 1])
+
+    # windows widen in reverse dependency order (mirror of analysis)
+    upd(even, i0 - 3, i1 + 2, _D97)
+    upd(odd, i0 - 2, i1 + 1, _G97)
+    upd(even, i0 - 1, i1, _B97)
+    upd(odd, i0, i1 - 1, _A97)
+    return buf[4 : 4 + n]
+
+
+def sr97_2d(ll, hl, lh, hh, u0, v0, u1, v1):
+    a = _interleave_f(ll, hl, lh, hh, u0, v0, u1, v1)
+    for r in range(a.shape[0]):
+        a[r, :] = _sr97_1d(a[r, :], u0, u1)
+    for c in range(a.shape[1]):
+        a[:, c] = _sr97_1d(a[:, c], v0, v1)
+    return a
+
+
+def sd97_2d(a, u0, v0, u1, v1):
+    a = np.asarray(a, np.float64).copy()
+    for c in range(a.shape[1]):
+        a[:, c] = _sd97_1d(a[:, c], v0, v1)
+    for r in range(a.shape[0]):
+        a[r, :] = _sd97_1d(a[r, :], u0, u1)
+    return _deinterleave(a, u0, v0, u1, v1)
+
+
+def _interleave_f(ll, hl, lh, hh, u0, v0, u1, v1):
+    a = np.zeros((v1 - v0, u1 - u0), np.float64)
+    ue = np.arange(_ceil2(u0), u1, 2)
+    uo = np.arange(u0 | 1, u1, 2)
+    ve = np.arange(_ceil2(v0), v1, 2)
+    vo = np.arange(v0 | 1, v1, 2)
+    a[np.ix_(ve - v0, ue - u0)] = ll
+    a[np.ix_(ve - v0, uo - u0)] = hl
+    a[np.ix_(vo - v0, ue - u0)] = lh
+    a[np.ix_(vo - v0, uo - u0)] = hh
+    return a
+
+
+def idwt_97(ll, bands, x0, y0, x1, y1):
+    nl = len(bands)
+    a = np.asarray(ll, np.float64)
+    for r in range(1, nl + 1):
+        d = nl - r
+        u0, v0 = -(-x0 >> d), -(-y0 >> d)
+        u1, v1 = -(-x1 >> d), -(-y1 >> d)
+        hl, lh, hh = bands[r - 1]
+        a = sr97_2d(a, hl, lh, hh, u0, v0, u1, v1)
+    return a
+
+
+def dwt_97(a, nl, x0, y0, x1, y1):
+    out = []
+    cur = np.asarray(a, np.float64)
+    for r in range(nl):
+        d = r
+        u0, v0 = -(-x0 >> d), -(-y0 >> d)
+        u1, v1 = -(-x1 >> d), -(-y1 >> d)
+        ll, hl, lh, hh = sd97_2d(cur, u0, v0, u1, v1)
+        out.append((hl, lh, hh))
+        cur = ll
+    return cur, out[::-1]
+
+
+# -- quantization (Annex E) ------------------------------------------------------
+
+_BAND_GAIN = {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def _qcd_parse(qcd: bytes, nl: int, depth: int):
+    """Returns (style, guard, per-subband list of (Mb, delta)) indexed
+    LL then (HL, LH, HH) per resolution. Reversible: delta=None."""
+    sqcd = qcd[0]
+    style = sqcd & 0x1F
+    guard = sqcd >> 5
+    n_sb = 3 * nl + 1
+
+    def gain_of(i):
+        return 0 if i == 0 else _BAND_GAIN[1 + (i - 1) % 3]
+
+    def nb_of(i):
+        return nl if i == 0 else nl - (i - 1) // 3
+
+    if style == 0:  # no quantization (reversible)
+        exps = [b >> 3 for b in qcd[1:]]
+        if len(exps) < n_sb:
+            raise ValueError("JPEG2000 QCD too short")
+        return 0, guard, [(guard + exps[i] - 1, None) for i in range(n_sb)]
+    if style == 2:  # scalar expounded
+        if len(qcd) < 1 + 2 * n_sb:
+            raise ValueError("JPEG2000 QCD too short")
+        out = []
+        for i in range(n_sb):
+            v = struct.unpack(">H", qcd[1 + 2 * i : 3 + 2 * i])[0]
+            eps, mu = v >> 11, v & 0x7FF
+            rb = depth + gain_of(i)
+            delta = (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+            out.append((guard + eps - 1, delta))
+        return 2, guard, out
+    if style == 1:  # scalar derived: one entry, others scaled by level
+        v = struct.unpack(">H", qcd[1:3])[0]
+        e0, mu = v >> 11, v & 0x7FF
+        out = []
+        for i in range(n_sb):
+            eps = e0 - nl + nb_of(i)
+            rb = depth + gain_of(i)
+            delta = (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+            out.append((guard + eps - 1, delta))
+        return 1, guard, out
+    raise ValueError("JPEG2000 reserved quantization style")

@@ -202,7 +202,8 @@ def test_unsupported_features_are_loud():
     assert cod_at > 0
     lcod = int.from_bytes(data[cod_at + 2 : cod_at + 4], "big")
     data[cod_at + 2 + lcod - 1] = 0
-    with pytest.raises(NotImplementedError, match="9/7"):
+    # 9/7 with a reversible (no-quantization) QCD is inconsistent
+    with pytest.raises(ValueError, match="mismatch"):
         decode_jpeg2000(bytes(data))
     data[cod_at + 2 + lcod - 1] = 1
     data[cod_at + 2 + lcod - 2] = 1  # code-block style: bypass
@@ -256,3 +257,72 @@ def test_pdf_jpx_image_xobject():
                     font="/XObject << /Im0 5 0 R >>")
     _spans, media = pdf_spans(blob)
     assert np.array_equal(decode_image(next(iter(media.values()))), img)
+
+
+# -- lossy 9/7 path --------------------------------------------------------------
+
+
+def test_97_1d_inverts_exactly():
+    from ai_invoice_ocr_engine_spark.jpeg2000 import _sd97_1d, _sr97_1d
+
+    rng = np.random.default_rng(1)
+    for i0, i1 in [(0, 8), (1, 8), (0, 7), (3, 4), (2, 3), (0, 1), (5, 16)]:
+        x = rng.standard_normal(i1 - i0) * 100
+        assert np.allclose(_sr97_1d(_sd97_1d(x, i0, i1), i0, i1), x,
+                           atol=1e-9)
+    y = _sd97_1d(np.full(10, 50.0), 0, 10)
+    assert np.allclose(y[1::2], 0, atol=1e-9)  # constant -> zero detail
+
+
+def test_lossy_gray_quantizer_bites_and_bounds():
+    """qexp_extra=3 (step 1/8): midpoint reconstruction rounds back to
+    the exact pixels; qexp_extra=0 (step 1): a strictly smaller stream
+    with small bounded error — the quantizer is real, not a no-op."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    fine = encode_jpeg2000(img, nl=2, cb=(4, 4), lossy=True, qexp_extra=3)
+    coarse = encode_jpeg2000(img, nl=2, cb=(4, 4), lossy=True, qexp_extra=0)
+    assert len(coarse) < len(fine)
+    comps, _ = _decode_j2k_components(_unbox(fine))
+    assert np.array_equal(np.clip(np.rint(comps[0]), 0, 255), img)
+    comps, _ = _decode_j2k_components(_unbox(coarse))
+    err = np.abs(np.clip(np.rint(comps[0]), 0, 255) - img.astype(float))
+    assert err.max() <= 4
+    mse = float(np.mean(err ** 2))
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) > 40
+
+
+def test_lossy_rgb_ict():
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(13)
+    rgb = np.kron(rng.integers(0, 256, (6, 6, 3)),
+                  np.ones((5, 5, 1))).astype(np.uint8)[:27, :29]
+    data = encode_jpeg2000(rgb, nl=2, cb=(4, 4), lossy=True)
+    comps, _ = _decode_j2k_components(_unbox(data))
+    for i, c in enumerate(comps):
+        err = np.abs(np.clip(np.rint(c), 0, 255) - rgb[..., i].astype(float))
+        assert err.max() <= 4, i
+    assert decode_jpeg2000(data).shape == (27, 29)
+
+
+def test_lossy_tiled_and_derived_quantization():
+    """Tiling under 9/7, and the scalar-DERIVED QCD style (one entry,
+    per-level step derivation) hand-built from the expounded stream."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(14)
+    img = np.kron(rng.integers(0, 256, (10, 10)),
+                  np.ones((5, 5))).astype(np.uint8)[:47, :43]
+    data = encode_jpeg2000(img, nl=2, cb=(4, 4), lossy=True, tile=(32, 32))
+    comps, _ = _decode_j2k_components(_unbox(data))
+    err = np.abs(np.clip(np.rint(comps[0]), 0, 255) - img.astype(float))
+    assert err.max() <= 1

@@ -185,14 +185,19 @@ def test_mixed_synf_png_jpeg_bmp_tiff_media_golden(spark, corpus, tmp_path):
         img = K.decode_synf(bytes(m["image"]))
         if i % 5 == 0:
             # alternate the native container with lossless GIF (identity
-            # gray palette) — plain and interlaced
+            # gray palette, plain and interlaced) and JPEG 2000 (lossless
+            # 5/3 — raw codestream and JP2 container)
             from ai_invoice_ocr_engine_spark.gif import encode_gif
+            from ai_invoice_ocr_engine_spark.jpeg2000 import encode_jpeg2000
 
-            gv = (i // 5) % 3
+            gv = (i // 5) % 4
             if gv == 1:
                 m["image"] = encode_gif(img)
             elif gv == 2:
                 m["image"] = encode_gif(img, interlace=True)
+            elif gv == 3:
+                m["image"] = encode_jpeg2000(img, nl=2, cb=(5, 5),
+                                             jp2=bool(i % 2))
         elif i % 5 == 1:
             pv = (i // 5) % 4
             if pv == 0:

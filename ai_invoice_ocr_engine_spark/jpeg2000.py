@@ -15,11 +15,15 @@ the same coder the T.800 Annex C tables define (JBIG2 and JPEG 2000
 specify the identical coder; only the context initial states differ,
 Table D.7 here).
 
-Deliberate loud seams (NotImplementedError with the feature named —
-the repo-wide codec policy): selective arithmetic bypass / per-pass
-termination / segmentation-symbol code-block styles, custom precinct
-sizes, ROI (RGN), packed packet headers (PPM/PPT), and COC/QCC
-component overrides.
+Multi-layer (quality-progressive) streams decode through the termall
+code-block style (0x04: every coding pass its own terminated codeword
+segment, one length per segment per B.10.7.5) — the segmentation real
+layered encoders emit. Deliberate loud seams (NotImplementedError with
+the feature named — the repo-wide codec policy): selective arithmetic
+bypass / reset / vertically-causal / predictable-termination /
+segmentation-symbol code-block styles, custom precinct sizes, ROI
+(RGN), packed packet headers (PPM/PPT), and COC/QCC component
+overrides.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -593,9 +597,9 @@ class _T1:
         for yy in rows:
             self.visited[yy + 1, x + 1] = 0
 
-    def run(self, start_plane: int, npasses: int) -> None:
-        """Execute `npasses` coding passes starting at the cleanup pass
-        of `start_plane` (the first coded plane has only CUP)."""
+    def _pass_seq(self, start_plane: int, npasses: int):
+        """Yield (pass_fn, plane) in coding order: CUP only on the first
+        coded plane, then SPP/MRP/CUP per lower plane."""
         plane = start_plane
         done = 0
         first = True
@@ -604,12 +608,25 @@ class _T1:
                 raise ValueError("JPEG2000 too many coding passes")
             passes = (self.cup,) if first else (self.spp, self.mrp, self.cup)
             for p in passes:
-                p(plane)
+                yield p, plane
                 done += 1
                 if done >= npasses:
                     break
             first = False
             plane -= 1
+
+    def run(self, start_plane: int, npasses: int) -> None:
+        """Execute `npasses` coding passes on the single shared coder."""
+        for p, plane in self._pass_seq(start_plane, npasses):
+            p(plane)
+
+    def run_segments(self, segs: list, start_plane: int) -> None:
+        """termall decode: one TERMINATED codeword segment per pass —
+        a fresh MQ decoder per segment, contexts persisting across."""
+        for (p, plane), seg in zip(self._pass_seq(start_plane, len(segs)),
+                                   segs):
+            self.coder = MQDecoder(seg)
+            p(plane)
 
     def result(self) -> np.ndarray:
         v = self.mag.copy()
@@ -623,6 +640,30 @@ def t1_decode(data: bytes, w: int, h: int, band: int, start_plane: int,
     t = _T1(w, h, band, MQDecoder(data))
     t.run(start_plane, npasses)
     return t.result()
+
+
+def t1_decode_segments(segs: list, w: int, h: int, band: int,
+                       start_plane: int) -> np.ndarray:
+    t = _T1(w, h, band, None)
+    t.run_segments(segs, start_plane)
+    return t.result()
+
+
+def t1_encode_termall(values: np.ndarray, band: int):
+    """Lossless termall encode: one terminated MQ segment per pass.
+    Returns (segments, start_plane); empty block -> ([], -1)."""
+    values = np.asarray(values, np.int64)
+    vmax = int(np.abs(values).max(initial=0))
+    if vmax == 0:
+        return [], -1
+    start_plane = vmax.bit_length() - 1
+    t = _T1(values.shape[1], values.shape[0], band, None, values=values)
+    segs = []
+    for p, plane in t._pass_seq(start_plane, 1 + 3 * start_plane):
+        t.coder = MQEncoder()
+        p(plane)
+        segs.append(t.coder.flush())
+    return segs, start_plane
 
 
 def t1_encode(values: np.ndarray, band: int) -> tuple[bytes, int, int]:
@@ -736,8 +777,10 @@ def _npasses_write(bw, n: int) -> None:
         raise ValueError("JPEG2000 too many passes")
 
 
-def _decode_packet(br, res_bands, layer_idx, trees):
-    """One packet header (+ returns list of (cb, nbytes) bodies)."""
+def _decode_packet(br, res_bands, layer_idx, trees, termall=False):
+    """One packet header. Returns [(cb, nbytes)] for the plain single
+    codeword segment, or [(cb, [seg_len, ...])] with ``termall`` (each
+    pass its own terminated segment, one length each, B.10.7.5)."""
     bodies = []
     if not br.read(1):  # zero-length packet
         br.align()
@@ -763,10 +806,15 @@ def _decode_packet(br, res_bands, layer_idx, trees):
             npasses = _npasses_read(br)
             while br.read(1):
                 cb["lblock"] += 1
-            nbits = cb["lblock"] + int(math.floor(math.log2(npasses)))
-            nbytes = br.read(nbits)
-            cb["passes"] += npasses
-            bodies.append((cb, nbytes))
+            if termall:
+                lens = [br.read(cb["lblock"]) for _ in range(npasses)]
+                cb["passes"] += npasses
+                bodies.append((cb, lens))
+            else:
+                nbits = cb["lblock"] + int(math.floor(math.log2(npasses)))
+                nbytes = br.read(nbits)
+                cb["passes"] += npasses
+                bodies.append((cb, nbytes))
     br.align()
     return bodies
 
@@ -805,6 +853,47 @@ def _encode_packet(bw, res_bands, layer_idx, trees, payload):
             bw.put(0, 1)
             bw.put(nbytes, want)
             payload.append(cb["data"])
+
+
+def _encode_packet_termall(bw, res_bands, layer_idx, trees, payload):
+    """Encoder: one packet of a termall multi-layer stream — each
+    code-block contributes the pass segments of its layer chunk, one
+    length per segment (B.10.7.5), first inclusion via the tag tree at
+    the chunk's layer, re-inclusion as a raw bit."""
+    if not any(sb.cbs for sb in res_bands):
+        return
+    bw.put(1, 1)
+    for bi, sb in enumerate(res_bands):
+        if not sb.cbs:
+            continue
+        incl_tree, zbp_tree = trees[bi]
+        for cb in sb.cbs:
+            gi, gj = cb["_gi"], cb["_gj"]
+            chunk = cb["_chunks"][layer_idx]
+            if not cb["included"]:
+                incl_tree.encode(bw, gi, gj, layer_idx + 1)
+                if not chunk:
+                    continue  # first inclusion is in a later layer
+                cb["included"] = True
+                t = 1
+                while True:
+                    zbp_tree.encode(bw, gi, gj, t)
+                    if cb["zbp"] < t:
+                        break
+                    t += 1
+            else:
+                bw.put(1 if chunk else 0, 1)
+                if not chunk:
+                    continue
+            _npasses_write(bw, len(chunk))
+            need = max(max(1, len(s).bit_length()) for s in chunk)
+            while cb["lblock"] < need:
+                bw.put(1, 1)
+                cb["lblock"] += 1
+            bw.put(0, 1)
+            for s in chunk:
+                bw.put(len(s), cb["lblock"])
+            payload.extend(chunk)
 
 
 def _grid_index(sb: _Subband, xcb: int, ycb: int):
@@ -966,10 +1055,11 @@ def _decode_j2k_components(d: bytes):
     if xcb + ycb > 12:
         raise ValueError("JPEG2000 code-block size exceeds 4096")
     cbstyle = cod[8]
-    if cbstyle:
+    termall = bool(cbstyle & 0x04)
+    if cbstyle & ~0x04:
         raise NotImplementedError(
-            "JPEG2000 code-block style options (bypass/reset/termall/"
-            "causal/predictable/segsym)"
+            "JPEG2000 code-block style options (bypass/reset/causal/"
+            "predictable/segsym)"
         )
     transform = cod[9]
     if transform not in (0, 1):
@@ -1019,7 +1109,7 @@ def _decode_j2k_components(d: bytes):
         ty1 = min(yto + (q + 1) * yt, ysiz)
         tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb,
                             quant, layers, prog, use_sop, use_eph,
-                            depth, mct, transform)
+                            depth, mct, transform, termall)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
         pos = tile_end
@@ -1032,7 +1122,8 @@ def _sb_index(band: int, r: int) -> int:
 
 
 def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
-                 layers, prog, use_sop, use_eph, depth, mct, transform):
+                 layers, prog, use_sop, use_eph, depth, mct, transform,
+                 termall=False):
     structs = [
         _tile_structure(tx0, ty0, tx1, ty1, nl, xcb, ycb)
         for _ in range(ncomp)
@@ -1087,8 +1178,8 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
         bands = structs[c][r]
         tr = [t for t in trees[c][r] if t is not None]
         nonempty = [sb for sb in bands if sb.cbs]
-        bodies = _decode_packet(br, nonempty, layer,
-                                tr) if nonempty else []
+        bodies = _decode_packet(br, nonempty, layer, tr,
+                                termall) if nonempty else []
         if nonempty:
             pos = br.align()
         if use_eph:
@@ -1096,10 +1187,18 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
                 raise ValueError("JPEG2000 missing EPH")
             pos += 2
         for cb, nbytes in bodies:
-            cb["data"] += body[pos : pos + nbytes]
-            if len(cb["data"]) < nbytes:
-                raise ValueError("JPEG2000 packet body truncated")
-            pos += nbytes
+            if termall:
+                for ln in nbytes:  # one terminated segment per pass
+                    seg = body[pos : pos + ln]
+                    if len(seg) < ln:
+                        raise ValueError("JPEG2000 packet body truncated")
+                    cb.setdefault("segs", []).append(seg)
+                    pos += ln
+            else:
+                cb["data"] += body[pos : pos + nbytes]
+                if len(cb["data"]) < nbytes:
+                    raise ValueError("JPEG2000 packet body truncated")
+                pos += nbytes
 
     out = []
     for c in range(ncomp):
@@ -1117,11 +1216,17 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
                     start_plane = mb - 1 - cb["zbp"]
                     if start_plane < 0:
                         raise ValueError("JPEG2000 zero-bitplanes exceed Mb")
-                    v = t1_decode(
-                        cb["data"], cb["x1"] - cb["x0"],
-                        cb["y1"] - cb["y0"], sb.band, start_plane,
-                        cb["passes"],
-                    )
+                    if termall:
+                        v = t1_decode_segments(
+                            cb.get("segs", []), cb["x1"] - cb["x0"],
+                            cb["y1"] - cb["y0"], sb.band, start_plane,
+                        )
+                    else:
+                        v = t1_decode(
+                            cb["data"], cb["x1"] - cb["x0"],
+                            cb["y1"] - cb["y0"], sb.band, start_plane,
+                            cb["passes"],
+                        )
                     a[cb["y0"] - sb.y0 : cb["y1"] - sb.y0,
                       cb["x0"] - sb.x0 : cb["x1"] - sb.x0] = v
                 if delta is not None:
@@ -1168,13 +1273,20 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     tile: tuple | None = None, prog: int = 0,
                     jp2: bool = False, sop: bool = False,
                     eph: bool = False, lossy: bool = False,
-                    qexp_extra: int = 3) -> bytes:
+                    qexp_extra: int = 3, layers: int = 1,
+                    termall: bool = False) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
     JP2 container. Default reversible (5/3 + RCT, bit-exact); with
     ``lossy`` the 9/7 + ICT + scalar-expounded-quantization path, step
-    size 2^-qexp_extra of each subband's nominal range (Annex E)."""
+    size 2^-qexp_extra of each subband's nominal range (Annex E).
+    ``termall`` terminates every coding pass in its own codeword
+    segment (style bit 0x04); ``layers > 1`` (quality-progressive)
+    splits each code-block's pass segments across layers and REQUIRES
+    termall so the segmentation is explicit."""
+    if layers > 1 and not termall:
+        raise ValueError("multi-layer fixture requires termall")
     img = np.asarray(img, np.uint8)
     ncomp = 1 if img.ndim == 2 else img.shape[2]
     if ncomp not in (1, 3):
@@ -1195,8 +1307,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     seg(0xFF51, siz)
     scod = (2 if sop else 0) | (4 if eph else 0)
     transform = 0 if lossy else 1
-    cod = bytes([scod, prog]) + struct.pack(">H", 1) + bytes(
-        [mct, nl, xcb - 2, ycb - 2, 0, transform]
+    cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
+        [mct, nl, xcb - 2, ycb - 2, 0x04 if termall else 0, transform]
     )
     seg(0xFF52, cod)
     if lossy:
@@ -1264,6 +1376,21 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                         for cbk in sb.cbs:
                             v = a[cbk["y0"] - sb.y0 : cbk["y1"] - sb.y0,
                                   cbk["x0"] - sb.x0 : cbk["x1"] - sb.x0]
+                            if termall:
+                                segs, sp = t1_encode_termall(v, sb.band)
+                                if segs and sp >= mb:
+                                    raise ValueError(
+                                        "JPEG2000 encoder Mb too small")
+                                if not segs:
+                                    t = _T1(v.shape[1], v.shape[0],
+                                            sb.band, MQEncoder(), values=v)
+                                    t.coder = MQEncoder()
+                                    t.cup(0)
+                                    segs, sp = [t.coder.flush()], 0
+                                cbk["segs"] = segs
+                                cbk["passes"] = len(segs)
+                                cbk["zbp"] = mb - 1 - sp
+                                continue
                             data, sp, np_ = t1_encode(v, sb.band)
                             if np_ and sp >= mb:
                                 raise ValueError(
@@ -1308,22 +1435,54 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                             cbk["included"] = False
                             cbk["lblock"] = 3
 
+            # per-cb layer chunks: contiguous pass-segment splits; the
+            # inclusion tag value is the first non-empty layer
+            if termall:
+                for c in range(ncomp):
+                    for res_r, tr_r in zip(structs[c], trees[c]):
+                        for sb, t2 in zip(res_r, tr_r):
+                            if not sb.cbs:
+                                continue
+                            incl_tree, _zt = t2
+                            for cbk in sb.cbs:
+                                n = len(cbk["segs"])
+                                bounds = [round(i * n / layers)
+                                          for i in range(layers + 1)]
+                                cbk["_chunks"] = [
+                                    cbk["segs"][bounds[i] : bounds[i + 1]]
+                                    for i in range(layers)
+                                ]
+                                first_l = next(
+                                    i for i, ch in enumerate(cbk["_chunks"])
+                                    if ch
+                                )
+                                incl_tree.set_value(
+                                    cbk["_gi"], cbk["_gj"], first_l)
+
             def packet_seq():
-                if prog == 0:
+                if prog == 0:  # LRCP
+                    for layer in range(layers):
+                        for r in range(nl + 1):
+                            for c in range(ncomp):
+                                yield layer, r, c
+                elif prog == 1:  # RLCP
+                    for r in range(nl + 1):
+                        for layer in range(layers):
+                            for c in range(ncomp):
+                                yield layer, r, c
+                elif prog == 2:  # RPCL
                     for r in range(nl + 1):
                         for c in range(ncomp):
-                            yield r, c
-                elif prog in (1, 2):
-                    for r in range(nl + 1):
-                        for c in range(ncomp):
-                            yield r, c
-                else:
+                            for layer in range(layers):
+                                yield layer, r, c
+                else:  # PCRL / CPRL (single precinct)
                     for c in range(ncomp):
                         for r in range(nl + 1):
-                            yield r, c
+                            for layer in range(layers):
+                                yield layer, r, c
 
             body = bytearray()
-            for r, c in packet_seq():
+            for layer, r, c in packet_seq():
                 nonempty = [sb for sb in structs[c][r] if sb.cbs]
                 if not nonempty:
                     continue
@@ -1332,7 +1491,10 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 bw = _PktBitWriter()
                 payload = []
                 tr = [t for t in trees[c][r] if t is not None]
-                _encode_packet(bw, nonempty, 0, tr, payload)
+                if termall:
+                    _encode_packet_termall(bw, nonempty, layer, tr, payload)
+                else:
+                    _encode_packet(bw, nonempty, layer, tr, payload)
                 body.extend(bw.align())
                 if eph:
                     body.extend(b"\xff\x92")

@@ -326,3 +326,54 @@ def test_lossy_tiled_and_derived_quantization():
     comps, _ = _decode_j2k_components(_unbox(data))
     err = np.abs(np.clip(np.rint(comps[0]), 0, 255) - img.astype(float))
     assert err.max() <= 1
+
+
+# -- termall + multi-layer -------------------------------------------------------
+
+
+def test_termall_and_multilayer_lossless():
+    """termall style (0x04): every pass its own terminated MQ segment
+    with per-segment lengths; quality layers split the segments. Exact
+    reconstruction for 1/2/3/5 layers, every progression order, RGB,
+    tiling, and the lossy transform."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (37, 29)).astype(np.uint8)
+    for layers in (1, 2, 3, 5):
+        d = encode_jpeg2000(img, nl=2, cb=(4, 4), termall=True,
+                            layers=layers)
+        comps, _ = _decode_j2k_components(_unbox(d))
+        assert np.array_equal(comps[0], img), layers
+    for prog in range(5):
+        d = encode_jpeg2000(img, nl=1, cb=(4, 4), termall=True, layers=3,
+                            prog=prog)
+        comps, _ = _decode_j2k_components(_unbox(d))
+        assert np.array_equal(comps[0], img), prog
+    rgb = rng.integers(0, 256, (33, 21, 3)).astype(np.uint8)
+    d = encode_jpeg2000(rgb, nl=2, cb=(4, 4), termall=True, layers=2)
+    comps, _ = _decode_j2k_components(_unbox(d))
+    for i in range(3):
+        assert np.array_equal(comps[i], rgb[..., i])
+    d = encode_jpeg2000(img, nl=2, cb=(4, 4), termall=True, layers=2,
+                        tile=(16, 20))
+    comps, _ = _decode_j2k_components(_unbox(d))
+    assert np.array_equal(comps[0], img)
+
+
+def test_multilayer_requires_termall():
+    with pytest.raises(ValueError, match="termall"):
+        encode_jpeg2000(np.zeros((8, 8), np.uint8), layers=2)
+
+
+def test_remaining_cb_styles_stay_loud():
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    data = bytearray(encode_jpeg2000(img, nl=1, cb=(4, 4)))
+    cod_at = bytes(data).find(b"\xff\x52")
+    lcod = int.from_bytes(data[cod_at + 2 : cod_at + 4], "big")
+    data[cod_at + 2 + lcod - 2] = 0x01  # selective bypass
+    with pytest.raises(NotImplementedError, match="bypass"):
+        decode_jpeg2000(bytes(data))

@@ -431,11 +431,20 @@ _SIGN_CTX = {
 
 class _T1:
     """One code-block's coding state; `coder` is an MQDecoder or
-    MQEncoder and `values` (encode side) the signed coefficients."""
+    MQEncoder and `values` (encode side) the signed coefficients.
+    Styles: ``causal`` (0x08) reads samples below the current 4-row
+    stripe as insignificant in every context; ``reset`` (0x02) restores
+    the Table D.7 context states after every pass; ``segsym`` (0x20)
+    codes the 1010 segmentation symbol through UNIFORM at the end of
+    each cleanup pass (decode verifies it — error detection)."""
 
-    def __init__(self, w: int, h: int, band: int, coder, values=None):
+    def __init__(self, w: int, h: int, band: int, coder, values=None,
+                 causal=False, reset=False, segsym=False):
         self.w, self.h, self.band = w, h, band
         self.coder = coder
+        self.causal = causal
+        self.reset = reset
+        self.segsym = segsym
         self.cx = _t1_contexts()
         # padded state planes (1-sample border of zeros)
         self.sig = np.zeros((h + 2, w + 2), np.uint8)
@@ -455,9 +464,11 @@ class _T1:
         s = self.sig
         px, py = x + 1, y + 1
         h = int(s[py, px - 1]) + int(s[py, px + 1])
-        v = int(s[py - 1, px]) + int(s[py + 1, px])
-        d = (int(s[py - 1, px - 1]) + int(s[py - 1, px + 1])
-             + int(s[py + 1, px - 1]) + int(s[py + 1, px + 1]))
+        below = not (self.causal and y % 4 == 3)  # next stripe reads 0
+        v = int(s[py - 1, px]) + (int(s[py + 1, px]) if below else 0)
+        d = int(s[py - 1, px - 1]) + int(s[py - 1, px + 1])
+        if below:
+            d += int(s[py + 1, px - 1]) + int(s[py + 1, px + 1])
         return h, v, d
 
     def _bit(self, ctx: int, enc_bit: int | None = None) -> int:
@@ -478,8 +489,9 @@ class _T1:
 
         hc = contrib(s[py, px - 1], g[py, px - 1]) + contrib(
             s[py, px + 1], g[py, px + 1])
-        vc = contrib(s[py - 1, px], g[py - 1, px]) + contrib(
-            s[py + 1, px], g[py + 1, px])
+        vc = contrib(s[py - 1, px], g[py - 1, px])
+        if not (self.causal and y % 4 == 3):
+            vc += contrib(s[py + 1, px], g[py + 1, px])
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
         ctx, xor = _SIGN_CTX[(hc + 1, vc + 1)]
@@ -592,6 +604,14 @@ class _T1:
             # clear visited for rows already handled above
             for yy in rows:
                 self.visited[yy + 1, x + 1] = 0
+        if self.segsym:
+            # D.4.2 segmentation symbol 1010 through UNIFORM
+            sym = 0
+            for k in (3, 2, 1, 0):
+                sym = (sym << 1) | self._bit(_CTX_UNI, (0xA >> k) & 1
+                                             if self.encode else None)
+            if not self.encode and sym != 0xA:
+                raise ValueError("JPEG2000 segmentation symbol mismatch")
 
     def _clear_visited_col(self, x, rows):
         for yy in rows:
@@ -615,18 +635,24 @@ class _T1:
             first = False
             plane -= 1
 
+    def _exec(self, p, plane) -> None:
+        p(plane)
+        if self.reset:
+            self.cx = _t1_contexts()
+
     def run(self, start_plane: int, npasses: int) -> None:
         """Execute `npasses` coding passes on the single shared coder."""
         for p, plane in self._pass_seq(start_plane, npasses):
-            p(plane)
+            self._exec(p, plane)
 
     def run_segments(self, segs: list, start_plane: int) -> None:
         """termall decode: one TERMINATED codeword segment per pass —
-        a fresh MQ decoder per segment, contexts persisting across."""
+        a fresh MQ decoder per segment, contexts persisting across
+        (unless the reset style restores them per pass)."""
         for (p, plane), seg in zip(self._pass_seq(start_plane, len(segs)),
                                    segs):
             self.coder = MQDecoder(seg)
-            p(plane)
+            self._exec(p, plane)
 
     def result(self) -> np.ndarray:
         v = self.mag.copy()
@@ -636,20 +662,20 @@ class _T1:
 
 
 def t1_decode(data: bytes, w: int, h: int, band: int, start_plane: int,
-              npasses: int) -> np.ndarray:
-    t = _T1(w, h, band, MQDecoder(data))
+              npasses: int, **styles) -> np.ndarray:
+    t = _T1(w, h, band, MQDecoder(data), **styles)
     t.run(start_plane, npasses)
     return t.result()
 
 
 def t1_decode_segments(segs: list, w: int, h: int, band: int,
-                       start_plane: int) -> np.ndarray:
-    t = _T1(w, h, band, None)
+                       start_plane: int, **styles) -> np.ndarray:
+    t = _T1(w, h, band, None, **styles)
     t.run_segments(segs, start_plane)
     return t.result()
 
 
-def t1_encode_termall(values: np.ndarray, band: int):
+def t1_encode_termall(values: np.ndarray, band: int, **styles):
     """Lossless termall encode: one terminated MQ segment per pass.
     Returns (segments, start_plane); empty block -> ([], -1)."""
     values = np.asarray(values, np.int64)
@@ -657,16 +683,18 @@ def t1_encode_termall(values: np.ndarray, band: int):
     if vmax == 0:
         return [], -1
     start_plane = vmax.bit_length() - 1
-    t = _T1(values.shape[1], values.shape[0], band, None, values=values)
+    t = _T1(values.shape[1], values.shape[0], band, None, values=values,
+            **styles)
     segs = []
     for p, plane in t._pass_seq(start_plane, 1 + 3 * start_plane):
         t.coder = MQEncoder()
-        p(plane)
+        t._exec(p, plane)
         segs.append(t.coder.flush())
     return segs, start_plane
 
 
-def t1_encode(values: np.ndarray, band: int) -> tuple[bytes, int, int]:
+def t1_encode(values: np.ndarray, band: int,
+              **styles) -> tuple[bytes, int, int]:
     """Losslessly encode a code-block; returns (data, start_plane,
     npasses). start_plane = highest set magnitude bit."""
     values = np.asarray(values, np.int64)
@@ -675,7 +703,8 @@ def t1_encode(values: np.ndarray, band: int) -> tuple[bytes, int, int]:
         return b"", -1, 0
     start_plane = vmax.bit_length() - 1
     enc = MQEncoder()
-    t = _T1(values.shape[1], values.shape[0], band, enc, values=values)
+    t = _T1(values.shape[1], values.shape[0], band, enc, values=values,
+            **styles)
     npasses = 1 + 3 * start_plane
     t.run(start_plane, npasses)
     return enc.flush(), start_plane, npasses
@@ -1056,11 +1085,13 @@ def _decode_j2k_components(d: bytes):
         raise ValueError("JPEG2000 code-block size exceeds 4096")
     cbstyle = cod[8]
     termall = bool(cbstyle & 0x04)
-    if cbstyle & ~0x04:
+    if cbstyle & ~0x2E:
         raise NotImplementedError(
-            "JPEG2000 code-block style options (bypass/reset/causal/"
-            "predictable/segsym)"
+            "JPEG2000 code-block style options (selective bypass / "
+            "predictable termination)"
         )
+    styles = {"reset": bool(cbstyle & 0x02), "causal": bool(cbstyle & 0x08),
+              "segsym": bool(cbstyle & 0x20)}
     transform = cod[9]
     if transform not in (0, 1):
         raise ValueError("JPEG2000 bad transform byte")
@@ -1109,7 +1140,7 @@ def _decode_j2k_components(d: bytes):
         ty1 = min(yto + (q + 1) * yt, ysiz)
         tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb,
                             quant, layers, prog, use_sop, use_eph,
-                            depth, mct, transform, termall)
+                            depth, mct, transform, termall, styles)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
         pos = tile_end
@@ -1123,7 +1154,8 @@ def _sb_index(band: int, r: int) -> int:
 
 def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
                  layers, prog, use_sop, use_eph, depth, mct, transform,
-                 termall=False):
+                 termall=False, styles=None):
+    styles = styles or {}
     structs = [
         _tile_structure(tx0, ty0, tx1, ty1, nl, xcb, ycb)
         for _ in range(ncomp)
@@ -1220,12 +1252,13 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
                         v = t1_decode_segments(
                             cb.get("segs", []), cb["x1"] - cb["x0"],
                             cb["y1"] - cb["y0"], sb.band, start_plane,
+                            **styles,
                         )
                     else:
                         v = t1_decode(
                             cb["data"], cb["x1"] - cb["x0"],
                             cb["y1"] - cb["y0"], sb.band, start_plane,
-                            cb["passes"],
+                            cb["passes"], **styles,
                         )
                     a[cb["y0"] - sb.y0 : cb["y1"] - sb.y0,
                       cb["x0"] - sb.x0 : cb["x1"] - sb.x0] = v
@@ -1274,7 +1307,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     jp2: bool = False, sop: bool = False,
                     eph: bool = False, lossy: bool = False,
                     qexp_extra: int = 3, layers: int = 1,
-                    termall: bool = False) -> bytes:
+                    termall: bool = False, causal: bool = False,
+                    reset: bool = False, segsym: bool = False) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1287,6 +1321,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     termall so the segmentation is explicit."""
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
+    styles = {"causal": causal, "reset": reset, "segsym": segsym}
+    style_byte = ((0x02 if reset else 0) | (0x04 if termall else 0)
+                  | (0x08 if causal else 0) | (0x20 if segsym else 0))
     img = np.asarray(img, np.uint8)
     ncomp = 1 if img.ndim == 2 else img.shape[2]
     if ncomp not in (1, 3):
@@ -1308,7 +1345,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     scod = (2 if sop else 0) | (4 if eph else 0)
     transform = 0 if lossy else 1
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
-        [mct, nl, xcb - 2, ycb - 2, 0x04 if termall else 0, transform]
+        [mct, nl, xcb - 2, ycb - 2, style_byte, transform]
     )
     seg(0xFF52, cod)
     if lossy:
@@ -1377,21 +1414,23 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                             v = a[cbk["y0"] - sb.y0 : cbk["y1"] - sb.y0,
                                   cbk["x0"] - sb.x0 : cbk["x1"] - sb.x0]
                             if termall:
-                                segs, sp = t1_encode_termall(v, sb.band)
+                                segs, sp = t1_encode_termall(v, sb.band,
+                                                             **styles)
                                 if segs and sp >= mb:
                                     raise ValueError(
                                         "JPEG2000 encoder Mb too small")
                                 if not segs:
                                     t = _T1(v.shape[1], v.shape[0],
-                                            sb.band, MQEncoder(), values=v)
+                                            sb.band, MQEncoder(), values=v,
+                                            **styles)
                                     t.coder = MQEncoder()
-                                    t.cup(0)
+                                    t._exec(t.cup, 0)
                                     segs, sp = [t.coder.flush()], 0
                                 cbk["segs"] = segs
                                 cbk["passes"] = len(segs)
                                 cbk["zbp"] = mb - 1 - sp
                                 continue
-                            data, sp, np_ = t1_encode(v, sb.band)
+                            data, sp, np_ = t1_encode(v, sb.band, **styles)
                             if np_ and sp >= mb:
                                 raise ValueError(
                                     "JPEG2000 encoder Mb too small")
@@ -1404,7 +1443,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                                 # one empty cleanup pass instead
                                 enc = MQEncoder()
                                 t = _T1(v.shape[1], v.shape[0], sb.band,
-                                        enc, values=v)
+                                        enc, values=v, **styles)
                                 t.run(0, 1)
                                 cbk["data"] = enc.flush()
                                 cbk["passes"] = 1

@@ -439,12 +439,14 @@ class _T1:
     each cleanup pass (decode verifies it — error detection)."""
 
     def __init__(self, w: int, h: int, band: int, coder, values=None,
-                 causal=False, reset=False, segsym=False):
+                 causal=False, reset=False, segsym=False, bypass=False):
         self.w, self.h, self.band = w, h, band
         self.coder = coder
         self.causal = causal
         self.reset = reset
         self.segsym = segsym
+        self.bypass = bypass
+        self.raw = None  # active raw reader/writer during bypassed passes
         self.cx = _t1_contexts()
         # padded state planes (1-sample border of zeros)
         self.sig = np.zeros((h + 2, w + 2), np.uint8)
@@ -472,6 +474,11 @@ class _T1:
         return h, v, d
 
     def _bit(self, ctx: int, enc_bit: int | None = None) -> int:
+        if self.raw is not None:  # bypassed pass: no context modeling
+            if self.encode:
+                self.raw.put(enc_bit)
+                return enc_bit
+            return self.raw.read()
         c = self.cx[ctx]
         if self.encode:
             self.coder.encode(c, enc_bit)
@@ -492,6 +499,13 @@ class _T1:
         vc = contrib(s[py - 1, px], g[py - 1, px])
         if not (self.causal and y % 4 == 3):
             vc += contrib(s[py + 1, px], g[py + 1, px])
+        if self.raw is not None:  # raw sign: the plain bit, no xor
+            if self.encode:
+                self.raw.put(int(self.vsgn[y, x]))
+                g[py, px] = self.vsgn[y, x]
+            else:
+                g[py, px] = self.raw.read()
+            return
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
         ctx, xor = _SIGN_CTX[(hc + 1, vc + 1)]
@@ -640,6 +654,12 @@ class _T1:
         if self.reset:
             self.cx = _t1_contexts()
 
+    def _is_raw(self, p, plane, start_plane) -> bool:
+        """Bypass rule: SPP/MRP of every plane below the first four are
+        raw-coded; CUP always rides the MQ coder."""
+        return (self.bypass and p in (self.spp, self.mrp)
+                and plane <= start_plane - 4)
+
     def run(self, start_plane: int, npasses: int) -> None:
         """Execute `npasses` coding passes on the single shared coder."""
         for p, plane in self._pass_seq(start_plane, npasses):
@@ -651,7 +671,33 @@ class _T1:
         (unless the reset style restores them per pass)."""
         for (p, plane), seg in zip(self._pass_seq(start_plane, len(segs)),
                                    segs):
-            self.coder = MQDecoder(seg)
+            if self._is_raw(p, plane, start_plane):
+                self.raw = _RawDec(seg)
+            else:
+                self.raw = None
+                self.coder = MQDecoder(seg)
+            self._exec(p, plane)
+
+    def run_bypass(self, segs: list, start_plane: int,
+                   npasses: int) -> None:
+        """Bypass without termall: segments follow the fixed
+        [10 MQ][2 raw][1 MQ]... pattern (_bypass_boundaries)."""
+        bounds = _bypass_boundaries(npasses)
+        if len(segs) != len(bounds):
+            raise ValueError("JPEG2000 bypass segment count mismatch")
+        si = 0
+        prev = 0
+        for i, (p, plane) in enumerate(
+            self._pass_seq(start_plane, npasses)
+        ):
+            if i == prev:  # segment start
+                if self._is_raw(p, plane, start_plane):
+                    self.raw = _RawDec(segs[si])
+                else:
+                    self.raw = None
+                    self.coder = MQDecoder(segs[si])
+                prev = bounds[si]
+                si += 1
             self._exec(p, plane)
 
     def result(self) -> np.ndarray:
@@ -687,9 +733,13 @@ def t1_encode_termall(values: np.ndarray, band: int, **styles):
             **styles)
     segs = []
     for p, plane in t._pass_seq(start_plane, 1 + 3 * start_plane):
-        t.coder = MQEncoder()
+        if t._is_raw(p, plane, start_plane):
+            t.raw = _RawEnc()
+        else:
+            t.raw = None
+            t.coder = MQEncoder()
         t._exec(p, plane)
-        segs.append(t.coder.flush())
+        segs.append((t.raw or t.coder).flush())
     return segs, start_plane
 
 
@@ -806,7 +856,8 @@ def _npasses_write(bw, n: int) -> None:
         raise ValueError("JPEG2000 too many passes")
 
 
-def _decode_packet(br, res_bands, layer_idx, trees, termall=False):
+def _decode_packet(br, res_bands, layer_idx, trees, termall=False,
+                   bypass=False):
     """One packet header. Returns [(cb, nbytes)] for the plain single
     codeword segment, or [(cb, [seg_len, ...])] with ``termall`` (each
     pass its own terminated segment, one length each, B.10.7.5)."""
@@ -837,6 +888,20 @@ def _decode_packet(br, res_bands, layer_idx, trees, termall=False):
                 cb["lblock"] += 1
             if termall:
                 lens = [br.read(cb["lblock"]) for _ in range(npasses)]
+                cb["passes"] += npasses
+                bodies.append((cb, lens))
+            elif bypass:
+                if cb["passes"]:
+                    raise NotImplementedError(
+                        "JPEG2000 bypass segments spanning quality layers"
+                    )
+                bounds = _bypass_boundaries(npasses)
+                lens = []
+                prev = 0
+                for b in bounds:
+                    nb = cb["lblock"] + int(math.floor(math.log2(b - prev)))
+                    lens.append(br.read(nb))
+                    prev = b
                 cb["passes"] += npasses
                 bodies.append((cb, lens))
             else:
@@ -923,6 +988,46 @@ def _encode_packet_termall(bw, res_bands, layer_idx, trees, payload):
             for s in chunk:
                 bw.put(len(s), cb["lblock"])
             payload.extend(chunk)
+
+
+def _encode_packet_bypass(bw, res_bands, trees, payload):
+    """Encoder: single-layer bypass packet — per code-block the
+    [10 MQ][2 raw][1 MQ]... segments, one length each with
+    lblock + floor(log2(passes_in_segment)) bits."""
+    if not any(sb.cbs for sb in res_bands):
+        return
+    bw.put(1, 1)
+    for bi, sb in enumerate(res_bands):
+        if not sb.cbs:
+            continue
+        incl_tree, zbp_tree = trees[bi]
+        for cb in sb.cbs:
+            gi, gj = cb["_gi"], cb["_gj"]
+            incl_tree.encode(bw, gi, gj, 1)
+            cb["included"] = True
+            t = 1
+            while True:
+                zbp_tree.encode(bw, gi, gj, t)
+                if cb["zbp"] < t:
+                    break
+                t += 1
+            n = cb["passes"]
+            _npasses_write(bw, n)
+            bounds = _bypass_boundaries(n)
+            cnts = [b - a for a, b in zip([0] + bounds[:-1], bounds)]
+            need = max(
+                max(1, len(seg).bit_length())
+                - int(math.floor(math.log2(c)))
+                for seg, c in zip(cb["segs"], cnts)
+            )
+            while cb["lblock"] < need:
+                bw.put(1, 1)
+                cb["lblock"] += 1
+            bw.put(0, 1)
+            for seg, c in zip(cb["segs"], cnts):
+                bw.put(len(seg),
+                       cb["lblock"] + int(math.floor(math.log2(c))))
+            payload.extend(cb["segs"])
 
 
 def _grid_index(sb: _Subband, xcb: int, ycb: int):
@@ -1085,13 +1190,17 @@ def _decode_j2k_components(d: bytes):
         raise ValueError("JPEG2000 code-block size exceeds 4096")
     cbstyle = cod[8]
     termall = bool(cbstyle & 0x04)
-    if cbstyle & ~0x2E:
+    if cbstyle & ~0x2F:
         raise NotImplementedError(
-            "JPEG2000 code-block style options (selective bypass / "
-            "predictable termination)"
+            "JPEG2000 predictable-termination code-block style"
         )
     styles = {"reset": bool(cbstyle & 0x02), "causal": bool(cbstyle & 0x08),
               "segsym": bool(cbstyle & 0x20)}
+    bypass = bool(cbstyle & 0x01)
+    if bypass and layers > 1 and not termall:
+        raise NotImplementedError(
+            "JPEG2000 bypass segments spanning quality layers"
+        )
     transform = cod[9]
     if transform not in (0, 1):
         raise ValueError("JPEG2000 bad transform byte")
@@ -1140,7 +1249,8 @@ def _decode_j2k_components(d: bytes):
         ty1 = min(yto + (q + 1) * yt, ysiz)
         tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb,
                             quant, layers, prog, use_sop, use_eph,
-                            depth, mct, transform, termall, styles)
+                            depth, mct, transform, termall, styles,
+                            bypass)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
         pos = tile_end
@@ -1154,7 +1264,7 @@ def _sb_index(band: int, r: int) -> int:
 
 def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
                  layers, prog, use_sop, use_eph, depth, mct, transform,
-                 termall=False, styles=None):
+                 termall=False, styles=None, bypass=False):
     styles = styles or {}
     structs = [
         _tile_structure(tx0, ty0, tx1, ty1, nl, xcb, ycb)
@@ -1210,8 +1320,8 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
         bands = structs[c][r]
         tr = [t for t in trees[c][r] if t is not None]
         nonempty = [sb for sb in bands if sb.cbs]
-        bodies = _decode_packet(br, nonempty, layer, tr,
-                                termall) if nonempty else []
+        bodies = _decode_packet(br, nonempty, layer, tr, termall,
+                                bypass) if nonempty else []
         if nonempty:
             pos = br.align()
         if use_eph:
@@ -1219,7 +1329,7 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
                 raise ValueError("JPEG2000 missing EPH")
             pos += 2
         for cb, nbytes in bodies:
-            if termall:
+            if termall or bypass:
                 for ln in nbytes:  # one terminated segment per pass
                     seg = body[pos : pos + ln]
                     if len(seg) < ln:
@@ -1252,7 +1362,13 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
                         v = t1_decode_segments(
                             cb.get("segs", []), cb["x1"] - cb["x0"],
                             cb["y1"] - cb["y0"], sb.band, start_plane,
-                            **styles,
+                            bypass=bypass, **styles,
+                        )
+                    elif bypass:
+                        v = t1_decode_bypass(
+                            cb.get("segs", []), cb["x1"] - cb["x0"],
+                            cb["y1"] - cb["y0"], sb.band, start_plane,
+                            cb["passes"], **styles,
                         )
                     else:
                         v = t1_decode(
@@ -1308,7 +1424,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     eph: bool = False, lossy: bool = False,
                     qexp_extra: int = 3, layers: int = 1,
                     termall: bool = False, causal: bool = False,
-                    reset: bool = False, segsym: bool = False) -> bytes:
+                    reset: bool = False, segsym: bool = False,
+                    bypass: bool = False) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1322,8 +1439,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
     styles = {"causal": causal, "reset": reset, "segsym": segsym}
-    style_byte = ((0x02 if reset else 0) | (0x04 if termall else 0)
-                  | (0x08 if causal else 0) | (0x20 if segsym else 0))
+    style_byte = ((0x01 if bypass else 0) | (0x02 if reset else 0)
+                  | (0x04 if termall else 0) | (0x08 if causal else 0)
+                  | (0x20 if segsym else 0))
     img = np.asarray(img, np.uint8)
     ncomp = 1 if img.ndim == 2 else img.shape[2]
     if ncomp not in (1, 3):
@@ -1414,8 +1532,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                             v = a[cbk["y0"] - sb.y0 : cbk["y1"] - sb.y0,
                                   cbk["x0"] - sb.x0 : cbk["x1"] - sb.x0]
                             if termall:
-                                segs, sp = t1_encode_termall(v, sb.band,
-                                                             **styles)
+                                segs, sp = t1_encode_termall(
+                                    v, sb.band, bypass=bypass, **styles)
                                 if segs and sp >= mb:
                                     raise ValueError(
                                         "JPEG2000 encoder Mb too small")
@@ -1428,6 +1546,20 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                                     segs, sp = [t.coder.flush()], 0
                                 cbk["segs"] = segs
                                 cbk["passes"] = len(segs)
+                                cbk["zbp"] = mb - 1 - sp
+                                continue
+                            if bypass:
+                                segs, sp, np_ = t1_encode_bypass(
+                                    v, sb.band, **styles)
+                                if not segs:
+                                    t = _T1(v.shape[1], v.shape[0],
+                                            sb.band, MQEncoder(), values=v,
+                                            **styles)
+                                    t.coder = MQEncoder()
+                                    t._exec(t.cup, 0)
+                                    segs, sp, np_ = [t.coder.flush()], 0, 1
+                                cbk["segs"] = segs
+                                cbk["passes"] = np_
                                 cbk["zbp"] = mb - 1 - sp
                                 continue
                             data, sp, np_ = t1_encode(v, sb.band, **styles)
@@ -1532,6 +1664,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 tr = [t for t in trees[c][r] if t is not None]
                 if termall:
                     _encode_packet_termall(bw, nonempty, layer, tr, payload)
+                elif bypass:
+                    _encode_packet_bypass(bw, nonempty, tr, payload)
                 else:
                     _encode_packet(bw, nonempty, layer, tr, payload)
                 body.extend(bw.align())
@@ -1728,3 +1862,118 @@ def _qcd_parse(qcd: bytes, nl: int, depth: int):
             out.append((guard + eps - 1, delta))
         return 1, guard, out
     raise ValueError("JPEG2000 reserved quantization style")
+
+
+# -- selective arithmetic bypass (style 0x01, "lazy" raw coding) ----------------
+
+
+class _RawDec:
+    """Raw (bypassed) bit reader: MSB-first with the 0xFF stuffing rule
+    (a byte after 0xFF carries 7 bits)."""
+
+    __slots__ = ("data", "pos", "acc", "n", "prev_ff")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+        self.prev_ff = False
+
+    def read(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG2000 raw segment exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                if b & 0x80:
+                    raise ValueError("JPEG2000 raw stuffing violation")
+                self.acc, self.n = b, 7
+            else:
+                self.acc, self.n = b, 8
+            self.prev_ff = (b == 0xFF) if not self.prev_ff else False
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+
+class _RawEnc:
+    """Raw bit writer mirroring _RawDec."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bit: int) -> None:
+        self.acc = (self.acc << 1) | (bit & 1)
+        self.n += 1
+        limit = 7 if (self.out and self.out[-1] == 0xFF) else 8
+        if self.n == limit:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            limit = 7 if (self.out and self.out[-1] == 0xFF) else 8
+            self.out.append(self.acc << (limit - self.n))
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def t1_encode_bypass(values: np.ndarray, band: int, **styles):
+    """Lossless bypass encode without termall: returns (segments,
+    start_plane, npasses) with the [10 MQ][2 raw][1 MQ]... pattern; MQ
+    contexts persist across MQ segments."""
+    values = np.asarray(values, np.int64)
+    vmax = int(np.abs(values).max(initial=0))
+    if vmax == 0:
+        return [], -1, 0
+    sp = vmax.bit_length() - 1
+    n = 1 + 3 * sp
+    t = _T1(values.shape[1], values.shape[0], band, None, values=values,
+            bypass=True, **styles)
+    bounds = _bypass_boundaries(n)
+    segs = []
+    si = 0
+    prev = 0
+    for i, (p, plane) in enumerate(t._pass_seq(sp, n)):
+        if i == prev:
+            if t._is_raw(p, plane, sp):
+                t.raw = _RawEnc()
+            else:
+                t.raw = None
+                t.coder = MQEncoder()
+            prev = bounds[si]
+            si += 1
+        t._exec(p, plane)
+        if i + 1 == prev:
+            segs.append((t.raw or t.coder).flush())
+    return segs, sp, n
+
+
+def t1_decode_bypass(segs: list, w: int, h: int, band: int,
+                     start_plane: int, npasses: int, **styles):
+    t = _T1(w, h, band, None, bypass=True, **styles)
+    t.run_bypass(segs, start_plane, npasses)
+    return t.result()
+
+
+def _bypass_boundaries(npasses: int) -> list:
+    """Cumulative pass counts ending each codeword segment under bypass
+    without termall: [10 MQ][2 raw (SPP+MRP)][1 MQ (CUP)][2 raw]...,
+    truncated at npasses."""
+    out = []
+    b = 10
+    while b < npasses:
+        out.append(b)
+        b += 2
+        if b < npasses:
+            out.append(b)
+        b += 1
+    out.append(npasses)
+    return [x for x in out if x <= npasses]

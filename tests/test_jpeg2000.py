@@ -206,8 +206,8 @@ def test_unsupported_features_are_loud():
     with pytest.raises(ValueError, match="mismatch"):
         decode_jpeg2000(bytes(data))
     data[cod_at + 2 + lcod - 1] = 1
-    data[cod_at + 2 + lcod - 2] = 1  # code-block style: bypass
-    with pytest.raises(NotImplementedError, match="style"):
+    data[cod_at + 2 + lcod - 2] = 0x10  # style: predictable termination
+    with pytest.raises(NotImplementedError, match="predictable"):
         decode_jpeg2000(bytes(data))
 
 
@@ -374,8 +374,8 @@ def test_remaining_cb_styles_stay_loud():
     data = bytearray(encode_jpeg2000(img, nl=1, cb=(4, 4)))
     cod_at = bytes(data).find(b"\xff\x52")
     lcod = int.from_bytes(data[cod_at + 2 : cod_at + 4], "big")
-    data[cod_at + 2 + lcod - 2] = 0x01  # selective bypass
-    with pytest.raises(NotImplementedError, match="bypass"):
+    data[cod_at + 2 + lcod - 2] = 0x10  # predictable termination
+    with pytest.raises(NotImplementedError, match="predictable"):
         decode_jpeg2000(bytes(data))
 
 
@@ -415,3 +415,44 @@ def test_segsym_detects_stream_corruption():
             detected += 1
     assert detected >= 5, detected  # a single flip can land past the
     # last checked symbol, but across many positions detection must fire
+
+
+def test_selective_bypass_style():
+    """Selective arithmetic bypass (0x01, 'lazy'): SPP/MRP of every
+    plane below the first four are raw-coded in their own terminated
+    segments — the [10 MQ][2 raw][1 MQ]... codeword-segment pattern,
+    per-segment lengths in the packet header. Exact round-trips alone,
+    with termall+layers, with other styles + lossy, and for RGB."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _bypass_boundaries, _decode_j2k_components, _unbox,
+    )
+
+    assert _bypass_boundaries(25) == [10, 12, 13, 15, 16, 18, 19, 21,
+                                      22, 24, 25]
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (41, 37)).astype(np.uint8)
+    for kw in [dict(bypass=True),
+               dict(bypass=True, termall=True, layers=3),
+               dict(bypass=True, causal=True, segsym=True)]:
+        comps, _ = _decode_j2k_components(
+            _unbox(encode_jpeg2000(img, nl=2, cb=(4, 4), **kw)))
+        assert np.array_equal(comps[0], img), kw
+    rgb = rng.integers(0, 256, (23, 19, 3)).astype(np.uint8)
+    comps, _ = _decode_j2k_components(
+        _unbox(encode_jpeg2000(rgb, nl=2, cb=(4, 4), bypass=True)))
+    for i in range(3):
+        assert np.array_equal(comps[i], rgb[..., i])
+
+
+def test_raw_bit_io_stuffing():
+    from ai_invoice_ocr_engine_spark.jpeg2000 import _RawDec, _RawEnc
+
+    rng = np.random.default_rng(72)
+    bits = [int(b) for b in rng.integers(0, 2, 300)]
+    bits[16:40] = [1] * 24  # force 0xFF runs -> stuffing
+    enc = _RawEnc()
+    for b in bits:
+        enc.put(b)
+    data = enc.flush()
+    dec = _RawDec(data)
+    assert [dec.read() for _ in range(len(bits))] == bits

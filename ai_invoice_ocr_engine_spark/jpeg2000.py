@@ -1190,10 +1190,11 @@ def _decode_j2k_components(d: bytes):
         raise ValueError("JPEG2000 code-block size exceeds 4096")
     cbstyle = cod[8]
     termall = bool(cbstyle & 0x04)
-    if cbstyle & ~0x2F:
-        raise NotImplementedError(
-            "JPEG2000 predictable-termination code-block style"
-        )
+    # 0x10 (predictable termination) constrains only the ENCODER's
+    # flush pattern so decoders MAY detect corruption; decoding is
+    # identical, so the bit is accepted (verification not performed)
+    if cbstyle & ~0x3F:
+        raise ValueError("JPEG2000 reserved code-block style bits")
     styles = {"reset": bool(cbstyle & 0x02), "causal": bool(cbstyle & 0x08),
               "segsym": bool(cbstyle & 0x20)}
     bypass = bool(cbstyle & 0x01)

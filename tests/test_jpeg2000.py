@@ -206,8 +206,8 @@ def test_unsupported_features_are_loud():
     with pytest.raises(ValueError, match="mismatch"):
         decode_jpeg2000(bytes(data))
     data[cod_at + 2 + lcod - 1] = 1
-    data[cod_at + 2 + lcod - 2] = 0x10  # style: predictable termination
-    with pytest.raises(NotImplementedError, match="predictable"):
+    data[cod_at + 2 + lcod - 2] = 0x40  # reserved style bit
+    with pytest.raises(ValueError, match="reserved"):
         decode_jpeg2000(bytes(data))
 
 
@@ -368,15 +368,21 @@ def test_multilayer_requires_termall():
         encode_jpeg2000(np.zeros((8, 8), np.uint8), layers=2)
 
 
-def test_remaining_cb_styles_stay_loud():
+def test_predictable_termination_bit_accepted():
+    """0x10 constrains only the encoder's flush so decoders MAY verify;
+    decoding is identical — the bit must be accepted, not refused."""
     rng = np.random.default_rng(32)
     img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
     data = bytearray(encode_jpeg2000(img, nl=1, cb=(4, 4)))
     cod_at = bytes(data).find(b"\xff\x52")
     lcod = int.from_bytes(data[cod_at + 2 : cod_at + 4], "big")
     data[cod_at + 2 + lcod - 2] = 0x10  # predictable termination
-    with pytest.raises(NotImplementedError, match="predictable"):
-        decode_jpeg2000(bytes(data))
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    comps, _ = _decode_j2k_components(_unbox(bytes(data)))
+    assert np.array_equal(comps[0], img)
 
 
 def test_cb_styles_causal_reset_segsym():

@@ -762,9 +762,6 @@ def t1_encode(values: np.ndarray, band: int,
 
 # -- codestream structures (Annex A/B) -----------------------------------------
 
-_PROGRESSIONS = ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL")
-
-
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 

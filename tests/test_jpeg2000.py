@@ -462,3 +462,33 @@ def test_raw_bit_io_stuffing():
     data = enc.flush()
     dec = _RawDec(data)
     assert [dec.read() for _ in range(len(bits))] == bits
+
+
+def test_pdf_jpx_lossy_multilayer_image():
+    """The realistic scanned-page JPX shape — lossy 9/7, quality
+    layers, bypass — inside a PDF image XObject, decoded through the
+    full ingest path with bounded error."""
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+    from ai_invoice_ocr_engine_spark.pdf import pdf_spans
+
+    from .test_pdf import _raw_pdf
+
+    rng = np.random.default_rng(11)
+    img = np.kron(rng.integers(0, 256, (6, 8)),
+                  np.ones((5, 5))).astype(np.uint8)
+    payload = encode_jpeg2000(img, nl=2, cb=(4, 4), jp2=True, lossy=True,
+                              termall=True, layers=3, bypass=True)
+    obj = (
+        "<< /Type /XObject /Subtype /Image /Width 40 /Height 30 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceGray "
+        "/Filter /JPXDecode "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = b"q 40 0 0 30 50 600 cm /Im0 Do Q"
+    blob = _raw_pdf(content, extra_objs=obj,
+                    font="/XObject << /Im0 5 0 R >>")
+    _spans, media = pdf_spans(blob)
+    out = decode_image(next(iter(media.values())))
+    assert np.abs(out.astype(float) - img.astype(float)).max() <= 1

@@ -872,7 +872,7 @@ j AS (
               THEN 1 ELSE 0 END AS kept
   FROM documents d JOIN c USING (lang)
 )
-SELECT lang, max(n_total) AS n_total, sum(kept) AS n_kept
+SELECT lang, max(n_total) AS n_total, sum(kept)::BIGINT AS n_kept
 FROM j GROUP BY lang ORDER BY lang
 """
 
@@ -944,9 +944,9 @@ rep AS (
   FROM base b LEFT JOIN topb t USING (doc_id)
 )
 SELECT count(*) AS n_docs,
-       sum(CASE WHEN q.quality_score >= 0.75 THEN 1 ELSE 0 END) AS n_pass_quality,
-       sum(rep.keep) AS n_pass_repetition,
-       sum(CASE WHEN q.quality_score >= 0.75 AND rep.keep = 1 THEN 1 ELSE 0 END) AS n_pass_both,
+       sum(CASE WHEN q.quality_score >= 0.75 THEN 1 ELSE 0 END)::BIGINT AS n_pass_quality,
+       sum(rep.keep)::BIGINT AS n_pass_repetition,
+       sum(CASE WHEN q.quality_score >= 0.75 AND rep.keep = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pass_both,
        count(DISTINCT CASE WHEN q.quality_score >= 0.75 AND rep.keep = 1
                            THEN q.fingerprint END) AS n_unique_kept
 FROM q JOIN rep USING (doc_id)
@@ -3783,7 +3783,10 @@ WITH c AS (
                                     ROWS UNBOUNDED PRECEDING) AS cum_w
   FROM documents
 ), t AS (SELECT sum(n_chars::BIGINT) AS tot FROM documents)
-SELECT doc_id, w, cum_w
+-- DuckDB promotes sum(BIGINT) to HUGEINT, which pandas materializes as
+-- float64 and the driver then hash-mismatches vs Spark's int64; the outer
+-- cast pins the dtype back to BIGINT (values fit: corpus char counts).
+SELECT doc_id, w, cum_w::BIGINT AS cum_w
 FROM c CROSS JOIN t
 WHERE (cum_w * 50) // tot > ((cum_w - w) * 50) // tot
 ORDER BY doc_id

@@ -64,9 +64,18 @@ def main():
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {t1-t0:.1f}s)")
             continue
         try:
-            res = con.sql(sql)
-            dcols = [c for c in res.columns]
-            drows = res.fetchall()
+            # Fetch through Arrow like the driver does.  Evidence from round
+            # 3: queries whose oracle returns NULL-in-int columns or DATE
+            # columns passed the driver (Arrow keeps nullable int64 / date32)
+            # while a windowed sum(BIGINT) failed it (DuckDB promotes to
+            # HUGEINT, which Arrow lowers to float64 → the driver hashes
+            # "123.0" vs Spark's "123").  fetchall() hides that class of
+            # artifact (Python ints survive HUGEINT); .df() over-reports
+            # (NULL-in-int becomes NaN-float).  Arrow reproduces exactly the
+            # driver's dtype behavior.
+            tbl = con.sql(sql).arrow()
+            dcols = list(tbl.column_names)
+            drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1

@@ -197,7 +197,11 @@ def containment_pairs(
 
 
 def minhash_band_pairs(
-    corpus: DataFrame, k: int = 12, band_rows: int = 3, fast_hash: bool = False
+    corpus: DataFrame,
+    k: int = 12,
+    band_rows: int = 3,
+    fast_hash: bool = False,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: k min-hashes, bands of `band_rows`,
     pairs colliding in >= 1 band (returned with their collision count).
@@ -209,7 +213,23 @@ def minhash_band_pairs(
     pairs the candidate set is hash-family-dependent (each band collides
     with probability s^band_rows independently per family); only exact
     duplicates (s=1, identical signatures under any hash) are guaranteed
-    by both — which is what tests/test_functions.py asserts."""
+    by both — which is what tests/test_functions.py asserts.
+
+    MEGA-BUCKET GUARD (VERDICT r3 next-step #2): a (band, sig) bucket of n
+    docs all-pairs to C(n, 2) rows — on a web corpus with a 1M-doc
+    duplicate cluster that is ~5x10^11 pairs out of ONE bucket, and unlike
+    SimHash's false-candidate floods these pairs are real output, so a
+    second pigeonhole level cannot shrink them. Buckets larger than
+    ``max_bucket`` are therefore STAR-REDUCED: every doc pairs with the
+    bucket's min doc_id only (n-1 rows), which preserves exactly the
+    connectivity the dedup consumers (dup_clusters / canonical-per-cluster)
+    need while bounding any bucket's contribution linearly. Pair-level
+    recall inside oversized buckets is deliberately traded away — those
+    pairs are all members of one duplicate cluster by construction. The
+    DuckDB oracle mirrors the unguarded semantics; at oracle scale
+    (<=max_bucket docs total) the two coincide, and the adversarial case
+    is pinned by tests/test_skew.py instead. ``max_bucket=None`` disables
+    the guard."""
     sh = shingles(corpus)
     # k hash columns per (doc, shingle) row — NOT a k-way row explode
     # (VERDICT r1 plan audit: the explode put a k× row blowup through the
@@ -263,18 +283,38 @@ def minhash_band_pairs(
     bands = mins.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if max_bucket is not None:
+        # Route via a map-side-combinable aggregate, NOT a window: the
+        # oversized-bucket list is EMPTY on benign corpora, so AQE turns
+        # the left join into a near-free broadcast probe (a window here
+        # costs a full sort of every (doc, band) row — measured 6x on the
+        # registry query). One oversized row per >max_bucket bucket, at
+        # most corpus/max_bucket of them even adversarially.
+        over = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__sz"), F.min("doc_id").alias("__min"))
+            .where(F.col("__sz") > max_bucket)
+            .select("band", "sig", "__min")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+        marked = bands.join(over, ["band", "sig"], "left")
+        small = marked.where(F.col("__min").isNull()).select("doc_id", "band", "sig")
+        star = marked.where(
+            F.col("__min").isNotNull() & (F.col("doc_id") != F.col("__min"))
+        ).select(F.col("__min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    else:
+        small = bands
+        star = None
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_bands"))
 
 
 def simhash(corpus: DataFrame, bits: int = 60) -> DataFrame:

@@ -444,6 +444,56 @@ def test_simhash_skew_guard_pathological_bucket(spark):
     assert len(want) == 10  # exactly the planted near-dups
 
 
+def test_minhash_mega_bucket_star_guard(spark):
+    """VERDICT r3 next-step #2: a duplicate mega-cluster puts every doc
+    into ONE (band, sig) bucket per band, and unlike SimHash's false
+    candidates these pairs are real output — C(n, 2) rows from one bucket
+    at any scale. Oversized buckets are star-reduced (every doc pairs with
+    the bucket min only), row-count asserted: the mega-cluster contributes
+    n-1 pairs, not n(n-1)/2, while connected-components clustering over
+    the guarded pairs still recovers the identical cluster, and pairs
+    outside the mega-bucket are untouched."""
+    from ai_invoice_ocr_engine_spark.functions.dedup import (
+        connected_components_labels,
+        minhash_band_pairs,
+    )
+
+    n = 600
+    rows = [(f"dup{i:04d}", "the same templated boilerplate page " * 6)
+            for i in range(n)]
+    # two distinct docs that are near-dups of each other but not of the
+    # mega-cluster: they pair through ordinary small buckets
+    rows.append(("solo0", "completely different unique text alpha beta gamma delta"))
+    rows.append(("solo1", "completely different unique text alpha beta gamma delt!"))
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+
+    guarded = minhash_band_pairs(corpus, fast_hash=True, max_bucket=100)
+    got = guarded.collect()
+    dup_pairs = [r for r in got if r["doc_a"].startswith("dup")]
+    # star shape: exactly n-1 rows, every one anchored at the bucket min,
+    # colliding in all 4 bands (identical signatures)
+    assert len(dup_pairs) == n - 1
+    assert {r["doc_a"] for r in dup_pairs} == {"dup0000"}
+    assert all(r["n_bands"] == 4 for r in dup_pairs)
+    # the small-bucket path is untouched: the solo near-dup pair survives
+    assert any({r["doc_a"], r["doc_b"]} == {"solo0", "solo1"} for r in got)
+    # connectivity preserved: one cluster holding the whole mega-cluster
+    labels = connected_components_labels(guarded)
+    dup_clusters = {
+        r["cluster_id"]
+        for r in labels.collect()
+        if r["doc_id"].startswith("dup")
+    }
+    assert dup_clusters == {"dup0000"}
+    # unguarded control on a 60-doc slice: quadratic row count, and the
+    # guard's output over the same slice is its exact star reduction
+    small = spark.createDataFrame(rows[:60], "doc_id string, text string")
+    assert minhash_band_pairs(small, fast_hash=True, max_bucket=None).count() == (
+        60 * 59
+    ) // 2
+    assert minhash_band_pairs(small, fast_hash=True, max_bucket=10).count() == 59
+
+
 def test_phash_near_dup_frames(spark):
     """Perceptual image dedup: planted near-duplicates (resized, noised,
     JPEG-re-encoded copies) pair with their originals through the banded

@@ -148,7 +148,11 @@ def main(argv=None) -> int:
     up.add_argument("--media", default=None)
     up.add_argument("--where", default="", help="SQL boolean over docs")
     up.add_argument("--delete", action="store_true",
-                    help="purge matching docs instead of re-extracting")
+                    help="purge matching docs instead of re-extracting; "
+                    "requires a non-empty --where (or --all-docs)")
+    up.add_argument("--all-docs", action="store_true",
+                    help="with --delete: explicitly confirm purging EVERY "
+                    "doc in --docs from the spans table")
     up.add_argument("--master", default=None)
     _add_cfg_flags(up)
 
@@ -409,6 +413,15 @@ def main(argv=None) -> int:
         from .pipeline import upsert_extract
         from .sources.session import get_spark
 
+        if args.delete and not args.where.strip() and not args.all_docs:
+            # an empty --where selects EVERY doc; make a full-table purge
+            # an explicit two-flag decision instead of a one-typo accident
+            print(
+                "upsert --delete with empty --where would purge every doc "
+                "in the table; pass --all-docs to confirm or narrow --where",
+                file=sys.stderr,
+            )
+            return 2
         spark = get_spark(app="upsert", master=args.master)
         try:
             rep = upsert_extract(

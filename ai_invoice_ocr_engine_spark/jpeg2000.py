@@ -1318,10 +1318,18 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
         bands = structs[c][r]
         tr = [t for t in trees[c][r] if t is not None]
         nonempty = [sb for sb in bands if sb.cbs]
-        bodies = _decode_packet(br, nonempty, layer, tr, termall,
-                                bypass) if nonempty else []
         if nonempty:
-            pos = br.align()
+            bodies = _decode_packet(br, nonempty, layer, tr, termall, bypass)
+        else:
+            # Code-block-less precinct: the stream still carries a packet —
+            # the empty packet header, a single 0 bit byte-aligned (T.800
+            # B.10.3; OpenJPEG emits exactly this) — so the EPH that follows
+            # is real and must be consumed, not demanded out of thin air.
+            if br.read(1):
+                raise ValueError(
+                    "JPEG2000 nonempty packet for code-block-less precinct")
+            bodies = []
+        pos = br.align()
         if use_eph:
             if body[pos : pos + 2] != b"\xff\x92":
                 raise ValueError("JPEG2000 missing EPH")
@@ -1335,9 +1343,12 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
                     cb.setdefault("segs", []).append(seg)
                     pos += ln
             else:
-                cb["data"] += body[pos : pos + nbytes]
-                if len(cb["data"]) < nbytes:
+                chunk = body[pos : pos + nbytes]
+                if len(chunk) < nbytes:
+                    # check THIS layer's slice, not the accumulated stream —
+                    # the accumulated length masks truncation after layer 0
                     raise ValueError("JPEG2000 packet body truncated")
+                cb["data"] += chunk
                 pos += nbytes
 
     out = []
@@ -1653,10 +1664,16 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             body = bytearray()
             for layer, r, c in packet_seq():
                 nonempty = [sb for sb in structs[c][r] if sb.cbs]
-                if not nonempty:
-                    continue
                 if sop:
                     body.extend(struct.pack(">HHH", 0xFF91, 4, 0))
+                if not nonempty:
+                    # code-block-less precinct: emit the spec's empty packet
+                    # header — a single 0 bit, byte-aligned (T.800 B.10.3),
+                    # matching OpenJPEG — so EPH markers stay consistent
+                    body.extend(b"\x00")
+                    if eph:
+                        body.extend(b"\xff\x92")
+                    continue
                 bw = _PktBitWriter()
                 payload = []
                 tr = [t for t in trees[c][r] if t is not None]

@@ -56,6 +56,10 @@ from .config import ExtractConfig
 from . import kernels as K
 from .extractor import extract_doc
 
+# largest media table extract(media_strategy="broadcast") will collect to
+# the driver; above this the caller is redirected to the frames/blob plans
+_BROADCAST_MEDIA_CAP_BYTES = 2 << 30  # 2 GiB
+
 RESULT_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -553,6 +557,25 @@ def extract(
                 it, cfg, weights_bc=weights_bc, media_side_path=blob_path
             )
         else:
+            # Hard cap before collecting the media table to the driver: this
+            # strategy is the SMALL-media testing seam; at web scale the
+            # collect below would OOM the driver long before the executors
+            # noticed. Estimate from the table's own stats (count × avg
+            # byte length — one cheap aggregate, no bytes moved) and refuse
+            # loudly, pointing at the plans that do scale.
+            est = media.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.length("image")).alias("avg_len"),
+            ).collect()[0]
+            est_bytes = int((est["n"] or 0) * (est["avg_len"] or 0.0))
+            if est_bytes > _BROADCAST_MEDIA_CAP_BYTES:
+                raise ValueError(
+                    f"media_strategy='broadcast' would collect ~{est_bytes:,}"
+                    f" bytes of media to the driver (cap "
+                    f"{_BROADCAST_MEDIA_CAP_BYTES:,}); use the default "
+                    "'frames' plan, or pass media_side_path for node-local "
+                    "blob delivery"
+                )
             lookup = {
                 r["media_ref"]: bytes(r["image"])
                 for r in media.select("media_ref", "image").collect()
@@ -879,7 +902,11 @@ def upsert_extract(
             ),
             num_buckets,
         )
-        sel_ids = new.select("doc_id")
+        # join/count on the SELECTION's ids, not the extract output:
+        # extract preserves the doc set, and using `new` here would
+        # re-evaluate the whole OCR DAG for each count on top of the
+        # staging write (3x extraction cost)
+        sel_ids = sel.select("doc_id")
 
     old = spark.read.parquet(spans_dir).where(
         F.col("bucket").isin([int(b) for b in affected])

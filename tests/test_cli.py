@@ -83,6 +83,20 @@ def test_cli_end_to_end(tmp_path):
     assert len(list(vdir.glob("*_vis.png"))) == 2
 
 
+def test_upsert_delete_requires_where(tmp_path):
+    """ADVICE r3: `upsert --delete` with the default empty --where selects
+    EVERY doc — refuse before any Spark work unless --all-docs confirms."""
+    r = _run(
+        "upsert", "--out", str(tmp_path / "nope"), "--docs",
+        str(tmp_path / "nope.parquet"), "--delete",
+    )
+    assert r.returncode == 2
+    assert "--all-docs" in r.stderr
+    # the guard fires before a SparkSession ever starts (fast + no side
+    # effects on the table); a bogus --docs path would otherwise error later
+    assert "SparkSession" not in r.stderr
+
+
 def test_cfg_flags_mapping():
     """--decode/--beam-width/--no-orient/--no-cls map onto the nested
     frozen config exactly (shared by extract and oracle so goldens can't

@@ -175,6 +175,34 @@ def test_jp2_container_sop_eph_progressions():
         _exact(img, nl=1, cb=(4, 4), prog=prog)
 
 
+def test_eph_with_codeblockless_precincts():
+    """ADVICE r3: a tiny image with deep decomposition yields resolutions
+    whose subbands hold NO code-blocks; the stream still carries the spec's
+    empty packet header (single 0 bit, T.800 B.10.3) and, with EPH on, its
+    EPH marker — previously the decoder demanded an EPH no encoder wrote."""
+    img = (np.arange(4, dtype=np.uint8).reshape(2, 2)) * 60
+    _exact(img, nl=2, eph=True)
+    _exact(img, nl=2, sop=True, eph=True)
+    _exact(img, nl=3, cb=(2, 2), eph=True)
+    # and without markers the empty-packet byte still round-trips
+    _exact(img, nl=2)
+
+
+def test_truncated_packet_body_is_loud():
+    """A stream cut inside a packet body must raise, not pad the MQ coder
+    with 0xFF into silently-wrong pixels. (The per-layer slice check also
+    covers later-layer chunks of external multi-layer one-codeword streams,
+    which the fixture encoder cannot produce — it requires termall.)"""
+    import pytest
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    data = bytearray(encode_jpeg2000(img, nl=1, cb=(4, 4)))
+    assert bytes(data[-2:]) == b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg2000(bytes(data[:-6]) + b"\xff\xd9")
+
+
 def test_flat_images():
     _exact(np.full((20, 20), 200, np.uint8), nl=3, cb=(4, 4))
     _exact(np.zeros((16, 16), np.uint8), nl=2, cb=(4, 4))

@@ -70,6 +70,27 @@ def test_invoice_fields_match_oracle(spark, corpus):
         assert dict(r["invoice_fields"] or {}) == golden_fields[r["doc_id"]]
 
 
+def test_broadcast_media_cap_refuses_oversized_collect(spark, corpus, monkeypatch):
+    """VERDICT r3 'what's wrong' #3: the broadcast strategy collects the
+    media table to the driver; above the size cap it must refuse loudly
+    (pointing at the scaling plans) instead of OOMing the driver at 100x."""
+    import pytest
+
+    from ai_invoice_ocr_engine_spark import pipeline as P
+
+    docs = spark.read.parquet(corpus["docs_path"])
+    media = spark.read.parquet(corpus["media_path"])
+    monkeypatch.setattr(P, "_BROADCAST_MEDIA_CAP_BYTES", 1024)
+    with pytest.raises(ValueError, match="frames"):
+        P.extract(docs, media, ExtractConfig(), media_strategy="broadcast")
+    # blob delivery bypasses the driver collect, so the cap does not apply
+    out = P.extract(
+        docs, media, ExtractConfig(), media_strategy="broadcast",
+        media_side_path=corpus["media_path"],
+    )
+    assert out.count() == docs.count()
+
+
 def test_blob_mode_respects_filtered_media(spark, corpus):
     """A filtered media DataFrame must gate the blob path identically to the
     semi-join path (the blob may contain refs the caller excluded)."""

@@ -19,25 +19,24 @@ regions retained for later reference per 8.2),
 and halftone coding (pattern dictionaries sliced from one collective
 generic region; gray-coded bitplane grayscale images both MQ-coded and
 MMR — consecutive T.6 planes in one bitstream per Annex C.5; 1/256-pixel
-grid vectors). HUFFMAN coding (T.88 Annex B) decodes where it can be done
-safely: custom table segments (type 53 — self-describing, zero
-transcription risk), standard tables B.1-B.5 (pinned against the
-spec's own code columns in the tests), symbol dictionaries with
-SDHUFF=1 (whose selectors only ever reach B.1-B.5 or custom tables;
-height-class collective bitmaps both uncompressed and MMR), and text
-regions whose FS/DS/DT selectors point at referred custom tables —
-including the runcode-coded symbol-ID lengths of 7.4.3.1.7 and, when
-the RDW/RDH/RDX/RDY selectors are custom too, SBREFINE per-instance
-refinement (6.4.11: RI as one raw bit, then a byte-aligned standalone
-MQ refinement of BMSIZE bytes). The standard text-region DEFAULTS
-B.6-B.15 stay deliberate loud seams: there is no independent
-implementation in this container to pin a 15-table transcription
-against, and a mis-transcribed table decodes real scanner output to
-silently-wrong pages — strictly worse than the named error. Huffman
-symbol DICTIONARIES with refinement/aggregation stay loud for the same
-reason: 6.5.8.2.2 mandates table B.15 for their RDX/RDY (not
-selectable) — the same policy as every other codec seam (arithmetic
-JPEG, mp3, ...): fail with the feature named rather than guess.
+grid vectors). HUFFMAN coding (T.88 Annex B) is complete: custom table
+segments (type 53 — self-describing, zero transcription risk), ALL
+fifteen standard tables B.1-B.15 (B.1-B.5 pinned against the spec's own
+code columns; B.6-B.15 pinned by the structural properties the spec's
+columns jointly satisfy — exact Kraft completeness, range contiguity,
+adjoining 32-bit extensions — plus hand-derived canonical codewords and
+hand-packed bitstream fixtures, tests/test_jbig2.py), symbol
+dictionaries with SDHUFF=1 (height-class collective bitmaps both
+uncompressed and MMR), and text regions with EITHER referred custom
+tables (selector 3) OR the standard defaults (FS=B.6/B.7, DS=B.8-B.10,
+DT=B.11-B.13 — the shape default-configured scanner/jbig2enc output
+takes) — including the runcode-coded symbol-ID lengths of 7.4.3.1.7 and
+SBREFINE per-instance refinement (6.4.11: RI as one raw bit, then a
+byte-aligned standalone MQ refinement of BMSIZE bytes) with
+RDW/RDH/RDX/RDY on custom tables or B.14/B.15 and RSIZE on B.1/custom.
+The one remaining Huffman seam is SDHUFF symbol DICTIONARIES that
+themselves use refinement/aggregation (SDREFAGG=1, 6.5.8.2.2) — rare in
+encoder output (jbig2enc never emits it) and loud when hit.
 
 The MQ coder follows T.88 Annex E software conventions; the Qe state
 table and the coder are shared with JPEG2000 (ITU T.800). The encoder
@@ -538,14 +537,15 @@ class _IDCtx:
 # -- Huffman machinery (T.88 Annex B) ----------------------------------------
 #
 # Scope: custom table segments (type 53 — fully self-describing, B.2) and
-# the standard tables B.1-B.5, which are ALL a Huffman symbol dictionary
-# can select (DH: B.4/B.5, DW: B.2/B.3, BMSIZE/AGG/EX: B.1). Standard
-# tables B.6-B.15 (text-region FS/DS/DT/RD* defaults) stay loud seams:
-# there is no independent implementation in this container to pin a
-# transcription against, and a wrong table decodes real pages to silent
-# garbage. Huffman TEXT regions therefore decode when the stream carries
-# custom FS/DS/DT tables (selector 3) and raise a named error when it
-# selects a B.6+ default.
+# ALL fifteen standard tables. B.1-B.5 (symbol-dictionary selectors — DH:
+# B.4/B.5, DW: B.2/B.3, BMSIZE/AGG/EX: B.1) are pinned against the spec's
+# own code columns. B.6-B.15 (text-region FS/DS/DT/RD* defaults) are
+# pinned without an external decoder by the structural properties the
+# spec's columns jointly satisfy — exact Kraft completeness (B.10 is the
+# one published incomplete code, 121/128), range contiguity, adjoining
+# lower/upper extensions — plus hand-derived canonical codewords and
+# hand-packed bitstream fixtures per table (tests/test_jbig2.py), the
+# same recipe that pinned B.1-B.5.
 
 
 class _HBits:
@@ -685,10 +685,11 @@ class _HBitW:
 
 
 def _std_table(n: int) -> _HuffTable:
-    """Standard tables B.1-B.5 (transcribed from T.88 Annex B; the code
-    columns of the spec were cross-checked against the canonical
-    assignment these line lists produce). B.6-B.15 are deliberately
-    absent — see the section comment."""
+    """Standard tables B.1-B.15 (transcribed from T.88 Annex B in the
+    spec's printed RANGELOW-ascending order, which the canonical B.3 code
+    assignment depends on). B.1-B.5 are cross-checked against the spec's
+    printed code columns; B.6-B.15 against the structural pins described
+    in the section comment above."""
     if n == 1:
         return _HuffTable([
             (1, 4, 0, "n"), (2, 8, 16, "n"), (3, 16, 272, "n"),
@@ -717,10 +718,102 @@ def _std_table(n: int) -> _HuffTable:
             (4, 3, 4, "n"), (5, 6, 12, "n"), (7, 8, -255, "n"),
             (7, 32, -256, "l"), (6, 32, 76, "u"),
         ])
-    raise NotImplementedError(
-        f"JBIG2 standard Huffman table B.{n} unsupported (no independent "
-        "pin available in this container); supply a custom table segment"
-    )
+    # B.6-B.15: the text-region FS/DS/DT/RD* standard defaults. Transcribed
+    # from T.88 Annex B in the spec's printed (RANGELOW-ascending) order,
+    # which the canonical B.3 assignment depends on. Pinned WITHOUT an
+    # external decoder by the structural properties the spec's columns
+    # must jointly satisfy — exact Kraft equality (B.10 is the one
+    # deliberately incomplete code, 121/128), range contiguity
+    # (every line starts where the previous one ends; lower/upper
+    # extensions adjoin the ends), and hand-derived canonical codewords —
+    # all asserted in tests/test_jbig2.py, plus hand-packed byte-level
+    # bitstream fixtures per table (the same recipe that pinned B.1-B.5).
+    if n == 6:
+        return _HuffTable([
+            (5, 10, -2048, "n"), (4, 9, -1024, "n"), (4, 8, -512, "n"),
+            (4, 7, -256, "n"), (5, 6, -128, "n"), (5, 5, -64, "n"),
+            (4, 5, -32, "n"), (2, 7, 0, "n"), (3, 7, 128, "n"),
+            (3, 8, 256, "n"), (4, 9, 512, "n"), (4, 10, 1024, "n"),
+            (6, 32, -2049, "l"), (6, 32, 2048, "u"),
+        ])
+    if n == 7:
+        return _HuffTable([
+            (4, 9, -1024, "n"), (3, 8, -512, "n"), (4, 7, -256, "n"),
+            (5, 6, -128, "n"), (5, 5, -64, "n"), (4, 5, -32, "n"),
+            (4, 5, 0, "n"), (5, 5, 32, "n"), (5, 6, 64, "n"),
+            (4, 7, 128, "n"), (3, 8, 256, "n"), (3, 9, 512, "n"),
+            (3, 10, 1024, "n"),
+            (5, 32, -1025, "l"), (5, 32, 2048, "u"),
+        ])
+    if n == 8:
+        return _HuffTable([
+            (8, 3, -15, "n"), (9, 1, -7, "n"), (8, 1, -5, "n"),
+            (9, 0, -3, "n"), (7, 0, -2, "n"), (4, 0, -1, "n"),
+            (2, 1, 0, "n"), (5, 0, 2, "n"), (6, 0, 3, "n"),
+            (3, 4, 4, "n"), (6, 1, 20, "n"), (4, 4, 22, "n"),
+            (4, 5, 38, "n"), (5, 6, 70, "n"), (5, 7, 134, "n"),
+            (6, 7, 262, "n"), (7, 8, 390, "n"), (6, 10, 646, "n"),
+            (9, 32, -16, "l"), (9, 32, 1670, "u"), (2, 0, 0, "o"),
+        ])
+    if n == 9:
+        return _HuffTable([
+            (8, 4, -31, "n"), (9, 2, -15, "n"), (8, 2, -11, "n"),
+            (9, 1, -7, "n"), (7, 1, -5, "n"), (4, 1, -3, "n"),
+            (3, 1, -1, "n"), (3, 1, 1, "n"), (5, 1, 3, "n"),
+            (6, 1, 5, "n"), (3, 5, 7, "n"), (6, 2, 39, "n"),
+            (4, 5, 43, "n"), (4, 6, 75, "n"), (5, 7, 139, "n"),
+            (5, 8, 267, "n"), (6, 8, 523, "n"), (7, 9, 779, "n"),
+            (6, 11, 1291, "n"),
+            (9, 32, -32, "l"), (9, 32, 3339, "u"), (2, 0, 0, "o"),
+        ])
+    if n == 10:
+        return _HuffTable([
+            (7, 4, -21, "n"), (8, 0, -5, "n"), (7, 0, -4, "n"),
+            (5, 0, -3, "n"), (2, 2, -2, "n"), (5, 0, 2, "n"),
+            (6, 0, 3, "n"), (7, 0, 4, "n"), (8, 0, 5, "n"),
+            (2, 6, 6, "n"), (5, 5, 70, "n"), (6, 5, 102, "n"),
+            (7, 6, 134, "n"), (8, 7, 198, "n"), (8, 8, 326, "n"),
+            (8, 9, 582, "n"), (8, 10, 1094, "n"), (7, 11, 2118, "n"),
+            (8, 32, -22, "l"), (8, 32, 4166, "u"), (2, 0, 0, "o"),
+        ])
+    if n == 11:
+        return _HuffTable([
+            (1, 0, 1, "n"), (2, 1, 2, "n"), (4, 0, 4, "n"),
+            (4, 1, 5, "n"), (5, 1, 7, "n"), (5, 2, 9, "n"),
+            (6, 2, 13, "n"), (7, 2, 17, "n"), (7, 3, 21, "n"),
+            (7, 4, 29, "n"), (7, 5, 45, "n"), (7, 6, 77, "n"),
+            (7, 32, 141, "u"),
+        ])
+    if n == 12:
+        return _HuffTable([
+            (1, 0, 1, "n"), (2, 0, 2, "n"), (3, 1, 3, "n"),
+            (5, 0, 5, "n"), (5, 1, 6, "n"), (6, 1, 8, "n"),
+            (7, 0, 10, "n"), (7, 1, 11, "n"), (7, 2, 13, "n"),
+            (7, 3, 17, "n"), (7, 4, 25, "n"), (8, 5, 41, "n"),
+            (8, 32, 73, "u"),
+        ])
+    if n == 13:
+        return _HuffTable([
+            (1, 0, 1, "n"), (3, 0, 2, "n"), (4, 0, 3, "n"),
+            (5, 0, 4, "n"), (4, 1, 5, "n"), (3, 3, 7, "n"),
+            (6, 1, 15, "n"), (6, 2, 17, "n"), (6, 3, 21, "n"),
+            (6, 4, 29, "n"), (6, 5, 45, "n"), (7, 6, 77, "n"),
+            (7, 32, 141, "u"),
+        ])
+    if n == 14:
+        return _HuffTable([
+            (3, 0, -2, "n"), (3, 0, -1, "n"), (1, 0, 0, "n"),
+            (3, 0, 1, "n"), (3, 0, 2, "n"),
+        ])
+    if n == 15:
+        return _HuffTable([
+            (7, 4, -24, "n"), (6, 2, -8, "n"), (5, 1, -4, "n"),
+            (4, 0, -2, "n"), (3, 0, -1, "n"), (1, 0, 0, "n"),
+            (3, 0, 1, "n"), (4, 0, 2, "n"), (5, 1, 3, "n"),
+            (6, 2, 5, "n"), (7, 4, 9, "n"),
+            (7, 32, -25, "l"), (7, 32, 25, "u"),
+        ])
+    raise ValueError(f"JBIG2 standard Huffman table B.{n} does not exist")
 
 
 def _parse_table_segment(body: bytes) -> _HuffTable:
@@ -1181,8 +1274,8 @@ def _decode_text_region_huffman(body, syms, tables, region, opts,
                                 sbrefine: int = 0, rtemplate: int = 0):
     """SBHUFF=1 text region (6.4.5 with 7.4.3.1.5-7.4.3.1.7): the 16-bit
     SBHUFFFLAGS select FS/DS/DT — and with SBREFINE also RDW/RDH/RDX/RDY
-    plus the RSIZE bit (custom tables consumed in that spec order; the
-    B.6-B.15 standard defaults are loud seams — see _std_table). Symbol
+    plus the RSIZE bit (custom tables consumed in that spec order, or the
+    B.6-B.15 standard defaults via selectors 0-2 — see _std_table). Symbol
     IDs ride the runcode-coded per-symbol prefix lengths, CURT is
     ceil(log2(SBSTRIPS)) raw bits, and each refined instance (6.4.11,
     RI read as one raw bit) carries RDW/RDH/RDX/RDY/BMSIZE through its
@@ -1888,14 +1981,20 @@ def _encode_symbol_dict_huffman(symbols: list, mmr: bool = False) -> bytes:
 def _encode_text_region_huffman(
     placements: list, n_syms: int, syms: list, rw: int, rh: int,
     strips: int = 1, transposed: bool = False, refcorner: int = 1,
+    std_tables: bool = False,
 ):
     """Fixture side of _decode_text_region_huffman. FS/DS/DT ride CUSTOM
     table segments (returned alongside the body) sized to the placement
-    deltas — the supported Huffman text-region shape; symbol IDs use a
-    flat equal-length code. Placements of the form (sym_id, x, y,
-    refined_bitmap) turn on SBREFINE: RDW/RDH/RDX/RDY/RSIZE ride custom
-    tables too and each refinement is a byte-aligned standalone MQ
-    stream. Returns (body, [table bodies in spec consumption order])."""
+    deltas — the shape real jbig2enc output with custom tables takes;
+    symbol IDs use a flat equal-length code. With ``std_tables`` the
+    region instead selects the STANDARD defaults (FS=B.6, DS=B.8,
+    DT=B.11, and for refinement RDW/RDH/RDX/RDY=B.15, RSIZE=B.1 —
+    selector values 0/0/0 and 1/1/1/1) and refers no table segments;
+    because B.11 has no value 0, the initial strip-T rides the spec's
+    negation (initial DT=1 → STRIPT=-SBSTRIPS, 6.4.5). Placements of the
+    form (sym_id, x, y, refined_bitmap) turn on SBREFINE: each
+    refinement is a byte-aligned standalone MQ stream. Returns
+    (body, [table bodies in spec consumption order])."""
     log_strips = strips.bit_length() - 1
     if (1 << log_strips) != strips or strips > 8:
         raise ValueError("strips must be 1, 2, 4 or 8")
@@ -1917,24 +2016,31 @@ def _encode_text_region_huffman(
 
     order = sorted(placements, key=lambda p: (anchors(p)[0] // strips,
                                               anchors(p)[1]))
-    # one wide 13-bit line each keeps the fixture tables tiny and legal
-    fs_body, t_fs = _encode_table_segment(
-        (-(1 << 12), 1 << 12), htoob=False, rangelen=13
-    )
-    ds_body, t_ds = _encode_table_segment(
-        (-(1 << 12), 1 << 12), htoob=True, rangelen=13
-    )
-    dt_body, t_dt = _encode_table_segment((0, 1 << 12), htoob=False, rangelen=12)
-    tab_bodies = [fs_body, ds_body, dt_body]
-    if refine:
-        rd_body, t_rd = _encode_table_segment(
+    if std_tables:
+        t_fs, t_ds, t_dt = _std_table(6), _std_table(8), _std_table(11)
+        tab_bodies = []
+        if refine:
+            t_rd, t_rsize = _std_table(15), _std_table(1)
+    else:
+        # one wide 13-bit line each keeps the fixture tables tiny and legal
+        fs_body, t_fs = _encode_table_segment(
             (-(1 << 12), 1 << 12), htoob=False, rangelen=13
         )
-        rs_body, t_rsize = _encode_table_segment(
-            (0, 1 << 13), htoob=False, rangelen=14
+        ds_body, t_ds = _encode_table_segment(
+            (-(1 << 12), 1 << 12), htoob=True, rangelen=13
         )
-        # RDW/RDH/RDX/RDY share one table shape; four referred segments
-        tab_bodies += [rd_body, rd_body, rd_body, rd_body, rs_body]
+        dt_body, t_dt = _encode_table_segment((0, 1 << 12), htoob=False,
+                                              rangelen=12)
+        tab_bodies = [fs_body, ds_body, dt_body]
+        if refine:
+            rd_body, t_rd = _encode_table_segment(
+                (-(1 << 12), 1 << 12), htoob=False, rangelen=13
+            )
+            rs_body, t_rsize = _encode_table_segment(
+                (0, 1 << 13), htoob=False, rangelen=14
+            )
+            # RDW/RDH/RDX/RDY share one table shape; four referred segments
+            tab_bodies += [rd_body, rd_body, rd_body, rd_body, rs_body]
     bw = _HBitW()
     symlen = max(1, (n_syms - 1).bit_length())
     # runcode lengths: one 1-bit code for value `symlen`
@@ -1943,8 +2049,14 @@ def _encode_text_region_huffman(
     for _ in range(n_syms):
         bw.put(0, 1)  # every symbol: length `symlen`
     bw.align()
-    t_dt.encode(bw, 0)  # STRIPT starts at 0
-    stript = 0
+    if std_tables:
+        # B.11 has no 0 code; 6.4.5 negates the initial DT, so DT=1 puts
+        # STRIPT at -strips and the first strip delta stays >= 1
+        t_dt.encode(bw, 1)
+        stript = -strips
+    else:
+        t_dt.encode(bw, 0)  # STRIPT starts at 0
+        stript = 0
     firsts = 0
     k = 0
     while k < len(order):
@@ -1996,13 +2108,20 @@ def _encode_text_region_huffman(
             k += 1
         t_ds.encode(bw, _OOB)
     # region flags: SBHUFF=1 (+ SBREFINE) + corner/strips/transposed;
-    # SBHUFFFLAGS: FS/DS/DT (and with refinement RDW/RDH/RDX/RDY) all
-    # custom (selector 3), RSIZE custom (bit 14)
+    # SBHUFFFLAGS: either all custom (selector 3, RSIZE custom bit 14) or
+    # the standard defaults (FS/DS/DT selector 0 → B.6/B.8/B.11;
+    # RDW/RDH/RDX/RDY selector 1 → B.15; RSIZE bit 14 clear → B.1)
     flags = 1 | (int(transposed) << 6) | (refcorner << 4) | (log_strips << 2)
-    hflags = 3 | (3 << 2) | (3 << 4)
-    if refine:
-        flags |= 1 << 1
-        hflags |= (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12) | (1 << 14)
+    if std_tables:
+        hflags = 0
+        if refine:
+            flags |= 1 << 1
+            hflags |= (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
+    else:
+        hflags = 3 | (3 << 2) | (3 << 4)
+        if refine:
+            flags |= 1 << 1
+            hflags |= (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12) | (1 << 14)
     body = struct.pack(">IIII", rw, rh, 0, 0) + bytes([0])  # combine OR
     body += flags.to_bytes(2, "big") + hflags.to_bytes(2, "big")
     for ax, ay in rat:
@@ -2014,11 +2133,14 @@ def _encode_text_region_huffman(
 def encode_jbig2_text_huffman(
     symbols: list, placements: list, page_w: int, page_h: int,
     strips: int = 1, mmr: bool = False, transposed: bool = False,
-    refcorner: int = 1,
+    refcorner: int = 1, std_tables: bool = False,
 ) -> bytes:
     """Fixture encoder for the Huffman-coded symbol path: page info +
-    three custom FS/DS/DT table segments + a SDHUFF symbol dictionary +
-    one immediate lossless Huffman text region referring dict + tables."""
+    (unless ``std_tables``: three custom FS/DS/DT table segments +) a
+    SDHUFF symbol dictionary + one immediate lossless Huffman text region
+    referring dict (+ tables). ``std_tables`` selects the B.6/B.8/B.11
+    standard defaults — the shape default-configured scanner output
+    takes."""
     syms = [np.asarray(s, np.uint8) for s in symbols]
 
     def seg(num: int, styp: int, refs: list, page: int, body: bytes) -> bytes:
@@ -2035,7 +2157,7 @@ def encode_jbig2_text_huffman(
 
     tr_body, tab_bodies = _encode_text_region_huffman(
         placements, len(syms), syms, page_w, page_h, strips,
-        transposed=transposed, refcorner=refcorner,
+        transposed=transposed, refcorner=refcorner, std_tables=std_tables,
     )
     page_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x01\x00\x00"
     out = seg(0, 48, [], 1, page_info)

@@ -163,3 +163,34 @@ def test_audio_features_accepts_companded_wav(spark):
     rows = {r["media_ref"]: r for r in M.audio_features(df, window=512).collect()}
     assert rows["pcm"]["rms"] == rows["f32"]["rms"] == rows["p24"]["rms"]
     assert rows["pcm"]["n_samples"] == 2048
+
+
+def test_audio_features_accepts_flac(spark):
+    """VERDICT r3 next-step #7: FLAC rides the distributed feature stage
+    end-to-end (decode_audio -> audio_features), mono and stereo-averaged,
+    with features identical to the same samples in a WAV container. The
+    documented boundary stands: features require a PCM-family container
+    (SYNA/WAV/FLAC); mp3/AAC payloads stay loud codec seams."""
+    from ai_invoice_ocr_engine_spark.flac import encode_flac
+
+    t = np.arange(4096)
+    mono = (9000 * np.sin(t / 7.0)).astype(np.int16)
+    stereo = np.stack([mono, mono], axis=1)
+    df = spark.createDataFrame(
+        [
+            ("wav", bytearray(M.encode_wav(mono))),
+            ("flac", bytearray(encode_flac(mono))),
+            ("flac_lpc", bytearray(encode_flac(mono, mode="lpc2"))),
+            ("flac_st", bytearray(encode_flac(stereo))),
+        ],
+        "media_ref string, audio binary",
+    )
+    rows = {r["media_ref"]: r for r in M.audio_features(df, window=512).collect()}
+    assert (
+        rows["wav"]["rms"]
+        == rows["flac"]["rms"]
+        == rows["flac_lpc"]["rms"]
+        == rows["flac_st"]["rms"]
+    )
+    assert rows["flac"]["n_samples"] == 4096
+    assert rows["flac"]["zero_crossings"] == rows["wav"]["zero_crossings"]

@@ -648,6 +648,138 @@ def test_standard_tables_encode_decode_roundtrip():
         assert [t.decode(b) for _ in vals] == vals
 
 
+def test_standard_tables_structural_pins():
+    """B.1-B.15 transcription audit. The spec's PREFLEN/RANGELEN/RANGELOW
+    columns jointly satisfy properties that almost any transcription error
+    breaks: (a) the canonical prefix code is EXACTLY complete (Kraft sum
+    2^-len == 1) for every table except B.10, whose published sum is
+    121/128; (b) consecutive normal lines tile the value domain with no
+    gap or overlap (next RANGELOW == RANGELOW + 2^RANGELEN); (c) the
+    lower/upper 32-bit extensions adjoin the ends exactly; (d) canonical
+    codes are prefix-free."""
+    from fractions import Fraction
+
+    from ai_invoice_ocr_engine_spark.jbig2 import _std_table
+
+    kraft_want = {n: Fraction(1) for n in range(1, 16)}
+    kraft_want[10] = Fraction(121, 128)
+    for n in range(1, 16):
+        t = _std_table(n)
+        assert sum(Fraction(1, 2 ** ln[0]) for ln in t.lines) == kraft_want[n]
+        norm = sorted(
+            [ln for ln in t.lines if ln[3] == "n"], key=lambda ln: ln[2]
+        )
+        for a, b in zip(norm, norm[1:]):
+            assert a[2] + (1 << a[1]) == b[2], f"B.{n} gap after {a}"
+        lows = [ln for ln in t.lines if ln[3] == "l"]
+        ups = [ln for ln in t.lines if ln[3] == "u"]
+        if lows:
+            assert lows[0][2] == norm[0][2] - 1, f"B.{n} lower mis-adjoined"
+        if ups:
+            assert ups[0][2] == norm[-1][2] + (1 << norm[-1][1]), (
+                f"B.{n} upper mis-adjoined"
+            )
+        codes = sorted(
+            format(code, f"0{length}b") for (length, code) in t.codes
+        )
+        assert len(set(codes)) == len(codes)
+        for a, b in zip(codes, codes[1:]):
+            assert not b.startswith(a), f"B.{n} code {a} prefixes {b}"
+
+
+def test_standard_tables_b6_b15_spec_codes():
+    """B.6-B.15 pinned by hand-packed bitstreams: the canonical codewords
+    below were derived BY HAND from the (PREFLEN, print order) assignment
+    of T.88 B.3 — no encoder or table machinery involved in building the
+    bits."""
+    from ai_invoice_ocr_engine_spark.jbig2 import _HBits, _OOB, _std_table
+
+    t6 = _std_table(6)
+    b = _HBits(_hbits("00" + "0000000"            # 0 + 7-bit 0 -> 0
+                      + "011" + "00101100"        # 256 + 44 -> 300
+                      + "11100" + "0" * 10        # -2048
+                      + "111111" + format(9, "032b")   # upper: 2048+9
+                      + "111110" + format(0, "032b")))  # lower: -2049-0
+    assert [t6.decode(b) for _ in range(5)] == [0, 300, -2048, 2057, -2049]
+    t7 = _std_table(7)
+    b = _HBits(_hbits("1011" + "00000"            # 0
+                      + "1000" + format(424, "09b")    # -1024+424 -> -600
+                      + "000" + format(0, "08b")       # -512
+                      + "11111" + format(952, "032b")))  # upper 2048+952
+    assert [t7.decode(b) for _ in range(4)] == [0, -600, -512, 3000]
+    t8 = _std_table(8)
+    b = _HBits(_hbits("000"                       # 0 (code 00 + 1 range bit)
+                      + "001"                     # 1
+                      + "01"                      # OOB
+                      + "100" + "0001"            # 4+1 -> 5
+                      + "1111100"))               # -2
+    assert [t8.decode(b) for _ in range(5)] == [0, 1, _OOB, 5, -2]
+    t9 = _std_table(9)
+    b = _HBits(_hbits("00"                        # OOB
+                      + "010" + "0"               # -1
+                      + "011" + "1"               # 1+1 -> 2
+                      + "100" + "00000"           # 7
+                      + "111111110" + format(0, "032b")))  # lower -32
+    assert [t9.decode(b) for _ in range(5)] == [_OOB, -1, 2, 7, -32]
+    t10 = _std_table(10)
+    b = _HBits(_hbits("00" + "00"                 # -2
+                      + "01" + "111111"           # 6+63 -> 69
+                      + "10"                      # OOB
+                      + "1110100" + format(0, "011b")     # 2118
+                      + "11110001" + format(1, "032b")))  # upper 4166+1
+    assert [t10.decode(b) for _ in range(5)] == [-2, 69, _OOB, 2118, 4167]
+    t11 = _std_table(11)
+    b = _HBits(_hbits("0"                         # 1
+                      + "10" + "1"                # 2+1 -> 3
+                      + "1111111" + format(2, "032b")))  # upper 141+2
+    assert [t11.decode(b) for _ in range(3)] == [1, 3, 143]
+    t12 = _std_table(12)
+    b = _HBits(_hbits("0"                         # 1
+                      + "110" + "0"               # 3
+                      + "11111111" + format(0, "032b")))  # upper 73
+    assert [t12.decode(b) for _ in range(3)] == [1, 3, 73]
+    t13 = _std_table(13)
+    b = _HBits(_hbits("0"                         # 1
+                      + "101" + "101"             # 7+5 -> 12
+                      + "1111111" + format(0, "032b")))  # upper 141
+    assert [t13.decode(b) for _ in range(3)] == [1, 12, 141]
+    t14 = _std_table(14)
+    b = _HBits(_hbits("0" + "100" + "111" + "101" + "110"))
+    assert [t14.decode(b) for _ in range(5)] == [0, -2, 2, -1, 1]
+    t15 = _std_table(15)
+    b = _HBits(_hbits("0"                         # 0
+                      + "11100" + "1"             # -4+1 -> -3
+                      + "1111110" + format(0, "032b")    # lower -25
+                      + "1111111" + format(3, "032b")))  # upper 25+3
+    assert [t15.decode(b) for _ in range(4)] == [0, -3, -25, 28]
+
+
+def test_standard_tables_b6_b15_roundtrip():
+    from ai_invoice_ocr_engine_spark.jbig2 import (
+        _HBits, _HBitW, _OOB, _std_table,
+    )
+
+    cases = [
+        (6, [0, -2048, 2047, -2049, -5000, 2048, 9999, 127, 128, -32, -33]),
+        (7, [0, -1024, 2047, -1025, -8000, 2048, 6000, 31, 32]),
+        (8, [0, 1, -1, -2, -15, -16, -100, 1669, 1670, 5000, _OOB]),
+        (9, [0, -1, 1, -31, -32, -500, 3338, 3339, 7777, _OOB]),
+        (10, [-2, -1, 0, 5, 6, 69, -21, -22, -999, 4165, 4166, 8000, _OOB]),
+        (11, [1, 2, 3, 13, 140, 141, 200]),
+        (12, [1, 2, 72, 73, 100]),
+        (13, [1, 7, 140, 141, 500]),
+        (14, [-2, -1, 0, 1, 2]),
+        (15, [0, -24, 24, -25, -100, 25, 333]),
+    ]
+    for n, vals in cases:
+        t = _std_table(n)
+        bw = _HBitW()
+        for v in vals:
+            t.encode(bw, v)
+        b = _HBits(bw.done())
+        assert [t.decode(b) for _ in vals] == vals, f"B.{n}"
+
+
 def test_custom_table_segment_roundtrip():
     from ai_invoice_ocr_engine_spark.jbig2 import (
         _HBits, _HBitW, _OOB, _encode_table_segment,
@@ -719,20 +851,37 @@ def test_huffman_transposed_text_region():
     )
 
 
-def test_huffman_text_region_standard_fs_table_is_loud():
-    """A Huffman text region selecting a B.6+ standard default must fail
-    NAMING the table, not decode garbage (the deliberate-seam contract)."""
+@pytest.mark.parametrize("strips", [1, 4])
+@pytest.mark.parametrize("mmr", [False, True])
+def test_huffman_text_region_standard_default_tables(strips, mmr):
+    """The r3-era seam, closed: a Huffman text region selecting the
+    STANDARD defaults (FS=B.6, DS=B.8, DT=B.11 — selector 0, no referred
+    table segments), the shape default-configured scanner/jbig2enc output
+    takes. B.11 has no zero code, so this also exercises the 6.4.5
+    initial-STRIPT negation on the standard path."""
     from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
 
-    symbols = [_glyph(5, 4, 1), _glyph(5, 4, 2)]
-    data = bytearray(
-        encode_jbig2_text_huffman(symbols, [(0, 2, 2), (1, 10, 2)], 30, 12)
+    symbols, placements = _symbols_and_rows()
+    data = encode_jbig2_text_huffman(
+        symbols, placements, 140, 95, strips=strips, mmr=mmr, std_tables=True
     )
-    # SBHUFFFLAGS live 2 bytes after the region flags; flip FS to 0 (B.6)
-    i = data.rindex((3 | (3 << 2) | (3 << 4)).to_bytes(2, "big"))
-    data[i : i + 2] = ((3 << 2) | (3 << 4)).to_bytes(2, "big")
-    with pytest.raises(NotImplementedError, match="B.6"):
-        decode_jbig2(bytes(data))
+    assert np.array_equal(
+        decode_jbig2(data), _text_page(symbols, placements, 140, 95)
+    )
+
+
+def test_huffman_standard_tables_transposed():
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
+
+    symbols = [_glyph(9, 6, 1), _glyph(7, 8, 2)]
+    placements = [(0, 4, 3), (1, 4, 16), (0, 4, 30), (1, 20, 5), (0, 20, 18)]
+    data = encode_jbig2_text_huffman(
+        symbols, placements, 40, 50, strips=4, transposed=True, refcorner=2,
+        std_tables=True,
+    )
+    assert np.array_equal(
+        decode_jbig2(data), _text_page(symbols, placements, 40, 50)
+    )
 
 
 def test_huffman_missing_referred_table_is_loud():
@@ -955,10 +1104,11 @@ def test_huffman_text_region_with_refinement():
                           _render([a, b], placements, 80, 20))
 
 
-def test_huffman_refinement_standard_rd_tables_stay_loud():
-    """RDW selector 0 would mean standard table B.14 — still a loud
-    seam (no independent pin for the B.6-B.15 transcription), so the
-    stream must raise the named error, not decode wrong."""
+def test_huffman_refinement_standard_rd_tables():
+    """The r3-era RD-table seam, closed: SBREFINE with RDW/RDH/RDX/RDY on
+    standard table B.15 (selector 1) and RSIZE on B.1 (flags bit 14
+    clear) decodes end-to-end — refined instances changing dims, plain
+    instances interleaved."""
     from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
 
     rng = np.random.default_rng(6)
@@ -966,17 +1116,12 @@ def test_huffman_refinement_standard_rd_tables_stay_loud():
     b = (rng.random((9, 7)) < 0.4).astype(np.uint8)
     ref1 = a.copy()
     ref1[3, 2] ^= 1
-    data = bytearray(encode_jbig2_text_huffman(
-        [a, b], [(0, 3, 2, ref1), (1, 20, 2)], 60, 16))
-    # SBHUFFFLAGS are the 2 bytes after region-info(17)+flags(2) in the
-    # text-region body; flip the RDW selector from 3 (custom) to 0 (B.14)
-    hflags_full = 3 | (3 << 2) | (3 << 4) | (3 << 6) | (3 << 8) \
-        | (3 << 10) | (3 << 12) | (1 << 14)
-    needle = (1 | (1 << 1) | (1 << 4)).to_bytes(2, "big") \
-        + hflags_full.to_bytes(2, "big")
-    idx = bytes(data).find(needle)
-    assert idx > 0
-    patched = hflags_full & ~(3 << 6)
-    data[idx + 2 : idx + 4] = patched.to_bytes(2, "big")
-    with pytest.raises(NotImplementedError, match="B.14"):
-        decode_jbig2(bytes(data))
+    ref1[7, 5] ^= 1
+    big = np.zeros((10, 8), np.uint8)
+    big[1:10, 1:7] = a
+    big[0, :] = 1
+    placements = [(0, 3, 2, ref1), (1, 20, 2), (0, 40, 3), (1, 55, 4, big)]
+    data = encode_jbig2_text_huffman([a, b], placements, 80, 20,
+                                     std_tables=True)
+    assert np.array_equal(decode_jbig2(data),
+                          _render([a, b], placements, 80, 20))

@@ -18,12 +18,16 @@ Table D.7 here).
 Multi-layer (quality-progressive) streams decode through the termall
 code-block style (0x04: every coding pass its own terminated codeword
 segment, one length per segment per B.10.7.5) — the segmentation real
-layered encoders emit. Deliberate loud seams (NotImplementedError with
-the feature named — the repo-wide codec policy): selective arithmetic
-bypass / reset / vertically-causal / predictable-termination /
-segmentation-symbol code-block styles, custom precinct sizes, ROI
-(RGN), packed packet headers (PPM/PPT), and COC/QCC component
-overrides.
+layered encoders emit — and all code-block styles (bypass/reset/
+causal/segsym; predictable termination accepted, verification not
+performed). COC/QCC main-header per-component overrides (decomposition
+levels, code-block sizes, style, quantization) decode with the packet
+walk skipping resolutions a component lacks (B.12.1). Remaining
+deliberate loud seams (NotImplementedError with the feature named —
+the repo-wide codec policy): custom precinct sizes, ROI (RGN), POC,
+packed packet headers (PPM/PPT), per-TILE coding overrides, multiple
+tile-parts, per-component transform mixes, and subsampled/signed/
+mixed-depth components.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -1066,13 +1070,41 @@ def _parse_markers(d: bytes):
 
 
 _UNSUPPORTED_MARKERS = {
-    0xFF53: "COC component coding override",
-    0xFF5D: "QCC component quantization override",
     0xFF5E: "RGN region of interest",
     0xFF5F: "POC progression order change",
     0xFF60: "PPM packed packet headers",
     0xFF61: "PPT packed packet headers",
 }
+
+
+def _parse_spcod(sp: bytes, layers: int):
+    """The shared SPcod/SPcoc parameter block (A.6.1/A.6.2): levels,
+    code-block exponents, code-block style, transform."""
+    nl = sp[0]
+    xcb = (sp[1] & 0xF) + 2
+    ycb = (sp[2] & 0xF) + 2
+    if xcb + ycb > 12:
+        raise ValueError("JPEG2000 code-block size exceeds 4096")
+    cbstyle = sp[3]
+    if cbstyle & ~0x3F:
+        raise ValueError("JPEG2000 reserved code-block style bits")
+    termall = bool(cbstyle & 0x04)
+    bypass = bool(cbstyle & 0x01)
+    if bypass and layers > 1 and not termall:
+        raise NotImplementedError(
+            "JPEG2000 bypass segments spanning quality layers"
+        )
+    transform = sp[4]
+    if transform not in (0, 1):
+        raise ValueError("JPEG2000 bad transform byte")
+    return {
+        "nl": nl, "xcb": xcb, "ycb": ycb,
+        "termall": termall, "bypass": bypass,
+        "styles": {"reset": bool(cbstyle & 0x02),
+                   "causal": bool(cbstyle & 0x08),
+                   "segsym": bool(cbstyle & 0x20)},
+        "transform": transform,
+    }
 
 
 def decode_jpeg2000(data: bytes) -> np.ndarray:
@@ -1137,6 +1169,8 @@ def _unbox(data: bytes) -> bytes:
 def _decode_j2k_components(d: bytes):
     segs, pos = _parse_markers(d)
     siz = cod = qcd = None
+    cocs: list = []
+    qccs: list = []
     for m, body in segs:
         if m == 0xFF51:
             siz = body
@@ -1144,6 +1178,10 @@ def _decode_j2k_components(d: bytes):
             cod = body
         elif m == 0xFF5C:
             qcd = body
+        elif m == 0xFF53:
+            cocs.append(body)
+        elif m == 0xFF5D:
+            qccs.append(body)
         elif m in _UNSUPPORTED_MARKERS:
             raise NotImplementedError(
                 f"JPEG2000 {_UNSUPPORTED_MARKERS[m]} unsupported"
@@ -1180,32 +1218,60 @@ def _decode_j2k_components(d: bytes):
         raise ValueError("JPEG2000 bad progression order")
     layers = struct.unpack(">H", cod[2:4])[0]
     mct = cod[4]
-    nl = cod[5]
-    xcb = (cod[6] & 0xF) + 2
-    ycb = (cod[7] & 0xF) + 2
-    if xcb + ycb > 12:
-        raise ValueError("JPEG2000 code-block size exceeds 4096")
-    cbstyle = cod[8]
-    termall = bool(cbstyle & 0x04)
-    # 0x10 (predictable termination) constrains only the ENCODER's
-    # flush pattern so decoders MAY detect corruption; decoding is
-    # identical, so the bit is accepted (verification not performed)
-    if cbstyle & ~0x3F:
-        raise ValueError("JPEG2000 reserved code-block style bits")
-    styles = {"reset": bool(cbstyle & 0x02), "causal": bool(cbstyle & 0x08),
-              "segsym": bool(cbstyle & 0x20)}
-    bypass = bool(cbstyle & 0x01)
-    if bypass and layers > 1 and not termall:
-        raise NotImplementedError(
-            "JPEG2000 bypass segments spanning quality layers"
-        )
-    transform = cod[9]
-    if transform not in (0, 1):
-        raise ValueError("JPEG2000 bad transform byte")
+    # 0x10 (predictable termination) in the code-block style constrains
+    # only the ENCODER's flush pattern so decoders MAY detect corruption;
+    # decoding is identical, so the bit is accepted (verification not
+    # performed)
+    base = _parse_spcod(cod[5:], layers)
 
-    qstyle, guard, quant = _qcd_parse(qcd, nl, depth)
-    if (transform == 1) != (qstyle == 0):
-        raise ValueError("JPEG2000 transform/quantization style mismatch")
+    # per-component parameters: COD/QCD defaults, then COC/QCC overrides
+    # (A.6.2/A.6.5 — ordinary real-encoder output for gray+color mixes)
+    cparams = [dict(base, styles=dict(base["styles"])) for _ in range(ncomp)]
+
+    def comp_index(body):
+        if ncomp < 257:
+            return body[0], 1
+        return struct.unpack(">H", body[:2])[0], 2
+
+    for body in cocs:
+        ci, off = comp_index(body)
+        if ci >= ncomp:
+            raise ValueError("JPEG2000 COC component out of range")
+        if body[off] & 1:
+            raise NotImplementedError("JPEG2000 custom precinct sizes")
+        cparams[ci] = _parse_spcod(body[off + 1 :], layers)
+    transform = base["transform"]
+    if any(cp["transform"] != transform for cp in cparams):
+        # mixing 5/3 and 9/7 across components also splits the sample
+        # dtype and the MCT reversibility contract; keep it loud
+        raise NotImplementedError("JPEG2000 per-component transform mix")
+
+    for c, cp in enumerate(cparams):
+        if cp["nl"] == base["nl"]:
+            qstyle, guard, cp["quant"] = _qcd_parse(qcd, cp["nl"], depth)
+            cp["qstyle"] = qstyle
+        else:
+            # a COC that changes the decomposition count changes the
+            # subband count; the QCD entry list no longer lines up, so
+            # the stream must carry a QCC for this component
+            cp["quant"] = None
+            cp["qstyle"] = None
+    for body in qccs:
+        ci, off = comp_index(body)
+        if ci >= ncomp:
+            raise ValueError("JPEG2000 QCC component out of range")
+        qstyle, guard, quant_c = _qcd_parse(body[off:], cparams[ci]["nl"],
+                                            depth)
+        cparams[ci]["quant"] = quant_c
+        cparams[ci]["qstyle"] = qstyle
+    for c, cp in enumerate(cparams):
+        if cp["quant"] is None:
+            raise ValueError(
+                "JPEG2000 COC overrides decomposition levels but no QCC "
+                f"covers component {c}"
+            )
+        if (transform == 1) != (cp["qstyle"] == 0):
+            raise ValueError("JPEG2000 transform/quantization style mismatch")
 
     ntx = _ceil_div(xsiz - xto, xt)
     nty = _ceil_div(ysiz - yto, yt)
@@ -1245,10 +1311,9 @@ def _decode_j2k_components(d: bytes):
         ty0 = max(yto + q * yt, yo)
         tx1 = min(xto + (p + 1) * xt, xsiz)
         ty1 = min(yto + (q + 1) * yt, ysiz)
-        tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb,
-                            quant, layers, prog, use_sop, use_eph,
-                            depth, mct, transform, termall, styles,
-                            bypass)
+        tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
+                            layers, prog, use_sop, use_eph,
+                            depth, mct, transform)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
         pos = tile_end
@@ -1260,19 +1325,19 @@ def _sb_index(band: int, r: int) -> int:
     return 0 if r == 0 else 1 + 3 * (r - 1) + (band - 1)
 
 
-def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
-                 layers, prog, use_sop, use_eph, depth, mct, transform,
-                 termall=False, styles=None, bypass=False):
-    styles = styles or {}
+def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
+                 layers, prog, use_sop, use_eph, depth, mct, transform):
     structs = [
-        _tile_structure(tx0, ty0, tx1, ty1, nl, xcb, ycb)
-        for _ in range(ncomp)
+        _tile_structure(tx0, ty0, tx1, ty1, cp["nl"], cp["xcb"], cp["ycb"])
+        for cp in cparams
     ]
     trees = [
         [
             [
-                (TagTree(*_grid_index(sb, xcb, ycb)),
-                 TagTree(*_grid_index(sb, xcb, ycb)))
+                (TagTree(*_grid_index(sb, cparams[c]["xcb"],
+                                      cparams[c]["ycb"])),
+                 TagTree(*_grid_index(sb, cparams[c]["xcb"],
+                                      cparams[c]["ycb"])))
                 if sb.cbs else None
                 for sb in res
             ]
@@ -1281,37 +1346,40 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
         for c in range(ncomp)
     ]
 
-    # packet iteration order
+    # packet iteration order; with COC the resolution count differs per
+    # component — packets simply do not exist for r > NL_c (B.12.1), so
+    # the walk skips those (r, c) pairs entirely
+    max_nl = max(cp["nl"] for cp in cparams)
+
     def packet_seq():
         if prog == 0:  # LRCP
             for layer in range(layers):
-                for r in range(nl + 1):
+                for r in range(max_nl + 1):
                     for c in range(ncomp):
-                        yield layer, r, c
+                        if r <= cparams[c]["nl"]:
+                            yield layer, r, c
         elif prog == 1:  # RLCP
-            for r in range(nl + 1):
+            for r in range(max_nl + 1):
                 for layer in range(layers):
                     for c in range(ncomp):
-                        yield layer, r, c
+                        if r <= cparams[c]["nl"]:
+                            yield layer, r, c
         elif prog == 2:  # RPCL (single precinct)
-            for r in range(nl + 1):
+            for r in range(max_nl + 1):
                 for c in range(ncomp):
-                    for layer in range(layers):
-                        yield layer, r, c
-        elif prog == 3:  # PCRL
+                    if r <= cparams[c]["nl"]:
+                        for layer in range(layers):
+                            yield layer, r, c
+        else:  # PCRL / CPRL (coincide with one precinct per resolution)
             for c in range(ncomp):
-                for r in range(nl + 1):
+                for r in range(cparams[c]["nl"] + 1):
                     for layer in range(layers):
                         yield layer, r, c
-        else:  # CPRL
-            for c in range(ncomp):
-                for r in range(nl + 1):
-                    for layer in range(layers):
-                        yield layer, r, c
-    # note: with one precinct per resolution, PCRL and CPRL coincide
 
     pos = 0
     for layer, r, c in packet_seq():
+        termall = cparams[c]["termall"]
+        bypass = cparams[c]["bypass"]
         if use_sop and body[pos : pos + 2] == b"\xff\x91":
             pos += 6
         br = _PktBitReader(body, pos)
@@ -1354,6 +1422,11 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, nl, xcb, ycb, quant,
     out = []
     for c in range(ncomp):
         res = structs[c]
+        nl = cparams[c]["nl"]
+        quant = cparams[c]["quant"]
+        termall = cparams[c]["termall"]
+        bypass = cparams[c]["bypass"]
+        styles = cparams[c]["styles"]
         # decode codeblocks into subband coefficient arrays
         band_arrays = []
         for r in range(nl + 1):
@@ -1427,6 +1500,28 @@ _ENC_GUARD = 2
 _ENC_EXP = 20  # loose reversible exponent: Mb = 21 covers every subband
 
 
+def _enc_quant_body(nl: int, lossy: bool, qexp_extra: int):
+    """QCD/QCC payload (after any component index) for `nl` levels:
+    returns (body, per-subband Mb list, per-subband delta list or None)."""
+    if lossy:
+        # scalar expounded: eps = Rb + qexp_extra, mu = 0 -> delta =
+        # 2^-qexp_extra for every subband
+        entries = b""
+        deltas = []
+        for i in range(3 * nl + 1):
+            gain = 0 if i == 0 else _BAND_GAIN[1 + (i - 1) % 3]
+            eps = 8 + gain + qexp_extra
+            entries += struct.pack(">H", (eps << 11) | 0)
+            deltas.append(2.0 ** (-qexp_extra))
+        body = bytes([(_ENC_GUARD << 5) | 2]) + entries
+        mbs = [_ENC_GUARD + ((struct.unpack(
+            ">H", entries[2 * i : 2 * i + 2])[0] >> 11) & 0x1F) - 1
+            for i in range(3 * nl + 1)]
+        return body, mbs, deltas
+    body = bytes([_ENC_GUARD << 5]) + bytes([_ENC_EXP << 3] * (3 * nl + 1))
+    return body, [_ENC_GUARD + _ENC_EXP - 1] * (3 * nl + 1), None
+
+
 def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     tile: tuple | None = None, prog: int = 0,
                     jp2: bool = False, sop: bool = False,
@@ -1434,7 +1529,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     qexp_extra: int = 3, layers: int = 1,
                     termall: bool = False, causal: bool = False,
                     reset: bool = False, segsym: bool = False,
-                    bypass: bool = False) -> bytes:
+                    bypass: bool = False,
+                    overrides: dict | None = None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1444,7 +1540,11 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     ``termall`` terminates every coding pass in its own codeword
     segment (style bit 0x04); ``layers > 1`` (quality-progressive)
     splits each code-block's pass segments across layers and REQUIRES
-    termall so the segmentation is explicit."""
+    termall so the segmentation is explicit. ``overrides`` maps a
+    component index to {"nl": int, "cb": (xe, ye), "qexp_extra": int} and
+    emits the corresponding COC/QCC main-header markers (per-component
+    decomposition/code-block/quantization — the gray+color mix shape
+    real encoders produce)."""
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
     styles = {"causal": causal, "reset": reset, "segsym": segsym}
@@ -1465,6 +1565,20 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         out.extend(struct.pack(">HH", marker, len(body) + 2))
         out.extend(body)
 
+    # per-component encode parameters (COD/QCD defaults + overrides)
+    enc_cp = []
+    for c in range(ncomp):
+        ov = (overrides or {}).get(c, {})
+        nl_c = ov.get("nl", nl)
+        xcb_c, ycb_c = ov.get("cb", (xcb, ycb))
+        qx_c = ov.get("qexp_extra", qexp_extra)
+        qbody, mbs_c, deltas_c = _enc_quant_body(nl_c, lossy, qx_c)
+        enc_cp.append({
+            "nl": nl_c, "xcb": xcb_c, "ycb": ycb_c,
+            "mbs": mbs_c, "deltas": deltas_c, "qbody": qbody,
+            "coc": nl_c != nl or (xcb_c, ycb_c) != (xcb, ycb),
+        })
+
     siz = struct.pack(">H8IH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
     for _ in range(ncomp):
         siz += bytes([7, 1, 1])
@@ -1475,26 +1589,15 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         [mct, nl, xcb - 2, ycb - 2, style_byte, transform]
     )
     seg(0xFF52, cod)
-    if lossy:
-        # scalar expounded: eps = Rb + qexp_extra, mu = 0 -> delta =
-        # 2^-qexp_extra for every subband
-        entries = b""
-        deltas = []
-        for i in range(3 * nl + 1):
-            gain = 0 if i == 0 else _BAND_GAIN[1 + (i - 1) % 3]
-            eps = 8 + gain + qexp_extra
-            entries += struct.pack(">H", (eps << 11) | 0)
-            deltas.append(2.0 ** (-qexp_extra))
-        qcd = bytes([(_ENC_GUARD << 5) | 2]) + entries
-        mbs = [_ENC_GUARD + ((e >> 11) & 0x1F) - 1 for e in
-               [struct.unpack(">H", entries[2*i:2*i+2])[0]
-                for i in range(3 * nl + 1)]]
-    else:
-        qcd = bytes([_ENC_GUARD << 5]) + bytes(
-            [_ENC_EXP << 3] * (3 * nl + 1))
-        deltas = None
-        mbs = [_ENC_GUARD + _ENC_EXP - 1] * (3 * nl + 1)
-    seg(0xFF5C, qcd)
+    for c, cp in enumerate(enc_cp):
+        if cp["coc"]:
+            seg(0xFF53, bytes([c, 0, cp["nl"], cp["xcb"] - 2,
+                               cp["ycb"] - 2, style_byte, transform]))
+    qcd_body, _, _ = _enc_quant_body(nl, lossy, qexp_extra)
+    seg(0xFF5C, qcd_body)
+    for c, cp in enumerate(enc_cp):
+        if cp["qbody"] != qcd_body:
+            seg(0xFF5D, bytes([c]) + cp["qbody"])
 
     ntx, nty = _ceil_div(w, xt), _ceil_div(h, yt)
     for q in range(nty):
@@ -1523,13 +1626,17 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 comps = [y_, u_, v_]
             structs = []
             for c in range(ncomp):
-                res = _tile_structure(tx0, ty0, tx1, ty1, nl, xcb, ycb)
+                nl_c = enc_cp[c]["nl"]
+                mbs = enc_cp[c]["mbs"]
+                deltas = enc_cp[c]["deltas"]
+                res = _tile_structure(tx0, ty0, tx1, ty1, nl_c,
+                                      enc_cp[c]["xcb"], enc_cp[c]["ycb"])
                 if lossy:
-                    ll, bands = dwt_97(comps[c], nl, tx0, ty0, tx1, ty1)
+                    ll, bands = dwt_97(comps[c], nl_c, tx0, ty0, tx1, ty1)
                 else:
-                    ll, bands = dwt_53(comps[c], nl, tx0, ty0, tx1, ty1)
+                    ll, bands = dwt_53(comps[c], nl_c, tx0, ty0, tx1, ty1)
                 arrays = [[ll]] + [list(b) for b in bands]
-                for r in range(nl + 1):
+                for r in range(nl_c + 1):
                     for bi, sb in enumerate(res[r]):
                         a = arrays[r][bi]
                         mb = mbs[_sb_index(sb.band, r)]
@@ -1593,8 +1700,10 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             trees = [
                 [
                     [
-                        (TagTree(*_grid_index(sb, xcb, ycb)),
-                         TagTree(*_grid_index(sb, xcb, ycb)))
+                        (TagTree(*_grid_index(sb, enc_cp[c]["xcb"],
+                                              enc_cp[c]["ycb"])),
+                         TagTree(*_grid_index(sb, enc_cp[c]["xcb"],
+                                              enc_cp[c]["ycb"])))
                         if sb.cbs else None
                         for sb in res_r
                     ]
@@ -1603,7 +1712,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 for c in range(ncomp)
             ]
             for c in range(ncomp):
-                for r in range(nl + 1):
+                for r in range(enc_cp[c]["nl"] + 1):
                     for bi, sb in enumerate(structs[c][r]):
                         if not sb.cbs:
                             continue
@@ -1639,25 +1748,32 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                                 incl_tree.set_value(
                                     cbk["_gi"], cbk["_gj"], first_l)
 
+            # mirror of the decoder's walk: packets exist only for
+            # r <= NL_c of each component (B.12.1)
+            enc_max_nl = max(cp["nl"] for cp in enc_cp)
+
             def packet_seq():
                 if prog == 0:  # LRCP
                     for layer in range(layers):
-                        for r in range(nl + 1):
+                        for r in range(enc_max_nl + 1):
                             for c in range(ncomp):
-                                yield layer, r, c
+                                if r <= enc_cp[c]["nl"]:
+                                    yield layer, r, c
                 elif prog == 1:  # RLCP
-                    for r in range(nl + 1):
+                    for r in range(enc_max_nl + 1):
                         for layer in range(layers):
                             for c in range(ncomp):
-                                yield layer, r, c
+                                if r <= enc_cp[c]["nl"]:
+                                    yield layer, r, c
                 elif prog == 2:  # RPCL
-                    for r in range(nl + 1):
+                    for r in range(enc_max_nl + 1):
                         for c in range(ncomp):
-                            for layer in range(layers):
-                                yield layer, r, c
+                            if r <= enc_cp[c]["nl"]:
+                                for layer in range(layers):
+                                    yield layer, r, c
                 else:  # PCRL / CPRL (single precinct)
                     for c in range(ncomp):
-                        for r in range(nl + 1):
+                        for r in range(enc_cp[c]["nl"] + 1):
                             for layer in range(layers):
                                 yield layer, r, c
 

@@ -287,6 +287,111 @@ def test_pdf_jpx_image_xobject():
     assert np.array_equal(decode_image(next(iter(media.values()))), img)
 
 
+def test_coc_qcc_component_overrides():
+    """A.6.2/A.6.5 per-component overrides — the gray+color mix shape
+    ordinary encoder output takes. COC changes decomposition levels and
+    code-block sizes per component (packets then exist only for
+    r <= NL_c, exercising the per-component packet walk in every
+    progression order); QCC carries the component's own quantization.
+    Reversible stays bit-exact through RCT + the mixed-level inverse."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (33, 21, 3)).astype(np.uint8)
+    for kw in [
+        dict(overrides={1: {"nl": 1, "cb": (3, 3)}, 2: {"nl": 2}}),
+        dict(overrides={0: {"nl": 4}}, nl=1),
+        dict(overrides={1: {"cb": (3, 4)}}, sop=True, eph=True),
+        dict(overrides={2: {"nl": 0}}),  # chroma with no decomposition
+    ]:
+        for prog in range(5):
+            comps, _ = _decode_j2k_components(_unbox(
+                encode_jpeg2000(rgb, cb=(4, 4), prog=prog, **kw)))
+            for i in range(3):
+                assert np.array_equal(comps[i], rgb[..., i]), (kw, prog)
+    # tiled + COC, and multi-layer termall + COC
+    for kw in [dict(tile=(16, 16)), dict(termall=True, layers=2)]:
+        comps, _ = _decode_j2k_components(_unbox(encode_jpeg2000(
+            rgb, nl=2, cb=(4, 4),
+            overrides={1: {"nl": 1}, 2: {"nl": 3}}, **kw)))
+        for i in range(3):
+            assert np.array_equal(comps[i], rgb[..., i]), kw
+
+
+def test_qcc_lossy_per_component_quantization():
+    """Lossy per-component step sizes: a coarser chroma quantizer (the
+    classic visual-coding layout) decodes with error bounded by ITS OWN
+    step, while luma keeps the fine default."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(22)
+    rgb = np.kron(rng.integers(0, 256, (6, 5, 3)),
+                  np.ones((5, 5, 1))).astype(np.uint8)
+    data = encode_jpeg2000(rgb, nl=2, lossy=True, qexp_extra=6,
+                           overrides={1: {"qexp_extra": 2},
+                                      2: {"nl": 1, "qexp_extra": 2}})
+    comps, _ = _decode_j2k_components(_unbox(data))
+    # exact luma/chroma errors depend on the ICT mix; bound loosely but
+    # meaningfully: everything within a few steps of the coarsest grid
+    for i in range(3):
+        err = np.abs(comps[i] - rgb[..., i].astype(float)).max()
+        assert err <= 4.0, (i, err)
+
+
+def test_coc_without_matching_qcc_is_loud():
+    """A COC that changes the decomposition count invalidates the QCD
+    entry alignment; a stream without the covering QCC must raise, not
+    dequantize with the wrong exponents."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, (17, 13, 3)).astype(np.uint8)
+    data = bytearray(_unbox(encode_jpeg2000(
+        rgb, nl=2, cb=(4, 4), overrides={1: {"nl": 1}})))
+    # strip the QCC segment (marker 0xFF5D) out of the main header
+    i = data.find(b"\xff\x5d")
+    assert i > 0
+    ln = int.from_bytes(data[i + 2 : i + 4], "big")
+    del data[i : i + 2 + ln]
+    with pytest.raises(ValueError, match="QCC"):
+        _decode_j2k_components(bytes(data))
+
+
+def test_pdf_jpx_coc_qcc_image():
+    """PDF integration: a JPX image XObject whose codestream carries
+    COC/QCC per-component overrides decodes through the ingest path."""
+    from ai_invoice_ocr_engine_spark.kernels import decode_image, rgb_to_gray
+    from ai_invoice_ocr_engine_spark.pdf import pdf_spans
+
+    from .test_pdf import _raw_pdf
+
+    rng = np.random.default_rng(24)
+    rgb = rng.integers(0, 256, (30, 40, 3)).astype(np.uint8)
+    payload = encode_jpeg2000(rgb, nl=2, cb=(4, 4), jp2=True,
+                              overrides={1: {"nl": 1, "cb": (3, 3)},
+                                         2: {"nl": 3}})
+    obj = (
+        "<< /Type /XObject /Subtype /Image /Width 40 /Height 30 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+        "/Filter /JPXDecode "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = b"q 40 0 0 30 50 600 cm /Im0 Do Q"
+    blob = _raw_pdf(content, extra_objs=obj,
+                    font="/XObject << /Im0 5 0 R >>")
+    _spans, media = pdf_spans(blob)
+    assert np.array_equal(decode_image(next(iter(media.values()))),
+                          rgb_to_gray(rgb))
+
+
 # -- lossy 9/7 path --------------------------------------------------------------
 
 

@@ -34,9 +34,11 @@ takes) — including the runcode-coded symbol-ID lengths of 7.4.3.1.7 and
 SBREFINE per-instance refinement (6.4.11: RI as one raw bit, then a
 byte-aligned standalone MQ refinement of BMSIZE bytes) with
 RDW/RDH/RDX/RDY on custom tables or B.14/B.15 and RSIZE on B.1/custom.
-The one remaining Huffman seam is SDHUFF symbol DICTIONARIES that
-themselves use refinement/aggregation (SDREFAGG=1, 6.5.8.2.2) — rare in
-encoder output (jbig2enc never emits it) and loud when hit.
+SDHUFF symbol DICTIONARIES with refinement (SDREFAGG=1, REFAGGNINST=1 —
+reference ID in SBSYMCODELEN raw bits, RDX/RDY via the mandated B.15,
+size via B.1, byte-aligned standalone MQ refinement) decode too; the
+one remaining Huffman seam is REFAGGNINST>1 under SDHUFF (an embedded
+Huffman text region no real encoder emits), loud when hit.
 
 The MQ coder follows T.88 Annex E software conventions; the Qe state
 table and the coder are shared with JPEG2000 (ITU T.800). The encoder
@@ -882,9 +884,8 @@ def _encode_table_segment(
 
 def _decode_symbol_dict(body: bytes, in_syms: list, tables: list | None = None) -> list:
     """Type-0 segment → exported symbol list (numpy bitmaps). Arithmetic
-    coding, or Huffman (SDHUFF=1, SDREFAGG=0) — the dictionary's table
-    selectors only ever reach B.1-B.5 or referred custom tables, all of
-    which are supported; Huffman refinement/aggregation stays loud."""
+    coding, or Huffman (SDHUFF=1) including SDREFAGG=1 single-instance
+    refinements; only REFAGGNINST>1 under SDHUFF stays loud."""
     if len(body) < 2:
         raise ValueError("JBIG2 symbol dictionary truncated")
     flags = int.from_bytes(body[:2], "big")
@@ -893,10 +894,6 @@ def _decode_symbol_dict(body: bytes, in_syms: list, tables: list | None = None) 
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     if sdhuff:
-        if sdrefagg:
-            raise NotImplementedError(
-                "JBIG2 Huffman symbol dictionary with refinement/aggregation"
-            )
         return _decode_symbol_dict_huffman(body, flags, in_syms, tables or [])
     bp = 2
     at = []
@@ -1013,9 +1010,19 @@ def _decode_symbol_dict_huffman(
     (uncompressed when BMSIZE=0, else an MMR/T.6 stream of BMSIZE bytes)
     sliced into the class's symbols by width. Export runs ride Table B.1.
     Custom tables are consumed from the referred-segment list in selector
-    order: DH, DW, BMSIZE, AGG (7.4.3.1.6 analog)."""
+    order: DH, DW, BMSIZE, AGG (7.4.3.1.6 analog).
+
+    SDREFAGG=1 (6.5.8.2 with SDHUFF=1): no collective bitmap — each
+    symbol is decoded individually; the common REFAGGNINST=1 case reads
+    the reference ID as SBSYMCODELEN raw bits, RDX/RDY through the
+    MANDATED Table B.15 and the refinement size through Table B.1
+    (Table 20 — not selectable), then a byte-aligned standalone MQ
+    refinement of exactly that many bytes. REFAGGNINST>1 (an embedded
+    Huffman text region) stays a named seam — no real encoder emits it."""
     from .kernels import _check_dims
 
+    sdrefagg = (flags >> 1) & 1
+    rtemplate = (flags >> 12) & 1
     sel_dh = (flags >> 2) & 3
     sel_dw = (flags >> 4) & 3
     sel_bm = (flags >> 6) & 1
@@ -1047,14 +1054,27 @@ def _decode_symbol_dict_huffman(
     else:
         raise ValueError("JBIG2 SDHUFFDW selector 2 is reserved")
     t_bm = custom() if sel_bm else _std_table(1)
-    _t_agg = custom() if sel_ag else _std_table(1)  # consumed; unused (SDREFAGG=0)
+    t_agg = custom() if sel_ag else _std_table(1)
     t_ex = _std_table(1)
 
-    num_ex = struct.unpack(">I", body[2:6])[0]
-    num_new = struct.unpack(">I", body[6:10])[0]
+    bp = 2
+    rat: list = []
+    if sdrefagg and rtemplate == 0:
+        for _ in range(2):
+            rat.append((
+                int.from_bytes(body[bp : bp + 1], "big", signed=True),
+                int.from_bytes(body[bp + 1 : bp + 2], "big", signed=True),
+            ))
+            bp += 2
+    num_ex = struct.unpack(">I", body[bp : bp + 4])[0]
+    num_new = struct.unpack(">I", body[bp + 4 : bp + 8])[0]
     if num_new > (1 << 20) or num_ex > num_new + len(in_syms):
         raise ValueError("JBIG2 implausible symbol dictionary counts")
-    hb = _HBits(body, 10 * 8)
+    hb = _HBits(body, (bp + 8) * 8)
+    # 6.5.8.2.3: fixed-length symbol IDs inside refinement references
+    symcodelen = max(1, (max(len(in_syms) + num_new, 1) - 1).bit_length())
+    t_rdxy = _std_table(15)  # Table 20: SBHUFFRDX/RDY = B.15, mandated
+    t_rsize = _std_table(1)  # Table 20: SBHUFFRSIZE = B.1, mandated
     new_syms: list = []
     hcheight = 0
     while len(new_syms) < num_new:
@@ -1075,8 +1095,40 @@ def _decode_symbol_dict_huffman(
             if len(new_syms) + len(widths) >= num_new:
                 raise ValueError("JBIG2 symbol dictionary overruns NUMNEWSYMS")
             _check_dims(symwidth, hcheight, "JBIG2 symbol")
+            if sdrefagg:
+                ninst = t_agg.decode(hb)
+                if ninst is _OOB or ninst < 1:
+                    raise ValueError("JBIG2 bad aggregate instance count")
+                if ninst > 1:
+                    raise NotImplementedError(
+                        "JBIG2 Huffman aggregate symbol with REFAGGNINST>1"
+                    )
+                ref_id = hb.read(symcodelen)
+                rdx = t_rdxy.decode(hb)
+                rdy = t_rdxy.decode(hb)
+                bmsize = t_rsize.decode(hb)
+                if _OOB in (rdx, rdy, bmsize) or bmsize <= 0:
+                    raise ValueError("JBIG2 bad Huffman refinement fields")
+                hb.align()
+                start = hb.byte_pos()
+                if start + bmsize > len(body):
+                    raise ValueError("JBIG2 refinement data truncated")
+                pool = list(in_syms) + new_syms
+                if ref_id >= len(pool):
+                    raise ValueError(
+                        "JBIG2 refinement reference out of range"
+                    )
+                bm = _refine_bits(
+                    symwidth, hcheight, rtemplate, rat, pool[ref_id],
+                    rdx, rdy, MQDecoder(body[start : start + bmsize]), {},
+                )
+                hb.pos = (start + bmsize) * 8
+                new_syms.append(bm)
+                continue
             widths.append(symwidth)
             totwidth += symwidth
+        if sdrefagg:
+            continue  # symbols already decoded individually
         if not widths:
             continue  # empty height class
         _check_dims(totwidth, hcheight, "JBIG2 height-class collective")
@@ -1978,6 +2030,58 @@ def _encode_symbol_dict_huffman(symbols: list, mmr: bool = False) -> bytes:
     )
 
 
+def _encode_symbol_dict_huffman_refined(new_specs: list, in_syms: list,
+                                        rtemplate: int = 0) -> bytes:
+    """Fixture side of the SDHUFF=1 + SDREFAGG=1 path: every new symbol
+    is a single-instance refinement (bitmap, ref_id, rdx, rdy) of a
+    symbol already in the pool. DH via B.5, DW via B.3, REFAGGNINST via
+    B.1; the per-symbol reference rides SBSYMCODELEN raw bits, RDX/RDY
+    Table B.15 and the size Table B.1 (both mandated by Table 20), each
+    refinement a byte-aligned standalone MQ stream."""
+    t_dh, t_dw = _std_table(5), _std_table(3)
+    t_agg, t_ex = _std_table(1), _std_table(1)
+    t_rdxy, t_rsize = _std_table(15), _std_table(1)
+    n_in = len(in_syms)
+    symcodelen = max(1, (max(n_in + len(new_specs), 1) - 1).bit_length())
+    rat = [(-1, -1), (-1, -1)] if rtemplate == 0 else []
+    bw = _HBitW()
+    pool = list(in_syms)
+    hcheight = 0
+    i = 0
+    while i < len(new_specs):
+        h = new_specs[i][0].shape[0]
+        t_dh.encode(bw, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(new_specs) and new_specs[i][0].shape[0] == hcheight:
+            bm, ref_id, rdx, rdy = new_specs[i]
+            t_dw.encode(bw, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            t_agg.encode(bw, 1)
+            bw.put(ref_id, symcodelen)
+            t_rdxy.encode(bw, rdx)
+            t_rdxy.encode(bw, rdy)
+            enc = MQEncoder()
+            _refine_bits(bm.shape[1], bm.shape[0], rtemplate, rat,
+                         pool[ref_id], rdx, rdy, enc, {}, bitmap=bm)
+            data = enc.flush()
+            t_rsize.encode(bw, len(data))
+            bw.align()
+            bw.put_bytes(data)
+            pool.append(bm)
+            i += 1
+        t_dw.encode(bw, _OOB)
+    t_ex.encode(bw, n_in)  # imports not re-exported
+    t_ex.encode(bw, len(new_specs))
+    flags = (1 | (1 << 1) | (1 << 2) | (1 << 4)
+             | ((rtemplate & 1) << 12))
+    body = flags.to_bytes(2, "big")
+    for ax, ay in rat:
+        body += struct.pack(">bb", ax, ay)
+    body += struct.pack(">II", len(new_specs), len(new_specs))
+    return body + bw.done()
+
+
 def _encode_text_region_huffman(
     placements: list, n_syms: int, syms: list, rw: int, rh: int,
     strips: int = 1, transposed: bool = False, refcorner: int = 1,
@@ -2134,13 +2238,16 @@ def encode_jbig2_text_huffman(
     symbols: list, placements: list, page_w: int, page_h: int,
     strips: int = 1, mmr: bool = False, transposed: bool = False,
     refcorner: int = 1, std_tables: bool = False,
+    refined_symbols: list | None = None,
 ) -> bytes:
     """Fixture encoder for the Huffman-coded symbol path: page info +
     (unless ``std_tables``: three custom FS/DS/DT table segments +) a
     SDHUFF symbol dictionary + one immediate lossless Huffman text region
     referring dict (+ tables). ``std_tables`` selects the B.6/B.8/B.11
     standard defaults — the shape default-configured scanner output
-    takes."""
+    takes. ``refined_symbols`` adds a SECOND, SDHUFF+SDREFAGG dictionary
+    of (bitmap, ref_id, rdx, rdy) entries importing the first — their
+    IDs follow the base symbols'."""
     syms = [np.asarray(s, np.uint8) for s in symbols]
 
     def seg(num: int, styp: int, refs: list, page: int, body: bytes) -> bytes:
@@ -2155,20 +2262,32 @@ def encode_jbig2_text_huffman(
         hdr += bytes([page]) + struct.pack(">I", len(body))
         return hdr + body
 
+    all_syms = list(syms)
+    specs = None
+    if refined_symbols:
+        specs = [(np.asarray(b, np.uint8), r, dx, dy)
+                 for b, r, dx, dy in refined_symbols]
+        all_syms += [s[0] for s in specs]
     tr_body, tab_bodies = _encode_text_region_huffman(
-        placements, len(syms), syms, page_w, page_h, strips,
+        placements, len(all_syms), all_syms, page_w, page_h, strips,
         transposed=transposed, refcorner=refcorner, std_tables=std_tables,
     )
     page_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x01\x00\x00"
     out = seg(0, 48, [], 1, page_info)
     out += seg(1, 0, [], 1, _encode_symbol_dict_huffman(syms, mmr=mmr))
+    dict_refs = [1]
     nxt = 2
+    if specs:
+        out += seg(nxt, 0, [1], 1,
+                   _encode_symbol_dict_huffman_refined(specs, syms))
+        dict_refs.append(nxt)
+        nxt += 1
     tab_refs = []
     for tb in tab_bodies:
         out += seg(nxt, 53, [], 1, tb)
         tab_refs.append(nxt)
         nxt += 1
-    out += seg(nxt, 7, [1] + tab_refs, 1, tr_body)
+    out += seg(nxt, 7, dict_refs + tab_refs, 1, tr_body)
     out += seg(nxt + 1, 49, [], 1, b"")
     return out
 

@@ -431,14 +431,44 @@ def test_transposed_negative_ids_overlap():
     )
 
 
-def test_symbol_dict_huffman_refagg_is_loud():
-    # SDHUFF itself now decodes; the Huffman + refinement/aggregation
-    # combination remains the named seam
+def test_symbol_dict_huffman_refined_roundtrip():
+    """The last r3-era Huffman seam, closed: SDHUFF=1 + SDREFAGG=1
+    (6.5.8.2 with REFAGGNINST=1) — a second Huffman dictionary whose new
+    symbols are single-instance refinements of imported ones, the
+    reference ID as SBSYMCODELEN raw bits, RDX/RDY via the MANDATED
+    Table B.15 and the size via Table B.1, each refinement a
+    byte-aligned standalone MQ stream."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
+
+    base = [_glyph(9, 6, 1), _glyph(9, 7, 2), _glyph(12, 8, 3)]
+    v0 = base[0].copy()
+    v0[3, 2] ^= 1
+    v1 = np.pad(base[1], ((0, 1), (1, 0)))[:10, :8]
+    v1[5, 5] ^= 1
+    refined = [(v0, 0, 0, 0), (v1, 1, 1, -1)]
+    all_syms = base + [v0, v1]
+    placements = [(0, 4, 3), (3, 20, 3), (1, 40, 3), (4, 60, 2), (2, 80, 1)]
+    for std in (False, True):
+        data = encode_jbig2_text_huffman(base, placements, 110, 20,
+                                         refined_symbols=refined,
+                                         std_tables=std)
+        assert np.array_equal(decode_jbig2(data),
+                              _text_page(all_syms, placements, 110, 20))
+
+
+def test_symbol_dict_huffman_multi_instance_aggregate_is_loud():
+    """REFAGGNINST>1 under SDHUFF (an embedded Huffman text region) is
+    the one remaining Huffman seam — named error, not garbage. The
+    stream is hand-packed: flags 0x1003 (SDHUFF+SDREFAGG, default
+    tables, SDRTEMPLATE=1 so no SDRAT), DH=5 via B.4 ("1110"+001),
+    DW=4 via B.2 ("1110"+001), then REFAGGNINST=2 via B.1 ("0"+0010)."""
     import struct
 
-    body = (3).to_bytes(2, "big") + struct.pack(">II", 0, 0)
-    seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", len(body)) + body
-    with pytest.raises(NotImplementedError, match="refinement/aggregation"):
+    body = ((0x1003).to_bytes(2, "big") + struct.pack(">II", 1, 1)
+            + _hbits("1110001" + "1110001" + "0" + "0010"))
+    seg = (struct.pack(">IB", 0, 0) + b"\x00\x01"
+           + struct.pack(">I", len(body)) + body)
+    with pytest.raises(NotImplementedError, match="REFAGGNINST"):
         decode_jbig2(seg)
 
 

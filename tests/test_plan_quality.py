@@ -134,7 +134,8 @@ def test_minhash_no_k_way_explode(spark):
     from ai_invoice_ocr_engine_spark.functions import dedup as D
     from ai_invoice_ocr_engine_spark.queries import _corpus
 
-    df = D.minhash_band_pairs(_corpus(spark, SF), k=12, band_rows=3)
+    df = D.minhash_band_pairs(_corpus(spark, SF), k=12, band_rows=3,
+                              max_bucket=None)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # Per self-join side: 1 Generate for shingle positions (inside
     # shingles()) + 1 for the per-doc band unpivot AFTER aggregation = 4
@@ -142,6 +143,16 @@ def test_minhash_no_k_way_explode(spark):
     assert plan.count("Generate") <= 4
     assert "explode(array(0, 1" not in plan  # the removed k-seed explode
     assert "partial_min" in plan
+    # default (guarded) path: the mega-bucket routing must ride a
+    # map-side-combinable aggregate joined back — never a Window sort —
+    # and must not reintroduce the seed explode
+    gplan = (
+        D.minhash_band_pairs(_corpus(spark, SF), k=12, band_rows=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in gplan
+    assert "explode(array(0, 1" not in gplan
+    assert "partial_min" in gplan and "partial_count" in gplan
 
 
 def test_substring_dedup_no_pair_join(spark):

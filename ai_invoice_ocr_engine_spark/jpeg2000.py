@@ -25,9 +25,10 @@ levels, code-block sizes, style, quantization) decode with the packet
 walk skipping resolutions a component lacks (B.12.1). Remaining
 deliberate loud seams (NotImplementedError with the feature named —
 the repo-wide codec policy): custom precinct sizes, ROI (RGN), POC,
-packed packet headers (PPM/PPT), per-TILE coding overrides, multiple
-tile-parts, per-component transform mixes, and subsampled/signed/
-mixed-depth components.
+packed packet headers (PPM/PPT), per-TILE coding overrides,
+per-component transform mixes, and subsampled/signed/mixed-depth
+components. Multiple tile-parts (A.4.2, SOT..SOD segments interleaved
+across tiles) decode by per-tile concatenation.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -1280,6 +1281,12 @@ def _decode_j2k_components(d: bytes):
         np.zeros((ysiz - yo, xsiz - xo), dt) for _ in range(ncomp)
     ]
 
+    # First pass: collect tile-parts (A.4.2 — a tile's bitstream may be
+    # split into several SOT..SOD segments, possibly interleaved with
+    # other tiles'; Kakadu-style output splits by resolution). Packets
+    # concatenate in tile-part order, so decode runs on the joined body.
+    tile_parts: dict[int, list] = {}
+    tile_order: list[int] = []
     while pos + 2 <= len(d):
         m = struct.unpack(">H", d[pos : pos + 2])[0]
         if m == 0xFFD9:  # EOC
@@ -1289,8 +1296,6 @@ def _decode_j2k_components(d: bytes):
         lsot, isot, psot, tpsot, tnsot = struct.unpack(
             ">HHIBB", d[pos + 2 : pos + 12]
         )
-        if tpsot != 0 or tnsot not in (0, 1):
-            raise NotImplementedError("JPEG2000 multiple tile-parts")
         if psot == 0:
             psot = len(d) - pos
         tile_end = pos + psot
@@ -1305,7 +1310,19 @@ def _decode_j2k_components(d: bytes):
                 raise NotImplementedError("JPEG2000 per-tile coding override")
             ln = struct.unpack(">H", d[tpos + 2 : tpos + 4])[0]
             tpos += 2 + ln
-        body = d[tpos:tile_end]
+        if isot not in tile_parts:
+            tile_parts[isot] = []
+            tile_order.append(isot)
+        tile_parts[isot].append((tpsot, d[tpos:tile_end]))
+        pos = tile_end
+
+    for isot in tile_order:
+        parts = tile_parts[isot]
+        if [t for t, _ in parts] != list(range(len(parts))):
+            raise ValueError("JPEG2000 tile-parts out of order")
+        body = parts[0][1] if len(parts) == 1 else b"".join(
+            b for _, b in parts
+        )
         p, q = isot % ntx, isot // ntx
         tx0 = max(xto + p * xt, xo)
         ty0 = max(yto + q * yt, yo)
@@ -1316,7 +1333,6 @@ def _decode_j2k_components(d: bytes):
                             depth, mct, transform)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
-        pos = tile_end
     return comps, depth
 
 
@@ -1530,7 +1546,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     termall: bool = False, causal: bool = False,
                     reset: bool = False, segsym: bool = False,
                     bypass: bool = False,
-                    overrides: dict | None = None) -> bytes:
+                    overrides: dict | None = None,
+                    split_parts: int = 1) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1544,7 +1561,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     component index to {"nl": int, "cb": (xe, ye), "qexp_extra": int} and
     emits the corresponding COC/QCC main-header markers (per-component
     decomposition/code-block/quantization — the gray+color mix shape
-    real encoders produce)."""
+    real encoders produce). ``split_parts`` splits every tile's packets
+    across that many SOT..SOD tile-parts (A.4.2, the Kakadu-style
+    layout)."""
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
     styles = {"causal": causal, "reset": reset, "segsym": segsym}
@@ -1778,6 +1797,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                                 yield layer, r, c
 
             body = bytearray()
+            boundaries: list[int] = []  # body offset after each packet
             for layer, r, c in packet_seq():
                 nonempty = [sb for sb in structs[c][r] if sb.cbs]
                 if sop:
@@ -1789,6 +1809,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     body.extend(b"\x00")
                     if eph:
                         body.extend(b"\xff\x92")
+                    boundaries.append(len(body))
                     continue
                 bw = _PktBitWriter()
                 payload = []
@@ -1804,12 +1825,21 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     body.extend(b"\xff\x92")
                 for pdata in payload:
                     body.extend(pdata)
+                boundaries.append(len(body))
             isot = q * ntx + p
-            psot = 12 + 2 + len(body)
-            seg_hdr = struct.pack(">HHHIBB", 0xFF90, 10, isot, psot, 0, 1)
-            out.extend(seg_hdr)
-            out.extend(b"\xff\x93")
-            out.extend(body)
+            # optionally split at packet boundaries into several tile-parts
+            # (A.4.2 — the Kakadu-style layout real scanner JPX takes)
+            n_pk = len(boundaries)
+            k = max(1, min(split_parts, n_pk))
+            cuts = [0] + [boundaries[(i + 1) * n_pk // k - 1]
+                          for i in range(k)]
+            for i in range(k):
+                chunk = body[cuts[i] : cuts[i + 1]]
+                psot = 12 + 2 + len(chunk)
+                out.extend(struct.pack(">HHHIBB", 0xFF90, 10, isot, psot,
+                                       i, k))
+                out.extend(b"\xff\x93")
+                out.extend(chunk)
     out.extend(b"\xff\xd9")  # EOC
     stream = bytes(out)
     if not jp2:

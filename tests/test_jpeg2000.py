@@ -287,6 +287,45 @@ def test_pdf_jpx_image_xobject():
     assert np.array_equal(decode_image(next(iter(media.values()))), img)
 
 
+def test_multiple_tile_parts():
+    """A.4.2: a tile's packets split across several SOT..SOD tile-parts
+    (the Kakadu-style layout real scanner JPX takes) concatenate to the
+    identical bitstream — bit-exact through reversible decode, including
+    multi-tile streams and tile-parts INTERLEAVED across tiles."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    for kw in [dict(split_parts=2), dict(split_parts=5),
+               dict(split_parts=3, tile=(24, 24)),
+               dict(split_parts=2, layers=3, termall=True),
+               dict(split_parts=99)]:  # more parts than packets: clamps
+        comps, _ = _decode_j2k_components(_unbox(
+            encode_jpeg2000(img, nl=2, cb=(4, 4), **kw)))
+        assert np.array_equal(comps[0], img), kw
+    # interleave tile-parts ACROSS tiles: reorder the SOT segments of a
+    # 4-tile, 2-part stream as t0p0 t1p0 ... t3p0 t0p1 ... t3p1
+    data = bytearray(encode_jpeg2000(img, nl=2, cb=(4, 4), tile=(28, 20),
+                                     split_parts=2))
+    segs = []
+    pos = data.index(b"\xff\x90")
+    head = bytes(data[:pos])
+    while data[pos : pos + 2] == b"\xff\x90":
+        psot = int.from_bytes(data[pos + 6 : pos + 10], "big")
+        segs.append(bytes(data[pos : pos + psot]))
+        pos += psot
+    assert bytes(data[pos : pos + 2]) == b"\xff\xd9" and len(segs) == 8
+    interleaved = head + b"".join(segs[0::2] + segs[1::2]) + b"\xff\xd9"
+    comps, _ = _decode_j2k_components(interleaved)
+    assert np.array_equal(comps[0], img)
+    # out-of-order tile-parts within a tile must raise
+    broken = head + b"".join(segs[1::2] + segs[0::2]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="tile-parts"):
+        _decode_j2k_components(broken)
+
+
 def test_coc_qcc_component_overrides():
     """A.6.2/A.6.5 per-component overrides — the gray+color mix shape
     ordinary encoder output takes. COC changes decomposition levels and

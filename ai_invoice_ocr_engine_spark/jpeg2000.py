@@ -25,10 +25,13 @@ levels, code-block sizes, style, quantization) decode with the packet
 walk skipping resolutions a component lacks (B.12.1). Remaining
 deliberate loud seams (NotImplementedError with the feature named —
 the repo-wide codec policy): custom precinct sizes, ROI (RGN), POC,
-packed packet headers (PPM/PPT), per-TILE coding overrides,
+MAIN-header packed packet headers (PPM), per-TILE coding overrides,
 per-component transform mixes, and subsampled/signed/mixed-depth
 components. Multiple tile-parts (A.4.2, SOT..SOD segments interleaved
-across tiles) decode by per-tile concatenation.
+across tiles) decode by per-tile concatenation, and PPT packed packet
+headers (A.7.2 — headers+EPH in Zppt-ordered tile-part-header
+segments, bodies alone in the bitstream) decode via a split
+header/body cursor.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -1074,7 +1077,6 @@ _UNSUPPORTED_MARKERS = {
     0xFF5E: "RGN region of interest",
     0xFF5F: "POC progression order change",
     0xFF60: "PPM packed packet headers",
-    0xFF61: "PPT packed packet headers",
 }
 
 
@@ -1300,7 +1302,10 @@ def _decode_j2k_components(d: bytes):
             psot = len(d) - pos
         tile_end = pos + psot
         tpos = pos + 12
-        # tile-part header: only SOD expected (COD/QCD overrides loud)
+        # tile-part header: SOD, or PPT packed packet headers (A.7.2 —
+        # Zppt-indexed chunks whose concatenation carries every packet
+        # header for the tile); COD/QCD overrides stay loud
+        ppts: list = []
         while True:
             tm = struct.unpack(">H", d[tpos : tpos + 2])[0]
             if tm == 0xFF93:  # SOD
@@ -1309,20 +1314,30 @@ def _decode_j2k_components(d: bytes):
             if tm in (0xFF52, 0xFF5C, 0xFF53, 0xFF5D):
                 raise NotImplementedError("JPEG2000 per-tile coding override")
             ln = struct.unpack(">H", d[tpos + 2 : tpos + 4])[0]
+            if tm == 0xFF61:  # PPT: Zppt index byte + packed header bytes
+                ppts.append((d[tpos + 4], d[tpos + 5 : tpos + 2 + ln]))
             tpos += 2 + ln
         if isot not in tile_parts:
             tile_parts[isot] = []
             tile_order.append(isot)
-        tile_parts[isot].append((tpsot, d[tpos:tile_end]))
+        tile_parts[isot].append((tpsot, d[tpos:tile_end], ppts))
         pos = tile_end
 
     for isot in tile_order:
         parts = tile_parts[isot]
-        if [t for t, _ in parts] != list(range(len(parts))):
+        if [t for t, _, _ in parts] != list(range(len(parts))):
             raise ValueError("JPEG2000 tile-parts out of order")
         body = parts[0][1] if len(parts) == 1 else b"".join(
-            b for _, b in parts
+            b for _, b, _ in parts
         )
+        all_ppts = [z for _, _, ppts in parts for z in ppts]
+        pkt_headers = None
+        if all_ppts:
+            if sorted(z for z, _ in all_ppts) != list(range(len(all_ppts))):
+                raise ValueError("JPEG2000 PPT Zppt indices not contiguous")
+            pkt_headers = b"".join(
+                b for _, b in sorted(all_ppts, key=lambda t: t[0])
+            )
         p, q = isot % ntx, isot // ntx
         tx0 = max(xto + p * xt, xo)
         ty0 = max(yto + q * yt, yo)
@@ -1330,7 +1345,7 @@ def _decode_j2k_components(d: bytes):
         ty1 = min(yto + (q + 1) * yt, ysiz)
         tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                             layers, prog, use_sop, use_eph,
-                            depth, mct, transform)
+                            depth, mct, transform, pkt_headers=pkt_headers)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
     return comps, depth
@@ -1342,7 +1357,8 @@ def _sb_index(band: int, r: int) -> int:
 
 
 def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
-                 layers, prog, use_sop, use_eph, depth, mct, transform):
+                 layers, prog, use_sop, use_eph, depth, mct, transform,
+                 pkt_headers: bytes | None = None):
     structs = [
         _tile_structure(tx0, ty0, tx1, ty1, cp["nl"], cp["xcb"], cp["ycb"])
         for cp in cparams
@@ -1392,13 +1408,20 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                     for layer in range(layers):
                         yield layer, r, c
 
+    # With PPT (A.7.2) every packet HEADER lives in the packed-header
+    # stream (EPH included) while packet BODIES stay in the bitstream;
+    # without it both interleave in `body` and the two cursors coincide.
+    hsrc = body if pkt_headers is None else pkt_headers
     pos = 0
+    hpos = 0
     for layer, r, c in packet_seq():
         termall = cparams[c]["termall"]
         bypass = cparams[c]["bypass"]
         if use_sop and body[pos : pos + 2] == b"\xff\x91":
             pos += 6
-        br = _PktBitReader(body, pos)
+        if pkt_headers is None:
+            hpos = pos
+        br = _PktBitReader(hsrc, hpos)
         bands = structs[c][r]
         tr = [t for t in trees[c][r] if t is not None]
         nonempty = [sb for sb in bands if sb.cbs]
@@ -1413,11 +1436,13 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                 raise ValueError(
                     "JPEG2000 nonempty packet for code-block-less precinct")
             bodies = []
-        pos = br.align()
+        hpos = br.align()
         if use_eph:
-            if body[pos : pos + 2] != b"\xff\x92":
+            if hsrc[hpos : hpos + 2] != b"\xff\x92":
                 raise ValueError("JPEG2000 missing EPH")
-            pos += 2
+            hpos += 2
+        if pkt_headers is None:
+            pos = hpos
         for cb, nbytes in bodies:
             if termall or bypass:
                 for ln in nbytes:  # one terminated segment per pass
@@ -1547,7 +1572,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     reset: bool = False, segsym: bool = False,
                     bypass: bool = False,
                     overrides: dict | None = None,
-                    split_parts: int = 1) -> bytes:
+                    split_parts: int = 1, ppt: bool = False) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1563,7 +1588,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     decomposition/code-block/quantization — the gray+color mix shape
     real encoders produce). ``split_parts`` splits every tile's packets
     across that many SOT..SOD tile-parts (A.4.2, the Kakadu-style
-    layout)."""
+    layout). ``ppt`` moves every packet header (EPH included) into PPT
+    packed-header segments in the tile-part header (A.7.2); the
+    bitstream then carries packet bodies only."""
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
     styles = {"causal": causal, "reset": reset, "segsym": segsym}
@@ -1797,18 +1824,20 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                                 yield layer, r, c
 
             body = bytearray()
+            hdrs = bytearray()  # PPT mode: packet headers live here
             boundaries: list[int] = []  # body offset after each packet
+            hsink = hdrs if ppt else body
             for layer, r, c in packet_seq():
                 nonempty = [sb for sb in structs[c][r] if sb.cbs]
-                if sop:
+                if sop:  # SOP markers stay in the bitstream even with PPT
                     body.extend(struct.pack(">HHH", 0xFF91, 4, 0))
                 if not nonempty:
                     # code-block-less precinct: emit the spec's empty packet
                     # header — a single 0 bit, byte-aligned (T.800 B.10.3),
                     # matching OpenJPEG — so EPH markers stay consistent
-                    body.extend(b"\x00")
+                    hsink.extend(b"\x00")
                     if eph:
-                        body.extend(b"\xff\x92")
+                        hsink.extend(b"\xff\x92")
                     boundaries.append(len(body))
                     continue
                 bw = _PktBitWriter()
@@ -1820,9 +1849,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     _encode_packet_bypass(bw, nonempty, tr, payload)
                 else:
                     _encode_packet(bw, nonempty, layer, tr, payload)
-                body.extend(bw.align())
+                hsink.extend(bw.align())
                 if eph:
-                    body.extend(b"\xff\x92")
+                    hsink.extend(b"\xff\x92")
                 for pdata in payload:
                     body.extend(pdata)
                 boundaries.append(len(body))
@@ -1835,9 +1864,19 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                           for i in range(k)]
             for i in range(k):
                 chunk = body[cuts[i] : cuts[i + 1]]
-                psot = 12 + 2 + len(chunk)
+                extra = b""
+                if ppt and i == 0:
+                    zb = bytearray()
+                    for z, off in enumerate(range(0, max(len(hdrs), 1),
+                                                  65532)):
+                        hchunk = bytes(hdrs[off : off + 65532])
+                        zb += struct.pack(">HHB", 0xFF61, 3 + len(hchunk), z)
+                        zb += hchunk
+                    extra = bytes(zb)
+                psot = 12 + len(extra) + 2 + len(chunk)
                 out.extend(struct.pack(">HHHIBB", 0xFF90, 10, isot, psot,
                                        i, k))
+                out.extend(extra)
                 out.extend(b"\xff\x93")
                 out.extend(chunk)
     out.extend(b"\xff\xd9")  # EOC

@@ -326,6 +326,36 @@ def test_multiple_tile_parts():
         _decode_j2k_components(broken)
 
 
+def test_ppt_packed_packet_headers():
+    """A.7.2: PPT moves every packet header (EPH included) into
+    Zppt-ordered tile-part-header segments; the bitstream carries packet
+    bodies only, read through a split header/body cursor. Exercised with
+    EPH, SOP (which stays in the bitstream), tiling, tile-part splits,
+    multi-layer termall, lossy, COC overrides, and RGB+MCT."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    for kw in [dict(), dict(eph=True), dict(sop=True, eph=True),
+               dict(tile=(24, 24)), dict(split_parts=3),
+               dict(layers=2, termall=True),
+               dict(overrides={0: {"nl": 1, "cb": (3, 3)}})]:
+        comps, _ = _decode_j2k_components(_unbox(
+            encode_jpeg2000(img, nl=2, cb=(4, 4), ppt=True, **kw)))
+        assert np.array_equal(comps[0], img), kw
+    rgb = rng.integers(0, 256, (21, 17, 3)).astype(np.uint8)
+    comps, _ = _decode_j2k_components(_unbox(
+        encode_jpeg2000(rgb, nl=2, cb=(4, 4), ppt=True, eph=True)))
+    for i in range(3):
+        assert np.array_equal(comps[i], rgb[..., i])
+    # a lossy PPT stream stays within its quantizer bound
+    comps, _ = _decode_j2k_components(_unbox(
+        encode_jpeg2000(img, nl=2, cb=(4, 4), ppt=True, lossy=True)))
+    assert np.abs(comps[0] - img.astype(float)).max() <= 1.0
+
+
 def test_coc_qcc_component_overrides():
     """A.6.2/A.6.5 per-component overrides — the gray+color mix shape
     ordinary encoder output takes. COC changes decomposition levels and

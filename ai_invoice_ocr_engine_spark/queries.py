@@ -689,6 +689,68 @@ def q_text_quality(spark, sf):
     return T.with_token_stats(_t(spark, sf, "documents"))
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction pass (functions/text.py with_pii_scrub): count and
+    replace emails/phones, fingerprint the scrubbed text — value-exact
+    cross-engine check of the redaction itself. Pure map stage."""
+    return T.with_pii_scrub(_t(spark, sf, "documents"))
+
+
+_SQL_PII_SCRUB = r"""
+WITH t AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact: user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad((doc_id % 10000)::varchar, 4, '0')
+                 ELSE '' END AS tt
+  FROM documents
+), s AS (
+  SELECT doc_id, tt,
+         regexp_replace(
+           regexp_replace(tt, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+  FROM t
+)
+SELECT doc_id,
+       len(regexp_extract_all(tt, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+       len(regexp_extract_all(tt, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+       length(scrubbed) AS scrubbed_len,
+       ('0x' || substr(md5(scrubbed), 1, 15))::bigint AS scrubbed_fp
+FROM s
+"""
+
+
+def q_chunk_windows(spark, sf):
+    """Overlapping token-window chunking (functions/text.py
+    chunk_windows): window 32, stride 24 — the context-window packing
+    map stage; chunks fingerprinted for the value-exact check."""
+    return T.chunk_windows(_t(spark, sf, "documents"), window=32, stride=24)
+
+
+_SQL_CHUNK_WINDOWS = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, ws,
+         unnest(range(0,
+                      greatest(len(ws) - 1, 0)
+                        - (greatest(len(ws) - 1, 0) % 24) + 1,
+                      24)) AS st
+  FROM w
+)
+SELECT doc_id,
+       (st // 24)::int AS chunk_idx,
+       len(ws[st + 1 : st + 32]) AS n_chunk_tokens,
+       ('0x' || substr(md5(array_to_string(ws[st + 1 : st + 32], ' ')), 1, 15))::bigint
+         AS chunk_fp
+FROM s
+"""
+
+
 _SQL_TEXT_QUALITY = r"""
 WITH base AS (
   SELECT doc_id, text,
@@ -3829,6 +3891,8 @@ REGISTRY: dict[str, tuple] = {
     "ann_batch_topk": (q_ann_batch_topk, _SQL_ANN_BATCH),
     "ann_lsh_histogram": (q_ann_lsh_histogram, _SQL_ANN_LSH),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
+    "pii_scrub": (q_pii_scrub, _SQL_PII_SCRUB),
+    "chunk_windows": (q_chunk_windows, _SQL_CHUNK_WINDOWS),
     "text_langid": (q_text_langid, _SQL_TEXT_LANGID),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_FINGERPRINT),
     "asof_join_signup": (q_asof_signup, _SQL_ASOF),

@@ -22,16 +22,20 @@ layered encoders emit — and all code-block styles (bypass/reset/
 causal/segsym; predictable termination accepted, verification not
 performed). COC/QCC main-header per-component overrides (decomposition
 levels, code-block sizes, style, quantization) decode with the packet
-walk skipping resolutions a component lacks (B.12.1). Remaining
+walk skipping resolutions a component lacks (B.12.1). Custom PRECINCTS
+(B.6) decode: one packet per (layer, resolution, component, precinct)
+in raster order with per-precinct tag trees and code-block sizes
+clamped per B.7 — under LRCP/RLCP; position progressions (RPCL/PCRL/
+CPRL) with a multi-precinct layout order packets by precinct
+coordinate across resolutions and stay a named seam. Multiple
+tile-parts (A.4.2, SOT..SOD segments interleaved across tiles) decode
+by per-tile concatenation, and PPT packed packet headers (A.7.2 —
+headers+EPH in Zppt-ordered tile-part-header segments, bodies alone in
+the bitstream) decode via a split header/body cursor. Remaining
 deliberate loud seams (NotImplementedError with the feature named —
-the repo-wide codec policy): custom precinct sizes, ROI (RGN), POC,
-MAIN-header packed packet headers (PPM), per-TILE coding overrides,
-per-component transform mixes, and subsampled/signed/mixed-depth
-components. Multiple tile-parts (A.4.2, SOT..SOD segments interleaved
-across tiles) decode by per-tile concatenation, and PPT packed packet
-headers (A.7.2 — headers+EPH in Zppt-ordered tile-part-header
-segments, bodies alone in the bitstream) decode via a split
-header/body cursor.
+the repo-wide codec policy): ROI (RGN), POC, MAIN-header packed packet
+headers (PPM), per-TILE coding overrides, per-component transform
+mixes, and subsampled/signed/mixed-depth components.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -809,10 +813,20 @@ def _make_codeblocks(sb: _Subband, xcb: int, ycb: int):
             })
 
 
-def _tile_structure(tcx0, tcy0, tcx1, tcy1, nl, xcb, ycb):
-    """Per resolution r=0..nl: list of subbands with codeblock grids."""
+def _eff_cb(xcb, ycb, r, pps):
+    """Effective code-block exponents within a precinct (B.7): clamped
+    to the precinct size (halved on the subband grid for r > 0)."""
+    ppx, ppy = pps[r] if pps else (15, 15)
+    off = 1 if r else 0
+    return min(xcb, ppx - off), min(ycb, ppy - off)
+
+
+def _tile_structure(tcx0, tcy0, tcx1, tcy1, nl, xcb, ycb, pps=None):
+    """Per resolution r=0..nl: list of subbands with codeblock grids
+    (code-block sizes clamped per precinct exponents when given)."""
     res = []
     for r in range(nl + 1):
+        exb, eyb = _eff_cb(xcb, ycb, r, pps)
         bands = []
         if r == 0:
             x0, y0, x1, y1 = _band_rect(tcx0, tcy0, tcx1, tcy1, nl, 0, 0)
@@ -824,9 +838,68 @@ def _tile_structure(tcx0, tcy0, tcx1, tcy1, nl, xcb, ycb):
                                             nb, xob, yob)
                 bands.append(_Subband(band, x0, y0, x1, y1))
         for sb in bands:
-            _make_codeblocks(sb, xcb, ycb)
+            _make_codeblocks(sb, exb, eyb)
         res.append(bands)
     return res
+
+
+class _PView:
+    """One subband's code-blocks inside one precinct, with the tag-tree
+    grid dims of their intersection rect."""
+
+    __slots__ = ("band", "cbs", "gw", "gh")
+
+    def __init__(self, band, cbs, gw, gh):
+        self.band, self.cbs, self.gw, self.gh = band, cbs, gw, gh
+
+
+def _precinct_views(bands, r, nl, tcx0, tcy0, tcx1, tcy1, pps, xcb, ycb):
+    """Group a resolution's code-blocks into precincts (B.6): returns a
+    list over precinct index (raster order on the resolution grid) of
+    per-subband _PView lists; each code-block's tag-tree (gi, gj) is set
+    relative to its precinct's code-block grid. With the default
+    (2^15) precinct size this collapses to one precinct per resolution
+    and reproduces the plain per-subband grid."""
+    ppx, ppy = pps[r] if pps else (15, 15)
+    exb, eyb = _eff_cb(xcb, ycb, r, pps)
+    s = 1 << (nl - r)
+    rx0, ry0 = _ceil_div(tcx0, s), _ceil_div(tcy0, s)
+    rx1, ry1 = _ceil_div(tcx1, s), _ceil_div(tcy1, s)
+    pc0, pr0 = rx0 >> ppx, ry0 >> ppy
+    npx = max(1, _ceil_div(rx1, 1 << ppx) - pc0) if rx1 > rx0 else 1
+    npy = max(1, _ceil_div(ry1, 1 << ppy) - pr0) if ry1 > ry0 else 1
+    sx = ppx - (1 if r else 0)
+    sy = ppy - (1 if r else 0)
+    cw, ch = 1 << exb, 1 << eyb
+    # bucket code-blocks by precinct cell (anchored partitions nest, so
+    # a code-block's top-left determines its precinct)
+    groups: dict = {}
+    for bi, sb in enumerate(bands):
+        for cb in sb.cbs:
+            key = ((cb["y0"] >> sy) - pr0, (cb["x0"] >> sx) - pc0)
+            groups.setdefault(key, {}).setdefault(bi, []).append(cb)
+    views = []
+    for pj in range(npy):
+        for pi in range(npx):
+            row = []
+            got = groups.get((pj, pi), {})
+            for bi, sb in enumerate(bands):
+                cbs = got.get(bi, [])
+                if cbs:
+                    px0, py0 = (pc0 + pi) << sx, (pr0 + pj) << sy
+                    px1, py1 = px0 + (1 << sx), py0 + (1 << sy)
+                    gx0 = max(sb.x0, px0) // cw
+                    gy0 = max(sb.y0, py0) // ch
+                    gw = _ceil_div(min(sb.x1, px1), cw) - gx0
+                    gh = _ceil_div(min(sb.y1, py1), ch) - gy0
+                    for cb in cbs:
+                        cb["_gi"] = cb["x0"] // cw - gx0
+                        cb["_gj"] = cb["y0"] // ch - gy0
+                else:
+                    gw = gh = 0
+                row.append(_PView(sb.band, cbs, gw, gh))
+            views.append(row)
+    return views
 
 
 def _npasses_read(br) -> int:
@@ -1080,9 +1153,10 @@ _UNSUPPORTED_MARKERS = {
 }
 
 
-def _parse_spcod(sp: bytes, layers: int):
+def _parse_spcod(sp: bytes, layers: int, has_precincts: bool = False):
     """The shared SPcod/SPcoc parameter block (A.6.1/A.6.2): levels,
-    code-block exponents, code-block style, transform."""
+    code-block exponents, code-block style, transform, and (when the
+    Scod/Scoc precinct bit is set) one PPx|PPy<<4 byte per resolution."""
     nl = sp[0]
     xcb = (sp[1] & 0xF) + 2
     ycb = (sp[2] & 0xF) + 2
@@ -1100,13 +1174,24 @@ def _parse_spcod(sp: bytes, layers: int):
     transform = sp[4]
     if transform not in (0, 1):
         raise ValueError("JPEG2000 bad transform byte")
+    pps = None
+    if has_precincts:
+        if len(sp) < 5 + nl + 1:
+            raise ValueError("JPEG2000 precinct size list truncated")
+        pps = []
+        for r in range(nl + 1):
+            b = sp[5 + r]
+            ppx, ppy = b & 0xF, b >> 4
+            if (ppx == 0 or ppy == 0) and r > 0:
+                raise ValueError("JPEG2000 zero precinct exponent at r>0")
+            pps.append((ppx, ppy))
     return {
         "nl": nl, "xcb": xcb, "ycb": ycb,
         "termall": termall, "bypass": bypass,
         "styles": {"reset": bool(cbstyle & 0x02),
                    "causal": bool(cbstyle & 0x08),
                    "segsym": bool(cbstyle & 0x20)},
-        "transform": transform,
+        "transform": transform, "pps": pps,
     }
 
 
@@ -1212,8 +1297,6 @@ def _decode_j2k_components(d: bytes):
         raise NotImplementedError("JPEG2000 mixed component depths")
 
     scod = cod[0]
-    if scod & 1:
-        raise NotImplementedError("JPEG2000 custom precinct sizes")
     use_sop = bool(scod & 2)
     use_eph = bool(scod & 4)
     prog = cod[1]
@@ -1225,7 +1308,7 @@ def _decode_j2k_components(d: bytes):
     # only the ENCODER's flush pattern so decoders MAY detect corruption;
     # decoding is identical, so the bit is accepted (verification not
     # performed)
-    base = _parse_spcod(cod[5:], layers)
+    base = _parse_spcod(cod[5:], layers, has_precincts=bool(scod & 1))
 
     # per-component parameters: COD/QCD defaults, then COC/QCC overrides
     # (A.6.2/A.6.5 — ordinary real-encoder output for gray+color mixes)
@@ -1240,9 +1323,8 @@ def _decode_j2k_components(d: bytes):
         ci, off = comp_index(body)
         if ci >= ncomp:
             raise ValueError("JPEG2000 COC component out of range")
-        if body[off] & 1:
-            raise NotImplementedError("JPEG2000 custom precinct sizes")
-        cparams[ci] = _parse_spcod(body[off + 1 :], layers)
+        cparams[ci] = _parse_spcod(body[off + 1 :], layers,
+                                   has_precincts=bool(body[off] & 1))
     transform = base["transform"]
     if any(cp["transform"] != transform for cp in cparams):
         # mixing 5/3 and 9/7 across components also splits the sample
@@ -1360,27 +1442,48 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                  layers, prog, use_sop, use_eph, depth, mct, transform,
                  pkt_headers: bytes | None = None):
     structs = [
-        _tile_structure(tx0, ty0, tx1, ty1, cp["nl"], cp["xcb"], cp["ycb"])
+        _tile_structure(tx0, ty0, tx1, ty1, cp["nl"], cp["xcb"], cp["ycb"],
+                        cp.get("pps"))
         for cp in cparams
     ]
-    trees = [
+    pviews = [
         [
-            [
-                (TagTree(*_grid_index(sb, cparams[c]["xcb"],
-                                      cparams[c]["ycb"])),
-                 TagTree(*_grid_index(sb, cparams[c]["xcb"],
-                                      cparams[c]["ycb"])))
-                if sb.cbs else None
-                for sb in res
-            ]
-            for res in structs[c]
+            _precinct_views(structs[c][r], r, cparams[c]["nl"],
+                            tx0, ty0, tx1, ty1, cparams[c].get("pps"),
+                            cparams[c]["xcb"], cparams[c]["ycb"])
+            for r in range(cparams[c]["nl"] + 1)
         ]
         for c in range(ncomp)
     ]
+    ptrees = [
+        [
+            [
+                [
+                    (TagTree(v.gw, v.gh), TagTree(v.gw, v.gh))
+                    if v.cbs else None
+                    for v in row
+                ]
+                for row in pviews[c][r]
+            ]
+            for r in range(cparams[c]["nl"] + 1)
+        ]
+        for c in range(ncomp)
+    ]
+    multi_prec = any(
+        len(pviews[c][r]) > 1
+        for c in range(ncomp) for r in range(cparams[c]["nl"] + 1)
+    )
+    if multi_prec and prog >= 2:
+        # position progressions order packets by precinct coordinates
+        # across resolutions; supported only for the one-precinct layout
+        raise NotImplementedError(
+            "JPEG2000 custom precincts with a position progression order"
+        )
 
     # packet iteration order; with COC the resolution count differs per
     # component — packets simply do not exist for r > NL_c (B.12.1), so
-    # the walk skips those (r, c) pairs entirely
+    # the walk skips those (r, c) pairs entirely. Precincts of one
+    # (r, c) iterate in raster order over the resolution grid.
     max_nl = max(cp["nl"] for cp in cparams)
 
     def packet_seq():
@@ -1389,24 +1492,26 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                 for r in range(max_nl + 1):
                     for c in range(ncomp):
                         if r <= cparams[c]["nl"]:
-                            yield layer, r, c
+                            for pi in range(len(pviews[c][r])):
+                                yield layer, r, c, pi
         elif prog == 1:  # RLCP
             for r in range(max_nl + 1):
                 for layer in range(layers):
                     for c in range(ncomp):
                         if r <= cparams[c]["nl"]:
-                            yield layer, r, c
+                            for pi in range(len(pviews[c][r])):
+                                yield layer, r, c, pi
         elif prog == 2:  # RPCL (single precinct)
             for r in range(max_nl + 1):
                 for c in range(ncomp):
                     if r <= cparams[c]["nl"]:
                         for layer in range(layers):
-                            yield layer, r, c
+                            yield layer, r, c, 0
         else:  # PCRL / CPRL (coincide with one precinct per resolution)
             for c in range(ncomp):
                 for r in range(cparams[c]["nl"] + 1):
                     for layer in range(layers):
-                        yield layer, r, c
+                        yield layer, r, c, 0
 
     # With PPT (A.7.2) every packet HEADER lives in the packed-header
     # stream (EPH included) while packet BODIES stay in the bitstream;
@@ -1414,7 +1519,7 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
     hsrc = body if pkt_headers is None else pkt_headers
     pos = 0
     hpos = 0
-    for layer, r, c in packet_seq():
+    for layer, r, c, pi in packet_seq():
         termall = cparams[c]["termall"]
         bypass = cparams[c]["bypass"]
         if use_sop and body[pos : pos + 2] == b"\xff\x91":
@@ -1422,9 +1527,9 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
         if pkt_headers is None:
             hpos = pos
         br = _PktBitReader(hsrc, hpos)
-        bands = structs[c][r]
-        tr = [t for t in trees[c][r] if t is not None]
-        nonempty = [sb for sb in bands if sb.cbs]
+        row = pviews[c][r][pi]
+        tr = [t for t in ptrees[c][r][pi] if t is not None]
+        nonempty = [v for v in row if v.cbs]
         if nonempty:
             bodies = _decode_packet(br, nonempty, layer, tr, termall, bypass)
         else:
@@ -1572,7 +1677,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     reset: bool = False, segsym: bool = False,
                     bypass: bool = False,
                     overrides: dict | None = None,
-                    split_parts: int = 1, ppt: bool = False) -> bytes:
+                    split_parts: int = 1, ppt: bool = False,
+                    precincts=None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1590,7 +1696,11 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     across that many SOT..SOD tile-parts (A.4.2, the Kakadu-style
     layout). ``ppt`` moves every packet header (EPH included) into PPT
     packed-header segments in the tile-part header (A.7.2); the
-    bitstream then carries packet bodies only."""
+    bitstream then carries packet bodies only. ``precincts`` — a single
+    (PPx, PPy) exponent pair applied to every resolution, or a
+    per-resolution list — partitions each resolution into 2^PPx x 2^PPy
+    precincts with one packet per precinct (B.6; code-block sizes clamp
+    per B.7); supported with LRCP/RLCP progressions."""
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
     styles = {"causal": causal, "reset": reset, "segsym": segsym}
@@ -1611,6 +1721,20 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         out.extend(struct.pack(">HH", marker, len(body) + 2))
         out.extend(body)
 
+    if precincts is not None and prog >= 2:
+        raise ValueError(
+            "precinct fixture supports LRCP/RLCP progressions only"
+        )
+
+    def pps_for(nl_c: int):
+        if precincts is None:
+            return None
+        if isinstance(precincts, tuple):
+            return [precincts] * (nl_c + 1)
+        if len(precincts) < nl_c + 1:
+            raise ValueError("precincts list shorter than nl + 1")
+        return [tuple(p) for p in precincts[: nl_c + 1]]
+
     # per-component encode parameters (COD/QCD defaults + overrides)
     enc_cp = []
     for c in range(ncomp):
@@ -1622,6 +1746,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         enc_cp.append({
             "nl": nl_c, "xcb": xcb_c, "ycb": ycb_c,
             "mbs": mbs_c, "deltas": deltas_c, "qbody": qbody,
+            "pps": pps_for(nl_c),
             "coc": nl_c != nl or (xcb_c, ycb_c) != (xcb, ycb),
         })
 
@@ -1629,16 +1754,22 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     for _ in range(ncomp):
         siz += bytes([7, 1, 1])
     seg(0xFF51, siz)
-    scod = (2 if sop else 0) | (4 if eph else 0)
+    has_prec = precincts is not None
+    scod = (1 if has_prec else 0) | (2 if sop else 0) | (4 if eph else 0)
     transform = 0 if lossy else 1
+
+    def prec_bytes(pps):
+        return bytes([px | (py << 4) for px, py in pps]) if pps else b""
+
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
         [mct, nl, xcb - 2, ycb - 2, style_byte, transform]
-    )
+    ) + prec_bytes(pps_for(nl))
     seg(0xFF52, cod)
     for c, cp in enumerate(enc_cp):
         if cp["coc"]:
-            seg(0xFF53, bytes([c, 0, cp["nl"], cp["xcb"] - 2,
-                               cp["ycb"] - 2, style_byte, transform]))
+            seg(0xFF53, bytes([c, 1 if has_prec else 0, cp["nl"],
+                               cp["xcb"] - 2, cp["ycb"] - 2, style_byte,
+                               transform]) + prec_bytes(cp["pps"]))
     qcd_body, _, _ = _enc_quant_body(nl, lossy, qexp_extra)
     seg(0xFF5C, qcd_body)
     for c, cp in enumerate(enc_cp):
@@ -1676,7 +1807,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 mbs = enc_cp[c]["mbs"]
                 deltas = enc_cp[c]["deltas"]
                 res = _tile_structure(tx0, ty0, tx1, ty1, nl_c,
-                                      enc_cp[c]["xcb"], enc_cp[c]["ycb"])
+                                      enc_cp[c]["xcb"], enc_cp[c]["ycb"],
+                                      enc_cp[c]["pps"])
                 if lossy:
                     ll, bands = dwt_97(comps[c], nl_c, tx0, ty0, tx1, ty1)
                 else:
@@ -1743,59 +1875,71 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                                 cbk["passes"] = 1
                                 cbk["zbp"] = mb - 1
                 structs.append(res)
-            trees = [
+            pviews = [
+                [
+                    _precinct_views(structs[c][r], r, enc_cp[c]["nl"],
+                                    tx0, ty0, tx1, ty1, enc_cp[c]["pps"],
+                                    enc_cp[c]["xcb"], enc_cp[c]["ycb"])
+                    for r in range(enc_cp[c]["nl"] + 1)
+                ]
+                for c in range(ncomp)
+            ]
+            ptrees = [
                 [
                     [
-                        (TagTree(*_grid_index(sb, enc_cp[c]["xcb"],
-                                              enc_cp[c]["ycb"])),
-                         TagTree(*_grid_index(sb, enc_cp[c]["xcb"],
-                                              enc_cp[c]["ycb"])))
-                        if sb.cbs else None
-                        for sb in res_r
+                        [
+                            (TagTree(v.gw, v.gh), TagTree(v.gw, v.gh))
+                            if v.cbs else None
+                            for v in row
+                        ]
+                        for row in pviews[c][r]
                     ]
-                    for res_r in structs[c]
+                    for r in range(enc_cp[c]["nl"] + 1)
                 ]
                 for c in range(ncomp)
             ]
             for c in range(ncomp):
                 for r in range(enc_cp[c]["nl"] + 1):
-                    for bi, sb in enumerate(structs[c][r]):
-                        if not sb.cbs:
-                            continue
-                        it, zt = trees[c][r][bi]
-                        for cbk in sb.cbs:
-                            it.set_value(cbk["_gi"], cbk["_gj"], 0)
-                            zt.set_value(cbk["_gi"], cbk["_gj"], cbk["zbp"])
-                        for cbk in sb.cbs:
-                            cbk["included"] = False
-                            cbk["lblock"] = 3
+                    for row, trow in zip(pviews[c][r], ptrees[c][r]):
+                        for v, t2 in zip(row, trow):
+                            if not v.cbs:
+                                continue
+                            it, zt = t2
+                            for cbk in v.cbs:
+                                it.set_value(cbk["_gi"], cbk["_gj"], 0)
+                                zt.set_value(cbk["_gi"], cbk["_gj"],
+                                             cbk["zbp"])
+                                cbk["included"] = False
+                                cbk["lblock"] = 3
 
             # per-cb layer chunks: contiguous pass-segment splits; the
             # inclusion tag value is the first non-empty layer
             if termall:
                 for c in range(ncomp):
-                    for res_r, tr_r in zip(structs[c], trees[c]):
-                        for sb, t2 in zip(res_r, tr_r):
-                            if not sb.cbs:
-                                continue
-                            incl_tree, _zt = t2
-                            for cbk in sb.cbs:
-                                n = len(cbk["segs"])
-                                bounds = [round(i * n / layers)
-                                          for i in range(layers + 1)]
-                                cbk["_chunks"] = [
-                                    cbk["segs"][bounds[i] : bounds[i + 1]]
-                                    for i in range(layers)
-                                ]
-                                first_l = next(
-                                    i for i, ch in enumerate(cbk["_chunks"])
-                                    if ch
-                                )
-                                incl_tree.set_value(
-                                    cbk["_gi"], cbk["_gj"], first_l)
+                    for r in range(enc_cp[c]["nl"] + 1):
+                        for row, trow in zip(pviews[c][r], ptrees[c][r]):
+                            for v, t2 in zip(row, trow):
+                                if not v.cbs:
+                                    continue
+                                incl_tree, _zt = t2
+                                for cbk in v.cbs:
+                                    n = len(cbk["segs"])
+                                    bounds = [round(i * n / layers)
+                                              for i in range(layers + 1)]
+                                    cbk["_chunks"] = [
+                                        cbk["segs"][bounds[i] : bounds[i + 1]]
+                                        for i in range(layers)
+                                    ]
+                                    first_l = next(
+                                        i for i, ch in
+                                        enumerate(cbk["_chunks"]) if ch
+                                    )
+                                    incl_tree.set_value(
+                                        cbk["_gi"], cbk["_gj"], first_l)
 
             # mirror of the decoder's walk: packets exist only for
-            # r <= NL_c of each component (B.12.1)
+            # r <= NL_c of each component (B.12.1); precincts of one
+            # (r, c) go in raster order
             enc_max_nl = max(cp["nl"] for cp in enc_cp)
 
             def packet_seq():
@@ -1804,31 +1948,33 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                         for r in range(enc_max_nl + 1):
                             for c in range(ncomp):
                                 if r <= enc_cp[c]["nl"]:
-                                    yield layer, r, c
+                                    for pi in range(len(pviews[c][r])):
+                                        yield layer, r, c, pi
                 elif prog == 1:  # RLCP
                     for r in range(enc_max_nl + 1):
                         for layer in range(layers):
                             for c in range(ncomp):
                                 if r <= enc_cp[c]["nl"]:
-                                    yield layer, r, c
+                                    for pi in range(len(pviews[c][r])):
+                                        yield layer, r, c, pi
                 elif prog == 2:  # RPCL
                     for r in range(enc_max_nl + 1):
                         for c in range(ncomp):
                             if r <= enc_cp[c]["nl"]:
                                 for layer in range(layers):
-                                    yield layer, r, c
+                                    yield layer, r, c, 0
                 else:  # PCRL / CPRL (single precinct)
                     for c in range(ncomp):
                         for r in range(enc_cp[c]["nl"] + 1):
                             for layer in range(layers):
-                                yield layer, r, c
+                                yield layer, r, c, 0
 
             body = bytearray()
             hdrs = bytearray()  # PPT mode: packet headers live here
             boundaries: list[int] = []  # body offset after each packet
             hsink = hdrs if ppt else body
-            for layer, r, c in packet_seq():
-                nonempty = [sb for sb in structs[c][r] if sb.cbs]
+            for layer, r, c, pi in packet_seq():
+                nonempty = [v for v in pviews[c][r][pi] if v.cbs]
                 if sop:  # SOP markers stay in the bitstream even with PPT
                     body.extend(struct.pack(">HHH", 0xFF91, 4, 0))
                 if not nonempty:
@@ -1842,7 +1988,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     continue
                 bw = _PktBitWriter()
                 payload = []
-                tr = [t for t in trees[c][r] if t is not None]
+                tr = [t for t in ptrees[c][r][pi] if t is not None]
                 if termall:
                     _encode_packet_termall(bw, nonempty, layer, tr, payload)
                 elif bypass:

@@ -326,6 +326,64 @@ def test_multiple_tile_parts():
         _decode_j2k_components(broken)
 
 
+def test_custom_precincts():
+    """B.6 custom precinct partitions: one packet per (layer, res, comp,
+    precinct) with per-precinct tag trees, code-block sizes clamped per
+    B.7 (halved on the subband grid for r > 0). Composes with EPH/SOP,
+    tiling, per-resolution precinct lists, multi-layer termall, PPT,
+    tile-part splits, COC overrides, and lossy — all bit-exact (or
+    quantizer-bounded) round-trips. A 70x90 image at (4,4) yields ~30
+    precincts in the top resolution, so the multi-precinct walk is
+    genuinely exercised."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+    for kw in [dict(precincts=(4, 4)), dict(precincts=(3, 4), prog=1),
+               dict(precincts=(4, 4), eph=True, sop=True),
+               dict(precincts=(4, 4), tile=(48, 40)),
+               dict(precincts=[(3, 3), (4, 4), (5, 5)]),
+               dict(precincts=(4, 4), layers=2, termall=True),
+               dict(precincts=(4, 4), ppt=True, eph=True),
+               dict(precincts=(4, 4), split_parts=3),
+               dict(precincts=(5, 5), cb=(6, 6))]:  # cb clamps to 4 (B.7)
+        data = encode_jpeg2000(img, **{**dict(nl=2, cb=(4, 4)), **kw})
+        raw = _unbox(data)
+        i = raw.index(b"\xff\x52")
+        assert raw[i + 4] & 1, "Scod precinct bit not set"
+        comps, _ = _decode_j2k_components(raw)
+        assert np.array_equal(comps[0], img), kw
+    rgb = rng.integers(0, 256, (33, 41, 3)).astype(np.uint8)
+    comps, _ = _decode_j2k_components(_unbox(encode_jpeg2000(
+        rgb, nl=2, cb=(4, 4), precincts=(4, 4), overrides={1: {"nl": 1}})))
+    for i in range(3):
+        assert np.array_equal(comps[i], rgb[..., i])
+    comps, _ = _decode_j2k_components(_unbox(encode_jpeg2000(
+        img, nl=2, cb=(4, 4), precincts=(4, 4), lossy=True)))
+    assert np.abs(comps[0] - img.astype(float)).max() <= 1.0
+
+
+def test_precinct_position_progressions_stay_loud():
+    """Position progressions (RPCL/PCRL/CPRL) order packets by precinct
+    coordinates across resolutions — unsupported with a multi-precinct
+    layout: the decoder must raise the named error, and the fixture
+    encoder refuses to emit the combination."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import _decode_j2k_components
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    with pytest.raises(ValueError, match="LRCP/RLCP"):
+        encode_jpeg2000(img, nl=1, cb=(4, 4), precincts=(4, 4), prog=2)
+    data = bytearray(encode_jpeg2000(img, nl=1, cb=(4, 4),
+                                     precincts=(4, 4)))
+    i = data.index(b"\xff\x52")
+    data[i + 5] = 2  # patch the COD progression byte to RPCL
+    with pytest.raises(NotImplementedError, match="precinct"):
+        _decode_j2k_components(bytes(data))
+
+
 def test_ppt_packed_packet_headers():
     """A.7.2: PPT moves every packet header (EPH included) into
     Zppt-ordered tile-part-header segments; the bitstream carries packet

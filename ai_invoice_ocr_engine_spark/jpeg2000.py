@@ -31,11 +31,13 @@ coordinate across resolutions and stay a named seam. Multiple
 tile-parts (A.4.2, SOT..SOD segments interleaved across tiles) decode
 by per-tile concatenation, and PPT packed packet headers (A.7.2 —
 headers+EPH in Zppt-ordered tile-part-header segments, bodies alone in
-the bitstream) decode via a split header/body cursor. Remaining
-deliberate loud seams (NotImplementedError with the feature named —
-the repo-wide codec policy): ROI (RGN), POC, MAIN-header packed packet
-headers (PPM), per-TILE coding overrides, per-component transform
-mixes, and subsampled/signed/mixed-depth components.
+the bitstream) decode via a split header/body cursor — as do PPM
+MAIN-header packed headers (A.7.4, one [Nppm][headers] record per
+tile-part consumed in codestream order). Remaining deliberate loud
+seams (NotImplementedError with the feature named — the repo-wide
+codec policy): ROI (RGN), POC, per-TILE coding overrides,
+per-component transform mixes, and subsampled/signed/mixed-depth
+components.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -1149,7 +1151,6 @@ def _parse_markers(d: bytes):
 _UNSUPPORTED_MARKERS = {
     0xFF5E: "RGN region of interest",
     0xFF5F: "POC progression order change",
-    0xFF60: "PPM packed packet headers",
 }
 
 
@@ -1259,6 +1260,7 @@ def _decode_j2k_components(d: bytes):
     siz = cod = qcd = None
     cocs: list = []
     qccs: list = []
+    ppms: list = []
     for m, body in segs:
         if m == 0xFF51:
             siz = body
@@ -1270,6 +1272,8 @@ def _decode_j2k_components(d: bytes):
             cocs.append(body)
         elif m == 0xFF5D:
             qccs.append(body)
+        elif m == 0xFF60:  # PPM: Zppm index byte + packed-header bytes
+            ppms.append((body[0], body[1:]))
         elif m in _UNSUPPORTED_MARKERS:
             raise NotImplementedError(
                 f"JPEG2000 {_UNSUPPORTED_MARKERS[m]} unsupported"
@@ -1277,6 +1281,14 @@ def _decode_j2k_components(d: bytes):
         # COM/TLM/PLM/CRG are informational — skipped
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPEG2000 missing SIZ/COD/QCD")
+    pm_stream = None
+    pm_off = 0
+    if ppms:
+        if sorted(z for z, _ in ppms) != list(range(len(ppms))):
+            raise ValueError("JPEG2000 PPM Zppm indices not contiguous")
+        # concatenation is a sequence of [Nppm][one tile-part's packed
+        # headers] records, consumed by tile-parts in codestream order
+        pm_stream = b"".join(b for _, b in sorted(ppms, key=lambda t: t[0]))
 
     (xsiz, ysiz, xo, yo, xt, yt, xto, yto) = struct.unpack(">8I", siz[2:34])
     ncomp = struct.unpack(">H", siz[34:36])[0]
@@ -1399,20 +1411,31 @@ def _decode_j2k_components(d: bytes):
             if tm == 0xFF61:  # PPT: Zppt index byte + packed header bytes
                 ppts.append((d[tpos + 4], d[tpos + 5 : tpos + 2 + ln]))
             tpos += 2 + ln
+        pm_rec = None
+        if pm_stream is not None:
+            if ppts:
+                raise ValueError("JPEG2000 PPM and PPT are exclusive")
+            if pm_off + 4 > len(pm_stream):
+                raise ValueError("JPEG2000 PPM stream exhausted")
+            nppm = struct.unpack(">I", pm_stream[pm_off : pm_off + 4])[0]
+            pm_rec = pm_stream[pm_off + 4 : pm_off + 4 + nppm]
+            if len(pm_rec) < nppm:
+                raise ValueError("JPEG2000 PPM record truncated")
+            pm_off += 4 + nppm
         if isot not in tile_parts:
             tile_parts[isot] = []
             tile_order.append(isot)
-        tile_parts[isot].append((tpsot, d[tpos:tile_end], ppts))
+        tile_parts[isot].append((tpsot, d[tpos:tile_end], ppts, pm_rec))
         pos = tile_end
 
     for isot in tile_order:
         parts = tile_parts[isot]
-        if [t for t, _, _ in parts] != list(range(len(parts))):
+        if [t[0] for t in parts] != list(range(len(parts))):
             raise ValueError("JPEG2000 tile-parts out of order")
         body = parts[0][1] if len(parts) == 1 else b"".join(
-            b for _, b, _ in parts
+            t[1] for t in parts
         )
-        all_ppts = [z for _, _, ppts in parts for z in ppts]
+        all_ppts = [z for _, _, ppts, _ in parts for z in ppts]
         pkt_headers = None
         if all_ppts:
             if sorted(z for z, _ in all_ppts) != list(range(len(all_ppts))):
@@ -1420,6 +1443,8 @@ def _decode_j2k_components(d: bytes):
             pkt_headers = b"".join(
                 b for _, b in sorted(all_ppts, key=lambda t: t[0])
             )
+        elif pm_stream is not None:
+            pkt_headers = b"".join(t[3] for t in parts)
         p, q = isot % ntx, isot // ntx
         tx0 = max(xto + p * xt, xo)
         ty0 = max(yto + q * yt, yo)
@@ -1678,7 +1703,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     bypass: bool = False,
                     overrides: dict | None = None,
                     split_parts: int = 1, ppt: bool = False,
-                    precincts=None) -> bytes:
+                    ppm: bool = False, precincts=None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1696,7 +1721,10 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     across that many SOT..SOD tile-parts (A.4.2, the Kakadu-style
     layout). ``ppt`` moves every packet header (EPH included) into PPT
     packed-header segments in the tile-part header (A.7.2); the
-    bitstream then carries packet bodies only. ``precincts`` — a single
+    bitstream then carries packet bodies only; ``ppm`` packs them into
+    MAIN-header PPM segments instead, one [Nppm][headers] record per
+    tile-part (A.7.4 — mutually exclusive with ppt). ``precincts`` — a
+    single
     (PPx, PPy) exponent pair applied to every resolution, or a
     per-resolution list — partitions each resolution into 2^PPx x 2^PPy
     precincts with one packet per precinct (B.6; code-block sizes clamp
@@ -1776,6 +1804,10 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         if cp["qbody"] != qcd_body:
             seg(0xFF5D, bytes([c]) + cp["qbody"])
 
+    if ppm and ppt:
+        raise ValueError("ppm and ppt are mutually exclusive (A.7.4)")
+    tiles_out = bytearray()
+    pm_records: list = []
     ntx, nty = _ceil_div(w, xt), _ceil_div(h, yt)
     for q in range(nty):
         for p in range(ntx):
@@ -1970,9 +2002,11 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                                 yield layer, r, c, 0
 
             body = bytearray()
-            hdrs = bytearray()  # PPT mode: packet headers live here
+            hdrs = bytearray()  # PPT/PPM mode: packet headers live here
             boundaries: list[int] = []  # body offset after each packet
-            hsink = hdrs if ppt else body
+            hbounds: list[int] = []  # header offset after each packet
+            packed = ppt or ppm
+            hsink = hdrs if packed else body
             for layer, r, c, pi in packet_seq():
                 nonempty = [v for v in pviews[c][r][pi] if v.cbs]
                 if sop:  # SOP markers stay in the bitstream even with PPT
@@ -1985,6 +2019,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     if eph:
                         hsink.extend(b"\xff\x92")
                     boundaries.append(len(body))
+                    hbounds.append(len(hdrs))
                     continue
                 bw = _PktBitWriter()
                 payload = []
@@ -2001,13 +2036,15 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 for pdata in payload:
                     body.extend(pdata)
                 boundaries.append(len(body))
+                hbounds.append(len(hdrs))
             isot = q * ntx + p
             # optionally split at packet boundaries into several tile-parts
             # (A.4.2 — the Kakadu-style layout real scanner JPX takes)
             n_pk = len(boundaries)
             k = max(1, min(split_parts, n_pk))
-            cuts = [0] + [boundaries[(i + 1) * n_pk // k - 1]
-                          for i in range(k)]
+            cut_pk = [0] + [(i + 1) * n_pk // k for i in range(k)]
+            cuts = [0] + [boundaries[cut_pk[i + 1] - 1] for i in range(k)]
+            hcuts = [0] + [hbounds[cut_pk[i + 1] - 1] for i in range(k)]
             for i in range(k):
                 chunk = body[cuts[i] : cuts[i + 1]]
                 extra = b""
@@ -2019,12 +2056,27 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                         zb += struct.pack(">HHB", 0xFF61, 3 + len(hchunk), z)
                         zb += hchunk
                     extra = bytes(zb)
+                if ppm:
+                    # one PPM record per tile-part: this part's headers
+                    pm_records.append(bytes(hdrs[hcuts[i] : hcuts[i + 1]]))
                 psot = 12 + len(extra) + 2 + len(chunk)
-                out.extend(struct.pack(">HHHIBB", 0xFF90, 10, isot, psot,
-                                       i, k))
-                out.extend(extra)
-                out.extend(b"\xff\x93")
-                out.extend(chunk)
+                tiles_out.extend(struct.pack(">HHHIBB", 0xFF90, 10, isot,
+                                             psot, i, k))
+                tiles_out.extend(extra)
+                tiles_out.extend(b"\xff\x93")
+                tiles_out.extend(chunk)
+    if ppm:
+        # PPM (A.7.4): Zppm-indexed main-header segments whose
+        # concatenation is a sequence of [Nppm][one tile-part's packed
+        # headers] records, consumed by tile-parts in codestream order
+        pm = bytearray()
+        for rec in pm_records:
+            pm += struct.pack(">I", len(rec)) + rec
+        for z, off in enumerate(range(0, max(len(pm), 1), 65532)):
+            chunk_m = bytes(pm[off : off + 65532])
+            out.extend(struct.pack(">HHB", 0xFF60, 3 + len(chunk_m), z))
+            out.extend(chunk_m)
+    out.extend(tiles_out)
     out.extend(b"\xff\xd9")  # EOC
     stream = bytes(out)
     if not jp2:

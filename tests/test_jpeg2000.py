@@ -326,6 +326,36 @@ def test_multiple_tile_parts():
         _decode_j2k_components(broken)
 
 
+def test_ppm_packed_packet_headers():
+    """A.7.4: PPM moves every packet header into MAIN-header segments —
+    one [Nppm][headers] record per tile-part, consumed by tile-parts in
+    codestream order. Composes with EPH, multi-tile, tile-part splits
+    (per-part header records), precincts, and multi-layer termall."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, (50, 62)).astype(np.uint8)
+    for kw in [dict(), dict(eph=True), dict(tile=(32, 28)),
+               dict(split_parts=3), dict(tile=(32, 28), split_parts=2),
+               dict(precincts=(4, 4)), dict(layers=2, termall=True)]:
+        raw = _unbox(encode_jpeg2000(img, nl=2, cb=(4, 4), ppm=True, **kw))
+        assert b"\xff\x60" in raw.split(b"\xff\x90")[0]
+        comps, _ = _decode_j2k_components(raw)
+        assert np.array_equal(comps[0], img), kw
+    with pytest.raises(ValueError, match="exclusive"):
+        encode_jpeg2000(img, nl=1, ppm=True, ppt=True)
+    # a truncated PPM record is loud
+    raw = bytearray(_unbox(encode_jpeg2000(img, nl=1, cb=(4, 4), ppm=True)))
+    i = raw.index(b"\xff\x60")
+    ln = int.from_bytes(raw[i + 2 : i + 4], "big")
+    del raw[i + ln - 8 : i + ln]  # drop the tail of the PPM payload
+    raw[i + 2 : i + 4] = (ln - 8).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        _decode_j2k_components(bytes(raw))
+
+
 def test_custom_precincts():
     """B.6 custom precinct partitions: one packet per (layer, res, comp,
     precinct) with per-precinct tag trees, code-block sizes clamped per

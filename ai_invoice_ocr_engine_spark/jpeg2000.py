@@ -33,11 +33,13 @@ by per-tile concatenation, and PPT packed packet headers (A.7.2 —
 headers+EPH in Zppt-ordered tile-part-header segments, bodies alone in
 the bitstream) decode via a split header/body cursor — as do PPM
 MAIN-header packed headers (A.7.4, one [Nppm][headers] record per
-tile-part consumed in codestream order). Remaining deliberate loud
-seams (NotImplementedError with the feature named — the repo-wide
-codec policy): ROI (RGN), POC, per-TILE coding overrides,
-per-component transform mixes, and subsampled/signed/mixed-depth
-components.
+tile-part consumed in codestream order). RGN implicit-maxshift ROI
+(A.6.3) decodes: magnitudes at/above 2^SPrgn shift back down and Mb
+grows by SPrgn; a stripped-RGN control pins that the machinery is
+real. Remaining deliberate loud seams (NotImplementedError with the
+feature named — the repo-wide codec policy): POC, RGN styles other
+than maxshift, per-TILE coding overrides, per-component transform
+mixes, and subsampled/signed/mixed-depth components.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -1149,7 +1151,6 @@ def _parse_markers(d: bytes):
 
 
 _UNSUPPORTED_MARKERS = {
-    0xFF5E: "RGN region of interest",
     0xFF5F: "POC progression order change",
 }
 
@@ -1261,6 +1262,7 @@ def _decode_j2k_components(d: bytes):
     cocs: list = []
     qccs: list = []
     ppms: list = []
+    rgns: list = []
     for m, body in segs:
         if m == 0xFF51:
             siz = body
@@ -1274,6 +1276,8 @@ def _decode_j2k_components(d: bytes):
             qccs.append(body)
         elif m == 0xFF60:  # PPM: Zppm index byte + packed-header bytes
             ppms.append((body[0], body[1:]))
+        elif m == 0xFF5E:  # RGN: component, Srgn, SPrgn
+            rgns.append(body)
         elif m in _UNSUPPORTED_MARKERS:
             raise NotImplementedError(
                 f"JPEG2000 {_UNSUPPORTED_MARKERS[m]} unsupported"
@@ -1369,6 +1373,18 @@ def _decode_j2k_components(d: bytes):
             )
         if (transform == 1) != (cp["qstyle"] == 0):
             raise ValueError("JPEG2000 transform/quantization style mismatch")
+        cp["roi"] = 0
+    for body in rgns:
+        # RGN (A.6.3): implicit maxshift ROI — quantized coefficients
+        # with magnitude >= 2^SPrgn were upshifted by SPrgn at encode
+        # (every background magnitude stays below the threshold); Mb for
+        # the component's subbands grows by SPrgn
+        ci, off = comp_index(body)
+        if ci >= ncomp:
+            raise ValueError("JPEG2000 RGN component out of range")
+        if body[off] != 0:
+            raise NotImplementedError("JPEG2000 RGN style != maxshift")
+        cparams[ci]["roi"] = body[off + 1]
 
     ntx = _ceil_div(xsiz - xto, xt)
     nty = _ceil_div(ysiz - yto, yt)
@@ -1598,6 +1614,7 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
         termall = cparams[c]["termall"]
         bypass = cparams[c]["bypass"]
         styles = cparams[c]["styles"]
+        roi = cparams[c].get("roi", 0)
         # decode codeblocks into subband coefficient arrays
         band_arrays = []
         for r in range(nl + 1):
@@ -1605,6 +1622,7 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
             for sb in res[r]:
                 a = np.zeros((sb.y1 - sb.y0, sb.x1 - sb.x0), np.int64)
                 mb, delta = quant[_sb_index(sb.band, r)]
+                mb += roi  # A.6.3: maxshift grows the bitplane count
                 for cb in sb.cbs:
                     if cb["passes"] == 0:
                         continue
@@ -1629,6 +1647,13 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                             cb["y1"] - cb["y0"], sb.band, start_plane,
                             cb["passes"], **styles,
                         )
+                    if roi:
+                        # H.1/maxshift: magnitudes at/above 2^SPrgn are
+                        # ROI coefficients — shift them back down; the
+                        # rest are background, untouched
+                        mag = np.abs(v)
+                        v = np.where(mag >= (1 << roi),
+                                     np.sign(v) * (mag >> roi), v)
                     a[cb["y0"] - sb.y0 : cb["y1"] - sb.y0,
                       cb["x0"] - sb.x0 : cb["x1"] - sb.x0] = v
                 if delta is not None:
@@ -1703,7 +1728,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     bypass: bool = False,
                     overrides: dict | None = None,
                     split_parts: int = 1, ppt: bool = False,
-                    ppm: bool = False, precincts=None) -> bytes:
+                    ppm: bool = False, precincts=None,
+                    roi: tuple | None = None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1728,7 +1754,11 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     (PPx, PPy) exponent pair applied to every resolution, or a
     per-resolution list — partitions each resolution into 2^PPx x 2^PPy
     precincts with one packet per precinct (B.6; code-block sizes clamp
-    per B.7); supported with LRCP/RLCP progressions."""
+    per B.7); supported with LRCP/RLCP progressions. ``roi`` — an
+    (x0, y0, x1, y1) image-pixel rect encoded as a maxshift region of
+    interest (A.6.3/H: quantized coefficients whose support touches the
+    rect are upshifted by SPrgn = the component's bitplane count, one
+    RGN marker per component)."""
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
     styles = {"causal": causal, "reset": reset, "segsym": segsym}
@@ -1803,6 +1833,12 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     for c, cp in enumerate(enc_cp):
         if cp["qbody"] != qcd_body:
             seg(0xFF5D, bytes([c]) + cp["qbody"])
+    for c, cp in enumerate(enc_cp):
+        # maxshift: SPrgn = the component's bitplane count, so every
+        # background magnitude (< 2^Mb) stays below the 2^SPrgn threshold
+        cp["roi"] = max(cp["mbs"]) if roi is not None else 0
+        if cp["roi"]:
+            seg(0xFF5E, bytes([c, 0, cp["roi"]]))
 
     if ppm and ppt:
         raise ValueError("ppm and ppt are mutually exclusive (A.7.4)")
@@ -1846,14 +1882,26 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 else:
                     ll, bands = dwt_53(comps[c], nl_c, tx0, ty0, tx1, ty1)
                 arrays = [[ll]] + [list(b) for b in bands]
+                roi_s = enc_cp[c]["roi"]
                 for r in range(nl_c + 1):
                     for bi, sb in enumerate(res[r]):
                         a = arrays[r][bi]
-                        mb = mbs[_sb_index(sb.band, r)]
+                        mb = mbs[_sb_index(sb.band, r)] + roi_s
                         if lossy:
                             d = deltas[_sb_index(sb.band, r)]
                             a = (np.sign(a)
                                  * np.floor(np.abs(a) / d)).astype(np.int64)
+                        if roi_s and sb.x1 > sb.x0 and sb.y1 > sb.y0:
+                            # upshift quantized coefficients whose support
+                            # (~2^nb image pixels per coefficient) touches
+                            # the ROI rect
+                            nb = (nl_c - r + 1) if r else nl_c
+                            rx0, ry0, rx1, ry1 = roi
+                            xs = np.arange(sb.x0, sb.x1) << nb
+                            ys = np.arange(sb.y0, sb.y1) << nb
+                            m = (((ys >= ry0) & (ys < ry1))[:, None]
+                                 & ((xs >= rx0) & (xs < rx1))[None, :])
+                            a = np.where(m, a * (1 << roi_s), a)
                         for cbk in sb.cbs:
                             v = a[cbk["y0"] - sb.y0 : cbk["y1"] - sb.y0,
                                   cbk["x0"] - sb.x0 : cbk["x1"] - sb.x0]

@@ -326,6 +326,49 @@ def test_multiple_tile_parts():
         _decode_j2k_components(broken)
 
 
+def test_rgn_maxshift_roi():
+    """A.6.3 implicit maxshift ROI: coefficients serving the region of
+    interest are upshifted by SPrgn (one RGN marker per component, Mb
+    grown accordingly); the decoder shifts magnitudes >= 2^SPrgn back
+    down. Reversible streams stay bit-exact; stripping the RGN markers
+    from the same stream must NOT decode to the same pixels (pinning
+    that the shift machinery is real, not a no-op)."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    for kw in [dict(roi=(8, 8, 30, 24)), dict(roi=(0, 0, 56, 40)),
+               dict(roi=(8, 8, 30, 24), eph=True),
+               dict(roi=(8, 8, 30, 24), tile=(28, 20))]:
+        raw = _unbox(encode_jpeg2000(img, nl=2, cb=(4, 4), **kw))
+        assert b"\xff\x5e" in raw
+        comps, _ = _decode_j2k_components(raw)
+        assert np.array_equal(comps[0], img), kw
+    rgb = rng.integers(0, 256, (21, 29, 3)).astype(np.uint8)
+    comps, _ = _decode_j2k_components(_unbox(
+        encode_jpeg2000(rgb, nl=2, cb=(4, 4), roi=(4, 4, 20, 16))))
+    for i in range(3):
+        assert np.array_equal(comps[i], rgb[..., i])
+    # lossy ROI stays within the quantizer bound
+    comps, _ = _decode_j2k_components(_unbox(
+        encode_jpeg2000(img, nl=2, cb=(4, 4), roi=(8, 8, 30, 24),
+                        lossy=True)))
+    assert np.abs(comps[0] - img.astype(float)).max() <= 1.0
+    # strip the RGN marker: the un-deshifted ROI must corrupt the decode
+    raw = bytearray(_unbox(encode_jpeg2000(img, nl=1, cb=(4, 4),
+                                           roi=(8, 8, 30, 24))))
+    i = raw.index(b"\xff\x5e")
+    ln = int.from_bytes(raw[i + 2 : i + 4], "big")
+    del raw[i : i + 2 + ln]
+    try:
+        comps, _ = _decode_j2k_components(bytes(raw))
+        assert not np.array_equal(comps[0], img)
+    except ValueError:
+        pass  # zbp now exceeds the unscaled Mb — loud is fine too
+
+
 def test_ppm_packed_packet_headers():
     """A.7.4: PPM moves every packet header into MAIN-header segments —
     one [Nppm][headers] record per tile-part, consumed by tile-parts in

@@ -24,10 +24,11 @@ performed). COC/QCC main-header per-component overrides (decomposition
 levels, code-block sizes, style, quantization) decode with the packet
 walk skipping resolutions a component lacks (B.12.1). Custom PRECINCTS
 (B.6) decode: one packet per (layer, resolution, component, precinct)
-in raster order with per-precinct tag trees and code-block sizes
-clamped per B.7 — under LRCP/RLCP; position progressions (RPCL/PCRL/
-CPRL) with a multi-precinct layout order packets by precinct
-coordinate across resolutions and stay a named seam. Multiple
+with per-precinct tag trees and code-block sizes clamped per B.7,
+under ALL FIVE progression orders — the position progressions
+(RPCL/PCRL/CPRL, B.12.1.3-5) order precincts by their first in-tile
+sample projected onto the reference grid, exact for this decoder's
+supported geometry (no subsampling, origin 0). Multiple
 tile-parts (A.4.2, SOT..SOD segments interleaved across tiles) decode
 by per-tile concatenation, and PPT packed packet headers (A.7.2 —
 headers+EPH in Zppt-ordered tile-part-header segments, bodies alone in
@@ -857,6 +858,72 @@ class _PView:
         self.band, self.cbs, self.gw, self.gh = band, cbs, gw, gh
 
 
+def _precinct_meta(r, nl, tcx0, tcy0, tcx1, tcy1, pps):
+    """Precinct grid of resolution r: (pc0, pr0, npx, npy, ppx, ppy)."""
+    ppx, ppy = pps[r] if pps else (15, 15)
+    s = 1 << (nl - r)
+    rx0, ry0 = _ceil_div(tcx0, s), _ceil_div(tcy0, s)
+    rx1, ry1 = _ceil_div(tcx1, s), _ceil_div(tcy1, s)
+    pc0, pr0 = rx0 >> ppx, ry0 >> ppy
+    npx = max(1, _ceil_div(rx1, 1 << ppx) - pc0) if rx1 > rx0 else 1
+    npy = max(1, _ceil_div(ry1, 1 << ppy) - pr0) if ry1 > ry0 else 1
+    return pc0, pr0, npx, npy, ppx, ppy
+
+
+def _packet_order(prog, layers, cparams, tcx0, tcy0, tcx1, tcy1, n_prec):
+    """The five progression orders (B.12) as a flat (layer, r, c, pi)
+    list. ``n_prec[c][r]`` gives the precinct count of that resolution;
+    position progressions (RPCL/PCRL/CPRL) order precincts by their
+    first in-tile sample projected onto the reference grid — exact for
+    this decoder's supported geometry (no subsampling, origin 0), where
+    every component shares the reference grid."""
+    ncomp = len(cparams)
+    max_nl = max(cp["nl"] for cp in cparams)
+    out = []
+    if prog == 0:  # LRCP
+        for layer in range(layers):
+            for r in range(max_nl + 1):
+                for c in range(ncomp):
+                    if r <= cparams[c]["nl"]:
+                        for pi in range(n_prec[c][r]):
+                            out.append((layer, r, c, pi))
+        return out
+    if prog == 1:  # RLCP
+        for r in range(max_nl + 1):
+            for layer in range(layers):
+                for c in range(ncomp):
+                    if r <= cparams[c]["nl"]:
+                        for pi in range(n_prec[c][r]):
+                            out.append((layer, r, c, pi))
+        return out
+    # position progressions: key every (c, r, pi) by its projected
+    # in-tile position (reference-grid y, x of the precinct's first
+    # sample inside the tile)
+    keyed = []
+    for c in range(ncomp):
+        nl_c = cparams[c]["nl"]
+        pps = cparams[c].get("pps")
+        for r in range(nl_c + 1):
+            pc0, pr0, npx, npy, ppx, ppy = _precinct_meta(
+                r, nl_c, tcx0, tcy0, tcx1, tcy1, pps)
+            scale = 1 << (nl_c - r)
+            for pi in range(n_prec[c][r]):
+                pj, pix = divmod(pi, npx)
+                y = max(((pr0 + pj) << ppy) * scale, tcy0)
+                x = max(((pc0 + pix) << ppx) * scale, tcx0)
+                keyed.append((y, x, c, r, pi))
+    if prog == 2:  # RPCL: resolution, position, component, layer
+        keyed.sort(key=lambda t: (t[3], t[0], t[1], t[2]))
+    elif prog == 3:  # PCRL: position, component, resolution, layer
+        keyed.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
+    else:  # CPRL: component, position, resolution, layer
+        keyed.sort(key=lambda t: (t[2], t[0], t[1], t[3]))
+    for y, x, c, r, pi in keyed:
+        for layer in range(layers):
+            out.append((layer, r, c, pi))
+    return out
+
+
 def _precinct_views(bands, r, nl, tcx0, tcy0, tcx1, tcy1, pps, xcb, ycb):
     """Group a resolution's code-blocks into precincts (B.6): returns a
     list over precinct index (raster order on the resolution grid) of
@@ -1510,49 +1577,17 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
         ]
         for c in range(ncomp)
     ]
-    multi_prec = any(
-        len(pviews[c][r]) > 1
-        for c in range(ncomp) for r in range(cparams[c]["nl"] + 1)
-    )
-    if multi_prec and prog >= 2:
-        # position progressions order packets by precinct coordinates
-        # across resolutions; supported only for the one-precinct layout
-        raise NotImplementedError(
-            "JPEG2000 custom precincts with a position progression order"
-        )
-
-    # packet iteration order; with COC the resolution count differs per
-    # component — packets simply do not exist for r > NL_c (B.12.1), so
-    # the walk skips those (r, c) pairs entirely. Precincts of one
-    # (r, c) iterate in raster order over the resolution grid.
-    max_nl = max(cp["nl"] for cp in cparams)
+    # packet iteration order (B.12); with COC the resolution count
+    # differs per component — packets simply do not exist for r > NL_c
+    # (B.12.1), so the walk skips those (r, c) pairs entirely
+    n_prec = [
+        [len(pviews[c][r]) for r in range(cparams[c]["nl"] + 1)]
+        for c in range(ncomp)
+    ]
 
     def packet_seq():
-        if prog == 0:  # LRCP
-            for layer in range(layers):
-                for r in range(max_nl + 1):
-                    for c in range(ncomp):
-                        if r <= cparams[c]["nl"]:
-                            for pi in range(len(pviews[c][r])):
-                                yield layer, r, c, pi
-        elif prog == 1:  # RLCP
-            for r in range(max_nl + 1):
-                for layer in range(layers):
-                    for c in range(ncomp):
-                        if r <= cparams[c]["nl"]:
-                            for pi in range(len(pviews[c][r])):
-                                yield layer, r, c, pi
-        elif prog == 2:  # RPCL (single precinct)
-            for r in range(max_nl + 1):
-                for c in range(ncomp):
-                    if r <= cparams[c]["nl"]:
-                        for layer in range(layers):
-                            yield layer, r, c, 0
-        else:  # PCRL / CPRL (coincide with one precinct per resolution)
-            for c in range(ncomp):
-                for r in range(cparams[c]["nl"] + 1):
-                    for layer in range(layers):
-                        yield layer, r, c, 0
+        return _packet_order(prog, layers, cparams, tx0, ty0, tx1, ty1,
+                             n_prec)
 
     # With PPT (A.7.2) every packet HEADER lives in the packed-header
     # stream (EPH included) while packet BODIES stay in the bitstream;
@@ -1754,7 +1789,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     (PPx, PPy) exponent pair applied to every resolution, or a
     per-resolution list — partitions each resolution into 2^PPx x 2^PPy
     precincts with one packet per precinct (B.6; code-block sizes clamp
-    per B.7); supported with LRCP/RLCP progressions. ``roi`` — an
+    per B.7) in any progression order. ``roi`` — an
     (x0, y0, x1, y1) image-pixel rect encoded as a maxshift region of
     interest (A.6.3/H: quantized coefficients whose support touches the
     rect are upshifted by SPrgn = the component's bitplane count, one
@@ -1778,11 +1813,6 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     def seg(marker, body):
         out.extend(struct.pack(">HH", marker, len(body) + 2))
         out.extend(body)
-
-    if precincts is not None and prog >= 2:
-        raise ValueError(
-            "precinct fixture supports LRCP/RLCP progressions only"
-        )
 
     def pps_for(nl_c: int):
         if precincts is None:
@@ -2017,37 +2047,15 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                                     incl_tree.set_value(
                                         cbk["_gi"], cbk["_gj"], first_l)
 
-            # mirror of the decoder's walk: packets exist only for
-            # r <= NL_c of each component (B.12.1); precincts of one
-            # (r, c) go in raster order
-            enc_max_nl = max(cp["nl"] for cp in enc_cp)
+            # mirror of the decoder's walk (same shared order function)
+            enc_n_prec = [
+                [len(pviews[c][r]) for r in range(enc_cp[c]["nl"] + 1)]
+                for c in range(ncomp)
+            ]
 
             def packet_seq():
-                if prog == 0:  # LRCP
-                    for layer in range(layers):
-                        for r in range(enc_max_nl + 1):
-                            for c in range(ncomp):
-                                if r <= enc_cp[c]["nl"]:
-                                    for pi in range(len(pviews[c][r])):
-                                        yield layer, r, c, pi
-                elif prog == 1:  # RLCP
-                    for r in range(enc_max_nl + 1):
-                        for layer in range(layers):
-                            for c in range(ncomp):
-                                if r <= enc_cp[c]["nl"]:
-                                    for pi in range(len(pviews[c][r])):
-                                        yield layer, r, c, pi
-                elif prog == 2:  # RPCL
-                    for r in range(enc_max_nl + 1):
-                        for c in range(ncomp):
-                            if r <= enc_cp[c]["nl"]:
-                                for layer in range(layers):
-                                    yield layer, r, c, 0
-                else:  # PCRL / CPRL (single precinct)
-                    for c in range(ncomp):
-                        for r in range(enc_cp[c]["nl"] + 1):
-                            for layer in range(layers):
-                                yield layer, r, c, 0
+                return _packet_order(prog, layers, enc_cp, tx0, ty0,
+                                     tx1, ty1, enc_n_prec)
 
             body = bytearray()
             hdrs = bytearray()  # PPT/PPM mode: packet headers live here

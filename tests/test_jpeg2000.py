@@ -438,23 +438,36 @@ def test_custom_precincts():
     assert np.abs(comps[0] - img.astype(float)).max() <= 1.0
 
 
-def test_precinct_position_progressions_stay_loud():
-    """Position progressions (RPCL/PCRL/CPRL) order packets by precinct
-    coordinates across resolutions — unsupported with a multi-precinct
-    layout: the decoder must raise the named error, and the fixture
-    encoder refuses to emit the combination."""
-    from ai_invoice_ocr_engine_spark.jpeg2000 import _decode_j2k_components
+def test_precinct_position_progressions():
+    """Position progressions (B.12.1.3-5): RPCL/PCRL/CPRL order packets
+    by the precinct's first in-tile sample projected onto the reference
+    grid (then component/resolution per the acronym). Multi-precinct,
+    multi-resolution, RGB, and tiled streams round-trip bit-exactly in
+    all three, and the orders genuinely differ from LRCP (pinned by
+    comparing codestream bytes)."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
 
     rng = np.random.default_rng(42)
-    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
-    with pytest.raises(ValueError, match="LRCP/RLCP"):
-        encode_jpeg2000(img, nl=1, cb=(4, 4), precincts=(4, 4), prog=2)
-    data = bytearray(encode_jpeg2000(img, nl=1, cb=(4, 4),
-                                     precincts=(4, 4)))
-    i = data.index(b"\xff\x52")
-    data[i + 5] = 2  # patch the COD progression byte to RPCL
-    with pytest.raises(NotImplementedError, match="precinct"):
-        _decode_j2k_components(bytes(data))
+    img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+    streams = {}
+    for prog in (0, 2, 3, 4):
+        data = _unbox(encode_jpeg2000(img, nl=2, cb=(4, 4),
+                                      precincts=(4, 4), prog=prog))
+        comps, _ = _decode_j2k_components(data)
+        assert np.array_equal(comps[0], img), prog
+        streams[prog] = data
+    # the packet orders really differ (same packets, different layout)
+    assert len({streams[p] for p in streams}) == len(streams)
+    assert all(len(streams[p]) == len(streams[0]) for p in streams)
+    rgb = rng.integers(0, 256, (40, 50, 3)).astype(np.uint8)
+    for prog in (2, 3, 4):
+        comps, _ = _decode_j2k_components(_unbox(encode_jpeg2000(
+            rgb, nl=2, cb=(3, 3), precincts=(3, 3), prog=prog,
+            tile=(32, 24))))
+        for i in range(3):
+            assert np.array_equal(comps[i], rgb[..., i]), prog
 
 
 def test_ppt_packed_packet_headers():

@@ -37,10 +37,13 @@ MAIN-header packed headers (A.7.4, one [Nppm][headers] record per
 tile-part consumed in codestream order). RGN implicit-maxshift ROI
 (A.6.3) decodes: magnitudes at/above 2^SPrgn shift back down and Mb
 grows by SPrgn; a stripped-RGN control pins that the machinery is
-real. Remaining deliberate loud seams (NotImplementedError with the
-feature named — the repo-wide codec policy): POC, RGN styles other
-than maxshift, per-TILE coding overrides, per-component transform
-mixes, and subsampled/signed/mixed-depth components.
+real. POC progression-order changes (A.6.6) decode as the
+concatenation of the marker's progression volumes (first occurrence
+wins, COD-order completion for under-covering volumes). Remaining
+deliberate loud seams (NotImplementedError with the feature named —
+the repo-wide codec policy): RGN styles other than maxshift, per-TILE
+coding overrides, per-component transform mixes, and subsampled/
+signed/mixed-depth components.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -870,28 +873,29 @@ def _precinct_meta(r, nl, tcx0, tcy0, tcx1, tcy1, pps):
     return pc0, pr0, npx, npy, ppx, ppy
 
 
-def _packet_order(prog, layers, cparams, tcx0, tcy0, tcx1, tcy1, n_prec):
-    """The five progression orders (B.12) as a flat (layer, r, c, pi)
-    list. ``n_prec[c][r]`` gives the precinct count of that resolution;
+def _order_volume(prog, ly0, ly1, r0, r1, c0, c1, cparams,
+                  tcx0, tcy0, tcx1, tcy1, n_prec):
+    """Packets of one progression volume (layers [ly0,ly1), resolutions
+    [r0,r1), components [c0,c1)) in progression order `prog` as a flat
+    (layer, r, c, pi) list. ``n_prec[c][r]`` gives the precinct count;
     position progressions (RPCL/PCRL/CPRL) order precincts by their
     first in-tile sample projected onto the reference grid — exact for
     this decoder's supported geometry (no subsampling, origin 0), where
     every component shares the reference grid."""
-    ncomp = len(cparams)
-    max_nl = max(cp["nl"] for cp in cparams)
+    comps = [c for c in range(c0, min(c1, len(cparams)))]
     out = []
     if prog == 0:  # LRCP
-        for layer in range(layers):
-            for r in range(max_nl + 1):
-                for c in range(ncomp):
+        for layer in range(ly0, ly1):
+            for r in range(r0, r1):
+                for c in comps:
                     if r <= cparams[c]["nl"]:
                         for pi in range(n_prec[c][r]):
                             out.append((layer, r, c, pi))
         return out
     if prog == 1:  # RLCP
-        for r in range(max_nl + 1):
-            for layer in range(layers):
-                for c in range(ncomp):
+        for r in range(r0, r1):
+            for layer in range(ly0, ly1):
+                for c in comps:
                     if r <= cparams[c]["nl"]:
                         for pi in range(n_prec[c][r]):
                             out.append((layer, r, c, pi))
@@ -900,10 +904,10 @@ def _packet_order(prog, layers, cparams, tcx0, tcy0, tcx1, tcy1, n_prec):
     # in-tile position (reference-grid y, x of the precinct's first
     # sample inside the tile)
     keyed = []
-    for c in range(ncomp):
+    for c in comps:
         nl_c = cparams[c]["nl"]
         pps = cparams[c].get("pps")
-        for r in range(nl_c + 1):
+        for r in range(r0, min(r1, nl_c + 1)):
             pc0, pr0, npx, npy, ppx, ppy = _precinct_meta(
                 r, nl_c, tcx0, tcy0, tcx1, tcy1, pps)
             scale = 1 << (nl_c - r)
@@ -919,8 +923,38 @@ def _packet_order(prog, layers, cparams, tcx0, tcy0, tcx1, tcy1, n_prec):
     else:  # CPRL: component, position, resolution, layer
         keyed.sort(key=lambda t: (t[2], t[0], t[1], t[3]))
     for y, x, c, r, pi in keyed:
-        for layer in range(layers):
+        for layer in range(ly0, ly1):
             out.append((layer, r, c, pi))
+    return out
+
+
+def _packet_order(prog, layers, cparams, tcx0, tcy0, tcx1, tcy1, n_prec,
+                  poc=None):
+    """The complete packet sequence (B.12): either the single COD
+    progression, or — with ``poc`` entries (RSpoc, CSpoc, LYEpoc, REpoc,
+    CEpoc, Ppoc) — the concatenation of the POC progression volumes
+    (A.6.6), each packet emitted at its FIRST occurrence, completed with
+    any packets the volumes missed in the COD progression."""
+    ncomp = len(cparams)
+    max_nl = max(cp["nl"] for cp in cparams)
+    full = _order_volume(prog, 0, layers, 0, max_nl + 1, 0, ncomp,
+                         cparams, tcx0, tcy0, tcx1, tcy1, n_prec)
+    if not poc:
+        return full
+    out = []
+    seen = set()
+    for rs, cs, lye, re_, ce, p in poc:
+        vol = _order_volume(p, 0, min(lye, layers), rs,
+                            min(re_, max_nl + 1), cs, ce, cparams,
+                            tcx0, tcy0, tcx1, tcy1, n_prec)
+        for pk in vol:
+            if pk not in seen:
+                seen.add(pk)
+                out.append(pk)
+    for pk in full:  # defensive completion: volumes that under-cover
+        if pk not in seen:
+            seen.add(pk)
+            out.append(pk)
     return out
 
 
@@ -1217,9 +1251,7 @@ def _parse_markers(d: bytes):
         pos += 2 + ln
 
 
-_UNSUPPORTED_MARKERS = {
-    0xFF5F: "POC progression order change",
-}
+_UNSUPPORTED_MARKERS: dict = {}
 
 
 def _parse_spcod(sp: bytes, layers: int, has_precincts: bool = False):
@@ -1330,6 +1362,7 @@ def _decode_j2k_components(d: bytes):
     qccs: list = []
     ppms: list = []
     rgns: list = []
+    poc_bodies: list = []
     for m, body in segs:
         if m == 0xFF51:
             siz = body
@@ -1345,6 +1378,8 @@ def _decode_j2k_components(d: bytes):
             ppms.append((body[0], body[1:]))
         elif m == 0xFF5E:  # RGN: component, Srgn, SPrgn
             rgns.append(body)
+        elif m == 0xFF5F:  # POC: progression order changes
+            poc_bodies.append(body)
         elif m in _UNSUPPORTED_MARKERS:
             raise NotImplementedError(
                 f"JPEG2000 {_UNSUPPORTED_MARKERS[m]} unsupported"
@@ -1452,6 +1487,26 @@ def _decode_j2k_components(d: bytes):
         if body[off] != 0:
             raise NotImplementedError("JPEG2000 RGN style != maxshift")
         cparams[ci]["roi"] = body[off + 1]
+    poc = []
+    csz = 1 if ncomp < 257 else 2
+    esz = 5 + 2 * csz
+    for body in poc_bodies:
+        # A.6.6: (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) entries
+        if len(body) % esz:
+            raise ValueError("JPEG2000 POC segment length mismatch")
+        for e in range(0, len(body), esz):
+            rs = body[e]
+            cs = int.from_bytes(body[e + 1 : e + 1 + csz], "big")
+            lye = struct.unpack(
+                ">H", body[e + 1 + csz : e + 3 + csz])[0]
+            re_ = body[e + 3 + csz]
+            ce = int.from_bytes(body[e + 4 + csz : e + 4 + 2 * csz], "big")
+            ppoc = body[e + 4 + 2 * csz]
+            if ppoc > 4:
+                raise ValueError("JPEG2000 POC bad progression order")
+            if re_ <= rs or ce <= cs or lye == 0:
+                raise ValueError("JPEG2000 POC empty progression volume")
+            poc.append((rs, cs, lye, re_, ce, ppoc))
 
     ntx = _ceil_div(xsiz - xto, xt)
     nty = _ceil_div(ysiz - yto, yt)
@@ -1535,7 +1590,8 @@ def _decode_j2k_components(d: bytes):
         ty1 = min(yto + (q + 1) * yt, ysiz)
         tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                             layers, prog, use_sop, use_eph,
-                            depth, mct, transform, pkt_headers=pkt_headers)
+                            depth, mct, transform, pkt_headers=pkt_headers,
+                            poc=poc)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
     return comps, depth
@@ -1548,7 +1604,7 @@ def _sb_index(band: int, r: int) -> int:
 
 def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                  layers, prog, use_sop, use_eph, depth, mct, transform,
-                 pkt_headers: bytes | None = None):
+                 pkt_headers: bytes | None = None, poc=None):
     structs = [
         _tile_structure(tx0, ty0, tx1, ty1, cp["nl"], cp["xcb"], cp["ycb"],
                         cp.get("pps"))
@@ -1587,7 +1643,7 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
 
     def packet_seq():
         return _packet_order(prog, layers, cparams, tx0, ty0, tx1, ty1,
-                             n_prec)
+                             n_prec, poc=poc)
 
     # With PPT (A.7.2) every packet HEADER lives in the packed-header
     # stream (EPH included) while packet BODIES stay in the bitstream;
@@ -1764,7 +1820,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     overrides: dict | None = None,
                     split_parts: int = 1, ppt: bool = False,
                     ppm: bool = False, precincts=None,
-                    roi: tuple | None = None) -> bytes:
+                    roi: tuple | None = None,
+                    poc: list | None = None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1793,7 +1850,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     (x0, y0, x1, y1) image-pixel rect encoded as a maxshift region of
     interest (A.6.3/H: quantized coefficients whose support touches the
     rect are upshifted by SPrgn = the component's bitplane count, one
-    RGN marker per component)."""
+    RGN marker per component). ``poc`` — a list of (RSpoc, CSpoc,
+    LYEpoc, REpoc, CEpoc, Ppoc) progression-order-change entries
+    (A.6.6); packets then follow the concatenated POC volumes."""
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
     styles = {"causal": causal, "reset": reset, "segsym": segsym}
@@ -1853,6 +1912,12 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         [mct, nl, xcb - 2, ycb - 2, style_byte, transform]
     ) + prec_bytes(pps_for(nl))
     seg(0xFF52, cod)
+    if poc:
+        pb = bytearray()
+        for rs, cs, lye, re_, ce, p in poc:
+            pb += bytes([rs, cs]) + struct.pack(">H", lye) \
+                + bytes([re_, ce, p])
+        seg(0xFF5F, bytes(pb))
     for c, cp in enumerate(enc_cp):
         if cp["coc"]:
             seg(0xFF53, bytes([c, 1 if has_prec else 0, cp["nl"],
@@ -2055,7 +2120,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
 
             def packet_seq():
                 return _packet_order(prog, layers, enc_cp, tx0, ty0,
-                                     tx1, ty1, enc_n_prec)
+                                     tx1, ty1, enc_n_prec, poc=poc)
 
             body = bytearray()
             hdrs = bytearray()  # PPT/PPM mode: packet headers live here

@@ -326,6 +326,47 @@ def test_multiple_tile_parts():
         _decode_j2k_components(broken)
 
 
+def test_poc_progression_order_changes():
+    """A.6.6 POC: the packet sequence is the concatenation of the
+    marker's progression volumes (each packet at its first occurrence),
+    defensively completed in the COD order for under-covering volumes.
+    Resolution/layer/component splits with mixed orders, precincts
+    inside a volume, and the completion path all round-trip bit-exact —
+    and POC genuinely reorders the stream (byte-compare control)."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import (
+        _decode_j2k_components, _unbox,
+    )
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (60, 80)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
+    cases = [
+        (img, dict(nl=2, poc=[(0, 0, 1, 1, 1, 1), (1, 0, 1, 3, 1, 0)])),
+        (img, dict(nl=2, layers=3, termall=True,
+                   poc=[(0, 0, 1, 3, 1, 4), (0, 0, 3, 3, 1, 0)])),
+        (rgb, dict(nl=2, poc=[(0, 0, 1, 3, 1, 1), (0, 1, 1, 3, 3, 0)])),
+        (img, dict(nl=2, precincts=(4, 4),
+                   poc=[(0, 0, 1, 2, 1, 3), (0, 0, 1, 3, 1, 0)])),
+        (img, dict(nl=2, poc=[(0, 0, 1, 1, 1, 0)])),  # completion path
+    ]
+    for arr, kw in cases:
+        comps, _ = _decode_j2k_components(_unbox(
+            encode_jpeg2000(arr, cb=(4, 4), **kw)))
+        if arr.ndim == 2:
+            assert np.array_equal(comps[0], arr), kw
+        else:
+            for i in range(3):
+                assert np.array_equal(comps[i], arr[..., i]), kw
+    # control: the POC layout differs from the plain stream, same length
+    plain = _unbox(encode_jpeg2000(img, nl=2, cb=(4, 4)))
+    poced = _unbox(encode_jpeg2000(
+        img, nl=2, cb=(4, 4), poc=[(0, 0, 1, 1, 1, 1), (1, 0, 1, 3, 1, 0)]))
+    assert poced != plain
+    with pytest.raises(ValueError, match="empty progression"):
+        _decode_j2k_components(_unbox(encode_jpeg2000(
+            img, nl=1, cb=(4, 4), poc=[(2, 0, 1, 1, 1, 0)])))
+
+
 def test_rgn_maxshift_roi():
     """A.6.3 implicit maxshift ROI: coefficients serving the region of
     interest are upshifted by SPrgn (one RGN marker per component, Mb

@@ -138,50 +138,6 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.length(norm).alias("n_norm_chars"), fp.alias("fingerprint"))
 
 
-def with_pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """PII redaction — the scrub pass every curation pipeline runs before
-    training. Emails and phone-shaped numbers are counted, then replaced
-    with placeholder tags; the scrubbed text is fingerprinted so the
-    cross-engine oracle can value-check the REDACTION itself, not just
-    the counts. Pure JVM expressions (regexp_*), no Python.
-
-    The synthetic corpus carries no PII, so a deterministic injection
-    derived from doc_id plants emails/phones on a known subset — the
-    operator then has nonzero work to verify against.
-    """
-    injected = F.concat(
-        F.col(text_col),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.lit(" contact: user"),
-                     F.col("doc_id").cast("string"),
-                     F.lit("@example.com")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(F.lit(" call 555-"),
-                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
-        ).otherwise(F.lit("")),
-    )
-    email_re = "[a-z0-9]+@[a-z]+\\\\.[a-z]+"
-    phone_re = "[0-9]{3}-[0-9]{4}"
-    d = docs.withColumn("__t", injected)
-    n_email = F.size(F.expr(f"regexp_extract_all(__t, '{email_re}', 0)"))
-    n_phone = F.size(F.expr(f"regexp_extract_all(__t, '{phone_re}', 0)"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("__t"), email_re.replace("\\\\", "\\"), "<EMAIL>"),
-        phone_re, "<PHONE>",
-    )
-    fp = F.conv(F.substring(F.md5(scrubbed), 1, 15), 16, 10).cast("bigint")
-    return d.select(
-        "doc_id",
-        n_email.alias("n_emails"),
-        n_phone.alias("n_phones"),
-        F.length(scrubbed).alias("scrubbed_len"),
-        fp.alias("scrubbed_fp"),
-    )
-
-
 def chunk_windows(docs: DataFrame, window: int = 32, stride: int = 24,
                   text_col: str = "text") -> DataFrame:
     """Overlapping token-window chunking — the context-window packing

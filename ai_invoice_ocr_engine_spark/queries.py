@@ -689,40 +689,6 @@ def q_text_quality(spark, sf):
     return T.with_token_stats(_t(spark, sf, "documents"))
 
 
-def q_pii_scrub(spark, sf):
-    """PII redaction pass (functions/text.py with_pii_scrub): count and
-    replace emails/phones, fingerprint the scrubbed text — value-exact
-    cross-engine check of the redaction itself. Pure map stage."""
-    return T.with_pii_scrub(_t(spark, sf, "documents"))
-
-
-_SQL_PII_SCRUB = r"""
-WITH t AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 3 = 0
-                 THEN ' contact: user' || doc_id || '@example.com'
-                 ELSE '' END
-         || CASE WHEN doc_id % 5 = 0
-                 THEN ' call 555-' || lpad((doc_id % 10000)::varchar, 4, '0')
-                 ELSE '' END AS tt
-  FROM documents
-), s AS (
-  SELECT doc_id, tt,
-         regexp_replace(
-           regexp_replace(tt, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
-           '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
-  FROM t
-)
-SELECT doc_id,
-       len(regexp_extract_all(tt, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
-       len(regexp_extract_all(tt, '[0-9]{3}-[0-9]{4}')) AS n_phones,
-       length(scrubbed) AS scrubbed_len,
-       ('0x' || substr(md5(scrubbed), 1, 15))::bigint AS scrubbed_fp
-FROM s
-"""
-
-
 def q_chunk_windows(spark, sf):
     """Overlapping token-window chunking (functions/text.py
     chunk_windows): window 32, stride 24 — the context-window packing
@@ -3891,7 +3857,6 @@ REGISTRY: dict[str, tuple] = {
     "ann_batch_topk": (q_ann_batch_topk, _SQL_ANN_BATCH),
     "ann_lsh_histogram": (q_ann_lsh_histogram, _SQL_ANN_LSH),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
-    "pii_scrub": (q_pii_scrub, _SQL_PII_SCRUB),
     "chunk_windows": (q_chunk_windows, _SQL_CHUNK_WINDOWS),
     "text_langid": (q_text_langid, _SQL_TEXT_LANGID),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_FINGERPRINT),

@@ -870,27 +870,6 @@ def test_pagerank_rank_conservation_regular_graph(spark):
     assert len(ranks) == n
 
 
-def test_pii_scrub_semantics(spark):
-    """The scrub pass counts and redacts the deterministically injected
-    emails/phones: doc_id%3==0 docs carry one email, %5==0 one phone;
-    scrubbed text contains the placeholder tags and no raw matches."""
-    from pyspark.sql import functions as F
-
-    from ai_invoice_ocr_engine_spark.functions import text as T
-
-    docs = spark.createDataFrame(
-        [(i, f"plain words {i}") for i in range(30)], "doc_id long, text string"
-    )
-    rows = {r["doc_id"]: r for r in T.with_pii_scrub(docs).collect()}
-    for i in range(30):
-        assert rows[i]["n_emails"] == (1 if i % 3 == 0 else 0)
-        assert rows[i]["n_phones"] == (1 if i % 5 == 0 else 0)
-    # the redaction really removed the matches: scrubbed length of a
-    # doc with an email differs from its raw+injected length
-    assert rows[3]["scrubbed_len"] < len("plain words 3 contact: user3@example.com")
-    assert rows[1]["scrubbed_len"] == len("plain words 1")
-
-
 def test_chunk_windows_semantics(spark):
     """Window/stride arithmetic: 100 tokens with window 32 / stride 24
     yields starts 0,24,48,72,96 with sizes 32,32,32,28,4; empty docs

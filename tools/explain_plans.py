@@ -53,6 +53,9 @@ SHOW = [
     "top_bigrams",
     "event_transitions",
     "caption_pairs",
+    # round 4: curation map stages
+    "pii_scrub",
+    "chunk_windows",
 ]
 
 

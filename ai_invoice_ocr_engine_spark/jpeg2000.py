@@ -1303,17 +1303,23 @@ def decode_jpeg2000(data: bytes) -> np.ndarray:
     Error contract (decode_image-wide): corrupt bytes raise ValueError,
     valid-but-unsupported features NotImplementedError."""
     try:
-        comps, depth = _decode_j2k_components(_unbox(data))
+        comps, cinfo = _decode_j2k_components(_unbox(data))
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, OverflowError, MemoryError,
             struct.error) as e:
         raise ValueError(f"corrupt JPEG2000: {type(e).__name__}: {e}") from e
-    mx = (1 << depth) - 1
-    scaled = [
-        np.clip(c, 0, mx).astype(np.float64) * (255.0 / mx)
-        for c in comps
-    ]
+    scaled = []
+    for c, a in enumerate(comps):
+        dep, sg = cinfo[c]
+        mx = (1 << dep) - 1
+        if sg:
+            # signed range [-2^(B-1), 2^(B-1)-1] → display offset binary
+            half = 1 << (dep - 1)
+            a = np.clip(a, -half, half - 1) + half
+        else:
+            a = np.clip(a, 0, mx)
+        scaled.append(a.astype(np.float64) * (255.0 / mx))
     if len(comps) == 1:
         return np.clip(np.rint(scaled[0]), 0, 255).astype(np.uint8)
     if len(comps) == 3:
@@ -1406,13 +1412,13 @@ def _decode_j2k_components(d: bytes):
         ssiz, xr, yr = siz[36 + 3 * c : 39 + 3 * c]
         if xr != 1 or yr != 1:
             raise NotImplementedError("JPEG2000 subsampled components")
-        comps_info.append((ssiz & 0x7F, bool(ssiz & 0x80)))
-    depth = comps_info[0][0] + 1
-    if any(dep != depth - 1 or sg for dep, sg in
-           [(d0, s0) for d0, s0 in comps_info]):
-        if any(sg for _, sg in comps_info):
-            raise NotImplementedError("JPEG2000 signed components")
-        raise NotImplementedError("JPEG2000 mixed component depths")
+        dep = (ssiz & 0x7F) + 1
+        if not 1 <= dep <= 16:
+            raise ValueError("JPEG2000 component depth out of range")
+        # per-component precision and signedness (A.5.1): depth feeds
+        # each component's Rb (quantizer ranges, E.1) and its DC level
+        # shift; signed components skip the level shift entirely (G.1.2)
+        comps_info.append((dep, bool(ssiz & 0x80)))
 
     scod = cod[0]
     use_sop = bool(scod & 2)
@@ -1451,7 +1457,8 @@ def _decode_j2k_components(d: bytes):
 
     for c, cp in enumerate(cparams):
         if cp["nl"] == base["nl"]:
-            qstyle, guard, cp["quant"] = _qcd_parse(qcd, cp["nl"], depth)
+            qstyle, guard, cp["quant"] = _qcd_parse(
+                qcd, cp["nl"], comps_info[c][0])
             cp["qstyle"] = qstyle
         else:
             # a COC that changes the decomposition count changes the
@@ -1464,7 +1471,7 @@ def _decode_j2k_components(d: bytes):
         if ci >= ncomp:
             raise ValueError("JPEG2000 QCC component out of range")
         qstyle, guard, quant_c = _qcd_parse(body[off:], cparams[ci]["nl"],
-                                            depth)
+                                            comps_info[ci][0])
         cparams[ci]["quant"] = quant_c
         cparams[ci]["qstyle"] = qstyle
     for c, cp in enumerate(cparams):
@@ -1590,11 +1597,11 @@ def _decode_j2k_components(d: bytes):
         ty1 = min(yto + (q + 1) * yt, ysiz)
         tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                             layers, prog, use_sop, use_eph,
-                            depth, mct, transform, pkt_headers=pkt_headers,
-                            poc=poc)
+                            comps_info, mct, transform,
+                            pkt_headers=pkt_headers, poc=poc)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
-    return comps, depth
+    return comps, comps_info
 
 
 def _sb_index(band: int, r: int) -> int:
@@ -1603,7 +1610,7 @@ def _sb_index(band: int, r: int) -> int:
 
 
 def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
-                 layers, prog, use_sop, use_eph, depth, mct, transform,
+                 layers, prog, use_sop, use_eph, cinfo, mct, transform,
                  pkt_headers: bytes | None = None, poc=None):
     structs = [
         _tile_structure(tx0, ty0, tx1, ty1, cp["nl"], cp["xcb"], cp["ycb"],
@@ -1766,6 +1773,12 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
     if mct:
         if ncomp < 3:
             raise ValueError("JPEG2000 MCT with fewer than 3 components")
+        if len({cinfo[c] for c in range(3)}) != 1:
+            # RCT/ICT assume one nominal range across the transformed
+            # trio (G.1); a real stream mixing depths under MCT is rare
+            # enough to keep loud rather than guess a normalization
+            raise NotImplementedError(
+                "JPEG2000 MCT over mismatched component depths")
         y, u, v = out[0], out[1], out[2]
         if transform == 1:  # RCT (G.2)
             g = y - ((u + v) >> 2)
@@ -1776,9 +1789,12 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
             g = y - 0.344136 * u - 0.714136 * v
             b_ = y + 1.772 * u
         out[0], out[1], out[2] = r_, g, b_
-    # DC level shift (unsigned components)
-    shift = 1 << (depth - 1)
-    return [o + shift for o in out]
+    # DC level shift (G.1.2): unsigned components only; signed samples
+    # are already centered on zero
+    return [
+        o if cinfo[c][1] else o + (1 << (cinfo[c][0] - 1))
+        for c, o in enumerate(out)
+    ]
 
 
 # -- fixture encoder -----------------------------------------------------------
@@ -1787,17 +1803,19 @@ _ENC_GUARD = 2
 _ENC_EXP = 20  # loose reversible exponent: Mb = 21 covers every subband
 
 
-def _enc_quant_body(nl: int, lossy: bool, qexp_extra: int):
+def _enc_quant_body(nl: int, lossy: bool, qexp_extra: int, depth: int = 8):
     """QCD/QCC payload (after any component index) for `nl` levels:
     returns (body, per-subband Mb list, per-subband delta list or None)."""
     if lossy:
         # scalar expounded: eps = Rb + qexp_extra, mu = 0 -> delta =
-        # 2^-qexp_extra for every subband
+        # 2^(Rb-eps) = 2^-qexp_extra for every subband (Rb = component
+        # depth + band gain, E.1 — the depth enters eps and Rb alike,
+        # so the step size itself is depth-independent)
         entries = b""
         deltas = []
         for i in range(3 * nl + 1):
             gain = 0 if i == 0 else _BAND_GAIN[1 + (i - 1) % 3]
-            eps = 8 + gain + qexp_extra
+            eps = depth + gain + qexp_extra
             entries += struct.pack(">H", (eps << 11) | 0)
             deltas.append(2.0 ** (-qexp_extra))
         body = bytes([(_ENC_GUARD << 5) | 2]) + entries
@@ -1821,7 +1839,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     split_parts: int = 1, ppt: bool = False,
                     ppm: bool = False, precincts=None,
                     roi: tuple | None = None,
-                    poc: list | None = None) -> bytes:
+                    poc: list | None = None,
+                    components: list | None = None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1852,21 +1871,47 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     rect are upshifted by SPrgn = the component's bitplane count, one
     RGN marker per component). ``poc`` — a list of (RSpoc, CSpoc,
     LYEpoc, REpoc, CEpoc, Ppoc) progression-order-change entries
-    (A.6.6); packets then follow the concatenated POC volumes."""
+    (A.6.6); packets then follow the concatenated POC volumes.
+    ``components`` — a list of {"data": 2-D int array, "depth": int
+    (default 8), "signed": bool (default False)} — bypasses the
+    gray/RGB path entirely: each component is coded independently
+    (mct=0, no color transform) with its own Ssiz precision/signedness,
+    the A.5.1 per-component shape (signed samples skip the DC level
+    shift; a non-8-bit depth shifts the lossy eps by Rb)."""
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
     styles = {"causal": causal, "reset": reset, "segsym": segsym}
     style_byte = ((0x01 if bypass else 0) | (0x02 if reset else 0)
                   | (0x04 if termall else 0) | (0x08 if causal else 0)
                   | (0x20 if segsym else 0))
-    img = np.asarray(img, np.uint8)
-    ncomp = 1 if img.ndim == 2 else img.shape[2]
-    if ncomp not in (1, 3):
-        raise ValueError("encoder supports gray or RGB")
-    h, w = img.shape[:2]
+    if components is not None:
+        ncomp = len(components)
+        if not ncomp:
+            raise ValueError("components list is empty")
+        cspecs = [
+            (np.asarray(ce["data"], np.int64),
+             int(ce.get("depth", 8)), bool(ce.get("signed", False)))
+            for ce in components
+        ]
+        h, w = cspecs[0][0].shape
+        if any(a.shape != (h, w) for a, _, _ in cspecs):
+            raise ValueError("component shapes differ")
+        for a, dep, sg in cspecs:
+            lo = -(1 << (dep - 1)) if sg else 0
+            hi = lo + (1 << dep) - 1
+            if a.min() < lo or a.max() > hi:
+                raise ValueError("component samples out of depth range")
+        mct = 0
+    else:
+        img = np.asarray(img, np.uint8)
+        ncomp = 1 if img.ndim == 2 else img.shape[2]
+        if ncomp not in (1, 3):
+            raise ValueError("encoder supports gray or RGB")
+        h, w = img.shape[:2]
+        cspecs = [(None, 8, False)] * ncomp
+        mct = 1 if ncomp == 3 else 0
     xt, yt = tile if tile is not None else (w, h)
     xcb, ycb = cb
-    mct = 1 if ncomp == 3 else 0
     out = bytearray(b"\xff\x4f")  # SOC
 
     def seg(marker, body):
@@ -1889,7 +1934,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         nl_c = ov.get("nl", nl)
         xcb_c, ycb_c = ov.get("cb", (xcb, ycb))
         qx_c = ov.get("qexp_extra", qexp_extra)
-        qbody, mbs_c, deltas_c = _enc_quant_body(nl_c, lossy, qx_c)
+        qbody, mbs_c, deltas_c = _enc_quant_body(nl_c, lossy, qx_c,
+                                                 depth=cspecs[c][1])
         enc_cp.append({
             "nl": nl_c, "xcb": xcb_c, "ycb": ycb_c,
             "mbs": mbs_c, "deltas": deltas_c, "qbody": qbody,
@@ -1898,8 +1944,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         })
 
     siz = struct.pack(">H8IH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
-    for _ in range(ncomp):
-        siz += bytes([7, 1, 1])
+    for _, dep, sg in cspecs:
+        siz += bytes([(dep - 1) | (0x80 if sg else 0), 1, 1])
     seg(0xFF51, siz)
     has_prec = precincts is not None
     scod = (1 if has_prec else 0) | (2 if sop else 0) | (4 if eph else 0)
@@ -1923,7 +1969,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             seg(0xFF53, bytes([c, 1 if has_prec else 0, cp["nl"],
                                cp["xcb"] - 2, cp["ycb"] - 2, style_byte,
                                transform]) + prec_bytes(cp["pps"]))
-    qcd_body, _, _ = _enc_quant_body(nl, lossy, qexp_extra)
+    qcd_body, _, _ = _enc_quant_body(nl, lossy, qexp_extra,
+                                     depth=cspecs[0][1])
     seg(0xFF5C, qcd_body)
     for c, cp in enumerate(enc_cp):
         if cp["qbody"] != qcd_body:
@@ -1945,10 +1992,18 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             tx0, ty0 = p * xt, q * yt
             tx1, ty1 = min((p + 1) * xt, w), min((q + 1) * yt, h)
             comps = []
-            sub = img[ty0:ty1, tx0:tx1]
-            if ncomp == 1:
+            if components is not None:
+                for a, dep, sg in cspecs:
+                    sub_c = a[ty0:ty1, tx0:tx1].astype(
+                        np.float64 if lossy else np.int64)
+                    if not sg:  # DC level shift (G.1.2), unsigned only
+                        sub_c = sub_c - (1 << (dep - 1))
+                    comps.append(sub_c)
+            elif ncomp == 1:
+                sub = img[ty0:ty1, tx0:tx1]
                 comps = [sub.astype(np.int64) - 128]
             elif not lossy:
+                sub = img[ty0:ty1, tx0:tx1]
                 r_ = sub[..., 0].astype(np.int64) - 128
                 g_ = sub[..., 1].astype(np.int64) - 128
                 b_ = sub[..., 2].astype(np.int64) - 128
@@ -1957,6 +2012,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 v_ = r_ - g_
                 comps = [y_, u_, v_]
             else:
+                sub = img[ty0:ty1, tx0:tx1]
                 r_ = sub[..., 0].astype(np.float64) - 128
                 g_ = sub[..., 1].astype(np.float64) - 128
                 b_ = sub[..., 2].astype(np.float64) - 128

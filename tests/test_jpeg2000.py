@@ -13,7 +13,9 @@ from ai_invoice_ocr_engine_spark.jpeg2000 import (
     TagTree,
     _PktBitReader,
     _PktBitWriter,
+    _decode_j2k_components,
     _sd_1d,
+    _unbox,
     decode_jpeg2000,
     dwt_53,
     encode_jpeg2000,
@@ -879,3 +881,67 @@ def test_pdf_jpx_lossy_multilayer_image():
     _spans, media = pdf_spans(blob)
     out = decode_image(next(iter(media.values())))
     assert np.abs(out.astype(float) - img.astype(float)).max() <= 1
+
+
+def test_signed_component_roundtrip_and_display():
+    """Ssiz bit 7 (A.5.1): signed samples skip the DC level shift
+    (G.1.2) and decode bit-exactly on the reversible path; the display
+    path maps them to offset binary."""
+    rng = np.random.default_rng(201)
+    a = rng.integers(-128, 128, (21, 17), np.int64)
+    bs = encode_jpeg2000(None, nl=2, components=[{"data": a,
+                                                  "signed": True}])
+    comps, cinfo = _decode_j2k_components(_unbox(bs))
+    assert cinfo == [(8, True)]
+    assert np.array_equal(comps[0], a)
+    out = decode_jpeg2000(bs)
+    assert np.array_equal(out, (a + 128).astype(np.uint8))
+
+
+def test_mixed_depth_components_roundtrip():
+    """Per-component Ssiz precision: 12/4-bit unsigned + 10-bit signed
+    in one tiled stream, each reconstructed bit-exactly (per-component
+    Rb drives Mb; reversible path)."""
+    rng = np.random.default_rng(202)
+    c0 = rng.integers(0, 4096, (33, 29), np.int64)
+    c1 = rng.integers(0, 16, (33, 29), np.int64)
+    c2 = rng.integers(-512, 512, (33, 29), np.int64)
+    bs = encode_jpeg2000(None, nl=2, tile=(16, 16), components=[
+        {"data": c0, "depth": 12},
+        {"data": c1, "depth": 4},
+        {"data": c2, "depth": 10, "signed": True}])
+    comps, cinfo = _decode_j2k_components(_unbox(bs))
+    assert cinfo == [(12, False), (4, False), (10, True)]
+    for got, want in zip(comps, (c0, c1, c2)):
+        assert np.array_equal(got, want)
+
+
+def test_mixed_depth_lossy_error_bound():
+    """Lossy per-component quantization with non-8-bit depths: eps
+    rides each component's Rb (E.1, via auto-emitted QCCs), so the
+    reconstruction error stays below one step regardless of depth."""
+    rng = np.random.default_rng(203)
+    c0 = rng.integers(0, 4096, (24, 24), np.int64)
+    c1 = rng.integers(-512, 512, (24, 24), np.int64)
+    bs = encode_jpeg2000(None, nl=2, lossy=True, qexp_extra=6,
+                         components=[
+                             {"data": c0, "depth": 12},
+                             {"data": c1, "depth": 10, "signed": True}])
+    comps, cinfo = _decode_j2k_components(_unbox(bs))
+    assert cinfo == [(12, False), (10, True)]
+    assert np.abs(comps[0] - c0).max() < 1.0
+    assert np.abs(comps[1] - c1).max() < 1.0
+
+
+def test_component_depth_out_of_range_is_corrupt():
+    """Ssiz depths above 16 are outside this decoder's contract and
+    raise ValueError (corrupt), not a silent wrap."""
+    rng = np.random.default_rng(204)
+    a = rng.integers(0, 256, (8, 8), np.int64)
+    bs = bytearray(encode_jpeg2000(None, nl=1, components=[{"data": a}]))
+    # SIZ body starts after SOC(2)+marker(2)+len(2): Ssiz of comp 0 sits
+    # at offset 2+2+2+36 = 42 in the raw codestream
+    assert bs[42] == 7
+    bs[42] = 24  # claim a 25-bit component
+    with pytest.raises(ValueError):
+        _decode_j2k_components(_unbox(bytes(bs)))

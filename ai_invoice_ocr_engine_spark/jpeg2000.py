@@ -1296,6 +1296,118 @@ def _parse_spcod(sp: bytes, layers: int, has_precincts: bool = False):
     }
 
 
+def _build_cparams(ncomp, comps_info, cod, qcd, cocs, qccs, rgns,
+                   tcod=None, tqcd=None, tcocs=(), tqccs=()):
+    """Per-component coding + quantization parameters for one scope
+    (main header, or one tile when the tile's first tile-part header
+    carries COD/COC/QCD/QCC overrides). Precedence per A.6.1: tile COC
+    > tile COD > main COC > main COD, and tile QCC > tile QCD > main
+    QCC > main QCD. Returns {prog, layers, mct, transform, use_sop,
+    use_eph, cparams}."""
+    # 0x10 (predictable termination) in the code-block style constrains
+    # only the ENCODER's flush pattern so decoders MAY detect corruption;
+    # decoding is identical, so the bit is accepted (verification not
+    # performed)
+    cod_eff = tcod if tcod is not None else cod
+    scod = cod_eff[0]
+    use_sop = bool(scod & 2)
+    use_eph = bool(scod & 4)
+    prog = cod_eff[1]
+    if prog > 4:
+        raise ValueError("JPEG2000 bad progression order")
+    layers = struct.unpack(">H", cod_eff[2:4])[0]
+    mct = cod_eff[4]
+    base = _parse_spcod(cod_eff[5:], layers, has_precincts=bool(scod & 1))
+    main_base_nl = base["nl"] if tcod is None else _parse_spcod(
+        cod[5:], layers, has_precincts=bool(cod[0] & 1))["nl"]
+
+    def comp_index(body):
+        if ncomp < 257:
+            return body[0], 1
+        return struct.unpack(">H", body[:2])[0], 2
+
+    def coc_map(bodies, kind):
+        m = {}
+        for body in bodies:
+            ci, off = comp_index(body)
+            if ci >= ncomp:
+                raise ValueError(f"JPEG2000 {kind} component out of range")
+            m[ci] = _parse_spcod(body[off + 1 :], layers,
+                                 has_precincts=bool(body[off] & 1))
+        return m
+
+    def qcc_map(bodies):
+        m = {}
+        for body in bodies:
+            ci, off = comp_index(body)
+            if ci >= ncomp:
+                raise ValueError("JPEG2000 QCC component out of range")
+            m[ci] = body[off:]
+        return m
+
+    main_coc, tile_coc = coc_map(cocs, "COC"), coc_map(tcocs, "COC")
+    main_qcc, tile_qcc = qcc_map(qccs), qcc_map(tqccs)
+
+    cparams = []
+    for c in range(ncomp):
+        if c in tile_coc:
+            src = tile_coc[c]
+        elif tcod is not None or c not in main_coc:
+            src = base
+        else:
+            src = main_coc[c]
+        cparams.append(dict(src, styles=dict(src["styles"])))
+    transform = base["transform"]
+    if any(cp["transform"] != transform for cp in cparams):
+        # mixing 5/3 and 9/7 across components also splits the sample
+        # dtype and the MCT reversibility contract; keep it loud
+        raise NotImplementedError("JPEG2000 per-component transform mix")
+
+    for c, cp in enumerate(cparams):
+        # a COC that changes the decomposition count changes the subband
+        # count; a QCD's entry list then no longer lines up with this
+        # component, so a (tile or main) QCC must cover it
+        if c in tile_qcc:
+            qbody = tile_qcc[c]
+        elif tqcd is not None and cp["nl"] == base["nl"]:
+            qbody = tqcd
+        elif c in main_qcc:
+            qbody = main_qcc[c]
+        elif cp["nl"] == main_base_nl and tcod is None:
+            qbody = qcd
+        elif cp["nl"] == base["nl"] and tqcd is None and tcod is not None:
+            # tile COD kept/changed nl uniformly but carried no tile QCD:
+            # the main QCD still lines up only if the counts agree
+            qbody = qcd if cp["nl"] == main_base_nl else None
+        else:
+            qbody = None
+        if qbody is None:
+            raise ValueError(
+                "JPEG2000 decomposition-level override but no QCC "
+                f"covers component {c}"
+            )
+        qstyle, guard, cp["quant"] = _qcd_parse(
+            qbody, cp["nl"], comps_info[c][0])
+        cp["qstyle"] = qstyle
+        if (transform == 1) != (qstyle == 0):
+            raise ValueError("JPEG2000 transform/quantization style mismatch")
+        cp["roi"] = 0
+    for body in rgns:
+        # RGN (A.6.3): implicit maxshift ROI — quantized coefficients
+        # with magnitude >= 2^SPrgn were upshifted by SPrgn at encode
+        # (every background magnitude stays below the threshold); Mb for
+        # the component's subbands grows by SPrgn
+        ci, off = comp_index(body)
+        if ci >= ncomp:
+            raise ValueError("JPEG2000 RGN component out of range")
+        if body[off] != 0:
+            raise NotImplementedError("JPEG2000 RGN style != maxshift")
+        cparams[ci]["roi"] = body[off + 1]
+    return {"prog": prog, "layers": layers, "mct": mct,
+            "transform": transform, "use_sop": use_sop,
+            "use_eph": use_eph, "cparams": cparams}
+
+
 def decode_jpeg2000(data: bytes) -> np.ndarray:
     """JP2 container or raw codestream → grayscale uint8 (RGB via the
     repo's cv2-exact luma, matching every other decoder here).
@@ -1420,80 +1532,8 @@ def _decode_j2k_components(d: bytes):
         # shift; signed components skip the level shift entirely (G.1.2)
         comps_info.append((dep, bool(ssiz & 0x80)))
 
-    scod = cod[0]
-    use_sop = bool(scod & 2)
-    use_eph = bool(scod & 4)
-    prog = cod[1]
-    if prog > 4:
-        raise ValueError("JPEG2000 bad progression order")
-    layers = struct.unpack(">H", cod[2:4])[0]
-    mct = cod[4]
-    # 0x10 (predictable termination) in the code-block style constrains
-    # only the ENCODER's flush pattern so decoders MAY detect corruption;
-    # decoding is identical, so the bit is accepted (verification not
-    # performed)
-    base = _parse_spcod(cod[5:], layers, has_precincts=bool(scod & 1))
-
-    # per-component parameters: COD/QCD defaults, then COC/QCC overrides
-    # (A.6.2/A.6.5 — ordinary real-encoder output for gray+color mixes)
-    cparams = [dict(base, styles=dict(base["styles"])) for _ in range(ncomp)]
-
-    def comp_index(body):
-        if ncomp < 257:
-            return body[0], 1
-        return struct.unpack(">H", body[:2])[0], 2
-
-    for body in cocs:
-        ci, off = comp_index(body)
-        if ci >= ncomp:
-            raise ValueError("JPEG2000 COC component out of range")
-        cparams[ci] = _parse_spcod(body[off + 1 :], layers,
-                                   has_precincts=bool(body[off] & 1))
-    transform = base["transform"]
-    if any(cp["transform"] != transform for cp in cparams):
-        # mixing 5/3 and 9/7 across components also splits the sample
-        # dtype and the MCT reversibility contract; keep it loud
-        raise NotImplementedError("JPEG2000 per-component transform mix")
-
-    for c, cp in enumerate(cparams):
-        if cp["nl"] == base["nl"]:
-            qstyle, guard, cp["quant"] = _qcd_parse(
-                qcd, cp["nl"], comps_info[c][0])
-            cp["qstyle"] = qstyle
-        else:
-            # a COC that changes the decomposition count changes the
-            # subband count; the QCD entry list no longer lines up, so
-            # the stream must carry a QCC for this component
-            cp["quant"] = None
-            cp["qstyle"] = None
-    for body in qccs:
-        ci, off = comp_index(body)
-        if ci >= ncomp:
-            raise ValueError("JPEG2000 QCC component out of range")
-        qstyle, guard, quant_c = _qcd_parse(body[off:], cparams[ci]["nl"],
-                                            comps_info[ci][0])
-        cparams[ci]["quant"] = quant_c
-        cparams[ci]["qstyle"] = qstyle
-    for c, cp in enumerate(cparams):
-        if cp["quant"] is None:
-            raise ValueError(
-                "JPEG2000 COC overrides decomposition levels but no QCC "
-                f"covers component {c}"
-            )
-        if (transform == 1) != (cp["qstyle"] == 0):
-            raise ValueError("JPEG2000 transform/quantization style mismatch")
-        cp["roi"] = 0
-    for body in rgns:
-        # RGN (A.6.3): implicit maxshift ROI — quantized coefficients
-        # with magnitude >= 2^SPrgn were upshifted by SPrgn at encode
-        # (every background magnitude stays below the threshold); Mb for
-        # the component's subbands grows by SPrgn
-        ci, off = comp_index(body)
-        if ci >= ncomp:
-            raise ValueError("JPEG2000 RGN component out of range")
-        if body[off] != 0:
-            raise NotImplementedError("JPEG2000 RGN style != maxshift")
-        cparams[ci]["roi"] = body[off + 1]
+    mh = _build_cparams(ncomp, comps_info, cod, qcd, cocs, qccs, rgns)
+    prog, layers = mh["prog"], mh["layers"]
     poc = []
     csz = 1 if ncomp < 257 else 2
     esz = 5 + 2 * csz
@@ -1517,10 +1557,6 @@ def _decode_j2k_components(d: bytes):
 
     ntx = _ceil_div(xsiz - xto, xt)
     nty = _ceil_div(ysiz - yto, yt)
-    dt = np.int64 if transform == 1 else np.float64
-    comps = [
-        np.zeros((ysiz - yo, xsiz - xo), dt) for _ in range(ncomp)
-    ]
 
     # First pass: collect tile-parts (A.4.2 — a tile's bitstream may be
     # split into several SOT..SOD segments, possibly interleaved with
@@ -1528,6 +1564,7 @@ def _decode_j2k_components(d: bytes):
     # concatenate in tile-part order, so decode runs on the joined body.
     tile_parts: dict[int, list] = {}
     tile_order: list[int] = []
+    tile_marks: dict[int, dict] = {}
     while pos + 2 <= len(d):
         m = struct.unpack(">H", d[pos : pos + 2])[0]
         if m == 0xFFD9:  # EOC
@@ -1541,20 +1578,43 @@ def _decode_j2k_components(d: bytes):
             psot = len(d) - pos
         tile_end = pos + psot
         tpos = pos + 12
-        # tile-part header: SOD, or PPT packed packet headers (A.7.2 —
+        # tile-part header: SOD, PPT packed packet headers (A.7.2 —
         # Zppt-indexed chunks whose concatenation carries every packet
-        # header for the tile); COD/QCD overrides stay loud
+        # header for the tile), or COD/COC/QCD/QCC overrides for this
+        # tile (A.4.2/Table A.1: legal in the FIRST tile-part only)
         ppts: list = []
         while True:
             tm = struct.unpack(">H", d[tpos : tpos + 2])[0]
             if tm == 0xFF93:  # SOD
                 tpos += 2
                 break
-            if tm in (0xFF52, 0xFF5C, 0xFF53, 0xFF5D):
-                raise NotImplementedError("JPEG2000 per-tile coding override")
             ln = struct.unpack(">H", d[tpos + 2 : tpos + 4])[0]
-            if tm == 0xFF61:  # PPT: Zppt index byte + packed header bytes
+            if tm in (0xFF52, 0xFF5C, 0xFF53, 0xFF5D):
+                if tpsot != 0:
+                    raise ValueError(
+                        "JPEG2000 coding marker outside first tile-part")
+                ent = tile_marks.setdefault(
+                    isot, {"cod": None, "qcd": None, "cocs": [],
+                           "qccs": []})
+                mbody = d[tpos + 4 : tpos + 2 + ln]
+                if tm == 0xFF52:
+                    ent["cod"] = mbody
+                elif tm == 0xFF5C:
+                    ent["qcd"] = mbody
+                elif tm == 0xFF53:
+                    ent["cocs"].append(mbody)
+                else:
+                    ent["qccs"].append(mbody)
+            elif tm == 0xFF61:  # PPT: Zppt index byte + packed headers
                 ppts.append((d[tpos + 4], d[tpos + 5 : tpos + 2 + ln]))
+            elif tm in (0xFF5E, 0xFF5F):
+                # tile-scoped ROI / progression changes: rarer than the
+                # coding overrides; silent skip would mis-decode
+                raise NotImplementedError(
+                    "JPEG2000 tile-header RGN/POC marker")
+            elif tm not in (0xFF58, 0xFF64):  # PLT/COM are informational
+                raise ValueError(
+                    f"JPEG2000 unexpected tile-header marker {tm:#06x}")
             tpos += 2 + ln
         pm_rec = None
         if pm_stream is not None:
@@ -1572,6 +1632,22 @@ def _decode_j2k_components(d: bytes):
             tile_order.append(isot)
         tile_parts[isot].append((tpsot, d[tpos:tile_end], ppts, pm_rec))
         pos = tile_end
+
+    # per-tile parameter scopes (A.6.1): rebuilt only for tiles whose
+    # first tile-part header carried COD/COC/QCD/QCC
+    tscope = {
+        isot: _build_cparams(ncomp, comps_info, cod, qcd, cocs, qccs,
+                             rgns, tcod=tm["cod"], tqcd=tm["qcd"],
+                             tcocs=tm["cocs"], tqccs=tm["qccs"])
+        for isot, tm in tile_marks.items()
+    }
+    lossless_all = mh["transform"] == 1 and all(
+        s["transform"] == 1 for s in tscope.values()
+    )
+    dt = np.int64 if lossless_all else np.float64
+    comps = [
+        np.zeros((ysiz - yo, xsiz - xo), dt) for _ in range(ncomp)
+    ]
 
     for isot in tile_order:
         parts = tile_parts[isot]
@@ -1595,9 +1671,11 @@ def _decode_j2k_components(d: bytes):
         ty0 = max(yto + q * yt, yo)
         tx1 = min(xto + (p + 1) * xt, xsiz)
         ty1 = min(yto + (q + 1) * yt, ysiz)
-        tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
-                            layers, prog, use_sop, use_eph,
-                            comps_info, mct, transform,
+        sc = tscope.get(isot, mh)
+        tile = _decode_tile(body, tx0, ty0, tx1, ty1, ncomp,
+                            sc["cparams"], sc["layers"], sc["prog"],
+                            sc["use_sop"], sc["use_eph"], comps_info,
+                            sc["mct"], sc["transform"],
                             pkt_headers=pkt_headers, poc=poc)
         for c in range(ncomp):
             comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
@@ -1840,7 +1918,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     ppm: bool = False, precincts=None,
                     roi: tuple | None = None,
                     poc: list | None = None,
-                    components: list | None = None) -> bytes:
+                    components: list | None = None,
+                    tile_overrides: dict | None = None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1877,9 +1956,19 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     gray/RGB path entirely: each component is coded independently
     (mct=0, no color transform) with its own Ssiz precision/signedness,
     the A.5.1 per-component shape (signed samples skip the DC level
-    shift; a non-8-bit depth shifts the lossy eps by Rb)."""
+    shift; a non-8-bit depth shifts the lossy eps by Rb).
+    ``tile_overrides`` maps a tile index (raster order) to {"nl": int,
+    "cb": (xe, ye), "qexp_extra": int}: that tile's FIRST tile-part
+    header carries its own COD + QCD (A.4.2/Table A.1 — the per-tile
+    coding-override shape Kakadu can emit), applied to every component
+    of that tile."""
     if layers > 1 and not termall:
         raise ValueError("multi-layer fixture requires termall")
+    if tile_overrides:
+        if roi is not None or overrides:
+            raise ValueError(
+                "tile_overrides composes with neither roi nor "
+                "per-component overrides in this fixture encoder")
     styles = {"causal": causal, "reset": reset, "segsym": segsym}
     style_byte = ((0x01 if bypass else 0) | (0x02 if reset else 0)
                   | (0x04 if termall else 0) | (0x08 if causal else 0)
@@ -1910,6 +1999,12 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         h, w = img.shape[:2]
         cspecs = [(None, 8, False)] * ncomp
         mct = 1 if ncomp == 3 else 0
+    if (tile_overrides and lossy
+            and len({dep for _, dep, _ in cspecs}) > 1):
+        # a tile QCD is one table for all components; with lossy mixed
+        # depths each component needs its own eps (QCC), not emitted here
+        raise ValueError("tile_overrides with lossy mixed depths needs "
+                         "per-component QCCs")
     xt, yt = tile if tile is not None else (w, h)
     xcb, ycb = cb
     out = bytearray(b"\xff\x4f")  # SOC
@@ -1991,6 +2086,34 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         for p in range(ntx):
             tx0, ty0 = p * xt, q * yt
             tx1, ty1 = min((p + 1) * xt, w), min((q + 1) * yt, h)
+            tov = (tile_overrides or {}).get(q * ntx + p)
+            if tov is None:
+                ecp = enc_cp
+                tile_hdr = b""
+            else:
+                # per-tile COD/QCD in the first tile-part header
+                # (A.4.2/Table A.1): same prog/layers/mct, this tile's
+                # own decomposition count / code-block size / step size
+                nl_t = tov.get("nl", nl)
+                xcb_t, ycb_t = tov.get("cb", (xcb, ycb))
+                qx_t = tov.get("qexp_extra", qexp_extra)
+                qbody_t, mbs_t, deltas_t = _enc_quant_body(
+                    nl_t, lossy, qx_t, depth=cspecs[0][1])
+                ecp = [
+                    {"nl": nl_t, "xcb": xcb_t, "ycb": ycb_t,
+                     "mbs": mbs_t, "deltas": deltas_t, "qbody": qbody_t,
+                     "pps": pps_for(nl_t), "coc": False, "roi": 0}
+                    for _ in range(ncomp)
+                ]
+                cod_t = bytes([scod, prog]) + struct.pack(
+                    ">H", layers) + bytes(
+                    [mct, nl_t, xcb_t - 2, ycb_t - 2, style_byte,
+                     transform]) + prec_bytes(pps_for(nl_t))
+                tile_hdr = (
+                    struct.pack(">HH", 0xFF52, len(cod_t) + 2) + cod_t
+                    + struct.pack(">HH", 0xFF5C, len(qbody_t) + 2)
+                    + qbody_t
+                )
             comps = []
             if components is not None:
                 for a, dep, sg in cspecs:
@@ -2022,18 +2145,18 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 comps = [y_, u_, v_]
             structs = []
             for c in range(ncomp):
-                nl_c = enc_cp[c]["nl"]
-                mbs = enc_cp[c]["mbs"]
-                deltas = enc_cp[c]["deltas"]
+                nl_c = ecp[c]["nl"]
+                mbs = ecp[c]["mbs"]
+                deltas = ecp[c]["deltas"]
                 res = _tile_structure(tx0, ty0, tx1, ty1, nl_c,
-                                      enc_cp[c]["xcb"], enc_cp[c]["ycb"],
-                                      enc_cp[c]["pps"])
+                                      ecp[c]["xcb"], ecp[c]["ycb"],
+                                      ecp[c]["pps"])
                 if lossy:
                     ll, bands = dwt_97(comps[c], nl_c, tx0, ty0, tx1, ty1)
                 else:
                     ll, bands = dwt_53(comps[c], nl_c, tx0, ty0, tx1, ty1)
                 arrays = [[ll]] + [list(b) for b in bands]
-                roi_s = enc_cp[c]["roi"]
+                roi_s = ecp[c]["roi"]
                 for r in range(nl_c + 1):
                     for bi, sb in enumerate(res[r]):
                         a = arrays[r][bi]
@@ -2108,10 +2231,10 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 structs.append(res)
             pviews = [
                 [
-                    _precinct_views(structs[c][r], r, enc_cp[c]["nl"],
-                                    tx0, ty0, tx1, ty1, enc_cp[c]["pps"],
-                                    enc_cp[c]["xcb"], enc_cp[c]["ycb"])
-                    for r in range(enc_cp[c]["nl"] + 1)
+                    _precinct_views(structs[c][r], r, ecp[c]["nl"],
+                                    tx0, ty0, tx1, ty1, ecp[c]["pps"],
+                                    ecp[c]["xcb"], ecp[c]["ycb"])
+                    for r in range(ecp[c]["nl"] + 1)
                 ]
                 for c in range(ncomp)
             ]
@@ -2125,12 +2248,12 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                         ]
                         for row in pviews[c][r]
                     ]
-                    for r in range(enc_cp[c]["nl"] + 1)
+                    for r in range(ecp[c]["nl"] + 1)
                 ]
                 for c in range(ncomp)
             ]
             for c in range(ncomp):
-                for r in range(enc_cp[c]["nl"] + 1):
+                for r in range(ecp[c]["nl"] + 1):
                     for row, trow in zip(pviews[c][r], ptrees[c][r]):
                         for v, t2 in zip(row, trow):
                             if not v.cbs:
@@ -2147,7 +2270,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             # inclusion tag value is the first non-empty layer
             if termall:
                 for c in range(ncomp):
-                    for r in range(enc_cp[c]["nl"] + 1):
+                    for r in range(ecp[c]["nl"] + 1):
                         for row, trow in zip(pviews[c][r], ptrees[c][r]):
                             for v, t2 in zip(row, trow):
                                 if not v.cbs:
@@ -2170,12 +2293,12 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
 
             # mirror of the decoder's walk (same shared order function)
             enc_n_prec = [
-                [len(pviews[c][r]) for r in range(enc_cp[c]["nl"] + 1)]
+                [len(pviews[c][r]) for r in range(ecp[c]["nl"] + 1)]
                 for c in range(ncomp)
             ]
 
             def packet_seq():
-                return _packet_order(prog, layers, enc_cp, tx0, ty0,
+                return _packet_order(prog, layers, ecp, tx0, ty0,
                                      tx1, ty1, enc_n_prec, poc=poc)
 
             body = bytearray()
@@ -2224,7 +2347,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             hcuts = [0] + [hbounds[cut_pk[i + 1] - 1] for i in range(k)]
             for i in range(k):
                 chunk = body[cuts[i] : cuts[i + 1]]
-                extra = b""
+                extra = tile_hdr if i == 0 else b""
                 if ppt and i == 0:
                     zb = bytearray()
                     for z, off in enumerate(range(0, max(len(hdrs), 1),
@@ -2232,7 +2355,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                         hchunk = bytes(hdrs[off : off + 65532])
                         zb += struct.pack(">HHB", 0xFF61, 3 + len(hchunk), z)
                         zb += hchunk
-                    extra = bytes(zb)
+                    extra += bytes(zb)
                 if ppm:
                     # one PPM record per tile-part: this part's headers
                     pm_records.append(bytes(hdrs[hcuts[i] : hcuts[i + 1]]))

@@ -945,3 +945,89 @@ def test_component_depth_out_of_range_is_corrupt():
     bs[42] = 24  # claim a 25-bit component
     with pytest.raises(ValueError):
         _decode_j2k_components(_unbox(bytes(bs)))
+
+
+def test_per_tile_cod_qcd_overrides():
+    """Per-tile COD/QCD in the first tile-part header (A.4.2/Table
+    A.1): tiles with their own decomposition count / code-block size /
+    step size decode alongside default tiles — reversible bit-exact,
+    lossy error-bounded, and composing with PPT + SOP/EPH + tile-part
+    splits."""
+    rng = np.random.default_rng(211)
+    img = rng.integers(0, 256, (40, 56), np.uint8)
+    bs = encode_jpeg2000(img, nl=2, tile=(28, 20), cb=(5, 5),
+                         tile_overrides={1: {"nl": 3, "cb": (4, 4)},
+                                         2: {"nl": 1}})
+    assert np.array_equal(decode_jpeg2000(bs), img)
+
+    rgb = rng.integers(0, 256, (33, 41, 3), np.uint8)
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+    bs = encode_jpeg2000(rgb, nl=2, tile=(16, 16),
+                         tile_overrides={3: {"nl": 4, "cb": (4, 5)}})
+    assert np.array_equal(decode_jpeg2000(bs), rgb_to_gray(rgb))
+
+    bs = encode_jpeg2000(img, nl=2, tile=(28, 20), lossy=True,
+                         qexp_extra=5,
+                         tile_overrides={0: {"qexp_extra": 7, "nl": 3}})
+    out = decode_jpeg2000(bs)
+    assert np.abs(out.astype(float) - img.astype(float)).max() <= 1
+
+    bs = encode_jpeg2000(img, nl=2, tile=(28, 20), ppt=True, sop=True,
+                         eph=True, split_parts=2,
+                         tile_overrides={1: {"nl": 3}})
+    assert np.array_equal(decode_jpeg2000(bs), img)
+
+
+def test_tile_cod_outside_first_tile_part_is_loud():
+    """Coding markers are legal in the FIRST tile-part header only
+    (Table A.1); a COD injected into a later tile-part raises."""
+    import struct as _s
+
+    rng = np.random.default_rng(212)
+    img = rng.integers(0, 256, (40, 56), np.uint8)
+    d = encode_jpeg2000(img, nl=1, tile=(28, 20), split_parts=2)
+    # grab the main-header COD segment bytes
+    i = d.index(b"\xff\x52")
+    cod_seg = d[i : i + 2 + _s.unpack(">H", d[i + 2 : i + 4])[0]]
+    # find a SOT with TPsot == 1 and splice the COD in after its header
+    pos = d.index(b"\xff\x90")
+    while True:
+        psot = _s.unpack(">I", d[pos + 6 : pos + 10])[0]
+        if d[pos + 10] == 1:
+            break
+        pos = d.index(b"\xff\x90", pos + psot)
+    patched = (d[: pos + 6]
+               + _s.pack(">I", psot + len(cod_seg))
+               + d[pos + 10 : pos + 12]
+               + cod_seg + d[pos + 12 :])
+    with pytest.raises(ValueError, match="first tile-part"):
+        _decode_j2k_components(patched)
+
+
+def test_pdf_jpx_per_tile_override_image():
+    """A tiled JPX with a per-tile COD/QCD override inside a PDF image
+    XObject, decoded through the full ingest path."""
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+    from ai_invoice_ocr_engine_spark.pdf import pdf_spans
+
+    from .test_pdf import _raw_pdf
+
+    rng = np.random.default_rng(213)
+    img = rng.integers(0, 256, (30, 40), np.uint8)
+    payload = encode_jpeg2000(img, nl=2, cb=(4, 4), tile=(20, 16),
+                              jp2=True,
+                              tile_overrides={1: {"nl": 3},
+                                              2: {"cb": (5, 4)}})
+    obj = (
+        "<< /Type /XObject /Subtype /Image /Width 40 /Height 30 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceGray "
+        "/Filter /JPXDecode "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = b"q 40 0 0 30 50 600 cm /Im0 Do Q"
+    blob = _raw_pdf(content, extra_objs=obj,
+                    font="/XObject << /Im0 5 0 R >>")
+    _spans, media = pdf_spans(blob)
+    assert np.array_equal(decode_image(next(iter(media.values()))), img)

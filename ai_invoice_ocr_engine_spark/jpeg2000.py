@@ -874,14 +874,16 @@ def _precinct_meta(r, nl, tcx0, tcy0, tcx1, tcy1, pps):
 
 
 def _order_volume(prog, ly0, ly1, r0, r1, c0, c1, cparams,
-                  tcx0, tcy0, tcx1, tcy1, n_prec):
+                  crects, n_prec):
     """Packets of one progression volume (layers [ly0,ly1), resolutions
     [r0,r1), components [c0,c1)) in progression order `prog` as a flat
-    (layer, r, c, pi) list. ``n_prec[c][r]`` gives the precinct count;
-    position progressions (RPCL/PCRL/CPRL) order precincts by their
-    first in-tile sample projected onto the reference grid — exact for
-    this decoder's supported geometry (no subsampling, origin 0), where
-    every component shares the reference grid."""
+    (layer, r, c, pi) list. ``crects[c]`` is the tile-component rect +
+    separation (tcx0, tcy0, tcx1, tcy1, xr, yr); ``n_prec[c][r]`` gives
+    the precinct count. Position progressions (RPCL/PCRL/CPRL) order
+    precincts by their first in-tile sample projected onto the
+    REFERENCE grid — the B.12.1.3-5 condition terms carry the
+    XRsiz/YRsiz factors, which is what makes mixed-separation
+    components interleave correctly."""
     comps = [c for c in range(c0, min(c1, len(cparams)))]
     out = []
     if prog == 0:  # LRCP
@@ -907,14 +909,15 @@ def _order_volume(prog, ly0, ly1, r0, r1, c0, c1, cparams,
     for c in comps:
         nl_c = cparams[c]["nl"]
         pps = cparams[c].get("pps")
+        tcx0, tcy0, tcx1, tcy1, xr, yr = crects[c]
         for r in range(r0, min(r1, nl_c + 1)):
             pc0, pr0, npx, npy, ppx, ppy = _precinct_meta(
                 r, nl_c, tcx0, tcy0, tcx1, tcy1, pps)
             scale = 1 << (nl_c - r)
             for pi in range(n_prec[c][r]):
                 pj, pix = divmod(pi, npx)
-                y = max(((pr0 + pj) << ppy) * scale, tcy0)
-                x = max(((pc0 + pix) << ppx) * scale, tcx0)
+                y = max(((pr0 + pj) << ppy) * scale, tcy0) * yr
+                x = max(((pc0 + pix) << ppx) * scale, tcx0) * xr
                 keyed.append((y, x, c, r, pi))
     if prog == 2:  # RPCL: resolution, position, component, layer
         keyed.sort(key=lambda t: (t[3], t[0], t[1], t[2]))
@@ -928,7 +931,7 @@ def _order_volume(prog, ly0, ly1, r0, r1, c0, c1, cparams,
     return out
 
 
-def _packet_order(prog, layers, cparams, tcx0, tcy0, tcx1, tcy1, n_prec,
+def _packet_order(prog, layers, cparams, crects, n_prec,
                   poc=None):
     """The complete packet sequence (B.12): either the single COD
     progression, or — with ``poc`` entries (RSpoc, CSpoc, LYEpoc, REpoc,
@@ -938,7 +941,7 @@ def _packet_order(prog, layers, cparams, tcx0, tcy0, tcx1, tcy1, n_prec,
     ncomp = len(cparams)
     max_nl = max(cp["nl"] for cp in cparams)
     full = _order_volume(prog, 0, layers, 0, max_nl + 1, 0, ncomp,
-                         cparams, tcx0, tcy0, tcx1, tcy1, n_prec)
+                         cparams, crects, n_prec)
     if not poc:
         return full
     out = []
@@ -946,7 +949,7 @@ def _packet_order(prog, layers, cparams, tcx0, tcy0, tcx1, tcy1, n_prec,
     for rs, cs, lye, re_, ce, p in poc:
         vol = _order_volume(p, 0, min(lye, layers), rs,
                             min(re_, max_nl + 1), cs, ce, cparams,
-                            tcx0, tcy0, tcx1, tcy1, n_prec)
+                            crects, n_prec)
         for pk in vol:
             if pk not in seen:
                 seen.add(pk)
@@ -1423,7 +1426,7 @@ def decode_jpeg2000(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt JPEG2000: {type(e).__name__}: {e}") from e
     scaled = []
     for c, a in enumerate(comps):
-        dep, sg = cinfo[c]
+        dep, sg = cinfo[c][:2]
         mx = (1 << dep) - 1
         if sg:
             # signed range [-2^(B-1), 2^(B-1)-1] → display offset binary
@@ -1432,6 +1435,21 @@ def decode_jpeg2000(data: bytes) -> np.ndarray:
         else:
             a = np.clip(a, 0, mx)
         scaled.append(a.astype(np.float64) * (255.0 / mx))
+    if len({a.shape for a in scaled}) > 1:
+        # subsampled components: replicate up to the least-subsampled
+        # grid for display (shape-ratio index mapping — exact nearest-
+        # neighbour for the power-of-two separations real encoders use)
+        hh = max(a.shape[0] for a in scaled)
+        ww = max(a.shape[1] for a in scaled)
+        scaled = [
+            a if a.shape == (hh, ww) else a[np.ix_(
+                np.minimum(np.arange(hh) * a.shape[0] // hh,
+                           a.shape[0] - 1),
+                np.minimum(np.arange(ww) * a.shape[1] // ww,
+                           a.shape[1] - 1),
+            )]
+            for a in scaled
+        ]
     if len(comps) == 1:
         return np.clip(np.rint(scaled[0]), 0, 255).astype(np.uint8)
     if len(comps) == 3:
@@ -1522,15 +1540,17 @@ def _decode_j2k_components(d: bytes):
     comps_info = []
     for c in range(ncomp):
         ssiz, xr, yr = siz[36 + 3 * c : 39 + 3 * c]
-        if xr != 1 or yr != 1:
-            raise NotImplementedError("JPEG2000 subsampled components")
+        if xr == 0 or yr == 0:
+            raise ValueError("JPEG2000 zero component separation")
         dep = (ssiz & 0x7F) + 1
         if not 1 <= dep <= 16:
             raise ValueError("JPEG2000 component depth out of range")
-        # per-component precision and signedness (A.5.1): depth feeds
-        # each component's Rb (quantizer ranges, E.1) and its DC level
-        # shift; signed components skip the level shift entirely (G.1.2)
-        comps_info.append((dep, bool(ssiz & 0x80)))
+        # per-component precision, signedness and separation (A.5.1):
+        # depth feeds each component's Rb (quantizer ranges, E.1) and
+        # its DC level shift; signed components skip the level shift
+        # entirely (G.1.2); XRsiz/YRsiz put the component on its own
+        # grid — every tile rect maps through ceil(x / XRsiz) (B.3)
+        comps_info.append((dep, bool(ssiz & 0x80), xr, yr))
 
     mh = _build_cparams(ncomp, comps_info, cod, qcd, cocs, qccs, rgns)
     prog, layers = mh["prog"], mh["layers"]
@@ -1646,7 +1666,9 @@ def _decode_j2k_components(d: bytes):
     )
     dt = np.int64 if lossless_all else np.float64
     comps = [
-        np.zeros((ysiz - yo, xsiz - xo), dt) for _ in range(ncomp)
+        np.zeros((_ceil_div(ysiz, yr) - _ceil_div(yo, yr),
+                  _ceil_div(xsiz, xr) - _ceil_div(xo, xr)), dt)
+        for _, _, xr, yr in comps_info
     ]
 
     for isot in tile_order:
@@ -1678,7 +1700,13 @@ def _decode_j2k_components(d: bytes):
                             sc["mct"], sc["transform"],
                             pkt_headers=pkt_headers, poc=poc)
         for c in range(ncomp):
-            comps[c][ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo] = tile[c]
+            _, _, xr, yr = comps_info[c]
+            comps[c][
+                _ceil_div(ty0, yr) - _ceil_div(yo, yr)
+                : _ceil_div(ty1, yr) - _ceil_div(yo, yr),
+                _ceil_div(tx0, xr) - _ceil_div(xo, xr)
+                : _ceil_div(tx1, xr) - _ceil_div(xo, xr),
+            ] = tile[c]
     return comps, comps_info
 
 
@@ -1690,15 +1718,22 @@ def _sb_index(band: int, r: int) -> int:
 def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
                  layers, prog, use_sop, use_eph, cinfo, mct, transform,
                  pkt_headers: bytes | None = None, poc=None):
+    # tile-component rects (B.3): each component sees the tile through
+    # its own XRsiz/YRsiz separation
+    crects = [
+        (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
+         _ceil_div(tx1, xr), _ceil_div(ty1, yr), xr, yr)
+        for _, _, xr, yr in cinfo
+    ]
     structs = [
-        _tile_structure(tx0, ty0, tx1, ty1, cp["nl"], cp["xcb"], cp["ycb"],
+        _tile_structure(*crects[c][:4], cp["nl"], cp["xcb"], cp["ycb"],
                         cp.get("pps"))
-        for cp in cparams
+        for c, cp in enumerate(cparams)
     ]
     pviews = [
         [
             _precinct_views(structs[c][r], r, cparams[c]["nl"],
-                            tx0, ty0, tx1, ty1, cparams[c].get("pps"),
+                            *crects[c][:4], cparams[c].get("pps"),
                             cparams[c]["xcb"], cparams[c]["ycb"])
             for r in range(cparams[c]["nl"] + 1)
         ]
@@ -1727,8 +1762,8 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
     ]
 
     def packet_seq():
-        return _packet_order(prog, layers, cparams, tx0, ty0, tx1, ty1,
-                             n_prec, poc=poc)
+        return _packet_order(prog, layers, cparams, crects, n_prec,
+                             poc=poc)
 
     # With PPT (A.7.2) every packet HEADER lives in the packed-header
     # stream (EPH included) while packet BODIES stay in the bitstream;
@@ -1844,14 +1879,18 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
         ll = band_arrays[0][0]
         bands_fine = [tuple(band_arrays[r]) for r in range(1, nl + 1)]
         if transform == 1:
-            out.append(idwt_53(ll, bands_fine, tx0, ty0, tx1, ty1))
+            out.append(idwt_53(ll, bands_fine, *crects[c][:4]))
         else:
-            out.append(idwt_97(ll, bands_fine, tx0, ty0, tx1, ty1))
+            out.append(idwt_97(ll, bands_fine, *crects[c][:4]))
 
     if mct:
         if ncomp < 3:
             raise ValueError("JPEG2000 MCT with fewer than 3 components")
-        if len({cinfo[c] for c in range(3)}) != 1:
+        if len({cinfo[c][2:] for c in range(3)}) != 1:
+            # G.1: MCT is only defined over components on one grid
+            raise ValueError(
+                "JPEG2000 MCT over mismatched component separations")
+        if len({cinfo[c][:2] for c in range(3)}) != 1:
             # RCT/ICT assume one nominal range across the transformed
             # trio (G.1); a real stream mixing depths under MCT is rare
             # enough to keep loud rather than guess a normalization
@@ -1919,7 +1958,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     roi: tuple | None = None,
                     poc: list | None = None,
                     components: list | None = None,
-                    tile_overrides: dict | None = None) -> bytes:
+                    tile_overrides: dict | None = None,
+                    size: tuple | None = None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -1979,16 +2019,32 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             raise ValueError("components list is empty")
         cspecs = [
             (np.asarray(ce["data"], np.int64),
-             int(ce.get("depth", 8)), bool(ce.get("signed", False)))
+             int(ce.get("depth", 8)), bool(ce.get("signed", False)),
+             int(ce.get("xr", 1)), int(ce.get("yr", 1)))
             for ce in components
         ]
-        h, w = cspecs[0][0].shape
-        if any(a.shape != (h, w) for a, _, _ in cspecs):
-            raise ValueError("component shapes differ")
-        for a, dep, sg in cspecs:
+        subsampled = any(xr != 1 or yr != 1 for _, _, _, xr, yr in cspecs)
+        if subsampled:
+            if size is None:
+                raise ValueError(
+                    "subsampled components need an explicit reference-"
+                    "grid size=(w, h)")
+            if roi is not None:
+                raise ValueError(
+                    "roi does not compose with subsampled components "
+                    "in this fixture encoder")
+            w, h = size
+        else:
+            h, w = cspecs[0][0].shape if size is None else size[::-1]
+        for a, dep, sg, xr, yr in cspecs:
+            # each component's grid is the reference grid through its
+            # separation (B.3, with XOsiz = YOsiz = 0)
+            if a.shape != (_ceil_div(h, yr), _ceil_div(w, xr)):
+                raise ValueError("component shape does not match its "
+                                 "separation")
             lo = -(1 << (dep - 1)) if sg else 0
             hi = lo + (1 << dep) - 1
-            if a.min() < lo or a.max() > hi:
+            if a.size and (a.min() < lo or a.max() > hi):
                 raise ValueError("component samples out of depth range")
         mct = 0
     else:
@@ -1997,10 +2053,10 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         if ncomp not in (1, 3):
             raise ValueError("encoder supports gray or RGB")
         h, w = img.shape[:2]
-        cspecs = [(None, 8, False)] * ncomp
+        cspecs = [(None, 8, False, 1, 1)] * ncomp
         mct = 1 if ncomp == 3 else 0
     if (tile_overrides and lossy
-            and len({dep for _, dep, _ in cspecs}) > 1):
+            and len({dep for _, dep, _, _, _ in cspecs}) > 1):
         # a tile QCD is one table for all components; with lossy mixed
         # depths each component needs its own eps (QCC), not emitted here
         raise ValueError("tile_overrides with lossy mixed depths needs "
@@ -2039,8 +2095,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         })
 
     siz = struct.pack(">H8IH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
-    for _, dep, sg in cspecs:
-        siz += bytes([(dep - 1) | (0x80 if sg else 0), 1, 1])
+    for _, dep, sg, xr, yr in cspecs:
+        siz += bytes([(dep - 1) | (0x80 if sg else 0), xr, yr])
     seg(0xFF51, siz)
     has_prec = precincts is not None
     scod = (1 if has_prec else 0) | (2 if sop else 0) | (4 if eph else 0)
@@ -2114,10 +2170,17 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     + struct.pack(">HH", 0xFF5C, len(qbody_t) + 2)
                     + qbody_t
                 )
+            # tile-component rects (B.3) for this tile
+            enc_crects = [
+                (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
+                 _ceil_div(tx1, xr), _ceil_div(ty1, yr), xr, yr)
+                for _, _, _, xr, yr in cspecs
+            ]
             comps = []
             if components is not None:
-                for a, dep, sg in cspecs:
-                    sub_c = a[ty0:ty1, tx0:tx1].astype(
+                for (a, dep, sg, xr, yr), (cx0, cy0, cx1, cy1, _,
+                                           _) in zip(cspecs, enc_crects):
+                    sub_c = a[cy0:cy1, cx0:cx1].astype(
                         np.float64 if lossy else np.int64)
                     if not sg:  # DC level shift (G.1.2), unsigned only
                         sub_c = sub_c - (1 << (dep - 1))
@@ -2148,13 +2211,13 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 nl_c = ecp[c]["nl"]
                 mbs = ecp[c]["mbs"]
                 deltas = ecp[c]["deltas"]
-                res = _tile_structure(tx0, ty0, tx1, ty1, nl_c,
+                res = _tile_structure(*enc_crects[c][:4], nl_c,
                                       ecp[c]["xcb"], ecp[c]["ycb"],
                                       ecp[c]["pps"])
                 if lossy:
-                    ll, bands = dwt_97(comps[c], nl_c, tx0, ty0, tx1, ty1)
+                    ll, bands = dwt_97(comps[c], nl_c, *enc_crects[c][:4])
                 else:
-                    ll, bands = dwt_53(comps[c], nl_c, tx0, ty0, tx1, ty1)
+                    ll, bands = dwt_53(comps[c], nl_c, *enc_crects[c][:4])
                 arrays = [[ll]] + [list(b) for b in bands]
                 roi_s = ecp[c]["roi"]
                 for r in range(nl_c + 1):
@@ -2232,7 +2295,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             pviews = [
                 [
                     _precinct_views(structs[c][r], r, ecp[c]["nl"],
-                                    tx0, ty0, tx1, ty1, ecp[c]["pps"],
+                                    *enc_crects[c][:4], ecp[c]["pps"],
                                     ecp[c]["xcb"], ecp[c]["ycb"])
                     for r in range(ecp[c]["nl"] + 1)
                 ]
@@ -2298,8 +2361,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             ]
 
             def packet_seq():
-                return _packet_order(prog, layers, ecp, tx0, ty0,
-                                     tx1, ty1, enc_n_prec, poc=poc)
+                return _packet_order(prog, layers, ecp, enc_crects,
+                                     enc_n_prec, poc=poc)
 
             body = bytearray()
             hdrs = bytearray()  # PPT/PPM mode: packet headers live here

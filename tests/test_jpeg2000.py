@@ -892,7 +892,7 @@ def test_signed_component_roundtrip_and_display():
     bs = encode_jpeg2000(None, nl=2, components=[{"data": a,
                                                   "signed": True}])
     comps, cinfo = _decode_j2k_components(_unbox(bs))
-    assert cinfo == [(8, True)]
+    assert cinfo == [(8, True, 1, 1)]
     assert np.array_equal(comps[0], a)
     out = decode_jpeg2000(bs)
     assert np.array_equal(out, (a + 128).astype(np.uint8))
@@ -911,7 +911,7 @@ def test_mixed_depth_components_roundtrip():
         {"data": c1, "depth": 4},
         {"data": c2, "depth": 10, "signed": True}])
     comps, cinfo = _decode_j2k_components(_unbox(bs))
-    assert cinfo == [(12, False), (4, False), (10, True)]
+    assert cinfo == [(12, False, 1, 1), (4, False, 1, 1), (10, True, 1, 1)]
     for got, want in zip(comps, (c0, c1, c2)):
         assert np.array_equal(got, want)
 
@@ -928,7 +928,7 @@ def test_mixed_depth_lossy_error_bound():
                              {"data": c0, "depth": 12},
                              {"data": c1, "depth": 10, "signed": True}])
     comps, cinfo = _decode_j2k_components(_unbox(bs))
-    assert cinfo == [(12, False), (10, True)]
+    assert cinfo == [(12, False, 1, 1), (10, True, 1, 1)]
     assert np.abs(comps[0] - c0).max() < 1.0
     assert np.abs(comps[1] - c1).max() < 1.0
 
@@ -1031,3 +1031,101 @@ def test_pdf_jpx_per_tile_override_image():
                     font="/XObject << /Im0 5 0 R >>")
     _spans, media = pdf_spans(blob)
     assert np.array_equal(decode_image(next(iter(media.values()))), img)
+
+
+def test_subsampled_components_420_roundtrip():
+    """XRsiz/YRsiz component separations (A.5.1/B.3): the scanner-JPX
+    4:2:0 shape — full-res luma + 2x2-subsampled chroma, mct=0 — each
+    component reconstructed bit-exactly on ITS OWN grid, untiled and
+    with tile boundaries that fall oddly against the chroma grid."""
+    rng = np.random.default_rng(221)
+    w, h = 41, 30
+    y = rng.integers(0, 256, (h, w), np.int64)
+    cb = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), np.int64)
+    cr = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), np.int64)
+    sub = [{"data": y}, {"data": cb, "xr": 2, "yr": 2},
+           {"data": cr, "xr": 2, "yr": 2}]
+    bs = encode_jpeg2000(None, nl=2, size=(w, h), components=sub)
+    comps, cinfo = _decode_j2k_components(_unbox(bs))
+    assert cinfo == [(8, False, 1, 1), (8, False, 2, 2), (8, False, 2, 2)]
+    for got, want in zip(comps, (y, cb, cr)):
+        assert np.array_equal(got, want)
+    bs = encode_jpeg2000(None, nl=2, size=(w, h), tile=(17, 13),
+                         components=sub)
+    comps, _ = _decode_j2k_components(_unbox(bs))
+    for got, want in zip(comps, (y, cb, cr)):
+        assert np.array_equal(got, want)
+    # display path: chroma replicated up to the luma grid
+    out = decode_jpeg2000(bs)
+    assert out.shape == (h, w)
+
+
+def test_subsampled_all_progressions_and_lossy():
+    """4:2:2 across every progression order — the B.12.1.3-5 position
+    keys carry the XRsiz/YRsiz factors, so mixed-separation components
+    interleave consistently — plus the lossy error bound."""
+    rng = np.random.default_rng(222)
+    w, h = 41, 30
+    y = rng.integers(0, 256, (h, w), np.int64)
+    cb = rng.integers(0, 256, (h, (w + 1) // 2), np.int64)
+    cr = rng.integers(0, 256, (h, (w + 1) // 2), np.int64)
+    for prog in range(5):
+        bs = encode_jpeg2000(None, nl=1, size=(w, h), prog=prog,
+                             components=[{"data": y},
+                                         {"data": cb, "xr": 2},
+                                         {"data": cr, "xr": 2}])
+        comps, _ = _decode_j2k_components(_unbox(bs))
+        for got, want in zip(comps, (y, cb, cr)):
+            assert np.array_equal(got, want), prog
+    cb0 = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), np.int64)
+    bs = encode_jpeg2000(None, nl=2, size=(w, h), lossy=True,
+                         qexp_extra=6,
+                         components=[{"data": y},
+                                     {"data": cb0, "xr": 2, "yr": 2},
+                                     {"data": cb0, "xr": 2, "yr": 2}])
+    comps, _ = _decode_j2k_components(_unbox(bs))
+    for got, want in zip(comps, (y, cb0, cb0)):
+        assert np.abs(got - want).max() < 1.0
+
+
+def test_subsampled_edge_shapes_and_precincts():
+    """Tiles that are EMPTY for a subsampled component (1-pixel tiles
+    against a 2x grid) still carry their empty packets; custom
+    precincts + RPCL + PPT compose with mixed separations."""
+    rng = np.random.default_rng(223)
+    y3 = rng.integers(0, 256, (3, 3), np.int64)
+    c2 = rng.integers(0, 256, (2, 2), np.int64)
+    bs = encode_jpeg2000(None, nl=1, size=(3, 3), tile=(1, 1),
+                         components=[{"data": y3},
+                                     {"data": c2, "xr": 2, "yr": 2},
+                                     {"data": c2, "xr": 2, "yr": 2}])
+    comps, _ = _decode_j2k_components(_unbox(bs))
+    assert np.array_equal(comps[0], y3)
+    assert np.array_equal(comps[1], c2)
+    w, h = 37, 26
+    y = rng.integers(0, 256, (h, w), np.int64)
+    cs = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), np.int64)
+    bs = encode_jpeg2000(None, nl=2, size=(w, h), prog=2,
+                         precincts=(3, 3), ppt=True, eph=True,
+                         components=[{"data": y},
+                                     {"data": cs, "xr": 2, "yr": 2},
+                                     {"data": cs, "xr": 2, "yr": 2}])
+    comps, _ = _decode_j2k_components(_unbox(bs))
+    assert np.array_equal(comps[0], y)
+    assert np.array_equal(comps[1], cs)
+
+
+def test_mct_over_mismatched_grids_is_loud():
+    """G.1: MCT is only defined over components on one grid — a stream
+    claiming both is corrupt, not silently averaged."""
+    import struct as _s
+
+    rng = np.random.default_rng(224)
+    rgb = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    d = bytearray(encode_jpeg2000(rgb, nl=1))
+    # SIZ: Ssiz/XRsiz/YRsiz triples start at offset 42; set comp 1's
+    # XRsiz to 2 while COD keeps MCT on
+    assert d[42 + 3] == 7 and d[42 + 4] == 1
+    d[42 + 4] = 2
+    with pytest.raises(ValueError, match="MCT over mismatched"):
+        _decode_j2k_components(bytes(d))

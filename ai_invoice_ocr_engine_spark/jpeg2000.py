@@ -27,8 +27,8 @@ walk skipping resolutions a component lacks (B.12.1). Custom PRECINCTS
 with per-precinct tag trees and code-block sizes clamped per B.7,
 under ALL FIVE progression orders — the position progressions
 (RPCL/PCRL/CPRL, B.12.1.3-5) order precincts by their first in-tile
-sample projected onto the reference grid, exact for this decoder's
-supported geometry (no subsampling, origin 0). Multiple
+sample projected onto the reference grid, with the XRsiz/YRsiz
+factors the spec's condition terms carry. Multiple
 tile-parts (A.4.2, SOT..SOD segments interleaved across tiles) decode
 by per-tile concatenation, and PPT packed packet headers (A.7.2 —
 headers+EPH in Zppt-ordered tile-part-header segments, bodies alone in
@@ -39,11 +39,18 @@ tile-part consumed in codestream order). RGN implicit-maxshift ROI
 grows by SPrgn; a stripped-RGN control pins that the machinery is
 real. POC progression-order changes (A.6.6) decode as the
 concatenation of the marker's progression volumes (first occurrence
-wins, COD-order completion for under-covering volumes). Remaining
-deliberate loud seams (NotImplementedError with the feature named —
-the repo-wide codec policy): RGN styles other than maxshift, per-TILE
-coding overrides, per-component transform mixes, and subsampled/
-signed/mixed-depth components.
+wins, COD-order completion for under-covering volumes). Per-component
+A.5.1 shapes decode: signed components (no DC level shift, G.1.2),
+mixed bit depths (per-component Rb through E.1), and XRsiz/YRsiz
+SUBSAMPLED components (per-component grids via ceil(x/XRsiz), B.3 —
+the scanner 4:2:0 JPX shape), as do per-TILE COD/COC/QCD/QCC
+overrides in the first tile-part header (A.4.2/Table A.1, precedence
+per A.6.1) and per-component 5/3 vs 9/7 transform mixes when MCT is
+off (MCT over mixed transforms or mismatched grids is corrupt, G.1).
+Remaining deliberate loud seams (NotImplementedError with the feature
+named — the repo-wide codec policy): RGN styles other than maxshift,
+tile-header RGN/POC markers, and bypass segments spanning quality
+layers without termall.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -1361,10 +1368,11 @@ def _build_cparams(ncomp, comps_info, cod, qcd, cocs, qccs, rgns,
             src = main_coc[c]
         cparams.append(dict(src, styles=dict(src["styles"])))
     transform = base["transform"]
-    if any(cp["transform"] != transform for cp in cparams):
-        # mixing 5/3 and 9/7 across components also splits the sample
-        # dtype and the MCT reversibility contract; keep it loud
-        raise NotImplementedError("JPEG2000 per-component transform mix")
+    if mct and ncomp >= 3 and len(
+            {cparams[c]["transform"] for c in range(3)}) != 1:
+        # RCT is defined on 5/3 output and ICT on 9/7 (G.2/G.3): a
+        # stream mixing transforms across the MCT trio is corrupt
+        raise ValueError("JPEG2000 MCT over mixed transforms")
 
     for c, cp in enumerate(cparams):
         # a COC that changes the decomposition count changes the subband
@@ -1392,7 +1400,7 @@ def _build_cparams(ncomp, comps_info, cod, qcd, cocs, qccs, rgns,
         qstyle, guard, cp["quant"] = _qcd_parse(
             qbody, cp["nl"], comps_info[c][0])
         cp["qstyle"] = qstyle
-        if (transform == 1) != (qstyle == 0):
+        if (cp["transform"] == 1) != (qstyle == 0):
             raise ValueError("JPEG2000 transform/quantization style mismatch")
         cp["roi"] = 0
     for body in rgns:
@@ -1661,8 +1669,9 @@ def _decode_j2k_components(d: bytes):
                              tcocs=tm["cocs"], tqccs=tm["qccs"])
         for isot, tm in tile_marks.items()
     }
-    lossless_all = mh["transform"] == 1 and all(
-        s["transform"] == 1 for s in tscope.values()
+    lossless_all = all(
+        cp["transform"] == 1
+        for s in [mh, *tscope.values()] for cp in s["cparams"]
     )
     dt = np.int64 if lossless_all else np.float64
     comps = [
@@ -1878,7 +1887,7 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
             band_arrays.append(arrs)
         ll = band_arrays[0][0]
         bands_fine = [tuple(band_arrays[r]) for r in range(1, nl + 1)]
-        if transform == 1:
+        if cparams[c]["transform"] == 1:
             out.append(idwt_53(ll, bands_fine, *crects[c][:4]))
         else:
             out.append(idwt_97(ll, bands_fine, *crects[c][:4]))
@@ -1897,7 +1906,7 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
             raise NotImplementedError(
                 "JPEG2000 MCT over mismatched component depths")
         y, u, v = out[0], out[1], out[2]
-        if transform == 1:  # RCT (G.2)
+        if cparams[0]["transform"] == 1:  # RCT (G.2)
             g = y - ((u + v) >> 2)
             r_ = v + g
             b_ = u + g
@@ -2020,10 +2029,12 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         cspecs = [
             (np.asarray(ce["data"], np.int64),
              int(ce.get("depth", 8)), bool(ce.get("signed", False)),
-             int(ce.get("xr", 1)), int(ce.get("yr", 1)))
+             int(ce.get("xr", 1)), int(ce.get("yr", 1)),
+             bool(ce.get("lossy", lossy)))
             for ce in components
         ]
-        subsampled = any(xr != 1 or yr != 1 for _, _, _, xr, yr in cspecs)
+        subsampled = any(
+            xr != 1 or yr != 1 for _, _, _, xr, yr, _ in cspecs)
         if subsampled:
             if size is None:
                 raise ValueError(
@@ -2036,7 +2047,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             w, h = size
         else:
             h, w = cspecs[0][0].shape if size is None else size[::-1]
-        for a, dep, sg, xr, yr in cspecs:
+        for a, dep, sg, xr, yr, _lc in cspecs:
             # each component's grid is the reference grid through its
             # separation (B.3, with XOsiz = YOsiz = 0)
             if a.shape != (_ceil_div(h, yr), _ceil_div(w, xr)):
@@ -2053,10 +2064,14 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         if ncomp not in (1, 3):
             raise ValueError("encoder supports gray or RGB")
         h, w = img.shape[:2]
-        cspecs = [(None, 8, False, 1, 1)] * ncomp
+        cspecs = [(None, 8, False, 1, 1, lossy)] * ncomp
         mct = 1 if ncomp == 3 else 0
+    if tile_overrides and len(
+            {lc for *_, lc in cspecs}) > 1:
+        raise ValueError("tile_overrides does not compose with a "
+                         "per-component transform mix")
     if (tile_overrides and lossy
-            and len({dep for _, dep, _, _, _ in cspecs}) > 1):
+            and len({dep for _, dep, _, _, _, _ in cspecs}) > 1):
         # a tile QCD is one table for all components; with lossy mixed
         # depths each component needs its own eps (QCC), not emitted here
         raise ValueError("tile_overrides with lossy mixed depths needs "
@@ -2085,17 +2100,20 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         nl_c = ov.get("nl", nl)
         xcb_c, ycb_c = ov.get("cb", (xcb, ycb))
         qx_c = ov.get("qexp_extra", qexp_extra)
-        qbody, mbs_c, deltas_c = _enc_quant_body(nl_c, lossy, qx_c,
+        lossy_c = cspecs[c][5]
+        qbody, mbs_c, deltas_c = _enc_quant_body(nl_c, lossy_c, qx_c,
                                                  depth=cspecs[c][1])
         enc_cp.append({
             "nl": nl_c, "xcb": xcb_c, "ycb": ycb_c,
             "mbs": mbs_c, "deltas": deltas_c, "qbody": qbody,
-            "pps": pps_for(nl_c),
-            "coc": nl_c != nl or (xcb_c, ycb_c) != (xcb, ycb),
+            "pps": pps_for(nl_c), "lossy": lossy_c,
+            "transform": 0 if lossy_c else 1,
+            "coc": (nl_c != nl or (xcb_c, ycb_c) != (xcb, ycb)
+                    or lossy_c != lossy),
         })
 
     siz = struct.pack(">H8IH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
-    for _, dep, sg, xr, yr in cspecs:
+    for _, dep, sg, xr, yr, _lc in cspecs:
         siz += bytes([(dep - 1) | (0x80 if sg else 0), xr, yr])
     seg(0xFF51, siz)
     has_prec = precincts is not None
@@ -2119,7 +2137,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
         if cp["coc"]:
             seg(0xFF53, bytes([c, 1 if has_prec else 0, cp["nl"],
                                cp["xcb"] - 2, cp["ycb"] - 2, style_byte,
-                               transform]) + prec_bytes(cp["pps"]))
+                               cp["transform"]]) + prec_bytes(cp["pps"]))
     qcd_body, _, _ = _enc_quant_body(nl, lossy, qexp_extra,
                                      depth=cspecs[0][1])
     seg(0xFF5C, qcd_body)
@@ -2174,14 +2192,15 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             enc_crects = [
                 (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
                  _ceil_div(tx1, xr), _ceil_div(ty1, yr), xr, yr)
-                for _, _, _, xr, yr in cspecs
+                for _, _, _, xr, yr, _lc in cspecs
             ]
             comps = []
             if components is not None:
-                for (a, dep, sg, xr, yr), (cx0, cy0, cx1, cy1, _,
-                                           _) in zip(cspecs, enc_crects):
+                for (a, dep, sg, xr, yr, lc), (cx0, cy0, cx1, cy1, _,
+                                               _) in zip(cspecs,
+                                                         enc_crects):
                     sub_c = a[cy0:cy1, cx0:cx1].astype(
-                        np.float64 if lossy else np.int64)
+                        np.float64 if lc else np.int64)
                     if not sg:  # DC level shift (G.1.2), unsigned only
                         sub_c = sub_c - (1 << (dep - 1))
                     comps.append(sub_c)
@@ -2214,7 +2233,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 res = _tile_structure(*enc_crects[c][:4], nl_c,
                                       ecp[c]["xcb"], ecp[c]["ycb"],
                                       ecp[c]["pps"])
-                if lossy:
+                if ecp[c].get("lossy", lossy):
                     ll, bands = dwt_97(comps[c], nl_c, *enc_crects[c][:4])
                 else:
                     ll, bands = dwt_53(comps[c], nl_c, *enc_crects[c][:4])
@@ -2224,7 +2243,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     for bi, sb in enumerate(res[r]):
                         a = arrays[r][bi]
                         mb = mbs[_sb_index(sb.band, r)] + roi_s
-                        if lossy:
+                        if deltas is not None:
                             d = deltas[_sb_index(sb.band, r)]
                             a = (np.sign(a)
                                  * np.floor(np.abs(a) / d)).astype(np.int64)

@@ -1129,3 +1129,47 @@ def test_mct_over_mismatched_grids_is_loud():
     d[42 + 4] = 2
     with pytest.raises(ValueError, match="MCT over mismatched"):
         _decode_j2k_components(bytes(d))
+
+
+def test_per_component_transform_mix():
+    """5/3 and 9/7 mixed across components with MCT off: the reversible
+    component stays bit-exact while quantized components hold the lossy
+    error bound — untiled and tiled, with subsampling composed in."""
+    rng = np.random.default_rng(231)
+    w, h = 29, 22
+    a = rng.integers(0, 256, (h, w), np.int64)
+    b = rng.integers(0, 4096, (h, w), np.int64)
+    c = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), np.int64)
+    bs = encode_jpeg2000(None, nl=2, qexp_extra=6, size=(w, h),
+                         components=[
+                             {"data": a},
+                             {"data": b, "depth": 12, "lossy": True},
+                             {"data": c, "xr": 2, "yr": 2,
+                              "lossy": True}])
+    comps, _ = _decode_j2k_components(_unbox(bs))
+    assert np.array_equal(comps[0], a)
+    assert np.abs(comps[1] - b).max() < 1.0
+    assert np.abs(comps[2] - c).max() < 1.0
+    bs = encode_jpeg2000(None, nl=2, tile=(16, 12), qexp_extra=6,
+                         size=(w, h),
+                         components=[{"data": a},
+                                     {"data": b, "depth": 12,
+                                      "lossy": True}])
+    comps, _ = _decode_j2k_components(_unbox(bs))
+    assert np.array_equal(comps[0], a)
+    assert np.abs(comps[1] - b).max() < 1.0
+
+
+def test_mct_over_mixed_transforms_is_corrupt():
+    """G.2/G.3: RCT is defined on 5/3 output and ICT on 9/7 — a stream
+    asserting MCT across a transform mix raises ValueError."""
+    rng = np.random.default_rng(232)
+    a = rng.integers(0, 256, (22, 29), np.int64)
+    bs = bytearray(encode_jpeg2000(
+        None, nl=1, size=(29, 22), qexp_extra=6,
+        components=[{"data": a}, {"data": a},
+                    {"data": a, "lossy": True}]))
+    i = bytes(bs).index(b"\xff\x52")
+    bs[i + 8] = 1  # SGcod MCT byte: marker(2)+len(2)+Scod(1)+prog(1)+layers(2)
+    with pytest.raises(ValueError, match="MCT over mixed transforms"):
+        _decode_j2k_components(_unbox(bytes(bs)))

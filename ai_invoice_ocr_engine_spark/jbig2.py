@@ -34,11 +34,13 @@ takes) — including the runcode-coded symbol-ID lengths of 7.4.3.1.7 and
 SBREFINE per-instance refinement (6.4.11: RI as one raw bit, then a
 byte-aligned standalone MQ refinement of BMSIZE bytes) with
 RDW/RDH/RDX/RDY on custom tables or B.14/B.15 and RSIZE on B.1/custom.
-SDHUFF symbol DICTIONARIES with refinement (SDREFAGG=1, REFAGGNINST=1 —
-reference ID in SBSYMCODELEN raw bits, RDX/RDY via the mandated B.15,
-size via B.1, byte-aligned standalone MQ refinement) decode too; the
-one remaining Huffman seam is REFAGGNINST>1 under SDHUFF (an embedded
-Huffman text region no real encoder emits), loud when hit.
+SDHUFF symbol DICTIONARIES with refinement decode in BOTH shapes:
+SDREFAGG=1 with REFAGGNINST=1 (reference ID in SBSYMCODELEN raw bits,
+RDX/RDY via the mandated B.15, size via B.1, byte-aligned standalone
+MQ refinement) and REFAGGNINST>1 — the symbol's bitmap as an EMBEDDED
+Huffman text region (6.5.8.2.2: Table-17 fixed tables FS=B.6 DS=B.8
+DT=B.11 RDW-RDY=B.15 RSIZE=B.1, raw symbol IDs, BMSIZE via
+SDHUFFBMSIZE, window byte-aligned). No named Huffman seam remains.
 
 The MQ coder follows T.88 Annex E software conventions; the Qe state
 table and the coder are shared with JPEG2000 (ITU T.800). The encoder
@@ -1017,8 +1019,9 @@ def _decode_symbol_dict_huffman(
     the reference ID as SBSYMCODELEN raw bits, RDX/RDY through the
     MANDATED Table B.15 and the refinement size through Table B.1
     (Table 20 — not selectable), then a byte-aligned standalone MQ
-    refinement of exactly that many bytes. REFAGGNINST>1 (an embedded
-    Huffman text region) stays a named seam — no real encoder emits it."""
+    refinement of exactly that many bytes. REFAGGNINST>1 decodes the
+    symbol as an embedded Huffman text region over the pool so far
+    (6.5.8.2.2, Table-17 fixed tables, BMSIZE via SDHUFFBMSIZE)."""
     from .kernels import _check_dims
 
     sdrefagg = (flags >> 1) & 1
@@ -1100,9 +1103,39 @@ def _decode_symbol_dict_huffman(
                 if ninst is _OOB or ninst < 1:
                     raise ValueError("JBIG2 bad aggregate instance count")
                 if ninst > 1:
-                    raise NotImplementedError(
-                        "JBIG2 Huffman aggregate symbol with REFAGGNINST>1"
-                    )
+                    # 6.5.8.2.2 under SDHUFF=1: the symbol's bitmap is an
+                    # embedded HUFFMAN text region over the pool so far —
+                    # Table 17 fixes every table (FS=B.6, DS=B.8, DT=B.11,
+                    # RDW/RDH/RDX/RDY=B.15, RSIZE=B.1), SBSTRIPS=1,
+                    # TOPLEFT, no transposition, OR, SBDSOFFSET=0,
+                    # SBREFINE=1, raw SBSYMCODELEN-bit symbol IDs
+                    # (6.5.8.2.3); its size comes from SDHUFFBMSIZE and
+                    # the window is byte-aligned (6.5.8.2)
+                    if ninst > symwidth * hcheight:
+                        raise ValueError(
+                            "JBIG2 implausible aggregate instance count")
+                    pool = list(in_syms) + new_syms
+                    bmsize = t_bm.decode(hb)
+                    if bmsize is _OOB or bmsize <= 0:
+                        raise ValueError(
+                            "JBIG2 bad aggregate text-region size")
+                    hb.align()
+                    start = hb.byte_pos()
+                    if start + bmsize > len(body):
+                        raise ValueError(
+                            "JBIG2 aggregate text region truncated")
+                    window = body[start : start + bmsize]
+                    whb = _HBits(window, 0)
+                    bm = _text_region_huffman_core(
+                        window, whb, pool, ninst, symwidth, hcheight,
+                        (1, 0, 0, 0, 0),
+                        _std_table(6), _std_table(8), _std_table(11),
+                        _std_table(15), _std_table(15), _std_table(15),
+                        _std_table(15), _std_table(1), rat, rtemplate,
+                        1, lambda: whb.read(symcodelen))
+                    hb.pos = (start + bmsize) * 8
+                    new_syms.append(bm)
+                    continue
                 ref_id = hb.read(symcodelen)
                 rdx = t_rdxy.decode(hb)
                 rdy = t_rdxy.decode(hb)
@@ -1413,6 +1446,29 @@ def _decode_text_region_huffman(body, syms, tables, region, opts,
         [(symlens[i], 0, i, "n") for i in range(n_syms)]
     )
     hb.align()  # 7.4.3.1.7: skip to a byte boundary after the ID codes
+    page = _text_region_huffman_core(
+        body, hb, syms, num_instances, rw, rh,
+        (refcorner, transposed, sb_def_pixel, ds_offset, log_strips),
+        t_fs, t_ds, t_dt, t_rdw, t_rdh, t_rdx, t_rdy, t_rsize,
+        rat, rtemplate, sbrefine, lambda: symtab.decode(hb))
+    return page, (rw, rh, rx, ry, comb_op)
+
+
+def _text_region_huffman_core(body, hb, syms, num_instances, rw, rh,
+                              opts, t_fs, t_ds, t_dt, t_rdw, t_rdh,
+                              t_rdx, t_rdy, t_rsize, rat, rtemplate,
+                              sbrefine, read_sym):
+    """The 6.4.5 Huffman placement loop over an explicit table set and
+    symbol-ID reader. Shared between segment-level text regions (runcode
+    symbol-ID Huffman codes) and the embedded aggregate text region of a
+    SDHUFF symbol dictionary (6.5.8.2.2: Table-17 fixed tables, raw
+    SBSYMCODELEN-bit symbol IDs, window-relative refinement streams).
+    ``body`` is the byte window every refinement offset is relative to;
+    ``hb`` must be an _HBits positioned inside that window."""
+    from .kernels import _check_dims
+
+    refcorner, transposed, sb_def_pixel, ds_offset, log_strips = opts
+    strips = 1 << log_strips
     page = np.full((rh, rw), sb_def_pixel, np.uint8)
     stript = t_dt.decode(hb)
     if stript is _OOB:
@@ -1442,7 +1498,7 @@ def _decode_text_region_huffman(body, syms, tables, region, opts,
                 curs += ids + ds_offset
             curt = 0 if strips == 1 else hb.read(log_strips)
             t = stript + curt
-            sym_id = symtab.decode(hb)
+            sym_id = read_sym()
             if sym_id is _OOB or sym_id >= len(syms):
                 raise ValueError("JBIG2 symbol ID out of range")
             bm = syms[sym_id]
@@ -1482,7 +1538,7 @@ def _decode_text_region_huffman(body, syms, tables, region, opts,
             placed += 1
             if placed >= num_instances:
                 break
-    return page, (rw, rh, rx, ry, comb_op)
+    return page
 
 
 # -- pattern dictionary + halftone region (T.88 6.6 / 6.7) ---------------------
@@ -2030,14 +2086,59 @@ def _encode_symbol_dict_huffman(symbols: list, mmr: bool = False) -> bytes:
     )
 
 
+def _encode_agg_text_window(placements: list, pool: list,
+                            symcodelen: int, rtemplate: int,
+                            rat: list) -> bytes:
+    """Fixture side of the 6.5.8.2.2 SDHUFF embedded text region: one
+    strip at T=0, TOPLEFT placements (sym_id, x, refined_bm | None) in
+    ascending x, the Table-17 fixed tables (FS=B.6, DS=B.8, DT=B.11,
+    RDW/RDH/RDX/RDY=B.15, RSIZE=B.1), raw SBSYMCODELEN-bit symbol IDs,
+    refinements as window-relative byte-aligned MQ streams."""
+    t_fs, t_ds, t_dt = _std_table(6), _std_table(8), _std_table(11)
+    t_r15, t_r1 = _std_table(15), _std_table(1)
+    bw = _HBitW()
+    t_dt.encode(bw, 1)  # initial STRIPT = -1 (B.11 encodes no zero)
+    t_dt.encode(bw, 1)  # first strip: T = 0
+    curs = 0
+    for k, (sym_id, x, rbm) in enumerate(placements):
+        if k == 0:
+            t_fs.encode(bw, x)
+        else:
+            t_ds.encode(bw, x - curs)
+        bw.put(sym_id, symcodelen)
+        base = pool[sym_id]
+        if rbm is None:
+            bw.put(0, 1)  # RI
+            bm = base
+        else:
+            bw.put(1, 1)
+            rdw = rbm.shape[1] - base.shape[1]
+            rdh = rbm.shape[0] - base.shape[0]
+            for v in (rdw, rdh, 0, 0):
+                t_r15.encode(bw, v)
+            enc = MQEncoder()
+            _refine_bits(rbm.shape[1], rbm.shape[0], rtemplate, rat,
+                         base, rdw >> 1, rdh >> 1, enc, {}, bitmap=rbm)
+            data = enc.flush()
+            t_r1.encode(bw, len(data))
+            bw.align()
+            bw.put_bytes(data)
+            bm = rbm
+        curs = x + bm.shape[1] - 1
+    return bw.done()
+
+
 def _encode_symbol_dict_huffman_refined(new_specs: list, in_syms: list,
                                         rtemplate: int = 0) -> bytes:
     """Fixture side of the SDHUFF=1 + SDREFAGG=1 path: every new symbol
     is a single-instance refinement (bitmap, ref_id, rdx, rdy) of a
-    symbol already in the pool. DH via B.5, DW via B.3, REFAGGNINST via
-    B.1; the per-symbol reference rides SBSYMCODELEN raw bits, RDX/RDY
-    Table B.15 and the size Table B.1 (both mandated by Table 20), each
-    refinement a byte-aligned standalone MQ stream."""
+    symbol already in the pool — or, as a 2-tuple (bitmap, placements),
+    a REFAGGNINST>1 AGGREGATE whose bitmap is an embedded Huffman text
+    region over the pool (6.5.8.2.2; BMSIZE via B.1). DH via B.5, DW via
+    B.3, REFAGGNINST via B.1; single-instance references ride
+    SBSYMCODELEN raw bits, RDX/RDY Table B.15 and the size Table B.1
+    (both mandated by Table 20), each refinement a byte-aligned
+    standalone MQ stream."""
     t_dh, t_dw = _std_table(5), _std_table(3)
     t_agg, t_ex = _std_table(1), _std_table(1)
     t_rdxy, t_rsize = _std_table(15), _std_table(1)
@@ -2054,6 +2155,19 @@ def _encode_symbol_dict_huffman_refined(new_specs: list, in_syms: list,
         hcheight = h
         symwidth = 0
         while i < len(new_specs) and new_specs[i][0].shape[0] == hcheight:
+            if len(new_specs[i]) == 2:
+                bm, placements = new_specs[i]
+                t_dw.encode(bw, bm.shape[1] - symwidth)
+                symwidth = bm.shape[1]
+                t_agg.encode(bw, len(placements))
+                window = _encode_agg_text_window(
+                    placements, pool, symcodelen, rtemplate, rat)
+                t_rsize.encode(bw, len(window))
+                bw.align()
+                bw.put_bytes(window)
+                pool.append(bm)
+                i += 1
+                continue
             bm, ref_id, rdx, rdy = new_specs[i]
             t_dw.encode(bw, bm.shape[1] - symwidth)
             symwidth = bm.shape[1]
@@ -2265,8 +2379,12 @@ def encode_jbig2_text_huffman(
     all_syms = list(syms)
     specs = None
     if refined_symbols:
-        specs = [(np.asarray(b, np.uint8), r, dx, dy)
-                 for b, r, dx, dy in refined_symbols]
+        specs = [
+            (np.asarray(e[1], np.uint8), e[2])
+            if isinstance(e[0], str) and e[0] == "agg"
+            else (np.asarray(e[0], np.uint8), e[1], e[2], e[3])
+            for e in refined_symbols
+        ]
         all_syms += [s[0] for s in specs]
     tr_body, tab_bodies = _encode_text_region_huffman(
         placements, len(all_syms), all_syms, page_w, page_h, strips,

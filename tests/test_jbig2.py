@@ -456,19 +456,47 @@ def test_symbol_dict_huffman_refined_roundtrip():
                               _text_page(all_syms, placements, 110, 20))
 
 
-def test_symbol_dict_huffman_multi_instance_aggregate_is_loud():
-    """REFAGGNINST>1 under SDHUFF (an embedded Huffman text region) is
-    the one remaining Huffman seam — named error, not garbage. The
-    stream is hand-packed: flags 0x1003 (SDHUFF+SDREFAGG, default
-    tables, SDRTEMPLATE=1 so no SDRAT), DH=5 via B.4 ("1110"+001),
-    DW=4 via B.2 ("1110"+001), then REFAGGNINST=2 via B.1 ("0"+0010)."""
+def test_symbol_dict_huffman_multi_instance_aggregate():
+    """REFAGGNINST>1 under SDHUFF — the last named Huffman seam, closed:
+    the new symbol's bitmap is an EMBEDDED Huffman text region over the
+    pool so far (6.5.8.2.2: Table-17 fixed tables FS=B.6 DS=B.8 DT=B.11
+    RDW-RDY=B.15 RSIZE=B.1, raw SBSYMCODELEN-bit symbol IDs, BMSIZE via
+    SDHUFFBMSIZE, byte-aligned window), including a per-instance MQ
+    refinement inside the window."""
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2_text_huffman
+
+    base = [_glyph(9, 6, 1), _glyph(9, 7, 2)]
+    v0 = base[0].copy()
+    v0[3, 2] ^= 1
+    comp = np.zeros((9, 22), np.uint8)
+    comp[:, 0:6] |= base[0]
+    comp[:9, 8:15] |= base[1]
+    comp[:, 16:22] |= v0
+    refined = [("agg", comp, [(0, 0, None), (1, 8, None), (0, 16, v0)])]
+    all_syms = base + [comp]
+    placements = [(0, 4, 3), (2, 20, 3), (1, 50, 3)]
+    for std in (False, True):
+        data = encode_jbig2_text_huffman(base, placements, 90, 20,
+                                         refined_symbols=refined,
+                                         std_tables=std)
+        assert np.array_equal(decode_jbig2(data),
+                              _text_page(all_syms, placements, 90, 20))
+
+
+def test_symbol_dict_huffman_aggregate_truncated_is_loud():
+    """A hand-packed SDHUFF+SDREFAGG stream whose REFAGGNINST=2 entry
+    ends before the embedded text region's BMSIZE field raises — the
+    aggregate path never pads silently. Flags 0x1003 (SDHUFF+SDREFAGG,
+    default tables, SDRTEMPLATE=1 so no SDRAT), DH=5 via B.4
+    ("1110"+001), DW=4 via B.2 ("1110"+001), REFAGGNINST=2 via B.1
+    ("0"+0010)."""
     import struct
 
     body = ((0x1003).to_bytes(2, "big") + struct.pack(">II", 1, 1)
             + _hbits("1110001" + "1110001" + "0" + "0010"))
     seg = (struct.pack(">IB", 0, 0) + b"\x00\x01"
            + struct.pack(">I", len(body)) + body)
-    with pytest.raises(NotImplementedError, match="REFAGGNINST"):
+    with pytest.raises(ValueError):
         decode_jbig2(seg)
 
 

@@ -1458,6 +1458,16 @@ def decode_jpeg2000(data: bytes) -> np.ndarray:
             )]
             for a in scaled
         ]
+    if len(comps) == 3 and _jp2_enum_cs(data) == 18:
+        # sYCC (I.5.3.3): the decoded components ARE luma/chroma — the
+        # shape scanner JPX takes (subsampled chroma, MCT off) —
+        # convert to RGB before the shared luma reduction
+        yy, cbs, crs = scaled
+        scaled = [
+            yy + 1.402 * (crs - 128.0),
+            yy - 0.344136 * (cbs - 128.0) - 0.714136 * (crs - 128.0),
+            yy + 1.772 * (cbs - 128.0),
+        ]
     if len(comps) == 1:
         return np.clip(np.rint(scaled[0]), 0, 255).astype(np.uint8)
     if len(comps) == 3:
@@ -1471,6 +1481,34 @@ def decode_jpeg2000(data: bytes) -> np.ndarray:
     raise NotImplementedError(
         f"JPEG2000 {len(comps)}-component image unsupported"
     )
+
+
+def _jp2_enum_cs(data: bytes) -> int | None:
+    """Enumerated colourspace from the JP2 header's colr box (I.5.3.3):
+    16 sRGB, 17 greyscale, 18 sYCC. None for raw codestreams, missing
+    colr boxes, or non-enumerated methods (ICC profiles)."""
+    if data[:2] == b"\xff\x4f":
+        return None
+
+    def boxes(buf, pos, end):
+        while pos + 8 <= end:
+            ln = struct.unpack(">I", buf[pos : pos + 4])[0]
+            typ = buf[pos + 4 : pos + 8]
+            off = 8
+            if ln == 1:
+                ln = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+                off = 16
+            body_end = end if ln == 0 else min(pos + ln, end)
+            yield typ, pos + off, body_end
+            pos = body_end
+
+    for typ, b0, b1 in boxes(data, 0, len(data)):
+        if typ == b"jp2h":
+            for t2, c0, c1 in boxes(data, b0, b1):
+                if t2 == b"colr" and data[c0] == 1 and c0 + 7 <= c1:
+                    return struct.unpack(">I", data[c0 + 3 : c0 + 7])[0]
+            return None
+    return None
 
 
 def _unbox(data: bytes) -> bytes:
@@ -1968,7 +2006,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     poc: list | None = None,
                     components: list | None = None,
                     tile_overrides: dict | None = None,
-                    size: tuple | None = None) -> bytes:
+                    size: tuple | None = None,
+                    colorspace: int | None = None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -2468,8 +2507,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
     ftyp = box(b"ftyp", b"jp2 \x00\x00\x00\x00jp2 ")
     ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, ncomp, 7, 7, 0, 0))
-    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(
-        ">I", 17 if ncomp == 1 else 16))
+    enum_cs = colorspace if colorspace is not None else (
+        17 if ncomp == 1 else 16)
+    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(">I", enum_cs))
     jp2h = box(b"jp2h", ihdr + colr)
     return sig + ftyp + jp2h + box(b"jp2c", stream)
 

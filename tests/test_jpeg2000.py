@@ -1173,3 +1173,84 @@ def test_mct_over_mixed_transforms_is_corrupt():
     bs[i + 8] = 1  # SGcod MCT byte: marker(2)+len(2)+Scod(1)+prog(1)+layers(2)
     with pytest.raises(ValueError, match="MCT over mixed transforms"):
         _decode_j2k_components(_unbox(bytes(bs)))
+
+
+def test_jp2_colr_sycc_conversion():
+    """JP2 colr box (I.5.3.3): an enumerated sYCC stream's components
+    are luma/chroma, not RGB — the display path converts before the
+    shared luma reduction. Pinned against a hand-computed forward
+    sYCC + 4:2:0 downsample + replicate/invert/gray reference; the
+    sRGB (16) and greyscale (17) enums keep their existing behavior."""
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    rng = np.random.default_rng(241)
+    w, h = 40, 30
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    yq = np.clip(np.rint(y), 0, 255).astype(np.int64)
+    cbq = np.clip(np.rint(cb[::2, ::2]), 0, 255).astype(np.int64)
+    crq = np.clip(np.rint(cr[::2, ::2]), 0, 255).astype(np.int64)
+    bs = encode_jpeg2000(None, nl=2, size=(w, h), jp2=True,
+                         colorspace=18,
+                         components=[{"data": yq},
+                                     {"data": cbq, "xr": 2, "yr": 2},
+                                     {"data": crq, "xr": 2, "yr": 2}])
+    out = decode_jpeg2000(bs)
+    cbu = np.repeat(np.repeat(cbq, 2, 0), 2, 1)[:h, :w].astype(float)
+    cru = np.repeat(np.repeat(crq, 2, 0), 2, 1)[:h, :w].astype(float)
+    rr = yq + 1.402 * (cru - 128)
+    gg = yq - 0.344136 * (cbu - 128) - 0.714136 * (cru - 128)
+    bb = yq + 1.772 * (cbu - 128)
+    want = rgb_to_gray(np.stack(
+        [np.clip(np.rint(c), 0, 255).astype(np.uint8)
+         for c in (rr, gg, bb)], -1))
+    assert np.array_equal(out, want)
+    # the conversion lands near the source image's own gray (the gap
+    # is chroma subsampling loss)
+    orig = rgb_to_gray(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))
+    assert np.abs(out.astype(float) - orig.astype(float)).mean() < 3.0
+    img = rng.integers(0, 256, (20, 20, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg2000(encode_jpeg2000(img, nl=1, jp2=True)),
+        rgb_to_gray(img))
+
+
+def test_pdf_jpx_sycc_420_image():
+    """The full real-world scanner shape in one stream: JP2 container,
+    sYCC colr box, 4:2:0 subsampled chroma, MCT off — inside a PDF
+    JPXDecode image XObject through the ingest path."""
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+    from ai_invoice_ocr_engine_spark.pdf import pdf_spans
+
+    from .test_pdf import _raw_pdf
+
+    rng = np.random.default_rng(242)
+    w, h = 40, 30
+    yq = rng.integers(0, 256, (h, w)).astype(np.int64)
+    cbq = rng.integers(96, 160, (15, 20)).astype(np.int64)
+    crq = rng.integers(96, 160, (15, 20)).astype(np.int64)
+    payload = encode_jpeg2000(None, nl=2, size=(w, h), jp2=True,
+                              colorspace=18,
+                              components=[{"data": yq},
+                                          {"data": cbq, "xr": 2,
+                                           "yr": 2},
+                                          {"data": crq, "xr": 2,
+                                           "yr": 2}])
+    obj = (
+        "<< /Type /XObject /Subtype /Image /Width 40 /Height 30 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+        "/Filter /JPXDecode "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = b"q 40 0 0 30 50 600 cm /Im0 Do Q"
+    blob = _raw_pdf(content, extra_objs=obj,
+                    font="/XObject << /Im0 5 0 R >>")
+    _spans, media = pdf_spans(blob)
+    out = decode_image(next(iter(media.values())))
+    assert out.shape == (h, w)
+    assert np.array_equal(out, decode_jpeg2000(payload))

@@ -1367,11 +1367,9 @@ def _decode_text_region_huffman(body, syms, tables, region, opts,
     tables followed by a BYTE-ALIGNED standalone MQ-coded generic
     refinement region of exactly BMSIZE bytes. Placement/corner/
     TRANSPOSED geometry is shared with the arithmetic path's rules."""
-    from .kernels import MAX_DECODE_PIXELS, _check_dims
+    from .kernels import MAX_DECODE_PIXELS
 
     rw, rh, rx, ry, comb_op = region
-    refcorner, transposed, sb_def_pixel, ds_offset, log_strips = opts
-    strips = 1 << log_strips
     hflags = int.from_bytes(body[19:21], "big")
     sel_fs = hflags & 3
     sel_ds = (hflags >> 2) & 3
@@ -1447,8 +1445,7 @@ def _decode_text_region_huffman(body, syms, tables, region, opts,
     )
     hb.align()  # 7.4.3.1.7: skip to a byte boundary after the ID codes
     page = _text_region_huffman_core(
-        body, hb, syms, num_instances, rw, rh,
-        (refcorner, transposed, sb_def_pixel, ds_offset, log_strips),
+        body, hb, syms, num_instances, rw, rh, opts,
         t_fs, t_ds, t_dt, t_rdw, t_rdh, t_rdx, t_rdy, t_rsize,
         rat, rtemplate, sbrefine, lambda: symtab.decode(hb))
     return page, (rw, rh, rx, ry, comb_op)

@@ -47,10 +47,14 @@ the scanner 4:2:0 JPX shape), as do per-TILE COD/COC/QCD/QCC
 overrides in the first tile-part header (A.4.2/Table A.1, precedence
 per A.6.1) and per-component 5/3 vs 9/7 transform mixes when MCT is
 off (MCT over mixed transforms or mismatched grids is corrupt, G.1).
-Remaining deliberate loud seams (NotImplementedError with the feature
-named — the repo-wide codec policy): RGN styles other than maxshift,
-tile-header RGN/POC markers, and bypass segments spanning quality
-layers without termall.
+Tile-header RGN and POC markers override their main-header
+counterparts per tile (first tile-part only — this decoder
+concatenates tile-parts before the packet walk, so later-part
+RGN/POC stays a named seam). Remaining deliberate loud seams
+(NotImplementedError with the feature named — the repo-wide codec
+policy): RGN styles other than maxshift (Part 2), RGN/POC in a later
+tile-part, and bypass segments spanning quality layers without
+termall.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -1306,6 +1310,37 @@ def _parse_spcod(sp: bytes, layers: int, has_precincts: bool = False):
     }
 
 
+def _TMARKS_EMPTY():
+    return {"cod": None, "qcd": None, "cocs": [], "qccs": [],
+            "rgns": [], "pocs": []}
+
+
+def _parse_poc(bodies, ncomp):
+    """POC progression-order-change entries (A.6.6): a flat list of
+    (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) tuples from one or more
+    marker bodies."""
+    poc = []
+    csz = 1 if ncomp < 257 else 2
+    esz = 5 + 2 * csz
+    for body in bodies:
+        if len(body) % esz:
+            raise ValueError("JPEG2000 POC segment length mismatch")
+        for e in range(0, len(body), esz):
+            rs = body[e]
+            cs = int.from_bytes(body[e + 1 : e + 1 + csz], "big")
+            lye = struct.unpack(
+                ">H", body[e + 1 + csz : e + 3 + csz])[0]
+            re_ = body[e + 3 + csz]
+            ce = int.from_bytes(body[e + 4 + csz : e + 4 + 2 * csz], "big")
+            ppoc = body[e + 4 + 2 * csz]
+            if ppoc > 4:
+                raise ValueError("JPEG2000 POC bad progression order")
+            if re_ <= rs or ce <= cs or lye == 0:
+                raise ValueError("JPEG2000 POC empty progression volume")
+            poc.append((rs, cs, lye, re_, ce, ppoc))
+    return poc
+
+
 def _build_cparams(ncomp, comps_info, cod, qcd, cocs, qccs, rgns,
                    tcod=None, tqcd=None, tcocs=(), tqccs=()):
     """Per-component coding + quantization parameters for one scope
@@ -1600,26 +1635,7 @@ def _decode_j2k_components(d: bytes):
 
     mh = _build_cparams(ncomp, comps_info, cod, qcd, cocs, qccs, rgns)
     prog, layers = mh["prog"], mh["layers"]
-    poc = []
-    csz = 1 if ncomp < 257 else 2
-    esz = 5 + 2 * csz
-    for body in poc_bodies:
-        # A.6.6: (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) entries
-        if len(body) % esz:
-            raise ValueError("JPEG2000 POC segment length mismatch")
-        for e in range(0, len(body), esz):
-            rs = body[e]
-            cs = int.from_bytes(body[e + 1 : e + 1 + csz], "big")
-            lye = struct.unpack(
-                ">H", body[e + 1 + csz : e + 3 + csz])[0]
-            re_ = body[e + 3 + csz]
-            ce = int.from_bytes(body[e + 4 + csz : e + 4 + 2 * csz], "big")
-            ppoc = body[e + 4 + 2 * csz]
-            if ppoc > 4:
-                raise ValueError("JPEG2000 POC bad progression order")
-            if re_ <= rs or ce <= cs or lye == 0:
-                raise ValueError("JPEG2000 POC empty progression volume")
-            poc.append((rs, cs, lye, re_, ce, ppoc))
+    poc = _parse_poc(poc_bodies, ncomp)
 
     ntx = _ceil_div(xsiz - xto, xt)
     nty = _ceil_div(ysiz - yto, yt)
@@ -1659,9 +1675,7 @@ def _decode_j2k_components(d: bytes):
                 if tpsot != 0:
                     raise ValueError(
                         "JPEG2000 coding marker outside first tile-part")
-                ent = tile_marks.setdefault(
-                    isot, {"cod": None, "qcd": None, "cocs": [],
-                           "qccs": []})
+                ent = tile_marks.setdefault(isot, _TMARKS_EMPTY())
                 mbody = d[tpos + 4 : tpos + 2 + ln]
                 if tm == 0xFF52:
                     ent["cod"] = mbody
@@ -1674,10 +1688,16 @@ def _decode_j2k_components(d: bytes):
             elif tm == 0xFF61:  # PPT: Zppt index byte + packed headers
                 ppts.append((d[tpos + 4], d[tpos + 5 : tpos + 2 + ln]))
             elif tm in (0xFF5E, 0xFF5F):
-                # tile-scoped ROI / progression changes: rarer than the
-                # coding overrides; silent skip would mis-decode
-                raise NotImplementedError(
-                    "JPEG2000 tile-header RGN/POC marker")
+                # tile-scoped ROI / progression changes (A.6.3/A.6.6):
+                # override the main-header markers for this tile. This
+                # decoder concatenates all tile-parts before the packet
+                # walk, so they must sit in the FIRST tile-part header
+                if tpsot != 0:
+                    raise NotImplementedError(
+                        "JPEG2000 RGN/POC in a later tile-part")
+                ent = tile_marks.setdefault(isot, _TMARKS_EMPTY())
+                mbody = d[tpos + 4 : tpos + 2 + ln]
+                ent["rgns" if tm == 0xFF5E else "pocs"].append(mbody)
             elif tm not in (0xFF58, 0xFF64):  # PLT/COM are informational
                 raise ValueError(
                     f"JPEG2000 unexpected tile-header marker {tm:#06x}")
@@ -1702,10 +1722,17 @@ def _decode_j2k_components(d: bytes):
     # per-tile parameter scopes (A.6.1): rebuilt only for tiles whose
     # first tile-part header carried COD/COC/QCD/QCC
     tscope = {
+        # tile RGN overrides the main RGN for its component (applied
+        # after, so the later assignment wins)
         isot: _build_cparams(ncomp, comps_info, cod, qcd, cocs, qccs,
-                             rgns, tcod=tm["cod"], tqcd=tm["qcd"],
-                             tcocs=tm["cocs"], tqccs=tm["qccs"])
+                             rgns + tm["rgns"], tcod=tm["cod"],
+                             tqcd=tm["qcd"], tcocs=tm["cocs"],
+                             tqccs=tm["qccs"])
         for isot, tm in tile_marks.items()
+    }
+    tpoc = {
+        isot: _parse_poc(tm["pocs"], ncomp)
+        for isot, tm in tile_marks.items() if tm["pocs"]
     }
     lossless_all = all(
         cp["transform"] == 1
@@ -1745,7 +1772,8 @@ def _decode_j2k_components(d: bytes):
                             sc["cparams"], sc["layers"], sc["prog"],
                             sc["use_sop"], sc["use_eph"], comps_info,
                             sc["mct"], sc["transform"],
-                            pkt_headers=pkt_headers, poc=poc)
+                            pkt_headers=pkt_headers,
+                            poc=tpoc.get(isot, poc))
         for c in range(ncomp):
             _, _, xr, yr = comps_info[c]
             comps[c][
@@ -2200,10 +2228,21 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
             tx0, ty0 = p * xt, q * yt
             tx1, ty1 = min((p + 1) * xt, w), min((q + 1) * yt, h)
             tov = (tile_overrides or {}).get(q * ntx + p)
-            if tov is None:
-                ecp = enc_cp
-                tile_hdr = b""
-            else:
+            ecp = enc_cp
+            tile_hdr = b""
+            poc_t = poc
+            if tov is not None and "poc" in tov:
+                # per-tile POC (A.6.6/Table A.1): overrides the main
+                # progression for this tile
+                poc_t = tov["poc"]
+                pb = bytearray()
+                for rs, cs, lye, re_, ce, pgp in poc_t:
+                    pb += bytes([rs, cs]) + struct.pack(">H", lye) \
+                        + bytes([re_, ce, pgp])
+                tile_hdr += struct.pack(
+                    ">HH", 0xFF5F, len(pb) + 2) + bytes(pb)
+            if tov is not None and any(
+                    k in tov for k in ("nl", "cb", "qexp_extra")):
                 # per-tile COD/QCD in the first tile-part header
                 # (A.4.2/Table A.1): same prog/layers/mct, this tile's
                 # own decomposition count / code-block size / step size
@@ -2222,7 +2261,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     ">H", layers) + bytes(
                     [mct, nl_t, xcb_t - 2, ycb_t - 2, style_byte,
                      transform]) + prec_bytes(pps_for(nl_t))
-                tile_hdr = (
+                tile_hdr += (
                     struct.pack(">HH", 0xFF52, len(cod_t) + 2) + cod_t
                     + struct.pack(">HH", 0xFF5C, len(qbody_t) + 2)
                     + qbody_t
@@ -2420,7 +2459,7 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
 
             def packet_seq():
                 return _packet_order(prog, layers, ecp, enc_crects,
-                                     enc_n_prec, poc=poc)
+                                     enc_n_prec, poc=poc_t)
 
             body = bytearray()
             hdrs = bytearray()  # PPT/PPM mode: packet headers live here

@@ -1254,3 +1254,72 @@ def test_pdf_jpx_sycc_420_image():
     out = decode_image(next(iter(media.values())))
     assert out.shape == (h, w)
     assert np.array_equal(out, decode_jpeg2000(payload))
+
+
+def test_tile_header_poc_overrides():
+    """POC in a tile's first tile-part header (A.6.6/Table A.1)
+    overrides the main progression for that tile — alone, combined
+    with a per-tile COD/QCD, and coexisting with a main-header POC."""
+    rng = np.random.default_rng(251)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    bs = encode_jpeg2000(img, nl=2, tile=(28, 20), prog=0,
+                         tile_overrides={1: {"poc": [(0, 0, 1, 3, 1,
+                                                      1)]}})
+    assert np.array_equal(decode_jpeg2000(bs), img)
+    bs = encode_jpeg2000(
+        img, nl=2, tile=(28, 20), prog=0,
+        tile_overrides={1: {"nl": 3, "poc": [(0, 0, 1, 4, 1, 2)]},
+                        2: {"poc": [(1, 0, 1, 3, 1, 0)]}})
+    assert np.array_equal(decode_jpeg2000(bs), img)
+    bs = encode_jpeg2000(img, nl=2, tile=(28, 20), prog=0,
+                         poc=[(0, 0, 1, 2, 1, 1)],
+                         tile_overrides={0: {"poc": [(0, 0, 1, 3, 1,
+                                                      4)]}})
+    assert np.array_equal(decode_jpeg2000(bs), img)
+
+
+def test_tile_header_rgn_equals_main_rgn():
+    """RGN in the first tile-part header (Table A.1) scopes the ROI to
+    that tile: for a single-tile stream the main-header RGN segment
+    moved into the tile header must decode identically."""
+    import struct as _s
+
+    rng = np.random.default_rng(252)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    d = encode_jpeg2000(img, nl=2, cb=(4, 4), roi=(8, 8, 24, 20))
+    ref = decode_jpeg2000(d)
+    assert np.array_equal(ref, img)  # maxshift ROI is still lossless
+    i = d.index(b"\xff\x5e")
+    ln = _s.unpack(">H", d[i + 2 : i + 4])[0]
+    rgn_seg = d[i : i + 2 + ln]
+    d2 = d[:i] + d[i + 2 + ln :]
+    j = d2.index(b"\xff\x90")
+    psot = _s.unpack(">I", d2[j + 6 : j + 10])[0]
+    d3 = (d2[: j + 6] + _s.pack(">I", psot + len(rgn_seg))
+          + d2[j + 10 : j + 12] + rgn_seg + d2[j + 12 :])
+    assert np.array_equal(decode_jpeg2000(d3), ref)
+
+
+def test_rgn_poc_in_later_tile_part_is_loud():
+    """This decoder concatenates tile-parts before the packet walk, so
+    RGN/POC in a LATER tile-part is a named seam, not a silent skip."""
+    import struct as _s
+
+    rng = np.random.default_rng(253)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    d = encode_jpeg2000(img, nl=1, tile=(28, 20), split_parts=2,
+                        poc=[(0, 0, 1, 2, 1, 1)])
+    i = d.index(b"\xff\x5f")
+    ln = _s.unpack(">H", d[i + 2 : i + 4])[0]
+    poc_seg = d[i : i + 2 + ln]
+    d2 = d[:i] + d[i + 2 + ln :]
+    pos = d2.index(b"\xff\x90")
+    while True:
+        psot = _s.unpack(">I", d2[pos + 6 : pos + 10])[0]
+        if d2[pos + 10] == 1:
+            break
+        pos = d2.index(b"\xff\x90", pos + psot)
+    d3 = (d2[: pos + 6] + _s.pack(">I", psot + len(poc_seg))
+          + d2[pos + 10 : pos + 12] + poc_seg + d2[pos + 12 :])
+    with pytest.raises(NotImplementedError, match="later tile-part"):
+        decode_jpeg2000(d3)

@@ -52,9 +52,11 @@ counterparts per tile (first tile-part only — this decoder
 concatenates tile-parts before the packet walk, so later-part
 RGN/POC stays a named seam). Remaining deliberate loud seams
 (NotImplementedError with the feature named — the repo-wide codec
-policy): RGN styles other than maxshift (Part 2), RGN/POC in a later
-tile-part, and bypass segments spanning quality layers without
-termall.
+policy): RGN styles other than maxshift (Part 2) and RGN/POC in a
+later tile-part. Multi-layer BYPASS streams without termall decode
+too: a packet signals one length per segment PORTION (lblock +
+floor(log2(portion_passes)) bits) and the decoder concatenates
+portions by segment index across layers before the T1 run.
 
 Convention notes pinned by tests rather than external fixtures (no
 independent JPEG 2000 implementation exists in this container): the
@@ -1088,17 +1090,13 @@ def _decode_packet(br, res_bands, layer_idx, trees, termall=False,
                 cb["passes"] += npasses
                 bodies.append((cb, lens))
             elif bypass:
-                if cb["passes"]:
-                    raise NotImplementedError(
-                        "JPEG2000 bypass segments spanning quality layers"
-                    )
-                bounds = _bypass_boundaries(npasses)
+                # one length per segment PORTION in this packet; a
+                # segment spanning layers accumulates byte chunks that
+                # the body reader concatenates by segment index
                 lens = []
-                prev = 0
-                for b in bounds:
-                    nb = cb["lblock"] + int(math.floor(math.log2(b - prev)))
-                    lens.append(br.read(nb))
-                    prev = b
+                for idx, cnt in _bypass_portions(cb["passes"], npasses):
+                    nb = cb["lblock"] + int(math.floor(math.log2(cnt)))
+                    lens.append((idx, br.read(nb)))
                 cb["passes"] += npasses
                 bodies.append((cb, lens))
             else:
@@ -1185,6 +1183,55 @@ def _encode_packet_termall(bw, res_bands, layer_idx, trees, payload):
             for s in chunk:
                 bw.put(len(s), cb["lblock"])
             payload.extend(chunk)
+
+
+def _encode_packet_bypass_layered(bw, res_bands, layer_idx, trees,
+                                  payload):
+    """Encoder: one packet of a multi-layer bypass (non-termall)
+    stream — each code-block contributes this layer's pass PORTIONS
+    (npasses, then one length per portion of lblock +
+    floor(log2(portion_passes)) bits); a segment whose passes span
+    layers is byte-split across the packets and re-concatenated by
+    the decoder."""
+    if not any(sb.cbs for sb in res_bands):
+        return
+    bw.put(1, 1)
+    for bi, sb in enumerate(res_bands):
+        if not sb.cbs:
+            continue
+        incl_tree, zbp_tree = trees[bi]
+        for cb in sb.cbs:
+            gi, gj = cb["_gi"], cb["_gj"]
+            np_l, portions = cb["_lchunks"][layer_idx]
+            if not cb["included"]:
+                incl_tree.encode(bw, gi, gj, layer_idx + 1)
+                if not np_l:
+                    continue  # first inclusion is in a later layer
+                cb["included"] = True
+                t = 1
+                while True:
+                    zbp_tree.encode(bw, gi, gj, t)
+                    if cb["zbp"] < t:
+                        break
+                    t += 1
+            else:
+                bw.put(1 if np_l else 0, 1)
+                if not np_l:
+                    continue
+            _npasses_write(bw, np_l)
+            need = max(
+                max(1, len(data).bit_length())
+                - int(math.floor(math.log2(cnt)))
+                for cnt, data in portions
+            )
+            while cb["lblock"] < need:
+                bw.put(1, 1)
+                cb["lblock"] += 1
+            bw.put(0, 1)
+            for cnt, data in portions:
+                bw.put(len(data),
+                       cb["lblock"] + int(math.floor(math.log2(cnt))))
+            payload.extend(data for _, data in portions)
 
 
 def _encode_packet_bypass(bw, res_bands, trees, payload):
@@ -1282,10 +1329,6 @@ def _parse_spcod(sp: bytes, layers: int, has_precincts: bool = False):
         raise ValueError("JPEG2000 reserved code-block style bits")
     termall = bool(cbstyle & 0x04)
     bypass = bool(cbstyle & 0x01)
-    if bypass and layers > 1 and not termall:
-        raise NotImplementedError(
-            "JPEG2000 bypass segments spanning quality layers"
-        )
     transform = sp[4]
     if transform not in (0, 1):
         raise ValueError("JPEG2000 bad transform byte")
@@ -1876,12 +1919,22 @@ def _decode_tile(body, tx0, ty0, tx1, ty1, ncomp, cparams,
         if pkt_headers is None:
             pos = hpos
         for cb, nbytes in bodies:
-            if termall or bypass:
+            if termall:
                 for ln in nbytes:  # one terminated segment per pass
                     seg = body[pos : pos + ln]
                     if len(seg) < ln:
                         raise ValueError("JPEG2000 packet body truncated")
                     cb.setdefault("segs", []).append(seg)
+                    pos += ln
+            elif bypass:
+                segs = cb.setdefault("segs", [])
+                for idx, ln in nbytes:
+                    chunk = body[pos : pos + ln]
+                    if len(chunk) < ln:
+                        raise ValueError("JPEG2000 packet body truncated")
+                    while len(segs) <= idx:
+                        segs.append(b"")
+                    segs[idx] += chunk
                     pos += ln
             else:
                 chunk = body[pos : pos + nbytes]
@@ -2078,8 +2131,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     header carries its own COD + QCD (A.4.2/Table A.1 — the per-tile
     coding-override shape Kakadu can emit), applied to every component
     of that tile."""
-    if layers > 1 and not termall:
-        raise ValueError("multi-layer fixture requires termall")
+    if layers > 1 and not (termall or bypass):
+        raise ValueError(
+            "multi-layer fixture requires termall or bypass")
     if tile_overrides:
         if roi is not None or overrides:
             raise ValueError(
@@ -2450,6 +2504,49 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                                     )
                                     incl_tree.set_value(
                                         cbk["_gi"], cbk["_gj"], first_l)
+            elif bypass and layers > 1:
+                # non-termall bypass layering: split each code-block's
+                # PASSES across layers; a portion inside a segment takes
+                # a proportional byte slice — the decoder concatenates
+                # portions by segment index before the T1 run, so only
+                # the signalled lengths must match the chunks
+                for c in range(ncomp):
+                    for r in range(ecp[c]["nl"] + 1):
+                        for row, trow in zip(pviews[c][r], ptrees[c][r]):
+                            for v, t2 in zip(row, trow):
+                                if not v.cbs:
+                                    continue
+                                incl_tree, _zt = t2
+                                for cbk in v.cbs:
+                                    n = cbk["passes"]
+                                    pb = [round(i * n / layers)
+                                          for i in range(layers + 1)]
+                                    bnds = _bypass_boundaries(n)
+                                    cnts = [b - a for a, b in
+                                            zip([0] + bnds[:-1], bnds)]
+                                    consumed = [0] * len(bnds)
+                                    lch = []
+                                    for li in range(layers):
+                                        npl = pb[li + 1] - pb[li]
+                                        ports = []
+                                        for idx, cnt in _bypass_portions(
+                                                pb[li], npl) if npl else []:
+                                            seg = cbk["segs"][idx]
+                                            b0 = consumed[idx]
+                                            b1 = b0 + cnt
+                                            s0 = round(len(seg) * b0
+                                                       / cnts[idx])
+                                            s1 = round(len(seg) * b1
+                                                       / cnts[idx])
+                                            consumed[idx] = b1
+                                            ports.append((cnt, seg[s0:s1]))
+                                        lch.append((npl, ports))
+                                    cbk["_lchunks"] = lch
+                                    first_l = next(
+                                        i for i, (npl, _p) in
+                                        enumerate(lch) if npl)
+                                    incl_tree.set_value(
+                                        cbk["_gi"], cbk["_gj"], first_l)
 
             # mirror of the decoder's walk (same shared order function)
             enc_n_prec = [
@@ -2486,6 +2583,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                 tr = [t for t in ptrees[c][r][pi] if t is not None]
                 if termall:
                     _encode_packet_termall(bw, nonempty, layer, tr, payload)
+                elif bypass and layers > 1:
+                    _encode_packet_bypass_layered(bw, nonempty, layer,
+                                                  tr, payload)
                 elif bypass:
                     _encode_packet_bypass(bw, nonempty, tr, payload)
                 else:
@@ -2820,6 +2920,30 @@ def t1_decode_bypass(segs: list, w: int, h: int, band: int,
     t = _T1(w, h, band, None, bypass=True, **styles)
     t.run_bypass(segs, start_plane, npasses)
     return t.result()
+
+
+def _bypass_portions(p0: int, n: int) -> list:
+    """Split passes [p0, p0+n) at the absolute bypass segment
+    boundaries (10, 12, 13, 15, 16, ...): returns [(segment_index,
+    passes_in_this_packet)]. Each portion gets ONE signalled length of
+    lblock + floor(log2(portion_passes)) bits (B.10.7.5 as real
+    encoders implement it), so a segment spanning a quality-layer
+    boundary contributes one byte chunk per packet, concatenated by
+    the decoder before the T1 run."""
+    out = []
+    prev = 0
+    idx = 0
+    b = 10
+    raw_next = True
+    while prev < p0 + n:
+        lo, hi = max(prev, p0), min(b, p0 + n)
+        if hi > lo:
+            out.append((idx, hi - lo))
+        prev = b
+        idx += 1
+        b += 2 if raw_next else 1
+        raw_next = not raw_next
+    return out
 
 
 def _bypass_boundaries(npasses: int) -> list:

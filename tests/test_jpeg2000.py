@@ -1323,3 +1323,55 @@ def test_rgn_poc_in_later_tile_part_is_loud():
           + d2[pos + 10 : pos + 12] + poc_seg + d2[pos + 12 :])
     with pytest.raises(NotImplementedError, match="later tile-part"):
         decode_jpeg2000(d3)
+
+
+def test_bypass_portions_hand_computed():
+    """Pass-range splitting at the absolute bypass boundaries
+    (10, 12, 13, 15, 16, ...): portions carry (segment_index, count)
+    and a layer boundary inside a segment splits its pass count."""
+    from ai_invoice_ocr_engine_spark.jpeg2000 import _bypass_portions
+
+    # all 13 passes in one packet: segments 10 + 2 + 1
+    assert _bypass_portions(0, 13) == [(0, 10), (1, 2), (2, 1)]
+    # layer boundary at pass 4: segment 0 split 4 + 6
+    assert _bypass_portions(0, 4) == [(0, 4)]
+    assert _bypass_portions(4, 9) == [(0, 6), (1, 2), (2, 1)]
+    # boundary inside the raw pair (segment 1)
+    assert _bypass_portions(0, 11) == [(0, 10), (1, 1)]
+    assert _bypass_portions(11, 2) == [(1, 1), (2, 1)]
+    # resuming exactly at a segment edge
+    assert _bypass_portions(12, 4) == [(2, 1), (3, 2), (4, 1)]
+
+
+def test_multilayer_bypass_without_termall():
+    """The former 'bypass segments spanning quality layers' seam: a
+    multi-layer lazy stream with NO termall — segments byte-split
+    across packets, one length per portion — round-trips bit-exactly,
+    alone and composed with tiles/SOP/EPH/RLCP/RGB, while the
+    termall+bypass form is unchanged."""
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    rng = np.random.default_rng(261)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    for layers in (2, 3, 5):
+        bs = encode_jpeg2000(img, nl=2, cb=(4, 4), bypass=True,
+                             layers=layers)
+        assert np.array_equal(decode_jpeg2000(bs), img), layers
+    rgb = rng.integers(0, 256, (33, 41, 3)).astype(np.uint8)
+    bs = encode_jpeg2000(rgb, nl=2, tile=(16, 16), bypass=True,
+                         layers=3, sop=True, eph=True, prog=1)
+    assert np.array_equal(decode_jpeg2000(bs), rgb_to_gray(rgb))
+    bs = encode_jpeg2000(img, nl=2, cb=(4, 4), bypass=True,
+                         termall=True, layers=3)
+    assert np.array_equal(decode_jpeg2000(bs), img)
+
+
+def test_multilayer_bypass_truncation_is_loud():
+    """Cutting a multi-layer bypass stream inside a later layer's
+    portion bytes raises instead of decoding silently-wrong pixels."""
+    rng = np.random.default_rng(262)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    data = encode_jpeg2000(img, nl=1, cb=(4, 4), bypass=True, layers=3)
+    assert data[-2:] == b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg2000(data[:-8] + b"\xff\xd9")

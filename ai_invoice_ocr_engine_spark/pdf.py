@@ -21,8 +21,11 @@ composite fonts. Output spans are ordered by the same reading-order
 discipline as the OCR side (top-to-bottom lines, left-to-right within
 a line).
 
-Seams (loud): Type0 fonts WITHOUT a ToUnicode CMap (mapping CIDs would
-need the font program), non-empty-user-password / public-key-handler
+Type0 fonts WITHOUT a ToUnicode CMap decode through the embedded sfnt
+font program's inverted cmap (cid → CIDToGIDMap → gid → unicode —
+formats 4/12/6/0, the subset-font shape word processors emit).
+Seams (loud): Type0 with a predefined (non-Identity) CMap and no
+ToUnicode, no embedded sfnt, non-empty-user-password / public-key-handler
 encryption (pdfcrypt.py covers the common owner-locked R2-R6 cases),
 and unsupported codec variants inside JBIG2 (jbig2.py) / JPEG 2000
 (jpeg2000.py) raise NotImplementedError naming the feature.
@@ -768,21 +771,172 @@ def _cmap_decoder(widths, chars, ranges):
     return dec
 
 
+def _ttf_cmap_gid_to_unicode(ttf: bytes) -> dict[int, str]:
+    """Invert an sfnt font program's 'cmap' table into gid → unicode.
+
+    Subset fonts embedded without a ToUnicode CMap still carry the
+    character map their producer built the subset FROM; real
+    extractors recover text by walking cid → gid → (inverted cmap) →
+    unicode. Handles formats 4 (segmented BMP), 12 (segmented
+    coverage), 6 (trimmed) and 0 (byte); subtables tried in Unicode-
+    preference order; the LOWEST codepoint mapping to a gid wins.
+    (3,0) symbol subtables unmask the 0xF000 page."""
+    if len(ttf) < 12 or ttf[:4] not in (
+        b"\x00\x01\x00\x00", b"true", b"OTTO"
+    ):
+        raise ValueError("not an sfnt font program")
+    ntab = struct.unpack(">H", ttf[4:6])[0]
+    cmap_off = None
+    for i in range(ntab):
+        rec = ttf[12 + 16 * i : 28 + 16 * i]
+        if rec[:4] == b"cmap":
+            cmap_off = struct.unpack(">I", rec[8:12])[0]
+            break
+    if cmap_off is None or cmap_off + 4 > len(ttf):
+        raise ValueError("font program has no cmap table")
+    nsub = struct.unpack(">H", ttf[cmap_off + 2 : cmap_off + 4])[0]
+    subs = {}
+    for i in range(nsub):
+        pid, eid, off = struct.unpack(
+            ">HHI", ttf[cmap_off + 4 + 8 * i : cmap_off + 12 + 8 * i]
+        )
+        subs[(pid, eid)] = cmap_off + off
+    order = [(3, 10), (0, 4), (0, 6), (3, 1), (0, 3), (0, 2), (0, 1),
+             (0, 0), (3, 0)]
+    uni2gid: dict[int, int] = {}
+    for key in order:
+        off = subs.get(key)
+        if off is None or off + 2 > len(ttf):
+            continue
+        fmt = struct.unpack(">H", ttf[off : off + 2])[0]
+        if fmt == 4:
+            seg2 = struct.unpack(">H", ttf[off + 6 : off + 8])[0]
+            segs = seg2 // 2
+            ends = struct.unpack(f">{segs}H",
+                                 ttf[off + 14 : off + 14 + seg2])
+            p = off + 16 + seg2
+            starts = struct.unpack(f">{segs}H", ttf[p : p + seg2])
+            p += seg2
+            deltas = struct.unpack(f">{segs}H", ttf[p : p + seg2])
+            p += seg2
+            ro_base = p
+            ros = struct.unpack(f">{segs}H", ttf[p : p + seg2])
+            for si in range(segs):
+                if starts[si] == 0xFFFF:
+                    continue
+                for c in range(starts[si], ends[si] + 1):
+                    if ros[si] == 0:
+                        g = (c + deltas[si]) & 0xFFFF
+                    else:
+                        gp = (ro_base + 2 * si + ros[si]
+                              + 2 * (c - starts[si]))
+                        if gp + 2 > len(ttf):
+                            continue
+                        g = struct.unpack(">H", ttf[gp : gp + 2])[0]
+                        if g:
+                            g = (g + deltas[si]) & 0xFFFF
+                    if g:
+                        uni2gid.setdefault(c, g)
+        elif fmt == 12:
+            ngroups = struct.unpack(">I", ttf[off + 12 : off + 16])[0]
+            for gi in range(ngroups):
+                sc, ec, sg = struct.unpack(
+                    ">III", ttf[off + 16 + 12 * gi : off + 28 + 12 * gi]
+                )
+                for c in range(sc, min(ec, sc + 0x10000) + 1):
+                    uni2gid.setdefault(c, sg + (c - sc))
+        elif fmt == 6:
+            first, cnt = struct.unpack(">HH", ttf[off + 6 : off + 10])
+            gids = struct.unpack(f">{cnt}H",
+                                 ttf[off + 10 : off + 10 + 2 * cnt])
+            for j, g in enumerate(gids):
+                if g:
+                    uni2gid.setdefault(first + j, g)
+        elif fmt == 0:
+            for c, g in enumerate(ttf[off + 6 : off + 262]):
+                if g:
+                    uni2gid.setdefault(c, g)
+        if uni2gid:
+            if key == (3, 0):
+                uni2gid = {
+                    (c & 0xFF if 0xF000 <= c <= 0xF0FF else c): g
+                    for c, g in uni2gid.items()
+                }
+            break
+    if not uni2gid:
+        raise ValueError("font cmap has no usable subtable")
+    inv: dict[int, str] = {}
+    for c in sorted(uni2gid):
+        inv.setdefault(uni2gid[c], chr(c))
+    return inv
+
+
+def _cid_fontprogram_decoder(doc: PdfDocument, font: dict):
+    """Type0 WITHOUT ToUnicode: decode through the embedded font
+    program's own cmap — cid → gid (CIDToGIDMap, default Identity) →
+    unicode (inverted sfnt cmap). Requires an Identity-H/V encoding
+    (predefined CMaps stay loud) and an sfnt FontFile2/FontFile3."""
+    enc = font.get("Encoding")
+    if enc not in ("Identity-H", "Identity-V"):
+        raise NotImplementedError(
+            f"PDF Type0 font with predefined CMap {enc!r} and no "
+            "ToUnicode unsupported"
+        )
+    df = doc._resolve(font.get("DescendantFonts"))
+    desc = doc._resolve(df[0]) if isinstance(df, list) and df else None
+    fd = doc._resolve(desc.get("FontDescriptor")) if desc else None
+    ff = None
+    if fd:
+        for k in ("FontFile2", "FontFile3"):
+            cand = doc._resolve(fd.get(k))
+            if isinstance(cand, _Stream):
+                ff = cand
+                break
+    if ff is None:
+        raise NotImplementedError(
+            "PDF Type0/CID font without a ToUnicode CMap or an "
+            "embedded sfnt font program unsupported"
+        )
+    ttf = _apply_filters(ff.raw, ff.dict, doc._resolve)
+    gid2uni = _ttf_cmap_gid_to_unicode(ttf)
+    c2g = doc._resolve(desc.get("CIDToGIDMap")) if desc else None
+    cid2gid = None
+    if isinstance(c2g, _Stream):
+        raw = _apply_filters(c2g.raw, c2g.dict, doc._resolve)
+        cid2gid = [
+            int.from_bytes(raw[i : i + 2], "big")
+            for i in range(0, len(raw) - 1, 2)
+        ]
+    elif c2g not in (None, "Identity"):
+        raise NotImplementedError(
+            f"PDF CIDToGIDMap {c2g!r} unsupported"
+        )
+
+    def dec(b: bytes) -> str:
+        out = []
+        for i in range(0, len(b) - 1, 2):
+            cid = int.from_bytes(b[i : i + 2], "big")
+            gid = (cid2gid[cid] if cid2gid is not None
+                   and cid < len(cid2gid) else cid)
+            out.append(gid2uni.get(gid, "�"))
+        return "".join(out)
+
+    return dec
+
+
 def _font_decoder(doc: PdfDocument, font: dict | None):
     """Per-font bytes→str decoder, built once at Tf time.
 
     Simple fonts decode via latin-1 (correct for Standard/WinAnsi
     fixtures and most western invoices); Type0/CID composite fonts
     decode through their embedded ToUnicode CMap (the reference's text
-    model is Unicode strings, so ToUnicode IS the authoritative map);
-    Type0 WITHOUT ToUnicode stays a loud seam (mapping CIDs to text
-    would require the font program itself)."""
+    model is Unicode strings, so ToUnicode IS the authoritative map)
+    or — subset fonts embedded without one — through the font
+    program's own inverted cmap (_cid_fontprogram_decoder)."""
     if font and font.get("Subtype") == "Type0":
         tu = doc._resolve(font.get("ToUnicode"))
         if not isinstance(tu, _Stream):
-            raise NotImplementedError(
-                "PDF Type0/CID font without a ToUnicode CMap unsupported"
-            )
+            return _cid_fontprogram_decoder(doc, font)
         cache = getattr(doc, "_cmap_cache", None)
         if cache is None:
             cache = doc._cmap_cache = {}

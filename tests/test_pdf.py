@@ -884,3 +884,104 @@ def test_external_real_world_pdfs(path, probes):
         assert probe in joined, probe
     # reading order sanity: the title page text leads the stream
     assert any(probes[0] in t for t in texts[:5])
+
+
+# ---------------------------------------------------------------------------
+# Type0 WITHOUT ToUnicode: embedded font-program cmap fallback
+# ---------------------------------------------------------------------------
+
+
+def _mini_ttf(mapping, fmt=4):
+    """Minimal sfnt with ONLY a cmap table. ``mapping`` is
+    {codepoint: gid}; fmt 4 uses one segment per code (idRangeOffset
+    0, idDelta = gid - code mod 2^16) plus the 0xFFFF terminator,
+    fmt 12 one group per code."""
+    import struct as _s
+
+    codes = sorted(mapping)
+    if fmt == 4:
+        segs = [(c, c, (mapping[c] - c) & 0xFFFF) for c in codes]
+        segs.append((0xFFFF, 0xFFFF, 1))
+        n = len(segs)
+        sub = _s.pack(">HHHHHHH", 4, 16 + 8 * n, 0, 2 * n, 0, 0, 0)
+        sub += b"".join(_s.pack(">H", e) for _, e, _d in segs)
+        sub += b"\x00\x00"
+        sub += b"".join(_s.pack(">H", st) for st, _, _d in segs)
+        sub += b"".join(_s.pack(">H", d) for _, _, d in segs)
+        sub += b"\x00\x00" * n  # idRangeOffset
+        rec = (3, 1)
+    else:
+        sub = _s.pack(">HHIII", 12, 0, 16 + 12 * len(codes), 0,
+                      len(codes))
+        for c in codes:
+            sub += _s.pack(">III", c, c, mapping[c])
+        rec = (3, 10)
+    cmap = _s.pack(">HH", 0, 1) + _s.pack(">HHI", *rec, 12) + sub
+    sfnt = _s.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+    sfnt += b"cmap" + _s.pack(">III", 0, 28, len(cmap))
+    return sfnt + cmap
+
+
+def _type0_noto_pdf(content: bytes, ttf: bytes,
+                    cid2gid: bytes | None = None) -> bytes:
+    font = ("<< /Type /Font /Subtype /Type0 /BaseFont /Sub "
+            "/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
+    desc = ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Sub "
+            "/FontDescriptor 7 0 R"
+            + (" /CIDToGIDMap 8 0 R" if cid2gid is not None else "")
+            + " >>")
+    fdesc = "<< /Type /FontDescriptor /FontName /Sub /FontFile2 "
+    fdesc += ("9 0 R >>" if cid2gid is not None else "8 0 R >>")
+    objs = [font, desc, fdesc]
+    if cid2gid is not None:
+        objs.append(f"<< /Length {len(cid2gid)} >>\nstream\n"
+                    + cid2gid.decode("latin-1") + "\nendstream")
+    objs.append(f"<< /Length {len(ttf)} >>\nstream\n"
+                + ttf.decode("latin-1") + "\nendstream")
+    return _raw_pdf(content, extra_objs=objs,
+                    font="/Font << /F1 5 0 R >>")
+
+
+def test_type0_without_tounicode_fontprogram_cmap():
+    """The subset-font shape word processors emit: Identity-H, no
+    ToUnicode, glyph ids resolved through the embedded TrueType cmap
+    (format 4) inverted — cid == gid under the default Identity
+    CIDToGIDMap."""
+    mapping = {ord("H"): 11, ord("i"): 12, ord("!"): 13}
+    ttf = _mini_ttf(mapping)
+    content = b"BT /F1 10 Tf 20 700 Td <000B000C000D> Tj ET"
+    spans, _ = pdf_spans(_type0_noto_pdf(content, ttf))
+    assert _texts(spans) == ["Hi!"]
+
+
+def test_type0_fontprogram_cmap_format12_and_unmapped():
+    """Format-12 (segmented coverage) subtables resolve too — incl. a
+    non-BMP codepoint — and an unmapped gid yields the replacement
+    char, matching the ToUnicode path's convention."""
+    mapping = {0x1F600: 21, ord("x"): 22}
+    ttf = _mini_ttf(mapping, fmt=12)
+    content = b"BT /F1 10 Tf 20 700 Td <001500160099> Tj ET"
+    spans, _ = pdf_spans(_type0_noto_pdf(content, ttf))
+    assert _texts(spans) == ["\U0001F600x�"]
+
+
+def test_type0_fontprogram_cid_to_gid_stream():
+    """A CIDToGIDMap STREAM reroutes cids before the cmap inversion."""
+    mapping = {ord("A"): 5, ord("B"): 6}
+    ttf = _mini_ttf(mapping)
+    # cid 1 -> gid 6 (B), cid 2 -> gid 5 (A)
+    c2g = b"\x00\x00\x00\x06\x00\x05"
+    content = b"BT /F1 10 Tf 20 700 Td <00010002> Tj ET"
+    spans, _ = pdf_spans(_type0_noto_pdf(content, ttf, cid2gid=c2g))
+    assert _texts(spans) == ["BA"]
+
+
+def test_type0_no_tounicode_no_fontfile_still_loud():
+    """Without ToUnicode AND without an embedded sfnt there is nothing
+    to decode through — the named seam remains."""
+    extra = ("<< /Type /Font /Subtype /Type0 /BaseFont /X "
+             "/Encoding /Identity-H >>")
+    blob = _raw_pdf(b"BT /F1 10 Tf 20 700 Td <0001> Tj ET",
+                    extra_objs=extra, font="/Font << /F1 5 0 R >>")
+    with pytest.raises(NotImplementedError, match="Type0"):
+        pdf_spans(blob)

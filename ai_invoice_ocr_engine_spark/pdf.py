@@ -924,19 +924,140 @@ def _cid_fontprogram_decoder(doc: PdfDocument, font: dict):
     return dec
 
 
+# Adobe Glyph List core subset (the names real subset fonts and
+# pdfTeX /Differences arrays actually use): ASCII punctuation names,
+# Latin-1 accents, typographic punctuation, ligatures, currency.
+# Letters/digits whose glyph name IS the character resolve in code.
+_AGL_CORE = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "fraction": "⁄",
+    "minus": "−", "fi": "ﬁ", "fl": "ﬂ",
+    "florin": "ƒ", "circumflex": "ˆ", "caron": "ˇ",
+    "tilde": "˜", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "hungarumlaut": "˝",
+    "macron": "¯", "cedilla": "¸", "dieresis": "¨",
+    "acute": "´", "exclamdown": "¡", "cent": "¢",
+    "sterling": "£", "currency": "¤", "yen": "¥",
+    "brokenbar": "¦", "section": "§",
+    "copyright": "©", "ordfeminine": "ª",
+    "guillemotleft": "«", "logicalnot": "¬",
+    "registered": "®", "degree": "°",
+    "plusminus": "±", "twosuperior": "²",
+    "threesuperior": "³", "mu": "µ", "paragraph": "¶",
+    "periodcentered": "·", "onesuperior": "¹",
+    "ordmasculine": "º", "guillemotright": "»",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "multiply": "×", "divide": "÷", "euro": "€",
+    "trademark": "™", "Euro": "€",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê",
+    "Edieresis": "Ë", "Igrave": "Ì", "Iacute": "Í",
+    "Icircumflex": "Î", "Idieresis": "Ï", "Eth": "Ð",
+    "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ",
+    "Odieresis": "Ö", "Oslash": "Ø", "Ugrave": "Ù",
+    "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ",
+    "germandbls": "ß", "agrave": "à", "aacute": "á",
+    "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "aring": "å", "ae": "æ",
+    "ccedilla": "ç", "egrave": "è", "eacute": "é",
+    "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "oslash": "ø",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "thorn": "þ",
+    "ydieresis": "ÿ", "dotlessi": "ı", "OE": "Œ",
+    "oe": "œ", "Scaron": "Š", "scaron": "š",
+    "Ydieresis": "Ÿ", "Zcaron": "Ž", "zcaron": "ž",
+    "Lslash": "Ł", "lslash": "ł",
+}
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """AGL-style glyph name → unicode: single-char names are literal,
+    uniXXXX[XXXX] / uXXXX..XXXXXX parse directly, the rest via the
+    core AGL subset. None when unknown (caller keeps its base map)."""
+    if len(name) == 1:
+        return name
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(
+                chr(int(name[i : i + 4], 16))
+                for i in range(3, len(name) - 3, 4)
+            )
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return _AGL_CORE.get(name)
+
+
+def _differences_decoder(doc: PdfDocument, diffs: list):
+    """Simple-font /Encoding /Differences (9.6.6): integers set the
+    current code, names remap it — resolved through the AGL core /
+    uniXXXX forms; unknown names keep the latin-1 base so the common
+    re-encoded-subset case degrades no worse than before."""
+    table = [chr(i) for i in range(256)]
+    code = 0
+    for item in diffs:
+        if isinstance(item, (int, float)):
+            code = int(item)
+        elif isinstance(item, str):
+            if 0 <= code < 256:
+                u = _glyph_to_unicode(item)
+                if u is not None:
+                    table[code] = u
+            code += 1
+    return lambda b: "".join(table[x] for x in b)
+
+
 def _font_decoder(doc: PdfDocument, font: dict | None):
     """Per-font bytes→str decoder, built once at Tf time.
 
-    Simple fonts decode via latin-1 (correct for Standard/WinAnsi
-    fixtures and most western invoices); Type0/CID composite fonts
-    decode through their embedded ToUnicode CMap (the reference's text
-    model is Unicode strings, so ToUnicode IS the authoritative map)
-    or — subset fonts embedded without one — through the font
-    program's own inverted cmap (_cid_fontprogram_decoder)."""
-    if font and font.get("Subtype") == "Type0":
-        tu = doc._resolve(font.get("ToUnicode"))
-        if not isinstance(tu, _Stream):
-            return _cid_fontprogram_decoder(doc, font)
+    Any font with a ToUnicode CMap decodes through it (the reference's
+    text model is Unicode strings, so ToUnicode IS the authoritative
+    map — simple fonts carry 1-byte codespaces, Type0 2-byte). Type0
+    WITHOUT one falls back to the embedded font program's inverted
+    cmap (_cid_fontprogram_decoder); simple fonts fall back to their
+    /Encoding /Differences array (AGL names), then latin-1."""
+    if not font:
+        return lambda b: b.decode("latin-1")
+
+    def simple_fallback():
+        enc = doc._resolve(font.get("Encoding"))
+        if isinstance(enc, dict):
+            diffs = doc._resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                return _differences_decoder(doc, diffs)
+        return lambda b: b.decode("latin-1")
+
+    tu = doc._resolve(font.get("ToUnicode"))
+    if isinstance(tu, _Stream):
         cache = getattr(doc, "_cmap_cache", None)
         if cache is None:
             cache = doc._cmap_cache = {}
@@ -945,8 +1066,21 @@ def _font_decoder(doc: PdfDocument, font: dict | None):
             cache[key] = _cmap_decoder(
                 *_parse_tounicode(_apply_filters(tu.raw, tu.dict, doc._resolve))
             )
-        return cache[key]
-    return lambda b: b.decode("latin-1")
+        if font.get("Subtype") == "Type0":
+            return cache[key]
+        # simple font with a (possibly partial) ToUnicode: unmapped
+        # codes fall back to the encoding, the convention real
+        # extractors use, instead of replacement chars
+        base, fb = cache[key], simple_fallback()
+        table = [
+            base(bytes([c])) if base(bytes([c])) != "�"
+            else fb(bytes([c]))
+            for c in range(256)
+        ]
+        return lambda b: "".join(table[x] for x in b)
+    if font.get("Subtype") == "Type0":
+        return _cid_fontprogram_decoder(doc, font)
+    return simple_fallback()
 
 
 _INLINE_KEYS = {

@@ -985,3 +985,45 @@ def test_type0_no_tounicode_no_fontfile_still_loud():
                     extra_objs=extra, font="/Font << /F1 5 0 R >>")
     with pytest.raises(NotImplementedError, match="Type0"):
         pdf_spans(blob)
+
+
+def test_simple_font_tounicode():
+    """Simple (non-Type0) fonts can carry a ToUnicode CMap too —
+    1-byte codespace — and it overrides the latin-1 default."""
+    cmap = b"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+2 beginbfchar
+<41> <0394>
+<42> <00E9>
+endbfchar
+endcmap
+end"""
+    objs = [
+        "<< /Type /Font /Subtype /TrueType /BaseFont /Sub "
+        "/ToUnicode 6 0 R >>",
+        f"<< /Length {len(cmap)} >>\nstream\n" + cmap.decode("latin-1")
+        + "\nendstream",
+    ]
+    blob = _raw_pdf(b"BT /F1 10 Tf 20 700 Td (ABC) Tj ET",
+                    extra_objs=objs, font="/Font << /F1 5 0 R >>")
+    spans, _ = pdf_spans(blob)
+    assert _texts(spans) == ["ΔéC"]
+
+
+def test_simple_font_differences_encoding():
+    """/Encoding /Differences (9.6.6), the pdfTeX re-encoded-subset
+    shape: AGL names, uniXXXX forms, single-char literal names; an
+    unknown name keeps the latin-1 base."""
+    objs = [
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Sub "
+        "/Encoding << /Type /Encoding /Differences "
+        "[ 65 /eacute /endash /uni20AC 97 /Zmadeup /q ] >> >>",
+    ]
+    blob = _raw_pdf(b"BT /F1 10 Tf 20 700 Td (ABC-ab) Tj ET",
+                    extra_objs=objs, font="/Font << /F1 5 0 R >>")
+    spans, _ = pdf_spans(blob)
+    # A->eacute, B->endash, C->euro, a (unknown name) stays 'a', b->q
+    assert _texts(spans) == ["é–€-aq"]

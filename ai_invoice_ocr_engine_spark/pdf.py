@@ -1017,12 +1017,31 @@ def _glyph_to_unicode(name: str) -> str | None:
     return _AGL_CORE.get(name)
 
 
-def _differences_decoder(doc: PdfDocument, diffs: list):
+def _base_encoding_table(name) -> list:
+    """256-entry code→str table for a named simple-font base encoding
+    (9.6.6): WinAnsi is cp1252 (the 0x80-0x9F typographic block real
+    office output uses), MacRoman the classic Mac set; anything else
+    keeps the latin-1 default. Codes undefined in the codec keep
+    their latin-1 character."""
+    codec = {"WinAnsiEncoding": "cp1252",
+             "MacRomanEncoding": "mac_roman"}.get(name)
+    table = [chr(i) for i in range(256)]
+    if codec:
+        for i in range(256):
+            try:
+                table[i] = bytes([i]).decode(codec)
+            except UnicodeDecodeError:
+                pass
+    return table
+
+
+def _differences_decoder(doc: PdfDocument, diffs: list,
+                         base=None):
     """Simple-font /Encoding /Differences (9.6.6): integers set the
     current code, names remap it — resolved through the AGL core /
-    uniXXXX forms; unknown names keep the latin-1 base so the common
-    re-encoded-subset case degrades no worse than before."""
-    table = [chr(i) for i in range(256)]
+    uniXXXX forms; unknown names keep the base-encoding entry so the
+    common re-encoded-subset case degrades no worse than before."""
+    table = list(base) if base else [chr(i) for i in range(256)]
     code = 0
     for item in diffs:
         if isinstance(item, (int, float)):
@@ -1051,9 +1070,14 @@ def _font_decoder(doc: PdfDocument, font: dict | None):
     def simple_fallback():
         enc = doc._resolve(font.get("Encoding"))
         if isinstance(enc, dict):
+            base = _base_encoding_table(enc.get("BaseEncoding"))
             diffs = doc._resolve(enc.get("Differences"))
             if isinstance(diffs, list):
-                return _differences_decoder(doc, diffs)
+                return _differences_decoder(doc, diffs, base=base)
+            return lambda b: "".join(base[x] for x in b)
+        if isinstance(enc, str):
+            table = _base_encoding_table(enc)
+            return lambda b: "".join(table[x] for x in b)
         return lambda b: b.decode("latin-1")
 
     tu = doc._resolve(font.get("ToUnicode"))

@@ -1027,3 +1027,30 @@ def test_simple_font_differences_encoding():
     spans, _ = pdf_spans(blob)
     # A->eacute, B->endash, C->euro, a (unknown name) stays 'a', b->q
     assert _texts(spans) == ["é–€-aq"]
+
+
+def test_simple_font_base_encodings():
+    """Named /Encoding /WinAnsiEncoding decodes the cp1252 0x80-0x9F
+    typographic block (euro, curly quotes, em dash); MacRoman maps its
+    own high range; and /BaseEncoding composes with /Differences."""
+    objs = ["<< /Type /Font /Subtype /Type1 /BaseFont /Helv "
+            "/Encoding /WinAnsiEncoding >>"]
+    blob = _raw_pdf(b"BT /F1 10 Tf 20 700 Td (\x80 \x93 \x94 \x97) Tj ET",
+                    extra_objs=objs, font="/Font << /F1 5 0 R >>")
+    spans, _ = pdf_spans(blob)
+    assert _texts(spans) == ["€ “ ” —"]
+
+    objs = ["<< /Type /Font /Subtype /Type1 /BaseFont /Helv "
+            "/Encoding /MacRomanEncoding >>"]
+    blob = _raw_pdf(b"BT /F1 10 Tf 20 700 Td (\x8e\xa5) Tj ET",
+                    extra_objs=objs, font="/Font << /F1 5 0 R >>")
+    spans, _ = pdf_spans(blob)
+    assert _texts(spans) == ["é•"]  # mac_roman: é bullet
+
+    objs = ["<< /Type /Font /Subtype /Type1 /BaseFont /Helv "
+            "/Encoding << /BaseEncoding /WinAnsiEncoding "
+            "/Differences [ 65 /eacute ] >> >>"]
+    blob = _raw_pdf(b"BT /F1 10 Tf 20 700 Td (A\x85) Tj ET",
+                    extra_objs=objs, font="/Font << /F1 5 0 R >>")
+    spans, _ = pdf_spans(blob)
+    assert _texts(spans) == ["é…"]  # Differences + cp1252 ellipsis

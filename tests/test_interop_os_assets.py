@@ -115,3 +115,44 @@ def test_os_mp3_header_metadata():
     assert meta["sample_rate"] == 22050
     assert meta["channels"] == 1
     assert abs(meta["duration_s"] - len(data) * 8 / 64000) < 0.02
+
+
+def test_os_html_docs_extract():
+    """Every real HTML document on the image (DocBook toolchains,
+    Node.js API docs, gtk-doc — uppercase-tag HTML 4.01 through
+    HTML5) extracts through the boilerplate-stripping pipeline with
+    zero errors; only nav-only/template stubs yield no spans, and a
+    real page's own <h1>/<title> text lands in its spans."""
+    import os
+    import re
+
+    from ai_invoice_ocr_engine_spark.html_extract import html_spans
+
+    files = sorted(
+        f for f in glob.glob("/usr/share/**/*.html", recursive=True)
+        if os.path.isfile(f)
+    )
+    if len(files) < 50:
+        pytest.skip("OS HTML population absent")
+    empty = 0
+    total = 0
+    for f in files:
+        spans, _media = html_spans(open(f, "rb").read())
+        total += len(spans)
+        empty += not spans
+    assert empty <= max(5, len(files) // 20)  # only nav-only stubs
+    assert total > 10_000
+
+    # content pin: a stable DocBook page's own heading text must
+    # survive the strip
+    probe = ("/usr/share/doc/shared-mime-info/"
+             "shared-mime-info-spec.html/index.html")
+    if os.path.exists(probe):
+        raw = open(probe, "rb").read().decode("latin-1")
+        m = re.search(r"<H1[^>]*>(.*?)</H1", raw, re.S | re.I)
+        assert m
+        want = re.sub(r"<[^>]+>", "", m.group(1))
+        want = " ".join(want.split())
+        spans, _ = html_spans(open(probe, "rb").read())
+        joined = " ".join(s["text"] for s in spans if s["kind"] == "text")
+        assert want.split()[0] in joined

@@ -1850,10 +1850,12 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             win &= bm
         elif comb_op == 2:  # XOR
             win ^= bm
+        elif comb_op == 3:  # XNOR (T.88 Table 32)
+            win[:] = 1 - (win ^ bm)
         elif comb_op == 4:  # REPLACE
             win[:] = bm
         else:
-            raise NotImplementedError(f"JBIG2 combine op {comb_op}")
+            raise ValueError(f"JBIG2 reserved combine op {comb_op}")
 
     pos = 0
     while pos < len(d):

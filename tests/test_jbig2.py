@@ -1183,3 +1183,21 @@ def test_huffman_refinement_standard_rd_tables():
                                      std_tables=True)
     assert np.array_equal(decode_jbig2(data),
                           _render([a, b], placements, 80, 20))
+
+
+def test_page_compose_xnor_and_reserved_op():
+    """T.88 Table 32 external combination operators: XNOR (op 3) onto
+    the zero page yields the bitmap's complement; reserved op values
+    are corrupt, not a silent skip."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    bm = (rng.random((60, 100)) < 0.3).astype(np.uint8)
+    data = encode_jbig2(bm)
+    key = struct.pack(">IIII", 100, 60, 0, 0) + b"\x00"
+    i = data.index(key)
+    patched = data[: i + 16] + b"\x03" + data[i + 17 :]
+    assert np.array_equal(decode_jbig2(patched), 1 - bm)
+    bad = data[: i + 16] + b"\x07" + data[i + 17 :]
+    with pytest.raises(ValueError, match="reserved combine"):
+        decode_jbig2(bad)

@@ -72,11 +72,21 @@ def decode_bmp(data: bytes) -> np.ndarray:
     try:
         pix_off = struct.unpack_from("<I", data, 10)[0]
         hdr_size = struct.unpack_from("<I", data, 14)[0]
-        if hdr_size < 40:
+        core = hdr_size == 12
+        if core:
+            # OS/2 BITMAPCOREHEADER: 16-bit unsigned dims (always
+            # bottom-up), no compression field, 3-byte palette entries
+            w, h_signed = struct.unpack_from("<HH", data, 18)
+            planes, bpp = struct.unpack_from("<HH", data, 22)
+            compression = 0
+            if bpp not in (1, 4, 8, 24):
+                raise ValueError(f"{bpp}-bit core-header BMP is malformed")
+        elif hdr_size < 40:
             raise NotImplementedError("BMP core-header variant unsupported")
-        w, h_signed = struct.unpack_from("<ii", data, 18)
-        planes, bpp = struct.unpack_from("<HH", data, 26)
-        compression = struct.unpack_from("<I", data, 30)[0]
+        else:
+            w, h_signed = struct.unpack_from("<ii", data, 18)
+            planes, bpp = struct.unpack_from("<HH", data, 26)
+            compression = struct.unpack_from("<I", data, 30)[0]
         if compression not in (0, 1, 2, 3):
             # BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS
             raise NotImplementedError(f"BMP compression {compression} unsupported")
@@ -102,7 +112,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
         _check_dims(w, h, "BMP")
         pal = None
-        if bpp <= 8:
+        if bpp <= 8 and core:
+            n_colors = 1 << bpp
+            raw_pal = np.frombuffer(
+                data, np.uint8, count=n_colors * 3, offset=26
+            ).reshape(n_colors, 3)  # BGR triples
+            pal = np.concatenate(
+                [raw_pal, np.zeros((n_colors, 1), np.uint8)], axis=1
+            )
+        elif bpp <= 8:
             n_colors = struct.unpack_from("<I", data, 46)[0] or (1 << bpp)
             # the 12 mask bytes precede the palette only for the plain
             # 40-byte header; V4/V5 headers already contain them

@@ -1084,3 +1084,43 @@ def test_decode_image_error_contract_fuzz():
     _struct.pack_into("<ii", huge, 18, 1 << 20, 1 << 20)
     with pytest.raises(ValueError, match="implausible"):
         BT.decode_bmp(bytes(huge))
+
+
+def test_bmp_os2_core_header():
+    """OS/2 BITMAPCOREHEADER (12-byte): 16-bit unsigned dims, no
+    compression field, 3-byte BGR palette entries — the last BMP
+    header vintage, hand-assembled so no fixture encoder is involved."""
+    import struct
+
+    from ai_invoice_ocr_engine_spark.kernels import decode_image, rgb_to_gray
+
+    def core_bmp(img, bpp):
+        h, w = img.shape[:2]
+        if bpp == 24:
+            row = ((w * 3 + 3) // 4) * 4
+            px = bytearray()
+            for y in range(h - 1, -1, -1):
+                r = bytearray()
+                for x in range(w):
+                    r += bytes([int(img[y, x, 2]), int(img[y, x, 1]),
+                                int(img[y, x, 0])])
+                r += b"\x00" * (row - len(r))
+                px += r
+            pal = b""
+        else:
+            pal = b"".join(bytes([i, i, i]) for i in range(256))
+            row = ((w + 3) // 4) * 4
+            px = bytearray()
+            for y in range(h - 1, -1, -1):
+                px += bytes(int(v) for v in img[y]) + b"\x00" * (row - w)
+        off = 14 + 12 + len(pal)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+        hdr += struct.pack("<IHHHH", 12, w, h, 1, bpp)
+        return hdr + pal + bytes(px)
+
+    rng = np.random.default_rng(55)
+    g = rng.integers(0, 256, (13, 10), np.uint8)
+    assert np.array_equal(decode_image(core_bmp(g, 8)), g)
+    rgb = rng.integers(0, 256, (9, 7, 3), np.uint8)
+    assert np.array_equal(decode_image(core_bmp(rgb, 24)),
+                          rgb_to_gray(rgb))

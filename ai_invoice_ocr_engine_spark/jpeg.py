@@ -230,6 +230,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None  # (h, w, comps) ; comps: list of dict(id, hs, vs, tq)
     progressive = False
+    lossless = False
+    planes: dict[int, np.ndarray] | None = None  # lossless sample planes
     store: dict[int, np.ndarray] | None = None  # raster-grid zigzag coeffs
     adobe_transform = None  # APP14 color-transform flag (0 CMYK/RGB, 1 YCbCr, 2 YCCK)
     pos = 2
@@ -243,6 +245,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if marker == 0xD8:  # SOI (spurious)
                 continue
             if marker == 0xD9:  # EOI
+                if planes is not None:
+                    return _reconstruct_lossless(planes, frame, rgb_to_gray)
                 if store is not None:
                     return _reconstruct(store, frame, qt, rgb_to_gray, adobe_transform)
                 raise ValueError("JPEG EOI before scan data")
@@ -278,9 +282,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     vals = list(seg[sp + 17 : sp + 17 + cnt])
                     (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                     sp += 17 + cnt
-            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
                 prec = seg[0]
-                if prec not in (8, 12):
+                if marker == 0xC3:
+                    if not 2 <= prec <= 16:
+                        raise ValueError("lossless JPEG precision out of range")
+                elif prec not in (8, 12):
                     raise NotImplementedError(f"{prec}-bit JPEG unsupported")
                 if prec == 12 and marker == 0xC0:
                     raise ValueError("baseline SOF0 must be 8-bit (T.81)")
@@ -299,10 +307,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 frame = (h, w, comps, prec)
                 progressive = marker == 0xC2
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                lossless = marker == 0xC3
+            elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "non-baseline/non-progressive JPEG (lossless/arithmetic) unsupported"
+                    "differential/hierarchical/arithmetic JPEG unsupported"
                 )
             elif marker == 0xDD:  # DRI
                 restart_interval = (seg[0] << 8) | seg[1]
@@ -322,6 +331,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     if comp is None:
                         raise ValueError("scan references unknown component")
                     scan.append((comp, tdta >> 4, tdta & 0x0F))
+                if lossless:
+                    ss = seg[1 + ns * 2]           # predictor selector
+                    pt = seg[3 + ns * 2] & 0x0F    # point transform
+                    if planes is None:
+                        planes = {
+                            c["id"]: np.zeros(frame[:2], np.int32)
+                            for c in frame[2]
+                        }
+                    pos = _decode_lossless_scan(
+                        data, pos + seg_len, frame, scan, planes,
+                        huff_dc, restart_interval, ss, pt,
+                    )
+                    continue
                 if store is None:
                     hmax = max(c["hs"] for c in frame[2])
                     vmax = max(c["vs"] for c in frame[2])
@@ -349,12 +371,126 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 continue
             # APPn / COM / others: skip
             pos += seg_len
+        if planes is not None:
+            return _reconstruct_lossless(planes, frame, rgb_to_gray)
         if store is not None:
             # tolerate a missing EOI after the last scan
             return _reconstruct(store, frame, qt, rgb_to_gray, adobe_transform)
         raise ValueError("JPEG has no scan (SOS) segment")
     except (IndexError, OverflowError, MemoryError, ZeroDivisionError) as e:
         raise ValueError(f"corrupt JPEG: {e}") from e
+
+
+def _lossless_predict(plane, x, y, sel):
+    """T.81 H.1.2.1 prediction for samples past the first line of a
+    restart interval: predictor 2 (above) at the start of each line,
+    the scan-selected predictor elsewhere.  The default prediction at
+    the first sample and the 1-D first-line rule live in the caller
+    (they depend on restart-interval position, not just x/y)."""
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"JPEG lossless predictor {sel} out of range")
+
+
+def _decode_lossless_scan(data, pos, frame, scan, planes, huff_dc,
+                          restart_interval, sel, pt):
+    """One lossless-process scan (T.81 Annex H): per sample a DC-style
+    Huffman category + extended difference bits, added to the H.1.2.1
+    prediction mod 2^16; ssss=16 codes a difference of 32768. Restart
+    intervals reset the entropy stream AND the prediction: per H.1.1
+    the 1-D horizontal predictor is used for the whole first line of
+    each restart interval (default prediction at its first sample),
+    not just at the start of the scan.  Multi-component scans
+    interleave sample-by-sample (1x1 sampling — the shape real
+    lossless encoders emit; subsampled lossless stays loud).
+    Point-transformed samples are shifted back at the end."""
+    h, w, comps, prec = frame
+    if len(scan) > 1 and any(
+        c["hs"] != 1 or c["vs"] != 1 for c, _, _ in scan
+    ):
+        raise NotImplementedError(
+            "lossless JPEG with subsampled components unsupported")
+    if not 1 <= sel <= 7:
+        raise ValueError("JPEG lossless predictor selector out of range")
+    segs, end = _entropy_segments(data, pos)
+    default = 1 << (prec - pt - 1)
+    tabs = []
+    for comp, td, _ta in scan:
+        if td not in huff_dc:
+            raise ValueError("JPEG scan references missing DC table")
+        t = huff_dc[td]
+        tabs.append((comp["id"], t.lut_sym, t.lut_len))
+    br = _SegBits(segs[0][0])
+    seg_i = 0
+    reset_at = 0
+    reset_y = 0
+    total = h * w
+    for m in range(total):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            br = _SegBits(segs[seg_i][0])
+            reset_at = m
+            reset_y = m // w
+        y, x = divmod(m, w)
+        for cid, lut_sym, lut_len in tabs:
+            ssss = br.read_sym(lut_sym, lut_len)
+            if ssss == 16:
+                diff = 32768
+            elif ssss > 16:
+                raise ValueError("JPEG lossless category out of range")
+            else:
+                diff = _extend(br.receive(ssss), ssss)
+            plane = planes[cid]
+            if m == reset_at:
+                pred = default
+            elif y == reset_y:
+                pred = int(plane[y, x - 1])  # H.1.1 first-line 1-D rule
+            else:
+                pred = _lossless_predict(plane, x, y, sel)
+            plane[y, x] = (pred + diff) & 0xFFFF
+    if pt:
+        for cid, _ls, _ll in tabs:
+            planes[cid] <<= pt
+    return end
+
+
+def _reconstruct_lossless(planes, frame, rgb_to_gray):
+    """Lossless planes → the engine's shared grayscale: 1 component
+    scales its precision to 8 bits; 3 components are RGB (lossless
+    color is coded without a color transform) through the shared
+    luma."""
+    h, w, comps, prec = frame
+    mx = (1 << prec) - 1
+    out = []
+    for c in comps:
+        a = np.clip(planes[c["id"]], 0, mx).astype(np.float64)
+        out.append(np.clip(np.rint(a * (255.0 / mx)), 0, 255)
+                   .astype(np.uint8))
+    if len(out) == 1:
+        return out[0]
+    if len(out) == 3:
+        return rgb_to_gray(np.stack(out, axis=-1))
+    raise NotImplementedError(
+        f"{len(out)}-component lossless JPEG unsupported")
 
 
 def _decode_baseline_scan(data, pos, frame, scan, store, huff_dc, huff_ac,

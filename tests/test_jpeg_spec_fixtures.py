@@ -395,3 +395,198 @@ def test_12bit_baseline_sof0_rejected():
     )
     with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg(stream)
+
+
+# -- lossless process (SOF3, T.81 Annex H) ------------------------------------
+# Fixtures assembled by hand from the spec text: H.1.2.1 predictors,
+# H.1.2.2 difference coding (modulo 2^16, SSSS categories with the DC
+# one's-complement magnitude convention, SSSS=16 coding a difference of
+# exactly 32768 with no appended bits), H.1.1's rule that the 1-D
+# horizontal predictor covers the whole first line of the scan and of
+# every restart interval.  The packer below shares only the generic
+# T.81 Annex C canonical-code / B.1.1.5 byte-stuffing helpers with the
+# baseline fixtures above — no jpeg.py encode path is involved.
+
+# Huffman table covering difference categories 0..16 (17 codes of
+# length 5; Kraft sum 17/32 < 1, so a canonical table exists)
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
+
+
+def _sof3(prec, h, w, comps):
+    """comps: list of (cid, hs, vs)."""
+    payload = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    payload += bytes([len(comps)])
+    for cid, hs, vs in comps:
+        payload += bytes([cid, (hs << 4) | vs, 0])
+    return _seg(0xC3, payload)
+
+
+def _sos_ll(comps, sel, pt):
+    """comps: list of (cid, dc_table); Ss = predictor selector,
+    Se = 0, Al = point transform (H.2.1)."""
+    payload = bytes([len(comps)])
+    for cid, td in comps:
+        payload += bytes([cid, td << 4])
+    payload += bytes([sel, 0, pt])
+    return _seg(0xDA, payload)
+
+
+def _put_diff(bw, codes, diff):
+    """H.1.2.2: category + magnitude bits; SSSS=16 is the bare code."""
+    if diff == 32768:
+        code, ln = codes[16]
+        bw.put(code, ln)
+        return
+    cat = 0 if diff == 0 else abs(int(diff)).bit_length()
+    code, ln = codes[cat]
+    bw.put(code, ln)
+    if cat:
+        v = diff if diff > 0 else diff + (1 << cat) - 1
+        bw.put(v, cat)
+
+
+def _predict_ref(plane, x, y, sel, default, reset_at, reset_y, m, w):
+    """Spec-side prediction mirror for the fixture encoder (H.1.1/H.1.2.1)."""
+    if m == reset_at:
+        return default
+    if y == reset_y:
+        return int(plane[y, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    return {
+        1: a,
+        2: b,
+        3: c,
+        4: a + b - c,
+        5: a + ((b - c) >> 1),
+        6: b + ((a - c) >> 1),
+        7: (a + b) >> 1,
+    }[sel]
+
+
+def _encode_ll(planes_by_cid, prec, sel, pt=0, restart=0):
+    """Hand-pack one lossless scan over interleaved 1x1 components.
+    `planes_by_cid` holds the ORIGINAL samples; point transform divides
+    them by 2^pt before coding (H.1, decoder re-multiplies)."""
+    codes = _codes(_LL_BITS, _LL_VALS)
+    cids = list(planes_by_cid)
+    shifted = {cid: (planes_by_cid[cid].astype(np.int64) >> pt)
+               for cid in cids}
+    h, w = shifted[cids[0]].shape
+    default = 1 << (prec - pt - 1)
+    chunks = []
+    bw = _BW()
+    reset_at = 0
+    reset_y = 0
+    rst = 0
+    for m in range(h * w):
+        if restart and m and m % restart == 0:
+            chunks.append(bw.done())
+            chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) & 7
+            bw = _BW()
+            reset_at = m
+            reset_y = m // w
+        y, x = divmod(m, w)
+        for cid in cids:
+            plane = shifted[cid]
+            pred = _predict_ref(plane, x, y, sel, default,
+                                reset_at, reset_y, m, w)
+            diff = (int(plane[y, x]) - pred) % 65536
+            if diff > 32768:
+                diff -= 65536
+            _put_diff(bw, codes, diff)
+    chunks.append(bw.done())
+    return b"".join(chunks)
+
+
+def _ll_stream(planes_by_cid, prec, sel, pt=0, restart=0):
+    cids = list(planes_by_cid)
+    h, w = planes_by_cid[cids[0]].shape
+    head = b"\xff\xd8" + _dht(0, 0, _LL_BITS, _LL_VALS)
+    if restart:
+        head += _seg(0xDD, restart.to_bytes(2, "big"))
+    head += _sof3(prec, h, w, [(cid, 1, 1) for cid in cids])
+    head += _sos_ll([(cid, 0) for cid in cids], sel, pt)
+    return head + _encode_ll(planes_by_cid, prec, sel, pt, restart) + b"\xff\xd9"
+
+
+def _grad_img(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    base = (np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5) % 251
+    return ((base + rng.integers(0, 17, (h, w))) % 256).astype(np.uint8)
+
+
+def test_lossless_gray_all_predictors():
+    """8-bit grayscale SOF3 round-trips bit-exactly under every H.1
+    predictor selector 1..7."""
+    img = _grad_img(13, 16)
+    for sel in range(1, 8):
+        out = decode_jpeg(_ll_stream({1: img}, 8, sel))
+        assert out.dtype == np.uint8
+        assert np.array_equal(out, img), f"predictor {sel}"
+
+
+def test_lossless_point_transform():
+    """Al = 2 divides samples by 4 before coding; the decoder shifts the
+    reconstruction back up (H.1): output == (img >> 2) << 2."""
+    img = _grad_img(9, 11, seed=3)
+    out = decode_jpeg(_ll_stream({1: img}, 8, sel=4, pt=2))
+    assert np.array_equal(out, (img >> 2) << 2)
+
+
+def test_lossless_restart_resets_prediction():
+    """DRI = one row of samples: every row starts a restart interval, so
+    per H.1.1 every row must decode with the 1-D horizontal predictor
+    and a default-predicted first sample — using the row above (the
+    scan-selected predictor 2) instead would corrupt all rows but the
+    first."""
+    img = _grad_img(8, 12, seed=11)
+    out = decode_jpeg(_ll_stream({1: img}, 8, sel=2, restart=12))
+    assert np.array_equal(out, img)
+
+
+def test_lossless_rgb_interleaved():
+    """Three 1x1 components in one interleaved scan; lossless color is
+    coded without a color transform, so the engine's grayscale output
+    is the shared luma of the exact RGB planes."""
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    r = _grad_img(7, 9, seed=1)
+    g = _grad_img(7, 9, seed=2)
+    b = _grad_img(7, 9, seed=3)
+    out = decode_jpeg(_ll_stream({1: r, 2: g, 3: b}, 8, sel=7))
+    assert np.array_equal(out, rgb_to_gray(np.stack([r, g, b], axis=-1)))
+
+
+def test_lossless_16bit_ssss16_wraparound():
+    """16-bit precision: the first sample predicts 2^15; coding sample 0
+    requires a difference of -32768 ≡ 32768 (mod 2^16), i.e. the bare
+    SSSS=16 code with no appended bits (H.1.2.2).  The 16-bit plane is
+    scaled to the engine's 8-bit grayscale."""
+    img16 = np.array([[0, 65535, 32768, 12345],
+                      [65535, 0, 54321, 1]], dtype=np.uint16)
+    out = decode_jpeg(_ll_stream({1: img16}, 16, sel=1))
+    exp = np.clip(np.rint(img16.astype(np.float64) * (255.0 / 65535)),
+                  0, 255).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_lossless_bad_predictor_rejected():
+    """Ss = 0 selects 'no prediction' only in the hierarchical process;
+    in a plain lossless scan it is corrupt (H.2.1 allows 1..7)."""
+    import pytest
+
+    img = _grad_img(4, 4)
+    stream = (
+        b"\xff\xd8" + _dht(0, 0, _LL_BITS, _LL_VALS)
+        + _sof3(8, 4, 4, [(1, 1, 1)])
+        + _sos_ll([(1, 0)], sel=0, pt=0)
+        + _encode_ll({1: img}, 8, 1) + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg(stream)

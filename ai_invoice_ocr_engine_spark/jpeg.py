@@ -10,7 +10,11 @@ with 16-bit quant tables; decoded at full 12-bit range then rounded
 once to the engine's 8-bit grayscale), grayscale / YCbCr / Adobe RGB /
 Adobe CMYK + YCCK (APP14 transform flag, inverted-ink convention) with
 ANY integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
-markers. Arithmetic coding and lossless raise NotImplementedError
+markers, plus the LOSSLESS process (SOF3, T.81 Annex H: the seven
+H.1.2.1 predictors, point transform, 2-16 bit precision, the
+first-line 1-D rule at scan start and after every restart, SSSS=16
+mod-2^16 wraparound; gray scales to 8-bit, RGB through the shared
+luma). Arithmetic coding raises NotImplementedError
 (valid-but-unsupported — arithmetic deliberately so: the QM-coder state
 table of T.81 Table D.3 has no independent implementation in this
 container to pin a transcription against, the same policy as the JBIG2

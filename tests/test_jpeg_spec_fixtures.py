@@ -590,3 +590,56 @@ def test_lossless_bad_predictor_rejected():
     )
     with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(stream)
+
+
+def _minimal_tiff_jpeg(strip: bytes, h, w):
+    """Hand-built little-endian classic TIFF: one full-height strip,
+    compression 7 (new-style JPEG), 8-bit grayscale."""
+    import struct
+
+    n = 8
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 7),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 3, 1, h),
+    ]
+    ifd_off = 8
+    ifd_len = 2 + 12 * (len(entries) + 2) + 4
+    strip_off = ifd_off + ifd_len
+    entries += [(273, 4, 1, strip_off), (279, 4, 1, len(strip))]
+    entries.sort()
+    out = struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    assert len(out) == strip_off
+    return out + strip
+
+
+def test_lossless_jpeg_in_tiff_strip():
+    """TIFF-EP / DNG-style carrier: compression 7 whose strip is a
+    lossless SOF3 stream must round-trip bit-exactly through
+    decode_tiff (and the decode_image sniffer)."""
+    from ai_invoice_ocr_engine_spark.bmptiff import decode_tiff
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+
+    img = _grad_img(21, 17, seed=5)
+    tif = _minimal_tiff_jpeg(_ll_stream({1: img}, 8, sel=4), 21, 17)
+    assert np.array_equal(decode_tiff(tif), img)
+    assert np.array_equal(decode_image(tif), img)
+
+
+def test_lossless_jpeg_in_pdf_dct_xobject():
+    """PDF DCTDecode image XObject carrying an SOF3 stream decodes
+    losslessly through the full pdf_spans → media → decode_image path."""
+    from ai_invoice_ocr_engine_spark import kernels as K
+    from ai_invoice_ocr_engine_spark.pdf import encode_pdf, pdf_spans
+
+    img = _grad_img(19, 23, seed=9)
+    page = [
+        ("text", 72, 700, 12, "scan"),
+        ("image", 72, 300, 120, 90, _ll_stream({1: img}, 8, sel=1), "jpeg"),
+    ]
+    spans, media = pdf_spans(encode_pdf([page]))
+    ref = next(s["media_ref"] for s in spans if s["kind"] == "image")
+    assert np.array_equal(K.decode_image(media[ref]), img)

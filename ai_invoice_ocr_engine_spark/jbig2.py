@@ -1802,9 +1802,8 @@ def _parse_segment_header(d: bytes, pos: int):
             "length": length, "data_pos": pos}
 
 
-_UNSUPPORTED = {
-    64: "extension",
-}
+_UNSUPPORTED: dict = {}  # every T.88 Table 34 type now decodes or skips
+# per spec; values outside the table are corrupt (ValueError below)
 
 
 def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
@@ -1993,7 +1992,20 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 aux_regions[seg["num"]] = bm
             else:
                 compose(bm, rw, rh, rx, ry, comb_op, "region")
-        elif styp in (49, 50, 51, 62):  # end of page/stripe/file, extension
+        elif styp == 62:  # extension (7.4.14): the type's bit 31 is the
+            # "necessary" bit — a decoder that does not understand a
+            # necessary extension cannot decode correctly, so it must be
+            # loud; anything else (e.g. 0x20000000/0x20000002 coded
+            # comments) is safely skipped
+            if len(body) < 4:
+                raise ValueError("JBIG2 extension segment truncated")
+            ext_type = struct.unpack(">I", body[:4])[0]
+            if ext_type & 0x80000000:
+                raise NotImplementedError(
+                    f"JBIG2 necessary extension 0x{ext_type:08X} unsupported"
+                )
+            continue
+        elif styp in (49, 50, 51):  # end of page/stripe/file
             continue
         elif styp in _UNSUPPORTED:
             raise NotImplementedError(

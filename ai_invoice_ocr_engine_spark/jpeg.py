@@ -433,6 +433,8 @@ def _decode_lossless_scan(data, pos, frame, scan, planes, huff_dc,
             "lossless JPEG with subsampled components unsupported")
     if not 1 <= sel <= 7:
         raise ValueError("JPEG lossless predictor selector out of range")
+    if pt >= prec:
+        raise ValueError("JPEG lossless point transform >= precision")
     segs, end = _entropy_segments(data, pos)
     default = 1 << (prec - pt - 1)
     tabs = []

@@ -1201,3 +1201,31 @@ def test_page_compose_xnor_and_reserved_op():
     bad = data[: i + 16] + b"\x07" + data[i + 17 :]
     with pytest.raises(ValueError, match="reserved combine"):
         decode_jbig2(bad)
+
+
+def test_extension_segments_necessary_bit():
+    """T.88 7.4.14: an extension whose type has bit 31 clear (e.g. the
+    0x20000000 single-byte coded comment) is safely skipped; one with
+    the necessary bit set must refuse loudly, and a truncated extension
+    body is corrupt."""
+    import struct
+
+    from ai_invoice_ocr_engine_spark.jbig2 import encode_jbig2
+
+    bm = _strokes(30, 44, seed=21)
+    data = encode_jbig2(bm)
+
+    def seg(num, styp, body):
+        return (struct.pack(">IB", num, styp) + b"\x00\x01"
+                + struct.pack(">I", len(body)) + body)
+
+    comment = seg(90, 62, struct.pack(">I", 0x20000000)
+                  + b"title\x00fixture\x00\x00")
+    assert np.array_equal(decode_jbig2(data + comment), bm)
+
+    necessary = seg(91, 62, struct.pack(">I", 0x80000001) + b"\x00")
+    with pytest.raises(NotImplementedError, match="necessary extension"):
+        decode_jbig2(data + necessary)
+
+    with pytest.raises(ValueError, match="extension segment truncated"):
+        decode_jbig2(data + seg(92, 62, b"\x01\x02"))

@@ -1058,6 +1058,11 @@ def test_decode_image_error_contract_fuzz():
 
     valids += [encode_gif(img), encode_gif(img, interlace=True),
                encode_gif([img, img[4:12, 4:20]], offsets=[(0, 0), (4, 4)])]
+    from .test_jpeg_spec_fixtures import _ll_stream
+
+    valids += [_ll_stream({1: img}, 8, sel=4),
+               _ll_stream({1: img.astype(np.uint16) << 8}, 16, sel=7, pt=1,
+                          restart=32)]
 
     def probe(data):
         try:

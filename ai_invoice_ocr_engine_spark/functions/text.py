@@ -15,6 +15,51 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
 #: BPE-ish token regex: letter runs, digit runs, single other non-space
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+#: Unicode script ranges as literal-character classes — literal BMP chars
+#: (not \u/\x{} escapes) so the SAME pattern string means the same thing
+#: under Java regex (Spark) and RE2 (the DuckDB oracle). Ordered: the
+#: order doubles as the deterministic tie-break for the dominant script.
+SCRIPT_RANGES = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", f"[{chr(0x0400)}-{chr(0x04FF)}]"),
+    ("greek", f"[{chr(0x0370)}-{chr(0x03FF)}]"),
+    ("cjk", f"[{chr(0x4E00)}-{chr(0x9FFF)}]"),
+]
+
+
+def with_scripts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode script-mix detection — the multilingual-corpus routing
+    stage (which tokenizer / langid model / quality gate a document
+    should flow to): per-script character counts, the dominant script
+    (ties broken by the fixed SCRIPT_RANGES order), and script purity
+    (dominant count / all scripted chars).
+
+    Scale: four regexp projections over the scan — whole-stage codegen,
+    no Python, no shuffle; a narrow map at 10^12 docs."""
+    counts = {
+        name: F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        for name, pat in SCRIPT_RANGES
+    }
+    cols = [counts[n].alias(f"n_{n}") for n, _ in SCRIPT_RANGES]
+    names = [n for n, _ in SCRIPT_RANGES]
+    dom = F.lit(names[-1])
+    for n in reversed(names[:-1]):
+        later = [counts[m] for m in names[names.index(n) + 1:]]
+        cond = counts[n] >= later[0]
+        for c in later[1:]:
+            cond = cond & (counts[n] >= c)
+        dom = F.when(cond, F.lit(n)).otherwise(dom)
+    total = counts[names[0]]
+    for n in names[1:]:
+        total = total + counts[n]
+    dom_count = F.greatest(*[counts[n] for n in names])
+    return docs.select(
+        "doc_id",
+        *cols,
+        dom.alias("dominant_script"),
+        F.round(dom_count / F.greatest(total, F.lit(1)), 4).alias("script_purity"),
+    )
+
 
 def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_tokens / n_bpe_tokens / avg_token_len / stopword_ratio /

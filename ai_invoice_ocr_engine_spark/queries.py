@@ -753,6 +753,62 @@ FROM base
 """
 
 
+#: doc_id%4-keyed snippets so every script branch fires on the synthetic
+#: (ASCII-only) corpus — same enrichment discipline as pii_scrub.
+_SCRIPT_SNIPPETS = [
+    "",
+    " Привет мир данные корпус",
+    " 数据清洗流水线语料",
+    " Γειά σου κόσμος σώμα",
+]
+
+
+def q_text_scripts(spark, sf):
+    """Unicode script-mix detection (functions/text.py with_scripts) —
+    the multilingual routing stage: per-script char counts, dominant
+    script, script purity. Rows are enriched with a deterministic
+    doc_id-keyed non-Latin snippet so every script branch is exercised.
+
+    Scale: regexp projections only — codegen, no shuffle."""
+    d = _t(spark, sf, "documents")
+    snip = F.lit(_SCRIPT_SNIPPETS[-1])
+    for i in range(len(_SCRIPT_SNIPPETS) - 2, -1, -1):
+        snip = F.when(F.col("doc_id") % 4 == i, F.lit(_SCRIPT_SNIPPETS[i])).otherwise(snip)
+    enriched = d.select("doc_id", F.concat(F.col("text"), snip).alias("text"))
+    return T.with_scripts(enriched)
+
+
+_SQL_TEXT_SCRIPTS = f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || CASE (doc_id % 4)
+           WHEN 1 THEN '{_SCRIPT_SNIPPETS[1]}'
+           WHEN 2 THEN '{_SCRIPT_SNIPPETS[2]}'
+           WHEN 3 THEN '{_SCRIPT_SNIPPETS[3]}'
+           ELSE '' END AS text
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_latin,
+         len(regexp_extract_all(text, '[{chr(0x0400)}-{chr(0x04FF)}]')) AS n_cyrillic,
+         len(regexp_extract_all(text, '[{chr(0x0370)}-{chr(0x03FF)}]')) AS n_greek,
+         len(regexp_extract_all(text, '[{chr(0x4E00)}-{chr(0x9FFF)}]')) AS n_cjk
+  FROM enriched
+)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk,
+       CASE
+         WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_cjk THEN 'latin'
+         WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk THEN 'cyrillic'
+         WHEN n_greek >= n_cjk THEN 'greek'
+         ELSE 'cjk'
+       END AS dominant_script,
+       round(greatest(n_latin, n_cyrillic, n_greek, n_cjk)
+             / greatest(n_latin + n_cyrillic + n_greek + n_cjk, 1), 4)
+         AS script_purity
+FROM counted
+"""
+
+
 #: PII patterns chosen for identical semantics under Java regex (Spark)
 #: and RE2 (DuckDB): no backreferences, no lookaround.
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -3859,6 +3915,7 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "chunk_windows": (q_chunk_windows, _SQL_CHUNK_WINDOWS),
     "text_langid": (q_text_langid, _SQL_TEXT_LANGID),
+    "text_scripts": (q_text_scripts, _SQL_TEXT_SCRIPTS),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_FINGERPRINT),
     "asof_join_signup": (q_asof_signup, _SQL_ASOF),
     "asof_forward_activation": (q_asof_forward_activation, _SQL_ASOF_FWD),

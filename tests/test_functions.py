@@ -889,3 +889,28 @@ def test_chunk_windows_semantics(spark):
     assert [r["n_chunk_tokens"] for r in one] == [32, 32, 32, 28, 4]
     assert [r["n_chunk_tokens"] for r in by_doc[2]] == [0]
     assert [r["n_chunk_tokens"] for r in by_doc[3]] == [2]
+
+
+def test_with_scripts_dominant_and_purity(spark):
+    """Script-mix detection: per-script char counts, the fixed
+    latin>cyrillic>greek>cjk tie-break, and purity over scripted chars
+    only (digits/punctuation excluded from the denominator)."""
+    from ai_invoice_ocr_engine_spark.functions.text import with_scripts
+
+    rows = [
+        (1, "hello world"),                    # pure latin
+        (2, "Привет мир"),                     # pure cyrillic
+        (3, "ab Γα"),                          # 2 latin vs 2 greek: tie → latin
+        (4, "数据 123 ... 数据"),               # cjk; digits don't count
+        (5, "Γειά αβγδε x"),                   # greek-dominant with one latin
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in with_scripts(df).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["script_purity"] == 1.0
+    assert out[2]["dominant_script"] == "cyrillic" and out[2]["n_cyrillic"] == 9
+    assert out[3]["dominant_script"] == "latin"  # tie-break order
+    assert out[4]["dominant_script"] == "cjk" and out[4]["n_cjk"] == 4
+    assert out[4]["script_purity"] == 1.0  # digits excluded
+    assert out[5]["dominant_script"] == "greek"
+    assert out[5]["n_greek"] == 9 and out[5]["n_latin"] == 1
+    assert out[5]["script_purity"] == 0.9

@@ -161,6 +161,23 @@ def main(argv=None) -> int:
     lk.add_argument("--doc-ids", required=True, help="comma-separated ids")
     lk.add_argument("--master", default=None)
 
+    cu = sub.add_parser(
+        "curate",
+        help="run the corpus-curation funnel (quality -> repetition -> "
+             "exact dedup [-> MinHash near-dup]) and write kept docs",
+    )
+    cu.add_argument("--docs", required=True, help="documents parquet path")
+    cu.add_argument("--out", required=True, help="output dir (kept/ + report)")
+    cu.add_argument("--quality", type=float, default=0.75,
+                    help="quality_score acceptance threshold")
+    cu.add_argument("--near-dedup", action="store_true",
+                    help="also drop MinHash near-duplicates (keep the "
+                         "longest member per component)")
+    cu.add_argument("--fast-hash", action="store_true",
+                    help="xxhash64 MinHash family (the at-scale choice; "
+                         "default md5 is the oracle-checkable one)")
+    cu.add_argument("--master", default=None)
+
     o = sub.add_parser("oracle", help="run the single-process golden oracle")
     o.add_argument("--docs", required=True)
     o.add_argument("--media", required=True)
@@ -406,6 +423,26 @@ def main(argv=None) -> int:
             rep = bucket_stats(spark, args.out)
         finally:
             spark.stop()
+        print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "curate":
+        import os
+
+        from .curate import run_curate
+        from .sources.session import get_spark
+
+        spark = get_spark(app="curate", master=args.master)
+        try:
+            rep = run_curate(
+                spark, args.docs, args.out, quality=args.quality,
+                near_dedup=args.near_dedup, fast_hash=args.fast_hash,
+            )
+        finally:
+            spark.stop()
+        os.makedirs(args.out, exist_ok=True)
+        with open(f"{args.out}/report.json", "w") as f:
+            json.dump(rep, f)
         print(json.dumps(rep))
         return 0
 

@@ -886,8 +886,9 @@ def _encode_table_segment(
 
 def _decode_symbol_dict(body: bytes, in_syms: list, tables: list | None = None) -> list:
     """Type-0 segment → exported symbol list (numpy bitmaps). Arithmetic
-    coding, or Huffman (SDHUFF=1) including SDREFAGG=1 single-instance
-    refinements; only REFAGGNINST>1 under SDHUFF stays loud."""
+    coding, or Huffman (SDHUFF=1) including SDREFAGG=1 — both the
+    single-instance refinement shape and REFAGGNINST>1 aggregates
+    (embedded Table-17 Huffman text region, 6.5.8.2.2)."""
     if len(body) < 2:
         raise ValueError("JBIG2 symbol dictionary truncated")
     flags = int.from_bytes(body[:2], "big")

@@ -222,6 +222,50 @@ def test_handpacked_1x2_53_lifting_and_band_walk():
     assert img[:, 0].tolist() == [100, 120]
 
 
+def test_handpacked_4x1_hl_swap_and_neighbor_contexts():
+    # Row [136,140,134,138] under one horizontal 5/3 level. DC shift:
+    # x=[8,12,6,10]; forward lifting (F.4, mirror x4=x2):
+    #   d0 = 12 - floor((8+6)/2) = 5,  d1 = 10 - floor((6+6)/2) = 4  -> HL
+    #   s0 = 8 + floor((5+5+2)/4) = 11, s1 = 6 + floor((5+4+2)/4) = 8 -> LL
+    # LH/HH have zero height, so resolution 1 walks only HL (2x1).
+    # LL block [11,8] (Mb=4: G=2, eps=3): after (0,0) turns significant
+    # IN THE SAME cleanup pass, (0,1) sees sumH=1 -> LL-table ZC context
+    # 5, and its sign rides (H,V)=(+1,0) -> context 12 XOR 0. First
+    # refinements with a significant neighbor use MR context 15 (not
+    # 14), later ones 16. HL block [5,4] (Mb=3: G=2, eps=2): the HL
+    # table SWAPS H and V (Table D-1), so (0,1)'s horizontal neighbor
+    # lands it in context 3, not 5 — while its SIGN context does not
+    # swap (still 12).
+    ll = [(0, 1), (9, 0), (5, 1), (12, 0), (15, 0), (15, 0),
+          (16, 1), (16, 0), (16, 1), (16, 0)]
+    hl = [(0, 1), (9, 0), (3, 1), (12, 0), (15, 0), (15, 0),
+          (16, 1), (16, 0)]
+    packets = _single_block_packet(ll, npasses=10) + _single_block_packet(
+        hl, npasses=7
+    )
+    img = decode_jpeg2000(_stream(4, 1, 1, 2, [3, 2, 2, 2], packets))
+    assert img.shape == (1, 4)
+    assert img[0].tolist() == [136, 140, 134, 138]
+
+
+def test_handpacked_4x1_negative_neighbor_sign_prediction():
+    # Row [136,128,134,138] -> x=[8,0,6,10]: d0 = 0-7 = -7, d1 = 4,
+    # s0 = 8 + floor((-12)/4) = 5, s1 = 6 + floor((-1)/4) = 5 (floor
+    # toward -inf on negatives — a classic convention trap). In the HL
+    # block the NEGATIVE first coefficient flips the sign prediction of
+    # its neighbor: (0,1) codes its sign through context 12 with XOR 1,
+    # so the positive sign arrives as a CODED 1.
+    ll = [(0, 1), (9, 0), (5, 1), (12, 0), (15, 0), (15, 0),
+          (16, 1), (16, 1)]
+    hl = [(0, 1), (9, 1), (3, 1), (12, 1), (15, 1), (15, 0),
+          (16, 1), (16, 0)]
+    packets = _single_block_packet(ll, npasses=7) + _single_block_packet(
+        hl, npasses=7
+    )
+    img = decode_jpeg2000(_stream(4, 1, 1, 2, [2, 2, 2, 2], packets))
+    assert img[0].tolist() == [136, 128, 134, 138]
+
+
 def test_handpacked_8x8_empty_packets_all_gray():
     # All-128 image, two 5/3 levels: every coefficient is zero, and the
     # encoder says so with three EMPTY packets (first header bit 0,

@@ -102,6 +102,56 @@ def near_dup_pairs(
     )
 
 
+def semdedup_keep_stats(
+    embeddings: DataFrame, n_bits: int = 8, min_cos: float = 0.99
+) -> DataFrame:
+    """SemDeDup-style embedding pruning (cluster, then drop within-cluster
+    cosine near-duplicates keeping one representative — Abbas et al. 2023),
+    with the deterministic sign-LSH bucket as the cluster: within each
+    bucket, every vector that has a cosine >= ``min_cos`` neighbor of
+    SMALLER vec_id is dropped (the module's min-label convention, same as
+    line_dedup / substring_dedup). Returns per-bucket acceptance stats
+    (bucket, n_vectors, n_reps, n_kept).
+
+    Scale posture — the pair join is guarded by a LOSSLESS exact-duplicate
+    collapse: stage 1 groups by the embedding VALUE and keeps the min
+    vec_id (one map-side-combinable aggregate), so identical-embedding
+    floods — the adversarial mega-bucket case for every banded self-join
+    in this package — never reach the pair join at all. Collapse-first
+    provably preserves the kept set: an exact twin has cosine 1 with its
+    class min, so every non-representative is pruned either way; and any
+    pruning a non-representative w could do, its representative (same
+    embedding, vec_id <= w) does too. tests/test_functions.py pins this
+    equivalence against the unguarded form on a duplicate-heavy corpus.
+    """
+    e = embeddings.select(
+        "vec_id", "embedding", _sign_bucket(n_bits).alias("bucket")
+    )
+    reps = e.groupBy("bucket", "embedding").agg(
+        F.min("vec_id").alias("vec_id")
+    )
+    pruned = (
+        near_dup_pairs(reps.select("vec_id", "embedding"), n_bits, min_cos)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    kept = reps.join(pruned, "vec_id", "left_anti")
+    # every bucket keeps at least its smallest representative (nothing can
+    # prune it), so the three per-bucket counts inner-join losslessly
+    return (
+        e.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(
+            reps.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_reps")),
+            "bucket",
+        )
+        .join(
+            kept.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_kept")),
+            "bucket",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) index — the coarse-quantizer scale path for ANN.
 # Pure DataFrame ops: deterministic Lloyd k-means (no RNG, no MLlib), then

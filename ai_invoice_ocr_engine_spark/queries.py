@@ -2227,6 +2227,69 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_semdedup_prune(spark, sf):
+    """SemDeDup-style embedding pruning over a duplicate-augmented corpus:
+    exact copies (+10000, bit-identical) exercise the lossless
+    exact-collapse guard; x2-scaled copies (+20000, cosine exactly 1.0
+    with their source but NOT bit-equal) exercise the within-bucket pair
+    prune. Per-bucket stats keep the output small and fully checkable."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    scaled = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return S.semdedup_keep_stats(
+        e.unionByName(exact).unionByName(scaled), n_bits=8, min_cos=0.99
+    )
+
+
+_SQL_SEMDEDUP = """
+WITH all_e AS (
+  SELECT vec_id, embedding::double[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding::double[] FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 20000, list_transform(embedding::double[], x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+b AS (
+  SELECT vec_id, embedding, (
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+  )::int AS bucket FROM all_e
+),
+reps AS (
+  SELECT bucket, embedding, min(vec_id) AS vec_id
+  FROM b GROUP BY bucket, embedding
+),
+pruned AS (
+  SELECT DISTINCT c.vec_id FROM reps a JOIN reps c
+  ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE round(list_dot_product(a.embedding, c.embedding) /
+              (sqrt(list_dot_product(a.embedding, a.embedding)) *
+               sqrt(list_dot_product(c.embedding, c.embedding))), 4) >= 0.99
+)
+SELECT v.bucket, v.n_vectors, r.n_reps, k.n_kept FROM
+  (SELECT bucket, count(*)::bigint AS n_vectors FROM b GROUP BY bucket) v
+  JOIN (SELECT bucket, count(*)::bigint AS n_reps FROM reps GROUP BY bucket) r
+    ON v.bucket = r.bucket
+  JOIN (SELECT bucket, count(*)::bigint AS n_kept FROM reps
+        WHERE vec_id NOT IN (SELECT vec_id FROM pruned) GROUP BY bucket) k
+    ON v.bucket = k.bucket
+"""
+
+
 def q_ann_ivf_full_probe(spark, sf):
     """IVF ANN at nprobe == n_clusters: the probe path degrades to exact
     brute force, so the DuckDB brute-force cosine SQL is a full end-to-end
@@ -3922,6 +3985,7 @@ REGISTRY: dict[str, tuple] = {
     "quantiles": (q_quantiles, _SQL_QUANTILES),
     "json_props": (q_json_props, _SQL_JSON_PROPS),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
+    "semdedup_prune": (q_semdedup_prune, _SQL_SEMDEDUP),
     "invoice_fields": (q_invoice_fields, _SQL_INVOICE_FIELDS),
     "set_ops_custkeys": (q_setops, _SQL_SETOPS),
     "monthly_revenue": (q_monthly_revenue, _SQL_MONTHLY),

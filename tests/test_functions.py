@@ -107,6 +107,47 @@ def test_lsh_histogram(emb_df):
     assert all(0 <= r["bucket"] < 16 for r in hist)
 
 
+def test_semdedup_collapse_guard_is_lossless(spark):
+    """semdedup_keep_stats collapses exact-duplicate embeddings BEFORE the
+    pair join (the mega-bucket guard). Pin the docstring's equivalence
+    claim: on a duplicate-heavy corpus the guarded kept set equals the
+    unguarded 'drop anything with a smaller cosine>=t neighbor in its
+    bucket' semantics computed directly over the RAW corpus."""
+    rng = np.random.default_rng(7)
+    base = [[float(x) for x in rng.standard_normal(16)] for _ in range(12)]
+    rows = [(i, base[i]) for i in range(12)]
+    # identical-embedding flood: 30 exact copies of vec 3 (collapse eats
+    # these), plus a scaled near-dup of vec 5 (cosine 1.0, not bit-equal,
+    # must reach and be dropped by the pair stage)
+    rows += [(100 + j, base[3]) for j in range(30)]
+    rows += [(200, [2.0 * x for x in base[5]])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    stats = S.semdedup_keep_stats(df, n_bits=4, min_cos=0.99).collect()
+    assert sum(r["n_vectors"] for r in stats) == 43
+    # unguarded reference kept set, computed from raw pairwise cosines
+    import itertools
+
+    def cos(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+
+    def bucket(e):
+        return sum((1 << i) for i in range(4) if e[i] > 0)
+
+    all_rows = sorted(rows)
+    dropped = {
+        vb: True
+        for (va, ea), (vb, eb) in itertools.combinations(all_rows, 2)
+        if bucket(ea) == bucket(eb) and cos(ea, eb) >= 0.99
+    }
+    expected_kept = [v for v, _e in all_rows if v not in dropped]
+    assert sum(r["n_kept"] for r in stats) == len(expected_kept)
+    # the flood collapsed to one representative; the scaled copy pruned
+    assert 3 in expected_kept and all(100 + j not in expected_kept for j in range(30))
+    assert 200 not in expected_kept
+
+
 def test_media_metadata(spark, corpus):
     media = spark.read.parquet(corpus["media_path"]).limit(10)
     meta = M.media_metadata(media).collect()

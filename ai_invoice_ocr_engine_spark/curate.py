@@ -47,12 +47,16 @@ def run_curate(
     t0 = time.time()
     d = spark.read.parquet(docs_path)
 
-    q = T.with_token_stats(d).select("doc_id", "quality_score")
+    # quality + fingerprint are per-row projections: compose them through
+    # the `carry` passthrough into ONE whole-stage-codegen pass (no
+    # doc_id re-join); only the repetition gate (which aggregates grams)
+    # needs a join
+    qf = T.with_fingerprint(
+        T.with_token_stats(d, carry=("text",)), carry=("quality_score",)
+    ).select("doc_id", "quality_score", "fingerprint")
     r = T.with_repetition_stats(d).select("doc_id", "keep")
-    fp = T.with_fingerprint(d).select("doc_id", "fingerprint")
     flags = (
-        q.join(r, "doc_id")
-        .join(fp, "doc_id")
+        qf.join(r, "doc_id")
         .select(
             "doc_id",
             "fingerprint",
@@ -87,7 +91,9 @@ def run_curate(
 
     final_ids: DataFrame = kept_ids
     if near_dedup:
-        corpus = d.join(kept_ids, "doc_id").select("doc_id", "text")
+        corpus = d.join(kept_ids, "doc_id", "left_semi").select(
+            "doc_id", "text"
+        )
         pairs = D.minhash_band_pairs(corpus, fast_hash=fast_hash)
         labels = D.connected_components_labels(pairs)
         chars = corpus.select(
@@ -105,7 +111,7 @@ def run_curate(
         final_ids = kept_ids.join(drop, "doc_id", "left_anti")
         report["n_after_near"] = final_ids.count()
 
-    kept = d.join(final_ids, "doc_id")
+    kept = d.join(final_ids, "doc_id", "left_semi")
     kept.write.mode("overwrite").parquet(f"{out}/kept")
     report["n_kept"] = spark.read.parquet(f"{out}/kept").count()
     report["out"] = f"{out}/kept"

@@ -61,11 +61,16 @@ def with_scripts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_token_stats(
+    docs: DataFrame, text_col: str = "text", carry: tuple = ()
+) -> DataFrame:
     """Adds n_tokens / n_bpe_tokens / avg_token_len / stopword_ratio /
     quality_score. Quality formula: length-normalized token count blended
     with (1 - stopword_ratio) — a deterministic stand-in for the usual
-    fasttext-style quality models."""
+    fasttext-style quality models. ``carry`` names extra input columns to
+    keep in the projection, so callers composing several per-row gates
+    (curate.run_curate) stay in ONE whole-stage-codegen pass instead of
+    re-joining stats frames on doc_id."""
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(F.filter(toks, lambda t: t != F.lit("")))
     # double the backslash: Spark's SQL parser unescapes string literals
@@ -81,6 +86,7 @@ def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *carry,
         n_tokens.alias("n_tokens"),
         n_bpe.alias("n_bpe_tokens"),
         avg_len.alias("avg_token_len"),
@@ -175,12 +181,20 @@ def with_repetition_stats(
     return s.withColumn("keep", keep)
 
 
-def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_fingerprint(
+    docs: DataFrame, text_col: str = "text", carry: tuple = ()
+) -> DataFrame:
     """Content fingerprint: 60-bit integer from md5 of the
-    whitespace-normalized lowercased text (stable across engines)."""
+    whitespace-normalized lowercased text (stable across engines).
+    ``carry`` as in with_token_stats."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
     fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
-    return docs.select("doc_id", F.length(norm).alias("n_norm_chars"), fp.alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        *carry,
+        F.length(norm).alias("n_norm_chars"),
+        fp.alias("fingerprint"),
+    )
 
 
 def chunk_windows(docs: DataFrame, window: int = 32, stride: int = 24,

@@ -1899,21 +1899,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY es RANGE BETWEEN 3600 PRECEDING AND C
 def q_rank_distribution(spark, sf):
     """percent_rank + cume_dist of customer balance within nation — the
     relative-standing window pair (distinct from row_number/ntile: value
-    ties share ranks)."""
+    ties share ranks).
+
+    Rounding is the PORTABLE floor(x*1e6 + 0.5)/1e6 in both engines, not
+    round(x, 6): percent_rank values like 41/640 = .0640625 sit exactly on
+    the half boundary, where Spark (BigDecimal HALF_UP on the binary
+    expansion) and DuckDB (C-library rounding) disagree by 1 ulp — 3 of
+    15,000 rows at sf0.1. The explicit formula does identical IEEE-double
+    arithmetic on both sides."""
     c = _t(spark, sf, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    r6 = lambda col: F.floor(col * 1e6 + 0.5) / 1e6  # noqa: E731
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
     )
 
 
 _SQL_RANK_DIST = """
 SELECT c_custkey, c_nationkey,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
+       floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+       floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
 """

@@ -171,8 +171,12 @@ def main(argv=None) -> int:
     cu.add_argument("--quality", type=float, default=0.75,
                     help="quality_score acceptance threshold")
     cu.add_argument("--near-dedup", action="store_true",
-                    help="also drop MinHash near-duplicates (keep the "
-                         "longest member per component)")
+                    help="also drop near-duplicates (keep the longest "
+                         "member per component)")
+    cu.add_argument("--method", choices=("minhash", "simhash"),
+                    default="minhash",
+                    help="near-dup candidate generator (shingle Jaccard "
+                         "vs token-Hamming SimHash)")
     cu.add_argument("--fast-hash", action="store_true",
                     help="xxhash64 MinHash family (the at-scale choice; "
                          "default md5 is the oracle-checkable one)")
@@ -437,6 +441,7 @@ def main(argv=None) -> int:
             rep = run_curate(
                 spark, args.docs, args.out, quality=args.quality,
                 near_dedup=args.near_dedup, fast_hash=args.fast_hash,
+                method=args.method,
             )
         finally:
             spark.stop()

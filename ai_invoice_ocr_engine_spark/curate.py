@@ -38,12 +38,17 @@ def run_curate(
     quality: float = 0.75,
     near_dedup: bool = False,
     fast_hash: bool = False,
+    method: str = "minhash",
 ) -> dict:
     """Run the funnel over a documents parquet/table path; write the
     surviving rows (all original columns) to ``out`` and return the
     stage-count report. ``fast_hash`` selects the xxhash64 MinHash
     family (the 10^12-doc choice; md5 default is the oracle-checkable
-    one — see minhash_band_pairs)."""
+    one — see minhash_band_pairs). ``method`` picks the near-dup
+    candidate generator: 'minhash' (shingle Jaccard — robust to word
+    substitutions) or 'simhash' (token Hamming — cheaper signatures, one
+    60-bit int per doc); both ride the same guarded banded joins and the
+    same connected-components + keep-longest representative selection."""
     t0 = time.time()
     d = spark.read.parquet(docs_path)
 
@@ -87,6 +92,7 @@ def run_curate(
         "n_after_exact": n_after_exact,
         "quality_threshold": quality,
         "near_dedup": bool(near_dedup),
+        "method": method if near_dedup else None,
     }
 
     final_ids: DataFrame = kept_ids
@@ -94,7 +100,12 @@ def run_curate(
         corpus = d.join(kept_ids, "doc_id", "left_semi").select(
             "doc_id", "text"
         )
-        pairs = D.minhash_band_pairs(corpus, fast_hash=fast_hash)
+        if method == "simhash":
+            pairs = D.simhash_pairs(corpus)
+        elif method == "minhash":
+            pairs = D.minhash_band_pairs(corpus, fast_hash=fast_hash)
+        else:
+            raise ValueError(f"unknown near-dedup method {method!r}")
         labels = D.connected_components_labels(pairs)
         chars = corpus.select(
             "doc_id", F.length("text").cast("long").alias("n_chars")

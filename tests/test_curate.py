@@ -53,7 +53,8 @@ def test_kept_rows_satisfy_every_gate(spark, report):
     assert fp.select("fingerprint").distinct().count() == rep["n_kept"]
 
 
-def test_near_dedup_keeps_longest_representative(spark, tmp_path):
+@pytest.mark.parametrize("method", ["minhash", "simhash"])
+def test_near_dedup_keeps_longest_representative(spark, tmp_path, method):
     # non-repetitive (distinct tokens) so the repetition gate passes and
     # only the dedup stages differentiate the rows; each group gets its
     # OWN token vocabulary so cross-group Jaccard is ~0 (a shared base
@@ -75,12 +76,15 @@ def test_near_dedup_keeps_longest_representative(spark, tmp_path):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     src = str(tmp_path / "docs.parquet")
     docs.write.parquet(src)
-    rep = run_curate(spark, src, str(tmp_path / "out"), near_dedup=True)
+    rep = run_curate(
+        spark, src, str(tmp_path / "out"), near_dedup=True, method=method
+    )
     kept_ids = sorted(
         r["doc_id"]
         for r in spark.read.parquet(str(tmp_path / "out/kept")).collect()
     )
     assert rep["n_docs"] == 5 and rep["n_after_exact"] == 4
+    assert rep["method"] == method
     assert kept_ids == [10, 20, 30]  # 11 dropped as near-dup of longer 10
 
 

@@ -127,8 +127,11 @@ def semdedup_keep_stats(
     e = embeddings.select(
         "vec_id", "embedding", _sign_bucket(n_bits).alias("bucket")
     )
+    # ONE full-corpus aggregation: the collapse carries each class's size,
+    # so every later count runs over the (much smaller) representative set
     reps = e.groupBy("bucket", "embedding").agg(
-        F.min("vec_id").alias("vec_id")
+        F.min("vec_id").alias("vec_id"),
+        F.count(F.lit(1)).alias("class_n"),
     )
     pruned = (
         near_dup_pairs(reps.select("vec_id", "embedding"), n_bits, min_cos)
@@ -137,13 +140,12 @@ def semdedup_keep_stats(
     )
     kept = reps.join(pruned, "vec_id", "left_anti")
     # every bucket keeps at least its smallest representative (nothing can
-    # prune it), so the three per-bucket counts inner-join losslessly
+    # prune it), so the per-bucket counts inner-join losslessly
     return (
-        e.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .join(
-            reps.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_reps")),
-            "bucket",
+        reps.groupBy("bucket")
+        .agg(
+            F.sum("class_n").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_reps"),
         )
         .join(
             kept.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_kept")),

@@ -3061,6 +3061,274 @@ GROUP BY cntrycode
 """
 
 
+# -- synthesized partsupp: closes the TPC-H Q2/Q11/Q16/Q20 gap ---------------
+#
+# TESTDATA.md generates no partsupp table, which VERDICT r3 recorded as the
+# reason those four queries were out of scope. The round-4 brief allows
+# deterministic small-scale synthesis, so partsupp is DERIVED — identically
+# in Spark and DuckDB — from part x supplier with the package's standard
+# cross-engine md5 hash: 4 supplier draws per part (draws colliding on
+# (partkey, suppkey) collapse via DISTINCT), availqty in [1, 9999] and
+# supplycost in [0.01, 999.00] keyed on (partkey, suppkey) so both engines
+# agree bit-for-bit. At a real 100 TB install partsupp would be a stored
+# table; the queries below only assume its SCHEMA.
+
+_H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def _partsupp(spark, sf) -> DataFrame:
+    p = _t(spark, sf, "part").select("p_partkey")
+    scnt = _t(spark, sf, "supplier").agg(F.count(F.lit(1)).alias("s_cnt"))
+    drawn = (
+        p.crossJoin(F.broadcast(scnt))
+        .select("p_partkey", "s_cnt", F.explode(F.expr("sequence(0, 3)")).alias("j"))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                _H60.format(x="concat('ps|', p_partkey, '|', j)") + " % s_cnt"
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return drawn.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            1
+            + F.expr(
+                _H60.format(x="concat('aq|', ps_partkey, '|', ps_suppkey)")
+                + " % 9999"
+            )
+        ).alias("ps_availqty"),
+        (
+            (
+                1
+                + F.expr(
+                    _H60.format(x="concat('sc|', ps_partkey, '|', ps_suppkey)")
+                    + " % 99900"
+                )
+            )
+            / F.lit(100.0)
+        ).alias("ps_supplycost"),
+    )
+
+
+_PARTSUPP_CTE = """
+drawn AS (
+  SELECT DISTINCT p_partkey AS ps_partkey,
+    ('0x' || substr(md5('ps|' || p_partkey || '|' || j), 1, 15))::bigint
+      % (SELECT count(*) FROM supplier) AS ps_suppkey
+  FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) js(j)
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+    1 + ('0x' || substr(md5('aq|' || ps_partkey || '|' || ps_suppkey), 1, 15))::bigint
+      % 9999 AS ps_availqty,
+    (1 + ('0x' || substr(md5('sc|' || ps_partkey || '|' || ps_suppkey), 1, 15))::bigint
+      % 99900) / CAST(100 AS DOUBLE) AS ps_supplycost
+  FROM drawn
+)
+"""
+
+
+def q_q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 adapted (no p_mfgr/s_address columns in this schema): for
+    small (size <= 15) STANDARD parts, the EUROPE supplier(s) achieving the per-part
+    MINIMUM supplycost — the correlated-min shape, decorrelated into one
+    per-part min aggregate joined back on cost equality. The candidate set
+    is region-filtered BEFORE the min, exactly like the spec's subquery."""
+    ps = _partsupp(spark, sf)
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    eur = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(eur, ps.ps_suppkey == eur.s_suppkey)
+        .join(F.broadcast(p.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"))
+    )
+    mn = cand.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        cand.join(mn, "ps_partkey")
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "ps_partkey", "ps_supplycost")
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "ps_partkey"
+        )
+        .limit(100)
+    )
+
+
+_SQL_Q2 = (
+    "WITH " + _PARTSUPP_CTE + """
+SELECT s_acctbal, s_name, n_name, ps_partkey, ps_supplycost
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN part ON ps_partkey = p_partkey AND p_size <= 15 AND p_type = 'STANDARD'
+WHERE ps_supplycost = (
+  SELECT min(ps_supplycost) FROM partsupp ps2
+  JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+  WHERE ps2.ps_partkey = partsupp.ps_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, ps_partkey
+LIMIT 100
+"""
+)
+
+
+def q_q11_important_stock(spark, sf):
+    """TPC-H Q11: per-part stock value (supplycost * availqty) for one
+    geography's suppliers, HAVING value above a fraction of the geography
+    total — a grouped agg gated by a broadcast global scalar, no re-scan.
+    Scoped to the EUROPE region rather than a single nation for the same
+    sf0.001 reason as Q20."""
+    ps = _partsupp(spark, sf)
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey"
+    )
+    nat = ps.join(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey"),
+        ps.ps_suppkey == F.col("s_suppkey"),
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+    )
+    # scale-free threshold (the spec divides its fraction by SF for the
+    # same reason): keep parts holding more than twice the AVERAGE share,
+    # so the gate is non-vacuous at every SF tier
+    tot = nat.agg(
+        F.sum("v").alias("total_v"),
+        F.countDistinct("ps_partkey").alias("n_parts"),
+    )
+    return (
+        nat.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("value_raw"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("value_raw") > 2.0 * F.col("total_v") / F.col("n_parts"))
+        .select("ps_partkey", F.round("value_raw", 2).alias("stock_value"))
+    )
+
+
+_SQL_Q11 = (
+    "WITH " + _PARTSUPP_CTE + """,
+nat AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT ps_partkey, round(sum(v), 2) AS stock_value
+FROM nat
+GROUP BY ps_partkey
+HAVING sum(v) > 2.0 * (SELECT sum(v) FROM nat)
+                / (SELECT count(DISTINCT ps_partkey) FROM nat)
+"""
+)
+
+
+def q_q16_parts_supplier_counts(spark, sf):
+    """TPC-H Q16 adapted (no s_comment: the 'customer complaints'
+    exclusion becomes s_acctbal < 0, the same anti-join shape): distinct
+    supplier count per (brand, type, size) for odd-size non-Brand#9
+    parts."""
+    ps = _partsupp(spark, sf)
+    p = _t(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#9") & F.col("p_size").isin(1, 3, 5, 7, 9)
+    )
+    bad = _t(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            ps.ps_partkey == F.col("p_partkey"),
+        )
+        .join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SQL_Q16 = (
+    "WITH " + _PARTSUPP_CTE + """
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_size IN (1, 3, 5, 7, 9)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+)
+
+
+def q_q20_excess_stock_suppliers(spark, sf):
+    """TPC-H Q20: suppliers in one nation whose available quantity of a
+    'small%' part exceeds half of what they shipped of it in 1997-98 — the
+    scalar-correlated EXISTS decorrelated into an aggregate-then-join.
+    Scoped to EUROPE suppliers (region, not single nation: the synthetic
+    supplier table is too small for a one-nation filter to return rows at
+    the sf0.001 driver tier — same shape, one more dimension hop)."""
+    ps = _partsupp(spark, sf)
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    p = _t(spark, sf, "part").where(F.col("p_name").startswith("small"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey"
+    )
+    return (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .join(F.broadcast(p.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"))
+        .join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name")
+        .distinct()
+    )
+
+
+_SQL_Q20 = (
+    "WITH " + _PARTSUPP_CTE + """,
+shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1999-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT DISTINCT s_name
+FROM partsupp
+JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+WHERE ps_availqty > 0.5 * qty
+"""
+)
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered behavioral funnel view → click → purchase, each step
     within 24 h of the previous one — the product-analytics query every
@@ -4047,6 +4315,10 @@ REGISTRY: dict[str, tuple] = {
     "q15_top_supplier": (q15_top_supplier, _SQL_Q15),
     "q21_waiting_suppliers": (q21_waiting_suppliers, _SQL_Q21),
     "q22_sales_opportunity": (q22_sales_opportunity, _SQL_Q22),
+    "q2_min_cost_supplier": (q_q2_min_cost_supplier, _SQL_Q2),
+    "q11_important_stock": (q_q11_important_stock, _SQL_Q11),
+    "q16_parts_supplier_counts": (q_q16_parts_supplier_counts, _SQL_Q16),
+    "q20_excess_stock_suppliers": (q_q20_excess_stock_suppliers, _SQL_Q20),
     "funnel_conversion": (q_funnel_conversion, _SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),
     "top_bigrams": (q_top_bigrams, _SQL_TOP_BIGRAMS),

@@ -128,11 +128,16 @@ def semdedup_keep_stats(
         "vec_id", "embedding", _sign_bucket(n_bits).alias("bucket")
     )
     # ONE full-corpus aggregation: the collapse carries each class's size,
-    # so every later count runs over the (much smaller) representative set
+    # so every later count runs over the (much smaller) representative
+    # set. PERSISTED because four downstream subtrees reference it and
+    # Catalyst re-derives unpersisted common subplans per reference
+    # (measured: 12 corpus scans in the unpersisted physical plan, and
+    # AQE exchange reuse only recovered 2) — same lineage-truncation
+    # device as ivf_centroids and curate.run_curate.
     reps = e.groupBy("bucket", "embedding").agg(
         F.min("vec_id").alias("vec_id"),
         F.count(F.lit(1)).alias("class_n"),
-    )
+    ).persist()
     pruned = (
         near_dup_pairs(reps.select("vec_id", "embedding"), n_bits, min_cos)
         .select(F.col("vec_b").alias("vec_id"))

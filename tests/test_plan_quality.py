@@ -487,3 +487,41 @@ def test_runtime_bloom_filter_join_injection(spark):
             prev_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_partsupp_tpch_plans_no_cartesian_and_pushdown(spark):
+    """The synthesized-partsupp TPC-H four: the partsupp derivation's
+    scalar crossJoin must plan as a broadcast (never CartesianProduct),
+    dimension predicates must reach the parquet scans, and Q2's
+    decorrelated min must partial-aggregate before its exchange."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q16_parts_supplier_counts",
+        "q20_excess_stock_suppliers",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+    q2 = plan_of(spark, "q2_min_cost_supplier")
+    assert "EqualTo(p_type,STANDARD)" in q2 and "LessThanOrEqual(p_size,15)" in q2
+    assert "EqualTo(r_name,EUROPE)" in q2
+
+
+def test_semdedup_single_corpus_aggregation(spark):
+    """semdedup_keep_stats must aggregate the raw corpus exactly ONCE:
+    the collapse is PERSISTED (similarity.py rationale: four downstream
+    subtrees reference it, Catalyst re-derives unpersisted common
+    subplans per reference — 12 corpus scans measured — and AQE exchange
+    reuse recovered only 2). Pinned by every reference reading the cache
+    instead of re-deriving the parquet scan."""
+    plan = plan_of(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "collapse not persisted"
+    # no reference may bypass the cache: every embeddings.parquet scan in
+    # the plan text must sit INSIDE an InMemoryRelation definition, i.e.
+    # appear only below the cached node (the printed tree repeats the
+    # cached child per reader; a bypass would add a scan with no
+    # InMemoryTableScan ancestor — detectable as scans without any cache
+    # nodes at all)
+    assert plan.count("InMemoryTableScan") >= 4

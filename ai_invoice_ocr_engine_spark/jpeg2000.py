@@ -454,6 +454,16 @@ def _sig_ctx(h: int, v: int, d: int, band: int) -> int:
     return 2 if hv >= 2 else (1 if hv == 1 else 0)
 
 
+# Table D.1 precomputed: index band*45 + (h*3 + v)*5 + d. The T1 inner
+# loops run millions of times per code-block-rich page; a flat-list
+# lookup replaces the branch ladder (profiled: the ladder alone was
+# ~1.7 s of a 34 s page decode).
+_SIG_TAB = [
+    _sig_ctx(h, v, d, band)
+    for band in range(4) for h in range(3) for v in range(3)
+    for d in range(5)
+]
+
 # Table D.3: (hc+1, vc+1) -> (context, xor bit)
 _SIGN_CTX = {
     (2, 2): (13, 0), (2, 1): (12, 0), (2, 0): (11, 0),
@@ -481,30 +491,39 @@ class _T1:
         self.bypass = bypass
         self.raw = None  # active raw reader/writer during bypassed passes
         self.cx = _t1_contexts()
-        # padded state planes (1-sample border of zeros)
-        self.sig = np.zeros((h + 2, w + 2), np.uint8)
-        self.sgn = np.zeros((h + 2, w + 2), np.uint8)
-        self.visited = np.zeros((h + 2, w + 2), np.uint8)
-        self.refined = np.zeros((h + 2, w + 2), np.uint8)
-        self.mag = np.zeros((h, w), np.int64)
+        # padded state planes (1-sample border of zeros) as FLAT
+        # bytearrays, stride W = w + 2. numpy scalar indexing costs
+        # ~200 ns per access and the passes do 8 reads per visited
+        # sample millions of times per page (profiled: _hvd alone was
+        # 14 s of a 34 s page decode on 2-D uint8 arrays); bytearray
+        # indexing is ~10x cheaper with identical semantics.
+        self.W = W = w + 2
+        n = (h + 2) * W
+        self.sig = bytearray(n)
+        self.sgn = bytearray(n)
+        self.visited = bytearray(n)
+        self.refined = bytearray(n)
+        self.mag = [0] * (h * w)  # flat ints, row-major
         self.encode = values is not None
         if self.encode:
-            v = np.asarray(values, np.int64)
-            self.vmag = np.abs(v)
-            self.vsgn = (v < 0).astype(np.uint8)
+            v = np.asarray(values, np.int64).ravel()
+            self.vmag = [abs(int(x)) for x in v]
+            self.vsgn = bytearray(1 if int(x) < 0 else 0 for x in v)
 
     # -- neighbor counts on the padded planes (x, y are 0-based) --
 
     def _hvd(self, x: int, y: int):
         s = self.sig
-        px, py = x + 1, y + 1
-        h = int(s[py, px - 1]) + int(s[py, px + 1])
-        below = not (self.causal and y % 4 == 3)  # next stripe reads 0
-        v = int(s[py - 1, px]) + (int(s[py + 1, px]) if below else 0)
-        d = int(s[py - 1, px - 1]) + int(s[py - 1, px + 1])
-        if below:
-            d += int(s[py + 1, px - 1]) + int(s[py + 1, px + 1])
-        return h, v, d
+        W = self.W
+        o = (y + 1) * W + x + 1
+        h = s[o - 1] + s[o + 1]
+        if self.causal and y & 3 == 3:  # next stripe reads 0
+            return h, s[o - W], s[o - W - 1] + s[o - W + 1]
+        return (
+            h,
+            s[o - W] + s[o + W],
+            s[o - W - 1] + s[o - W + 1] + s[o + W - 1] + s[o + W + 1],
+        )
 
     def _bit(self, ctx: int, enc_bit: int | None = None) -> int:
         if self.raw is not None:  # bypassed pass: no context modeling
@@ -519,138 +538,212 @@ class _T1:
         return self.coder.decode(c)
 
     def _code_sign(self, x: int, y: int) -> None:
-        s, g = self.sig, self.sgn
-        px, py = x + 1, y + 1
-
-        def contrib(sig_v, sgn_v):
-            if not sig_v:
-                return 0
-            return -1 if sgn_v else 1
-
-        hc = contrib(s[py, px - 1], g[py, px - 1]) + contrib(
-            s[py, px + 1], g[py, px + 1])
-        vc = contrib(s[py - 1, px], g[py - 1, px])
-        if not (self.causal and y % 4 == 3):
-            vc += contrib(s[py + 1, px], g[py + 1, px])
+        s, g, W = self.sig, self.sgn, self.W
+        o = (y + 1) * W + x + 1
         if self.raw is not None:  # raw sign: the plain bit, no xor
             if self.encode:
-                self.raw.put(int(self.vsgn[y, x]))
-                g[py, px] = self.vsgn[y, x]
+                b = self.vsgn[y * self.w + x]
+                self.raw.put(b)
+                g[o] = b
             else:
-                g[py, px] = self.raw.read()
+                g[o] = self.raw.read()
             return
-        hc = max(-1, min(1, hc))
-        vc = max(-1, min(1, vc))
+        # sig values are 0/1, so `s[i] and expr` is the spec's 0/±1
+        # contribution
+        hc = (s[o - 1] and (-1 if g[o - 1] else 1)) + (
+            s[o + 1] and (-1 if g[o + 1] else 1))
+        vc = s[o - W] and (-1 if g[o - W] else 1)
+        if not (self.causal and y & 3 == 3):
+            vc += s[o + W] and (-1 if g[o + W] else 1)
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
         ctx, xor = _SIGN_CTX[(hc + 1, vc + 1)]
         if self.encode:
-            self._bit(ctx, int(self.vsgn[y, x]) ^ xor)
-            g[py, px] = self.vsgn[y, x]
+            b = self.vsgn[y * self.w + x]
+            self._bit(ctx, b ^ xor)
+            g[o] = b
         else:
-            g[py, px] = self._bit(ctx) ^ xor
+            g[o] = self._bit(ctx) ^ xor
 
     def _set_sig(self, x: int, y: int, plane: int) -> None:
-        self.sig[y + 1, x + 1] = 1
-        self.mag[y, x] |= 1 << plane
+        self.sig[(y + 1) * self.W + x + 1] = 1
+        self.mag[y * self.w + x] |= 1 << plane
 
     # -- the three passes (D.4) --
-
-    def _stripes(self):
-        for k0 in range(0, self.h, 4):
-            for x in range(self.w):
-                yield k0, x
 
     def spp(self, plane: int) -> None:
         """Significance propagation: code insignificant samples with a
         non-zero context."""
-        for k0, x in self._stripes():
-            for y in range(k0, min(k0 + 4, self.h)):
-                if self.sig[y + 1, x + 1]:
-                    continue
-                h, v, d = self._hvd(x, y)
-                ctx = _sig_ctx(h, v, d, self.band)
-                if ctx == 0:
-                    continue
-                bit = self._bit(
-                    ctx,
-                    int((self.vmag[y, x] >> plane) & 1)
-                    if self.encode else None,
-                )
-                self.visited[y + 1, x + 1] = 1
-                if bit:
-                    self._set_sig(x, y, plane)
-                    self._code_sign(x, y)
+        sig, vis, W, w = self.sig, self.visited, self.W, self.w
+        tab, tb = _SIG_TAB, self.band * 45
+        enc = self.encode
+        vmag = self.vmag if enc else None
+        # direct-decode fast path: plain MQ decode skips _bit's raw/enc
+        # dispatch (the passes call it millions of times per page)
+        dec = None if (enc or self.raw is not None) else self.coder.decode
+        cx = self.cx
+        causal = self.causal
+        for k0 in range(0, self.h, 4):
+            ymax = min(k0 + 4, self.h)
+            full = ymax - k0 == 4
+            for x in range(w):
+                col = (k0 + 1) * W + x + 1
+                if full:
+                    # blank-window skip: if nothing in the 6x3 padded
+                    # window is significant, every row's context is 0 and
+                    # the pass codes nothing here (conservative under the
+                    # causal style — a below-stripe-only neighbor just
+                    # falls through to the exact per-sample path)
+                    o = col - W - 1
+                    if not (
+                        sig[o] or sig[o + 1] or sig[o + 2]
+                        or sig[o + W] or sig[o + W + 1] or sig[o + W + 2]
+                        or sig[o + 2 * W] or sig[o + 2 * W + 1]
+                        or sig[o + 2 * W + 2]
+                        or sig[o + 3 * W] or sig[o + 3 * W + 1]
+                        or sig[o + 3 * W + 2]
+                        or sig[o + 4 * W] or sig[o + 4 * W + 1]
+                        or sig[o + 4 * W + 2]
+                        or sig[o + 5 * W] or sig[o + 5 * W + 1]
+                        or sig[o + 5 * W + 2]
+                    ):
+                        continue
+                for y in range(k0, ymax):
+                    o = col + (y - k0) * W
+                    if sig[o]:
+                        continue
+                    h = sig[o - 1] + sig[o + 1]
+                    if causal and y & 3 == 3:
+                        v = sig[o - W]
+                        d = sig[o - W - 1] + sig[o - W + 1]
+                    else:
+                        v = sig[o - W] + sig[o + W]
+                        d = (sig[o - W - 1] + sig[o - W + 1]
+                             + sig[o + W - 1] + sig[o + W + 1])
+                    ctx = tab[tb + (h * 3 + v) * 5 + d]
+                    if ctx == 0:
+                        continue
+                    if dec is not None:
+                        bit = dec(cx[ctx])
+                    else:
+                        bit = self._bit(
+                            ctx,
+                            (vmag[y * w + x] >> plane) & 1 if enc else None,
+                        )
+                    vis[o] = 1
+                    if bit:
+                        self._set_sig(x, y, plane)
+                        self._code_sign(x, y)
 
     def mrp(self, plane: int) -> None:
         """Magnitude refinement of samples significant before this
         plane (significant and not visited this plane)."""
-        for k0, x in self._stripes():
-            for y in range(k0, min(k0 + 4, self.h)):
-                if not self.sig[y + 1, x + 1] or self.visited[y + 1, x + 1]:
+        sig, vis, ref, W, w = (
+            self.sig, self.visited, self.refined, self.W, self.w)
+        mag = self.mag
+        enc = self.encode
+        vmag = self.vmag if enc else None
+        dec = None if (enc or self.raw is not None) else self.coder.decode
+        cx = self.cx
+        for k0 in range(0, self.h, 4):
+            ymax = min(k0 + 4, self.h)
+            for x in range(w):
+                col = (k0 + 1) * W + x + 1
+                # refinement only touches significant samples: skip the
+                # (common) all-insignificant column without row work
+                if not (
+                    sig[col]
+                    or (ymax - k0 > 1 and sig[col + W])
+                    or (ymax - k0 > 2 and sig[col + 2 * W])
+                    or (ymax - k0 > 3 and sig[col + 3 * W])
+                ):
                     continue
-                if self.refined[y + 1, x + 1]:
-                    ctx = 16
-                else:
-                    h, v, d = self._hvd(x, y)
-                    ctx = 15 if h + v + d > 0 else 14
-                bit = self._bit(
-                    ctx,
-                    int((self.vmag[y, x] >> plane) & 1)
-                    if self.encode else None,
-                )
-                if bit:
-                    self.mag[y, x] |= 1 << plane
-                self.refined[y + 1, x + 1] = 1
+                for y in range(k0, ymax):
+                    o = col + (y - k0) * W
+                    if not sig[o] or vis[o]:
+                        continue
+                    if ref[o]:
+                        ctx = 16
+                    else:
+                        h, v, d = self._hvd(x, y)
+                        ctx = 15 if h + v + d > 0 else 14
+                    if dec is not None:
+                        bit = dec(cx[ctx])
+                    else:
+                        bit = self._bit(
+                            ctx,
+                            (vmag[y * w + x] >> plane) & 1 if enc else None,
+                        )
+                    if bit:
+                        mag[y * w + x] |= 1 << plane
+                    ref[o] = 1
 
     def cup(self, plane: int) -> None:
         """Cleanup pass with column run-length mode."""
-        for k0, x in self._stripes():
-            rows = range(k0, min(k0 + 4, self.h))
-            y = k0
-            # run mode: full 4-row column, all insignificant/unvisited
-            # with all-zero contexts
-            if len(rows) == 4 and all(
-                not self.sig[yy + 1, x + 1]
-                and not self.visited[yy + 1, x + 1]
-                and _sig_ctx(*self._hvd(x, yy), self.band) == 0
-                for yy in rows
-            ):
-                if self.encode:
-                    r = next(
-                        (i for i, yy in enumerate(rows)
-                         if (self.vmag[yy, x] >> plane) & 1), None)
-                    if r is None:
-                        self._bit(_CTX_RUN, 0)
-                        self._clear_visited_col(x, rows)
+        sig, vis, W, w, h_ = self.sig, self.visited, self.W, self.w, self.h
+        tab, tb = _SIG_TAB, self.band * 45
+        enc = self.encode
+        vmag = self.vmag if enc else None
+        # run-mode eligibility window: all four column cells plus every
+        # cell any of their contexts can see — 6 padded rows x 3 padded
+        # cols (5 rows under the causal style, which never reads the row
+        # below the stripe). "Every context zero" is exactly "no
+        # significant sample in the window" for all four band tables
+        # (_sig_ctx returns 0 only at h=v=d=0).
+        nrows = 5 if self.causal else 6
+        for k0 in range(0, h_, 4):
+            ymax = min(k0 + 4, h_)
+            full = ymax - k0 == 4
+            for x in range(w):
+                col = (k0 + 1) * W + x + 1
+                y = k0
+                run = False
+                if full and not (
+                    vis[col] or vis[col + W]
+                    or vis[col + 2 * W] or vis[col + 3 * W]
+                ):
+                    run = True
+                    o = col - W - 1
+                    for _ in range(nrows):
+                        if sig[o] or sig[o + 1] or sig[o + 2]:
+                            run = False
+                            break
+                        o += W
+                if run:
+                    if enc:
+                        r = next(
+                            (i for i in range(4)
+                             if (vmag[(k0 + i) * w + x] >> plane) & 1), None)
+                        if r is None:
+                            self._bit(_CTX_RUN, 0)
+                            continue
+                        self._bit(_CTX_RUN, 1)
+                        self._bit(_CTX_UNI, (r >> 1) & 1)
+                        self._bit(_CTX_UNI, r & 1)
+                    else:
+                        if not self._bit(_CTX_RUN):
+                            continue
+                        r = (self._bit(_CTX_UNI) << 1) | self._bit(_CTX_UNI)
+                    y = k0 + r
+                    self._set_sig(x, y, plane)
+                    self._code_sign(x, y)
+                    y += 1
+                for yy in range(y, ymax):
+                    o = (yy + 1) * W + x + 1
+                    if sig[o] or vis[o]:
+                        vis[o] = 0
                         continue
-                    self._bit(_CTX_RUN, 1)
-                    self._bit(_CTX_UNI, (r >> 1) & 1)
-                    self._bit(_CTX_UNI, r & 1)
-                else:
-                    if not self._bit(_CTX_RUN):
-                        self._clear_visited_col(x, rows)
-                        continue
-                    r = (self._bit(_CTX_UNI) << 1) | self._bit(_CTX_UNI)
-                y = k0 + r
-                self._set_sig(x, y, plane)
-                self._code_sign(x, y)
-                y += 1
-            for yy in range(y, min(k0 + 4, self.h)):
-                if self.sig[yy + 1, x + 1] or self.visited[yy + 1, x + 1]:
-                    self.visited[yy + 1, x + 1] = 0
-                    continue
-                h, v, d = self._hvd(x, yy)
-                ctx = _sig_ctx(h, v, d, self.band)
-                bit = self._bit(
-                    ctx,
-                    int((self.vmag[yy, x] >> plane) & 1)
-                    if self.encode else None,
-                )
-                if bit:
-                    self._set_sig(x, yy, plane)
-                    self._code_sign(x, yy)
-            # clear visited for rows already handled above
-            for yy in rows:
-                self.visited[yy + 1, x + 1] = 0
+                    h, v, d = self._hvd(x, yy)
+                    ctx = tab[tb + (h * 3 + v) * 5 + d]
+                    bit = self._bit(
+                        ctx, (vmag[yy * w + x] >> plane) & 1 if enc else None
+                    )
+                    if bit:
+                        self._set_sig(x, yy, plane)
+                        self._code_sign(x, yy)
+                # clear visited for rows already handled above
+                for yy in range(k0, ymax):
+                    vis[(yy + 1) * W + x + 1] = 0
         if self.segsym:
             # D.4.2 segmentation symbol 1010 through UNIFORM
             sym = 0
@@ -659,10 +752,6 @@ class _T1:
                                              if self.encode else None)
             if not self.encode and sym != 0xA:
                 raise ValueError("JPEG2000 segmentation symbol mismatch")
-
-    def _clear_visited_col(self, x, rows):
-        for yy in rows:
-            self.visited[yy + 1, x + 1] = 0
 
     def _pass_seq(self, start_plane: int, npasses: int):
         """Yield (pass_fn, plane) in coding order: CUP only on the first
@@ -734,8 +823,10 @@ class _T1:
             self._exec(p, plane)
 
     def result(self) -> np.ndarray:
-        v = self.mag.copy()
-        neg = self.sgn[1:-1, 1:-1] == 1
+        h, w = self.h, self.w
+        v = np.asarray(self.mag, np.int64).reshape(h, w)
+        g = np.frombuffer(bytes(self.sgn), np.uint8).reshape(h + 2, self.W)
+        neg = g[1:-1, 1:-1] == 1
         v[neg] = -v[neg]
         return v
 

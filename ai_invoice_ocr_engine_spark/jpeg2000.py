@@ -691,6 +691,9 @@ class _T1:
         # significant sample in the window" for all four band tables
         # (_sig_ctx returns 0 only at h=v=d=0).
         nrows = 5 if self.causal else 6
+        dec = None if (enc or self.raw is not None) else self.coder.decode
+        cx = self.cx
+        causal = self.causal
         for k0 in range(0, h_, 4):
             ymax = min(k0 + 4, h_)
             full = ymax - k0 == 4
@@ -733,11 +736,22 @@ class _T1:
                     if sig[o] or vis[o]:
                         vis[o] = 0
                         continue
-                    h, v, d = self._hvd(x, yy)
+                    h = sig[o - 1] + sig[o + 1]
+                    if causal and yy & 3 == 3:
+                        v = sig[o - W]
+                        d = sig[o - W - 1] + sig[o - W + 1]
+                    else:
+                        v = sig[o - W] + sig[o + W]
+                        d = (sig[o - W - 1] + sig[o - W + 1]
+                             + sig[o + W - 1] + sig[o + W + 1])
                     ctx = tab[tb + (h * 3 + v) * 5 + d]
-                    bit = self._bit(
-                        ctx, (vmag[yy * w + x] >> plane) & 1 if enc else None
-                    )
+                    if dec is not None:
+                        bit = dec(cx[ctx])
+                    else:
+                        bit = self._bit(
+                            ctx,
+                            (vmag[yy * w + x] >> plane) & 1 if enc else None,
+                        )
                     if bit:
                         self._set_sig(x, yy, plane)
                         self._code_sign(x, yy)

@@ -55,18 +55,15 @@ def detect_frame_geom(img: np.ndarray, cfg: ExtractConfig):
     return boxes, scores, None
 
 
-def extract_media_lines(
-    image_bytes: bytes, cfg: ExtractConfig, weights
-) -> list[list[tuple[str, float]]]:
-    """Run detection + recognition + layout on one media frame.
-
-    Returns reading-order *lines*, each a list of (text, score) in
-    left-to-right order, after boilerplate stripping. Mirrors the reference
-    single-image flow: detect on the keep-ratio/×32 resize
-    (/root/reference/engine.py:50-52), crop+recognize from the ORIGINAL
-    frame (/root/reference/engine.py:39-41,53), then reading-order sort
-    (/root/reference/postprocess.py:54-68).
-    """
+def frame_geometry(
+    image_bytes: bytes, cfg: ExtractConfig
+) -> tuple[list[np.ndarray], np.ndarray, int]:
+    """Decode + gates + detection + cropping of one frame — everything in
+    the per-frame flow UP TO recognition. Returns (crops, boxes_aabb, oh)
+    where ``oh`` is the post-correction page height the boilerplate bands
+    use. Split out of extract_media_lines so the Spark frame stage can run
+    geometry per frame but recognition once per Arrow batch
+    (kernels.recognize_crop_groups)."""
     img = K.decode_image(image_bytes)  # polymorphic: SYNF/PNG/JPEG (S2)
     if cfg.prep.unwarp:
         # F6 unwarp gate (reference preprocess/core.py:18-25, uwp off by
@@ -80,7 +77,7 @@ def extract_media_lines(
     oh, ow = img.shape  # post-correction shape (boilerplate bands use it)
     boxes, scores, quads = detect_frame_geom(img, cfg)
     if len(boxes) == 0:
-        return []
+        return [], boxes, oh
     if quads is not None:
         # rotated path: perspective-crop each min-area rect so skewed lines
         # reach recognition upright (reference postprocess.py:5-10 crop_poly);
@@ -93,15 +90,17 @@ def extract_media_lines(
     if cfg.cls.en:
         # per-crop 0/180 textline gate (reference cls stage, config.py:41)
         crops = [K.correct_textline(c, th=cfg.cls.th) for c in crops]
-    texts_scores = K.recognize_crops(
-        crops,
-        weights,
-        h=cfg.rec.h,
-        mw=cfg.rec.mw,
-        min_w=cfg.rec.min_w,
-        decode=cfg.rec.decode,
-        beam_width=cfg.rec.beam_width,
-    )
+    return crops, boxes, oh
+
+
+def assemble_frame_lines(
+    boxes: np.ndarray,
+    texts_scores: list[tuple[str, float]],
+    oh: int,
+    cfg: ExtractConfig,
+) -> list[list[tuple[str, float]]]:
+    """Layout half of the per-frame flow: reading-order sort + boilerplate
+    strip over recognized (text, score) pairs aligned with ``boxes``."""
     lines = K.reading_order_lines(boxes, texts_scores, line_th=cfg.layout.line_th)
     if cfg.layout.strip_boilerplate:
         lines = K.strip_boilerplate_lines(
@@ -112,6 +111,33 @@ def extract_media_lines(
             min_lines=cfg.layout.min_lines_for_strip,
         )
     return [[ts for _box, ts in line] for line in lines]
+
+
+def extract_media_lines(
+    image_bytes: bytes, cfg: ExtractConfig, weights
+) -> list[list[tuple[str, float]]]:
+    """Run detection + recognition + layout on one media frame.
+
+    Returns reading-order *lines*, each a list of (text, score) in
+    left-to-right order, after boilerplate stripping. Mirrors the reference
+    single-image flow: detect on the keep-ratio/×32 resize
+    (/root/reference/engine.py:50-52), crop+recognize from the ORIGINAL
+    frame (/root/reference/engine.py:39-41,53), then reading-order sort
+    (/root/reference/postprocess.py:54-68).
+    """
+    crops, boxes, oh = frame_geometry(image_bytes, cfg)
+    if len(boxes) == 0:
+        return []
+    texts_scores = K.recognize_crops(
+        crops,
+        weights,
+        h=cfg.rec.h,
+        mw=cfg.rec.mw,
+        min_w=cfg.rec.min_w,
+        decode=cfg.rec.decode,
+        beam_width=cfg.rec.beam_width,
+    )
+    return assemble_frame_lines(boxes, texts_scores, oh, cfg)
 
 
 def extract_doc(

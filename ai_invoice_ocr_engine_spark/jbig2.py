@@ -1399,7 +1399,7 @@ def _decode_text_region_huffman(body, syms, tables, region, opts,
     rat: list = []
     t_rdw = t_rdh = t_rdx = t_rdy = t_rsize = None
     if sbrefine:
-        # selectors 0/1 are standard tables B.14/B.15 (loud), 3 custom
+        # selectors 0/1 are standard tables B.14/B.15, 3 custom
         t_rdw = pick((hflags >> 6) & 3, (14, 15), "RDW")
         t_rdh = pick((hflags >> 8) & 3, (14, 15), "RDH")
         t_rdx = pick((hflags >> 10) & 3, (14, 15), "RDX")

@@ -1305,22 +1305,49 @@ def recognize_crops(
 
     ``decode`` selects the CTC decoder (reference config.py:35 bm:
     'greedy' | 'beam'); the GEMM half is decoder-independent."""
-    if not crops:
-        return []
+    return recognize_crop_groups(
+        [crops], weights, h, mw, min_w, decode, beam_width)[0]
+
+
+def recognize_crop_groups(
+    groups: list[list[np.ndarray]], weights, h=48, mw=320, min_w=8,
+    decode="greedy", beam_width=5,
+) -> list[list[tuple[str, float]]]:
+    """Recognize the crops of MANY frames with ONE GEMM pair.
+
+    ``groups[i]`` is frame i's crop list; returns the per-frame
+    (text, score) lists in the same shape. Bit-identical to per-frame
+    recognize_crops — and hence to per-crop recognize_crop — because GEMM
+    rows are independent and every intermediate is an exact float32
+    integer (crnn_weights bounds): concatenating time-steps across FRAMES
+    is the same property already pinned for concatenating across crops.
+    Amortizes the numpy/BLAS dispatch over an entire Arrow batch instead
+    of one frame (the mapInPandas hot path hands ~10^3 frames per batch)."""
     if decode == "beam":
         dec = lambda lg: ctc_beam(lg, beam_width=beam_width)  # noqa: E731
     elif decode == "greedy":
         dec = ctc_greedy
     else:
         raise ValueError(f"unknown CTC decode mode {decode!r}")
-    fl = [_crnn_feats(rec_resize(c, h, mw, min_w)) for c in crops]
-    lens = [f.shape[0] for f in fl]
+    fl, lens, counts = [], [], []
+    for crops in groups:
+        counts.append(len(crops))
+        for c in crops:
+            f = _crnn_feats(rec_resize(c, h, mw, min_w))
+            fl.append(f)
+            lens.append(f.shape[0])
+    if not fl:
+        return [[] for _ in groups]
     allf = np.concatenate(fl, axis=0) if len(fl) > 1 else fl[0]
     logits = _crnn_tail(allf, weights)
-    out, pos = [], 0
+    flat, pos = [], 0
     for ln in lens:
-        out.append(dec(logits[pos : pos + ln]))
+        flat.append(dec(logits[pos : pos + ln]))
         pos += ln
+    out, pos = [], 0
+    for n in counts:
+        out.append(flat[pos : pos + n])
+        pos += n
     return out
 
 

@@ -259,18 +259,20 @@ def _ocr_frame_batches(
     bytes come zero-copy from the per-node mmap blob — no byte shuffle, no
     Arrow byte transfer). Refs absent from the blob emit no row, exactly
     like the semi join dropping them."""
-    from .extractor import extract_media_lines
+    from .extractor import assemble_frame_lines, frame_geometry
 
     weights = (
         weights_bc.value if weights_bc is not None else K.crnn_weights(cfg.rec.weight_seed)
     )
     blob = _load_media_side(media_side_path) if media_side_path is not None else None
     for pdf in batches:
-        refs, lines_out = [], []
         if blob is not None:
             pairs = ((ref, blob.get(ref)) for ref in pdf["media_ref"])
         else:
             pairs = zip(pdf["media_ref"], pdf["image"])
+        # phase 1 — per-frame geometry (decode → gates → detect → crop);
+        # per-frame error semantics live here
+        refs, groups, geoms = [], [], []
         for ref, raw in pairs:
             if raw is None:
                 if blob is not None:
@@ -281,7 +283,7 @@ def _ocr_frame_batches(
                 # loudly rather than silently dropping the frame's lines
                 raise ValueError(f"media row {ref!r} has NULL image bytes")
             try:
-                lines = extract_media_lines(bytes(raw), cfg, weights)
+                crops, boxes, oh = frame_geometry(bytes(raw), cfg)
             except (ValueError, NotImplementedError) as e:
                 if cfg.on_bad_media == "skip":
                     # emit no row: the doc-side left join records the frame
@@ -289,6 +291,20 @@ def _ocr_frame_batches(
                     continue
                 raise type(e)(f"media_ref {ref!r}: {e}") from e
             refs.append(ref)
+            groups.append(crops)
+            geoms.append((boxes, oh))
+        # phase 2 — ONE recognition GEMM for the whole Arrow batch
+        # (bit-identical to per-frame recognition: recognize_crop_groups)
+        batch_ts = K.recognize_crop_groups(
+            groups, weights, h=cfg.rec.h, mw=cfg.rec.mw, min_w=cfg.rec.min_w,
+            decode=cfg.rec.decode, beam_width=cfg.rec.beam_width,
+        )
+        # phase 3 — per-frame layout assembly
+        lines_out = []
+        for (boxes, oh), ts in zip(geoms, batch_ts):
+            lines = (
+                assemble_frame_lines(boxes, ts, oh, cfg) if len(boxes) else []
+            )
             lines_out.append([t for line in lines for (t, _sc) in line])
         yield pd.DataFrame({"media_ref": refs, "lines": lines_out})
 

@@ -247,6 +247,33 @@ def test_recognize_crops_batched_equals_per_crop():
         ]
 
 
+def test_recognize_crop_groups_equals_per_frame():
+    """One-GEMM-per-ARROW-BATCH grouping must be bit-identical to
+    per-frame recognize_crops (same exactness argument, one level up) —
+    including empty frames and all-empty batches."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    w = K.crnn_weights()
+    for _ in range(8):
+        groups = [
+            [
+                rng.integers(
+                    0, 256,
+                    size=(int(rng.integers(6, 80)), int(rng.integers(8, 400))),
+                    dtype=np.uint8,
+                )
+                for _ in range(int(rng.integers(0, 6)))
+            ]
+            for _ in range(int(rng.integers(0, 7)))
+        ]
+        assert K.recognize_crop_groups(groups, w) == [
+            K.recognize_crops(g, w) for g in groups
+        ]
+    assert K.recognize_crop_groups([], w) == []
+    assert K.recognize_crop_groups([[], []], w) == [[], []]
+
+
 def test_png_roundtrip_all_filters():
     """encode_png(filter f) → decode_png must reproduce the image exactly
     for every PNG scanline filter type (exercises all unfilter paths)."""

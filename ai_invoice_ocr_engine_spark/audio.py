@@ -225,9 +225,32 @@ def pcm24_to_int16(raw: bytes) -> np.ndarray:
     return (v >> 8).astype(np.int16)
 
 
-def float_to_int16(raw: bytes, bits: int) -> np.ndarray:
+def float_to_int16(raw: bytes, bits: int, big_endian: bool = False) -> np.ndarray:
     """IEEE-float PCM (32 or 64 bit) in [-1, 1] -> int16 with clipping."""
-    dt = "<f4" if bits == 32 else "<f8"
+    dt = (">f4" if bits == 32 else ">f8") if big_endian else (
+        "<f4" if bits == 32 else "<f8")
     w = bits // 8
     f = np.frombuffer(raw[: len(raw) // w * w], dt).astype(np.float64)
     return np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+
+
+def pcm_be_to_int16(raw: bytes, container_bytes: int) -> np.ndarray:
+    """Big-endian signed PCM in 1/2/3/4-byte containers -> int16.
+
+    Samples are left-justified in their container (the AIFF-1.3 rule for
+    bit depths that don't fill it), so reducing to int16 is a pure
+    top-bits take — exact for any declared depth."""
+    w = container_bytes
+    n = len(raw) // w
+    if w == 1:
+        return np.frombuffer(raw[:n], np.int8).astype(np.int16) << 8
+    if w == 2:
+        return np.frombuffer(raw[: n * 2], ">i2").astype(np.int16)
+    if w == 3:
+        b = np.frombuffer(raw[: n * 3], np.uint8).reshape(n, 3).astype(np.int32)
+        v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        v = np.where(v & 0x800000, v - 0x1000000, v)
+        return (v >> 8).astype(np.int16)
+    if w == 4:
+        return (np.frombuffer(raw[: n * 4], ">i4") >> 16).astype(np.int16)
+    raise ValueError(f"unsupported PCM container width {w}")

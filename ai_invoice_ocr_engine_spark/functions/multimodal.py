@@ -408,13 +408,267 @@ def decode_wav(data: bytes) -> np.ndarray:
     return s.astype(np.int16)
 
 
+def _mix_mono(s: np.ndarray, n_ch: int) -> np.ndarray:
+    """Channel-average to int16 mono, decode_wav's exact convention."""
+    s = s.astype(np.int32)
+    if n_ch > 1:
+        s = s[: len(s) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1).astype(np.int32)
+    return s.astype(np.int16)
+
+
+#: AU encoding id -> (codec name, container bytes; 0 = float path)
+_AU_ENCODINGS = {
+    1: ("ulaw", 1), 2: ("pcm8", 1), 3: ("pcm16", 2), 4: ("pcm24", 3),
+    5: ("pcm32", 4), 6: ("float32", 4), 7: ("float64", 8), 27: ("alaw", 1),
+}
+
+
+def decode_au(data: bytes) -> np.ndarray:
+    """Sun/NeXT AU (.au/.snd) → int16 mono samples.
+
+    Header (all big-endian u32): magic '.snd', data offset, data size
+    (0xFFFFFFFF = unknown), encoding, sample rate, channels. Supported
+    encodings: 1 mu-law, 2/3/4/5 linear PCM 8/16/24/32 (signed BE),
+    6/7 IEEE float 32/64, 27 A-law; anything else (ADPCM families, DSP
+    words) raises NotImplementedError."""
+    if data[:4] != b".snd":
+        raise ValueError("not an AU file")
+    if len(data) < 24:
+        raise ValueError("AU header truncated")
+    off, size, enc, _rate, n_ch = _struct.unpack_from(">5I", data, 4)
+    if off < 24 or off > len(data):
+        raise ValueError("AU bad data offset")
+    if n_ch < 1:
+        raise ValueError("AU zero channels")
+    pcm = data[off : off + size] if size != 0xFFFFFFFF else data[off:]
+    if enc not in _AU_ENCODINGS:
+        raise NotImplementedError(f"AU encoding {enc} unsupported")
+    if enc == 1:
+        s = _audio.ulaw_decode(np.frombuffer(pcm, np.uint8))
+    elif enc == 27:
+        s = _audio.alaw_decode(np.frombuffer(pcm, np.uint8))
+    elif enc == 6:
+        s = _audio.float_to_int16(pcm, 32, big_endian=True)
+    elif enc == 7:
+        s = _audio.float_to_int16(pcm, 64, big_endian=True)
+    else:
+        s = _audio.pcm_be_to_int16(pcm, _AU_ENCODINGS[enc][1])
+    return _mix_mono(s, n_ch)
+
+
+def _ext80_to_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended (sign 1, exp 15, explicit-integer-bit
+    mantissa 64) → float — the AIFF COMM sampleRate field."""
+    if len(b) < 10:
+        raise ValueError("AIFF extended float truncated")
+    se = int.from_bytes(b[:2], "big")
+    exp = se & 0x7FFF
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("AIFF infinite/NaN sample rate")
+    sign = -1.0 if se & 0x8000 else 1.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _float_to_ext80(x: float) -> bytes:
+    """float → 80-bit IEEE extended, exact for every practical rate."""
+    import math
+
+    if x == 0.0:
+        return b"\x00" * 10
+    sign = 0x8000 if x < 0 else 0
+    m, e = math.frexp(abs(x))  # abs(x) = m * 2^e, m in [0.5, 1)
+    mant = int(m * (1 << 64))
+    return _struct.pack(">H", sign | (e - 1 + 16383)) + mant.to_bytes(8, "big")
+
+
+def _parse_aiff_chunks(data: bytes):
+    """FORM walk shared by decode_aiff and audio_metadata: returns
+    (is_aifc, n_ch, n_frames, bits, rate, comp, ssnd_body_or_None)."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFC file")
+    is_aifc = data[8:12] == b"AIFC"
+    pos, comm, ssnd = 12, None, None
+    try:
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (size,) = _struct.unpack_from(">I", data, pos + 4)
+            body = data[pos + 8 : pos + 8 + size]
+            if cid == b"COMM":
+                comm = body
+            elif cid == b"SSND":
+                ssnd = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+    except _struct.error as e:
+        raise ValueError(f"corrupt AIFF: {e}") from e
+    if comm is None or len(comm) < 18:
+        raise ValueError("AIFF missing/short COMM chunk")
+    n_ch, n_frames, bits = _struct.unpack_from(">HIH", comm)
+    rate = _ext80_to_float(comm[8:18])
+    comp = b"NONE"
+    if is_aifc:
+        if len(comm) < 22:
+            raise ValueError("AIFC COMM missing compression type")
+        comp = comm[18:22]
+    return is_aifc, n_ch, n_frames, bits, rate, comp, ssnd
+
+
+#: AIFC compression fourcc (upper-cased) -> codec name
+_AIFC_CODECS = {
+    b"NONE": "pcm", b"TWOS": "pcm", b"IN24": "pcm", b"IN32": "pcm",
+    b"SOWT": "pcm_le", b"ULAW": "ulaw", b"ALAW": "alaw",
+    b"FL32": "float32", b"FL64": "float64",
+}
+
+
+def decode_aiff(data: bytes) -> np.ndarray:
+    """AIFF / AIFF-C → int16 mono samples.
+
+    COMM carries channels / frame count / bit depth / 80-bit-extended
+    sample rate (+ compression fourcc for AIFC); SSND carries the frames
+    after an offset/blockSize prefix. Supported: big-endian PCM at any
+    declared depth ≤32 ('NONE'/'twos'/'in24'/'in32' — left-justified in
+    ceil(bits/8)-byte containers per AIFF-1.3), byte-swapped 'sowt'
+    PCM16, G.711 'ulaw'/'alaw', IEEE 'fl32'/'fl64'. Genuinely-compressed
+    AIFC (IMA4, MACE, GSM) raises NotImplementedError."""
+    _is_aifc, n_ch, n_frames, bits, _rate, comp, ssnd = _parse_aiff_chunks(data)
+    if n_ch < 1:
+        raise ValueError("AIFF zero channels")
+    if ssnd is None or len(ssnd) < 8:
+        raise ValueError("AIFF missing/short SSND chunk")
+    (soff,) = _struct.unpack_from(">I", ssnd)
+    pcm = ssnd[8 + soff :]
+    cu = comp.upper()
+    if cu not in _AIFC_CODECS:
+        raise NotImplementedError(
+            f"AIFC compression {comp!r} (compressed codec) unsupported"
+        )
+    codec = _AIFC_CODECS[cu]
+    if codec == "pcm":
+        if not 1 <= bits <= 32:
+            raise ValueError(f"AIFF sample size {bits} out of range")
+        s = _audio.pcm_be_to_int16(pcm, (bits + 7) // 8)
+    elif codec == "pcm_le":
+        if bits != 16:
+            raise NotImplementedError(f"sowt at {bits} bit unsupported")
+        s = np.frombuffer(pcm[: len(pcm) // 2 * 2], "<i2")
+    elif codec == "ulaw":
+        s = _audio.ulaw_decode(np.frombuffer(pcm, np.uint8))
+    elif codec == "alaw":
+        s = _audio.alaw_decode(np.frombuffer(pcm, np.uint8))
+    else:
+        s = _audio.float_to_int16(pcm, 32 if codec == "float32" else 64,
+                                  big_endian=True)
+    s = s[: n_frames * n_ch]  # SSND may carry block padding
+    return _mix_mono(s, n_ch)
+
+
+def encode_au(
+    samples: np.ndarray, sample_rate: int = 16000, encoding: int = 3
+) -> bytes:
+    """Fixture AU encoder. ``samples``: int16, 1-D mono or (n, ch)."""
+    s = np.asarray(samples, np.int16)
+    n_ch = 1 if s.ndim == 1 else s.shape[1]
+    inter = s.reshape(-1)
+    if encoding == 1:
+        pcm = _audio.ulaw_encode(inter).tobytes()
+    elif encoding == 27:
+        pcm = _audio.alaw_encode(inter).tobytes()
+    elif encoding == 2:
+        pcm = (inter.astype(np.int16) >> 8).astype(np.int8).tobytes()
+    elif encoding == 3:
+        pcm = inter.astype(">i2").tobytes()
+    elif encoding == 4:
+        v = inter.astype(np.int32) << 8
+        b = np.empty((len(v), 3), np.uint8)
+        b[:, 0] = (v >> 16) & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = v & 0xFF
+        pcm = b.tobytes()
+    elif encoding == 5:
+        pcm = (inter.astype(np.int32) << 16).astype(">i4").tobytes()
+    elif encoding == 6:
+        pcm = (inter.astype(np.float64) / 32767.0).astype(">f4").tobytes()
+    else:
+        raise ValueError(f"fixture encoder: AU encoding {encoding}")
+    return (
+        b".snd"
+        + _struct.pack(">5I", 24, len(pcm), encoding, sample_rate, n_ch)
+        + pcm
+    )
+
+
+def encode_aiff(
+    samples: np.ndarray,
+    sample_rate: int = 16000,
+    comp: bytes = b"NONE",
+    bits: int = 16,
+) -> bytes:
+    """Fixture AIFF/AIFF-C encoder (AIFC iff ``comp`` != b'NONE').
+    ``samples``: int16, 1-D mono or (n, ch)."""
+    s = np.asarray(samples, np.int16)
+    n_ch = 1 if s.ndim == 1 else s.shape[1]
+    n_frames = len(s) if s.ndim == 1 else s.shape[0]
+    inter = s.reshape(-1)
+    if comp == b"NONE":
+        if bits == 16:
+            pcm = inter.astype(">i2").tobytes()
+        elif bits == 8:
+            pcm = (inter.astype(np.int16) >> 8).astype(np.int8).tobytes()
+        elif bits == 24:
+            v = inter.astype(np.int32) << 8
+            b = np.empty((len(v), 3), np.uint8)
+            b[:, 0] = (v >> 16) & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = v & 0xFF
+            pcm = b.tobytes()
+        elif bits == 32:
+            pcm = (inter.astype(np.int32) << 16).astype(">i4").tobytes()
+        else:
+            raise ValueError(f"fixture encoder: AIFF bits {bits}")
+    elif comp == b"sowt":
+        bits = 16
+        pcm = inter.astype("<i2").tobytes()
+    elif comp == b"ulaw":
+        bits = 16  # COMM declares the UNCOMPRESSED size for G.711
+        pcm = _audio.ulaw_encode(inter).tobytes()
+    elif comp == b"alaw":
+        bits = 16
+        pcm = _audio.alaw_encode(inter).tobytes()
+    elif comp == b"fl32":
+        bits = 32
+        pcm = (inter.astype(np.float64) / 32767.0).astype(">f4").tobytes()
+    else:
+        raise ValueError(f"fixture encoder: AIFC comp {comp!r}")
+    is_aifc = comp != b"NONE"
+    comm = _struct.pack(">HIH", n_ch, n_frames, bits) + _float_to_ext80(
+        float(sample_rate)
+    )
+    if is_aifc:
+        comm += comp + b"\x00\x00"  # empty pascal-string name, padded
+    body = (b"AIFC" + b"FVER" + _struct.pack(">II", 4, 0xA2805140)
+            if is_aifc else b"AIFF")
+    body += b"COMM" + _struct.pack(">I", len(comm)) + comm
+    ssnd = _struct.pack(">II", 0, 0) + pcm
+    body += b"SSND" + _struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        body += b"\x00"
+    return b"FORM" + _struct.pack(">I", len(body)) + body
+
+
 def decode_audio(data: bytes) -> np.ndarray:
-    """Polymorphic audio reader: SYNA, WAV (PCM/float/G.711/ADPCM) or
-    FLAC → int16 mono samples. mp3/aac stay codec seams."""
+    """Polymorphic audio reader: SYNA, WAV (PCM/float/G.711/ADPCM), AU,
+    AIFF/AIFC or FLAC → int16 mono samples. mp3/aac stay codec seams."""
     if data[:4] == SYNA_MAGIC:
         return decode_syna(data)
     if data[:4] == b"RIFF":
         return decode_wav(data)
+    if data[:4] == b".snd":
+        return decode_au(data)
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(data)
     if data[:4] == b"fLaC":
         from ..flac import decode_flac
 
@@ -579,6 +833,26 @@ def audio_metadata(data: bytes) -> dict:
         return {"format": "wav", "codec": codec, "sample_rate": int(rate),
                 "channels": int(n_ch), "bits": int(bits), "n_samples": n,
                 "duration_s": (n / rate) if n >= 0 and rate else -1.0}
+    if data[:4] == b".snd":
+        if len(data) < 24:
+            raise ValueError("AU header truncated")
+        _off, size, enc, rate, n_ch = struct.unpack_from(">5I", data, 4)
+        codec, w = _AU_ENCODINGS.get(enc, (f"au_enc_{enc}", 0))
+        bits = {1: 8, 27: 8}.get(enc, w * 8) if w else -1
+        n = (size // (w * n_ch)) if (w and n_ch and size != 0xFFFFFFFF) else -1
+        return {"format": "au", "codec": codec, "sample_rate": int(rate),
+                "channels": int(n_ch), "bits": bits, "n_samples": n,
+                "duration_s": (n / rate) if n >= 0 and rate else -1.0}
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        is_aifc, n_ch, n_frames, bits, rate, comp, _ssnd = _parse_aiff_chunks(
+            data)
+        codec = _AIFC_CODECS.get(comp.upper(), comp.decode("latin1").strip())
+        if codec == "pcm":
+            codec = f"pcm{bits}"
+        return {"format": "aifc" if is_aifc else "aiff", "codec": codec,
+                "sample_rate": int(rate), "channels": int(n_ch),
+                "bits": int(bits), "n_samples": int(n_frames),
+                "duration_s": (n_frames / rate) if rate else -1.0}
     if data[:4] == b"fLaC":
         if len(data) < 26:
             raise ValueError("FLAC too short for STREAMINFO")

@@ -194,3 +194,179 @@ def test_audio_features_accepts_flac(spark):
     )
     assert rows["flac"]["n_samples"] == 4096
     assert rows["flac"]["zero_crossings"] == rows["wav"]["zero_crossings"]
+
+
+# ---------------------------------------------------------------------------
+# AU (Sun/NeXT) and AIFF / AIFF-C containers
+# ---------------------------------------------------------------------------
+
+
+def test_ext80_exact_for_standard_rates():
+    # every practical sample rate is an integer -> the 64-bit explicit-bit
+    # mantissa holds it exactly; round-trip must be EXACT, not approximate
+    for rate in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000):
+        assert M._ext80_to_float(M._float_to_ext80(float(rate))) == rate
+    # hand-packed anchor: 44100 = 0xAC44 -> exp 15 (16383+15=0x400E),
+    # mantissa 0xAC44 << (63-15)
+    b = M._float_to_ext80(44100.0)
+    assert b[:2] == bytes.fromhex("400e")
+    assert int.from_bytes(b[2:10], "big") == 0xAC44 << 48
+    assert M._ext80_to_float(b"\x00" * 10) == 0.0
+    with pytest.raises(ValueError):
+        M._ext80_to_float(bytes.fromhex("7fff") + b"\x00" * 8)
+
+
+def test_au_roundtrip_all_encodings():
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, 600).astype(np.int16)
+    # exact encodings: every container >=16 bits preserves int16
+    for enc in (3, 4, 5):
+        out = M.decode_audio(M.encode_au(s, 8000, encoding=enc))
+        assert np.array_equal(out, s), enc
+    # float32 has 24-bit mantissa -> exact for int16 magnitudes
+    assert np.array_equal(M.decode_audio(M.encode_au(s, 8000, encoding=6)), s)
+    # 8-bit keeps the top byte exactly
+    assert np.array_equal(
+        M.decode_audio(M.encode_au(s, 8000, encoding=2)),
+        ((s.astype(np.int16) >> 8).astype(np.int16) << 8),
+    )
+    # G.711 paths route through the pinned companders
+    for enc, dec in ((1, A.ulaw_decode), (27, A.alaw_decode)):
+        got = M.decode_audio(M.encode_au(s, 8000, encoding=enc))
+        want = dec(A.ulaw_encode(s) if enc == 1 else A.alaw_encode(s))
+        assert np.array_equal(got, want), enc
+
+
+def test_au_stereo_mixes_like_wav():
+    rng = np.random.default_rng(4)
+    st = rng.integers(-20000, 20000, (300, 2)).astype(np.int16)
+    got = M.decode_audio(M.encode_au(st, 16000, encoding=3))
+    want = st.astype(np.int32).mean(axis=1).astype(np.int32).astype(np.int16)
+    assert np.array_equal(got, want)
+
+
+def test_au_hand_packed_header():
+    # byte-level fixture independent of encode_au: 3 int16be samples,
+    # extra header bytes before data (offset 28), unknown-size sentinel
+    pcm = struct.pack(">3h", 100, -200, 32767)
+    raw = (b".snd" + struct.pack(">5I", 28, 0xFFFFFFFF, 3, 8000, 1)
+           + b"\x00" * 4 + pcm)
+    assert np.array_equal(M.decode_audio(raw), [100, -200, 32767])
+    m = M.audio_metadata(raw)
+    assert (m["format"], m["codec"], m["sample_rate"], m["channels"]) == (
+        "au", "pcm16", 8000, 1)
+
+
+def test_au_error_contract():
+    with pytest.raises(ValueError):
+        M.decode_au(b"RIFFxxxx")
+    with pytest.raises(ValueError):
+        M.decode_au(b".snd" + b"\x00" * 10)  # truncated header
+    bad = b".snd" + struct.pack(">5I", 24, 4, 23, 8000, 1) + b"\x00" * 4
+    with pytest.raises(NotImplementedError):  # ADPCM family stays loud
+        M.decode_au(bad)
+
+
+def test_aiff_roundtrip_matrix():
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32768, 500).astype(np.int16)
+    for comp, bits, exact in (
+        (b"NONE", 16, True), (b"NONE", 24, True), (b"NONE", 32, True),
+        (b"sowt", 16, True), (b"fl32", 32, True),
+        (b"ulaw", 16, False), (b"alaw", 16, False),
+    ):
+        raw = M.encode_aiff(s, 22050, comp=comp, bits=bits)
+        got = M.decode_audio(raw)
+        if exact:
+            assert np.array_equal(got, s), (comp, bits)
+        else:
+            dec = A.ulaw_decode if comp == b"ulaw" else A.alaw_decode
+            enc = A.ulaw_encode if comp == b"ulaw" else A.alaw_encode
+            assert np.array_equal(got, dec(enc(s))), comp
+        m = M.audio_metadata(raw)
+        assert m["format"] == ("aiff" if comp == b"NONE" else "aifc")
+        assert m["sample_rate"] == 22050
+        assert m["n_samples"] == 500
+    # 8-bit AIFF PCM is SIGNED (unlike WAV's unsigned 8-bit)
+    got8 = M.decode_audio(M.encode_aiff(s, 8000, comp=b"NONE", bits=8))
+    assert np.array_equal(got8, (s >> 8).astype(np.int16) << 8)
+
+
+def test_aiff_stereo_and_ssnd_offset():
+    rng = np.random.default_rng(6)
+    st = rng.integers(-10000, 10000, (200, 2)).astype(np.int16)
+    raw = M.encode_aiff(st, 44100)
+    assert np.array_equal(
+        M.decode_audio(raw),
+        st.astype(np.int32).mean(axis=1).astype(np.int32).astype(np.int16),
+    )
+    # hand-packed SSND offset: 4 junk bytes before the frames
+    pcm = struct.pack(">2h", 7, -9)
+    comm = struct.pack(">HIH", 1, 2, 16) + M._float_to_ext80(8000.0)
+    ssnd = struct.pack(">II", 4, 0) + b"\xde\xad\xbe\xef" + pcm
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    raw2 = b"FORM" + struct.pack(">I", len(body)) + body
+    assert np.array_equal(M.decode_audio(raw2), [7, -9])
+
+
+def test_aiff_odd_bit_depth_left_justified():
+    # AIFF-1.3: samples are left-justified in ceil(bits/8)-byte containers;
+    # a 12-bit sample in 2 bytes reads exactly as int16 with low bits zero
+    pcm = struct.pack(">2h", 0x1230, -0x4560)
+    comm = struct.pack(">HIH", 1, 2, 12) + M._float_to_ext80(8000.0)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    raw = b"FORM" + struct.pack(">I", len(body)) + body
+    assert np.array_equal(M.decode_audio(raw), [0x1230, -0x4560])
+
+
+def test_aiff_error_contract():
+    with pytest.raises(ValueError):
+        M.decode_aiff(b"FORM\x00\x00\x00\x048SVX")  # other IFF forms
+    s = np.zeros(4, np.int16)
+    raw = bytearray(M.encode_aiff(s, 8000, comp=b"fl32"))
+    raw[raw.index(b"fl32")] = ord("i")  # 'il32' -> unknown compression
+    with pytest.raises(NotImplementedError):
+        M.decode_aiff(bytes(raw))
+    with pytest.raises(ValueError):  # COMM present, SSND missing
+        M.decode_aiff(
+            b"FORM" + struct.pack(">I", 30) + b"AIFF" + b"COMM"
+            + struct.pack(">I", 18) + struct.pack(">HIH", 1, 0, 16)
+            + M._float_to_ext80(8000.0)
+        )
+
+
+def test_au_aiff_os_shipped_interop():
+    """Decode the Python-distribution-shipped real AU/AIFF/AIFC samples —
+    externally created files, so no fixture-encoder convention can hide."""
+    import glob
+
+    aus = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/sndhdrdata/sndhdr.au"))
+    aiffs = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/sndhdrdata/sndhdr.aif*"))
+    if not aus or not aiffs:
+        pytest.skip("no OS-shipped sndhdr assets")
+    for p in aus + aiffs:
+        data = open(p, "rb").read()
+        m = M.audio_metadata(data)
+        assert m["sample_rate"] > 0 and m["channels"] >= 1, p
+        s = M.decode_audio(data)
+        assert s.dtype == np.int16
+        assert len(s) == m["n_samples"], p
+
+
+def test_audio_features_accepts_aiff(spark):
+    """audio_features end-to-end over an AIFC G.711 file — the decode_audio
+    polymorphism reaching the Spark feature stage."""
+    rng = np.random.default_rng(8)
+    s = (2000 * np.sin(np.arange(2048) / 8.0)).astype(np.int16)
+    raw = M.encode_aiff(s, 16000, comp=b"ulaw")
+    df = spark.createDataFrame([("a1", bytearray(raw))], "media_ref string, audio binary")
+    rows = M.audio_features(df, window=512).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_samples"] == 2048
+    assert len(rows[0]["rms"]) == 2048 // 512
+    assert all(v > 0 for v in rows[0]["rms"])

@@ -231,6 +231,9 @@ def float_to_int16(raw: bytes, bits: int, big_endian: bool = False) -> np.ndarra
         "<f4" if bits == 32 else "<f8")
     w = bits // 8
     f = np.frombuffer(raw[: len(raw) // w * w], dt).astype(np.float64)
+    # corrupt streams can carry NaN/inf: NaN -> 0 and inf -> full-scale
+    # DETERMINISTICALLY (astype on NaN is platform-defined otherwise)
+    f = np.nan_to_num(f, nan=0.0, posinf=1.0, neginf=-1.0)
     return np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
 
 

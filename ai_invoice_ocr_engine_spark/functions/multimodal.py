@@ -468,6 +468,10 @@ def _ext80_to_float(b: bytes) -> float:
         return 0.0
     if exp == 0x7FFF:
         raise ValueError("AIFF infinite/NaN sample rate")
+    if not 16383 - 128 <= exp <= 16383 + 128:
+        # no physical sample rate lives outside 2^-128..2^128; beyond the
+        # float64 range the multiply below would raise OverflowError
+        raise ValueError("AIFF implausible sample-rate exponent")
     sign = -1.0 if se & 0x8000 else 1.0
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 

@@ -370,3 +370,13 @@ def test_audio_features_accepts_aiff(spark):
     assert rows[0]["n_samples"] == 2048
     assert len(rows[0]["rms"]) == 2048 // 512
     assert all(v > 0 for v in rows[0]["rms"])
+
+
+def test_float_pcm_nan_inf_deterministic():
+    # corrupt float streams must decode deterministically: NaN -> 0,
+    # +/-inf -> full scale (astype on NaN is platform-defined otherwise)
+    raw = struct.pack("<4f", float("nan"), float("inf"), float("-inf"), 0.5)
+    got = A.float_to_int16(raw, 32)
+    assert got.tolist() == [0, 32767, -32767, 16384]
+    rawb = struct.pack(">2f", float("nan"), -0.25)
+    assert A.float_to_int16(rawb, 32, big_endian=True).tolist() == [0, -8192]

@@ -569,6 +569,208 @@ def decode_aiff(data: bytes) -> np.ndarray:
     return _mix_mono(s, n_ch)
 
 
+#: 8SVX Fibonacci-delta table (the EA IFF 85 / 8SVX.FD spec constant)
+_FIB_DELTAS = np.array(
+    [-34, -21, -13, -8, -5, -3, -2, -1, 0, 1, 2, 3, 5, 8, 13, 21], np.int32
+)
+
+
+def _parse_8svx(data: bytes):
+    """IFF walk for FORM/8SVX: returns (rate, comp, n_ch, body)."""
+    pos, vhdr, body, chan = 12, None, None, 2  # CHAN absent = mono (LEFT)
+    try:
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (size,) = _struct.unpack_from(">I", data, pos + 4)
+            blk = data[pos + 8 : pos + 8 + size]
+            if cid == b"VHDR":
+                vhdr = blk
+            elif cid == b"BODY":
+                body = blk
+            elif cid == b"CHAN" and size >= 4:
+                (chan,) = _struct.unpack_from(">I", blk)
+            pos += 8 + size + (size & 1)
+    except _struct.error as e:
+        raise ValueError(f"corrupt 8SVX: {e}") from e
+    if vhdr is None or len(vhdr) < 16 or body is None:
+        raise ValueError("8SVX missing VHDR/BODY chunk")
+    rate, _oct, comp = _struct.unpack_from(">HBB", vhdr, 12)
+    n_ch = 2 if chan == 6 else 1  # 2=LEFT, 4=RIGHT, 6=STEREO
+    return rate, comp, n_ch, body
+
+
+def _fib_delta_decode(body: bytes) -> np.ndarray:
+    """8SVX.FD: byte 0 pad, byte 1 initial value, then 2 deltas/byte
+    (high nibble first) accumulated with int8 wrap semantics avoided by
+    the encoder's clamp — decode clamps identically."""
+    if len(body) < 2:
+        raise ValueError("8SVX Fibonacci body truncated")
+    packed = np.frombuffer(body[2:], np.uint8)
+    nibs = np.empty(2 * len(packed), np.uint8)
+    nibs[0::2] = packed >> 4
+    nibs[1::2] = packed & 0x0F
+    x0 = int(np.frombuffer(body[1:2], np.int8)[0])
+    x = np.clip(x0 + np.cumsum(_FIB_DELTAS[nibs]), -128, 127)
+    return np.concatenate(([x0], x)).astype(np.int8)
+
+
+def decode_8svx(data: bytes) -> np.ndarray:
+    """EA IFF 8SVX (Amiga) → int16 mono samples. Signed 8-bit PCM
+    (sCompression 0) or Fibonacci-delta (1); stereo (CHAN 6) stores the
+    full left block then the right block, averaged here."""
+    rate, comp, n_ch, body = _parse_8svx(data)
+    if comp == 0:
+        s8 = np.frombuffer(body, np.int8)
+    elif comp == 1:
+        s8 = _fib_delta_decode(body)
+    else:
+        raise NotImplementedError(f"8SVX compression {comp} unsupported")
+    s = s8.astype(np.int32) << 8
+    if n_ch == 2:
+        half = len(s) // 2
+        s = ((s[:half] + s[half : 2 * half]) // 2).astype(np.int32)
+    return s.astype(np.int16)
+
+
+_VOC_MAGIC = b"Creative Voice File\x1a"
+
+
+def _voc_blocks(data: bytes):
+    """Yield (block_type, payload) for a Creative VOC stream."""
+    if data[:20] != _VOC_MAGIC or len(data) < 26:
+        raise ValueError("not a VOC file")
+    (hdr_size,) = _struct.unpack_from("<H", data, 20)
+    ver, chk = _struct.unpack_from("<HH", data, 22)
+    if ((~ver + 0x1234) & 0xFFFF) != chk:
+        raise ValueError("VOC header checksum mismatch")
+    pos = hdr_size
+    while pos < len(data):
+        t = data[pos]
+        if t == 0:  # terminator (no length field)
+            return
+        if pos + 4 > len(data):
+            raise ValueError("VOC block header truncated")
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "little")
+        body = data[pos + 4 : pos + 4 + ln]
+        if len(body) < ln:
+            raise ValueError("VOC block body truncated")
+        yield t, body
+        pos += 4 + ln
+
+
+def decode_voc(data: bytes) -> np.ndarray:
+    """Creative Voice (.voc) → int16 mono samples.
+
+    Sound blocks: type 1 (8-bit unsigned PCM at 1e6/(256-srb) Hz), type 2
+    (continuation), type 3 (silence → exact zeros), type 9 (extended:
+    8-bit unsigned / 16-bit signed LE PCM, multi-channel averaged).
+    Compressed codecs (4-bit ADPCM families) and repeat loops (types
+    6/7 — expansion would guess a count) raise NotImplementedError."""
+    segs: list[np.ndarray] = []
+    rate = 0
+    for t, body in _voc_blocks(data):
+        if t == 1:
+            if len(body) < 2:
+                raise ValueError("VOC type-1 block truncated")
+            rate = 1_000_000 // (256 - body[0])
+            if body[1] != 0:
+                raise NotImplementedError(
+                    f"VOC type-1 codec {body[1]} unsupported")
+            segs.append(
+                ((np.frombuffer(body[2:], np.uint8).astype(np.int32) - 128)
+                 << 8))
+        elif t == 2:  # continuation of the previous block's format
+            segs.append(
+                ((np.frombuffer(body, np.uint8).astype(np.int32) - 128) << 8))
+        elif t == 3:
+            if len(body) < 3:
+                raise ValueError("VOC silence block truncated")
+            n = int.from_bytes(body[:2], "little") + 1
+            segs.append(np.zeros(n, np.int32))
+        elif t == 9:
+            if len(body) < 12:
+                raise ValueError("VOC type-9 block truncated")
+            rate, bits, n_ch, codec = _struct.unpack_from("<IBBH", body)
+            pcm = body[12:]
+            if codec == 0 and bits == 8:
+                s = (np.frombuffer(pcm, np.uint8).astype(np.int32) - 128) << 8
+            elif codec == 4 and bits == 16:
+                s = np.frombuffer(pcm[: len(pcm) // 2 * 2], "<i2").astype(
+                    np.int32)
+            else:
+                raise NotImplementedError(
+                    f"VOC type-9 codec {codec}/{bits}bit unsupported")
+            if n_ch > 1:
+                s = (s[: len(s) // n_ch * n_ch].reshape(-1, n_ch)
+                     .mean(axis=1).astype(np.int32))
+            segs.append(s)
+        elif t in (6, 7):
+            raise NotImplementedError("VOC repeat loops unsupported")
+        # 4 (marker), 5 (text), 8 (legacy extend) carry no samples: skip
+    if not segs:
+        raise ValueError("VOC contains no sound blocks")
+    return np.concatenate(segs).astype(np.int16)
+
+
+def encode_8svx(
+    samples: np.ndarray, sample_rate: int = 16000, fib: bool = False
+) -> bytes:
+    """Fixture 8SVX encoder: int16 1-D mono or (n, 2) stereo → FORM/8SVX
+    (top byte of each sample; Fibonacci-delta when ``fib``, mono only)."""
+    s = np.asarray(samples, np.int16)
+    stereo = s.ndim == 2
+    s8 = (s.astype(np.int32) >> 8).astype(np.int8)
+    if stereo:
+        body = s8[:, 0].tobytes() + s8[:, 1].tobytes()
+    elif fib:
+        cur = int(s8[0])
+        out = bytearray([0, cur & 0xFF])
+        nibs = []
+        for v in s8[1:].tolist():
+            d = int(np.argmin(np.abs(_FIB_DELTAS - (v - cur))))
+            cur = max(-128, min(127, cur + int(_FIB_DELTAS[d])))
+            nibs.append(d)
+        if len(nibs) & 1:
+            nibs.append(8)  # zero delta pads to a whole byte
+        for i in range(0, len(nibs), 2):
+            out.append((nibs[i] << 4) | nibs[i + 1])
+        body = bytes(out)
+    else:
+        body = s8.tobytes()
+    n = len(s)
+    vhdr = _struct.pack(">IIIHBBI", n, 0, 0, sample_rate, 1,
+                        1 if fib else 0, 0x10000)
+    chunks = b"VHDR" + _struct.pack(">I", len(vhdr)) + vhdr
+    if stereo:
+        chunks += b"CHAN" + _struct.pack(">II", 4, 6)
+    chunks += b"BODY" + _struct.pack(">I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"FORM" + _struct.pack(">I", 4 + len(chunks)) + b"8SVX" + chunks
+
+
+def encode_voc(
+    samples: np.ndarray, sample_rate: int = 16000, extended: bool = True
+) -> bytes:
+    """Fixture VOC encoder: int16 1-D mono or (n, ch) → one type-9 16-bit
+    block (``extended``) or a type-1 8-bit-unsigned block."""
+    s = np.asarray(samples, np.int16)
+    n_ch = 1 if s.ndim == 1 else s.shape[1]
+    inter = s.reshape(-1)
+    ver = 0x010A
+    head = _VOC_MAGIC + _struct.pack("<HHH", 26, ver, (~ver + 0x1234) & 0xFFFF)
+    if extended:
+        pcm = inter.astype("<i2").tobytes()
+        body = _struct.pack("<IBBHI", sample_rate, 16, n_ch, 4, 0) + pcm
+        blk = b"\x09" + len(body).to_bytes(3, "little") + body
+    else:
+        srb = 256 - 1_000_000 // sample_rate
+        pcm = ((inter.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+        body = bytes([srb, 0]) + pcm
+        blk = b"\x01" + len(body).to_bytes(3, "little") + body
+    return head + blk + b"\x00"
+
+
 def encode_au(
     samples: np.ndarray, sample_rate: int = 16000, encoding: int = 3
 ) -> bytes:
@@ -673,6 +875,10 @@ def decode_audio(data: bytes) -> np.ndarray:
         return decode_au(data)
     if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(data)
+    if data[:4] == b"FORM" and data[8:12] == b"8SVX":
+        return decode_8svx(data)
+    if data[:20] == _VOC_MAGIC:
+        return decode_voc(data)
     if data[:4] == b"fLaC":
         from ..flac import decode_flac
 
@@ -857,6 +1063,31 @@ def audio_metadata(data: bytes) -> dict:
                 "sample_rate": int(rate), "channels": int(n_ch),
                 "bits": int(bits), "n_samples": int(n_frames),
                 "duration_s": (n_frames / rate) if rate else -1.0}
+    if data[:4] == b"FORM" and data[8:12] == b"8SVX":
+        rate, comp, n_ch, body = _parse_8svx(data)
+        n = len(body) // n_ch if comp == 0 else -1
+        return {"format": "8svx",
+                "codec": "pcm8" if comp == 0 else "fib_delta",
+                "sample_rate": int(rate), "channels": n_ch, "bits": 8,
+                "n_samples": n,
+                "duration_s": (n / rate) if n >= 0 and rate else -1.0}
+    if data[:20] == _VOC_MAGIC:
+        for t, body in _voc_blocks(data):
+            if t == 1 and len(body) >= 2:
+                rate = 1_000_000 // (256 - body[0])
+                return {"format": "voc", "codec": f"voc_codec_{body[1]}",
+                        "sample_rate": rate, "channels": 1, "bits": 8,
+                        "n_samples": len(body) - 2,
+                        "duration_s": (len(body) - 2) / rate if rate else -1.0}
+            if t == 9 and len(body) >= 12:
+                rate, bits, n_ch, codec = struct.unpack_from("<IBBH", body)
+                w = max(bits // 8, 1)
+                n = len(body[12:]) // (w * n_ch) if n_ch else -1
+                return {"format": "voc", "codec": f"voc_codec_{codec}",
+                        "sample_rate": int(rate), "channels": int(n_ch),
+                        "bits": int(bits), "n_samples": n,
+                        "duration_s": (n / rate) if rate else -1.0}
+        raise ValueError("VOC contains no sound blocks")
     if data[:4] == b"fLaC":
         if len(data) < 26:
             raise ValueError("FLAC too short for STREAMINFO")

@@ -380,3 +380,89 @@ def test_float_pcm_nan_inf_deterministic():
     assert got.tolist() == [0, 32767, -32767, 16384]
     rawb = struct.pack(">2f", float("nan"), -0.25)
     assert A.float_to_int16(rawb, 32, big_endian=True).tolist() == [0, -8192]
+
+
+def test_8svx_roundtrip_mono_stereo_fib():
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32768, 32768, 400).astype(np.int16)
+    top = ((s.astype(np.int32) >> 8) << 8).astype(np.int16)
+    # PCM8 mono: exact in the top byte
+    assert np.array_equal(M.decode_audio(M.encode_8svx(s, 8000)), top)
+    # stereo CHAN 6: left block then right block, averaged
+    st = rng.integers(-20000, 20000, (200, 2)).astype(np.int16)
+    want = ((st.astype(np.int32) >> 8) << 8).mean(axis=1).astype(
+        np.int32).astype(np.int16)
+    assert np.array_equal(M.decode_audio(M.encode_8svx(st, 8000)), want)
+    # Fibonacci-delta: slope-limited -> reconstruct a smooth ramp closely
+    ramp = (np.linspace(-90, 90, 300)).astype(np.int16) << 8
+    got = M.decode_audio(M.encode_8svx(ramp, 8000, fib=True))[: len(ramp)]
+    err = np.abs(got.astype(np.int32) - ((ramp >> 8) << 8)[: len(got)])
+    assert err.max() <= 2 << 8  # within two 8-bit steps everywhere
+    m = M.audio_metadata(M.encode_8svx(s, 8000))
+    assert (m["format"], m["codec"], m["n_samples"]) == ("8svx", "pcm8", 400)
+
+
+def test_fib_delta_hand_fixture():
+    # byte-level: pad 0, initial -10, nibbles 0xF (=+21) and 0x0 (=-34)
+    body = bytes([0, (-10) & 0xFF, 0xF0])
+    out = M._fib_delta_decode(body)
+    assert out.tolist() == [-10, 11, -23]
+
+
+def test_voc_roundtrip_and_blocks():
+    rng = np.random.default_rng(10)
+    s = rng.integers(-32768, 32768, 300).astype(np.int16)
+    # extended type-9 16-bit: exact
+    assert np.array_equal(M.decode_audio(M.encode_voc(s, 22050)), s)
+    # stereo averaged
+    st = rng.integers(-20000, 20000, (150, 2)).astype(np.int16)
+    want = st.astype(np.int32).mean(axis=1).astype(np.int32).astype(np.int16)
+    assert np.array_equal(M.decode_audio(M.encode_voc(st, 22050)), want)
+    # legacy type-1 8-bit unsigned: top byte preserved
+    got = M.decode_audio(M.encode_voc(s, 15625, extended=False))
+    assert np.array_equal(got, ((s.astype(np.int32) >> 8) << 8).astype(np.int16))
+    m = M.audio_metadata(M.encode_voc(s, 22050))
+    assert (m["format"], m["sample_rate"], m["n_samples"]) == ("voc", 22050, 300)
+
+
+def test_voc_hand_packed_silence_and_checksum():
+    ver = 0x010A
+    head = M._VOC_MAGIC + struct.pack("<HHH", 26, ver, (~ver + 0x1234) & 0xFFFF)
+    # type 1 with 2 samples, then silence of 3, then terminator
+    b1 = bytes([100, 0, 0x80 + 64, 0x80 - 64])
+    sil = struct.pack("<HB", 2, 100)
+    raw = (head + b"\x01" + len(b1).to_bytes(3, "little") + b1
+           + b"\x03" + len(sil).to_bytes(3, "little") + sil + b"\x00")
+    out = M.decode_audio(raw)
+    assert out.tolist() == [64 << 8, -(64 << 8), 0, 0, 0]
+    # corrupt checksum is loud
+    bad = bytearray(raw)
+    bad[24] ^= 0xFF
+    with pytest.raises(ValueError):
+        M.decode_voc(bytes(bad))
+    # repeat loops stay a named seam
+    rep = head + b"\x06" + (2).to_bytes(3, "little") + b"\x00\x00" + b"\x00"
+    with pytest.raises(NotImplementedError):
+        M.decode_voc(rep)
+
+
+def test_8svx_voc_os_shipped_interop():
+    import glob
+
+    svx = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/sndhdrdata/sndhdr.8svx"))
+    voc = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/sndhdrdata/sndhdr.voc"))
+    if not svx or not voc:
+        pytest.skip("no OS-shipped sndhdr assets")
+    d8 = open(svx[0], "rb").read()
+    m8 = M.audio_metadata(d8)
+    assert m8["format"] == "8svx" and m8["sample_rate"] == 44100
+    s8 = M.decode_audio(d8)
+    assert s8.dtype == np.int16 and len(s8) == m8["n_samples"] == 5
+    dv = open(voc[0], "rb").read()
+    mv = M.audio_metadata(dv)
+    assert mv["format"] == "voc" and mv["sample_rate"] == 44100
+    assert mv["channels"] == 2 and mv["bits"] == 16
+    sv = M.decode_audio(dv)
+    assert sv.dtype == np.int16 and len(sv) == mv["n_samples"]

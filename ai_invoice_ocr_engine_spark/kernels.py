@@ -1250,9 +1250,15 @@ def ctc_greedy(logits: np.ndarray) -> tuple[str, float]:
     probs = softmax(logits)
     preds = np.argmax(probs, axis=-1)
     scores = probs.max(axis=-1)
+    return _ctc_collapse(preds.tolist(), scores.tolist())
+
+
+def _ctc_collapse(preds: list, scores: list) -> tuple[str, float]:
+    """The blank/repeat collapse half of ctc_greedy (shared with the
+    batch-softmax path in recognize_crop_groups)."""
     chars, scs = [], []
     prev = -1
-    for p, sc in zip(preds.tolist(), scores.tolist()):
+    for p, sc in zip(preds, scores):
         if p != 0 and p != prev:
             chars.append(idx2char(p))
             scs.append(sc)
@@ -1341,9 +1347,21 @@ def recognize_crop_groups(
     allf = np.concatenate(fl, axis=0) if len(fl) > 1 else fl[0]
     logits = _crnn_tail(allf, weights)
     flat, pos = [], 0
-    for ln in lens:
-        flat.append(dec(logits[pos : pos + ln]))
-        pos += ln
+    if decode == "greedy":
+        # softmax/argmax/max are row-wise: computing them over the whole
+        # batch is bit-identical to per-crop ctc_greedy, and replaces
+        # ~3 numpy dispatches PER CROP with 3 per Arrow batch
+        probs = softmax(logits)
+        preds = np.argmax(probs, axis=-1).tolist()
+        scores = probs.max(axis=-1).tolist()
+        for ln in lens:
+            flat.append(
+                _ctc_collapse(preds[pos : pos + ln], scores[pos : pos + ln]))
+            pos += ln
+    else:
+        for ln in lens:
+            flat.append(dec(logits[pos : pos + ln]))
+            pos += ln
     out, pos = [], 0
     for n in counts:
         out.append(flat[pos : pos + n])

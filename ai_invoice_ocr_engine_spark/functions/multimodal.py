@@ -494,19 +494,12 @@ def _parse_aiff_chunks(data: bytes):
     if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF/AIFC file")
     is_aifc = data[8:12] == b"AIFC"
-    pos, comm, ssnd = 12, None, None
-    try:
-        while pos + 8 <= len(data):
-            cid = data[pos : pos + 4]
-            (size,) = _struct.unpack_from(">I", data, pos + 4)
-            body = data[pos + 8 : pos + 8 + size]
-            if cid == b"COMM":
-                comm = body
-            elif cid == b"SSND":
-                ssnd = body
-            pos += 8 + size + (size & 1)  # chunks are word-aligned
-    except _struct.error as e:
-        raise ValueError(f"corrupt AIFF: {e}") from e
+    comm = ssnd = None
+    for cid, body in _iff_chunks(data):
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
     if comm is None or len(comm) < 18:
         raise ValueError("AIFF missing/short COMM chunk")
     n_ch, n_frames, bits = _struct.unpack_from(">HIH", comm)
@@ -575,34 +568,43 @@ _FIB_DELTAS = np.array(
 )
 
 
+def _iff_chunks(data: bytes):
+    """Yield (chunk id, body) for a big-endian EA IFF 85 FORM stream —
+    the walk AIFF/AIFC and 8SVX share. The `pos + 8 <= len` guard makes
+    the size unpack total; truncation shows up as short bodies, which the
+    per-format length checks catch."""
+    pos = 12
+    while pos + 8 <= len(data):
+        (size,) = _struct.unpack_from(">I", data, pos + 4)
+        yield data[pos : pos + 4], data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
 def _parse_8svx(data: bytes):
-    """IFF walk for FORM/8SVX: returns (rate, comp, n_ch, body)."""
-    pos, vhdr, body, chan = 12, None, None, 2  # CHAN absent = mono (LEFT)
-    try:
-        while pos + 8 <= len(data):
-            cid = data[pos : pos + 4]
-            (size,) = _struct.unpack_from(">I", data, pos + 4)
-            blk = data[pos + 8 : pos + 8 + size]
-            if cid == b"VHDR":
-                vhdr = blk
-            elif cid == b"BODY":
-                body = blk
-            elif cid == b"CHAN" and size >= 4:
-                (chan,) = _struct.unpack_from(">I", blk)
-            pos += 8 + size + (size & 1)
-    except _struct.error as e:
-        raise ValueError(f"corrupt 8SVX: {e}") from e
+    """IFF walk for FORM/8SVX: returns (n_per_ch, rate, comp, n_ch, body)."""
+    vhdr, body, chan = None, None, 2  # CHAN absent = mono (LEFT)
+    for cid, blk in _iff_chunks(data):
+        if cid == b"VHDR":
+            vhdr = blk
+        elif cid == b"BODY":
+            body = blk
+        elif cid == b"CHAN" and len(blk) >= 4:
+            (chan,) = _struct.unpack_from(">I", blk)
     if vhdr is None or len(vhdr) < 16 or body is None:
         raise ValueError("8SVX missing VHDR/BODY chunk")
+    one_shot, repeat = _struct.unpack_from(">II", vhdr)
     rate, _oct, comp = _struct.unpack_from(">HBB", vhdr, 12)
     n_ch = 2 if chan == 6 else 1  # 2=LEFT, 4=RIGHT, 6=STEREO
-    return rate, comp, n_ch, body
+    return one_shot + repeat, rate, comp, n_ch, body
 
 
 def _fib_delta_decode(body: bytes) -> np.ndarray:
-    """8SVX.FD: byte 0 pad, byte 1 initial value, then 2 deltas/byte
-    (high nibble first) accumulated with int8 wrap semantics avoided by
-    the encoder's clamp — decode clamps identically."""
+    """8SVX.FD: byte 0 pad, byte 1 initial value (= sample 0), then 2
+    deltas/byte (high nibble first). Accumulation clamps to int8 PER STEP
+    — matching a clamping encoder exactly; a cumsum-then-clip would drift
+    permanently after the first saturation event. Fast path: when the
+    raw cumsum never leaves int8 range, no clamp ever fired and the
+    vectorized result is exact."""
     if len(body) < 2:
         raise ValueError("8SVX Fibonacci body truncated")
     packed = np.frombuffer(body[2:], np.uint8)
@@ -610,25 +612,45 @@ def _fib_delta_decode(body: bytes) -> np.ndarray:
     nibs[0::2] = packed >> 4
     nibs[1::2] = packed & 0x0F
     x0 = int(np.frombuffer(body[1:2], np.int8)[0])
-    x = np.clip(x0 + np.cumsum(_FIB_DELTAS[nibs]), -128, 127)
-    return np.concatenate(([x0], x)).astype(np.int8)
+    x = x0 + np.cumsum(_FIB_DELTAS[nibs])
+    if len(x) == 0 or (-128 <= x.min() and x.max() <= 127):
+        return np.concatenate(([x0], x)).astype(np.int8)
+    out = np.empty(1 + len(nibs), np.int8)
+    out[0] = cur = x0
+    for i, d in enumerate(_FIB_DELTAS[nibs].tolist()):
+        cur = max(-128, min(127, cur + d))
+        out[i + 1] = cur
+    return out
 
 
 def decode_8svx(data: bytes) -> np.ndarray:
     """EA IFF 8SVX (Amiga) → int16 mono samples. Signed 8-bit PCM
     (sCompression 0) or Fibonacci-delta (1); stereo (CHAN 6) stores the
-    full left block then the right block, averaged here."""
-    rate, comp, n_ch, body = _parse_8svx(data)
+    full left block then the right block — each channel independently
+    FD-compressed with its own pad/initial bytes — averaged here. VHDR's
+    oneShot+repeat count trims FD nibble padding per channel."""
+    n_per_ch, rate, comp, n_ch, body = _parse_8svx(data)
     if comp == 0:
-        s8 = np.frombuffer(body, np.int8)
+        chans = [np.frombuffer(body, np.int8)]
+        if n_ch == 2:
+            half = len(body) // 2
+            chans = [np.frombuffer(body[:half], np.int8),
+                     np.frombuffer(body[half : 2 * half], np.int8)]
     elif comp == 1:
-        s8 = _fib_delta_decode(body)
+        if n_ch == 2:
+            half = len(body) // 2
+            chans = [_fib_delta_decode(body[:half]),
+                     _fib_delta_decode(body[half : 2 * half])]
+        else:
+            chans = [_fib_delta_decode(body)]
     else:
         raise NotImplementedError(f"8SVX compression {comp} unsupported")
-    s = s8.astype(np.int32) << 8
+    if n_per_ch:
+        chans = [c[:n_per_ch] for c in chans]
+    n = min(len(c) for c in chans)
+    s = sum(c[:n].astype(np.int32) << 8 for c in chans)
     if n_ch == 2:
-        half = len(s) // 2
-        s = ((s[:half] + s[half : 2 * half]) // 2).astype(np.int32)
+        s = (s // 2).astype(np.int32)
     return s.astype(np.int16)
 
 
@@ -658,55 +680,110 @@ def _voc_blocks(data: bytes):
         pos += 4 + ln
 
 
-def decode_voc(data: bytes) -> np.ndarray:
-    """Creative Voice (.voc) → int16 mono samples.
+def _voc_pcm(pcm: bytes, fmt: str, n_ch: int) -> np.ndarray:
+    """One VOC sound payload → int32 mono (channel-averaged) samples."""
+    if fmt == "u8":
+        s = (np.frombuffer(pcm, np.uint8).astype(np.int32) - 128) << 8
+    else:  # s16
+        s = np.frombuffer(pcm[: len(pcm) // 2 * 2], "<i2").astype(np.int32)
+    if n_ch > 1:
+        s = (s[: len(s) // n_ch * n_ch].reshape(-1, n_ch)
+             .mean(axis=1).astype(np.int32))
+    return s
 
-    Sound blocks: type 1 (8-bit unsigned PCM at 1e6/(256-srb) Hz), type 2
-    (continuation), type 3 (silence → exact zeros), type 9 (extended:
-    8-bit unsigned / 16-bit signed LE PCM, multi-channel averaged).
-    Compressed codecs (4-bit ADPCM families) and repeat loops (types
-    6/7 — expansion would guess a count) raise NotImplementedError."""
-    segs: list[np.ndarray] = []
+
+def _voc_scan(data: bytes, want_samples: bool):
+    """Shared walk behind decode_voc and audio_metadata: yields
+    (mono_samples_or_None, n_mono, rate, n_ch, bits, codec_name) per sound
+    block, tracking the type-1/2 format-inheritance state and the type-8
+    legacy-extension prefix (which sets stereo + a 16-bit time constant
+    for the NEXT type-1 block)."""
+    last: tuple[str, int] | None = None  # (fmt, n_ch) for type-2 blocks
+    ext: tuple[int, int] | None = None  # (rate, n_ch) from type 8
     rate = 0
     for t, body in _voc_blocks(data):
         if t == 1:
             if len(body) < 2:
                 raise ValueError("VOC type-1 block truncated")
-            rate = 1_000_000 // (256 - body[0])
             if body[1] != 0:
                 raise NotImplementedError(
                     f"VOC type-1 codec {body[1]} unsupported")
-            segs.append(
-                ((np.frombuffer(body[2:], np.uint8).astype(np.int32) - 128)
-                 << 8))
-        elif t == 2:  # continuation of the previous block's format
-            segs.append(
-                ((np.frombuffer(body, np.uint8).astype(np.int32) - 128) << 8))
+            if ext is not None:
+                rate, n_ch = ext  # type 8 overrides the sr byte
+                ext = None
+            else:
+                rate, n_ch = 1_000_000 // (256 - body[0]), 1
+            last = ("u8", n_ch)
+            pcm = body[2:]
+            yield (
+                _voc_pcm(pcm, "u8", n_ch) if want_samples else None,
+                len(pcm) // n_ch, rate, n_ch, 8, "voc_codec_0",
+            )
+        elif t == 2:  # continuation: inherits the previous block's format
+            if last is None:
+                raise ValueError("VOC continuation without a sound block")
+            fmt, n_ch = last
+            w = 1 if fmt == "u8" else 2
+            yield (
+                _voc_pcm(body, fmt, n_ch) if want_samples else None,
+                len(body) // (w * n_ch), rate, n_ch,
+                8 * w, f"voc_codec_{0 if fmt == 'u8' else 4}",
+            )
         elif t == 3:
             if len(body) < 3:
                 raise ValueError("VOC silence block truncated")
             n = int.from_bytes(body[:2], "little") + 1
-            segs.append(np.zeros(n, np.int32))
+            srate = 1_000_000 // (256 - body[2])
+            yield (
+                np.zeros(n, np.int32) if want_samples else None,
+                n, srate, 1, 8, "silence",
+            )
+        elif t == 8:
+            if len(body) < 4:
+                raise ValueError("VOC extension block truncated")
+            tc, pack, mode = _struct.unpack_from("<HBB", body)
+            if pack != 0:
+                raise NotImplementedError(
+                    f"VOC extension codec {pack} unsupported")
+            n_ch = 2 if mode == 1 else 1
+            ext = (256_000_000 // (65536 - tc) // n_ch, n_ch)
         elif t == 9:
             if len(body) < 12:
                 raise ValueError("VOC type-9 block truncated")
             rate, bits, n_ch, codec = _struct.unpack_from("<IBBH", body)
+            if n_ch < 1:
+                raise ValueError("VOC type-9 zero channels")
             pcm = body[12:]
             if codec == 0 and bits == 8:
-                s = (np.frombuffer(pcm, np.uint8).astype(np.int32) - 128) << 8
+                fmt = "u8"
             elif codec == 4 and bits == 16:
-                s = np.frombuffer(pcm[: len(pcm) // 2 * 2], "<i2").astype(
-                    np.int32)
+                fmt = "s16"
             else:
                 raise NotImplementedError(
                     f"VOC type-9 codec {codec}/{bits}bit unsupported")
-            if n_ch > 1:
-                s = (s[: len(s) // n_ch * n_ch].reshape(-1, n_ch)
-                     .mean(axis=1).astype(np.int32))
-            segs.append(s)
+            last = (fmt, n_ch)
+            w = 1 if fmt == "u8" else 2
+            yield (
+                _voc_pcm(pcm, fmt, n_ch) if want_samples else None,
+                len(pcm) // (w * n_ch), int(rate), int(n_ch), int(bits),
+                f"voc_codec_{codec}",
+            )
         elif t in (6, 7):
             raise NotImplementedError("VOC repeat loops unsupported")
-        # 4 (marker), 5 (text), 8 (legacy extend) carry no samples: skip
+        # 4 (marker), 5 (text) carry no samples: skip
+
+
+def decode_voc(data: bytes) -> np.ndarray:
+    """Creative Voice (.voc) → int16 mono samples.
+
+    Sound blocks: type 1 (8-bit unsigned PCM at 1e6/(256-srb) Hz, or the
+    rate/stereo a preceding type-8 extension declares), type 2
+    (continuation, inheriting the previous sound block's format), type 3
+    (silence → exact zeros), type 9 (extended: 8-bit unsigned / 16-bit
+    signed LE PCM, multi-channel averaged). Compressed codecs (4-bit
+    ADPCM families) and repeat loops (types 6/7 — expansion would guess a
+    count) raise NotImplementedError."""
+    segs = [s for s, *_ in _voc_scan(data, want_samples=True)]
     if not segs:
         raise ValueError("VOC contains no sound blocks")
     return np.concatenate(segs).astype(np.int16)
@@ -716,17 +793,17 @@ def encode_8svx(
     samples: np.ndarray, sample_rate: int = 16000, fib: bool = False
 ) -> bytes:
     """Fixture 8SVX encoder: int16 1-D mono or (n, 2) stereo → FORM/8SVX
-    (top byte of each sample; Fibonacci-delta when ``fib``, mono only)."""
+    (top byte of each sample; Fibonacci-delta when ``fib``, greedy with
+    per-step clamp — stereo FD compresses each channel block separately
+    like the container stores them)."""
     s = np.asarray(samples, np.int16)
     stereo = s.ndim == 2
-    s8 = (s.astype(np.int32) >> 8).astype(np.int8)
-    if stereo:
-        body = s8[:, 0].tobytes() + s8[:, 1].tobytes()
-    elif fib:
-        cur = int(s8[0])
+
+    def fd_channel(ch8: np.ndarray) -> bytes:
+        cur = int(ch8[0])
         out = bytearray([0, cur & 0xFF])
         nibs = []
-        for v in s8[1:].tolist():
+        for v in ch8[1:].tolist():
             d = int(np.argmin(np.abs(_FIB_DELTAS - (v - cur))))
             cur = max(-128, min(127, cur + int(_FIB_DELTAS[d])))
             nibs.append(d)
@@ -734,7 +811,16 @@ def encode_8svx(
             nibs.append(8)  # zero delta pads to a whole byte
         for i in range(0, len(nibs), 2):
             out.append((nibs[i] << 4) | nibs[i + 1])
-        body = bytes(out)
+        return bytes(out)
+
+    s8 = (s.astype(np.int32) >> 8).astype(np.int8)
+    if stereo:
+        body = (
+            fd_channel(s8[:, 0]) + fd_channel(s8[:, 1]) if fib
+            else s8[:, 0].tobytes() + s8[:, 1].tobytes()
+        )
+    elif fib:
+        body = fd_channel(s8)
     else:
         body = s8.tobytes()
     n = len(s)
@@ -1064,30 +1150,36 @@ def audio_metadata(data: bytes) -> dict:
                 "bits": int(bits), "n_samples": int(n_frames),
                 "duration_s": (n_frames / rate) if rate else -1.0}
     if data[:4] == b"FORM" and data[8:12] == b"8SVX":
-        rate, comp, n_ch, body = _parse_8svx(data)
-        n = len(body) // n_ch if comp == 0 else -1
+        n_per_ch, rate, comp, n_ch, body = _parse_8svx(data)
+        n = len(body) // n_ch if comp == 0 else n_per_ch or -1
+        if comp == 0 and n_per_ch:
+            n = min(n, n_per_ch)
         return {"format": "8svx",
                 "codec": "pcm8" if comp == 0 else "fib_delta",
                 "sample_rate": int(rate), "channels": n_ch, "bits": 8,
                 "n_samples": n,
                 "duration_s": (n / rate) if n >= 0 and rate else -1.0}
     if data[:20] == _VOC_MAGIC:
-        for t, body in _voc_blocks(data):
-            if t == 1 and len(body) >= 2:
-                rate = 1_000_000 // (256 - body[0])
-                return {"format": "voc", "codec": f"voc_codec_{body[1]}",
-                        "sample_rate": rate, "channels": 1, "bits": 8,
-                        "n_samples": len(body) - 2,
-                        "duration_s": (len(body) - 2) / rate if rate else -1.0}
-            if t == 9 and len(body) >= 12:
-                rate, bits, n_ch, codec = struct.unpack_from("<IBBH", body)
-                w = max(bits // 8, 1)
-                n = len(body[12:]) // (w * n_ch) if n_ch else -1
-                return {"format": "voc", "codec": f"voc_codec_{codec}",
-                        "sample_rate": int(rate), "channels": int(n_ch),
-                        "bits": int(bits), "n_samples": n,
-                        "duration_s": (n / rate) if rate else -1.0}
-        raise ValueError("VOC contains no sound blocks")
+        # n_samples/duration span the WHOLE file (matching decode_voc's
+        # concatenation); rate/channels/bits/codec describe the first
+        # sound block
+        first = first_any = None
+        total_n, dur = 0, 0.0
+        for _s, n, rate, n_ch, bits, codec in _voc_scan(
+                data, want_samples=False):
+            if first is None and codec != "silence":
+                first = (rate, n_ch, bits, codec)
+            if first_any is None:
+                first_any = (rate, n_ch, bits, codec)
+            total_n += n
+            dur += (n / rate) if rate else 0.0
+        first = first or first_any  # silence-only files stay decodable
+        if first is None:
+            raise ValueError("VOC contains no sound blocks")
+        rate, n_ch, bits, codec = first
+        return {"format": "voc", "codec": codec, "sample_rate": rate,
+                "channels": n_ch, "bits": bits, "n_samples": total_n,
+                "duration_s": round(dur, 6)}
     if data[:4] == b"fLaC":
         if len(data) < 26:
             raise ValueError("FLAC too short for STREAMINFO")

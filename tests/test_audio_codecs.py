@@ -466,3 +466,79 @@ def test_8svx_voc_os_shipped_interop():
     assert mv["channels"] == 2 and mv["bits"] == 16
     sv = M.decode_audio(dv)
     assert sv.dtype == np.int16 and len(sv) == mv["n_samples"]
+
+
+def test_fib_delta_per_step_clamp():
+    # x0=120, deltas +21, +21, -34, 0: per-step clamp holds at 127 twice
+    # then descends to 93. A cumsum-then-clip would drift (120+21+21-34
+    # = 128 -> clip 127, not 93) — this fixture distinguishes them.
+    body = bytes([0, 120, 0xFF, 0x08])
+    assert M._fib_delta_decode(body).tolist() == [120, 127, 127, 93, 93]
+
+
+def test_8svx_stereo_fib_and_vhdr_trim():
+    # each channel FD-compressed separately (own pad/initial bytes),
+    # averaged on decode; VHDR oneShot count trims the padding nibble
+    n = 201  # odd -> FD pads a zero-delta nibble per channel
+    l = (np.linspace(-90, 90, n)).astype(np.int16) << 8
+    r = (np.linspace(60, -60, n)).astype(np.int16) << 8
+    st = np.stack([l, r], axis=1)
+    got = M.decode_audio(M.encode_8svx(st, 8000, fib=True))
+    assert len(got) == n  # oneShot+repeat trimmed the pad exactly
+    want = (((l.astype(np.int32) >> 8) << 8)
+            + ((r.astype(np.int32) >> 8) << 8)) // 2
+    assert np.abs(got.astype(np.int32) - want).max() <= 2 << 8
+    # mono FD also lands at the exact declared length now
+    ramp = (np.linspace(-90, 90, 301)).astype(np.int16) << 8
+    assert len(M.decode_audio(M.encode_8svx(ramp, 8000, fib=True))) == 301
+    m = M.audio_metadata(M.encode_8svx(st, 8000, fib=True))
+    assert (m["codec"], m["channels"], m["n_samples"]) == ("fib_delta", 2, n)
+
+
+def _voc_head():
+    ver = 0x010A
+    return M._VOC_MAGIC + struct.pack("<HHH", 26, ver, (~ver + 0x1234) & 0xFFFF)
+
+
+def test_voc_type8_extension_stereo():
+    # type-8 declares stereo + a 16-bit time constant for the next type-1
+    tc = 65536 - 4000  # 256e6/4000/2 = 32000 Hz per channel
+    ext = struct.pack("<HBB", tc, 0, 1)
+    pcm = bytes([128 + 20, 128 + 40, 128 - 20, 128 - 40])
+    b1 = bytes([99, 0]) + pcm  # srb byte overridden by the extension
+    raw = (_voc_head()
+           + b"\x08" + len(ext).to_bytes(3, "little") + ext
+           + b"\x01" + len(b1).to_bytes(3, "little") + b1 + b"\x00")
+    assert M.decode_audio(raw).tolist() == [30 << 8, -(30 << 8)]
+    m = M.audio_metadata(raw)
+    assert (m["sample_rate"], m["channels"], m["n_samples"]) == (32000, 2, 2)
+
+
+def test_voc_continuation_and_multiblock_metadata():
+    # type-2 inherits the previous block's format; metadata spans blocks
+    b1 = bytes([100, 0, 128 + 10, 128 + 20])
+    cont = bytes([128 - 10, 128 - 20])
+    sil = struct.pack("<HB", 2, 100)
+    raw = (_voc_head()
+           + b"\x01" + len(b1).to_bytes(3, "little") + b1
+           + b"\x02" + len(cont).to_bytes(3, "little") + cont
+           + b"\x03" + len(sil).to_bytes(3, "little") + sil + b"\x00")
+    out = M.decode_audio(raw)
+    assert out.tolist() == [10 << 8, 20 << 8, -(10 << 8), -(20 << 8), 0, 0, 0]
+    m = M.audio_metadata(raw)
+    rate = 1_000_000 // (256 - 100)
+    assert (m["codec"], m["sample_rate"], m["n_samples"]) == (
+        "voc_codec_0", rate, 7)
+    assert m["duration_s"] == round(7 / rate, 6)
+    # continuation with no preceding sound block is corrupt
+    bad = _voc_head() + b"\x02" + len(cont).to_bytes(3, "little") + cont + b"\x00"
+    with pytest.raises(ValueError):
+        M.decode_voc(bad)
+
+
+def test_voc_silence_only_metadata_matches_decode():
+    sil = struct.pack("<HB", 4, 100)
+    raw = _voc_head() + b"\x03" + len(sil).to_bytes(3, "little") + sil + b"\x00"
+    assert M.decode_audio(raw).tolist() == [0] * 5
+    m = M.audio_metadata(raw)
+    assert (m["codec"], m["n_samples"]) == ("silence", 5)

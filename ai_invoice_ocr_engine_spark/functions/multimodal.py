@@ -176,9 +176,11 @@ def video_frame_payloads(data: bytes) -> list[bytes]:
     animated GIF composites each frame (disposal/transparency honored)
     and re-packs it as SYNF so downstream frame consumers stay
     format-agnostic; mp4 demuxes for real (box tree + stsc/stsz/stco
-    sample map, mp4.py) with raw-frame sample entries decoding
-    end-to-end — only the compressed avc1/aac bitstreams remain the
-    ffmpeg codec seam (NotImplementedError naming the codec)."""
+    sample map, mp4.py) with raw-SYNF and Photo-JPEG sample entries
+    decoding end-to-end; AVI demuxes for real (avi.py) with MJPG and
+    BI_RGB DIB frames decoding end-to-end — only inter-frame bitstreams
+    (avc1/aac, cvid/XVID, ...) remain the ffmpeg codec seam
+    (NotImplementedError naming the codec)."""
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from ..gif import gif_frames
 
@@ -187,6 +189,10 @@ def video_frame_payloads(data: bytes) -> list[bytes]:
         from ..mp4 import mp4_frame_payloads
 
         return mp4_frame_payloads(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..avi import avi_frame_payloads
+
+        return avi_frame_payloads(data)
     return decode_synv(data)
 
 
@@ -956,6 +962,12 @@ def decode_audio(data: bytes) -> np.ndarray:
     if data[:4] == SYNA_MAGIC:
         return decode_syna(data)
     if data[:4] == b"RIFF":
+        if data[8:12] == b"AVI ":
+            # soundtrack extraction: the AVI demux re-wraps the PCM audio
+            # stream as a standalone WAVE, one sample decoder for both
+            from ..avi import avi_audio_bytes
+
+            return decode_wav(avi_audio_bytes(data))
         return decode_wav(data)
     if data[:4] == b".snd":
         return decode_au(data)
@@ -996,8 +1008,8 @@ VIDEO_META_SCHEMA = (
 def video_metadata(data: bytes) -> dict:
     """Header-level video/container metadata: SYNV (frame count + dims from
     the first SYNF header), ISO-BMFF mp4 (mvhd duration + per-track sample
-    counts — sample DECODE stays the seam), GIF (logical-screen dims +
-    frame count). The survey stage before deciding what to transcode."""
+    counts), GIF (logical-screen dims + frame count), AVI (avih dims +
+    stream headers). The survey stage before deciding what to transcode."""
     import struct
 
     if data[:4] == SYNV_MAGIC:
@@ -1029,6 +1041,10 @@ def video_metadata(data: bytes) -> dict:
         return {"format": "gif", "codec": "gif_lzw", "width": int(w),
                 "height": int(h), "n_frames": n, "n_tracks": 1,
                 "duration_s": -1.0}
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..avi import avi_metadata
+
+        return avi_metadata(data)
     raise ValueError("unknown video format")
 
 
@@ -1103,6 +1119,13 @@ def audio_metadata(data: bytes) -> dict:
         return {"format": "syna", "codec": "pcm16", "sample_rate": 16000,
                 "channels": 1, "bits": 16, "n_samples": n,
                 "duration_s": n / 16000.0}
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        # AVI soundtrack: demux the audio stream to a WAVE and re-enter
+        from ..avi import avi_audio_bytes
+
+        m = audio_metadata(avi_audio_bytes(data))
+        m["format"] = "avi"
+        return m
     if data[:4] == b"RIFF":
         # reuse decode_wav's fmt walk cheaply: find the fmt chunk
         pos, fmt = 12, None

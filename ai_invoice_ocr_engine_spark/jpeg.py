@@ -1487,3 +1487,55 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG helper: Motion-JPEG streams (AVI 'MJPG', QuickTime 'jpeg') commonly
+# omit the DHT segments and rely on the decoder supplying the ITU T.81
+# Annex K tables — the convention the OpenDML AVI spec (and every ffmpeg/
+# libavcodec MJPEG encoder) standardized. decode_jpeg demands explicit
+# tables, so the demux layer normalizes frames with this helper first.
+# ---------------------------------------------------------------------------
+
+_MJPEG_DHT = None
+
+
+def _annex_k_dht() -> bytes:
+    """The four Annex K tables as two DHT segments (DC+AC luma, DC+AC
+    chroma) — exactly what an MJPG frame without DHT implies."""
+    global _MJPEG_DHT
+    if _MJPEG_DHT is None:
+        _MJPEG_DHT = (
+            _seg(0xC4, _dht_payload(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+                 + _dht_payload(1, 0, AC_LUM_BITS, AC_LUM_VALS))
+            + _seg(0xC4, _dht_payload(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+                   + _dht_payload(1, 1, AC_CHROM_BITS, AC_CHROM_VALS))
+        )
+    return _MJPEG_DHT
+
+
+def ensure_jpeg_tables(data: bytes) -> bytes:
+    """Return ``data`` unchanged if the stream carries a DHT segment before
+    the first SOS; otherwise insert the Annex K default tables immediately
+    before SOS (the MJPG missing-DHT convention). Malformed marker streams
+    raise ValueError so the skip-policy contract holds upstream."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = data[pos + 1]
+        if marker == 0xC4:  # DHT present — nothing to do
+            return data
+        if marker == 0xDA:  # SOS without any DHT: inject Annex K here
+            return data[:pos] + _annex_k_dht() + data[pos:]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("JPEG segment truncated")
+        pos += 2 + seglen
+    raise ValueError("JPEG stream ended before SOS")

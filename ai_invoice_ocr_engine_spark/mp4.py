@@ -5,13 +5,15 @@ Beyond-reference video-container surface: the ISO base media file format
 This module implements the DEMUX layer for real — box tree walk,
 trak→mdia→minf→stbl sample tables (stsd codec entry, stsc
 chunk-mapping runs, stsz sizes, stco/co64 chunk offsets) — so frame
-sampling over an mp4 column does genuine container work. The codec
-payload itself stays a loud seam: avc1/hvc1/mp4a samples raise
-NotImplementedError naming the codec (ffmpeg territory, same policy as
-mp3), while the private 'synf' sample entry (raw SYNF frame per sample,
-structurally a legal ISO-BMFF SampleEntry) decodes end-to-end so the
-Spark plumbing (functions/multimodal.video_frame_payloads) is testable
-without external libraries.
+sampling over an mp4 column does genuine container work. Two sample
+entries decode end-to-end: the private 'synf' entry (raw SYNF frame per
+sample, structurally a legal ISO-BMFF SampleEntry) and QuickTime
+Photo-JPEG ('jpeg' — every sample is a complete baseline JPEG, routed
+through the repo's own T.81 decoder with Annex K tables injected when a
+frame omits DHT, the Motion-JPEG convention). Inter-frame codecs
+(avc1/hvc1/mp4a and the field-split 'mjpa'/'mjpb') stay the loud
+NotImplementedError seam naming the codec (ffmpeg territory, same
+policy as mp3).
 """
 
 from __future__ import annotations
@@ -22,6 +24,11 @@ _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 #: codec fourccs we can decode sample payloads for (raw frame per sample)
 _RAW_CODECS = {b"synf"}
+
+#: Motion-JPEG sample entries where every sample is a whole baseline JPEG
+#: ('jpeg' = QuickTime Photo JPEG). 'mjpa'/'mjpb' interleave fields with a
+#: private header and are NOT plain JPEG — they stay loud seams.
+_JPEG_CODECS = {b"jpeg"}
 
 
 def _boxes(data: bytes, start: int, end: int):
@@ -192,12 +199,22 @@ def mp4_metadata(data: bytes) -> dict:
 def mp4_frame_payloads(data: bytes) -> list[bytes]:
     """Extract the video track's sample payloads as decodable frames.
 
-    Raw 'synf' sample entries return their SYNF bytes; compressed codecs
-    (avc1/h264, hvc1, mp4a/aac, ...) raise NotImplementedError naming the
-    codec — the demux is real, the bitstream decoder is the seam."""
+    Raw 'synf' sample entries return their SYNF bytes; Photo-JPEG 'jpeg'
+    entries return each sample as a standalone JPEG (Annex K tables
+    injected when the frame omits DHT — the Motion-JPEG convention);
+    inter-frame codecs (avc1/h264, hvc1, mp4a/aac, mjpa/mjpb ...) raise
+    NotImplementedError naming the codec — the demux is real, the
+    bitstream decoder is the seam."""
     tracks = parse_mp4(data)
     vide = [t for t in tracks if t.handler == b"vide"] or tracks
     track = vide[0]
+    if track.codec in _JPEG_CODECS:
+        from .jpeg import ensure_jpeg_tables
+
+        return [
+            ensure_jpeg_tables(data[off : off + size])
+            for off, size in track.samples
+        ]
     if track.codec not in _RAW_CODECS:
         raise NotImplementedError(
             f"mp4 codec {track.codec.decode('ascii', 'replace')!r} requires "

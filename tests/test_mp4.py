@@ -141,3 +141,64 @@ def test_fuzz_error_contract():
             mp4_frame_payloads(junk)
         except (ValueError, NotImplementedError):
             pass
+
+
+# --------------------------------------------------------------------------
+# QuickTime Photo-JPEG ('jpeg') sample entries: every sample is a whole
+# baseline JPEG, decodable end-to-end through the repo's T.81 decoder.
+# --------------------------------------------------------------------------
+
+
+def _jpeg_frames(n, h=24, w=32):
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 256, (h, w), np.uint8).astype(np.uint8) for _ in range(n)]
+    return imgs, [encode_jpeg(im, quality=95) for im in imgs]
+
+
+def test_photo_jpeg_samples_decode_end_to_end():
+    imgs, frs = _jpeg_frames(4)
+    blob = encode_mp4(frs, codec=b"jpeg")
+    payloads = mp4_frame_payloads(blob)
+    assert len(payloads) == 4
+    for im, p in zip(imgs, payloads):
+        dec = K.decode_image(p)
+        # baseline JPEG at q95 is lossy but close
+        assert dec.shape == im.shape
+        assert np.mean(np.abs(dec.astype(int) - im.astype(int))) < 12
+
+
+def test_photo_jpeg_missing_dht_gets_annex_k_tables():
+    """MJPG convention: frames without DHT decode via injected Annex K
+    tables, bit-identical to the same frame with its tables present."""
+    from ai_invoice_ocr_engine_spark.jpeg import decode_jpeg
+
+    imgs, frs = _jpeg_frames(2)
+
+    def strip_dht(b):
+        out = bytearray(b[:2])
+        pos = 2
+        while pos + 4 <= len(b):
+            m = b[pos + 1]
+            if m == 0xDA:
+                out += b[pos:]
+                break
+            sl = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            if m != 0xC4:
+                out += b[pos : pos + 2 + sl]
+            pos += 2 + sl
+        return bytes(out)
+
+    stripped = [strip_dht(f) for f in frs]
+    assert all(b"\xff\xc4" not in s[:200] for s in stripped)
+    blob = encode_mp4(stripped, codec=b"jpeg")
+    payloads = mp4_frame_payloads(blob)
+    for full, p in zip(frs, payloads):
+        np.testing.assert_array_equal(decode_jpeg(p), decode_jpeg(full))
+
+
+def test_mjpa_field_format_stays_a_named_seam():
+    _, frs = _jpeg_frames(2)
+    with pytest.raises(NotImplementedError, match="mjpa"):
+        mp4_frame_payloads(encode_mp4(frs, codec=b"mjpa"))

@@ -193,6 +193,10 @@ def video_frame_payloads(data: bytes) -> list[bytes]:
         from ..avi import avi_frame_payloads
 
         return avi_frame_payloads(data)
+    if data[:8] == K.PNG_MAGIC:
+        from ..apng import apng_frames
+
+        return [K.encode_synf(f) for f in apng_frames(data)]
     return decode_synv(data)
 
 
@@ -1045,6 +1049,18 @@ def video_metadata(data: bytes) -> dict:
         from ..avi import avi_metadata
 
         return avi_metadata(data)
+    if data[:8] == K.PNG_MAGIC:
+        from ..apng import apng_metadata, is_apng
+
+        if is_apng(data):
+            return apng_metadata(data)
+        # a still PNG is a 1-frame "video" for the sampling path
+        import struct as _s
+
+        w, h = _s.unpack_from(">II", data, 16)
+        return {"format": "png", "codec": "png_deflate", "width": int(w),
+                "height": int(h), "n_frames": 1, "n_tracks": 1,
+                "duration_s": -1.0}
     raise ValueError("unknown video format")
 
 

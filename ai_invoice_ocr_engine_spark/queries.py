@@ -4216,6 +4216,212 @@ ORDER BY doc_id
 """
 
 
+def q_bigram_pmi(spark, sf):
+    """Pointwise-mutual-information collocations: PMI(a,b) =
+    ln(p(ab) / (p(a)·p(b))) over word unigrams and adjacent bigrams,
+    min bigram support 5 — the classic stock-phrase / multi-word-
+    expression miner for tokenizer and vocab design. Two map-side-
+    combinable counts (unigram, bigram) and two equi-joins of the
+    bigram table against the unigram table on the word key; at 10^12
+    docs the shuffles carry (token, partial count) only — the corpus
+    text never reaches a shuffle. Ordering is on the ROUNDED pmi (4 dp)
+    with the bigram as tie-break so the top-30 cut is engine-stable."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("w")
+    )
+    uni = (
+        words.select(F.explode("w").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    big = (
+        words.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+                )
+            ).alias("g")
+        )
+        .select("g.a", "g.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    # totals ride the SAME job as 1-row broadcast sides (no driver action,
+    # no second evaluation of the bigram DAG)
+    n_uni = uni.agg(F.sum("n_a").cast("double").alias("n_uni"))
+    n_big = big.agg(F.sum("n_ab").cast("double").alias("n_big"))
+    ub = uni.withColumnRenamed("a", "b").withColumnRenamed("n_a", "n_b")
+    return (
+        big.join(uni, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("g"),
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("n_big"))
+                    / (
+                        (F.col("n_a").cast("double") / F.col("n_uni"))
+                        * (F.col("n_b").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "g")
+        .limit(30)
+    )
+
+
+_SQL_BIGRAM_PMI = """
+WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+uni AS (SELECT t.a AS a, count(*) AS n_a
+        FROM w, unnest(ws) AS t(a) GROUP BY 1),
+big AS (SELECT ws[i] AS a, ws[i + 1] AS b, count(*) AS n_ab
+        FROM w, unnest(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2 GROUP BY 1, 2 HAVING count(*) >= 5),
+tot AS (SELECT (SELECT sum(n_a) FROM uni) AS n_uni,
+               (SELECT sum(n_ab) FROM big) AS n_big)
+SELECT big.a || ' ' || big.b AS g, n_ab,
+       round(ln((n_ab / n_big) / ((ua.n_a / n_uni) * (ub.n_a / n_uni))), 4)
+         AS pmi
+FROM big JOIN uni ua ON big.a = ua.a JOIN uni ub ON big.b = ub.a
+CROSS JOIN tot
+ORDER BY pmi DESC, g LIMIT 30
+"""
+
+
+def q_char_entropy(spark, sf):
+    """Per-document character-distribution Shannon entropy (nats) — the
+    CCNet-style gibberish/binary-noise gate: H = ln N − Σ n·ln n / N
+    over character counts. Pure JVM path: explode single characters,
+    one (doc_id, ch) count, one per-doc aggregation; both shuffles key
+    on doc_id (+ch) so the plan is two map-side-combinable aggs, no
+    window, no Python. keep = H ≥ 2 nats (printable English prose runs
+    ~2.9–3.2; base64/hex noise collapses toward ln 16 ≈ 2.77 but runs
+    of a single char fall well below 2)."""
+    d = _t(spark, sf, "documents")
+    per_char = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_chars_tot"),
+            F.sum(F.col("n") * F.log(F.col("n").cast("double"))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n_chars_tot").cast("double"))
+                - F.col("s") / F.col("n_chars_tot"),
+                4,
+            ).alias("entropy"),
+        )
+        .withColumn("keep", F.col("entropy") >= 2.0)
+        .orderBy("doc_id")
+    )
+
+
+_SQL_CHAR_ENTROPY = """
+WITH c AS (SELECT doc_id, t.ch AS ch, count(*) AS n
+           FROM documents, unnest(string_split(text, '')) AS t(ch)
+           WHERE t.ch <> '' GROUP BY 1, 2),
+e AS (SELECT doc_id, sum(n) AS tot, sum(n * ln(n)) AS s
+      FROM c GROUP BY 1)
+SELECT doc_id, round(ln(tot) - s / tot, 4) AS entropy,
+       (round(ln(tot) - s / tot, 4) >= 2.0) AS keep
+FROM e ORDER BY doc_id
+"""
+
+
+def q_zipf_slope(spark, sf):
+    """Zipf's-law diagnostic: the log-log OLS slope of rank vs frequency
+    over the top-1000 tokens (natural corpora run ≈ −1; synthetic or
+    templated text drifts shallower). The heavy stage is one token
+    count (map-side combine) + TakeOrderedAndProject for the top-1000
+    cut; the rank window then runs over the BOUNDED 1000-row result —
+    a deliberately single-task window over a constant-size input, not
+    a corpus-wide sort. slope = cov(ln r, ln f) / var(ln r)."""
+    d = _t(spark, sf, "documents")
+    counts = (
+        d.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(1000)
+    )
+    ranked = counts.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("n"), "w")),
+    )
+    return ranked.agg(
+        F.round(
+            F.covar_pop(F.log(F.col("r").cast("double")), F.log(F.col("n").cast("double")))
+            / F.var_pop(F.log(F.col("r").cast("double"))),
+            4,
+        ).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+_SQL_ZIPF_SLOPE = """
+WITH c AS (SELECT t.w AS w, count(*) AS n
+           FROM documents,
+                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS t(w)
+           GROUP BY 1 ORDER BY n DESC, w LIMIT 1000),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS r FROM c)
+SELECT round(covar_pop(ln(r), ln(n)) / var_pop(ln(r)), 4) AS zipf_slope,
+       count(*) AS n_terms
+FROM r
+"""
+
+
+def q_burst_users(spark, sf):
+    """Bot/burst detection: users whose event rate inside any 60-second
+    tumbling bucket reaches a threshold (2 here — the synthetic corpus
+    is sparse; production sets it to the abuse SLO), with their peak
+    per-minute rate and how many bucket-minutes were bursty. One groupBy on the
+    composite (user_id, minute-bucket) key — integer epoch-div
+    bucketing, no session window, no global sort — then a per-user
+    rollup; both aggregations are map-side combinable and the shuffle
+    keys stay user-scoped at 10^12 events."""
+    e = _t(spark, sf, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 60").alias("m")
+    )
+    per_min = e.groupBy("user_id", "m").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_min.where(F.col("n") >= 2)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("peak_per_min"),
+            F.count(F.lit(1)).alias("n_bursty_minutes"),
+        )
+        .orderBy(F.desc("peak_per_min"), F.desc("n_bursty_minutes"), "user_id")
+    )
+
+
+_SQL_BURST_USERS = """
+WITH b AS (SELECT user_id, floor(epoch(ts))::BIGINT // 60 AS m, count(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT user_id, max(n)::BIGINT AS peak_per_min,
+       count(*)::BIGINT AS n_bursty_minutes
+FROM b WHERE n >= 2 GROUP BY user_id
+ORDER BY peak_per_min DESC, n_bursty_minutes DESC, user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -4322,6 +4528,10 @@ REGISTRY: dict[str, tuple] = {
     "funnel_conversion": (q_funnel_conversion, _SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),
     "top_bigrams": (q_top_bigrams, _SQL_TOP_BIGRAMS),
+    "bigram_pmi": (q_bigram_pmi, _SQL_BIGRAM_PMI),
+    "char_entropy": (q_char_entropy, _SQL_CHAR_ENTROPY),
+    "zipf_slope": (q_zipf_slope, _SQL_ZIPF_SLOPE),
+    "burst_users": (q_burst_users, _SQL_BURST_USERS),
     "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
     "caption_pairs": (q_caption_pairs, _SQL_CAPTION_PAIRS),
     "dup_cluster_sizes": (q_dup_cluster_sizes, _SQL_DUP_CLUSTER_SIZES),

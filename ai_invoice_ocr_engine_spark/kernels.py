@@ -1290,9 +1290,11 @@ def _crnn_tail(feats: np.ndarray, weights) -> np.ndarray:
     bit-identical — exactness bounds in crnn_weights)."""
     w1, w2 = weights
     hid = feats @ np.asarray(w1, np.float32)   # sgemm, exact
-    # arithmetic >>6 == floor(x/64); the float->int cast is exact because
-    # every value is an integer < 2^24
-    hid = np.clip(hid.astype(np.int32) >> 6, -127, 127).astype(np.float32)
+    # floor(x/64) == arithmetic >>6 for integers; x*2^-6 and floor are both
+    # exact in float32 (|x| < 2^24, power-of-two scale), so this stays the
+    # same integer 'mixing' without the int32 round-trip (two fewer
+    # full-matrix dtype passes on the batch hot path)
+    hid = np.clip(np.floor(hid * np.float32(0.015625)), -127, 127)
     return (hid @ np.asarray(w2, np.float32)) / 512.0  # sgemm, exact
 
 
@@ -1339,12 +1341,26 @@ def recognize_crop_groups(
     for crops in groups:
         counts.append(len(crops))
         for c in crops:
-            f = _crnn_feats(rec_resize(c, h, mw, min_w))
-            fl.append(f)
-            lens.append(f.shape[0])
+            r = rec_resize(c, h, mw, min_w)
+            rh, rw = r.shape
+            t = (rw + 3) // 4
+            p = np.full((rh, t * 4), 255, dtype=np.uint8)
+            p[:, :rw] = r
+            # per-crop patch layout stays a small cache-resident transpose;
+            # the float conversion is deferred to ONE batch-wide pass below
+            fl.append(
+                np.ascontiguousarray(
+                    p.reshape(rh, t, 4).transpose(1, 0, 2)
+                ).reshape(t, rh * 4)
+            )
+            lens.append(t)
     if not fl:
         return [[] for _ in groups]
-    allf = np.concatenate(fl, axis=0) if len(fl) > 1 else fl[0]
+    # concat in uint8 (4x less traffic than float32), then one astype and
+    # one subtract over the whole batch — exactly np.concatenate of the
+    # per-crop _crnn_feats outputs
+    allu = np.concatenate(fl, axis=0) if len(fl) > 1 else fl[0]
+    allf = allu.astype(np.float32) - 128.0
     logits = _crnn_tail(allf, weights)
     flat, pos = [], 0
     if decode == "greedy":

@@ -981,6 +981,10 @@ def decode_audio(data: bytes) -> np.ndarray:
         return decode_8svx(data)
     if data[:20] == _VOC_MAGIC:
         return decode_voc(data)
+    if data[:4] == b"OggS":
+        from ..ogg import decode_ogg
+
+        return decode_ogg(data)
     if data[:4] == b"fLaC":
         from ..flac import decode_flac
 
@@ -1135,6 +1139,10 @@ def audio_metadata(data: bytes) -> dict:
         return {"format": "syna", "codec": "pcm16", "sample_rate": 16000,
                 "channels": 1, "bits": 16, "n_samples": n,
                 "duration_s": n / 16000.0}
+    if data[:4] == b"OggS":
+        from ..ogg import ogg_metadata
+
+        return ogg_metadata(data)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         # AVI soundtrack: demux the audio stream to a WAVE and re-enter
         from ..avi import avi_audio_bytes

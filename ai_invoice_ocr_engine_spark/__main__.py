@@ -116,6 +116,9 @@ def main(argv=None) -> int:
     ing.add_argument("--out", required=True, help="output dir for the two tables")
     ing.add_argument("--skip-bad", action="store_true",
                      help="record parse errors per doc instead of failing")
+    ing.add_argument("--password", default="",
+                     help="PDF password (tried as user, then owner) applied "
+                          "to every document in the batch")
     ing.add_argument("--stream", action="store_true",
                      help="treat --pdfs/--html as a landing directory: Structured "
                           "Streaming binaryFile source, incremental append "
@@ -317,8 +320,11 @@ def main(argv=None) -> int:
                 )
             else:
                 src = spark.read.parquet(in_path)
+            kw = {}
+            if args.pdfs and args.password:
+                kw["password"] = args.password.encode()
             combined = ingest_fn(
-                src, on_bad="skip" if args.skip_bad else "fail"
+                src, on_bad="skip" if args.skip_bad else "fail", **kw
             )
             docs, media = split_ingest(combined)
             dp = os.path.join(args.out, "documents.parquet")

@@ -246,7 +246,7 @@ class _Lexer:
 class PdfDocument:
     """Random-access COS layer: xref resolution + object cache."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.d = data
         if not data.startswith(b"%PDF-"):
             raise ValueError("not a PDF file")
@@ -276,7 +276,8 @@ class PdfDocument:
             id0 = b""
             if isinstance(ids, list) and ids:
                 id0 = bytes(self._resolve(ids[0]))
-            self._crypt = StandardSecurityHandler(enc, id0, self._resolve)
+            self._crypt = StandardSecurityHandler(
+                enc, id0, self._resolve, password=password)
             # anything fetched before the handler existed (e.g. during a
             # damaged-xref rebuild) was cached undecrypted — flush it
             self._cache.clear()
@@ -1529,8 +1530,11 @@ def _resolve_colorspace(cs, resolve, apply_filters):
     raise NotImplementedError(f"PDF color space {cs} unsupported")
 
 
-def pdf_spans(data: bytes, line_tol: float = 2.0):
+def pdf_spans(data: bytes, line_tol: float = 2.0, password: bytes = b""):
     """Parse a PDF into the engine's interleaved span model.
+
+    ``password`` opens password-protected files (tried as user, then
+    owner — pdfcrypt.StandardSecurityHandler).
 
     Returns (spans, media): spans is a list of dicts (kind 'text' |
     'image', text, media_ref, offset) in reading order (pages in order;
@@ -1542,7 +1546,7 @@ def pdf_spans(data: bytes, line_tol: float = 2.0):
     ValueError, unimplemented features raise NotImplementedError —
     never a bare structural exception."""
     try:
-        return _pdf_spans(data, line_tol)
+        return _pdf_spans(data, line_tol, password)
     except (ValueError, NotImplementedError):
         raise
     except (
@@ -1560,8 +1564,8 @@ def pdf_spans(data: bytes, line_tol: float = 2.0):
         raise ValueError(f"corrupt PDF: {type(e).__name__}: {e}") from e
 
 
-def _pdf_spans(data: bytes, line_tol: float):
-    doc = PdfDocument(data)
+def _pdf_spans(data: bytes, line_tol: float, password: bytes = b""):
+    doc = PdfDocument(data, password=password)
     root = doc._resolve(doc.trailer["Root"])
     if not isinstance(root, dict):
         raise ValueError("PDF catalog missing or not a dictionary")
@@ -1694,6 +1698,8 @@ def encode_pdf(
     compress: bool = True,
     use_objstm: bool = False,
     encrypt: str | None = None,
+    user_pwd: bytes = b"",
+    owner_pwd: bytes = b"",
 ) -> bytes:
     """Fixture-side PDF writer. Each page is a list of items:
     ``("text", x, y, size, s)`` or ``("image", x, y, w, h, payload,
@@ -1701,8 +1707,9 @@ def encode_pdf(
     numpy array, Flate-compressed). ``use_objstm=True`` writes PDF 1.5
     compressed object streams + a cross-reference stream with PNG
     predictor 12 — the modern layout — instead of a classic xref
-    table. ``encrypt`` applies the standard security handler with
-    empty passwords: 'rc4-40' | 'rc4-128' | 'aesv2' | 'aesv3'."""
+    table. ``encrypt`` applies the standard security handler
+    ('rc4-40' | 'rc4-128' | 'aesv2' | 'aesv3') with ``user_pwd`` /
+    ``owner_pwd`` (empty by default = the owner-locked layout)."""
     objs: dict[int, bytes] = {}  # full object bodies (without N 0 obj wrapper)
     is_stream: dict[int, bool] = {}
     next_num = 1
@@ -1789,7 +1796,8 @@ def encode_pdf(
         from .pdfcrypt import make_encryptor
 
         id0 = bytes.fromhex("0123456789abcdef0123456789abcdef")
-        enc_body, crypt = make_encryptor(encrypt, id0)
+        enc_body, crypt = make_encryptor(
+            encrypt, id0, user_pwd=user_pwd, owner_pwd=owner_pwd)
         enc_num = add(enc_body)
         # the /Encrypt dictionary must stay a top-level object (it can
         # never live inside an ObjStm); flagging it keeps it out

@@ -1,11 +1,13 @@
 """PDF standard security handler (ISO 32000-1 s7.6 / 32000-2 s7.6.4).
 
-Opens the overwhelmingly common "owner-locked" encrypted invoice: files
-with an EMPTY user password (anyone can read; permissions nominally
-restricted).  Supported: R2 (RC4-40), R3/R4 (RC4-128 and AES-128 CBC,
-crypt filters V2/AESV2), R5 and R6 (AES-256, AESV3).  A file whose user
-password is non-empty genuinely needs a secret we do not have, so it
-stays a loud NotImplementedError seam.  Public-key (/Filter /Adobe.PubSec)
+Opens the overwhelmingly common "owner-locked" encrypted invoice (EMPTY
+user password — anyone can read, permissions nominally restricted) by
+default, and PASSWORD-PROTECTED files when the caller supplies the
+secret (tried as the user password, then as the owner password via
+Algorithm 7 / the R5-R6 owner salts).  Supported: R2 (RC4-40), R3/R4
+(RC4-128 and AES-128 CBC, crypt filters V2/AESV2), R5 and R6 (AES-256,
+AESV3).  A protected file with NO (or a wrong) supplied password stays
+a loud NotImplementedError seam.  Public-key (/Filter /Adobe.PubSec)
 handlers likewise.
 
 Crypto primitives are implemented here from the public specs (FIPS-197
@@ -308,11 +310,18 @@ def _owner_o_value(owner_pwd: bytes, user_pwd: bytes, r: int, nbytes: int) -> by
 class StandardSecurityHandler:
     """Decrypt-side handler for an /Encrypt dictionary.
 
-    Raises NotImplementedError for anything needing a secret we do not
-    have (non-empty user password, public-key handlers) or a crypt
-    filter outside V2/AESV2/AESV3/Identity."""
+    ``password`` (bytes) is tried first as the USER password, then as
+    the OWNER password (ISO 32000-1 Algorithm 7: the RC4 key derived
+    from the owner password decrypts /O back into the padded user
+    password; R5/R6 hash the owner password with the owner salts + U48
+    and unwrap /OE). The default empty password keeps the historical
+    anyone-can-read behavior. Raises NotImplementedError for anything
+    needing a secret we do not have (no/wrong password supplied,
+    public-key handlers) or a crypt filter outside
+    V2/AESV2/AESV3/Identity."""
 
-    def __init__(self, enc: dict, id0: bytes, resolve=lambda x: x):
+    def __init__(self, enc: dict, id0: bytes, resolve=lambda x: x,
+                 password: bytes = b""):
         g = lambda k, d=None: resolve(enc.get(k, d))  # noqa: E731
         if str(g("Filter", "Standard")) != "Standard":
             raise NotImplementedError(
@@ -349,29 +358,63 @@ class StandardSecurityHandler:
                 nbytes = 5
             if not 5 <= nbytes <= 16:
                 raise ValueError("bad /Length in PDF Encrypt dict")
-            key = _r34_file_key(b"", o, self.p, id0, self.r, nbytes,
-                                self.encrypt_metadata)
-            want = _r34_user_check_bytes(key, id0, self.r)
             n = 32 if self.r == 2 else 16
-            if want[:n] != u[:n]:
+
+            def try_user(pwd: bytes):
+                key = _r34_file_key(pwd, o, self.p, id0, self.r, nbytes,
+                                    self.encrypt_metadata)
+                want = _r34_user_check_bytes(key, id0, self.r)
+                return key if want[:n] == u[:n] else None
+
+            key = try_user(password)
+            if key is None and password:
+                # Algorithm 7: the owner-password RC4 key decrypts /O back
+                # into the padded user password
+                tmp = hashlib.md5(_pad_pwd(password)).digest()
+                if self.r >= 3:
+                    for _ in range(50):
+                        tmp = hashlib.md5(tmp).digest()
+                rkey = tmp[:nbytes]
+                upwd = o[:32]
+                if self.r == 2:
+                    upwd = rc4(rkey, upwd)
+                else:
+                    for i in range(19, -1, -1):
+                        upwd = rc4(bytes(b ^ i for b in rkey), upwd)
+                key = try_user(upwd)
+            if key is None:
                 raise NotImplementedError(
-                    "password-protected PDF (non-empty user password)"
+                    "password-protected PDF (wrong or missing password)"
                 )
             self.key = key
         elif self.r in (5, 6):
             ue = bytes(g("UE", b""))
+            oe = bytes(g("OE", b""))
             vsalt, ksalt = u[32:40], u[40:48]
             if self.r == 5:  # deprecated Adobe AES-256 (single SHA-256)
-                ok = hashlib.sha256(b"" + vsalt).digest() == u[:32]
-                ikey = hashlib.sha256(b"" + ksalt).digest()
+                ok = hashlib.sha256(password + vsalt).digest() == u[:32]
+                ikey = hashlib.sha256(password + ksalt).digest()
             else:  # ISO 32000-2 Algorithm 2.B
-                ok = hash_2b(b"", vsalt) == u[:32]
-                ikey = hash_2b(b"", ksalt)
+                ok = hash_2b(password, vsalt) == u[:32]
+                ikey = hash_2b(password, ksalt)
+            wrapped = ue[:32]
+            if not ok and password:
+                # owner variant: salts ride in /O, U48 joins the hash, the
+                # file key unwraps from /OE
+                ovs, oks = o[32:40], o[40:48]
+                if self.r == 5:
+                    ok = hashlib.sha256(
+                        password + ovs + u[:48]).digest() == o[:32]
+                    ikey = hashlib.sha256(password + oks + u[:48]).digest()
+                else:
+                    ok = hash_2b(password, ovs, u[:48]) == o[:32]
+                    ikey = hash_2b(password, oks, u[:48])
+                wrapped = oe[:32]
             if not ok:
                 raise NotImplementedError(
-                    "password-protected PDF (non-empty user password)"
+                    "password-protected PDF (wrong or missing password)"
                 )
-            self.key = aes_cbc_decrypt(ikey, b"\x00" * 16, ue[:32])
+            self.key = aes_cbc_decrypt(ikey, b"\x00" * 16, wrapped)
             perms = bytes(g("Perms", b""))
             if len(perms) == 16:
                 pd = AES(self.key).decrypt_block(perms)
@@ -426,18 +469,21 @@ class StandardSecurityHandler:
         return self._apply(self.stm_cfm, data, num, gen, True)
 
 
-def make_encryptor(mode: str, id0: bytes, seed: int = 7) -> tuple[bytes, "StandardSecurityHandler"]:
-    """Fixture-side: build an /Encrypt dictionary body (empty user and
-    owner passwords, all permissions) plus a handler whose encrypt_*
-    methods produce bytes the decrypt side must open.  mode:
+def make_encryptor(mode: str, id0: bytes, seed: int = 7,
+                   user_pwd: bytes = b"", owner_pwd: bytes = b"",
+                   ) -> tuple[bytes, "StandardSecurityHandler"]:
+    """Fixture-side: build an /Encrypt dictionary body (``user_pwd`` /
+    ``owner_pwd``, empty by default; all permissions) plus a handler whose
+    encrypt_* methods produce bytes the decrypt side must open.  mode:
     'rc4-40' | 'rc4-128' | 'aesv2' | 'aesv3'."""
     p = -4  # all permission bits set except reserved zero bits
+    opwd = owner_pwd or user_pwd
     rng = hashlib.sha256(b"pdfcrypt-fixture-%d" % seed).digest()
     if mode in ("rc4-40", "rc4-128"):
         r = 2 if mode == "rc4-40" else 3
         nbits = 40 if mode == "rc4-40" else 128
-        o = _owner_o_value(b"", b"", r, nbits // 8)
-        key = _r34_file_key(b"", o, p, id0, r, nbits // 8, True)
+        o = _owner_o_value(opwd, user_pwd, r, nbits // 8)
+        key = _r34_file_key(user_pwd, o, p, id0, r, nbits // 8, True)
         u = _r34_user_check_bytes(key, id0, r)
         body = (
             f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
@@ -448,8 +494,8 @@ def make_encryptor(mode: str, id0: bytes, seed: int = 7) -> tuple[bytes, "Standa
                "Length": nbits, "P": p, "O": o, "U": u}
     elif mode == "aesv2":
         r = 4
-        o = _owner_o_value(b"", b"", r, 16)
-        key = _r34_file_key(b"", o, p, id0, r, 16, True)
+        o = _owner_o_value(opwd, user_pwd, r, 16)
+        key = _r34_file_key(user_pwd, o, p, id0, r, 16, True)
         u = _r34_user_check_bytes(key, id0, r)
         body = (
             f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p} "
@@ -464,11 +510,11 @@ def make_encryptor(mode: str, id0: bytes, seed: int = 7) -> tuple[bytes, "Standa
         r = 6
         file_key = rng[:32]
         vsalt, ksalt = rng[:8], rng[8:16]
-        u = hash_2b(b"", vsalt) + vsalt + ksalt
-        ue = aes_cbc_encrypt(hash_2b(b"", ksalt), b"\x00" * 16, file_key)
+        u = hash_2b(user_pwd, vsalt) + vsalt + ksalt
+        ue = aes_cbc_encrypt(hash_2b(user_pwd, ksalt), b"\x00" * 16, file_key)
         ovs, oks = rng[16:24], rng[24:32]
-        o = hash_2b(b"", ovs, u[:48]) + ovs + oks
-        oe = aes_cbc_encrypt(hash_2b(b"", oks, u[:48]), b"\x00" * 16, file_key)
+        o = hash_2b(opwd, ovs, u[:48]) + ovs + oks
+        oe = aes_cbc_encrypt(hash_2b(opwd, oks, u[:48]), b"\x00" * 16, file_key)
         pblk = struct.pack("<i", p) + b"\xff\xff\xff\xffTadb" + rng[:4]
         perms = AES(file_key).encrypt_block(pblk)
         body = (
@@ -484,4 +530,4 @@ def make_encryptor(mode: str, id0: bytes, seed: int = 7) -> tuple[bytes, "Standa
                "Perms": perms}
     else:
         raise ValueError(f"unknown encryption mode {mode!r}")
-    return body, StandardSecurityHandler(enc, id0)
+    return body, StandardSecurityHandler(enc, id0, password=user_pwd)

@@ -78,11 +78,13 @@ def _content_ref(payload: bytes) -> str:
     return "m-" + hashlib.md5(payload).hexdigest()[:16]
 
 
-def parse_pdf_doc(doc_id: str, data: bytes) -> tuple[list[dict], list[dict]]:
+def parse_pdf_doc(doc_id: str, data: bytes,
+                  password: bytes = b"") -> tuple[list[dict], list[dict]]:
     """Driver-testable single-document parse → (spans, media) in table
     shape: kinds normalized to the corpus model ('image' → 'media'),
-    media_refs rewritten content-addressed."""
-    raw_spans, raw_media = pdf_spans(data)
+    media_refs rewritten content-addressed. ``password`` opens
+    password-protected files (tried as user, then owner)."""
+    raw_spans, raw_media = pdf_spans(data, password=password)
     ref_map = {ref: _content_ref(payload) for ref, payload in raw_media.items()}
     spans = []
     for s in raw_spans:
@@ -170,8 +172,15 @@ def _ingest(
     return raw_df.select("doc_id", blob_col).mapInPandas(fn, INGEST_SCHEMA)
 
 
-def ingest_pdfs(pdf_df: DataFrame, on_bad: str = "fail") -> DataFrame:
-    """(doc_id, pdf binary) → combined (doc_id, spans, media, error)."""
+def ingest_pdfs(pdf_df: DataFrame, on_bad: str = "fail",
+                password: bytes = b"") -> DataFrame:
+    """(doc_id, pdf binary) → combined (doc_id, spans, media, error).
+    ``password`` applies to every document in the frame (a per-corpus
+    secret, the common case for bulk-exported protected invoices)."""
+    if password:
+        def parse(doc_id, data, _pw=password):
+            return parse_pdf_doc(doc_id, data, password=_pw)
+        return _ingest(pdf_df, "pdf", parse, "PDF", on_bad)
     return _ingest(pdf_df, "pdf", parse_pdf_doc, "PDF", on_bad)
 
 

@@ -146,3 +146,39 @@ def test_password_protected_file_routes_to_ingest_error_contract():
     broken = data.replace(b"/U <", b"/U <ff", 1)
     with pytest.raises(NotImplementedError, match="password-protected"):
         pdf_spans(broken)
+
+
+# --------------------------------------------------------------------------
+# Password-protected files open with the supplied secret (user OR owner)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aesv2", "aesv3"])
+def test_protected_pdf_opens_with_user_password(mode):
+    data = encode_pdf(PAGES, encrypt=mode, user_pwd=b"hunter2",
+                      owner_pwd=b"admin")
+    with pytest.raises(NotImplementedError, match="password"):
+        pdf_spans(data)  # no password: loud
+    spans, _media = pdf_spans(data, password=b"hunter2")
+    assert any(s["kind"] == "text" and s["text"] for s in spans)
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aesv2", "aesv3"])
+def test_protected_pdf_opens_with_owner_password(mode):
+    """Algorithm 7 (R2-R4): the owner key decrypts /O back into the padded
+    user password; R6 hashes the owner salts + U48 and unwraps /OE."""
+    data = encode_pdf(PAGES, encrypt=mode, user_pwd=b"hunter2",
+                      owner_pwd=b"admin")
+    spans, _media = pdf_spans(data, password=b"admin")
+    assert any(s["kind"] == "text" and s["text"] for s in spans)
+    with pytest.raises(NotImplementedError, match="password"):
+        pdf_spans(data, password=b"wrong-secret")
+
+
+def test_owner_locked_still_opens_with_any_or_no_password():
+    """The historical empty-user-password layout keeps working, and a
+    supplied password that happens to be the owner's also opens it."""
+    data = encode_pdf(PAGES, encrypt="aesv2", owner_pwd=b"admin")
+    s1, _ = pdf_spans(data)
+    s2, _ = pdf_spans(data, password=b"admin")
+    assert s1 == s2

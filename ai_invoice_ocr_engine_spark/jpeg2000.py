@@ -50,10 +50,17 @@ off (MCT over mixed transforms or mismatched grids is corrupt, G.1).
 Tile-header RGN and POC markers override their main-header
 counterparts per tile (first tile-part only — this decoder
 concatenates tile-parts before the packet walk, so later-part
-RGN/POC stays a named seam). Remaining deliberate loud seams
-(NotImplementedError with the feature named — the repo-wide codec
-policy): RGN styles other than maxshift (Part 2) and RGN/POC in a
-later tile-part. Multi-layer BYPASS streams without termall decode
+RGN/POC stays a named seam). The JP2 colour surface covers enumerated
+sRGB/greyscale/sYCC (I.5.3.3) plus CMYK (15444-2 enum 12, ink
+composited over white with the same integer arithmetic as the Adobe
+CMYK JPEG path) and the channel-definition box (I.5.3.6): straight
+opacity channels drop before the colour reduction, colour
+associations reorder permuted channel layouts. Remaining deliberate
+loud seams (NotImplementedError with the feature named — the
+repo-wide codec policy): RGN styles other than maxshift (Part 2),
+RGN/POC in a later tile-part, premultiplied-alpha cdef channels, and
+component counts with neither a CMYK colr nor a cdef to interpret
+them. Multi-layer BYPASS streams without termall decode
 too: a packet signals one length per segment PORTION (lblock +
 floor(log2(portion_passes)) bits) and the decoder concatenates
 portions by segment index across layers before the T1 run.
@@ -1641,7 +1648,26 @@ def decode_jpeg2000(data: bytes) -> np.ndarray:
             )]
             for a in scaled
         ]
-    if len(comps) == 3 and _jp2_enum_cs(data) == 18:
+    cdef = _jp2_cdef(data)
+    if cdef is not None:
+        # channel-definition box (I.5.3.6): keep colour channels (Typ 0)
+        # ordered by their colour association, drop straight opacity
+        # (Typ 1 — same convention as the PNG/GIF alpha paths here);
+        # premultiplied opacity (Typ 2) would need un-multiplication by
+        # the alpha plane to display — rare enough to keep loud.
+        if any(t == 2 for _, t, _ in cdef):
+            raise NotImplementedError(
+                "JPEG2000 premultiplied-alpha channel (cdef Typ 2) "
+                "unsupported")
+        if sorted(cn for cn, _, _ in cdef) != list(range(len(scaled))):
+            raise ValueError("JPEG2000 cdef does not cover every channel")
+        color = [cn for cn, t, a in sorted(
+            cdef, key=lambda e: (e[2], e[0])) if t == 0]
+        if not color or any(t not in (0, 1) for _, t, _ in cdef):
+            raise NotImplementedError(
+                "JPEG2000 cdef channel roles unsupported")
+        scaled = [scaled[cn] for cn in color]
+    if len(scaled) == 3 and _jp2_enum_cs(data) == 18:
         # sYCC (I.5.3.3): the decoded components ARE luma/chroma — the
         # shape scanner JPX takes (subsampled chroma, MCT off) —
         # convert to RGB before the shared luma reduction
@@ -1651,9 +1677,21 @@ def decode_jpeg2000(data: bytes) -> np.ndarray:
             yy - 0.344136 * (cbs - 128.0) - 0.714136 * (crs - 128.0),
             yy + 1.772 * (cbs - 128.0),
         ]
-    if len(comps) == 1:
+    if len(scaled) == 4 and _jp2_enum_cs(data) == 12:
+        # CMYK (the 15444-2 extended enumerated space, value 12 —
+        # the shape print-pipeline JPX takes). Samples are ink
+        # coverage (0 = no ink): composite over white with the SAME
+        # integer arithmetic as the repo's Adobe-CMYK JPEG path
+        # (jpeg.py _reconstruct) so a page scanned both ways greys
+        # identically.
+        c8 = [np.clip(np.rint(a), 0, 255).astype(np.uint16) for a in scaled]
+        inv_cmy = np.stack([255 - a for a in c8[:3]], axis=-1)
+        inv_k = (255 - c8[3])[..., None]
+        rgb = (inv_cmy * inv_k + 127) // 255
+        scaled = [rgb[..., i].astype(np.float64) for i in range(3)]
+    if len(scaled) == 1:
         return np.clip(np.rint(scaled[0]), 0, 255).astype(np.uint8)
-    if len(comps) == 3:
+    if len(scaled) == 3:
         from .kernels import rgb_to_gray
 
         rgb = np.stack(
@@ -1662,34 +1700,65 @@ def decode_jpeg2000(data: bytes) -> np.ndarray:
         )
         return rgb_to_gray(rgb)
     raise NotImplementedError(
-        f"JPEG2000 {len(comps)}-component image unsupported"
+        f"JPEG2000 {len(scaled)}-component image unsupported"
     )
+
+
+def _jp2_boxes(buf, pos, end):
+    """JP2 box walker: yields (type, body_start, body_end) for the box
+    sequence in buf[pos:end], honouring XLBox (length 1) and
+    to-end-of-file (length 0) encodings."""
+    while pos + 8 <= end:
+        ln = struct.unpack(">I", buf[pos : pos + 4])[0]
+        typ = buf[pos + 4 : pos + 8]
+        off = 8
+        if ln == 1:
+            ln = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            off = 16
+        body_end = end if ln == 0 else min(pos + ln, end)
+        yield typ, pos + off, body_end
+        pos = body_end
 
 
 def _jp2_enum_cs(data: bytes) -> int | None:
     """Enumerated colourspace from the JP2 header's colr box (I.5.3.3):
-    16 sRGB, 17 greyscale, 18 sYCC. None for raw codestreams, missing
-    colr boxes, or non-enumerated methods (ICC profiles)."""
+    16 sRGB, 17 greyscale, 18 sYCC, 12 CMYK (15444-2). None for raw
+    codestreams, missing colr boxes, or non-enumerated methods (ICC
+    profiles)."""
     if data[:2] == b"\xff\x4f":
         return None
-
-    def boxes(buf, pos, end):
-        while pos + 8 <= end:
-            ln = struct.unpack(">I", buf[pos : pos + 4])[0]
-            typ = buf[pos + 4 : pos + 8]
-            off = 8
-            if ln == 1:
-                ln = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
-                off = 16
-            body_end = end if ln == 0 else min(pos + ln, end)
-            yield typ, pos + off, body_end
-            pos = body_end
-
-    for typ, b0, b1 in boxes(data, 0, len(data)):
+    for typ, b0, b1 in _jp2_boxes(data, 0, len(data)):
         if typ == b"jp2h":
-            for t2, c0, c1 in boxes(data, b0, b1):
+            for t2, c0, c1 in _jp2_boxes(data, b0, b1):
                 if t2 == b"colr" and data[c0] == 1 and c0 + 7 <= c1:
                     return struct.unpack(">I", data[c0 + 3 : c0 + 7])[0]
+            return None
+    return None
+
+
+def _jp2_cdef(data: bytes) -> list | None:
+    """Channel-definition box (I.5.3.6) from the JP2 header: a list of
+    (Cn, Typ, Asoc) triples — channel index, role (0 colour, 1 opacity,
+    2 premultiplied opacity), and colour association — or None when the
+    box is absent (raw codestreams included). Malformed boxes raise
+    ValueError (never a silent drop: a misread alpha plane must not be
+    greyed into the page)."""
+    if data[:2] == b"\xff\x4f":
+        return None
+    for typ, b0, b1 in _jp2_boxes(data, 0, len(data)):
+        if typ == b"jp2h":
+            for t2, c0, c1 in _jp2_boxes(data, b0, b1):
+                if t2 == b"cdef":
+                    if c1 - c0 < 2:
+                        raise ValueError("JPEG2000 cdef box truncated")
+                    n = struct.unpack(">H", data[c0 : c0 + 2])[0]
+                    if c1 - c0 < 2 + 6 * n or n == 0:
+                        raise ValueError("JPEG2000 cdef box truncated")
+                    return [
+                        struct.unpack(">HHH", data[c0 + 2 + 6 * i :
+                                                   c0 + 8 + 6 * i])
+                        for i in range(n)
+                    ]
             return None
     return None
 
@@ -2193,7 +2262,8 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
                     components: list | None = None,
                     tile_overrides: dict | None = None,
                     size: tuple | None = None,
-                    colorspace: int | None = None) -> bytes:
+                    colorspace: int | None = None,
+                    cdef: list | None = None) -> bytes:
     """Fixture encoder: 8-bit grayscale (2D) or RGB (3D), ``nl`` wavelet
     levels, code-blocks of 2^cb[0] x 2^cb[1], optional tiling, any
     progression order label, single quality layer, raw codestream or
@@ -2235,7 +2305,9 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     "cb": (xe, ye), "qexp_extra": int}: that tile's FIRST tile-part
     header carries its own COD + QCD (A.4.2/Table A.1 — the per-tile
     coding-override shape Kakadu can emit), applied to every component
-    of that tile."""
+    of that tile. ``colorspace`` overrides the JP2 colr enum (18 sYCC,
+    12 CMYK); ``cdef`` — a list of (Cn, Typ, Asoc) triples — emits the
+    I.5.3.6 channel-definition box (alpha channels, permuted layouts)."""
     if layers > 1 and not (termall or bypass):
         raise ValueError(
             "multi-layer fixture requires termall or bypass")
@@ -2754,7 +2826,12 @@ def encode_jpeg2000(img: np.ndarray, nl: int = 2, cb: tuple = (6, 6),
     enum_cs = colorspace if colorspace is not None else (
         17 if ncomp == 1 else 16)
     colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(">I", enum_cs))
-    jp2h = box(b"jp2h", ihdr + colr)
+    extra = b""
+    if cdef is not None:
+        # channel-definition box (I.5.3.6): (Cn, Typ, Asoc) triples
+        extra = box(b"cdef", struct.pack(">H", len(cdef)) + b"".join(
+            struct.pack(">HHH", cn, t, a) for cn, t, a in cdef))
+    jp2h = box(b"jp2h", ihdr + colr + extra)
     return sig + ftyp + jp2h + box(b"jp2c", stream)
 
 

@@ -1375,3 +1375,126 @@ def test_multilayer_bypass_truncation_is_loud():
     assert data[-2:] == b"\xff\xd9"
     with pytest.raises(ValueError):
         decode_jpeg2000(data[:-8] + b"\xff\xd9")
+
+
+def test_jp2_cmyk_colr_composite():
+    """JP2 colr enum 12 (CMYK, 15444-2): four ink-coverage components
+    composite over white with the SAME integer arithmetic as the Adobe
+    CMYK JPEG path, pinned against a hand-computed reference. The
+    reversible 5/3 path decodes components exactly, so the equality is
+    bit-level, not a tolerance."""
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    rng = np.random.default_rng(263)
+    w, h = 37, 29
+    cmyk = rng.integers(0, 256, (h, w, 4)).astype(np.int64)
+    bs = encode_jpeg2000(None, nl=2, size=(w, h), jp2=True,
+                         colorspace=12,
+                         components=[{"data": cmyk[..., i]}
+                                     for i in range(4)])
+    out = decode_jpeg2000(bs)
+    inv_cmy = (255 - cmyk[..., :3]).astype(np.uint16)
+    inv_k = (255 - cmyk[..., 3:4]).astype(np.uint16)
+    want = rgb_to_gray(((inv_cmy * inv_k + 127) // 255).astype(np.uint8))
+    assert np.array_equal(out, want)
+    # cross-family pin: the same page through the Adobe CMYK JPEG path
+    # (lossless integer arithmetic differs only by DCT loss) lands near
+    # the same gray
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg_cmyk
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+
+    jp = decode_image(encode_jpeg_cmyk(cmyk.astype(np.uint8), quality=97))
+    assert np.abs(jp.astype(float) - want.astype(float)).mean() < 6.0
+
+
+def test_jp2_cdef_alpha_dropped():
+    """Channel-definition box (I.5.3.6): straight opacity channels
+    (Typ 1) are dropped before the colour reduction — RGBA greys like
+    RGB, gray+alpha like gray — and a cdef that PERMUTES the stored
+    channel order is honoured via the colour associations."""
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    rng = np.random.default_rng(264)
+    rgb = rng.integers(0, 256, (22, 31, 3)).astype(np.int64)
+    alpha = rng.integers(0, 256, (22, 31)).astype(np.int64)
+    comps = [{"data": rgb[..., i]} for i in range(3)]
+    bs = encode_jpeg2000(None, nl=1, size=(31, 22), jp2=True,
+                         colorspace=16,
+                         components=comps + [{"data": alpha}],
+                         cdef=[(0, 0, 1), (1, 0, 2), (2, 0, 3),
+                               (3, 1, 0)])
+    want = rgb_to_gray(rgb.astype(np.uint8))
+    assert np.array_equal(decode_jpeg2000(bs), want)
+    # gray + alpha
+    g = rng.integers(0, 256, (18, 25)).astype(np.int64)
+    bs = encode_jpeg2000(None, nl=1, size=(25, 18), jp2=True,
+                         colorspace=17,
+                         components=[{"data": g}, {"data": alpha[:18, :25]}],
+                         cdef=[(0, 0, 1), (1, 1, 0)])
+    assert np.array_equal(decode_jpeg2000(bs), g.astype(np.uint8))
+    # channels stored alpha-first + BGR: cdef associations restore RGB
+    stored = [{"data": alpha}, {"data": rgb[..., 2]},
+              {"data": rgb[..., 1]}, {"data": rgb[..., 0]}]
+    bs = encode_jpeg2000(None, nl=1, size=(31, 22), jp2=True,
+                         colorspace=16, components=stored,
+                         cdef=[(0, 1, 0), (1, 0, 3), (2, 0, 2),
+                               (3, 0, 1)])
+    assert np.array_equal(decode_jpeg2000(bs), want)
+
+
+def test_jp2_cdef_and_cmyk_loud_cases():
+    """Premultiplied alpha (cdef Typ 2) and 4 components with neither a
+    CMYK colr nor a cdef stay loud; a cdef that misses a channel is
+    malformed (ValueError)."""
+    rng = np.random.default_rng(265)
+    planes = [
+        {"data": rng.integers(0, 256, (12, 14)).astype(np.int64)}
+        for _ in range(4)
+    ]
+    pm = encode_jpeg2000(None, nl=1, size=(14, 12), jp2=True,
+                         colorspace=16, components=planes,
+                         cdef=[(0, 0, 1), (1, 0, 2), (2, 0, 3),
+                               (3, 2, 0)])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg2000(pm)
+    bare = encode_jpeg2000(None, nl=1, size=(14, 12), jp2=True,
+                           colorspace=16, components=planes)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg2000(bare)
+    short = encode_jpeg2000(None, nl=1, size=(14, 12), jp2=True,
+                            colorspace=16, components=planes,
+                            cdef=[(0, 0, 1), (1, 0, 2), (2, 0, 3)])
+    with pytest.raises(ValueError):
+        decode_jpeg2000(short)
+
+
+def test_pdf_jpx_cmyk_image():
+    """A CMYK JPX (colr enum 12) inside a PDF JPXDecode image XObject —
+    the print-pipeline scan shape — decodes through the ingest path."""
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+    from ai_invoice_ocr_engine_spark.pdf import pdf_spans
+
+    from .test_pdf import _raw_pdf
+
+    rng = np.random.default_rng(266)
+    w, h = 24, 18
+    cmyk = rng.integers(0, 256, (h, w, 4)).astype(np.int64)
+    payload = encode_jpeg2000(None, nl=1, size=(w, h), jp2=True,
+                              colorspace=12,
+                              components=[{"data": cmyk[..., i]}
+                                          for i in range(4)])
+    obj = (
+        f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+        "/BitsPerComponent 8 /ColorSpace /DeviceCMYK "
+        "/Filter /JPXDecode "
+        f"/Length {len(payload)} >>\nstream\n"
+        + payload.decode("latin-1")
+        + "\nendstream"
+    )
+    content = b"q 24 0 0 18 50 600 cm /Im0 Do Q"
+    blob = _raw_pdf(content, extra_objs=obj,
+                    font="/XObject << /Im0 5 0 R >>")
+    _spans, media = pdf_spans(blob)
+    out = decode_image(next(iter(media.values())))
+    assert out.shape == (h, w)
+    assert np.array_equal(out, decode_jpeg2000(payload))

@@ -4216,6 +4216,53 @@ ORDER BY doc_id
 """
 
 
+def q_weighted_sample(spark, sf):
+    """Efraimidis–Spirakis A-ES weighted sampling WITHOUT replacement
+    (the one-pass distributed cousin of pps_sample): every doc draws a
+    deterministic uniform u from the repo's portable 60-bit md5 hash
+    and scores key = ln(u)/w (monotone in the textbook u^(1/w), w =
+    n_chars, so inclusion probability scales with doc size); the k
+    largest keys are the sample. One narrow projection + top-k — Spark
+    plans TakeOrderedAndProject (per-partition heaps, no global sort),
+    the A-ES property that makes weighted sampling a single pass over
+    10^12 docs. Rerun-identical (hash-derived u, no RNG state); the
+    float key is computed identically in the oracle but DROPPED from
+    the output so the driver compares integers only — cross-engine
+    agreement rides the ordering, where the ~1/n order-statistic gaps
+    dwarf ULP-level ln/division differences."""
+    k = 40
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    return (
+        d.select("doc_id", "w", (F.log(u) / F.col("w")).alias("k_"))
+        .orderBy(F.desc("k_"), "doc_id")
+        .limit(k)
+        .select("doc_id", "w")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars::BIGINT AS w,
+         ln((('0x' || substr(md5(doc_id::varchar), 1, 15))::BIGINT + 1)
+            / 1152921504606846976.0) / n_chars AS k_
+  FROM documents
+)
+SELECT doc_id, w
+FROM (SELECT doc_id, w FROM keyed ORDER BY k_ DESC, doc_id LIMIT 40)
+ORDER BY doc_id
+"""
+
+
 def q_bigram_pmi(spark, sf):
     """Pointwise-mutual-information collocations: PMI(a,b) =
     ln(p(ab) / (p(a)·p(b))) over word unigrams and adjacent bigrams,
@@ -4425,6 +4472,7 @@ ORDER BY peak_per_min DESC, n_bursty_minutes DESC, user_id
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
+    "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
     "interval_join_attribution": (q_interval_join_attribution, _SQL_INTERVAL_JOIN),
     "pagerank_authority": (q_pagerank_authority, _SQL_PAGERANK),

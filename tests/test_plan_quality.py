@@ -525,3 +525,12 @@ def test_semdedup_single_corpus_aggregation(spark):
     # InMemoryTableScan ancestor — detectable as scans without any cache
     # nodes at all)
     assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_weighted_sample_is_single_pass_topk(spark):
+    """A-ES weighted sampling must stay a projection + top-k heap — a
+    global Sort before the LIMIT would serialize 10^12 keys into one
+    range shuffle."""
+    plan = plan_of(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -1395,10 +1395,30 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
         bits = np.unpackbits(packed, axis=1)[:, :w]
         gray = _bits_to_gray(bits, resolve(d.get("Decode")), resolve)
         return K.encode_synf(np.ascontiguousarray(gray))
-    ncomp = {"gray": 1, "rgb": 3, "cmyk": 4, "indexed": 1}[model]
+    if model == "tint":
+        ncomp = palette[0]
+    else:
+        ncomp = {"gray": 1, "rgb": 3, "cmyk": 4, "indexed": 1, "lab": 3}[model]
     decode_vals = None
     decode = resolve(d.get("Decode"))
-    if decode is not None:
+    if model in ("tint", "lab"):
+        # these spaces carry their own sample→component mapping
+        # (§8.9.5.2): tint defaults to [0 1] per ink, Lab to
+        # [0 100 Range] — handled in _special_cs_gray, not the generic
+        # byte-widening below
+        if decode is not None:
+            sp_dec = [float(resolve(v)) for v in decode]
+            if len(sp_dec) != 2 * ncomp:
+                raise ValueError(
+                    f"PDF /Decode needs {2 * ncomp} entries for {model}, "
+                    f"got {len(sp_dec)}"
+                )
+        elif model == "lab":
+            rng = palette[1]
+            sp_dec = [0.0, 100.0, rng[0], rng[1], rng[2], rng[3]]
+        else:
+            sp_dec = [0.0, 1.0] * ncomp
+    elif decode is not None:
         vals = [float(resolve(v)) for v in decode]
         if len(vals) != 2 * ncomp:
             raise ValueError(
@@ -1437,6 +1457,9 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
         samples = (
             (bits.reshape(h, w, bpc) * weights).sum(axis=2).astype(np.uint8)
         )[..., None]
+    if model in ("tint", "lab"):
+        return K.encode_synf(np.ascontiguousarray(
+            _special_cs_gray(model, palette, samples, bpc, sp_dec)))
     if decode_vals is not None:
         # per-component /Decode mapping (PDF 1.7 §8.9.5.2):
         # v -> Dmin + v*(Dmax-Dmin)/maxval, the [0,1] result widened to a
@@ -1472,14 +1495,71 @@ def _image_payload(doc: PdfDocument, stream: _Stream) -> bytes:
     return K.encode_synf(np.ascontiguousarray(gray))
 
 
+def _special_cs_gray(model, info, samples, bpc, dec):
+    """Tint-transform (Separation/DeviceN) and Lab image samples →
+    grayscale. Samples arrive as raw (h, w, n) integers; ``dec`` maps
+    them per component (§8.9.5.2 defaults handled by the caller). The
+    tint transform — an arbitrary §7.10 function — is evaluated on the
+    image's UNIQUE ink tuples only (np.unique + inverse scatter): a
+    document scan carries few distinct inks, so the Python-level
+    function evaluator never runs per pixel."""
+    from . import kernels as K
+    from .pdffunc import lab_to_rgb255
+
+    maxv = float((1 << bpc) - 1)
+    h, w, nc = samples.shape
+    s = samples.reshape(-1, nc).astype(np.float64)
+    comps = np.empty_like(s)
+    for c in range(nc):
+        d0, d1 = dec[2 * c], dec[2 * c + 1]
+        comps[:, c] = d0 + s[:, c] * ((d1 - d0) / maxv)
+    if model == "lab":
+        wp, _rng = info
+        return K.rgb_to_gray(lab_to_rgb255(comps.reshape(h, w, 3), wp))
+    _n_in, alt_model, alt_info, tint = info
+    uniq, inv = np.unique(comps, axis=0, return_inverse=True)
+    if len(uniq) > 65536:
+        raise NotImplementedError(
+            "PDF tint-transform image with >65536 distinct ink tuples "
+            "unsupported"
+        )
+    n_alt = {"gray": 1, "rgb": 3, "cmyk": 4, "lab": 3}[alt_model]
+    outs = np.empty((len(uniq), n_alt), np.float64)
+    for i, row in enumerate(uniq):
+        v = tint(tuple(row))
+        if len(v) != n_alt:
+            raise ValueError(
+                f"PDF tint transform returned {len(v)} components for "
+                f"a {alt_model} alternate"
+            )
+        outs[i] = v
+    alt = outs[inv].reshape(h, w, n_alt)
+    if alt_model == "lab":
+        wp, _rng = alt_info
+        return K.rgb_to_gray(lab_to_rgb255(alt, wp))
+    alt = np.clip(alt, 0.0, 1.0)
+    if alt_model == "gray":
+        return np.clip(np.rint(alt[..., 0] * 255.0), 0, 255).astype(np.uint8)
+    if alt_model == "cmyk":
+        # same over-white composite as the DeviceCMYK image path
+        alt = (1.0 - alt[..., :3]) * (1.0 - alt[..., 3:4])
+    return K.rgb_to_gray(
+        np.clip(np.rint(alt * 255.0), 0, 255).astype(np.uint8))
+
+
 def _resolve_colorspace(cs, resolve, apply_filters):
     """PDF /ColorSpace → ('gray'|'rgb'|'cmyk'|'indexed', palette_info).
 
     Handles the color spaces placed raster invoices actually use:
     Device*/Cal* families, ICCBased by component count /N (the profile
-    itself is advisory for grayscale extraction), and Indexed with a
-    string or stream lookup over any of those bases. Separation / DeviceN
-    / Lab / Pattern stay loud NotImplementedError seams."""
+    itself is advisory for grayscale extraction), Indexed with a
+    string or stream lookup over any of those bases, CIE Lab
+    (WhitePoint + Range → ('lab', (whitepoint, decode_range))), and
+    Separation / DeviceN whose tint transform (any §7.10 function type,
+    pdffunc.make_function) maps ink values into a gray/rgb/cmyk/lab
+    alternate → ('tint', (n_inks, alt_model, alt_info, callable)).
+    Pattern stays the loud NotImplementedError seam (a paint-server,
+    not an image colour space)."""
     cs = resolve(cs)
     if cs is None or cs in ("DeviceGray", "CalGray", "G"):
         return "gray", None
@@ -1505,12 +1585,44 @@ def _resolve_colorspace(cs, resolve, apply_filters):
             if n == 4:
                 return "cmyk", None
             raise NotImplementedError(f"ICCBased colorspace N={n} unsupported")
+        if head == "Lab":
+            params = resolve(cs[1]) if len(cs) > 1 else {}
+            if not isinstance(params, dict):
+                raise ValueError("Lab colorspace needs a parameter dict")
+            wp = [float(resolve(v))
+                  for v in resolve(params.get("WhitePoint", [1.0, 1.0, 1.0]))]
+            if len(wp) != 3 or wp[1] <= 0:
+                raise ValueError("Lab WhitePoint malformed")
+            rng = [float(resolve(v))
+                   for v in resolve(params.get("Range",
+                                               [-100.0, 100.0, -100.0, 100.0]))]
+            if len(rng) != 4:
+                raise ValueError("Lab Range malformed")
+            return "lab", (wp, rng)
+        if head in ("Separation", "DeviceN"):
+            if len(cs) < 4:
+                raise ValueError(f"{head} colorspace needs 4 entries")
+            names = [cs[1]] if head == "Separation" else list(resolve(cs[1]))
+            if not names:
+                raise ValueError("DeviceN colorspace with no colorants")
+            alt_model, alt_info = _resolve_colorspace(
+                cs[2], resolve, apply_filters)
+            if alt_model not in ("gray", "rgb", "cmyk", "lab"):
+                raise ValueError(
+                    f"{head} alternate space {alt_model} not a base space")
+            from .pdffunc import make_function
+
+            tint = make_function(resolve(cs[3]), resolve, apply_filters)
+            return "tint", (len(names), alt_model, alt_info, tint)
         if head in ("Indexed", "I"):
             if len(cs) != 4:
                 raise ValueError("Indexed colorspace needs 4 entries")
             base_model, base_pal = _resolve_colorspace(cs[1], resolve, apply_filters)
             if base_model == "indexed":
                 raise ValueError("Indexed base cannot itself be Indexed")
+            if base_model in ("lab", "tint"):
+                raise NotImplementedError(
+                    f"PDF Indexed over {base_model} base unsupported")
             lookup = resolve(cs[3])
             if isinstance(lookup, _Stream):
                 pal = apply_filters(lookup.raw, lookup.dict, resolve)

@@ -1054,3 +1054,145 @@ def test_simple_font_base_encodings():
                     extra_objs=objs, font="/Font << /F1 5 0 R >>")
     spans, _ = pdf_spans(blob)
     assert _texts(spans) == ["é…"]  # Differences + cp1252 ellipsis
+
+
+def _img_media(blob):
+    from ai_invoice_ocr_engine_spark.kernels import decode_image
+
+    _spans, media = pdf_spans(blob)
+    assert len(media) == 1
+    return decode_image(next(iter(media.values())))
+
+
+def _cs_image_pdf(w, h, cs, data, extra_objs=(), bpc=8):
+    obj = (
+        f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+        f"/BitsPerComponent {bpc} /ColorSpace {cs} "
+        f"/Length {len(data)} >>\nstream\n"
+        + data.decode("latin-1")
+        + "\nendstream"
+    )
+    content = f"q {w} 0 0 {h} 50 600 cm /Im0 Do Q".encode()
+    return _raw_pdf(content, extra_objs=[obj, *extra_objs],
+                    font="/XObject << /Im0 5 0 R >>")
+
+
+def test_pdf_separation_type2_to_cmyk():
+    """Separation (spot colour) image: one ink channel through a type-2
+    exponential tint transform into a DeviceCMYK alternate — the print-
+    pipeline invoice shape. Pinned against hand-computed tint + the
+    DeviceCMYK composite."""
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+
+    rng = np.random.default_rng(301)
+    ink = rng.integers(0, 256, (9, 13)).astype(np.uint8)
+    fn = ("<< /FunctionType 2 /Domain [0 1] "
+          "/C0 [0 0 0 0] /C1 [0.9 0.2 0.1 0.05] /N 1 >>")
+    cs = "[/Separation /PANTONE#20Blue /DeviceCMYK 6 0 R]"
+    out = _img_media(_cs_image_pdf(13, 9, cs, ink.tobytes(), [fn]))
+    t = ink.astype(np.float64) / 255.0
+    cmyk = np.stack([t * 0.9, t * 0.2, t * 0.1, t * 0.05], axis=-1)
+    rgb = (1.0 - cmyk[..., :3]) * (1.0 - cmyk[..., 3:4])
+    want = rgb_to_gray(
+        np.clip(np.rint(rgb * 255.0), 0, 255).astype(np.uint8))
+    assert np.array_equal(out, want)
+
+
+def test_pdf_devicen_type4_to_gray():
+    """DeviceN two-ink image through a type-4 PostScript calculator
+    tint transform into DeviceGray."""
+    rng = np.random.default_rng(302)
+    inks = rng.integers(0, 256, (7, 11, 2)).astype(np.uint8)
+    ps = "{ add 2 div }"
+    fn = (f"<< /FunctionType 4 /Domain [0 1 0 1] /Range [0 1] "
+          f"/Length {len(ps)} >>\nstream\n{ps}\nendstream")
+    cs = "[/DeviceN [/Cyan /Black] /DeviceGray 6 0 R]"
+    out = _img_media(_cs_image_pdf(11, 7, cs, inks.tobytes(), [fn]))
+    # §8.9.5.2 sample mapping is d0 + s*((d1-d0)/maxv); mirror it so the
+    # pin is bit-exact (s/255 differs from s*(1/255) by one ulp on some
+    # bytes, which can flip a .5 rounding boundary)
+    t = inks.astype(np.float64) * (1.0 / 255.0)
+    want = np.clip(
+        np.rint((t[..., 0] + t[..., 1]) / 2.0 * 255.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+
+def test_pdf_separation_sampled_tint():
+    """Separation with a type-0 SAMPLED tint transform (the shape CMS
+    exports take): 3-point table to DeviceGray, linear interpolation."""
+    ink = np.array([[0, 64, 128, 192, 255]], dtype=np.uint8)
+    table = bytes([0, 255, 0])  # up then down
+    fn = (f"<< /FunctionType 0 /Domain [0 1] /Range [0 1] /Size [3] "
+          f"/BitsPerSample 8 /Length {len(table)} >>\nstream\n"
+          + table.decode("latin-1") + "\nendstream")
+    cs = "[/Separation /Ink /DeviceGray 6 0 R]"
+    out = _img_media(_cs_image_pdf(5, 1, cs, ink.tobytes(), [fn]))
+    t = ink.astype(np.float64) / 255.0
+    e = t * 2.0  # encode to [0, Size-1]
+    v = np.where(e <= 1.0, e, 2.0 - e)  # the table's tent shape
+    want = np.clip(np.rint(v * 255.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+
+def test_pdf_lab_image():
+    """A CIE Lab image (WhitePoint + Range) greys through the same
+    conversion as pdffunc.lab_to_rgb255 — neutral-axis anchors and a
+    chromatic pixel, with the §8.9.5.2 default Decode [0 100 Range]."""
+    from ai_invoice_ocr_engine_spark.kernels import rgb_to_gray
+    from ai_invoice_ocr_engine_spark.pdffunc import lab_to_rgb255
+
+    # samples: L bytes scale 0..255 → 0..100; a,b scale → Range
+    px = np.array(
+        [[[0, 128, 128], [255, 128, 128], [128, 128, 128],
+          [200, 255, 0]]],
+        dtype=np.uint8,
+    )
+    cs = ("[/Lab << /WhitePoint [0.9505 1 1.089] "
+          "/Range [-100 100 -100 100] >>]")
+    out = _img_media(_cs_image_pdf(4, 1, cs, px.tobytes()))
+    lab = np.empty(px.shape, np.float64)
+    lab[..., 0] = px[..., 0] / 255.0 * 100.0
+    lab[..., 1] = -100.0 + px[..., 1] / 255.0 * 200.0
+    lab[..., 2] = -100.0 + px[..., 2] / 255.0 * 200.0
+    want = rgb_to_gray(lab_to_rgb255(lab, [0.9505, 1.0, 1.089]))
+    assert np.array_equal(out, want)
+    assert out[0, 0] == 0  # L*=0 is black regardless of a/b bytes
+    assert out[0, 1] == 255  # L*=100 neutral is white
+
+
+def test_pdf_separation_stitched_tint_and_decode():
+    """Type-3 stitching tint + an explicit /Decode that inverts the ink
+    axis before the transform."""
+    ink = np.array([[0, 255]], dtype=np.uint8)
+    up = "<< /FunctionType 2 /Domain [0 1] /C0 [0] /C1 [1] /N 1 >>"
+    down = "<< /FunctionType 2 /Domain [0 1] /C0 [1] /C1 [0] /N 1 >>"
+    fn = ("<< /FunctionType 3 /Domain [0 1] /Bounds [0.5] "
+          "/Encode [0 1 0 1] /Functions [7 0 R 8 0 R] >>")
+    obj = (
+        "<< /Type /XObject /Subtype /Image /Width 2 /Height 1 "
+        "/BitsPerComponent 8 "
+        "/ColorSpace [/Separation /Ink /DeviceGray 6 0 R] "
+        "/Decode [1 0] /Length 2 >>\nstream\n"
+        + ink.tobytes().decode("latin-1")
+        + "\nendstream"
+    )
+    blob = _raw_pdf(b"q 2 0 0 1 50 600 cm /Im0 Do Q",
+                    extra_objs=[obj, fn, up, down],
+                    font="/XObject << /Im0 5 0 R >>")
+    out = _img_media(blob)
+    # Decode [1 0]: byte 0 → ink 1.0 → second piece at x=1 → 0;
+    # byte 255 → ink 0.0 → first piece at 0 → 0
+    assert out.tolist() == [[0, 0]]
+
+
+def test_pdf_indexed_over_separation_is_loud():
+    from ai_invoice_ocr_engine_spark.pdf import _resolve_colorspace
+
+    res = lambda x: x  # noqa: E731
+    filt = lambda raw, d, r: raw  # noqa: E731
+    sep = ["Separation", "Ink", "DeviceGray",
+           {"FunctionType": 2, "Domain": [0, 1], "C0": [0], "C1": [1],
+            "N": 1}]
+    with pytest.raises(NotImplementedError):
+        _resolve_colorspace(["Indexed", sep, 1, b"\x00\xff"], res, filt)

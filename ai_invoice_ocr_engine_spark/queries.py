@@ -4469,6 +4469,321 @@ ORDER BY peak_per_min DESC, n_bursty_minutes DESC, user_id
 """
 
 
+def q_domain_cap_sample(spark, sf):
+    """Per-domain document cap — the Common-Crawl-style curation rule
+    "keep at most N documents per domain", deterministic under rerun
+    (selection is the N smallest md5(doc_id) hashes per source, no RNG).
+
+    Scale posture: a naive per-key window sorts EVERY row of a
+    mega-domain in one task. Here a broadcast of per-source counts
+    gates a hash-threshold PREFILTER first — for a source with n docs
+    only rows with hash < (8·cap/n)·HMAX survive (expected 8·cap
+    ≈ 80 rows, Chernoff tail < 1e-12 of under-selecting), so the
+    row_number window runs over O(cap) rows per key no matter how
+    large the domain. The prefilter is a pure projection against a
+    broadcast map — no extra shuffle. Result: per-source audit row
+    (docs seen, docs kept, checksum of kept ids)."""
+    cap = 10
+    hmax = float(1 << 60)
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    h = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    )
+    d = d.withColumn("h", h)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    pre = d.join(F.broadcast(counts), "source").where(
+        (F.col("n_docs") <= F.lit(8 * cap))
+        | (F.col("h") < F.lit(8.0 * cap) / F.col("n_docs") * F.lit(hmax))
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    kept = pre.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= cap
+    )
+    return (
+        kept.groupBy("source", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+        .select("source", "n_docs", "n_kept", "kept_id_sum")
+    )
+
+
+_SQL_DOMAIN_CAP = """
+WITH d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS h
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         count(*) OVER (PARTITION BY source) AS n_docs,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM d
+)
+SELECT source, n_docs, count(*)::BIGINT AS n_kept,
+       sum(doc_id)::BIGINT AS kept_id_sum
+FROM r WHERE rn <= 10 GROUP BY source, n_docs
+"""
+
+
+def q_fuzzy_name_linkage(spark, sf):
+    """Blocked fuzzy record linkage over part names: exact-collapse the
+    10^12-row record stream to DISTINCT names first (carrying each
+    name's multiplicity), block on the head noun, then pair names
+    within a block at edit distance 1–2 (0 is exact-dup territory —
+    dedup_exact's job). The quadratic stage therefore runs over the
+    name VOCABULARY, not the record count — the same lossless-collapse
+    guard semdedup_prune uses — and each emitted pair carries the
+    record multiplicities (n_a·n_b linked record pairs).
+
+    Scale posture: collapse is one hash aggregate; the self-join
+    shuffles only distinct names on the block key; block size is
+    bounded by per-block vocabulary, and a skewed vocabulary would get
+    the second-level blocking (next word) the SimHash bands use."""
+    p = _t(spark, sf, "part").select("p_name")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+    names = names.withColumn(
+        "blk", F.element_at(F.split("p_name", " "), -1)
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n").alias("n_a"),
+        "blk",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n").alias("n_b"),
+        "blk",
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .where((F.col("name_a") < F.col("name_b")) & lev.between(1, 2))
+        .select(
+            "name_a",
+            "name_b",
+            lev.alias("dist"),
+            "n_a",
+            "n_b",
+            (F.col("n_a") * F.col("n_b")).alias("n_record_pairs"),
+        )
+    )
+
+
+_SQL_FUZZY_LINKAGE = """
+WITH names AS (
+  SELECT p_name, count(*) AS n,
+         list_extract(string_split(p_name, ' '), -1) AS blk
+  FROM part GROUP BY 1
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist,
+       a.n AS n_a, b.n AS n_b, (a.n * b.n)::BIGINT AS n_record_pairs
+FROM names a JOIN names b
+  ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+"""
+
+
+def q_int8_quantize_error(spark, sf):
+    """Embedding int8 scalar quantization audit: per-dimension [min,max]
+    over the corpus → uint8 grid (v ≈ mn + q·(mx−mn)/255), reporting
+    each dimension's range and the mean absolute reconstruction error
+    — the decision table for shipping a 4×-smaller ANN index.
+
+    Two scans by construction (the grid needs the global min/max before
+    the error pass); both shuffle only D=dim keys after map-side
+    combine. Rounding is pinned to floor(x+0.5) on BOTH engines —
+    round() half-rule differs between Spark (HALF_UP) and IEEE
+    engines, and a tie at .5 would silently diverge."""
+    e = _t(spark, sf, "embeddings").select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select("pos", F.col("v").cast("double").alias("v"))
+    rng = e.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    q = F.floor((F.col("v") - F.col("mn")) / F.col("s") + F.lit(0.5))
+    recon = F.col("mn") + q * F.col("s")
+    return (
+        e.join(F.broadcast(rng), "pos")
+        .withColumn("s", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+        .groupBy("pos")
+        .agg(
+            F.round(F.min("mn"), 4).alias("mn"),
+            F.round(F.min("mx"), 4).alias("mx"),
+            F.round(F.avg(F.abs(F.col("v") - recon)), 6).alias("mae"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_SQL_INT8_QUANT = """
+WITH e AS (
+  SELECT u.pos - 1 AS pos, u.v::DOUBLE AS v
+  FROM (SELECT unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings) u
+),
+r AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos),
+j AS (
+  SELECT e.pos, e.v, r.mn, r.mx, (r.mx - r.mn) / 255.0 AS s
+  FROM e JOIN r USING (pos)
+)
+SELECT pos, round(min(mn), 4) AS mn, round(min(mx), 4) AS mx,
+       round(avg(abs(v - (mn + floor((v - mn) / s + 0.5) * s))), 6) AS mae,
+       count(*) AS n
+FROM j GROUP BY pos
+"""
+
+
+def q_vocab_coverage(spark, sf):
+    """Tokenizer-vocabulary sizing curve: the top-50 whitespace tokens
+    by corpus frequency with each prefix's CUMULATIVE share of all
+    token occurrences — how much of the corpus a vocab of size k
+    covers. Heavy stage is one token count (map-side combine) +
+    TakeOrderedAndProject for the top-50 cut; the running share then
+    runs over the BOUNDED 50-row result (deliberately single-task over
+    constant-size input, same rationale as zipf_slope)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
+    )
+    total = toks.count()
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(50)
+    )
+    w = Window.orderBy(F.desc("n"), "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        "w",
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), "w")).alias("rank"),
+        F.round(F.sum("n").over(w) / F.lit(float(total)), 6).alias(
+            "cum_coverage"
+        ),
+    )
+
+
+_SQL_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT t.w AS w
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+),
+top AS (
+  SELECT w, count(*) AS n FROM toks GROUP BY w
+  ORDER BY n DESC, w LIMIT 50
+)
+SELECT w, n,
+       row_number() OVER (ORDER BY n DESC, w) AS rank,
+       round(sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING)
+             / (SELECT count(*)::DOUBLE FROM toks), 6) AS cum_coverage
+FROM top
+"""
+
+
+def q_per_source_dup_stats(spark, sf):
+    """Per-domain duplication report over the duplicate-injected corpus
+    (doc_id%7 exact copies): docs, distinct md5 fingerprints, and the
+    dup rate per source — the triage table that decides which domains
+    get the expensive near-dup pass. One hash aggregate per source
+    (COUNT DISTINCT over the fingerprint is partial-merge-able);
+    shuffle key is the source, bounded by the domain vocabulary."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    dup = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "source",
+        "text",
+    )
+    c = d.unionByName(dup)
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(F.md5("text")) / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+_SQL_PER_SOURCE_DUP = """
+WITH c AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, source, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       round(1.0 - count(DISTINCT md5(text)) / count(*)::DOUBLE, 6)
+         AS dup_rate
+FROM c GROUP BY source
+"""
+
+
+def q_oov_rate(spark, sf):
+    """Out-of-vocabulary audit: fix the vocab at the corpus top-100
+    tokens, then per language report total token occurrences, OOV
+    occurrences, and the OOV rate — the coverage check run before
+    committing a tokenizer vocab. The vocab is a TakeOrderedAndProject
+    result broadcast into a left join (no shuffle of the token
+    stream); both aggregations are map-side combinable."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "w"
+        ),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(100)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_SQL_OOV_RATE = """
+WITH toks AS (
+  SELECT lang, t.w AS w
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+),
+vocab AS (
+  SELECT w FROM toks GROUP BY w
+  ORDER BY count(*) DESC, w LIMIT 100
+)
+SELECT lang, count(*) AS n_tokens,
+       sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(CASE WHEN v.w IS NULL THEN 1.0 ELSE 0.0 END)
+             / count(*)::DOUBLE, 6) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (w)
+GROUP BY lang
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -4579,6 +4894,12 @@ REGISTRY: dict[str, tuple] = {
     "bigram_pmi": (q_bigram_pmi, _SQL_BIGRAM_PMI),
     "char_entropy": (q_char_entropy, _SQL_CHAR_ENTROPY),
     "zipf_slope": (q_zipf_slope, _SQL_ZIPF_SLOPE),
+    "domain_cap_sample": (q_domain_cap_sample, _SQL_DOMAIN_CAP),
+    "fuzzy_name_linkage": (q_fuzzy_name_linkage, _SQL_FUZZY_LINKAGE),
+    "int8_quantize_error": (q_int8_quantize_error, _SQL_INT8_QUANT),
+    "vocab_coverage": (q_vocab_coverage, _SQL_VOCAB_COVERAGE),
+    "per_source_dup_stats": (q_per_source_dup_stats, _SQL_PER_SOURCE_DUP),
+    "oov_rate": (q_oov_rate, _SQL_OOV_RATE),
     "burst_users": (q_burst_users, _SQL_BURST_USERS),
     "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
     "caption_pairs": (q_caption_pairs, _SQL_CAPTION_PAIRS),

@@ -534,3 +534,47 @@ def test_weighted_sample_is_single_pass_topk(spark):
     plan = plan_of(spark, "weighted_sample")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_domain_cap_prefilter_broadcasts_counts(spark):
+    """domain_cap_sample must run the hash-threshold prefilter as a
+    BROADCAST of per-source counts (a pure projection gate), so the
+    row_number window sees O(cap) rows per key; shipping the counts
+    through a shuffle join — or skipping the prefilter — re-creates the
+    mega-domain single-task sort the operator exists to avoid."""
+    plan = plan_of(spark, "domain_cap_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    # the window must consume the prefiltered join output, not the scan:
+    # the broadcast join sits below the window in the printed tree
+    assert plan.index("Window") < plan.index("BroadcastHashJoin")
+
+
+def test_fuzzy_linkage_collapses_before_pair_join(spark):
+    """fuzzy_name_linkage's quadratic stage must run over DISTINCT names
+    (HashAggregate collapse feeds the self-join) — pairing raw records
+    would square the record count instead of the vocabulary."""
+    plan = plan_of(spark, "fuzzy_name_linkage")
+    assert "CartesianProduct" not in plan
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+        if p >= 0
+    )
+    agg_tail = plan[join_pos:]
+    assert "HashAggregate" in agg_tail, "pair join input is not the collapse"
+
+
+def test_oov_vocab_is_broadcast_topk(spark):
+    """oov_rate: the vocab side is a bounded top-k (TakeOrderedAndProject)
+    broadcast into the token stream — the token stream itself must not
+    shuffle for the join."""
+    plan = plan_of(spark, "oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_coverage_topk_then_bounded_window(spark):
+    """vocab_coverage: heavy stage ends at TakeOrderedAndProject; the
+    running-share window runs over the bounded 50-row result."""
+    plan = plan_of(spark, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan

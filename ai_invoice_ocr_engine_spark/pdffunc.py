@@ -27,7 +27,6 @@ the PDF ingest surface the brief's interleaved corpus requires.
 from __future__ import annotations
 
 import math
-import struct
 
 import numpy as np
 
@@ -51,8 +50,6 @@ _PS_BIN = {
     "add": lambda a, b: a + b,
     "sub": lambda a, b: a - b,
     "mul": lambda a, b: a * b,
-    "atan": None,  # handled inline (degrees, quadrant)
-    "exp": lambda a, b: a ** b,
 }
 
 

@@ -1292,10 +1292,17 @@ def _crnn_tail(feats: np.ndarray, weights) -> np.ndarray:
     hid = feats @ np.asarray(w1, np.float32)   # sgemm, exact
     # floor(x/64) == arithmetic >>6 for integers; x*2^-6 and floor are both
     # exact in float32 (|x| < 2^24, power-of-two scale), so this stays the
-    # same integer 'mixing' without the int32 round-trip (two fewer
-    # full-matrix dtype passes on the batch hot path)
-    hid = np.clip(np.floor(hid * np.float32(0.015625)), -127, 127)
-    return (hid @ np.asarray(w2, np.float32)) / 512.0  # sgemm, exact
+    # same integer 'mixing' without the int32 round-trip. In-place ops:
+    # the mixing would otherwise allocate three hidden-size temporaries
+    # per Arrow batch (~100 MB churn at 10^3-frame batches) for identical
+    # bits — multiply/floor/clip are value-exact here regardless of
+    # destination buffer
+    np.multiply(hid, np.float32(0.015625), out=hid)
+    np.floor(hid, out=hid)
+    np.clip(hid, -127, 127, out=hid)
+    out = hid @ np.asarray(w2, np.float32)     # sgemm, exact
+    out /= np.float32(512.0)
+    return out
 
 
 def recognize_crops(
@@ -1366,8 +1373,13 @@ def recognize_crop_groups(
     if decode == "greedy":
         # softmax/argmax/max are row-wise: computing them over the whole
         # batch is bit-identical to per-crop ctc_greedy, and replaces
-        # ~3 numpy dispatches PER CROP with 3 per Arrow batch
-        probs = softmax(logits)
+        # ~3 numpy dispatches PER CROP with 3 per Arrow batch. In-place
+        # (logits is local to this call): same subtract-max/exp/divide
+        # sequence as softmax(), minus two batch-size temporaries
+        logits -= np.max(logits, axis=-1, keepdims=True)
+        np.exp(logits, out=logits)
+        logits /= np.sum(logits, axis=-1, keepdims=True)
+        probs = logits
         preds = np.argmax(probs, axis=-1).tolist()
         scores = probs.max(axis=-1).tolist()
         for ln in lens:

@@ -9,7 +9,7 @@ decisions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -99,6 +99,70 @@ def near_dup_pairs(
             F.round(dot / (na * nb), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= min_cos)
+    )
+
+
+def reciprocal_knn_pairs(
+    embeddings: DataFrame, n_bits: int = 4, k: int = 3
+) -> DataFrame:
+    """Mutual-kNN near-dup graph, sign-LSH bucketed: within each bucket
+    every vector ranks its k nearest neighbours by cosine, and an edge is
+    kept only when BOTH endpoints rank each other (the reciprocal-kNN
+    criterion — asymmetric hub neighbours, the classic false-positive of
+    plain kNN near-dup, drop out). Returns (bucket, vec_a, vec_b,
+    cos_sim) with vec_a < vec_b.
+
+    Scale posture: the quadratic stage is bucket-local (sub-quadratic
+    overall, same bucketing as near_dup_pairs); ranking is a per-
+    (bucket, src) window — key cardinality = vector count, no global
+    sort; the mutuality check is a self-join of the top-k edge list
+    (k·N rows, not N²). Rank order is (rounded cosine DESC, dst) so the
+    window is engine-portable."""
+    e = embeddings.select(
+        "vec_id", "embedding", _sign_bucket(n_bits).alias("bucket")
+    )
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+    )
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    na = F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
+    nb = F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "bucket", "src", "dst",
+            F.round(dot / (na * nb), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("bucket", "src").orderBy(F.desc("cos_sim"), "dst")
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+    back = edges.select(
+        F.col("dst").alias("b_src"), F.col("src").alias("b_dst")
+    )
+    return (
+        edges.where(F.col("src") < F.col("dst"))
+        .join(
+            back,
+            (F.col("src") == F.col("b_src")) & (F.col("dst") == F.col("b_dst")),
+        )
+        .select(
+            "bucket",
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "cos_sim",
+        )
     )
 
 

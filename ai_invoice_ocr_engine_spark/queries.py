@@ -4784,6 +4784,245 @@ GROUP BY lang
 """
 
 
+def q_minhash_jaccard_gate(spark, sf):
+    """MinHash estimator calibration: for the corpus's known near-dup
+    pairs (doc, head-truncated copy), compare the k=12 signature-agreement
+    estimate against EXACT shingle Jaccard, value-checked cross-engine
+    plus a per-pair |est − exact| ≤ 0.35 gate (12 hash functions ⇒ the
+    estimate is quantized to twelfths; 0.35 ≈ 4σ at J≈0.8). This is the
+    audit a pipeline runs before trusting LSH thresholds at 10^12 docs —
+    it catches a broken hash family or shingle drift, cheaply, on ground
+    truth it can synthesize itself.
+
+    Scale posture: exact Jaccard runs ONLY on the known pairs (an equi-
+    join on the shingle column keyed by the pair construction), not all
+    pairs; signatures are the same map-side k-min aggregate as
+    minhash_band_pairs (one row per doc into the shuffle)."""
+    k = 12
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    base = d.where(F.col("doc_id") % 10 == 0)
+    near = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, 9)").alias("text"),
+    )
+    corpus = base.unionByName(near)
+    sh = D.shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.where(F.col("doc_id") < 100000)
+    b_sh = sh.where(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_id"), "sh"
+    )
+    inter = (
+        a_sh.join(b_sh, ["doc_id", "sh"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ex = (
+        sizes.where(F.col("doc_id") < 100000)
+        .select("doc_id", F.col("n_sh").alias("n_a"))
+        .join(
+            sizes.where(F.col("doc_id") >= 100000).select(
+                (F.col("doc_id") - 100000).alias("doc_id"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_id",
+        )
+        .join(inter, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                4,
+            ).alias("jaccard_exact"),
+        )
+    )
+    mins = D.minhash_signatures(corpus, k=k)
+    ma = mins.where(F.col("doc_id") < 100000)
+    mb = mins.where(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_id"),
+        *[F.col(f"mh{j}").alias(f"nb{j}") for j in range(k)],
+    )
+    agree = sum(
+        [
+            F.when(F.col(f"mh{j}") == F.col(f"nb{j}"), 1).otherwise(0)
+            for j in range(k)
+        ],
+        F.lit(0),
+    )
+    est = ma.join(mb, "doc_id").select(
+        "doc_id", F.round(agree / F.lit(float(k)), 4).alias("jaccard_est")
+    )
+    return ex.join(est, "doc_id").select(
+        "doc_id",
+        "jaccard_exact",
+        "jaccard_est",
+        (F.abs(F.col("jaccard_est") - F.col("jaccard_exact")) <= 0.35).alias(
+            "calibrated"
+        ),
+    )
+
+
+def _minhash_gate_sql(k: int = 12) -> str:
+    n_dig = (k + 1) // 2
+    digs = ",\n         ".join(
+        f"md5('{d}|' || sh) AS d{d}" for d in range(n_dig)
+    )
+    mins = ",\n         ".join(
+        f"min(('0x' || substr(d{j // 2}, {1 + 16 * (j % 2)}, 15))::bigint) AS mh{j}"
+        for j in range(k)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 9) AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+  FROM corpus, LATERAL (SELECT unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i) t
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id, count(*) AS n_inter
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000 AND b.sh = a.sh
+  WHERE a.doc_id < 100000 GROUP BY 1
+),
+ex AS (
+  SELECT sa.doc_id,
+         round(coalesce(i.n_inter, 0)
+               / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))::DOUBLE, 4)
+           AS jaccard_exact
+  FROM sizes sa
+  JOIN sizes sb ON sb.doc_id = sa.doc_id + 100000
+  LEFT JOIN inter i ON i.doc_id = sa.doc_id
+  WHERE sa.doc_id < 100000
+),
+d AS (SELECT doc_id, {digs} FROM sh),
+mins AS (SELECT doc_id, {mins} FROM d GROUP BY doc_id),
+est AS (
+  SELECT a.doc_id, round(({agree}) / {float(k)}, 4) AS jaccard_est
+  FROM mins a JOIN mins b ON b.doc_id = a.doc_id + 100000
+  WHERE a.doc_id < 100000
+)
+SELECT ex.doc_id, ex.jaccard_exact, est.jaccard_est,
+       (abs(est.jaccard_est - ex.jaccard_exact) <= 0.35) AS calibrated
+FROM ex JOIN est USING (doc_id)
+"""
+
+
+_SQL_MINHASH_GATE = _minhash_gate_sql(12)
+
+
+def q_knn_reciprocal_pairs(spark, sf):
+    """Mutual-kNN near-dup graph (functions/similarity.py
+    reciprocal_knn_pairs): within each sign-LSH bucket every vector
+    ranks its 3 nearest by cosine; an edge survives only if both
+    endpoints rank each other — hub neighbours drop out. Quadratic
+    stage is bucket-local; mutuality is a k·N edge-list self-join."""
+    return S.reciprocal_knn_pairs(
+        _t(spark, sf, "embeddings"), n_bits=4, k=3
+    )
+
+
+_SQL_KNN_RECIPROCAL = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.bucket, a.vec_id AS src, b.vec_id AS dst,
+         round(
+           list_dot_product(a.embedding::double[], b.embedding::double[]) /
+           (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+            sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))),
+           4) AS cos_sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+edges AS (
+  SELECT bucket, src, dst, cos_sim,
+         row_number() OVER (PARTITION BY bucket, src
+                            ORDER BY cos_sim DESC, dst) AS rk
+  FROM scored
+)
+SELECT f.bucket, f.src AS vec_a, f.dst AS vec_b, f.cos_sim
+FROM edges f JOIN edges r ON r.src = f.dst AND r.dst = f.src AND r.rk <= 3
+WHERE f.rk <= 3 AND f.src < f.dst
+"""
+
+
+def q_quality_weighted_mixture(spark, sf):
+    """Token-budget sampling planner: given a 40%-of-corpus token budget,
+    split it across sources by quality-weighted share (weight = mean
+    quality_score × tokens available) and emit each source's sampling
+    rate, capped at 1 — the table a curation run feeds into
+    stratified/hash sampling. Everything after the per-doc quality
+    projection is two tiny aggregates (one per source, one corpus total
+    broadcast back); no shuffle touches the document stream twice."""
+    d = _t(spark, sf, "documents")
+    stats = T.with_token_stats(d, carry=("source",))
+    per = stats.groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_avail"),
+        F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+    )
+    tot = per.agg(
+        F.sum("tokens_avail").alias("tot_tokens"),
+        F.sum(F.col("mean_quality") * F.col("tokens_avail")).alias("wsum"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("mean_quality") * F.col("tokens_avail") / F.col("wsum")
+    target = F.lit(0.4) * F.col("tot_tokens") * share
+    return j.select(
+        "source",
+        "tokens_avail",
+        "mean_quality",
+        F.round(share, 6).alias("mix_share"),
+        F.round(target, 2).alias("target_tokens"),
+        F.round(F.least(F.lit(1.0), target / F.col("tokens_avail")), 6).alias(
+            "sampling_rate"
+        ),
+    )
+
+
+_SQL_QUALITY_MIXTURE = r"""
+WITH base AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         round(0.4 * least(len(list_filter(string_split(text, ' '), t -> t <> '')) / 100.0, 1.0) +
+               0.6 * (1.0 - round(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in','is','on','for','it')))
+                   / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 4)), 4)
+           AS quality_score
+  FROM documents
+),
+per AS (
+  SELECT source, sum(n_tokens)::BIGINT AS tokens_avail,
+         round(avg(quality_score), 4) AS mean_quality
+  FROM base GROUP BY source
+),
+tot AS (
+  SELECT sum(tokens_avail)::BIGINT AS tot_tokens,
+         sum(mean_quality * tokens_avail) AS wsum
+  FROM per
+)
+SELECT source, tokens_avail, mean_quality,
+       round(mean_quality * tokens_avail / wsum, 6) AS mix_share,
+       round(0.4 * tot_tokens * mean_quality * tokens_avail / wsum, 2)
+         AS target_tokens,
+       round(least(1.0, 0.4 * tot_tokens * (mean_quality * tokens_avail / wsum)
+                        / tokens_avail), 6) AS sampling_rate
+FROM per, tot
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -4900,6 +5139,12 @@ REGISTRY: dict[str, tuple] = {
     "vocab_coverage": (q_vocab_coverage, _SQL_VOCAB_COVERAGE),
     "per_source_dup_stats": (q_per_source_dup_stats, _SQL_PER_SOURCE_DUP),
     "oov_rate": (q_oov_rate, _SQL_OOV_RATE),
+    "minhash_jaccard_gate": (q_minhash_jaccard_gate, _SQL_MINHASH_GATE),
+    "knn_reciprocal_pairs": (q_knn_reciprocal_pairs, _SQL_KNN_RECIPROCAL),
+    "quality_weighted_mixture": (
+        q_quality_weighted_mixture,
+        _SQL_QUALITY_MIXTURE,
+    ),
     "burst_users": (q_burst_users, _SQL_BURST_USERS),
     "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
     "caption_pairs": (q_caption_pairs, _SQL_CAPTION_PAIRS),

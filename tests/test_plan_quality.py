@@ -578,3 +578,21 @@ def test_vocab_coverage_topk_then_bounded_window(spark):
     running-share window runs over the bounded 50-row result."""
     plan = plan_of(spark, "vocab_coverage")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_reciprocal_no_cartesian(spark):
+    """knn_reciprocal_pairs: the scoring join must be the bucket equi-join
+    (sub-quadratic), never a CartesianProduct; ranking stays a per-
+    (bucket,src) window, not a global sort."""
+    plan = plan_of(spark, "knn_reciprocal_pairs")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_minhash_gate_signature_is_min_aggregate(spark):
+    """minhash_jaccard_gate signatures must enter the shuffle as ONE
+    k-column row per doc (parallel min aggregates, map-side combinable) —
+    the same no-k-way-explode shape pinned for dedup_minhash_lsh."""
+    plan = plan_of(spark, "minhash_jaccard_gate")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -4605,9 +4605,18 @@ def q_int8_quantize_error(spark, sf):
     )
     q = F.floor((F.col("v") - F.col("mn")) / F.col("s") + F.lit(0.5))
     recon = F.col("mn") + q * F.col("s")
+    # constant dimension (mx == mn): scale 1.0 keeps the arithmetic finite
+    # and reconstructs mn exactly (q = floor(0.5) = 0) on BOTH engines —
+    # double /0.0 is Infinity in Spark but an error-or-NULL path in other
+    # engines, so never emit it
     return (
         e.join(F.broadcast(rng), "pos")
-        .withColumn("s", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+        .withColumn(
+            "s",
+            F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+                (F.col("mx") - F.col("mn")) / F.lit(255.0)
+            ),
+        )
         .groupBy("pos")
         .agg(
             F.round(F.min("mn"), 4).alias("mn"),
@@ -4627,7 +4636,8 @@ WITH e AS (
 ),
 r AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos),
 j AS (
-  SELECT e.pos, e.v, r.mn, r.mx, (r.mx - r.mn) / 255.0 AS s
+  SELECT e.pos, e.v, r.mn, r.mx,
+         CASE WHEN r.mx = r.mn THEN 1.0 ELSE (r.mx - r.mn) / 255.0 END AS s
   FROM e JOIN r USING (pos)
 )
 SELECT pos, round(min(mn), 4) AS mn, round(min(mx), 4) AS mx,
@@ -4649,7 +4659,9 @@ def q_vocab_coverage(spark, sf):
     toks = d.select(
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
     )
-    total = toks.count()
+    # corpus total rides a broadcast 1-row aggregate (lazy, one plan) —
+    # not a driver-side count() action at query-construction time
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("tot"))
     top = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -4659,13 +4671,11 @@ def q_vocab_coverage(spark, sf):
     w = Window.orderBy(F.desc("n"), "w").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return top.select(
+    return top.crossJoin(F.broadcast(total)).select(
         "w",
         "n",
         F.row_number().over(Window.orderBy(F.desc("n"), "w")).alias("rank"),
-        F.round(F.sum("n").over(w) / F.lit(float(total)), 6).alias(
-            "cum_coverage"
-        ),
+        F.round(F.sum("n").over(w) / F.col("tot"), 6).alias("cum_coverage"),
     )
 
 

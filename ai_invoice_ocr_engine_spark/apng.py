@@ -71,6 +71,11 @@ def _decode_rgba(raw: bytes, w: int, h: int, depth: int, ctype: int,
     """One frame's decompressed filtered scanlines → (h, w, 4) straight-
     alpha RGBA uint8, sharing decode_png's conventions (16-bit → high
     byte, sub-byte gray scaled to full range)."""
+    if ctype not in (0, 2, 3, 4, 6):
+        # same contract as kernels.decode_png for the non-animated path —
+        # bad media must surface as the pipeline's ValueError/
+        # NotImplementedError family, never a bare KeyError
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     rb = (w * nch * depth + 7) // 8
     bpp = max(1, nch * depth // 8)

@@ -4,7 +4,9 @@ mu-law companding, IMA/DVI ADPCM, IEEE-float and 24/32-bit PCM conversion.
 Everything here is public-spec math: G.711 follows ITU-T G.711 via the
 widely-published public-domain Sun Microsystems reference (g711.c — the
 segment-table compand/expand pair whose defining invariant is
-``encode(decode(code)) == code`` for all 256 codes, exhaustively tested);
+``encode(decode(code)) == code``, exhaustively tested over all 256 codes
+with the one spec-inherent exception: mu-law 0x7F ("negative zero")
+decodes to 0, which canonically re-encodes positive as 0xFF);
 IMA ADPCM follows the IMA Digital Audio Focus Group's published algorithm
 (the 89-entry step table + 16-entry index-adjust table) in the Microsoft
 WAV block layout (per-channel 4-byte block headers, 4-byte nibble chunks

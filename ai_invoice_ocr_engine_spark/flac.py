@@ -339,6 +339,19 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
     return out, rate, bps
 
 
+def to_mono_int16(s: np.ndarray, bps: int) -> np.ndarray:
+    """(n, ch) int32 decoded samples → int16 mono: channel mean, then the
+    declared-depth shift to 16 bits. The ONE downmix shared by native
+    FLAC (functions/multimodal.decode_audio) and Ogg-FLAC (ogg.decode_ogg)
+    so a rounding/clamping change can never make the two diverge."""
+    mono = (s.mean(axis=1) if s.shape[1] > 1 else s[:, 0]).astype(np.int64)
+    if bps > 16:
+        mono >>= bps - 16  # reduce to int16 by declared depth
+    elif bps < 16:
+        mono <<= 16 - bps
+    return mono.astype(np.int16)
+
+
 def _sample_bytes(samples: np.ndarray, bps: int) -> bytes:
     """Channel-interleaved little-endian signed sample bytes — the byte
     stream the STREAMINFO MD5 is defined over (byte-aligned bps only)."""

@@ -986,15 +986,10 @@ def decode_audio(data: bytes) -> np.ndarray:
 
         return decode_ogg(data)
     if data[:4] == b"fLaC":
-        from ..flac import decode_flac
+        from ..flac import decode_flac, to_mono_int16
 
         s, _rate, bps = decode_flac(data)
-        mono = (s.mean(axis=1) if s.shape[1] > 1 else s[:, 0]).astype(np.int64)
-        if bps > 16:
-            mono >>= bps - 16  # reduce to int16 by declared depth
-        elif bps < 16:
-            mono <<= 16 - bps
-        return mono.astype(np.int16)
+        return to_mono_int16(s, bps)
     if data[:3] == b"ID3" or (
         len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):

@@ -3,8 +3,11 @@
 Beyond-reference audio-container surface, same policy as avi.py/mp4.py:
 the container layer is implemented for real — page capture, the Ogg
 CRC-32 (poly 0x04C11DB7, init 0, no reflection, CRC field zeroed),
-lacing-value packet reassembly across pages, BOS codec identification,
-multiplexed logical streams — and FLAC-in-Ogg decodes END-TO-END by
+per-stream page-sequence continuity + continuation-flag consistency (a
+dropped page is caught at the demux layer, not left for a downstream
+codec CRC), lacing-value packet reassembly across pages, BOS codec
+identification, multiplexed logical streams — and FLAC-in-Ogg decodes
+END-TO-END by
 re-assembling the native FLAC stream (the mapping's first packet wraps
 'fLaC' + STREAMINFO, later header packets are ordinary metadata blocks,
 every audio packet is one FLAC frame) and handing it to the repo's
@@ -73,7 +76,7 @@ def _pages(data: bytes):
         if _ogg_crc(bytes(page)) != crc:
             raise ValueError("Ogg page CRC mismatch")
         body = data[pos + 27 + nseg : page_end]
-        yield serial, htype, granule, seg_tbl, body
+        yield serial, htype, granule, seg_tbl, body, _seq
         pos = page_end
 
 
@@ -83,13 +86,28 @@ def parse_ogg(data: bytes) -> dict:
     across lacing values and page boundaries (255 = continued)."""
     streams: dict[int, dict] = {}
     partial: dict[int, bytearray] = {}
-    for serial, htype, _granule, seg_tbl, body in _pages(data):
+    last_seq: dict[int, int] = {}
+    for serial, htype, _granule, seg_tbl, body, seq in _pages(data):
         st = streams.get(serial)
         if st is None:
             if not (htype & 0x02):
                 raise ValueError("Ogg data page for unknown stream")
             st = streams[serial] = {"codec": "unknown", "packets": []}
             partial[serial] = bytearray()
+        else:
+            # a dropped/spliced page passes per-page CRC but breaks the
+            # per-stream sequence — catch it at the demux layer instead of
+            # reassembling two half-packets into one corrupt packet
+            if seq != last_seq[serial] + 1:
+                raise ValueError(
+                    f"Ogg page sequence gap in stream {serial}: "
+                    f"{last_seq[serial]} -> {seq}")
+        last_seq[serial] = seq
+        cont = bool(htype & 0x01)
+        if cont and not partial[serial]:
+            raise ValueError("Ogg continuation page without an open packet")
+        if not cont and partial[serial]:
+            raise ValueError("Ogg open packet not continued on next page")
         off = 0
         for lace in seg_tbl:
             partial[serial] += body[off : off + lace]
@@ -139,7 +157,18 @@ def _flac_stream(st: dict) -> bytes:
     blocks = [bytearray(bos[13:])]  # STREAMINFO block (header + body)
     if len(blocks[0]) < 4:
         raise ValueError("Ogg-FLAC STREAMINFO truncated")
-    for p in pkts[1 : 1 + n_headers]:
+    if n_headers == 0:
+        # the mapping allows 0 to mean "header count unknown": consume
+        # packets while they look like metadata blocks (header type byte
+        # 0-6 with optional last-flag; a FLAC frame always starts 0xFF —
+        # type 127 is invalid, so the two are unambiguous)
+        n_end = 1
+        while (n_end < len(pkts) and pkts[n_end]
+               and (pkts[n_end][0] & 0x7F) <= 6):
+            n_end += 1
+    else:
+        n_end = 1 + n_headers
+    for p in pkts[1:n_end]:
         if len(p) < 4:
             raise ValueError("Ogg-FLAC header packet truncated")
         blocks.append(bytearray(p))
@@ -147,7 +176,7 @@ def _flac_stream(st: dict) -> bytes:
     for b in blocks:
         b[0] &= 0x7F
     blocks[-1][0] |= 0x80
-    frames = pkts[1 + n_headers :]
+    frames = pkts[n_end:]
     return b"fLaC" + b"".join(bytes(b) for b in blocks) + b"".join(frames)
 
 
@@ -165,15 +194,10 @@ def decode_ogg(data: bytes) -> np.ndarray:
     streams = parse_ogg(data)
     flacs = [s for s in streams.values() if s["codec"] == "flac"]
     if flacs:
-        from .flac import decode_flac
+        from .flac import decode_flac, to_mono_int16
 
         s, _rate, bps = decode_flac(_flac_stream(flacs[0]))
-        mono = (s.mean(axis=1) if s.shape[1] > 1 else s[:, 0]).astype(np.int64)
-        if bps > 16:
-            mono >>= bps - 16
-        elif bps < 16:
-            mono <<= 16 - bps
-        return mono.astype(np.int16)
+        return to_mono_int16(s, bps)
     codecs = sorted({s["codec"] for s in streams.values()})
     raise NotImplementedError(
         f"Ogg codec(s) {codecs} require an external decoder (ffmpeg seam); "
@@ -211,6 +235,13 @@ def ogg_metadata(data: bytes) -> dict:
             channels = bos[9]
             (rate,) = struct.unpack_from("<I", bos, 12)  # input sample rate
         bits = -1
+    elif codec == "speex":
+        # speex_header_t: "Speex   "(8) speex_version(20) version_id(4)
+        # header_size(4) → rate LE32 at 36; mode(4) mode_bitstream(4) →
+        # nb_channels LE32 at 48
+        if len(bos) >= 52:
+            (rate,) = struct.unpack_from("<I", bos, 36)
+            (channels,) = struct.unpack_from("<I", bos, 48)
     dur = (n_samples / rate) if (rate and rate > 0 and n_samples > 0) else -1.0
     return {"format": "ogg", "codec": codec, "sample_rate": int(rate),
             "channels": int(channels), "bits": int(bits),
@@ -223,7 +254,7 @@ def ogg_metadata(data: bytes) -> dict:
 
 
 def _page(serial: int, seq: int, htype: int, granule: int,
-          packets: list[bytes], partial_out: bool = False) -> bytes:
+          packets: list[bytes]) -> bytes:
     """Build one page carrying the given whole packets (each < 255*255
     here; fixture-sized)."""
     seg_tbl = bytearray()
@@ -242,12 +273,14 @@ def _page(serial: int, seq: int, htype: int, granule: int,
 
 
 def encode_ogg_flac(samples: np.ndarray, sample_rate: int = 16000,
-                    serial: int = 0x1234, packets_per_page: int = 4,
+                    serial: int = 0x1234,
                     **flac_kwargs) -> bytes:
     """Mux a FLAC encoding of ``samples`` into an Ogg stream per the
     xiph mapping: BOS page with the 0x7F FLAC header packet, one header
-    page with a minimal VORBIS_COMMENT, audio frames split over pages.
-    Page boundaries exercise multi-packet lacing."""
+    page with a minimal VORBIS_COMMENT, then the frame byte-stream as
+    ONE packet spanning pages via 255-lacing continuation (the
+    re-assembler concatenates packets, so this decodes identically to
+    real frame-per-packet streams while exercising cross-page lacing)."""
     from .flac import encode_flac
 
     native = encode_flac(samples, sample_rate=sample_rate, **flac_kwargs)

@@ -163,3 +163,17 @@ def test_video_routing_and_metadata():
     still = K.encode_png(f0[:, :, 0])
     assert video_metadata(still)["n_frames"] == 1
     assert len(video_frame_payloads(still)) == 1
+
+
+def test_invalid_color_type_is_loud_not_keyerror():
+    """A malformed APNG with an invalid IHDR color type must raise the
+    pipeline's NotImplementedError contract (as kernels.decode_png does
+    for the still path), never a bare KeyError."""
+    f0 = _rgba(4, 4, 21, alpha=255)
+    blob = bytearray(encode_apng([(f0, 0, 0, 0, 0)], 4, 4))
+    idx = bytes(blob).find(b"IHDR")
+    blob[idx + 4 + 9] = 5  # color type byte inside IHDR payload
+    blob[idx + 4 + 13 : idx + 4 + 17] = struct.pack(
+        ">I", zlib.crc32(bytes(blob[idx : idx + 4 + 13])))
+    with pytest.raises(NotImplementedError, match="color type 5"):
+        apng_frames(bytes(blob))

@@ -129,3 +129,62 @@ def test_multimodal_routing():
     m = audio_metadata(blob)
     assert m["format"] == "ogg" and m["codec"] == "flac"
     assert m["n_samples"] == 2500
+
+
+def _recrc_page(blob: bytearray, page_start: int) -> None:
+    """Recompute one page's CRC in place after mutating its bytes."""
+    from ai_invoice_ocr_engine_spark.ogg import _ogg_crc
+
+    nseg = blob[page_start + 26]
+    body_len = sum(blob[page_start + 27 : page_start + 27 + nseg])
+    end = page_start + 27 + nseg + body_len
+    blob[page_start + 22 : page_start + 26] = b"\x00" * 4
+    crc = _ogg_crc(bytes(blob[page_start:end]))
+    blob[page_start + 22 : page_start + 26] = struct.pack("<I", crc)
+
+
+def test_unknown_header_count_zero():
+    """The xiph mapping allows header-count 0 = 'unknown'; metadata
+    packets must then be consumed by sniffing (blocks start with type
+    0-6, frames with 0xFF) instead of fed to the frame decoder."""
+    sam = _sig(1200, 11)
+    blob = bytearray(encode_ogg_flac(sam, 16000))
+    # BOS page: header(27) + 1-seg table(1) -> packet body at +28;
+    # the BE16 header count rides at packet offset 7
+    assert blob[28 : 28 + 5] == b"\x7fFLAC"
+    assert struct.unpack_from(">H", blob, 28 + 7)[0] == 1
+    blob[28 + 7 : 28 + 9] = b"\x00\x00"
+    _recrc_page(blob, 0)
+    np.testing.assert_array_equal(decode_ogg(bytes(blob)), sam)
+
+
+def test_dropped_page_detected_at_demux():
+    """Removing a whole mid-stream page leaves every remaining page
+    CRC-valid; the per-stream sequence check must catch it anyway."""
+    sam = _sig(4000, 12)
+    blob = bytes(encode_ogg_flac(sam, 16000))
+    starts = []
+    pos = 0
+    while True:
+        pos = blob.find(b"OggS", pos)
+        if pos < 0:
+            break
+        starts.append(pos)
+        pos += 4
+    assert len(starts) == 3, "fixture layout: BOS, comment, frames"
+    # drop the middle page: every remaining page still has a valid CRC
+    cut = blob[: starts[1]] + blob[starts[2]:]
+    with pytest.raises(ValueError, match="sequence gap"):
+        parse_ogg(cut)
+
+
+def test_speex_metadata_parsed():
+    sx = (b"Speex   " + b"1.2.0".ljust(20, b"\x00")
+          + struct.pack("<I", 1) + struct.pack("<I", 80)
+          + struct.pack("<I", 32000) + struct.pack("<I", 2)
+          + struct.pack("<I", 4) + struct.pack("<I", 2))
+    page = _page(0x42, 0, 0x02, 0, [sx])
+    m = ogg_metadata(page)
+    assert (m["codec"], m["sample_rate"], m["channels"]) == ("speex", 32000, 2)
+    with pytest.raises(NotImplementedError, match="speex"):
+        decode_ogg(page)

@@ -111,7 +111,10 @@ def parse_avi(data: bytes) -> dict:
             if (cfcc[:2].isdigit() and
                     cfcc[2:] in (b"dc", b"db", b"wb", b"pc")):
                 idx = int(cfcc[:2])
-                if idx < len(streams) and cfcc[2:] != b"pc":
+                # zero-length '##dc'/'##db'/'##wb' chunks are the standard
+                # dropped-frame marker (ffmpeg/VfW) — skip them, or the
+                # decoder sees b'' and the skip policy drops the WHOLE video
+                if idx < len(streams) and cfcc[2:] != b"pc" and c1 > c0:
                     streams[idx].chunks.append((c0, c1 - c0))
 
     for lo, hi in movi_spans:
@@ -215,7 +218,12 @@ def avi_metadata(data: bytes) -> dict:
     meta = parse_avi(data)
     vids = [s for s in meta["streams"] if s.fcc_type == b"vids"]
     lead = vids[0] if vids else meta["streams"][0]
-    codec = lead.handler.decode("ascii", "replace").strip().lower() or "dib"
+    # NUL-padded / all-NUL handlers (legal for DIB video) must fall back —
+    # strip() alone removes whitespace, not NULs
+    codec = (
+        lead.handler.decode("ascii", "replace").strip("\x00 \t").lower()
+        or "dib"
+    )
     dur = -1.0
     if lead.rate:
         dur = lead.length * lead.scale / lead.rate
@@ -303,6 +311,11 @@ def encode_avi(frames: list[bytes], codec: bytes, width: int, height: int,
         for i, vc in enumerate(vid_chunks):
             grp = vc + (aud_chunks[i] if i < len(aud_chunks) else b"")
             movi_parts.append(_list(b"rec ", grp))
+        # audio chunks beyond the video frame count must still be written
+        # (trailing soundtrack) — silently dropping them builds fixtures
+        # with a truncated soundtrack
+        for ac in aud_chunks[len(vid_chunks):]:
+            movi_parts.append(_list(b"rec ", ac))
     else:
         movi_parts = vid_chunks + aud_chunks
     avih = struct.pack("<IIIIIIIIII", 1_000_000 // fps, 0, 0, 0x10,

@@ -125,6 +125,45 @@ def test_metadata_and_multimodal_routing():
     assert len(video_frame_payloads(blob)) == 4
 
 
+def test_dropped_frame_markers_are_skipped():
+    """Zero-length '##dc' chunks (the VfW/ffmpeg dropped-frame marker) are
+    skipped instead of surfacing as b'' payloads that poison the decode."""
+    imgs = _imgs(2)
+    blob = encode_avi([encode_avi_dib_frame(imgs[0]), b"",
+                       encode_avi_dib_frame(imgs[1])], b"DIB ", 31, 20)
+    payloads = avi_frame_payloads(blob)
+    assert len(payloads) == 2
+    for im, p in zip(imgs, payloads):
+        np.testing.assert_array_equal(K.decode_synf(p), im)
+    # header n_frames (3, incl. the drop) is what avih claims; the demux
+    # metadata still reports the container's claim, not the chunk count
+    assert video_metadata(blob)["n_frames"] == 3
+
+
+def test_nul_padded_handler_falls_back_to_dib():
+    """An all-NUL strh handler (legal for BI_RGB video) must report the
+    'dib' codec, not an empty/replacement-char string."""
+    im = _imgs(1)[0]
+    blob = encode_avi([encode_avi_dib_frame(im)], b"DIB ", 31, 20)
+    idx = blob.find(b"vidsDIB ")
+    assert idx > 0
+    blob = blob[: idx + 4] + b"\x00\x00\x00\x00" + blob[idx + 8 :]
+    assert video_metadata(blob)["codec"] == "dib"
+    (p,) = avi_frame_payloads(blob)
+    np.testing.assert_array_equal(K.decode_synf(p), im)
+
+
+def test_rec_groups_trailing_audio_not_truncated():
+    """With fewer video frames than audio chunks, the trailing audio
+    chunks still land in movi (each muxed frame carries at most one audio
+    chunk; the 2-chunk soundtrack of a 1-frame fixture must survive)."""
+    im = _imgs(1)[0]
+    sam = (np.cos(np.arange(600) / 7) * 2500).astype(np.int16)
+    blob = encode_avi([encode_jpeg(im)], b"MJPG", 31, 20,
+                      audio=(sam, 8000), rec_groups=True)
+    np.testing.assert_array_equal(decode_audio(blob), sam)
+
+
 def test_unsupported_codec_is_a_named_seam():
     blob = encode_avi([b"\x00" * 32], b"XVID", 8, 8)
     with pytest.raises(NotImplementedError, match="XVID"):

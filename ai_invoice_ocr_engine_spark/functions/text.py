@@ -110,6 +110,43 @@ def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: double-encoded UTF-8 signature: a latin-1 rendering of a UTF-8 lead
+#: byte C2/C3 (U+00C2/U+00C3) followed by a continuation byte rendered as
+#: U+0080–U+00BF — the classic "Ã©"/"â€™" mojibake shape. Literal BMP
+#: chars (not escapes) so Java regex and RE2 compile the same class.
+DOUBLE_ENC_RE = f"[{chr(0xC2)}{chr(0xC3)}][{chr(0x80)}-{chr(0xBF)}]"
+
+#: C0 control characters except whitespace (\t \n \r): decode garbage in
+#: web text. \xNN escapes are understood identically by Java regex and RE2.
+CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+#: U+FFFD — what a lossy bytes→str decode leaves behind.
+REPLACEMENT_RE = f"[{chr(0xFFFD)}]"
+
+
+def with_encoding_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-quality gate (the CCNet/C4 'is this even valid text' stage):
+    per document the count of double-encoded UTF-8 signatures (mojibake),
+    U+FFFD replacement characters, and non-whitespace C0 control characters,
+    plus the boolean keep flag a curation funnel consumes. A corpus decoded
+    with the wrong charset fails loudly here instead of poisoning every
+    downstream token statistic.
+
+    Scale shape: three regexp projections over the scan — whole-stage
+    codegen, no Python, no shuffle; a narrow map at 10^12 docs."""
+    t = F.col(text_col)
+    n_dbl = F.size(F.regexp_extract_all(t, F.lit(DOUBLE_ENC_RE), F.lit(0)))
+    n_rep = F.size(F.regexp_extract_all(t, F.lit(REPLACEMENT_RE), F.lit(0)))
+    n_ctl = F.size(F.regexp_extract_all(t, F.lit(CTRL_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_dbl.alias("n_double_enc"),
+        n_rep.alias("n_replacement"),
+        n_ctl.alias("n_ctrl"),
+        ((n_dbl == 0) & (n_rep == 0) & (n_ctl == 0)).alias("encoding_clean"),
+    )
+
+
 def with_repetition_stats(
     docs: DataFrame,
     text_col: str = "text",

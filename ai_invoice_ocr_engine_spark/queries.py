@@ -5033,6 +5033,293 @@ FROM per, tot
 """
 
 
+def q_mojibake_gate(spark, sf):
+    """Encoding-quality gate over a deterministically corrupted corpus:
+    doc_id%11==3 rows get a double-encoded-UTF-8 ("Ã©"-style mojibake)
+    suffix, %17==5 a U+FFFD replacement char, %23==7 a C0 control char —
+    the three classic wrong-charset/lossy-decode signatures — and
+    with_encoding_quality counts each class and emits the keep flag.
+    Scale shape: pure regexp projections over the scan (whole-stage
+    codegen, zero shuffle) — the cheapest gate in a curation funnel and
+    the first one a real web corpus needs."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    corrupted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 3, F.lit(" Ã©vÃ¨"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 5, F.lit("�")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 23 == 7, F.lit("\x08")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return T.with_encoding_quality(corrupted)
+
+
+_SQL_MOJIBAKE = f"""
+WITH corrupted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 11 = 3 THEN ' Ã©vÃ¨' ELSE '' END
+         || CASE WHEN doc_id % 17 = 5 THEN chr(65533) ELSE '' END
+         || CASE WHEN doc_id % 23 = 7 THEN chr(8) ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[{chr(0xC2)}{chr(0xC3)}][{chr(0x80)}-{chr(0xBF)}]'))
+         AS n_double_enc,
+       len(regexp_extract_all(text, '[{chr(0xFFFD)}]')) AS n_replacement,
+       len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_ctrl,
+       len(regexp_extract_all(text, '[{chr(0xC2)}{chr(0xC3)}][{chr(0x80)}-{chr(0xBF)}]')) = 0
+       AND len(regexp_extract_all(text, '[{chr(0xFFFD)}]')) = 0
+       AND len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) = 0
+         AS encoding_clean
+FROM corrupted
+"""
+
+
+def q_bigram_cross_entropy(spark, sf):
+    """Interpolated bigram-LM fluency score — the CCNet perplexity filter
+    one order up from unigram_logprob: corpus bigram and unigram counts
+    (two aggregations over the same exploded stream), then each document's
+    cross-entropy under p(w2|w1) = 0.75·c(w1w2)/c(w1) + 0.25·c(w2)/T.
+    Natural text scores low, shuffled-word or template soup scores high —
+    the second most common quality gate after length heuristics.
+
+    Scale shape: per-doc bigram occurrences collapse to (doc_id, w1, w2,
+    k) BEFORE the count joins, so the joins carry one row per distinct
+    bigram per doc, not one per token; counts tables are corpus-wide
+    aggregates with map-side combine. At 10^12 docs you'd cap the bigram
+    vocabulary at top-K and route the tail to the unigram back-off — the
+    interpolation already defines that path."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    docs = d.select("doc_id", ws.alias("ws")).where(F.size("ws") >= 2)
+    n1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(F.slice("ws", 1, n1), F.slice("ws", 2, n1))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    occ = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    words = d.select(F.explode(ws).alias("w"))
+    uc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = words.count()
+    cb = occ.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p = (
+        F.lit(0.75) * F.col("cb") / F.col("c1")
+        + F.lit(0.25) * F.col("c2") / F.lit(float(total))
+    )
+    return (
+        occ.join(cb, ["w1", "w2"]).join(u1, "w1").join(u2, "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * -F.log(p)) / F.sum("k"), 4).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
+_SQL_BIGRAM_CE = """
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2, count(*) AS k
+  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+        FROM ws WHERE len(l) >= 2)
+  GROUP BY 1, 2, 3
+),
+cb AS (SELECT w1, w2, sum(k)::BIGINT AS cb FROM occ GROUP BY 1, 2),
+uc AS (SELECT w, count(*) AS c
+       FROM (SELECT unnest(l) AS w FROM ws) GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM (SELECT unnest(l) AS w FROM ws))
+SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+       round(sum(k * -ln(0.75 * cb / u1.c + 0.25 * u2.c / t)) / sum(k), 4)
+         AS cross_entropy
+FROM occ
+JOIN cb USING (w1, w2)
+JOIN uc u1 ON u1.w = occ.w1
+JOIN uc u2 ON u2.w = occ.w2
+CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def q_source_kl_divergence(spark, sf):
+    """Per-source distribution shift: D_KL(P_source ‖ P_corpus) over the
+    word unigram distributions — the mixture-design diagnostic that says
+    which sources are stylistic outliers (high KL) vs interchangeable
+    filler (near zero), complementing dsir_weights (per-doc importance)
+    with a per-source summary.
+
+    Scale shape: corpus counts derive from the per-source counts (one
+    explode feeds both aggregations); the final join is per-(source, word)
+    against a broadcast per-source total, and the output is one row per
+    source."""
+    d = _t(spark, sf, "documents").select("source", "text")
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("w"),
+    )
+    csw = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("csw"))
+    cw = csw.groupBy("w").agg(F.sum("csw").alias("cw"))
+    ns = csw.groupBy("source").agg(F.sum("csw").alias("n_words"))
+    tot = ns.agg(F.sum("n_words").alias("t"))
+    ps = F.col("csw") / F.col("n_words")
+    pc = F.col("cw") / F.col("t")
+    return (
+        csw.join(cw, "w").join(F.broadcast(ns), "source").crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.round(F.sum(ps * F.log(ps / pc)), 4).alias("kl_divergence"),
+        )
+    )
+
+
+_SQL_SOURCE_KL = """
+WITH words AS (
+  SELECT source, w
+  FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS w
+        FROM documents)
+),
+csw AS (SELECT source, w, count(*) AS csw FROM words GROUP BY 1, 2),
+cw AS (SELECT w, sum(csw)::BIGINT AS cw FROM csw GROUP BY 1),
+ns AS (SELECT source, sum(csw)::BIGINT AS n_words FROM csw GROUP BY 1),
+tot AS (SELECT sum(n_words)::BIGINT AS t FROM ns)
+SELECT source, any_value(n_words) AS n_words,
+       round(sum((csw / n_words) * ln((csw / n_words) / (cw / t))), 4)
+         AS kl_divergence
+FROM csw
+JOIN cw USING (w)
+JOIN ns USING (source)
+CROSS JOIN tot
+GROUP BY source
+"""
+
+
+def q_flesch_reading(spark, sf):
+    """Flesch reading-ease per document with the standard regex-heuristic
+    proxies: words = space tokens, sentences = [.!?]+ runs, syllables =
+    [aeiouy]+ vowel groups — the readability dimension of quality scoring
+    (too-low = legalese/spam, 100+ = fragment soup; both tails get
+    weighted down in a curation mix).
+
+    Scale shape: three regexp counts and four flops per row — pure
+    projection, whole-stage codegen, zero shuffle."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    t = F.col("text")
+    nw = F.greatest(
+        F.size(F.filter(F.split(t, " "), lambda x: x != F.lit(""))), F.lit(1)
+    )
+    ns = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    syl = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[aeiouyAEIOUY]+"), F.lit(0))),
+        F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        ns.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        # portable HALF_UP at 2 decimals: Spark's round() snaps the double
+        # to its shortest decimal repr first (BigDecimal.valueOf), DuckDB
+        # rounds the raw binary double — floor(x*100+0.5)/100 is identical
+        # IEEE arithmetic in both engines (same device as rank_distribution)
+        (
+            F.floor(
+                (
+                    F.lit(206.835)
+                    - F.lit(1.015) * (nw / ns)
+                    - F.lit(84.6) * (syl / nw)
+                )
+                * 100
+                + F.lit(0.5)
+            )
+            / 100.0
+        ).alias("flesch"),
+    )
+
+
+_SQL_FLESCH = """
+SELECT doc_id,
+       greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+         AS n_words,
+       greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+       greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+         AS n_syllables,
+       round(206.835
+             - 1.015 * (greatest(len(list_filter(string_split(text, ' '),
+                                                 t -> t <> '')), 1)
+                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 84.6 * (greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+                       / greatest(len(list_filter(string_split(text, ' '),
+                                                  t -> t <> '')), 1)), 2)
+         AS flesch
+FROM documents
+"""
+
+
+def q_hashed_ngram_score(spark, sf):
+    """Feature-hashed linear scorer — the fasttext-quality-classifier
+    SHAPE at corpus scale: every token hashes to a weight in [-1, 1]
+    (here derived from the package's cross-engine md5, standing in for
+    trained weights shipped as a broadcast array), the document score is
+    sigmoid(mean weight). The point is the plan: score = one projection +
+    one map-side-combinable aggregate per doc — no joins, no weight
+    shuffle — which is exactly how a real hashed linear model runs over
+    10^12 docs."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("w"),
+    )
+    h = F.expr(
+        "cast(conv(substr(md5(concat('qw|', w)), 1, 15), 16, 10) as bigint)"
+    )
+    wt = (h % 2001 - 1000) / F.lit(1000.0)
+    return (
+        toks.select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.avg("wt"))), 4).alias(
+                "score"
+            ),
+        )
+    )
+
+
+_SQL_HASHED_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('qw|' || w), 1, 15))::BIGINT % 2001 - 1000)
+           / 1000.0 AS wt
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS w
+        FROM documents)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(1.0 / (1.0 + exp(-avg(wt))), 4) AS score
+FROM toks
+GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -5160,4 +5447,9 @@ REGISTRY: dict[str, tuple] = {
     "caption_pairs": (q_caption_pairs, _SQL_CAPTION_PAIRS),
     "dup_cluster_sizes": (q_dup_cluster_sizes, _SQL_DUP_CLUSTER_SIZES),
     "cross_source_overlap": (q_cross_source_overlap, _SQL_CROSS_SOURCE),
+    "mojibake_gate": (q_mojibake_gate, _SQL_MOJIBAKE),
+    "bigram_cross_entropy": (q_bigram_cross_entropy, _SQL_BIGRAM_CE),
+    "source_kl_divergence": (q_source_kl_divergence, _SQL_SOURCE_KL),
+    "flesch_reading": (q_flesch_reading, _SQL_FLESCH),
+    "hashed_ngram_score": (q_hashed_ngram_score, _SQL_HASHED_SCORE),
 }

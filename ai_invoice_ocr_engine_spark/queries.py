@@ -5320,6 +5320,158 @@ GROUP BY doc_id
 """
 
 
+def q_token_budget_select(spark, sf):
+    """Token-budget selection — the materialization step after a mixture
+    plan: order the corpus by quality (best first, doc_id tie-break) and
+    keep the greedy prefix whose cumulative token count stays inside a
+    30%-of-corpus budget (the crossing doc is kept, standard greedy
+    knapsack-prefix semantics). This is how a curation run actually CUTS
+    a corpus to a target token count, complementing
+    quality_weighted_mixture (which only plans per-source rates).
+
+    Scale shape: the global ordered prefix sum rides
+    operators/ranking.py global_cumsum (range partitions +
+    partition-local window + broadcast offsets — no single-task global
+    window); the budget is one broadcast scalar row. At 10^12 docs the
+    only driver traffic is P partition sums."""
+    from .operators.ranking import global_cumsum
+
+    d = _t(spark, sf, "documents")
+    q = T.with_token_stats(d).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+    )
+    tot = q.agg(F.sum("n_tokens").alias("t"))
+    c = global_cumsum(
+        q,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        "n_tokens",
+        out="cum_tokens",
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.floor(0.3 * F.col("t")))
+        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+    )
+
+
+_SQL_TOKEN_BUDGET = """
+WITH q AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens,
+         round(0.4 * least(len(list_filter(string_split(text, ' '), t -> t <> '')) / 100.0, 1.0)
+             + 0.6 * (1.0 - round(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','on','for','it')))
+                 / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 4)), 4)
+           AS quality_score
+  FROM documents
+),
+tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM q),
+c AS (
+  SELECT doc_id, n_tokens, quality_score,
+         sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM q
+)
+SELECT doc_id, n_tokens, quality_score, cum_tokens
+FROM c, tot
+WHERE cum_tokens - n_tokens < floor(0.3 * t)
+"""
+
+
+def q_deterministic_shuffle(spark, sf):
+    """Global training-order shuffle: every doc gets a salted-hash
+    shuffle key and its 1-based position in the resulting permutation —
+    the deterministic corpus shuffle a dataloader consumes (rerun-
+    identical at any parallelism, unlike rand()). The global position
+    comes from operators/ranking.py global_row_number (range partitions
+    + broadcast offsets), not a single-task window.
+
+    Scale shape: one narrow projection + the partition-offset ranking
+    pattern; composable with sequence_packing downstream (shuffle, then
+    pack)."""
+    from .operators.ranking import global_row_number
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = d.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(concat('shuf1|', doc_id)), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("shuffle_key"),
+    )
+    ranked, _total = global_row_number(
+        k, ["shuffle_key", "doc_id"], out="train_pos"
+    )
+    return ranked.select("doc_id", "shuffle_key", "train_pos")
+
+
+_SQL_DET_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuf1|' || doc_id), 1, 15))::BIGINT AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id)::INT AS train_pos
+FROM k
+"""
+
+
+def q_epoch_upsample(spark, sf):
+    """Fractional epoch upsampling — materializing a mixture: each source
+    carries a deterministic epoch factor in [1, 3) (hash-derived here,
+    standing in for a tuned mixture table), and every document is
+    replicated floor(e) times plus one more for a hash-chosen fraction
+    frac(e) of docs, so the EXPECTED per-source token multiple equals e
+    exactly while every copy is individually addressable (doc_id,
+    copy_ix) — the replicate-and-shuffle path dataloaders use for >1
+    epoch sources.
+
+    Scale shape: the epoch factor is a pure function of the source
+    string, so there is NO join — one projection computes n_copies and
+    explode(sequence()) expands rows map-side; output order rides the
+    scan. At 10^12 docs this is a zero-shuffle stage."""
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    ep = (
+        F.expr(
+            "cast(conv(substr(md5(concat('ep|', source)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        % 200
+    ) / F.lit(100.0) + F.lit(1.0)
+    hfrac = (
+        F.expr(
+            "cast(conv(substr(md5(concat('up|', doc_id)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        % 10000
+    ) / F.lit(10000.0)
+    n = (F.floor(ep) + (hfrac < ep - F.floor(ep)).cast("long")).alias("n_copies")
+    base = d.select("doc_id", "source", n)
+    return base.select(
+        "doc_id",
+        "source",
+        "n_copies",
+        F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy_ix"),
+    )
+
+
+_SQL_EPOCH_UPSAMPLE = """
+WITH base AS (
+  SELECT doc_id, source,
+         floor(1.0 + (('0x' || substr(md5('ep|' || source), 1, 15))::BIGINT % 200) / 100.0)::BIGINT
+         + CASE WHEN (('0x' || substr(md5('up|' || doc_id), 1, 15))::BIGINT % 10000) / 10000.0
+                     < (1.0 + (('0x' || substr(md5('ep|' || source), 1, 15))::BIGINT % 200) / 100.0)
+                       - floor(1.0 + (('0x' || substr(md5('ep|' || source), 1, 15))::BIGINT % 200) / 100.0)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, n_copies, unnest(range(0, n_copies)) AS copy_ix
+FROM base
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -5452,4 +5604,7 @@ REGISTRY: dict[str, tuple] = {
     "source_kl_divergence": (q_source_kl_divergence, _SQL_SOURCE_KL),
     "flesch_reading": (q_flesch_reading, _SQL_FLESCH),
     "hashed_ngram_score": (q_hashed_ngram_score, _SQL_HASHED_SCORE),
+    "token_budget_select": (q_token_budget_select, _SQL_TOKEN_BUDGET),
+    "deterministic_shuffle": (q_deterministic_shuffle, _SQL_DET_SHUFFLE),
+    "epoch_upsample": (q_epoch_upsample, _SQL_EPOCH_UPSAMPLE),
 }

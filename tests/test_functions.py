@@ -955,3 +955,27 @@ def test_with_scripts_dominant_and_purity(spark):
     assert out[5]["dominant_script"] == "greek"
     assert out[5]["n_greek"] == 9 and out[5]["n_latin"] == 1
     assert out[5]["script_purity"] == 0.9
+
+
+def test_with_encoding_quality(spark):
+    """Encoding gate: mojibake (double-encoded UTF-8 lead+continuation),
+    U+FFFD replacement chars, and non-whitespace C0 controls each count
+    separately; tabs/newlines are NOT controls; clean text keeps."""
+    from ai_invoice_ocr_engine_spark.functions.text import with_encoding_quality
+
+    rows = [
+        (1, "clean text\twith tabs\nand newlines"),
+        (2, "cafÃ© menu"),          # Ã© = double-encoded é
+        (3, "lossy � decode �"),    # two replacement chars
+        (4, "ctrl\x07bell and \x00nul"),      # two C0 controls
+        (5, "Â alone"),                  # lead byte w/o continuation
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in with_encoding_quality(df).collect()}
+    assert out[1] == {"doc_id": 1, "n_double_enc": 0, "n_replacement": 0,
+                      "n_ctrl": 0, "encoding_clean": True}
+    assert out[2]["n_double_enc"] == 1 and not out[2]["encoding_clean"]
+    assert out[3]["n_replacement"] == 2 and not out[3]["encoding_clean"]
+    assert out[4]["n_ctrl"] == 2 and not out[4]["encoding_clean"]
+    # a bare C2/C3 without a continuation byte is NOT the mojibake shape
+    assert out[5]["n_double_enc"] == 0 and out[5]["encoding_clean"]

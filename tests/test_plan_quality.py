@@ -596,3 +596,33 @@ def test_minhash_gate_signature_is_min_aggregate(spark):
     plan = plan_of(spark, "minhash_jaccard_gate")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_token_budget_select_distributed_cumsum(spark):
+    """token_budget_select rides global_cumsum's range partitions; the
+    only SinglePartition funnel is the 1-row token-total broadcast."""
+    plan = plan_of(spark, "token_budget_select")
+    assert "rangepartitioning" in plan
+    assert "_rk_pid" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_rk_pid" in line, line
+
+
+def test_deterministic_shuffle_distributed_rank(spark):
+    """deterministic_shuffle's train_pos rides global_row_number — range
+    partitions + partition-local windows, zero SinglePartition funnels."""
+    plan = plan_of(spark, "deterministic_shuffle")
+    assert "rangepartitioning" in plan
+    assert "_rk_pid" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_epoch_upsample_zero_shuffle(spark):
+    """epoch_upsample is a pure map stage: the epoch factor is a function
+    of the source string and copies expand via explode(sequence()) — NO
+    Exchange of any kind may appear in the plan."""
+    plan = plan_of(spark, "epoch_upsample")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan

@@ -5472,6 +5472,119 @@ FROM base
 """
 
 
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer-efficiency diagnostics per source: BPE tokens per
+    whitespace word (fertility — high means the tokenizer fragments this
+    source's vocabulary) and non-space chars per BPE token (compression).
+    The table that decides whether a tokenizer needs retraining before a
+    source joins the mixture, and the denominator sanity check behind
+    every tokens-based budget.
+
+    Scale shape: one regexp projection per row then a per-source
+    aggregate with map-side combine — two stages at any corpus size."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    toks = F.size(
+        F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    ).cast("long")
+    spark_re = T.TOKEN_RE.replace("\\", "\\\\")
+    bpe = F.size(
+        F.expr(f"regexp_extract_all(text, '{spark_re}', 0)")
+    ).cast("long")
+    nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
+    base = d.select(
+        "source", toks.alias("nt"), bpe.alias("nb"), nonspace.alias("nc")
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_words"),
+        F.sum("nb").alias("n_bpe_tokens"),
+        F.round(F.sum("nb") / F.greatest(F.sum("nt"), F.lit(1)), 4).alias(
+            "fertility"
+        ),
+        F.round(F.sum("nc") / F.greatest(F.sum("nb"), F.lit(1)), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+_SQL_TOKENIZER_FERTILITY = r"""
+WITH base AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS nt,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS nb,
+         length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS nc
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(nt)::BIGINT AS n_words, sum(nb)::BIGINT AS n_bpe_tokens,
+       round(sum(nb) / greatest(sum(nt), 1), 4) AS fertility,
+       round(sum(nc) / greatest(sum(nb), 1), 4) AS chars_per_token
+FROM base
+GROUP BY source
+"""
+
+
+def q_dedup_keep_policy(spark, sf):
+    """Canonical-copy selection with a SOURCE-PRIORITY policy (not just
+    min doc_id): the corpus plus 'mirror'-source exact copies dedups by
+    content hash, and the keeper inside each duplicate group is chosen by
+    (priority, doc_id) with the mirror PREFERRED — the policy real
+    curation runs apply ("keep the curated dump's copy, drop the
+    crawl's") where min-id would pick the wrong one. min_by over the
+    composite key keeps the whole choice inside one map-side-combinable
+    aggregate.
+
+    Scale shape: identical to dedup_exact — hash groupBy with partial
+    aggregation; the policy adds zero extra stages."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    mirror = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    c = d.unionByName(mirror).select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_hash"),
+        F.when(F.col("source") == "mirror", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("prio"),
+    )
+    return (
+        c.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.expr("min_by(doc_id, prio * 1000000000 + doc_id)").alias(
+                "keep_id"
+            ),
+            F.expr("min_by(source, prio * 1000000000 + doc_id)").alias(
+                "keep_source"
+            ),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("content_hash", "n_copies", "keep_id", "keep_source")
+    )
+
+
+_SQL_DEDUP_KEEP_POLICY = """
+WITH c AS (
+  SELECT doc_id, source, md5(text) AS content_hash,
+         1 AS prio
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, 'mirror' AS source, md5(text) AS content_hash,
+         0 AS prio
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT content_hash, count(*) AS n_copies,
+       arg_min(doc_id, prio * 1000000000 + doc_id) AS keep_id,
+       arg_min(source, prio * 1000000000 + doc_id) AS keep_source
+FROM c
+GROUP BY content_hash
+HAVING count(*) > 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -5607,4 +5720,6 @@ REGISTRY: dict[str, tuple] = {
     "token_budget_select": (q_token_budget_select, _SQL_TOKEN_BUDGET),
     "deterministic_shuffle": (q_deterministic_shuffle, _SQL_DET_SHUFFLE),
     "epoch_upsample": (q_epoch_upsample, _SQL_EPOCH_UPSAMPLE),
+    "tokenizer_fertility": (q_tokenizer_fertility, _SQL_TOKENIZER_FERTILITY),
+    "dedup_keep_policy": (q_dedup_keep_policy, _SQL_DEDUP_KEEP_POLICY),
 }

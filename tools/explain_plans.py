@@ -56,6 +56,15 @@ SHOW = [
     # round 4: curation map stages
     "pii_scrub",
     "chunk_windows",
+    # round 4, session 12: mixture materialization
+    "token_budget_select",
+    "deterministic_shuffle",
+    "epoch_upsample",
+    "tokenizer_fertility",
+    "dedup_keep_policy",
+    "mojibake_gate",
+    "bigram_cross_entropy",
+    "hashed_ngram_score",
 ]
 
 

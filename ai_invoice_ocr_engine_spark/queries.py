@@ -5585,6 +5585,156 @@ HAVING count(*) > 1
 """
 
 
+def q_gap_fill_locf(spark, sf):
+    """Time-series gap filling with last-observation-carried-forward —
+    the hypertable/metrics-store operator (`time_bucket_gapfill` +
+    `locf`): per user, a dense DAILY spine from first to last activity,
+    the observed daily mean where the user has events, and the previous
+    observed value carried into silent days (is_observed marks which).
+
+    Scale shape: the spine is explode(sequence(min_day, max_day)) off a
+    per-user two-value aggregate — rows bound by users × span, never a
+    cross join against a global calendar; the fill is a per-user ordered
+    window (partitioned — no global sort). Day indexes are integer
+    epoch-day arithmetic so both engines compare integers, per the
+    module's timestamp convention."""
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        "value",
+    )
+    obs = e.groupBy("user_id", "d").agg(F.round(F.avg("value"), 4).alias("v"))
+    span = e.groupBy("user_id").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = spine.join(obs, ["user_id", "d"], "left")
+    return j.select(
+        "user_id",
+        F.col("d").alias("day_idx"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
+
+
+_SQL_GAP_FILL_LOCF = """
+WITH e AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS d, value FROM events
+),
+obs AS (SELECT user_id, d, round(avg(value), 4) AS v FROM e GROUP BY 1, 2),
+span AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM e GROUP BY 1),
+spine AS (SELECT user_id, unnest(range(mn, mx + 1)) AS d FROM span)
+SELECT spine.user_id, spine.d AS day_idx,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY spine.user_id ORDER BY spine.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       v IS NOT NULL AS is_observed
+FROM spine LEFT JOIN obs ON spine.user_id = obs.user_id AND spine.d = obs.d
+"""
+
+
+def q_gap_fill_interpolate(spark, sf):
+    """Linear interpolation across time-series gaps — the other half of
+    the gapfill surface next to gap_fill_locf: silent days take the
+    value interpolated between the PREVIOUS and NEXT observed days
+    (prev + (next-prev) * elapsed/gap); trailing gaps (no next
+    observation) fall back to carry-forward.
+
+    Scale shape: same bounded per-user spine as gap_fill_locf; the
+    look-back and look-ahead are two per-user ordered windows (one
+    unbounded-preceding, one unbounded-following) — partitioned, no
+    global sort, no self-join."""
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        "value",
+    )
+    obs = e.groupBy("user_id", "d").agg(F.round(F.avg("value"), 4).alias("v"))
+    span = e.groupBy("user_id").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    j = spine.join(obs, ["user_id", "d"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    prev_d = F.last(obs_d, ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_d = F.first(obs_d, ignorenulls=True).over(wf)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(
+            next_d.isNotNull(),
+            prev_v
+            + (next_v - prev_v) * (F.col("d") - prev_d) / (next_d - prev_d),
+        ).otherwise(prev_v)
+    )
+    # portable HALF_UP at 4 decimals: Spark's round() snaps the double to
+    # its shortest decimal repr first, DuckDB rounds the raw binary double
+    # — floor(x*1e4 + 0.5)/1e4 is identical IEEE arithmetic in both
+    # (same device as rank_distribution / flesch_reading)
+    return j.select(
+        "user_id",
+        F.col("d").alias("day_idx"),
+        (F.floor(interp * 10000 + F.lit(0.5)) / 10000.0).alias("value_interp"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
+
+
+_SQL_GAP_FILL_INTERP = """
+WITH e AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS d, value FROM events
+),
+obs AS (SELECT user_id, d, round(avg(value), 4) AS v FROM e GROUP BY 1, 2),
+span AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM e GROUP BY 1),
+spine AS (SELECT user_id, unnest(range(mn, mx + 1)) AS d FROM span),
+j AS (
+  SELECT spine.user_id, spine.d, v
+  FROM spine LEFT JOIN obs ON spine.user_id = obs.user_id AND spine.d = obs.d
+),
+w AS (
+  SELECT user_id, d, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM j
+)
+SELECT user_id, d AS day_idx,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN next_d IS NOT NULL
+                     THEN prev_v + (next_v - prev_v) * (d - prev_d) / (next_d - prev_d)
+                   ELSE prev_v END) * 10000 + 0.5) / 10000.0 AS value_interp,
+       v IS NOT NULL AS is_observed
+FROM w
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -5722,4 +5872,6 @@ REGISTRY: dict[str, tuple] = {
     "epoch_upsample": (q_epoch_upsample, _SQL_EPOCH_UPSAMPLE),
     "tokenizer_fertility": (q_tokenizer_fertility, _SQL_TOKENIZER_FERTILITY),
     "dedup_keep_policy": (q_dedup_keep_policy, _SQL_DEDUP_KEEP_POLICY),
+    "gap_fill_locf": (q_gap_fill_locf, _SQL_GAP_FILL_LOCF),
+    "gap_fill_interpolate": (q_gap_fill_interpolate, _SQL_GAP_FILL_INTERP),
 }

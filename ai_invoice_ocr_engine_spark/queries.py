@@ -5735,6 +5735,141 @@ FROM w
 """
 
 
+def q_inverted_index(spark, sf):
+    """Bounded inverted-index construction — the IR building block behind
+    contamination scans and sparse retrieval: posting lists (sorted
+    doc_id CSV) for discriminative 8-char shingle terms with document
+    frequency in [2, 8] (the synthetic corpus's whitespace vocabulary is
+    ~28 near-universal words, so shingles are the discriminative term
+    space — same device as dedup_ngram_jaccard). The SCALE-CRITICAL
+    shape: document frequency is computed FIRST (map-side-combinable
+    count over distinct (term, doc) — tiny rows), the df band filters
+    the vocabulary, and only surviving rare terms join back to
+    materialize postings — a frequent term's posting list is never
+    built, which is what keeps the operator safe when one term appears
+    in 10^11 documents."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    occ = D.shingles(d).withColumnRenamed("sh", "w")
+    dfc = (
+        occ.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 8))
+    )
+    return (
+        occ.join(dfc, "w")
+        .groupBy("w")
+        .agg(
+            F.first("df").alias("df"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(doc_id)),"
+                " x -> cast(x as string)), ',')"
+            ).alias("postings"),
+        )
+        .select(F.col("w").alias("term"), "df", "postings")
+    )
+
+
+_SQL_INVERTED_INDEX = """
+WITH occ AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS w
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - 7, 1) + 1, 4))
+                  AS i) t
+),
+dfc AS (
+  SELECT w, count(*) AS df FROM occ GROUP BY w
+  HAVING count(*) BETWEEN 2 AND 8
+)
+SELECT occ.w AS term, any_value(df) AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM occ JOIN dfc ON occ.w = dfc.w
+GROUP BY occ.w
+"""
+
+
+def q_bm25_topk(spark, sf):
+    """BM25 retrieval (k1=1.2, b=0.75) for the fixed query
+    "spark join merge": per-document term frequencies and length
+    normalization against corpus stats (N, avgdl, per-term df), top 10
+    by score with doc_id tie-break — the sparse-retrieval scorer that
+    complements tfidf_cosine_pairs and rides the same corpus-stats
+    pattern as dsir_weights.
+
+    Scale shape: term frequencies are per-row projections (no explode,
+    no join against a posting table for a bounded query); the corpus
+    statistics collapse to ONE broadcast row (conditional aggregates);
+    the top-k is TakeOrderedAndProject. One scan, one tiny aggregate,
+    zero wide shuffles."""
+    terms = ["spark", "join", "merge"]
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    def _tf(word):
+        # NB: a `lambda t, w=word:` default would flip F.filter into its
+        # (element, index) two-arg form — close over the word instead
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    tf_cols = [_tf(w).alias(f"tf{i}") for i, w in enumerate(terms)]
+    base = d.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        score = score + idf * tf * F.lit(1.2 + 1.0) / (
+            tf + F.lit(1.2) * (F.lit(1.0 - 0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+    return (
+        j.select(
+            "doc_id",
+            "dl",
+            (F.floor(score * 10000 + F.lit(0.5)) / 10000.0).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+_SQL_BM25_TOPK = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+         len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS tf0,
+         len(list_filter(string_split(text, ' '), t -> t = 'join')) AS tf1,
+         len(list_filter(string_split(text, ' '), t -> t = 'merge')) AS tf2
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+)
+SELECT doc_id, dl,
+       floor((  ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ) * 10000 + 0.5) / 10000.0 AS bm25
+FROM base, stats
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -5874,4 +6009,6 @@ REGISTRY: dict[str, tuple] = {
     "dedup_keep_policy": (q_dedup_keep_policy, _SQL_DEDUP_KEEP_POLICY),
     "gap_fill_locf": (q_gap_fill_locf, _SQL_GAP_FILL_LOCF),
     "gap_fill_interpolate": (q_gap_fill_interpolate, _SQL_GAP_FILL_INTERP),
+    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
+    "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
 }

@@ -288,6 +288,7 @@ def main(argv=None) -> int:
                     on_bad="skip" if args.skip_bad else "fail",
                     trigger_once=True,
                     source="pdf" if args.pdfs else "html",
+                    password=args.password.encode() if args.pdfs else b"",
                 )
                 q.awaitTermination()
                 dp = os.path.join(args.out, "documents.parquet")

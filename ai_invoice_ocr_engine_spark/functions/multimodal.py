@@ -1054,9 +1054,7 @@ def video_metadata(data: bytes) -> dict:
         if is_apng(data):
             return apng_metadata(data)
         # a still PNG is a 1-frame "video" for the sampling path
-        import struct as _s
-
-        w, h = _s.unpack_from(">II", data, 16)
+        w, h = struct.unpack_from(">II", data, 16)
         return {"format": "png", "codec": "png_deflate", "width": int(w),
                 "height": int(h), "n_frames": 1, "n_tracks": 1,
                 "duration_s": -1.0}

@@ -1341,7 +1341,7 @@ def recognize_crop_groups(
     if decode == "beam":
         dec = lambda lg: ctc_beam(lg, beam_width=beam_width)  # noqa: E731
     elif decode == "greedy":
-        dec = ctc_greedy
+        dec = None  # greedy runs the batched softmax/collapse path below
     else:
         raise ValueError(f"unknown CTC decode mode {decode!r}")
     fl, lens, counts = [], [], []

@@ -5105,16 +5105,20 @@ def q_bigram_cross_entropy(spark, sf):
     occ = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
     words = d.select(F.explode(ws).alias("w"))
     uc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = words.count()
+    # corpus token total as a LAZY 1-row broadcast aggregate, not a driver
+    # .count() action at construction time (same device as q_bigram_pmi /
+    # vocab_coverage): no extra corpus scan, and explain() stays free
+    tot = uc.agg(F.sum("c").alias("t"))
     cb = occ.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
     u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     p = (
         F.lit(0.75) * F.col("cb") / F.col("c1")
-        + F.lit(0.25) * F.col("c2") / F.lit(float(total))
+        + F.lit(0.25) * F.col("c2") / F.col("t")
     )
     return (
         occ.join(cb, ["w1", "w2"]).join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_bigrams"),
@@ -5260,13 +5264,14 @@ SELECT doc_id,
        greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
        greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
          AS n_syllables,
-       round(206.835
-             - 1.015 * (greatest(len(list_filter(string_split(text, ' '),
-                                                 t -> t <> '')), 1)
-                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
-             - 84.6 * (greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
-                       / greatest(len(list_filter(string_split(text, ' '),
-                                                  t -> t <> '')), 1)), 2)
+       floor((206.835
+              - 1.015 * (greatest(len(list_filter(string_split(text, ' '),
+                                                  t -> t <> '')), 1)
+                         / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+              - 84.6 * (greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+                        / greatest(len(list_filter(string_split(text, ' '),
+                                                   t -> t <> '')), 1))
+             ) * 100 + 0.5) / 100.0
          AS flesch
 FROM documents
 """

@@ -85,6 +85,7 @@ def incremental_pdf_ingest(
     max_files_per_trigger: int = 32,
     trigger_once: bool = True,
     source: str = "pdf",
+    password: bytes = b"",
 ):
     """Watch a landing directory for raw .pdf (or .html, ``source=
     'html'``) files and incrementally build the two input tables — the
@@ -108,8 +109,14 @@ def incremental_pdf_ingest(
 
     if source not in ("pdf", "html"):
         raise ValueError(f"source must be 'pdf' or 'html', got {source!r}")
+    if password and source != "pdf":
+        raise ValueError("password applies only to source='pdf'")
     glob = "*.pdf" if source == "pdf" else "*.htm*"
-    ingest_fn = ingest_pdfs if source == "pdf" else ingest_html
+    if source == "pdf" and password:
+        def ingest_fn(df, on_bad, _pw=password):
+            return ingest_pdfs(df, on_bad=on_bad, password=_pw)
+    else:
+        ingest_fn = ingest_pdfs if source == "pdf" else ingest_html
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

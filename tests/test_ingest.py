@@ -270,3 +270,38 @@ def test_cli_ingest_stream_incremental(tmp_path, pdf_corpus):
                        timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.splitlines()[-1])["n_docs_total"] == 2
+
+
+def test_streaming_pdf_ingest_password(spark, tmp_path):
+    """--stream with a password-protected landing dir: the password kwarg
+    reaches the per-batch parse (the CLI bug where --stream dropped
+    --password), and passing one with source='html' is loudly rejected."""
+    import pytest
+
+    from ai_invoice_ocr_engine_spark.pdf import encode_pdf
+    from ai_invoice_ocr_engine_spark.streaming import incremental_pdf_ingest
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "locked.pdf").write_bytes(
+        encode_pdf([[("text", 72, 700, 12, "SECRET INVOICE")]],
+                   encrypt="aesv2", user_pwd=b"hunter2")
+    )
+    out = str(tmp_path / "stream_tables")
+    q = incremental_pdf_ingest(
+        spark, str(land), out, str(tmp_path / "ck1"),
+        trigger_once=True, password=b"hunter2",
+    )
+    q.awaitTermination(300)
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    rows = docs.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == "locked"
+    texts = [s["text"] for r in rows
+             for s in r.asDict(recursive=True)["spans"] if s["kind"] == "text"]
+    assert any("SECRET INVOICE" in t for t in texts)
+
+    with pytest.raises(ValueError, match="source='pdf'"):
+        incremental_pdf_ingest(
+            spark, str(land), out, str(tmp_path / "ck2"),
+            source="html", password=b"x",
+        )

@@ -1229,3 +1229,65 @@ def test_extension_segments_necessary_bit():
 
     with pytest.raises(ValueError, match="extension segment truncated"):
         decode_jbig2(data + seg(92, 62, b"\x01\x02"))
+
+
+def test_random_matrix_soak():
+    """Randomized cross-knob soak over the arithmetic paths: generic
+    regions (template x TPGDON x density x standalone header) and
+    symbol/text regions (random glyph pools and heights x strip count x
+    Huffman-vs-MQ x placement layout), every case asserted against the
+    independent numpy placement expectation."""
+    from ai_invoice_ocr_engine_spark.jbig2 import (
+        encode_jbig2,
+        encode_jbig2_text,
+        encode_jbig2_text_huffman,
+    )
+
+    rng = np.random.default_rng(20260820)
+    for i in range(40):
+        if i % 2 == 0:
+            h = int(rng.integers(1, 49))
+            w = int(rng.integers(1, 49))
+            p = [0.05, 0.45, 0.9][int(rng.integers(0, 3))]
+            bm = (rng.random((h, w)) < p).astype(np.uint8)
+            data = encode_jbig2(
+                bm,
+                template=int(rng.integers(0, 4)),
+                tpgdon=bool(rng.random() < 0.5),
+                standalone=bool(rng.random() < 0.3),
+            )
+            assert np.array_equal(decode_jbig2(data), bm), f"generic case {i}"
+        else:
+            nsym = int(rng.integers(1, 6))
+            symbols = [
+                _glyph(int(rng.integers(2, 13)), int(rng.integers(2, 13)),
+                       int(rng.integers(0, 1 << 30)))
+                for _ in range(nsym)
+            ]
+            pw, ph = int(rng.integers(40, 121)), int(rng.integers(30, 91))
+            placements = []
+            for _ in range(int(rng.integers(1, 25))):
+                sid = int(rng.integers(0, nsym))
+                sh, sw = symbols[sid].shape
+                if pw <= sw or ph <= sh:
+                    continue
+                placements.append((sid,
+                                   int(rng.integers(0, pw - sw)),
+                                   int(rng.integers(0, ph - sh))))
+            if not placements:
+                continue
+            strips = [1, 2, 4, 8][int(rng.integers(0, 4))]
+            # the huffman fixture's run-coded symbol-ID lengths need >= 2
+            # symbols — a fixture constraint, not a decoder seam
+            if rng.random() < 0.5 or nsym < 2:
+                data = encode_jbig2_text(symbols, placements, pw, ph,
+                                         strips=strips)
+            else:
+                data = encode_jbig2_text_huffman(
+                    symbols, placements, pw, ph, strips=strips,
+                    mmr=bool(rng.random() < 0.3),
+                    std_tables=bool(rng.random() < 0.3),
+                )
+            assert np.array_equal(
+                decode_jbig2(data), _text_page(symbols, placements, pw, ph)
+            ), f"text case {i}"

@@ -1196,3 +1196,53 @@ def test_pdf_indexed_over_separation_is_loud():
             "N": 1}]
     with pytest.raises(NotImplementedError):
         _resolve_colorspace(["Indexed", sep, 1, b"\x00\xff"], res, filt)
+
+
+def test_random_writer_parser_matrix_soak():
+    """Randomized combined-knob soak: multi-page documents x compress x
+    object streams x all four encryption modes x user/owner passwords x
+    embedded gray/JPEG images, asserted against the emitted text order
+    (300-case runs on record clean; 60 seeded cases per suite run)."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark.jpeg import encode_jpeg
+    from ai_invoice_ocr_engine_spark.pdf import encode_pdf, pdf_spans
+
+    rng = np.random.default_rng(20260820)
+    words = ["INVOICE", "TOTAL", "DATE", "ACME", "net30", "4711",
+             "alpha", "beta"]
+    for i in range(60):
+        npages = int(rng.integers(1, 4))
+        pages, want_texts = [], []
+        for _p in range(npages):
+            items, y = [], 740
+            for _l in range(int(rng.integers(1, 6))):
+                s = " ".join(words[int(rng.integers(0, len(words)))]
+                             for _ in range(int(rng.integers(1, 4))))
+                items.append(("text", 72, y, 12, s))
+                want_texts.append(s)
+                y -= 20
+            if rng.random() < 0.4:
+                h, w = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+                img = rng.integers(0, 256, (h, w), np.uint8)
+                if rng.random() < 0.5:
+                    items.append(("image", 200, 400, w, h, encode_jpeg(img),
+                                  "jpeg"))
+                else:
+                    items.append(("image", 200, 400, w, h, img, "gray"))
+            pages.append(items)
+        kw = {"compress": bool(rng.random() < 0.7),
+              "use_objstm": bool(rng.random() < 0.4)}
+        pw = b""
+        enc = [None, "rc4-40", "rc4-128", "aesv2", "aesv3"][
+            int(rng.integers(0, 5))]
+        if enc:
+            kw["encrypt"] = enc
+            if rng.random() < 0.5:
+                kw["user_pwd"] = pw = b"s3cret"
+            else:
+                kw["owner_pwd"] = b"owner-key"
+        data = encode_pdf(pages, **kw)
+        spans, _media = pdf_spans(data, password=pw)
+        got = [s["text"] for s in spans if s["kind"] == "text"]
+        assert got == want_texts, (i, kw)

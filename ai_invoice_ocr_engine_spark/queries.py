@@ -5875,6 +5875,89 @@ LIMIT 10
 """
 
 
+def q_quality_zscore_by_source(spark, sf):
+    """Per-source quality calibration: z-score each document's quality
+    against ITS SOURCE's mean/stddev before any global threshold — the
+    normalization step that stops a single verbose source from
+    dominating a mixed-corpus quality cut (every curation run with
+    heterogeneous sources needs it before corpus_funnel's global gate).
+
+    Scale shape: one per-source two-moment aggregate (map-side combine,
+    one row per source) broadcast back over the scan — the document
+    stream shuffles zero times. Population stddev (stddev_pop) so the
+    oracle's formula is closed-form over the same two moments."""
+    d = _t(spark, sf, "documents")
+    q = T.with_token_stats(d, carry=("source",)).select(
+        "doc_id", "source", "quality_score"
+    )
+    stats = q.groupBy("source").agg(
+        F.avg("quality_score").alias("mu"),
+        F.stddev_pop("quality_score").alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0,
+        (F.col("quality_score") - F.col("mu")) / F.col("sigma"),
+    ).otherwise(F.lit(0.0))
+    return q.join(F.broadcast(stats), "source").select(
+        "doc_id",
+        "source",
+        "quality_score",
+        (F.floor(z * 10000 + F.lit(0.5)) / 10000.0).alias("quality_z"),
+    )
+
+
+_SQL_QUALITY_ZSCORE = """
+WITH q AS (
+  SELECT doc_id, source,
+         round(0.4 * least(len(list_filter(string_split(text, ' '), t -> t <> '')) / 100.0, 1.0)
+             + 0.6 * (1.0 - round(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','on','for','it')))
+                 / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 4)), 4)
+           AS quality_score
+  FROM documents
+),
+stats AS (
+  SELECT source, avg(quality_score) AS mu, stddev_pop(quality_score) AS sigma
+  FROM q GROUP BY source
+)
+SELECT doc_id, q.source, quality_score,
+       floor((CASE WHEN sigma > 0 THEN (quality_score - mu) / sigma
+                   ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS quality_z
+FROM q JOIN stats ON q.source = stats.source
+"""
+
+
+def q_token_freq_spectrum(spark, sf):
+    """Frequency-of-frequencies spectrum N_r (how many distinct tokens
+    occur exactly r times) — the input to Good-Turing smoothing and the
+    quickest fingerprint of a corpus's Zipf head/tail balance (N_1/N
+    estimates unseen mass). Two chained aggregations, both map-side
+    combinable; output is one row per distinct frequency."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    return (
+        counts.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .select("r", "n_types")
+    )
+
+
+_SQL_TOKEN_FREQ_SPECTRUM = """
+WITH counts AS (
+  SELECT w, count(*) AS r
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        FROM documents)
+  GROUP BY w
+)
+SELECT r, count(*) AS n_types FROM counts GROUP BY r
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -6016,4 +6099,6 @@ REGISTRY: dict[str, tuple] = {
     "gap_fill_interpolate": (q_gap_fill_interpolate, _SQL_GAP_FILL_INTERP),
     "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
     "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
+    "quality_zscore_by_source": (q_quality_zscore_by_source, _SQL_QUALITY_ZSCORE),
+    "token_freq_spectrum": (q_token_freq_spectrum, _SQL_TOKEN_FREQ_SPECTRUM),
 }

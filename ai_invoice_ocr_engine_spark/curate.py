@@ -110,10 +110,15 @@ def run_curate(
         chars = corpus.select(
             "doc_id", F.length("text").cast("long").alias("n_chars")
         )
+        # keep the LONGEST member, smallest doc_id on ties. min_by over
+        # struct(-n_chars, doc_id) rather than max_by(.., -doc_id): doc_id
+        # is a STRING in the ingest schema (sources/ingest.py), so negating
+        # it would throw under ANSI mode (and NULL out the tie-break
+        # otherwise) — negate the numeric length instead (review r4s5)
         keep_per_cluster = (
             labels.join(chars, "doc_id")
             .groupBy("cluster_id")
-            .agg(F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("doc_id"))
+            .agg(F.expr("min_by(doc_id, struct(-n_chars, doc_id))").alias("doc_id"))
         )
         # members of a near-dup component that are NOT its representative
         drop = labels.select("doc_id").join(
@@ -124,7 +129,9 @@ def run_curate(
 
     kept = d.join(final_ids, "doc_id", "left_semi")
     kept.write.mode("overwrite").parquet(f"{out}/kept")
-    report["n_kept"] = spark.read.parquet(f"{out}/kept").count()
+    # the kept count is already in hand (final_ids was counted for the
+    # stage report) — don't rescan the freshly written dataset for it
+    report["n_kept"] = report.get("n_after_near", report["n_after_exact"])
     report["out"] = f"{out}/kept"
     report["secs"] = round(time.time() - t0, 3)
     flags.unpersist()

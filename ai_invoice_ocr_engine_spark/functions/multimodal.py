@@ -413,9 +413,7 @@ def decode_wav(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"WAV format {audio_fmt} (compressed codec) unsupported"
         )
-    if n_ch > 1:
-        s = s[: len(s) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1).astype(np.int32)
-    return s.astype(np.int16)
+    return _mix_mono(s, n_ch)
 
 
 def _mix_mono(s: np.ndarray, n_ch: int) -> np.ndarray:

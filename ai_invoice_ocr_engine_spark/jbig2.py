@@ -1803,10 +1803,6 @@ def _parse_segment_header(d: bytes, pos: int):
             "length": length, "data_pos": pos}
 
 
-_UNSUPPORTED: dict = {}  # every T.88 Table 34 type now decodes or skips
-# per spec; values outside the table are corrupt (ValueError below)
-
-
 def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Embedded-organization JBIG2 (PDF JBIG2Decode payload, with the
     optional JBIG2Globals stream prepended) → uint8 bitmap, 1 = black
@@ -2008,10 +2004,6 @@ def _decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             continue
         elif styp in (49, 50, 51):  # end of page/stripe/file
             continue
-        elif styp in _UNSUPPORTED:
-            raise NotImplementedError(
-                f"JBIG2 {_UNSUPPORTED[styp]} segments unsupported"
-            )
         else:
             raise ValueError(f"JBIG2 unknown segment type {styp}")
     if page is None:

@@ -431,6 +431,16 @@ def _decode_lossless_scan(data, pos, frame, scan, planes, huff_dc,
     ):
         raise NotImplementedError(
             "lossless JPEG with subsampled components unsupported")
+    # the loud seam must also fire for NON-interleaved scans of a frame
+    # with relatively-subsampled components: this decoder walks h*w
+    # samples per component, but a component with hs<hmax or vs<vmax has
+    # ceil-scaled dimensions — decoding it at full size would desync the
+    # Huffman stream mid-scan (review r4s5)
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    if any(c["hs"] != hmax or c["vs"] != vmax for c in comps):
+        raise NotImplementedError(
+            "lossless JPEG with subsampled components unsupported")
     if not 1 <= sel <= 7:
         raise ValueError("JPEG lossless predictor selector out of range")
     if pt >= prec:

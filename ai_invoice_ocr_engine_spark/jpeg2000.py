@@ -1386,18 +1386,6 @@ def _encode_packet_bypass(bw, res_bands, trees, payload):
             payload.extend(cb["segs"])
 
 
-def _grid_index(sb: _Subband, xcb: int, ycb: int):
-    """Assign each codeblock its (gi, gj) position in the subband's
-    codeblock grid and return the grid dims."""
-    cw, ch = 1 << xcb, 1 << ycb
-    gx0, gy0 = sb.x0 // cw, sb.y0 // ch
-    gx1, gy1 = _ceil_div(sb.x1, cw), _ceil_div(sb.y1, ch)
-    for cb in sb.cbs:
-        cb["_gi"] = cb["x0"] // cw - gx0
-        cb["_gj"] = cb["y0"] // ch - gy0
-    return max(1, gx1 - gx0), max(1, gy1 - gy0)
-
-
 # -- main codestream decode (A.4) ----------------------------------------------
 
 
@@ -1422,9 +1410,6 @@ def _parse_markers(d: bytes):
             raise ValueError("JPEG2000 marker segment overruns data")
         segs.append((m, body))
         pos += 2 + ln
-
-
-_UNSUPPORTED_MARKERS: dict = {}
 
 
 def _parse_spcod(sp: bytes, layers: int, has_precincts: bool = False):
@@ -1814,10 +1799,6 @@ def _decode_j2k_components(d: bytes):
             rgns.append(body)
         elif m == 0xFF5F:  # POC: progression order changes
             poc_bodies.append(body)
-        elif m in _UNSUPPORTED_MARKERS:
-            raise NotImplementedError(
-                f"JPEG2000 {_UNSUPPORTED_MARKERS[m]} unsupported"
-            )
         # COM/TLM/PLM/CRG are informational — skipped
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPEG2000 missing SIZ/COD/QCD")

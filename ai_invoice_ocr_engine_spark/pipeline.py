@@ -295,18 +295,45 @@ def _ocr_frame_batches(
             geoms.append((boxes, oh))
         # phase 2 — ONE recognition GEMM for the whole Arrow batch
         # (bit-identical to per-frame recognition: recognize_crop_groups)
-        batch_ts = K.recognize_crop_groups(
-            groups, weights, h=cfg.rec.h, mw=cfg.rec.mw, min_w=cfg.rec.min_w,
+        rec_kw = dict(
+            h=cfg.rec.h, mw=cfg.rec.mw, min_w=cfg.rec.min_w,
             decode=cfg.rec.decode, beam_width=cfg.rec.beam_width,
         )
-        # phase 3 — per-frame layout assembly
-        lines_out = []
-        for (boxes, oh), ts in zip(geoms, batch_ts):
-            lines = (
-                assemble_frame_lines(boxes, ts, oh, cfg) if len(boxes) else []
-            )
+        try:
+            batch_ts = K.recognize_crop_groups(groups, weights, **rec_kw)
+        except (ValueError, NotImplementedError):
+            # a frame past geometry still owns on_bad_media semantics
+            # (review r4s5): isolate the offender by per-frame rerun —
+            # property-pinned bit-identical to the batched pass — so skip
+            # drops ONLY that frame and fail names its media_ref
+            batch_ts, keep = [], []
+            for k, crops in enumerate(groups):
+                try:
+                    batch_ts.append(
+                        K.recognize_crop_groups([crops], weights, **rec_kw)[0]
+                    )
+                    keep.append(k)
+                except (ValueError, NotImplementedError) as e:
+                    if cfg.on_bad_media == "skip":
+                        continue
+                    raise type(e)(f"media_ref {refs[k]!r}: {e}") from e
+            refs = [refs[k] for k in keep]
+            geoms = [geoms[k] for k in keep]
+        # phase 3 — per-frame layout assembly (same skip/fail contract)
+        lines_out, refs_out = [], []
+        for ref, (boxes, oh), ts in zip(refs, geoms, batch_ts):
+            try:
+                lines = (
+                    assemble_frame_lines(boxes, ts, oh, cfg)
+                    if len(boxes) else []
+                )
+            except (ValueError, NotImplementedError) as e:
+                if cfg.on_bad_media == "skip":
+                    continue
+                raise type(e)(f"media_ref {ref!r}: {e}") from e
+            refs_out.append(ref)
             lines_out.append([t for line in lines for (t, _sc) in line])
-        yield pd.DataFrame({"media_ref": refs, "lines": lines_out})
+        yield pd.DataFrame({"media_ref": refs_out, "lines": lines_out})
 
 
 def _media_plan_transforms_bytes(media: DataFrame) -> bool:

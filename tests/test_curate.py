@@ -100,3 +100,32 @@ def test_cli_curate_subprocess(tmp_path):
     rep = json.loads(r.stdout.splitlines()[-1])
     assert rep["n_kept"] == rep["n_after_exact"] > 0
     assert json.load(open(f"{out}/report.json")) == rep
+
+
+def test_near_dedup_string_doc_ids(spark, tmp_path):
+    """The ingest schema's doc_id is a STRING — the keep-longest
+    tie-break must not negate it (ANSI mode would throw, non-ANSI would
+    NULL the tie-break). Equal-length near-dups must keep the smallest
+    doc_id deterministically."""
+
+    def mk(tag):
+        return " ".join(f"{tag}{i:03d}" for i in range(120)) + " "
+
+    a, b = mk("alpha"), mk("beta")
+    rows = [
+        # equal-length exact pair: tie-break on doc_id must keep 'doc-a1'
+        ("doc-a2", a + "x"), ("doc-a1", a + "x"),
+        ("doc-b1", b + "unrelated"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    rep = run_curate(
+        spark, src, str(tmp_path / "out"), near_dedup=True, method="minhash"
+    )
+    kept_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out/kept")).collect()
+    )
+    assert kept_ids == ["doc-a1", "doc-b1"]
+    assert rep["n_kept"] == 2

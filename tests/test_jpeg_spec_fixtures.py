@@ -643,3 +643,23 @@ def test_lossless_jpeg_in_pdf_dct_xobject():
     spans, media = pdf_spans(encode_pdf([page]))
     ref = next(s["media_ref"] for s in spans if s["kind"] == "image")
     assert np.array_equal(K.decode_image(media[ref]), img)
+
+
+def test_lossless_subsampled_noninterleaved_is_loud():
+    """A SOF3 frame with relatively-subsampled components must hit the
+    loud seam even when each component comes in its OWN scan (legal per
+    T.81): this decoder walks h*w samples per component, so decoding a
+    subsampled component at frame size would desync the Huffman stream
+    — NotImplementedError, never silent garbage."""
+    img = _grad_img(8, 8)
+    # 4:2:0-shaped frame (luma 2x2, chroma 1x1 = subsampled), but the
+    # first scan covers only the luma component — the old check
+    # (len(scan)>1) missed this non-interleaved shape
+    head = b"\xff\xd8" + _dht(0, 0, _LL_BITS, _LL_VALS)
+    head += _sof3(8, 8, 8, [(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+    head += _sos_ll([(1, 0)], 1, 0)
+    data = head + _encode_ll({1: img}, 8, 1, 0, 0) + b"\xff\xd9"
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(data)

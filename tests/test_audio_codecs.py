@@ -542,3 +542,64 @@ def test_voc_silence_only_metadata_matches_decode():
     assert M.decode_audio(raw).tolist() == [0] * 5
     m = M.audio_metadata(raw)
     assert (m["codec"], m["n_samples"]) == ("silence", 5)
+
+
+def test_random_lossless_container_matrix_soak():
+    """Randomized cross-container soak over every LOSSLESS sample path:
+    WAV pcm16/24/32 (plain + EXTENSIBLE) x AU BE 16/24/32 x AIFF
+    16/24/32 + sowt x FLAC (verbatim/fixed0-4/lpc2, three block sizes,
+    all four stereo decorrelation modes) x SYNA, mono and stereo, sizes
+    incl. 1-sample edges — decode_audio must reproduce the int16 mono
+    mix exactly (400-case runs on record clean; 60 per suite run)."""
+    import numpy as np
+
+    from ai_invoice_ocr_engine_spark.flac import encode_flac
+    from ai_invoice_ocr_engine_spark.functions import multimodal as M
+
+    rng = np.random.default_rng(20260820)
+
+    def mix(s):
+        if s.ndim == 1:
+            return s.astype(np.int16)
+        return s.astype(np.int32).mean(axis=1).astype(np.int32).astype(np.int16)
+
+    for i in range(60):
+        n = int(rng.integers(1, 900))
+        n_ch = int(rng.integers(1, 3))
+        s = rng.integers(
+            -32768, 32768, (n, n_ch) if n_ch > 1 else (n,), np.int64
+        ).astype(np.int16)
+        rate = int(rng.integers(8000, 48001))
+        c = int(rng.integers(0, 5))
+        if c == 0:
+            data = M.encode_wav_ext(
+                s, codec=["pcm16", "pcm24", "pcm32"][int(rng.integers(0, 3))],
+                sample_rate=rate, extensible=bool(rng.random() < 0.4))
+        elif c == 1:
+            data = M.encode_au(
+                s, sample_rate=rate,
+                encoding=[3, 4, 5][int(rng.integers(0, 3))])
+        elif c == 2:
+            if rng.random() < 0.75:
+                data = M.encode_aiff(
+                    s, sample_rate=rate, comp=b"NONE",
+                    bits=[16, 24, 32][int(rng.integers(0, 3))])
+            else:
+                data = M.encode_aiff(s, sample_rate=rate, comp=b"sowt")
+        elif c == 3:
+            mode = ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3",
+                    "fixed4", "lpc2"][int(rng.integers(0, 7))]
+            cm = "independent"
+            if n_ch == 2 and rng.random() < 0.6:
+                cm = ["left_side", "right_side", "mid_side"][
+                    int(rng.integers(0, 3))]
+            data = encode_flac(
+                s, sample_rate=rate, bps=16,
+                block_size=[64, 256, 4096][int(rng.integers(0, 3))],
+                mode=mode, channel_mode=cm)
+        else:
+            data = M.encode_syna(s if s.ndim == 1 else s[:, 0])
+        want = (mix(s) if c != 4
+                else (s if s.ndim == 1 else s[:, 0]).astype(np.int16))
+        got = M.decode_audio(data)
+        assert np.array_equal(got, want), f"case {i} c={c}"

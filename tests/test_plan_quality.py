@@ -626,3 +626,23 @@ def test_epoch_upsample_zero_shuffle(spark):
     plan = plan_of(spark, "epoch_upsample")
     assert "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_bm25_single_broadcast_stats_row(spark):
+    """bm25_topk: corpus stats collapse to ONE broadcast row and the
+    top-k is TakeOrderedAndProject — no range partitioning, no sort of
+    the document stream."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_inverted_index_df_before_postings(spark):
+    """inverted_index: document frequency aggregates (partial+final)
+    gate the vocabulary BEFORE the postings join, and no cartesian or
+    global sort appears — frequent-term posting lists are never built."""
+    plan = plan_of(spark, "inverted_index")
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan

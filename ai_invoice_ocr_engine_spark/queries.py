@@ -5608,7 +5608,11 @@ def q_gap_fill_locf(spark, sf):
         F.expr("unix_timestamp(ts) div 86400").alias("d"),
         "value",
     )
-    obs = e.groupBy("user_id", "d").agg(F.round(F.avg("value"), 4).alias("v"))
+    # portable HALF_UP on the daily mean (the sf0.1 sweep surfaced a
+    # true half-boundary here): floor(x*1e4+0.5)/1e4 on BOTH sides
+    obs = e.groupBy("user_id", "d").agg(
+        (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000.0).alias("v")
+    )
     span = e.groupBy("user_id").agg(
         F.min("d").alias("mn"), F.max("d").alias("mx")
     )
@@ -5633,7 +5637,8 @@ _SQL_GAP_FILL_LOCF = """
 WITH e AS (
   SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS d, value FROM events
 ),
-obs AS (SELECT user_id, d, round(avg(value), 4) AS v FROM e GROUP BY 1, 2),
+obs AS (SELECT user_id, d, floor(avg(value) * 10000 + 0.5) / 10000.0 AS v
+        FROM e GROUP BY 1, 2),
 span AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM e GROUP BY 1),
 spine AS (SELECT user_id, unnest(range(mn, mx + 1)) AS d FROM span)
 SELECT spine.user_id, spine.d AS day_idx,
@@ -5661,7 +5666,11 @@ def q_gap_fill_interpolate(spark, sf):
         F.expr("unix_timestamp(ts) div 86400").alias("d"),
         "value",
     )
-    obs = e.groupBy("user_id", "d").agg(F.round(F.avg("value"), 4).alias("v"))
+    # portable HALF_UP on the daily mean (the sf0.1 sweep surfaced a
+    # true half-boundary here): floor(x*1e4+0.5)/1e4 on BOTH sides
+    obs = e.groupBy("user_id", "d").agg(
+        (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000.0).alias("v")
+    )
     span = e.groupBy("user_id").agg(
         F.min("d").alias("mn"), F.max("d").alias("mx")
     )
@@ -5707,7 +5716,8 @@ _SQL_GAP_FILL_INTERP = """
 WITH e AS (
   SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS d, value FROM events
 ),
-obs AS (SELECT user_id, d, round(avg(value), 4) AS v FROM e GROUP BY 1, 2),
+obs AS (SELECT user_id, d, floor(avg(value) * 10000 + 0.5) / 10000.0 AS v
+        FROM e GROUP BY 1, 2),
 span AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM e GROUP BY 1),
 spine AS (SELECT user_id, unnest(range(mn, mx + 1)) AS d FROM span),
 j AS (

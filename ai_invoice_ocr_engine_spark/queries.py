@@ -5968,6 +5968,154 @@ SELECT r, count(*) AS n_types FROM counts GROUP BY r
 """
 
 
+def _dup_edges(spark, sf):
+    """Edge list of the 3-generation duplicate graph: documents plus TWO
+    exact-copy generations (doc_id%7 → +200000, %14 → +300000), edges
+    between every pair sharing a content hash (src < dst). %14 docs form
+    3-cliques (original + both copies) — triangles exist by
+    construction."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    g1 = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    g2 = d.where(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    c = d.unionByName(g1).unionByName(g2).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    a = c.select(F.col("h"), F.col("doc_id").alias("src"))
+    b = c.select(F.col("h"), F.col("doc_id").alias("dst"))
+    return (
+        a.join(b, "h")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+_SQL_DUP_EDGES = """
+c AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, md5(text) AS h FROM documents
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, md5(text) AS h FROM documents
+  WHERE doc_id % 14 = 0
+),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM c a JOIN c b ON a.h = b.h AND a.doc_id < b.doc_id
+)
+"""
+
+
+def q_triangle_count(spark, sf):
+    """Distributed triangle counting over the duplicate graph — the
+    graph-analytics primitive behind clustering coefficients and
+    community quality metrics. The COMPACT-FORWARD shape: orient every
+    edge from the lower-(degree, id) endpoint to the higher, so each
+    triangle is counted exactly once and the two-path join fans out from
+    low-degree vertices — on a power-law graph the oriented join's
+    fan-out is bounded by arboricity, not by the max degree (the
+    hub-explosion guard that makes this survive 10^12-edge graphs).
+    Output: one row (n_vertices_in_edges, n_edges, n_triangles)."""
+    edges = _dup_edges(spark, sf)
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("src"), F.col("deg").alias("dsrc"))
+    db = deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddst"))
+    oriented = (
+        edges.join(da, "src").join(db, "dst")
+        .select(
+            F.when(
+                (F.col("dsrc") < F.col("ddst"))
+                | ((F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("w")),
+            )
+            .otherwise(
+                F.struct(F.col("dst").alias("u"), F.col("src").alias("w"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    p1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    p2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = p1.join(p2, "u").where(F.col("w1") < F.col("w2"))
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("w").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        nv.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(tri))
+        .select("n_vertices", "n_edges", "n_triangles")
+    )
+
+
+_SQL_TRIANGLE_COUNT = f"""
+WITH {_SQL_DUP_EDGES},
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges
+  ) GROUP BY v
+),
+oriented AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND src < dst)
+              THEN src ELSE dst END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND src < dst)
+              THEN dst ELSE src END AS w
+  FROM edges JOIN deg da ON da.v = src JOIN deg db ON db.v = dst
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM oriented p1
+  JOIN oriented p2 ON p1.u = p2.u AND p1.w < p2.w
+  JOIN oriented c ON c.u = p1.w AND c.w = p2.w
+)
+SELECT (SELECT count(*) FROM deg) AS n_vertices,
+       (SELECT count(*) FROM edges) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
+def q_degree_histogram(spark, sf):
+    """Degree distribution of the duplicate graph (how many vertices
+    have each degree) — the first diagnostic on any similarity graph
+    (a heavy tail here means a mega-cluster is forming and the banded
+    join guards matter). Two map-side-combinable aggregations."""
+    edges = _dup_edges(spark, sf)
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+_SQL_DEGREE_HISTOGRAM = f"""
+WITH {_SQL_DUP_EDGES},
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges
+  ) GROUP BY v
+)
+SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -6111,4 +6259,6 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
     "quality_zscore_by_source": (q_quality_zscore_by_source, _SQL_QUALITY_ZSCORE),
     "token_freq_spectrum": (q_token_freq_spectrum, _SQL_TOKEN_FREQ_SPECTRUM),
+    "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
+    "degree_histogram": (q_degree_histogram, _SQL_DEGREE_HISTOGRAM),
 }

@@ -159,6 +159,36 @@ def main(argv=None) -> int:
     up.add_argument("--master", default=None)
     _add_cfg_flags(up)
 
+    sn = sub.add_parser(
+        "snapshots", help="list the table's snapshot log (Iceberg analog)"
+    )
+    sn.add_argument("--out", required=True, help="extract out_dir")
+    sn.add_argument("--master", default=None)
+
+    rb = sub.add_parser(
+        "rollback", help="restore the spans table to an earlier snapshot"
+    )
+    rb.add_argument("--out", required=True, help="extract out_dir")
+    rb.add_argument("--to", required=True, type=int, help="snapshot id")
+    rb.add_argument("--master", default=None)
+
+    sd = sub.add_parser(
+        "diff",
+        help="row-level CDC between two snapshots "
+        "(doc_id, bucket, insert|delete|update)",
+    )
+    sd.add_argument("--out", required=True, help="extract out_dir")
+    sd.add_argument("--from", dest="from_id", required=True, type=int)
+    sd.add_argument("--to", dest="to_id", required=True, type=int)
+    sd.add_argument("--master", default=None)
+
+    ex = sub.add_parser(
+        "expire", help="drop old snapshots and vacuum unreferenced files"
+    )
+    ex.add_argument("--out", required=True, help="extract out_dir")
+    ex.add_argument("--keep-last", type=int, default=2)
+    ex.add_argument("--master", default=None)
+
     lk = sub.add_parser("lookup", help="bucket-pruned point lookup by doc_id")
     lk.add_argument("--out", required=True, help="extract out_dir")
     lk.add_argument("--doc-ids", required=True, help="comma-separated ids")
@@ -494,6 +524,64 @@ def main(argv=None) -> int:
         spark = get_spark(app="compact", master=args.master)
         try:
             rep = compact_spans(spark, args.out, target_mb=args.target_mb)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "snapshots":
+        from .snapshots import list_snapshots
+        from .sources.session import get_spark
+
+        spark = get_spark(app="snapshots", master=args.master)
+        try:
+            rep = list_snapshots(spark, args.out)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "rollback":
+        from .snapshots import rollback
+        from .sources.session import get_spark
+
+        spark = get_spark(app="rollback", master=args.master)
+        try:
+            rep = rollback(spark, args.out, args.to)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "diff":
+        from .snapshots import snapshot_changes
+        from .sources.session import get_spark
+
+        spark = get_spark(app="diff", master=args.master)
+        try:
+            rows = snapshot_changes(
+                spark, args.out, args.from_id, args.to_id
+            ).collect()
+        finally:
+            spark.stop()
+        print(
+            json.dumps(
+                [
+                    {"doc_id": r["doc_id"], "bucket": r["bucket"],
+                     "change": r["change"]}
+                    for r in rows
+                ]
+            )
+        )
+        return 0
+
+    if args.cmd == "expire":
+        from .snapshots import expire_snapshots
+        from .sources.session import get_spark
+
+        spark = get_spark(app="expire", master=args.master)
+        try:
+            rep = expire_snapshots(spark, args.out, keep_last=args.keep_last)
         finally:
             spark.stop()
         print(json.dumps(rep))

@@ -54,6 +54,7 @@ from pyspark.sql.types import (
 
 from .config import ExtractConfig
 from . import kernels as K
+from . import snapshots
 from .extractor import extract_doc
 
 # largest media table extract(media_strategy="broadcast") will collect to
@@ -843,6 +844,14 @@ def run_extract(
     result.persist()
     try:
         n_docs = result.count()
+        # snapshot log: the buckets this run writes are about to have
+        # their current files deleted by the dynamic overwrite's commit —
+        # hard-link them into the archive first so every prior snapshot
+        # stays readable (snapshots.py; cheap: O(files), no data copied)
+        written_buckets = [
+            r["bucket"] for r in result.select("bucket").distinct().collect()
+        ]
+        snapshots.archive_buckets(spark, out_dir, written_buckets)
         # DYNAMIC partition overwrite, not append: only the bucket
         # partitions present in `result` are replaced; completed buckets
         # (anti-joined out by resume) are untouched. This makes a crash
@@ -872,6 +881,18 @@ def run_extract(
         )
     finally:
         result.unpersist()
+    if written_buckets:
+        snap_id = snapshots.commit_snapshot(
+            spark,
+            out_dir,
+            op="extract",
+            run_id=run_id,
+            summary={"docs": int(n_docs), "buckets_skipped": int(skipped)},
+        )["snapshot_id"]
+    else:
+        # fully-resumed rerun wrote nothing — don't append a no-op
+        # snapshot; report the head the table already stands at
+        snap_id = snapshots.current_snapshot_id(spark, out_dir)
     secs = time.time() - t0
     return {
         "run_id": run_id,
@@ -880,6 +901,7 @@ def run_extract(
         "secs": round(secs, 3),
         "docs_per_sec": round(n_docs / secs, 3) if secs > 0 else None,
         "out": spans_dir,
+        "snapshot_id": snap_id,
     }
 
 
@@ -978,6 +1000,9 @@ def upsert_extract(
     staged_buckets = {
         r["bucket"] for r in staged.select("bucket").distinct().collect()
     }
+    # snapshot log: every affected bucket's current files are about to be
+    # replaced (dynamic overwrite) or purged (emptied-bucket delete below)
+    snapshots.archive_buckets(spark, out_dir, affected)
     (
         staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1000,6 +1025,17 @@ def upsert_extract(
                 spark, os.path.join(lineage_dir, f"partition_id={b}")
             )
     _delete_path(spark, tmp)
+    snap = snapshots.commit_snapshot(
+        spark,
+        out_dir,
+        op="delete" if delete else "upsert",
+        run_id=run_id,
+        summary={
+            "replaced": int(n_replaced),
+            "new": int(n_new),
+            "buckets": len(affected),
+        },
+    )
     secs = time.time() - t0
     return {
         "run_id": run_id,
@@ -1008,6 +1044,7 @@ def upsert_extract(
         "deleted": bool(delete),
         "secs": round(secs, 3),
         "out": spans_dir,
+        "snapshot_id": snap["snapshot_id"],
     }
 
 
@@ -1185,13 +1222,27 @@ def compact_spans(
     if _digest(tmp) != _digest(spans_dir):
         _delete_path(spark, tmp)
         raise ValueError("compaction digest mismatch; original left untouched")
+    # snapshot log: compaction rewrites every file — preserve the whole
+    # pre-swap tree (hard links) so prior snapshots stay readable
+    snapshots.archive_all(spark, out_dir)
     backup = spans_dir + "_backup"
     _delete_path(spark, backup)
     _move_path(spark, spans_dir, backup)
     _move_path(spark, tmp, spans_dir)
     _delete_path(spark, backup)
     files_after = len(_list_parquet_files(spark, spans_dir))
-    return {**stats, "files_after": files_after, "rewritten": True}
+    snap = snapshots.commit_snapshot(
+        spark,
+        out_dir,
+        op="compact",
+        summary={"files_before": files_before, "files_after": files_after},
+    )
+    return {
+        **stats,
+        "files_after": files_after,
+        "rewritten": True,
+        "snapshot_id": snap["snapshot_id"],
+    }
 
 
 def bucket_stats(spark: SparkSession, out_dir: str) -> dict:

@@ -1,0 +1,481 @@
+"""Snapshot log for the bucketed spans table — the Iceberg
+snapshot/time-travel/rollback analog over the parquet fallback layout.
+
+The north_rule targets an Iceberg table of 10^12 interleaved documents;
+Iceberg's real value beyond partitioning is its METADATA layer: every
+commit produces an immutable snapshot (a manifest of data files), so the
+table can be read as-of any retained snapshot, rolled back after a bad
+write, diffed for incremental (CDC) consumption, and vacuumed of files no
+retained snapshot references. On a cluster with the Iceberg runtime, all
+of this is delegated to Iceberg itself (``sources/tables.py`` routes
+``iceberg://`` targets to ``writeTo``; snapshots come from the catalog).
+This module provides the same contract for the parquet layout the sandbox
+runs on:
+
+    {out_dir}/_snapshots/snap-00000001.json   one immutable manifest per commit
+    {out_dir}/_snapshots/HEAD                 current snapshot id
+    {out_dir}/_archive/<relpath>              retired data files (time travel)
+
+A snapshot manifest lists every live data file (relpath + size) under
+``spans/`` and ``lineage/`` at commit time, plus op metadata. Mutating ops
+(``run_extract``, ``upsert_extract``, ``compact_spans``, ``rollback``)
+ARCHIVE the files they are about to destroy — local archives are hard
+links (zero data copied; the inode survives the live file's deletion),
+'://' paths fall back to a filesystem copy — then commit a new manifest.
+Spark part-file names carry a per-job UUID, so a relpath identifies one
+immutable file for the life of the table and the archive can be flat
+link-per-relpath with no versioning.
+
+Scale posture: commits cost one file listing + O(retired files) hard
+links — no data pass; time-travel reads hand Spark an explicit file list
+(two parquet reads with ``basePath``, one over live files, one over
+archived, unioned), so partition pruning on ``bucket`` still works;
+``snapshot_changes`` diffs ONLY the buckets whose file sets differ
+between the two manifests, so CDC cost is bounded by the mutation size,
+not the table size. Single-writer assumption: like Iceberg without a
+catalog, concurrent committers are not arbitrated here — at cluster
+scale the catalog's optimistic-commit protocol takes over.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import re
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SNAP_DIR = "_snapshots"
+ARCHIVE_DIR = "_archive"
+#: table subtrees captured by a snapshot (data first, commit marker second)
+TRACKED = ("spans", "lineage")
+
+
+# ---------------------------------------------------------------- fs helpers
+def _is_local(path: str) -> bool:
+    return "://" not in path
+
+
+def _jfs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, conf, p, p.getFileSystem(conf)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    if _is_local(path):
+        return os.path.exists(path)
+    _, _, p, fs = _jfs(spark, path)
+    return fs.exists(p)
+
+
+def _preserve(spark: SparkSession, src: str, dst: str) -> None:
+    """Make ``dst`` another name for ``src``'s bytes without copying where
+    the filesystem allows it (hard link); no-op if ``dst`` exists (the
+    archive is content-stable: a relpath never maps to two contents)."""
+    if _is_local(src):
+        if os.path.exists(dst):
+            return
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device / fs without links
+            shutil.copy2(src, dst)
+        return
+    jvm, conf, sp, fs = _jfs(spark, src)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(dp):
+        return
+    jvm.org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, False, conf)
+
+
+def _remove_file(spark: SparkSession, path: str) -> None:
+    if _is_local(path):
+        if os.path.exists(path):
+            os.remove(path)
+        return
+    jvm, _, p, fs = _jfs(spark, path)
+    fs.delete(p, False)
+
+
+def _list_tracked(spark: SparkSession, out_dir: str) -> list[list]:
+    """[[relpath, bytes], ...] of every live parquet data file under the
+    tracked subtrees, relpaths POSIX-style relative to ``out_dir``."""
+    from .pipeline import _list_parquet_files  # local import: avoid cycle
+
+    out: list[list] = []
+    for sub in TRACKED:
+        root = posixpath.join(out_dir, sub)
+        if not _exists(spark, root):
+            continue
+        for path, size in _list_parquet_files(spark, root):
+            rel = path[len(out_dir):].lstrip("/")
+            out.append([rel, int(size)])
+    out.sort()
+    return out
+
+
+# ------------------------------------------------------------- snapshot log
+def _snap_path(out_dir: str, snapshot_id: int) -> str:
+    return posixpath.join(out_dir, SNAP_DIR, f"snap-{snapshot_id:08d}.json")
+
+
+def _snapshot_ids(spark: SparkSession, out_dir: str) -> list[int]:
+    d = posixpath.join(out_dir, SNAP_DIR)
+    if not _exists(spark, d):
+        return []
+    if _is_local(d):
+        names = os.listdir(d)
+    else:
+        jvm, _, p, fs = _jfs(spark, d)
+        names = [st.getPath().getName() for st in fs.listStatus(p)]
+    ids = []
+    for n in names:
+        m = re.fullmatch(r"snap-(\d{8})\.json", n)
+        if m:
+            ids.append(int(m.group(1)))
+    return sorted(ids)
+
+
+def current_snapshot_id(spark: SparkSession, out_dir: str) -> int | None:
+    ids = _snapshot_ids(spark, out_dir)
+    return ids[-1] if ids else None
+
+
+def load_snapshot(spark: SparkSession, out_dir: str, snapshot_id: int) -> dict:
+    from .pipeline import _read_text
+
+    path = _snap_path(out_dir, snapshot_id)
+    if not _exists(spark, path):
+        raise ValueError(
+            f"snapshot {snapshot_id} not found in {out_dir!r} (expired or "
+            f"never committed; see `snapshots` for the retained log)"
+        )
+    return json.loads(_read_text(spark, path))
+
+
+def list_snapshots(spark: SparkSession, out_dir: str) -> list[dict]:
+    """Snapshot log, oldest first, manifests elided to metadata + counts."""
+    out = []
+    for sid in _snapshot_ids(spark, out_dir):
+        s = load_snapshot(spark, out_dir, sid)
+        out.append(
+            {
+                "snapshot_id": s["snapshot_id"],
+                "parent_id": s["parent_id"],
+                "op": s["op"],
+                "run_id": s.get("run_id"),
+                "ts": s.get("ts"),
+                "files": len(s["files"]),
+                "bytes": sum(sz for _, sz in s["files"]),
+                "summary": s.get("summary") or {},
+            }
+        )
+    return out
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    out_dir: str,
+    op: str,
+    run_id: str | None = None,
+    summary: dict | None = None,
+    files: list[list] | None = None,
+) -> dict:
+    """Append one immutable manifest describing the CURRENT live table.
+
+    Called by every mutating op strictly AFTER its data (and lineage)
+    writes land — the snapshot is the commit marker, mirroring how
+    lineage rows are written after the spans they describe. ``files``
+    lets ``rollback`` commit the restored manifest verbatim."""
+    from .pipeline import _write_text
+
+    parent = current_snapshot_id(spark, out_dir)
+    sid = (parent or 0) + 1
+    snap = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "op": op,
+        "run_id": run_id,
+        "ts": round(time.time(), 3),
+        "summary": summary or {},
+        "files": files if files is not None else _list_tracked(spark, out_dir),
+    }
+    _write_text(spark, _snap_path(out_dir, sid), json.dumps(snap))
+    _write_text(spark, posixpath.join(out_dir, SNAP_DIR, "HEAD"), str(sid))
+    return snap
+
+
+# -------------------------------------------------------------- archiving
+def archive_buckets(
+    spark: SparkSession, out_dir: str, buckets, include_lineage: bool = True
+) -> int:
+    """Preserve every live file of the given bucket partitions before a
+    mutation replaces them (dynamic partition overwrite deletes the old
+    files as part of its own commit, so the links must exist first).
+    Returns the number of files preserved."""
+    from .pipeline import _list_parquet_files
+
+    buckets = {int(b) for b in buckets}
+    n = 0
+    subs = [("spans", "bucket")] + (
+        [("lineage", "partition_id")] if include_lineage else []
+    )
+    for sub, col in subs:
+        for b in sorted(buckets):
+            d = posixpath.join(out_dir, sub, f"{col}={b}")
+            if not _exists(spark, d):
+                continue
+            for path, _ in _list_parquet_files(spark, d):
+                rel = path[len(out_dir):].lstrip("/")
+                _preserve(
+                    spark, path, posixpath.join(out_dir, ARCHIVE_DIR, rel)
+                )
+                n += 1
+    return n
+
+
+def archive_all(spark: SparkSession, out_dir: str) -> int:
+    """Preserve every live tracked file (compaction rewrites the whole
+    table; the pre-swap tree must survive for time travel)."""
+    n = 0
+    for rel, _ in _list_tracked(spark, out_dir):
+        _preserve(
+            spark,
+            posixpath.join(out_dir, rel),
+            posixpath.join(out_dir, ARCHIVE_DIR, rel),
+        )
+        n += 1
+    return n
+
+
+# ---------------------------------------------------------------- reading
+def _resolve_files(
+    spark: SparkSession, out_dir: str, snap: dict, sub: str,
+    buckets=None,
+) -> tuple[list[str], list[str]]:
+    """(live, archived) absolute paths for the snapshot's files under
+    ``sub``, optionally restricted to a bucket set. A relpath still
+    present live is read in place (archive links are the same bytes);
+    otherwise the archive copy is used; neither → the snapshot has been
+    expired out from under the caller → loud error."""
+    want = None
+    if buckets is not None:
+        want = {int(b) for b in buckets}
+    live, archived, missing = [], [], []
+    pat = re.compile(r"(?:bucket|partition_id)=(\d+)/")
+    for rel, _ in snap["files"]:
+        if not rel.startswith(sub + "/"):
+            continue
+        if want is not None:
+            m = pat.search(rel)
+            if m is None or int(m.group(1)) not in want:
+                continue
+        lp = posixpath.join(out_dir, rel)
+        ap = posixpath.join(out_dir, ARCHIVE_DIR, rel)
+        if _exists(spark, lp):
+            live.append(lp)
+        elif _exists(spark, ap):
+            archived.append(ap)
+        else:
+            missing.append(rel)
+    if missing:
+        raise ValueError(
+            f"snapshot {snap['snapshot_id']} references {len(missing)} "
+            f"expired file(s) (e.g. {missing[0]!r}); expire_snapshots "
+            "removed them — read a retained snapshot instead"
+        )
+    return live, archived
+
+
+def read_snapshot(
+    spark: SparkSession,
+    out_dir: str,
+    snapshot_id: int | None = None,
+    sub: str = "spans",
+    buckets=None,
+) -> DataFrame:
+    """Time-travel read: the table exactly as of ``snapshot_id`` (default
+    HEAD). Partition-column recovery (``bucket=N`` / ``partition_id=N``)
+    works on both the live and archived sides via ``basePath``, so
+    bucket-pruned point lookups prune identically on historical reads."""
+    if snapshot_id is None:
+        snapshot_id = current_snapshot_id(spark, out_dir)
+        if snapshot_id is None:
+            raise ValueError(f"{out_dir!r} has no snapshots")
+    snap = load_snapshot(spark, out_dir, snapshot_id)
+    live, archived = _resolve_files(spark, out_dir, snap, sub, buckets)
+    if not live and not archived:
+        raise ValueError(
+            f"snapshot {snapshot_id} has no files under {sub!r}"
+            + (" for the requested buckets" if buckets is not None else "")
+        )
+    parts = []
+    if live:
+        parts.append(
+            spark.read.option("basePath", posixpath.join(out_dir, sub))
+            .parquet(*live)
+        )
+    if archived:
+        parts.append(
+            spark.read.option(
+                "basePath", posixpath.join(out_dir, ARCHIVE_DIR, sub)
+            ).parquet(*archived)
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+# ------------------------------------------------------------------- diff
+def _buckets_of(snap: dict, sub: str) -> dict[int, set[str]]:
+    out: dict[int, set[str]] = {}
+    pat = re.compile(rf"{sub}/(?:bucket|partition_id)=(\d+)/")
+    for rel, _ in snap["files"]:
+        m = pat.match(rel)
+        if m:
+            out.setdefault(int(m.group(1)), set()).add(rel)
+    return out
+
+
+def snapshot_changes(
+    spark: SparkSession, out_dir: str, from_id: int, to_id: int
+) -> DataFrame:
+    """Row-level CDC between two snapshots: (doc_id, bucket, change) with
+    change ∈ insert | delete | update. Only buckets whose FILE SETS differ
+    between the manifests are read — an upsert touching 3 of 4096 buckets
+    diffs 3 buckets of data, independent of table size. Within a changed
+    bucket, rows pair on doc_id and compare by a span-content digest (the
+    same doc_id+spans hash the lineage checksum xors), so a bucket rewrite
+    that preserves content (compaction) yields zero change rows."""
+    a = load_snapshot(spark, out_dir, from_id)
+    b = load_snapshot(spark, out_dir, to_id)
+    ba, bb = _buckets_of(a, "spans"), _buckets_of(b, "spans")
+    changed = sorted(
+        k for k in (set(ba) | set(bb)) if ba.get(k) != bb.get(k)
+    )
+    schema = "doc_id string, bucket int, change string"
+    if not changed:
+        return spark.createDataFrame([], schema)
+
+    def _digested(snap):
+        df = read_snapshot(
+            spark, out_dir, snap["snapshot_id"], "spans", buckets=changed
+        )
+        return df.select(
+            "doc_id",
+            "bucket",
+            F.xxhash64("doc_id", F.to_json("spans_out")).alias("digest"),
+        )
+
+    old, new = _digested(a), _digested(b)
+    j = old.alias("o").join(
+        new.alias("n"), on="doc_id", how="full_outer"
+    )
+    return j.select(
+        F.col("doc_id"),
+        F.coalesce(F.col("n.bucket"), F.col("o.bucket")).alias("bucket"),
+        F.when(F.col("o.digest").isNull(), F.lit("insert"))
+        .when(F.col("n.digest").isNull(), F.lit("delete"))
+        .when(F.col("o.digest") != F.col("n.digest"), F.lit("update"))
+        .alias("change"),
+    ).where(F.col("change").isNotNull())
+
+
+# --------------------------------------------------------------- rollback
+def rollback(spark: SparkSession, out_dir: str, to_id: int) -> dict:
+    """Restore the live table to snapshot ``to_id`` and commit the result
+    as a NEW snapshot (op=rollback, files = the target's manifest) — the
+    log stays append-only, so the rolled-back-over snapshots remain
+    readable and a rollback can itself be rolled back.
+
+    Protocol: verify every target file is reachable (live or archived)
+    BEFORE touching anything; archive-then-delete live files the target
+    doesn't list; re-link missing target files from the archive. All
+    metadata/link operations — no data pass, any table size."""
+    target = load_snapshot(spark, out_dir, to_id)
+    want = {rel for rel, _ in target["files"]}
+    live = {rel for rel, _ in _list_tracked(spark, out_dir)}
+
+    unreachable = [
+        rel
+        for rel in sorted(want - live)
+        if not _exists(spark, posixpath.join(out_dir, ARCHIVE_DIR, rel))
+    ]
+    if unreachable:
+        raise ValueError(
+            f"cannot roll back to snapshot {to_id}: {len(unreachable)} "
+            f"file(s) expired (e.g. {unreachable[0]!r}); table untouched"
+        )
+
+    n_removed = 0
+    for rel in sorted(live - want):
+        p = posixpath.join(out_dir, rel)
+        _preserve(spark, p, posixpath.join(out_dir, ARCHIVE_DIR, rel))
+        _remove_file(spark, p)
+        n_removed += 1
+    n_restored = 0
+    for rel in sorted(want - live):
+        _preserve(
+            spark,
+            posixpath.join(out_dir, ARCHIVE_DIR, rel),
+            posixpath.join(out_dir, rel),
+        )
+        n_restored += 1
+
+    snap = commit_snapshot(
+        spark,
+        out_dir,
+        op="rollback",
+        summary={"to": to_id, "restored": n_restored, "removed": n_removed},
+        files=target["files"],
+    )
+    return {
+        "snapshot_id": snap["snapshot_id"],
+        "rolled_back_to": to_id,
+        "restored": n_restored,
+        "removed": n_removed,
+    }
+
+
+# ----------------------------------------------------------------- expiry
+def expire_snapshots(
+    spark: SparkSession, out_dir: str, keep_last: int = 2
+) -> dict:
+    """Drop all but the newest ``keep_last`` snapshot manifests, then
+    delete every archived file no RETAINED manifest references — the
+    vacuum that bounds history storage. Live files are never candidates
+    (the archive holds only retired relpaths; a relpath both live and
+    archived is the same inode locally and is dropped from the archive
+    only when unreferenced, which cannot orphan the live copy)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    ids = _snapshot_ids(spark, out_dir)
+    drop, keep = ids[:-keep_last], ids[-keep_last:]
+    referenced: set[str] = set()
+    for sid in keep:
+        for rel, _ in load_snapshot(spark, out_dir, sid)["files"]:
+            referenced.add(rel)
+
+    arch_root = posixpath.join(out_dir, ARCHIVE_DIR)
+    n_files = 0
+    if _exists(spark, arch_root):
+        from .pipeline import _list_parquet_files
+
+        for path, _ in _list_parquet_files(spark, arch_root):
+            rel = path[len(arch_root):].lstrip("/")
+            if rel not in referenced:
+                _remove_file(spark, path)
+                n_files += 1
+    for sid in drop:
+        _remove_file(spark, _snap_path(out_dir, sid))
+    return {
+        "expired_snapshots": len(drop),
+        "kept": keep,
+        "archive_files_removed": n_files,
+    }

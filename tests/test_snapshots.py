@@ -260,3 +260,33 @@ def test_archive_is_hard_links_not_copies(spark, corpus, tmp_path):
 def test_read_snapshot_unknown_id_raises(spark, history):
     with pytest.raises(ValueError, match="not found"):
         S.read_snapshot(spark, history["out"], 99)
+
+
+def test_snapshot_as_of_timestamp(spark, history):
+    log = S.list_snapshots(spark, history["out"])
+    for s in log:
+        assert S.snapshot_as_of(
+            spark, history["out"], s["ts"]
+        ) == s["snapshot_id"]
+        # halfway to the next commit still resolves to this snapshot
+        assert S.snapshot_as_of(
+            spark, history["out"], s["ts"] + 0.0005
+        ) >= s["snapshot_id"]
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        S.snapshot_as_of(spark, history["out"], log[0]["ts"] - 1.0)
+
+
+def test_incremental_doc_stats_matches_full_recompute(spark, history):
+    """Applying the 1→3 CDC delta to the snapshot-1 stats table must
+    equal a full recompute over snapshot 3 (upsert + delete applied):
+    the downstream-maintenance path reads only changed buckets yet
+    lands on the identical table."""
+    out = history["out"]
+    base = S.doc_stats_full(S.read_snapshot(spark, out, 1))
+    got = S.incremental_doc_stats(spark, out, base, 1, 3)
+    want = S.doc_stats_full(S.read_snapshot(spark, out, 3))
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(got.collect()) == key(want.collect())
+    # idempotent on a no-change window (3→3)
+    again = S.incremental_doc_stats(spark, out, got, 3, 3)
+    assert key(again.collect()) == key(want.collect())

@@ -205,9 +205,38 @@ def commit_snapshot(
         "summary": summary or {},
         "files": files if files is not None else _list_tracked(spark, out_dir),
     }
-    _write_text(spark, _snap_path(out_dir, sid), json.dumps(snap))
+    _write_text_exclusive(spark, _snap_path(out_dir, sid), json.dumps(snap))
     _write_text(spark, posixpath.join(out_dir, SNAP_DIR, "HEAD"), str(sid))
     return snap
+
+
+def _write_text_exclusive(spark: SparkSession, path: str, text: str) -> None:
+    """Create-or-fail manifest write — the optimistic-commit arbitration.
+    Two writers racing to the same snapshot id resolve at the filesystem:
+    the atomic exclusive create (O_EXCL locally, overwrite=false on the
+    Hadoop FileSystem) admits exactly one; the loser gets a loud error
+    instead of silently clobbering the winner's manifest (the stance of
+    Iceberg's CommitFailedException — re-list the log and retry)."""
+    try:
+        if _is_local(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+            return
+        jvm, _, p, fs = _jfs(spark, path)
+        stream = fs.create(p, False)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+    except Exception as e:
+        if isinstance(e, FileExistsError) or "exists" in str(e).lower():
+            raise ValueError(
+                f"concurrent snapshot commit detected: {path!r} already "
+                "exists — another writer committed first; re-list and retry"
+            ) from None
+        raise
 
 
 # -------------------------------------------------------------- archiving

@@ -8,6 +8,7 @@ and stay verifiable; expiry must keep retained snapshots readable while
 vacuuming unreferenced archive files."""
 
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -260,6 +261,40 @@ def test_archive_is_hard_links_not_copies(spark, corpus, tmp_path):
 def test_read_snapshot_unknown_id_raises(spark, history):
     with pytest.raises(ValueError, match="not found"):
         S.read_snapshot(spark, history["out"], 99)
+
+
+def test_concurrent_commit_loses_loudly(spark, corpus, tmp_path):
+    """Two writers racing to the same snapshot id: the second commit must
+    fail loudly (exclusive manifest create), never clobber the first."""
+    # the race window is between commit_snapshot's HEAD read and its
+    # manifest write; simulate the loser's side by hitting the exclusive
+    # create against a manifest the "winner" already wrote
+    path = str(tmp_path / "_snapshots" / "snap-00000002.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write('{"snapshot_id": 2}')
+    before = open(path).read()
+    with pytest.raises(ValueError, match="concurrent snapshot commit"):
+        S._write_text_exclusive(spark, path, '{"snapshot_id": 2, "op": "x"}')
+    assert open(path).read() == before  # winner's manifest untouched
+
+
+def test_time_travel_read_scans_only_requested_buckets(spark, history):
+    """The bucket-restricted historical read must hand Spark ONLY the
+    requested buckets' files — pruning happens at file-list resolution,
+    before any scan is planned."""
+    df = S.read_snapshot(spark, history["out"], 1, buckets=[0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scanned = set(re.findall(r"bucket=(\d+)", plan))
+    # the plan's file listing may elide paths; fall back to the resolver
+    live, archived = S._resolve_files(
+        spark, history["out"],
+        S.load_snapshot(spark, history["out"], 1), "spans", buckets=[0],
+    )
+    for p in live + archived:
+        assert "bucket=0" in p
+    assert live or archived
+    assert scanned <= {"0"}
 
 
 def test_snapshot_as_of_timestamp(spark, history):

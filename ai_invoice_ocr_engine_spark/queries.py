@@ -6116,6 +6116,119 @@ SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg
 """
 
 
+def q_anomaly_zscore(spark, sf):
+    """Per-user rolling z-score anomaly flags over the event stream — the
+    telemetry outlier gate. A ROWS frame over the 20 PRECEDING events
+    (excluding the current one: the score must not contaminate its own
+    baseline) gives trailing mean and sample stddev; events with fewer
+    than 5 predecessors or zero spread are unscored. Per-user window
+    partitions — bounded state, no global sort; rounding is the portable
+    floor(x*1e4+0.5)/1e4 both engines compute identically on IEEE
+    doubles (see q_rank_distribution)."""
+    e = _t(spark, sf, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    r4 = lambda col: F.floor(col * 1e4 + 0.5) / 1e4  # noqa: E731
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_w"),
+    )
+    return scored.where(
+        (F.col("n_w") >= 5) & (F.col("sd") > 0)
+    ).select(
+        "event_id",
+        "user_id",
+        r4((F.col("value") - F.col("mu")) / F.col("sd")).alias("z"),
+        (
+            F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 2.0
+        ).alias("anomaly"),
+    )
+
+
+_SQL_ANOMALY_ZSCORE = """
+WITH e AS (
+  SELECT event_id, user_id, floor(epoch(ts))::bigint AS es, value FROM events
+),
+s AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         count(*) OVER w AS n_w
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       floor((value - mu) / sd * 1e4 + 0.5) / 1e4 AS z,
+       abs((value - mu) / sd) > 2.0 AS anomaly
+FROM s WHERE n_w >= 5 AND sd > 0
+"""
+
+
+def q_doc_ttr(spark, sf):
+    """Per-document lexical diversity: type-token ratio and hapax-legomenon
+    ratio — the curation gate that catches keyword-stuffed / template spam
+    (low TTR) and OCR-garbage pages (anomalously high hapax share). All
+    JVM higher-order lambdas on the token array (filter / array_distinct /
+    nested filter), zero Python, zero shuffle: a 10^12-doc run is a single
+    narrow projection."""
+    d = _t(spark, sf, "documents")
+    r4 = lambda col: F.floor(col * 1e4 + 0.5) / 1e4  # noqa: E731
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != ""
+        ).alias("w"),
+    ).where(F.size("w") > 0)
+    return toks.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_types"),
+        r4(
+            F.size(F.array_distinct("w")) / F.size("w")
+        ).alias("ttr"),
+        F.expr(
+            "size(filter(array_distinct(w),"
+            " t -> size(filter(w, x -> x = t)) = 1))"
+        ).alias("n_hapax"),
+        r4(
+            F.expr(
+                "size(filter(array_distinct(w),"
+                " t -> size(filter(w, x -> x = t)) = 1))"
+            )
+            / F.size("w")
+        ).alias("hapax_ratio"),
+    )
+
+
+_SQL_DOC_TTR = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(list_distinct(w)) AS n_types,
+       floor(len(list_distinct(w))::DOUBLE / len(w) * 1e4 + 0.5) / 1e4 AS ttr,
+       len(list_filter(list_distinct(w),
+           t -> len(list_filter(w, x -> x = t)) = 1)) AS n_hapax,
+       floor(len(list_filter(list_distinct(w),
+           t -> len(list_filter(w, x -> x = t)) = 1))::DOUBLE
+             / len(w) * 1e4 + 0.5) / 1e4 AS hapax_ratio
+FROM t WHERE len(w) > 0
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -6261,4 +6374,6 @@ REGISTRY: dict[str, tuple] = {
     "token_freq_spectrum": (q_token_freq_spectrum, _SQL_TOKEN_FREQ_SPECTRUM),
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
     "degree_histogram": (q_degree_histogram, _SQL_DEGREE_HISTOGRAM),
+    "anomaly_zscore": (q_anomaly_zscore, _SQL_ANOMALY_ZSCORE),
+    "doc_ttr": (q_doc_ttr, _SQL_DOC_TTR),
 }

@@ -8,15 +8,22 @@ incremental read feeding the SAME batch extraction per micro-batch:
     readStream(documents) → foreachBatch(extract + bucketed append + lineage)
 
 Each micro-batch reuses pipeline.extract verbatim, so batch and streaming
-paths cannot diverge semantically; exactly-once lands on the combination of
-the streaming checkpoint (source offsets) and the idempotent lineage rows.
+paths cannot diverge semantically; exactly-once lands on the streaming
+checkpoint (source offsets) PLUS the snapshot log as per-batch commit
+marker (snapshots.py): a replayed batch whose snapshot already committed
+is skipped, and torn appends from a crashed attempt are quarantined
+before the replay re-appends — so the visible table is exactly-once even
+though foreachBatch delivery is at-least-once.
 """
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import snapshots
 from ..config import ExtractConfig
 from ..pipeline import extract, lineage_of, with_bucket
 
@@ -44,11 +51,37 @@ def incremental_extract(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        run_id = f"stream-batch-{batch_id}"
+        # exactly-once over foreachBatch's at-least-once delivery, with
+        # the snapshot log as the commit marker (the Iceberg-streaming
+        # protocol): a batch is VISIBLE only once its snapshot commits.
+        # foreachBatch replays are strictly sequential — only the most
+        # recent in-flight batch can be redelivered after a restart — so
+        # (a) if HEAD already carries this run_id the whole batch
+        # committed: skip it; (b) otherwise any live file HEAD does not
+        # reference is a torn write from a crashed attempt (append
+        # happened, commit didn't): quarantine it before re-appending,
+        # or the replay would double the rows.
+        head = snapshots.current_snapshot_id(spark, out_dir)
+        if head is not None:
+            head_snap = snapshots.load_snapshot(spark, out_dir, head)
+            committed = {rel for rel, _ in head_snap["files"]}
+            for rel, _ in snapshots._list_tracked(spark, out_dir):
+                if rel not in committed:
+                    snapshots._remove_file(
+                        spark, posixpath.join(out_dir, rel)
+                    )
+            if (
+                head_snap.get("op") == "stream-append"
+                and head_snap.get("run_id") == run_id
+            ):
+                return
         result = with_bucket(
             extract(batch_df, media, cfg, media_strategy=media_strategy), num_buckets
         )
         result.persist()
         try:
+            n_docs = result.count()
             result.write.mode("append").partitionBy("bucket").parquet(
                 f"{out_dir}/spans"
             )
@@ -56,11 +89,18 @@ def incremental_extract(
             # rows: spans are appended too) but in the same
             # partition_id-partitioned layout run_extract writes, so the
             # two surfaces can share an out_dir without mixed layouts
-            lineage_of(result, f"stream-batch-{batch_id}").write.mode(
+            lineage_of(result, run_id).write.mode(
                 "append"
             ).partitionBy("partition_id").parquet(f"{out_dir}/lineage")
         finally:
             result.unpersist()
+        snapshots.commit_snapshot(
+            spark,
+            out_dir,
+            op="stream-append",
+            run_id=run_id,
+            summary={"batch_id": int(batch_id), "docs": int(n_docs)},
+        )
 
     reader = (
         spark.readStream.schema(schema)

@@ -189,6 +189,22 @@ def main(argv=None) -> int:
     ex.add_argument("--keep-last", type=int, default=2)
     ex.add_argument("--master", default=None)
 
+    tg = sub.add_parser(
+        "tag", help="name a snapshot (pinned through expiry); no flags: list"
+    )
+    tg.add_argument("--out", required=True, help="extract out_dir")
+    tg.add_argument("--name", default=None)
+    tg.add_argument("--to", type=int, default=None, help="snapshot id")
+    tg.add_argument("--delete", action="store_true")
+    tg.add_argument("--master", default=None)
+
+    gc = sub.add_parser(
+        "gc", help="remove torn (uncommitted) files the HEAD snapshot "
+        "does not reference"
+    )
+    gc.add_argument("--out", required=True, help="extract out_dir")
+    gc.add_argument("--master", default=None)
+
     lk = sub.add_parser("lookup", help="bucket-pruned point lookup by doc_id")
     lk.add_argument("--out", required=True, help="extract out_dir")
     lk.add_argument("--doc-ids", required=True, help="comma-separated ids")
@@ -582,6 +598,40 @@ def main(argv=None) -> int:
         spark = get_spark(app="expire", master=args.master)
         try:
             rep = expire_snapshots(spark, args.out, keep_last=args.keep_last)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "tag":
+        from .snapshots import delete_tag, list_tags, set_tag
+        from .sources.session import get_spark
+
+        spark = get_spark(app="tag", master=args.master)
+        try:
+            if args.name is None:
+                rep = list_tags(spark, args.out)
+            elif args.delete:
+                delete_tag(spark, args.out, args.name)
+                rep = {"deleted": args.name}
+            else:
+                if args.to is None:
+                    print("tag: --to SNAPSHOT_ID required to set a tag",
+                          file=sys.stderr)
+                    return 2
+                rep = set_tag(spark, args.out, args.name, args.to)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "gc":
+        from .snapshots import gc_uncommitted
+        from .sources.session import get_spark
+
+        spark = get_spark(app="gc", master=args.master)
+        try:
+            rep = gc_uncommitted(spark, args.out)
         finally:
             spark.stop()
         print(json.dumps(rep))

@@ -239,6 +239,94 @@ def _write_text_exclusive(spark: SparkSession, path: str, text: str) -> None:
         raise
 
 
+# ------------------------------------------------------------------- tags
+_TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*\Z")
+
+
+def _tag_path(out_dir: str, name: str) -> str:
+    return posixpath.join(out_dir, SNAP_DIR, f"tag-{name}.json")
+
+
+def set_tag(
+    spark: SparkSession, out_dir: str, name: str, snapshot_id: int
+) -> dict:
+    """Name a snapshot (``prod``, ``pre-migration``, …) — a mutable named
+    ref à la Iceberg branches/tags. Tagged snapshots are pinned: expiry
+    retains them (and their files) regardless of ``keep_last``."""
+    from .pipeline import _write_text
+
+    if not _TAG_RE.match(name):
+        raise ValueError(f"invalid tag name {name!r}")
+    load_snapshot(spark, out_dir, snapshot_id)  # must exist
+    _write_text(
+        spark,
+        _tag_path(out_dir, name),
+        json.dumps({"name": name, "snapshot_id": int(snapshot_id)}),
+    )
+    return {"name": name, "snapshot_id": int(snapshot_id)}
+
+
+def delete_tag(spark: SparkSession, out_dir: str, name: str) -> None:
+    path = _tag_path(out_dir, name)
+    if not _exists(spark, path):
+        raise ValueError(f"tag {name!r} not found")
+    _remove_file(spark, path)
+
+
+def list_tags(spark: SparkSession, out_dir: str) -> dict[str, int]:
+    from .pipeline import _read_text
+
+    d = posixpath.join(out_dir, SNAP_DIR)
+    if not _exists(spark, d):
+        return {}
+    if _is_local(d):
+        names = os.listdir(d)
+    else:
+        jvm, _, p, fs = _jfs(spark, d)
+        names = [st.getPath().getName() for st in fs.listStatus(p)]
+    out = {}
+    for n in names:
+        m = re.fullmatch(r"tag-(.+)\.json", n)
+        if m:
+            t = json.loads(_read_text(spark, posixpath.join(d, n)))
+            out[m.group(1)] = int(t["snapshot_id"])
+    return out
+
+
+def resolve_tag(spark: SparkSession, out_dir: str, name: str) -> int:
+    tags = list_tags(spark, out_dir)
+    if name not in tags:
+        raise ValueError(
+            f"tag {name!r} not found (have: {sorted(tags) or 'none'})"
+        )
+    return tags[name]
+
+
+# ---------------------------------------------------------------------- gc
+def gc_uncommitted(spark: SparkSession, out_dir: str) -> dict:
+    """Quarantine torn writes on the batch path: any live tracked file the
+    HEAD manifest does not reference was written by a job that crashed
+    between its data write and its snapshot commit — invisible to every
+    snapshot, unreachable by rollback, but still read by a plain
+    ``spark.read.parquet(spans_dir)``. Remove them. (The streaming path
+    runs this same reconciliation inline before each micro-batch.)
+    Single-writer assumption as everywhere in this module: do not run
+    concurrently with an in-flight append."""
+    head = current_snapshot_id(spark, out_dir)
+    if head is None:
+        raise ValueError(
+            f"{out_dir!r} has no snapshot log — cannot distinguish "
+            "committed from torn files"
+        )
+    committed = {rel for rel, _ in load_snapshot(spark, out_dir, head)["files"]}
+    removed = 0
+    for rel, _ in _list_tracked(spark, out_dir):
+        if rel not in committed:
+            _remove_file(spark, posixpath.join(out_dir, rel))
+            removed += 1
+    return {"head": head, "removed": removed}
+
+
 # -------------------------------------------------------------- archiving
 def archive_buckets(
     spark: SparkSession, out_dir: str, buckets, include_lineage: bool = True
@@ -552,7 +640,8 @@ def rollback(spark: SparkSession, out_dir: str, to_id: int) -> dict:
 def expire_snapshots(
     spark: SparkSession, out_dir: str, keep_last: int = 2
 ) -> dict:
-    """Drop all but the newest ``keep_last`` snapshot manifests, then
+    """Drop all but the newest ``keep_last`` snapshot manifests (tagged
+    snapshots are always retained — delete the tag to release them), then
     delete every archived file no RETAINED manifest references — the
     vacuum that bounds history storage. Live files are never candidates
     (the archive holds only retired relpaths; a relpath both live and
@@ -561,7 +650,10 @@ def expire_snapshots(
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     ids = _snapshot_ids(spark, out_dir)
-    drop, keep = ids[:-keep_last], ids[-keep_last:]
+    tagged = set(list_tags(spark, out_dir).values())
+    keep_set = set(ids[-keep_last:]) | (tagged & set(ids))
+    drop = [i for i in ids if i not in keep_set]
+    keep = [i for i in ids if i in keep_set]
     referenced: set[str] = set()
     for sid in keep:
         for rel, _ in load_snapshot(spark, out_dir, sid)["files"]:

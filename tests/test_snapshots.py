@@ -263,6 +263,72 @@ def test_read_snapshot_unknown_id_raises(spark, history):
         S.read_snapshot(spark, history["out"], 99)
 
 
+def test_tags_pin_snapshots_through_expiry(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    _extract(spark, corpus, out)
+    spans_dir = os.path.join(out, "spans")
+    state1 = spans_key(spark.read.parquet(spans_dir).collect())
+    ids = sorted(state1)[:2]
+    ids_sql = ",".join(f"'{i}'" for i in ids)
+    upsert_extract(
+        spark, out, corpus["docs_path"],
+        where=f"doc_id IN ({ids_sql})", delete=True,
+    )
+    upsert_extract(
+        spark, out, corpus["docs_path"],
+        where=f"doc_id = '{sorted(state1)[2]}'", delete=True,
+    )
+
+    S.set_tag(spark, out, "pre-delete", 1)
+    assert S.list_tags(spark, out) == {"pre-delete": 1}
+    assert S.resolve_tag(spark, out, "pre-delete") == 1
+
+    # keep_last=1 would drop snapshots 1 and 2 — the tag pins 1
+    rep = S.expire_snapshots(spark, out, keep_last=1)
+    assert rep["kept"] == [1, 3]
+    assert spans_key(S.read_snapshot(spark, out, 1).collect()) == state1
+    with pytest.raises(ValueError, match="not found"):
+        S.read_snapshot(spark, out, 2)
+
+    # releasing the tag releases the snapshot on the next expiry
+    S.delete_tag(spark, out, "pre-delete")
+    rep = S.expire_snapshots(spark, out, keep_last=1)
+    assert rep["kept"] == [3]
+    with pytest.raises(ValueError, match="not found"):
+        S.read_snapshot(spark, out, 1)
+
+    with pytest.raises(ValueError, match="invalid tag name"):
+        S.set_tag(spark, out, "../escape", 3)
+    with pytest.raises(ValueError, match="not found"):
+        S.set_tag(spark, out, "ghost", 77)
+
+
+def test_gc_removes_torn_files_only(spark, corpus, tmp_path):
+    import glob
+    import shutil
+
+    out = str(tmp_path / "out")
+    _extract(spark, corpus, out)
+    spans_dir = os.path.join(out, "spans")
+    n_clean = spark.read.parquet(spans_dir).count()
+    state = spans_key(spark.read.parquet(spans_dir).collect())
+
+    assert S.gc_uncommitted(spark, out)["removed"] == 0
+
+    some = glob.glob(f"{spans_dir}/bucket=*/part-*.parquet")[0]
+    torn = os.path.join(os.path.dirname(some), "part-torn.parquet")
+    shutil.copy(some, torn)
+    assert spark.read.parquet(spans_dir).count() > n_clean
+
+    rep = S.gc_uncommitted(spark, out)
+    assert rep["removed"] == 1 and not os.path.exists(torn)
+    assert spark.read.parquet(spans_dir).count() == n_clean
+    assert spans_key(spark.read.parquet(spans_dir).collect()) == state
+
+    with pytest.raises(ValueError, match="no snapshot log"):
+        S.gc_uncommitted(spark, str(tmp_path / "nolog"))
+
+
 def test_concurrent_commit_loses_loudly(spark, corpus, tmp_path):
     """Two writers racing to the same snapshot id: the second commit must
     fail loudly (exclusive manifest create), never clobber the first."""

@@ -985,37 +985,47 @@ def upsert_extract(
     t0 = time.time()
     tmp = spans_dir + "_upsert_tmp"
     _delete_path(spark, tmp)
-    merged.write.partitionBy("bucket").parquet(tmp)
-    staged = spark.read.parquet(tmp)
-    # invariant gate before touching the live table: one row per doc
-    dup = staged.groupBy("doc_id").count().where(F.col("count") > 1).count()
-    if dup:
-        _delete_path(spark, tmp)
-        raise ValueError(
-            f"upsert staging has {dup} duplicate doc_ids; table untouched"
+    n_new = 0
+    if merged.isEmpty():
+        # a purge that empties EVERY affected bucket stages nothing —
+        # parquet cannot round-trip an empty partitioned write, and the
+        # dynamic overwrite would be a no-op anyway; fall through to the
+        # explicit emptied-bucket deletes below
+        staged_buckets: set[int] = set()
+        snapshots.archive_buckets(spark, out_dir, affected)
+    else:
+        merged.write.partitionBy("bucket").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        # invariant gate before touching the live table: one row per doc
+        dup = staged.groupBy("doc_id").count().where(F.col("count") > 1).count()
+        if dup:
+            _delete_path(spark, tmp)
+            raise ValueError(
+                f"upsert staging has {dup} duplicate doc_ids; table untouched"
+            )
+        n_new = 0 if new is None else staged.join(
+            sel_ids, "doc_id", "left_semi"
+        ).count()
+        staged_buckets = {
+            r["bucket"] for r in staged.select("bucket").distinct().collect()
+        }
+        # snapshot log: every affected bucket's current files are about to
+        # be replaced (dynamic overwrite) or purged (emptied-bucket delete
+        # below)
+        snapshots.archive_buckets(spark, out_dir, affected)
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(spans_dir)
         )
-    n_new = 0 if new is None else staged.join(
-        sel_ids, "doc_id", "left_semi"
-    ).count()
-    staged_buckets = {
-        r["bucket"] for r in staged.select("bucket").distinct().collect()
-    }
-    # snapshot log: every affected bucket's current files are about to be
-    # replaced (dynamic overwrite) or purged (emptied-bucket delete below)
-    snapshots.archive_buckets(spark, out_dir, affected)
-    (
-        staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(spans_dir)
-    )
-    (
-        lineage_of(staged, run_id)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("partition_id")
-        .parquet(lineage_dir)
-    )
+        (
+            lineage_of(staged, run_id)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .parquet(lineage_dir)
+        )
     # a bucket emptied by deletion has NO staged rows, so dynamic
     # overwrite never touches it — drop its data and lineage explicitly
     for b in affected:

@@ -13,8 +13,9 @@ This module provides the same contract for the parquet layout the sandbox
 runs on:
 
     {out_dir}/_snapshots/snap-00000001.json   one immutable manifest per commit
-    {out_dir}/_snapshots/HEAD                 current snapshot id
     {out_dir}/_archive/<relpath>              retired data files (time travel)
+
+(HEAD is derived by listing the manifests — no pointer file to go stale.)
 
 A snapshot manifest lists every live data file (relpath + size) under
 ``spans/`` and ``lineage/`` at commit time, plus op metadata. Mutating ops
@@ -102,6 +103,25 @@ def _remove_file(spark: SparkSession, path: str) -> None:
     fs.delete(p, False)
 
 
+def _strip_fs(path: str) -> str:
+    """URI → filesystem path component ('hdfs://nn:8020/a/b' → '/a/b'),
+    local paths unchanged — Hadoop listings return fully-qualified URIs
+    even when the caller passed a less-qualified root, so relpaths must
+    be computed on the path component, never by slicing the raw string."""
+    if "://" in path:
+        rest = path.split("://", 1)[1]
+        slash = rest.find("/")
+        return rest[slash:] if slash >= 0 else "/"
+    return path
+
+
+def _relpath(path: str, out_dir: str) -> str:
+    p, o = _strip_fs(path), _strip_fs(out_dir).rstrip("/")
+    if not p.startswith(o + "/"):
+        raise ValueError(f"listed file {path!r} is not under {out_dir!r}")
+    return p[len(o):].lstrip("/")
+
+
 def _list_tracked(spark: SparkSession, out_dir: str) -> list[list]:
     """[[relpath, bytes], ...] of every live parquet data file under the
     tracked subtrees, relpaths POSIX-style relative to ``out_dir``."""
@@ -113,8 +133,7 @@ def _list_tracked(spark: SparkSession, out_dir: str) -> list[list]:
         if not _exists(spark, root):
             continue
         for path, size in _list_parquet_files(spark, root):
-            rel = path[len(out_dir):].lstrip("/")
-            out.append([rel, int(size)])
+            out.append([_relpath(path, out_dir), int(size)])
     out.sort()
     return out
 
@@ -135,7 +154,7 @@ def _snapshot_ids(spark: SparkSession, out_dir: str) -> list[int]:
         names = [st.getPath().getName() for st in fs.listStatus(p)]
     ids = []
     for n in names:
-        m = re.fullmatch(r"snap-(\d{8})\.json", n)
+        m = re.fullmatch(r"snap-(\d{8,})\.json", n)
         if m:
             ids.append(int(m.group(1)))
     return sorted(ids)
@@ -205,8 +224,10 @@ def commit_snapshot(
         "summary": summary or {},
         "files": files if files is not None else _list_tracked(spark, out_dir),
     }
+    # note: no separate HEAD pointer file — the manifest listing is the
+    # single source of truth (a pointer written after the manifest could
+    # go stale on a crash between the two writes and mislead operators)
     _write_text_exclusive(spark, _snap_path(out_dir, sid), json.dumps(snap))
-    _write_text(spark, posixpath.join(out_dir, SNAP_DIR, "HEAD"), str(sid))
     return snap
 
 
@@ -348,7 +369,7 @@ def archive_buckets(
             if not _exists(spark, d):
                 continue
             for path, _ in _list_parquet_files(spark, d):
-                rel = path[len(out_dir):].lstrip("/")
+                rel = _relpath(path, out_dir)
                 _preserve(
                     spark, path, posixpath.join(out_dir, ARCHIVE_DIR, rel)
                 )
@@ -415,11 +436,16 @@ def read_snapshot(
     snapshot_id: int | None = None,
     sub: str = "spans",
     buckets=None,
-) -> DataFrame:
+    empty_ok: bool = False,
+) -> DataFrame | None:
     """Time-travel read: the table exactly as of ``snapshot_id`` (default
     HEAD). Partition-column recovery (``bucket=N`` / ``partition_id=N``)
     works on both the live and archived sides via ``basePath``, so
-    bucket-pruned point lookups prune identically on historical reads."""
+    bucket-pruned point lookups prune identically on historical reads.
+    A snapshot with no files under ``sub`` (or none in the requested
+    buckets) raises — or returns None with ``empty_ok`` (parquet cannot
+    infer a schema from zero files, so there is no empty DataFrame to
+    hand back)."""
     if snapshot_id is None:
         snapshot_id = current_snapshot_id(spark, out_dir)
         if snapshot_id is None:
@@ -427,6 +453,8 @@ def read_snapshot(
     snap = load_snapshot(spark, out_dir, snapshot_id)
     live, archived = _resolve_files(spark, out_dir, snap, sub, buckets)
     if not live and not archived:
+        if empty_ok:
+            return None
         raise ValueError(
             f"snapshot {snapshot_id} has no files under {sub!r}"
             + (" for the requested buckets" if buckets is not None else "")
@@ -477,6 +505,12 @@ def _buckets_of(snap: dict, sub: str) -> dict[int, set[str]]:
     return out
 
 
+def _changed_buckets(a: dict, b: dict, sub: str = "spans") -> list[int]:
+    """Buckets whose file sets differ between two manifests."""
+    ba, bb = _buckets_of(a, sub), _buckets_of(b, sub)
+    return sorted(k for k in (set(ba) | set(bb)) if ba.get(k) != bb.get(k))
+
+
 def snapshot_changes(
     spark: SparkSession, out_dir: str, from_id: int, to_id: int
 ) -> DataFrame:
@@ -489,18 +523,23 @@ def snapshot_changes(
     that preserves content (compaction) yields zero change rows."""
     a = load_snapshot(spark, out_dir, from_id)
     b = load_snapshot(spark, out_dir, to_id)
-    ba, bb = _buckets_of(a, "spans"), _buckets_of(b, "spans")
-    changed = sorted(
-        k for k in (set(ba) | set(bb)) if ba.get(k) != bb.get(k)
-    )
+    changed = _changed_buckets(a, b)
     schema = "doc_id string, bucket int, change string"
     if not changed:
         return spark.createDataFrame([], schema)
 
     def _digested(snap):
+        # a side may own ZERO files in the changed buckets (insert into a
+        # brand-new bucket / delete emptying one) — that side is an empty
+        # relation, not an error
         df = read_snapshot(
-            spark, out_dir, snap["snapshot_id"], "spans", buckets=changed
+            spark, out_dir, snap["snapshot_id"], "spans",
+            buckets=changed, empty_ok=True,
         )
+        if df is None:
+            return spark.createDataFrame(
+                [], "doc_id string, bucket int, digest bigint"
+            )
         return df.select(
             "doc_id",
             "bucket",
@@ -560,19 +599,20 @@ def incremental_doc_stats(
     changed_docs = changes.select("doc_id", "change")
     a = load_snapshot(spark, out_dir, from_id)
     b = load_snapshot(spark, out_dir, to_id)
-    changed_buckets = sorted(
-        k
-        for k in set(_buckets_of(a, "spans")) | set(_buckets_of(b, "spans"))
-        if _buckets_of(a, "spans").get(k) != _buckets_of(b, "spans").get(k)
-    )
+    changed_buckets = _changed_buckets(a, b)
     kept = prev_stats.join(
         changed_docs.select("doc_id"), "doc_id", "left_anti"
     )
     if not changed_buckets:
         return kept
-    fresh = doc_stats_full(
-        read_snapshot(spark, out_dir, to_id, buckets=changed_buckets)
-    ).join(
+    # a delete that emptied every changed bucket leaves the to-side with
+    # zero files there — the delta is pure removal, kept IS the answer
+    to_side = read_snapshot(
+        spark, out_dir, to_id, buckets=changed_buckets, empty_ok=True
+    )
+    if to_side is None:
+        return kept
+    fresh = doc_stats_full(to_side).join(
         changed_docs.where(F.col("change") != "delete").select("doc_id"),
         "doc_id",
         "left_semi",
@@ -665,7 +705,7 @@ def expire_snapshots(
         from .pipeline import _list_parquet_files
 
         for path, _ in _list_parquet_files(spark, arch_root):
-            rel = path[len(arch_root):].lstrip("/")
+            rel = _relpath(path, arch_root)
             if rel not in referenced:
                 _remove_file(spark, path)
                 n_files += 1

@@ -10,10 +10,13 @@ incremental read feeding the SAME batch extraction per micro-batch:
 Each micro-batch reuses pipeline.extract verbatim, so batch and streaming
 paths cannot diverge semantically; exactly-once lands on the streaming
 checkpoint (source offsets) PLUS the snapshot log as per-batch commit
-marker (snapshots.py): a replayed batch whose snapshot already committed
-is skipped, and torn appends from a crashed attempt are quarantined
-before the replay re-appends — so the visible table is exactly-once even
-though foreachBatch delivery is at-least-once.
+marker (snapshots.py): torn appends from a crashed attempt (file landed,
+snapshot didn't) are quarantined before each batch, and redelivered docs
+are anti-joined against the committed table — so the visible table is
+exactly-once per doc even though foreachBatch delivery is at-least-once
+and batch ids are checkpoint-scoped (a checkpoint-loss replay that mixes
+already-committed docs with newly arrived files appends exactly the new
+docs).
 """
 
 from __future__ import annotations
@@ -55,29 +58,50 @@ def incremental_extract(
         # exactly-once over foreachBatch's at-least-once delivery, with
         # the snapshot log as the commit marker (the Iceberg-streaming
         # protocol): a batch is VISIBLE only once its snapshot commits.
-        # foreachBatch replays are strictly sequential — only the most
-        # recent in-flight batch can be redelivered after a restart — so
-        # (a) if HEAD already carries this run_id the whole batch
-        # committed: skip it; (b) otherwise any live file HEAD does not
-        # reference is a torn write from a crashed attempt (append
-        # happened, commit didn't): quarantine it before re-appending,
-        # or the replay would double the rows.
+        # Two reconciliation steps before any work:
+        # (1) quarantine torn writes — any live file the HEAD manifest
+        #     does not reference was appended by an attempt that crashed
+        #     before its commit; remove it or the re-append doubles rows.
+        #     No HEAD + live files = a table this protocol has never
+        #     committed (a legacy dir): refuse rather than guess which
+        #     files are torn.
+        # (2) doc-level idempotence — redelivery is anti-joined against
+        #     the doc_ids already visible, so a replayed batch appends
+        #     nothing, and a checkpoint-loss replay that MIXES committed
+        #     docs with a newly arrived file appends exactly the new
+        #     docs (batch ids are checkpoint-scoped; equal batch_id does
+        #     NOT mean equal content, so no run_id short-circuit). One
+        #     doc_id-column scan per micro-batch; at extreme table sizes
+        #     swap in the broadcast Bloom gate (functions/dedup.py).
+        #     Note the stream re-asserts its source: a doc purged via
+        #     `upsert --delete` is re-added if its file is replayed —
+        #     takedowns must also drop the source file.
         head = snapshots.current_snapshot_id(spark, out_dir)
+        head_has_spans = False
         if head is not None:
             head_snap = snapshots.load_snapshot(spark, out_dir, head)
             committed = {rel for rel, _ in head_snap["files"]}
+            head_has_spans = any(r.startswith("spans/") for r in committed)
             for rel, _ in snapshots._list_tracked(spark, out_dir):
                 if rel not in committed:
                     snapshots._remove_file(
                         spark, posixpath.join(out_dir, rel)
                     )
-            if (
-                head_snap.get("op") == "stream-append"
-                and head_snap.get("run_id") == run_id
-            ):
+        elif snapshots._list_tracked(spark, out_dir):
+            raise ValueError(
+                f"{out_dir!r} has data files but no snapshot log — "
+                "cannot distinguish committed rows from torn writes; "
+                "start streaming into a fresh out_dir or one written by "
+                "the snapshot-committing batch job"
+            )
+        todo = batch_df
+        if head_has_spans:
+            existing = spark.read.parquet(f"{out_dir}/spans").select("doc_id")
+            todo = batch_df.join(existing, "doc_id", "left_anti")
+            if todo.isEmpty():
                 return
         result = with_bucket(
-            extract(batch_df, media, cfg, media_strategy=media_strategy), num_buckets
+            extract(todo, media, cfg, media_strategy=media_strategy), num_buckets
         )
         result.persist()
         try:

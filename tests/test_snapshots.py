@@ -263,6 +263,37 @@ def test_read_snapshot_unknown_id_raises(spark, history):
         S.read_snapshot(spark, history["out"], 99)
 
 
+def test_cdc_delete_emptying_all_changed_buckets(spark, corpus, tmp_path):
+    """Review scenario: the delta between two snapshots is a delete that
+    empties every changed bucket. snapshot_changes must report the pure
+    deletes (the from-side read is empty-tolerant) and
+    incremental_doc_stats must return kept rows, not crash."""
+    out = str(tmp_path / "out")
+    _extract(spark, corpus, out)
+    spans_dir = os.path.join(out, "spans")
+    df = spark.read.parquet(spans_dir)
+    # purge EVERY doc in one bucket → that bucket dir disappears entirely
+    b0 = df.select("bucket").orderBy("bucket").first()["bucket"]
+    ids = [r["doc_id"] for r in df.where(F.col("bucket") == b0)
+           .select("doc_id").collect()]
+    ids_sql = ",".join(f"'{i}'" for i in ids)
+    upsert_extract(
+        spark, out, corpus["docs_path"],
+        where=f"doc_id IN ({ids_sql})", delete=True,
+    )
+    ch = {
+        r["doc_id"]: r["change"]
+        for r in S.snapshot_changes(spark, out, 1, 2).collect()
+    }
+    assert ch == {i: "delete" for i in ids}
+
+    base = S.doc_stats_full(S.read_snapshot(spark, out, 1))
+    got = S.incremental_doc_stats(spark, out, base, 1, 2)
+    want = S.doc_stats_full(S.read_snapshot(spark, out, 2))
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(got.collect()) == key(want.collect())
+
+
 def test_tags_pin_snapshots_through_expiry(spark, corpus, tmp_path):
     out = str(tmp_path / "out")
     _extract(spark, corpus, out)

@@ -106,6 +106,61 @@ def test_torn_append_is_quarantined_before_replay(spark, corpus, tmp_path):
     assert _table(spark, out) == clean
 
 
+def test_checkpoint_loss_with_new_file_appends_only_new_docs(
+    spark, corpus, tmp_path
+):
+    """Review scenario: batch 0 commits; checkpoint is lost; a NEW file
+    arrives; the fresh checkpoint delivers old+new together as batch 0
+    again. The replay must append exactly the new docs — a batch-id or
+    run_id short-circuit would silently drop them."""
+    a, b = _split_docs(corpus, str(tmp_path / "halves"))
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(a, src / "part-000.parquet")
+    out = str(tmp_path / "out")
+
+    _run_stream(spark, src, corpus["media_path"], out, tmp_path / "ckpt1")
+    half1 = _table(spark, out)
+
+    shutil.copy(b, src / "part-001.parquet")  # new data, lost checkpoint
+    _run_stream(spark, src, corpus["media_path"], out, tmp_path / "ckpt2")
+
+    got = _table(spark, out)
+    assert set(got) > set(half1)
+    assert_span_equal(
+        got,
+        _want(spark, spark.read.parquet(corpus["docs_path"]),
+              corpus["media_path"]),
+    )
+    # the first half's rows were NOT re-appended (exactly-once per doc)
+    n = spark.read.parquet(f"{out}/spans").count()
+    assert n == len(got)
+
+
+def test_stream_into_legacy_dir_without_log_refuses(spark, corpus, tmp_path):
+    """Data files but no snapshot log: committed vs torn is undecidable —
+    the stream must refuse loudly, not guess."""
+    import pyspark.errors
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(corpus["docs_path"], src / "part-000.parquet")
+    out = tmp_path / "out"
+    legacy = out / "spans" / "bucket=0"
+    legacy.mkdir(parents=True)
+    shutil.copy(corpus["docs_path"], legacy / "part-legacy.parquet")
+
+    q = incremental_extract(
+        spark, str(src), corpus["media_path"], str(out),
+        str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    try:
+        q.awaitTermination(300)
+        raise AssertionError("stream should have failed")
+    except pyspark.errors.exceptions.base.StreamingQueryException as e:
+        assert "no snapshot log" in str(e)
+
+
 def test_incremental_growth_commits_per_batch(spark, corpus, tmp_path):
     """Normal operation: a second file arriving later lands as its own
     batch + snapshot, and the table equals a batch extract of both

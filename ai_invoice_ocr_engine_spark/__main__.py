@@ -189,6 +189,14 @@ def main(argv=None) -> int:
     ex.add_argument("--keep-last", type=int, default=2)
     ex.add_argument("--master", default=None)
 
+    rbk = sub.add_parser(
+        "rebucket", help="rewrite the spans table under a new bucket count "
+        "(partition evolution; old snapshots stay readable)"
+    )
+    rbk.add_argument("--out", required=True, help="extract out_dir")
+    rbk.add_argument("--buckets", required=True, type=int)
+    rbk.add_argument("--master", default=None)
+
     tg = sub.add_parser(
         "tag", help="name a snapshot (pinned through expiry); no flags: list"
     )
@@ -598,6 +606,18 @@ def main(argv=None) -> int:
         spark = get_spark(app="expire", master=args.master)
         try:
             rep = expire_snapshots(spark, args.out, keep_last=args.keep_last)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "rebucket":
+        from .pipeline import rebucket_spans
+        from .sources.session import get_spark
+
+        spark = get_spark(app="rebucket", master=args.master)
+        try:
+            rep = rebucket_spans(spark, args.out, args.buckets)
         finally:
             spark.stop()
         print(json.dumps(rep))

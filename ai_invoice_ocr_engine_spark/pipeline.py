@@ -1255,6 +1255,99 @@ def compact_spans(
     }
 
 
+def rebucket_spans(
+    spark: SparkSession, out_dir: str, new_buckets: int, run_id: str | None = None
+) -> dict:
+    """Partition evolution: rewrite the spans table under a different
+    bucket count — the Iceberg partition-spec-evolution analog for the
+    parquet layout, where the bucket transform is pinned per table
+    (_manifest.json) and can otherwise never change (a mixed layout
+    would strand stale partitions; see _check_manifest).
+
+    At 10^12 docs the need is real: a table bucketed for yesterday's
+    size eventually has buckets too large to task-parallelize or too
+    many files to list. The rewrite is one shuffle on the NEW bucket
+    key; safety mirrors compact_spans — write to temp, compare a
+    bucket-independent content digest (row count + order-insensitive
+    doc/spans checksum) on both copies, archive the old tree for time
+    travel, swap, recompute lineage under the new layout, re-pin the
+    manifest, commit a snapshot (op=rebucket). Old snapshots remain
+    readable with their ORIGINAL bucket numbers (the archived files
+    carry the old directory layout)."""
+    spans_dir = os.path.join(out_dir, "spans")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    manifest = _read_manifest(spark, out_dir)
+    old_buckets = int(manifest["num_buckets"])
+    new_buckets = int(new_buckets)
+    if new_buckets < 1:
+        raise ValueError("new_buckets must be >= 1")
+    if new_buckets == old_buckets:
+        return {"rewritten": False, "num_buckets": old_buckets}
+    run_id = run_id or f"rebucket-{uuid.uuid4().hex[:8]}"
+
+    def _content_digest(d: str) -> tuple:
+        row = (
+            spark.read.parquet(d)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(
+                    F.xxhash64("doc_id", F.to_json("spans_out"))
+                ).alias("checksum"),
+            )
+            .collect()[0]
+        )
+        return (row["n"], row["checksum"])
+
+    before = _content_digest(spans_dir)
+    df = spark.read.parquet(spans_dir).drop("bucket")
+    rewritten = with_bucket(df, new_buckets).repartition(
+        max(new_buckets, spark.sparkContext.defaultParallelism), "bucket"
+    )
+    tmp = spans_dir + "_rebucket_tmp"
+    _delete_path(spark, tmp)
+    rewritten.write.partitionBy("bucket").parquet(tmp)
+    if _content_digest(tmp) != before:
+        _delete_path(spark, tmp)
+        raise ValueError("rebucket digest mismatch; original left untouched")
+
+    snapshots.archive_all(spark, out_dir)
+    backup = spans_dir + "_backup"
+    _delete_path(spark, backup)
+    _move_path(spark, spans_dir, backup)
+    _move_path(spark, tmp, spans_dir)
+    _delete_path(spark, backup)
+    # lineage belongs to the bucket layout: recompute it wholesale
+    lineage_tmp = lineage_dir + "_rebucket_tmp"
+    _delete_path(spark, lineage_tmp)
+    lineage_of(spark.read.parquet(spans_dir), run_id).write.partitionBy(
+        "partition_id"
+    ).parquet(lineage_tmp)
+    lineage_backup = lineage_dir + "_backup"
+    _delete_path(spark, lineage_backup)
+    _move_path(spark, lineage_dir, lineage_backup)
+    _move_path(spark, lineage_tmp, lineage_dir)
+    _delete_path(spark, lineage_backup)
+    _write_text(
+        spark,
+        os.path.join(out_dir, "_manifest.json"),
+        json.dumps({"num_buckets": new_buckets, "layout": BUCKET_LAYOUT}),
+    )
+    snap = snapshots.commit_snapshot(
+        spark,
+        out_dir,
+        op="rebucket",
+        run_id=run_id,
+        summary={"from_buckets": old_buckets, "to_buckets": new_buckets},
+    )
+    return {
+        "rewritten": True,
+        "num_buckets": new_buckets,
+        "from_buckets": old_buckets,
+        "rows": int(before[0]),
+        "snapshot_id": snap["snapshot_id"],
+    }
+
+
 def bucket_stats(spark: SparkSession, out_dir: str) -> dict:
     """Per-bucket layout/skew report — the decision input for ``compact``
     (files per bucket) and for salting (row skew). File counts/bytes come

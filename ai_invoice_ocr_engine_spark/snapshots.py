@@ -260,6 +260,60 @@ def _write_text_exclusive(spark: SparkSession, path: str, text: str) -> None:
         raise
 
 
+# --------------------------------------------------------- metadata tables
+def snapshots_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The snapshot log as a DataFrame — Iceberg's ``table.snapshots``
+    metadata-table analog, for SQL over table history (commit cadence,
+    op mix, growth curves). One row per retained snapshot."""
+    rows = [
+        (
+            int(s["snapshot_id"]),
+            s["parent_id"],
+            s["op"],
+            s.get("run_id"),
+            float(s["ts"]) if s.get("ts") is not None else None,
+            int(s["files"]),
+            int(s["bytes"]),
+            json.dumps(s["summary"], sort_keys=True),
+        )
+        for s in list_snapshots(spark, out_dir)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, parent_id int, op string, run_id string, "
+        "ts double, n_files int, total_bytes long, summary string",
+    )
+
+
+def files_df(
+    spark: SparkSession, out_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """A snapshot's file manifest as a DataFrame — Iceberg's
+    ``table.files`` analog (default HEAD). Columns carve the relpath
+    into (sub, bucket, file) so skew / small-file audits are one
+    groupBy away; pair with ``bucket_stats`` for the live-table view."""
+    if snapshot_id is None:
+        snapshot_id = current_snapshot_id(spark, out_dir)
+        if snapshot_id is None:
+            raise ValueError(f"{out_dir!r} has no snapshots")
+    snap = load_snapshot(spark, out_dir, snapshot_id)
+    pat = re.compile(r"(spans|lineage)/(?:bucket|partition_id)=(\d+)/(.+)\Z")
+    rows = []
+    for rel, size in snap["files"]:
+        m = pat.match(rel)
+        sub, bucket, name = (
+            (m.group(1), int(m.group(2)), m.group(3))
+            if m
+            else (rel.split("/", 1)[0], None, rel)
+        )
+        rows.append((int(snapshot_id), sub, bucket, name, rel, int(size)))
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, sub string, bucket int, file string, "
+        "relpath string, bytes long",
+    )
+
+
 # ------------------------------------------------------------------- tags
 _TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*\Z")
 

@@ -6229,6 +6229,104 @@ FROM t WHERE len(w) > 0
 """
 
 
+def q_source_gini(spark, sf):
+    """Gini coefficient of the documents-per-source distribution — the
+    single-number corpus-balance diagnostic (0 = perfectly even mixture,
+    →1 = one source dominates) that decides whether domain caps /
+    mixture reweighting are needed before training. Shape: one tiny
+    per-source aggregate (k rows), rank + two sums over those k rows —
+    the windows run on the AGGREGATE, never the corpus; portable floor
+    rounding (see q_rank_distribution)."""
+    d = _t(spark, sf, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "source")
+    ranked = per.select(
+        "n", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.agg(
+        F.sum(F.col("i") * F.col("n")).alias("s_in"),
+        F.sum("n").alias("s_n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return agg.select(
+        "k",
+        "s_n",
+        (
+            F.floor(
+                (
+                    (2.0 * F.col("s_in")) / (F.col("k") * F.col("s_n"))
+                    - (F.col("k") + 1.0) / F.col("k")
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("gini"),
+    )
+
+
+_SQL_SOURCE_GINI = """
+WITH per AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n, source) AS i FROM per
+),
+agg AS (
+  SELECT sum(i * n) AS s_in, sum(n) AS s_n, count(*) AS k FROM ranked
+)
+SELECT k, s_n::BIGINT AS s_n,
+       floor((2.0 * s_in / (k * s_n) - (k + 1.0) / k) * 1e6 + 0.5) / 1e6
+         AS gini
+FROM agg
+"""
+
+
+def q_user_burstiness(spark, sf):
+    """Per-user burstiness of event arrivals: the Fano factor
+    (variance/mean of the user's per-day event counts over the days the
+    user was active) — ~1 for Poisson-like traffic, >1 for bursty bot /
+    scraper signatures. Two map-side-combinable aggregations (events →
+    user-days → user), no windows, no global sort; users with a single
+    active day carry a NULL factor (sample variance undefined)."""
+    e = _t(spark, sf, "events")
+    per_day = (
+        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r6 = lambda col: F.floor(col * 1e6 + 0.5) / 1e6  # noqa: E731
+    return (
+        per_day.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("days"),
+            F.sum("c").alias("events"),
+            F.var_samp("c").alias("v"),
+            F.avg("c").alias("m"),
+        )
+        .select(
+            "user_id",
+            "days",
+            "events",
+            # single-active-day users: sample variance undefined — NULL
+            # (Spark's var_samp yields NaN there, DuckDB NULL; pin NULL)
+            F.when(
+                F.col("days") >= 2, r6(F.col("v") / F.col("m"))
+            ).alias("fano"),
+        )
+    )
+
+
+_SQL_USER_BURSTINESS = """
+WITH per_day AS (
+  SELECT user_id, ts::date AS d, count(*) AS c
+  FROM events GROUP BY user_id, ts::date
+)
+SELECT user_id,
+       count(*) AS days,
+       sum(c)::BIGINT AS events,
+       floor(var_samp(c) / avg(c) * 1e6 + 0.5) / 1e6 AS fano
+FROM per_day GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -6376,4 +6474,6 @@ REGISTRY: dict[str, tuple] = {
     "degree_histogram": (q_degree_histogram, _SQL_DEGREE_HISTOGRAM),
     "anomaly_zscore": (q_anomaly_zscore, _SQL_ANOMALY_ZSCORE),
     "doc_ttr": (q_doc_ttr, _SQL_DOC_TTR),
+    "source_gini": (q_source_gini, _SQL_SOURCE_GINI),
+    "user_burstiness": (q_user_burstiness, _SQL_USER_BURSTINESS),
 }

@@ -646,3 +646,41 @@ def test_inverted_index_df_before_postings(spark):
     assert plan.count("HashAggregate") >= 4
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_anomaly_zscore_per_user_window_only(spark):
+    """anomaly_zscore's rolling baseline is a per-user ROWS window —
+    hash-partitioned by user_id, never a global sort funnel."""
+    plan = plan_of(spark, "anomaly_zscore")
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_doc_ttr_zero_shuffle(spark):
+    """doc_ttr is a pure narrow projection (JVM array lambdas per row):
+    NO Exchange of any kind may appear."""
+    plan = plan_of(spark, "doc_ttr")
+    assert "Exchange" not in plan
+
+
+def test_user_burstiness_two_map_side_aggs(spark):
+    """user_burstiness = events→(user,day) agg→user agg: partial
+    aggregation before each shuffle, no windows, no global sort."""
+    plan = plan_of(spark, "user_burstiness")
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_source_gini_windows_on_aggregate_only(spark):
+    """source_gini's rank/sums run on the k-row per-source AGGREGATE:
+    the corpus contributes one partial-aggregated shuffle; the
+    SinglePartition funnels carry only aggregate rows (per-source
+    histogram + final 1-row reduce)."""
+    plan = plan_of(spark, "source_gini")
+    # corpus→histogram is partially aggregated before its shuffle
+    assert "HashAggregate" in plan
+    # the window input is the aggregated relation, not documents: the
+    # only scan feeds a HashAggregate, and at most the two tiny funnels
+    # (k-row window + final global agg) collapse to one partition
+    assert plan.count("Exchange SinglePartition") <= 2

@@ -215,12 +215,22 @@ def commit_snapshot(
 
     parent = current_snapshot_id(spark, out_dir)
     sid = (parent or 0) + 1
+    # record the bucket layout the files were written under: rollback
+    # across a rebucket boundary must re-pin _manifest.json to match the
+    # restored tree, or follow-on writes would mix layouts
+    num_buckets = None
+    mpath = posixpath.join(out_dir, "_manifest.json")
+    if _exists(spark, mpath):
+        from .pipeline import _read_text
+
+        num_buckets = json.loads(_read_text(spark, mpath)).get("num_buckets")
     snap = {
         "snapshot_id": sid,
         "parent_id": parent,
         "op": op,
         "run_id": run_id,
         "ts": round(time.time(), 3),
+        "num_buckets": num_buckets,
         "summary": summary or {},
         "files": files if files is not None else _list_tracked(spark, out_dir),
     }
@@ -714,6 +724,30 @@ def rollback(spark: SparkSession, out_dir: str, to_id: int) -> dict:
             posixpath.join(out_dir, rel),
         )
         n_restored += 1
+
+    # rolling back across a rebucket boundary: the restored tree carries
+    # the bucket layout of the TARGET snapshot — re-pin _manifest.json to
+    # it, or the layout guard would let follow-on writes mix layouts.
+    # (Snapshots committed before num_buckets was recorded skip the
+    # re-pin; verify-lineage still flags any resulting inconsistency.)
+    target_nb = target.get("num_buckets")
+    if target_nb is not None:
+        from .pipeline import BUCKET_LAYOUT, _read_text, _write_text
+
+        mpath = posixpath.join(out_dir, "_manifest.json")
+        cur = (
+            json.loads(_read_text(spark, mpath)).get("num_buckets")
+            if _exists(spark, mpath)
+            else None
+        )
+        if cur != target_nb:
+            _write_text(
+                spark,
+                mpath,
+                json.dumps(
+                    {"num_buckets": int(target_nb), "layout": BUCKET_LAYOUT}
+                ),
+            )
 
     snap = commit_snapshot(
         spark,

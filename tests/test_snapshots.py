@@ -412,6 +412,31 @@ def test_rebucket_partition_evolution(spark, corpus, tmp_path):
     }
 
 
+def test_rollback_across_rebucket_repins_manifest(spark, corpus, tmp_path):
+    """Rolling back over a rebucket commit restores the OLD bucket
+    layout — the manifest pin must follow, or the next extract would
+    write 16-bucket partitions into an 8-bucket tree."""
+    import json as _json
+
+    from ai_invoice_ocr_engine_spark.pipeline import rebucket_spans
+
+    out = str(tmp_path / "out")
+    _extract(spark, corpus, out)
+    spans_dir = os.path.join(out, "spans")
+    before = spans_key(spark.read.parquet(spans_dir).collect())
+
+    rebucket_spans(spark, out, 16)
+    S.rollback(spark, out, 1)
+
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert _json.load(f)["num_buckets"] == NB
+    assert spans_key(spark.read.parquet(spans_dir).collect()) == before
+    assert verify_lineage(spark, out)["ok"]
+    # follow-on ops run under the restored 8-bucket layout
+    rep = _extract(spark, corpus, out, run_id="again")
+    assert rep["docs"] == 0 and rep["buckets_skipped"] == NB
+
+
 def test_gc_removes_torn_files_only(spark, corpus, tmp_path):
     import glob
     import shutil

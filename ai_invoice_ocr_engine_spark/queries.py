@@ -6327,6 +6327,89 @@ FROM per_day GROUP BY user_id
 """
 
 
+#: C4-style blocklist — stand-in terms over the synthetic corpus (the
+#: real pipeline broadcasts its production list the same way)
+_BLOCKLIST = ("line", "group")
+
+
+def q_badwords_gate(spark, sf):
+    """C4-style blocklist gate: drop any document containing a blocked
+    term — the canonical first curation filter. The list is a broadcast
+    literal inside a JVM higher-order lambda (exists over the token
+    array): a pure narrow projection + filter, zero shuffle, zero
+    Python; at 10^12 docs the gate costs one scan."""
+    d = _t(spark, sf, "documents")
+    blocked = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    toks = F.split(F.lower("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.exists(toks, lambda t: F.array_contains(blocked, t)).alias(
+                "blocked"
+            ),
+        )
+        .where(~F.col("blocked"))
+        .select("doc_id", "source")
+    )
+
+
+_SQL_BADWORDS = """
+SELECT doc_id, source
+FROM documents
+WHERE NOT list_has_any(
+  string_split(lower(text), ' '),
+  ['line', 'group']
+)
+"""
+
+
+def q_terminal_punct_lines(spark, sf):
+    """C4's terminal-punctuation rule at sentence granularity: split each
+    document on '. ', count segments, and keep documents where ≥80% of
+    segments end in a word of ≥3 characters (the synthetic corpus has no
+    newlines, so sentence segments stand in for lines). All JVM lambdas
+    (split / filter / size), shuffle-free."""
+    d = _t(spark, sf, "documents")
+    segs = F.filter(
+        F.split("text", "\\. "), lambda s: F.length(s) > 0
+    )
+    good = F.filter(
+        segs,
+        lambda s: F.length(F.element_at(F.split(s, " "), -1)) >= 3,
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(segs).alias("n_segs"),
+            F.size(good).alias("n_good"),
+        )
+        .where(F.size(segs) > 0)
+        .withColumn(
+            "keep",
+            (F.col("n_good") / F.col("n_segs")) >= 0.8,
+        )
+    )
+
+
+_SQL_TERMINAL_PUNCT = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\. '), s -> len(s) > 0)
+           AS segs
+  FROM documents
+)
+SELECT doc_id,
+       len(segs) AS n_segs,
+       len(list_filter(segs,
+           s -> len(string_split(s, ' ')[-1]) >= 3)) AS n_good,
+       len(list_filter(segs,
+           s -> len(string_split(s, ' ')[-1]) >= 3))::DOUBLE
+         / len(segs) >= 0.8 AS keep
+FROM t WHERE len(segs) > 0
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -6476,4 +6559,6 @@ REGISTRY: dict[str, tuple] = {
     "doc_ttr": (q_doc_ttr, _SQL_DOC_TTR),
     "source_gini": (q_source_gini, _SQL_SOURCE_GINI),
     "user_burstiness": (q_user_burstiness, _SQL_USER_BURSTINESS),
+    "badwords_gate": (q_badwords_gate, _SQL_BADWORDS),
+    "terminal_punct_lines": (q_terminal_punct_lines, _SQL_TERMINAL_PUNCT),
 }

@@ -1256,7 +1256,11 @@ def compact_spans(
 
 
 def rebucket_spans(
-    spark: SparkSession, out_dir: str, new_buckets: int, run_id: str | None = None
+    spark: SparkSession,
+    out_dir: str,
+    new_buckets: int,
+    run_id: str | None = None,
+    target_mb: int = 128,
 ) -> dict:
     """Partition evolution: rewrite the spans table under a different
     bucket count — the Iceberg partition-spec-evolution analog for the
@@ -1266,14 +1270,19 @@ def rebucket_spans(
 
     At 10^12 docs the need is real: a table bucketed for yesterday's
     size eventually has buckets too large to task-parallelize or too
-    many files to list. The rewrite is one shuffle on the NEW bucket
-    key; safety mirrors compact_spans — write to temp, compare a
-    bucket-independent content digest (row count + order-insensitive
-    doc/spans checksum) on both copies, archive the old tree for time
-    travel, swap, recompute lineage under the new layout, re-pin the
-    manifest, commit a snapshot (op=rebucket). Old snapshots remain
-    readable with their ORIGINAL bucket numbers (the archived files
-    carry the old directory layout)."""
+    many files to list. The rewrite is one shuffle keyed on (new
+    bucket, slot) — compact's slot scheme, so a large bucket spreads
+    over ceil(bytes/target) tasks/files instead of one. Safety: the
+    expected content digest comes from the COMMITTED lineage rows (a
+    k-row aggregate — no pre-scan of the live tree, and torn files
+    from a crashed writer can't launder in: any divergence between
+    live data and lineage fails the gate; run `gc` first if a crash
+    left uncommitted files), the rewrite lands in a temp dir and must
+    reproduce that digest, the NEW lineage is also built from the temp
+    tree BEFORE any swap (the uncommitted window is just the renames,
+    as in compact), then archive → swap → re-pin manifest → commit
+    (op=rebucket). Old snapshots remain readable with their ORIGINAL
+    bucket numbers (the archived files carry the old layout)."""
     spans_dir = os.path.join(out_dir, "spans")
     lineage_dir = os.path.join(out_dir, "lineage")
     manifest = _read_manifest(spark, out_dir)
@@ -1284,31 +1293,61 @@ def rebucket_spans(
     if new_buckets == old_buckets:
         return {"rewritten": False, "num_buckets": old_buckets}
     run_id = run_id or f"rebucket-{uuid.uuid4().hex[:8]}"
+    target = int(target_mb) * 1024 * 1024
 
-    def _content_digest(d: str) -> tuple:
-        row = (
-            spark.read.parquet(d)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(
-                    F.xxhash64("doc_id", F.to_json("spans_out"))
-                ).alias("checksum"),
-            )
-            .collect()[0]
-        )
+    def _content_digest(df) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                F.xxhash64("doc_id", F.to_json("spans_out"))
+            ).alias("checksum"),
+        ).collect()[0]
         return (row["n"], row["checksum"])
 
-    before = _content_digest(spans_dir)
+    # expected digest from committed lineage (k rows; xor folds across
+    # buckets) — the gate that both saves a full pre-scan and refuses to
+    # launder torn uncommitted files into the rewrite
+    lrow = (
+        spark.read.parquet(lineage_dir)
+        .agg(
+            F.coalesce(F.sum("doc_count"), F.lit(0)).cast("long").alias("n"),
+            F.bit_xor("checksum").alias("checksum"),
+        )
+        .collect()[0]
+    )
+    before = (lrow["n"], lrow["checksum"])
+
+    total_bytes = sum(
+        sz for _, sz in _list_parquet_files(spark, spans_dir)
+    )
+    # slots per NEW bucket ≈ ceil(expected bucket bytes / target): a big
+    # bucket spreads over that many tasks/files (compact's slot scheme)
+    n_slots = max(1, -(-total_bytes // (new_buckets * target)))
     df = spark.read.parquet(spans_dir).drop("bucket")
-    rewritten = with_bucket(df, new_buckets).repartition(
-        max(new_buckets, spark.sparkContext.defaultParallelism), "bucket"
+    rewritten = (
+        with_bucket(df, new_buckets)
+        .withColumn(
+            "slot", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(n_slots))
+        )
+        .repartition(int(new_buckets * n_slots), F.col("bucket"), F.col("slot"))
+        .drop("slot")
     )
     tmp = spans_dir + "_rebucket_tmp"
     _delete_path(spark, tmp)
     rewritten.write.partitionBy("bucket").parquet(tmp)
-    if _content_digest(tmp) != before:
+    staged = spark.read.parquet(tmp)
+    if _content_digest(staged) != before:
         _delete_path(spark, tmp)
-        raise ValueError("rebucket digest mismatch; original left untouched")
+        raise ValueError(
+            "rebucket digest mismatch vs committed lineage; original left "
+            "untouched (uncommitted files from a crashed writer? run `gc`)"
+        )
+    # new-layout lineage from the VERIFIED temp tree, before any swap
+    lineage_tmp = lineage_dir + "_rebucket_tmp"
+    _delete_path(spark, lineage_tmp)
+    lineage_of(staged, run_id).write.partitionBy(
+        "partition_id"
+    ).parquet(lineage_tmp)
 
     snapshots.archive_all(spark, out_dir)
     backup = spans_dir + "_backup"
@@ -1316,12 +1355,6 @@ def rebucket_spans(
     _move_path(spark, spans_dir, backup)
     _move_path(spark, tmp, spans_dir)
     _delete_path(spark, backup)
-    # lineage belongs to the bucket layout: recompute it wholesale
-    lineage_tmp = lineage_dir + "_rebucket_tmp"
-    _delete_path(spark, lineage_tmp)
-    lineage_of(spark.read.parquet(spans_dir), run_id).write.partitionBy(
-        "partition_id"
-    ).parquet(lineage_tmp)
     lineage_backup = lineage_dir + "_backup"
     _delete_path(spark, lineage_backup)
     _move_path(spark, lineage_dir, lineage_backup)

@@ -6288,41 +6288,57 @@ def q_user_burstiness(spark, sf):
     user-days → user), no windows, no global sort; users with a single
     active day carry a NULL factor (sample variance undefined)."""
     e = _t(spark, sf, "events")
+    # day bucketing via the registry's portable epoch-seconds idiom, not
+    # raw date casts (timezone-independent on both engines)
     per_day = (
-        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        e.groupBy(
+            "user_id", F.expr("unix_timestamp(ts) div 86400").alias("d")
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
     r6 = lambda col: F.floor(col * 1e6 + 0.5) / 1e6  # noqa: E731
+    # variance from EXACT integer sums, not var_samp: the engines'
+    # var_samp algorithms (Welford vs two-pass) differ in the last ulp,
+    # which flips the rounding at exactly-representable half boundaries
+    # (seen at sf0.1). Integer s/s2/days are exact; both engines then
+    # run the identical IEEE-double expression tree.
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("days").cast("double")
+    v = (s2d - sd * sd / nd) / (nd - 1)
+    m = sd / nd
     return (
         per_day.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("days"),
-            F.sum("c").alias("events"),
-            F.var_samp("c").alias("v"),
-            F.avg("c").alias("m"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
         )
         .select(
             "user_id",
             "days",
-            "events",
+            F.col("s").alias("events"),
             # single-active-day users: sample variance undefined — NULL
-            # (Spark's var_samp yields NaN there, DuckDB NULL; pin NULL)
-            F.when(
-                F.col("days") >= 2, r6(F.col("v") / F.col("m"))
-            ).alias("fano"),
+            F.when(F.col("days") >= 2, r6(v / m)).alias("fano"),
         )
     )
 
 
 _SQL_USER_BURSTINESS = """
 WITH per_day AS (
-  SELECT user_id, ts::date AS d, count(*) AS c
-  FROM events GROUP BY user_id, ts::date
+  SELECT user_id, floor(epoch(ts))::bigint // 86400 AS d, count(*) AS c
+  FROM events GROUP BY user_id, floor(epoch(ts))::bigint // 86400
 )
 SELECT user_id,
        count(*) AS days,
        sum(c)::BIGINT AS events,
-       floor(var_samp(c) / avg(c) * 1e6 + 0.5) / 1e6 AS fano
+       CASE WHEN count(*) >= 2 THEN
+         floor(
+           ((sum(c*c)::DOUBLE - sum(c)::DOUBLE * sum(c)::DOUBLE
+             / count(*)::DOUBLE) / (count(*)::DOUBLE - 1))
+           / (sum(c)::DOUBLE / count(*)::DOUBLE)
+           * 1e6 + 0.5) / 1e6
+       END AS fano
 FROM per_day GROUP BY user_id
 """
 
@@ -6354,12 +6370,13 @@ def q_badwords_gate(spark, sf):
     )
 
 
-_SQL_BADWORDS = """
+# interpolated from _BLOCKLIST so the two engines cannot drift
+_SQL_BADWORDS = f"""
 SELECT doc_id, source
 FROM documents
 WHERE NOT list_has_any(
   string_split(lower(text), ' '),
-  ['line', 'group']
+  [{", ".join(f"'{w}'" for w in _BLOCKLIST)}]
 )
 """
 

@@ -412,6 +412,30 @@ def test_rebucket_partition_evolution(spark, corpus, tmp_path):
     }
 
 
+def test_rebucket_refuses_torn_files(spark, corpus, tmp_path):
+    """A torn (uncommitted) file must FAIL the rebucket digest gate —
+    the rewrite must never launder a crashed writer's rows into a
+    committed snapshot with freshly matching lineage."""
+    import glob
+    import shutil
+
+    from ai_invoice_ocr_engine_spark.pipeline import rebucket_spans
+
+    out = str(tmp_path / "out")
+    _extract(spark, corpus, out)
+    spans_dir = os.path.join(out, "spans")
+    some = glob.glob(f"{spans_dir}/bucket=*/part-*.parquet")[0]
+    shutil.copy(
+        some, os.path.join(os.path.dirname(some), "part-torn.parquet")
+    )
+    with pytest.raises(ValueError, match="digest mismatch"):
+        rebucket_spans(spark, out, 16)
+    # table untouched, recovery path works
+    S.gc_uncommitted(spark, out)
+    assert rebucket_spans(spark, out, 16)["rewritten"]
+    assert verify_lineage(spark, out)["ok"]
+
+
 def test_rollback_across_rebucket_repins_manifest(spark, corpus, tmp_path):
     """Rolling back over a rebucket commit restores the OLD bucket
     layout — the manifest pin must follow, or the next extract would

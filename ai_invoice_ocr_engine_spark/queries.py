@@ -6427,6 +6427,98 @@ FROM t WHERE len(segs) > 0
 """
 
 
+def q_lang_confusion(spark, sf):
+    """Classifier-vs-label confusion matrix: the langid heuristic's
+    predictions crossed with the corpus's labeled lang — the eval view
+    that turns a per-doc classifier into precision/recall numbers. One
+    narrow projection (the langid markers) then a k×k count aggregate;
+    at 10^12 docs the shuffle carries one partial count row per
+    (label, prediction) cell per task."""
+    from .functions import text as T
+
+    d = _t(spark, sf, "documents")
+    return (
+        T.with_langid(d)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_LANG_CONFUSION = """
+WITH base AS (
+  SELECT lang AS labeled_lang,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','and','of','is','a','to','in'))) >= 2
+              THEN 'en' ELSE 'other' END AS predicted_lang
+  FROM documents
+)
+SELECT labeled_lang, predicted_lang, count(*) AS n
+FROM base GROUP BY labeled_lang, predicted_lang
+"""
+
+
+def q_group_percentiles(spark, sf):
+    """Grouped EXACT percentiles: p25/p50/p75 of document length per
+    lang — the distribution-profile shape (distinct from the global
+    `quantiles` query and the sketch-based approx gate). Quantile
+    fractions are dyadic (.25/.5/.75) over integer values, so the
+    linear-interpolation arithmetic is exact in double on both engines
+    — no rounding device needed."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_GROUP_PCT = """
+SELECT lang,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       count(*) AS n
+FROM documents GROUP BY lang
+"""
+
+
+def q_mad_robust_stats(spark, sf):
+    """Robust per-source location/scale: median and MAD (median absolute
+    deviation) of document length — the outlier-resistant profile pair
+    (mean/stddev lie under heavy tails; curation thresholds should key
+    on these). Two grouped exact-median passes with a broadcast-size
+    join between them (k source rows). Deviations are multiples of 0.5
+    and the dyadic 0.5 fraction keeps every interpolation exact — no
+    rounding device."""
+    d = _t(spark, sf, "documents").select("source", "n_chars")
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", "med", F.abs(F.col("n_chars") - F.col("med")).alias("ad")
+    )
+    return dev.groupBy("source").agg(
+        F.first("med").alias("median_chars"),
+        F.expr("percentile(ad, 0.5)").alias("mad_chars"),
+    )
+
+
+_SQL_MAD_STATS = """
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, m.med, abs(d.n_chars - m.med) AS ad
+  FROM documents d JOIN med m USING (source)
+)
+SELECT source, any_value(med) AS median_chars,
+       quantile_cont(ad, 0.5) AS mad_chars
+FROM dev GROUP BY source
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "pps_sample": (q_pps_sample, _SQL_PPS_SAMPLE),
@@ -6578,4 +6670,7 @@ REGISTRY: dict[str, tuple] = {
     "user_burstiness": (q_user_burstiness, _SQL_USER_BURSTINESS),
     "badwords_gate": (q_badwords_gate, _SQL_BADWORDS),
     "terminal_punct_lines": (q_terminal_punct_lines, _SQL_TERMINAL_PUNCT),
+    "lang_confusion": (q_lang_confusion, _SQL_LANG_CONFUSION),
+    "group_percentiles": (q_group_percentiles, _SQL_GROUP_PCT),
+    "mad_robust_stats": (q_mad_robust_stats, _SQL_MAD_STATS),
 }

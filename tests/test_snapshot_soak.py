@@ -22,7 +22,9 @@ from ai_invoice_ocr_engine_spark.pipeline import (
 from .util import spans_key
 
 NB = 8
-STEPS = 10
+#: in-suite default 10; the exit ritual runs an extended pass via
+#: SPARK_GRAFT_SOAK_STEPS=40
+STEPS = int(os.environ.get("SPARK_GRAFT_SOAK_STEPS", "10"))
 
 
 def test_randomized_mutation_soak(spark, corpus, tmp_path):

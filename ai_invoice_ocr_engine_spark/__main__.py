@@ -216,6 +216,9 @@ def main(argv=None) -> int:
     lk = sub.add_parser("lookup", help="bucket-pruned point lookup by doc_id")
     lk.add_argument("--out", required=True, help="extract out_dir")
     lk.add_argument("--doc-ids", required=True, help="comma-separated ids")
+    lk.add_argument("--history", action="store_true",
+                    help="audit trail across retained snapshots instead of "
+                    "the live value (one bucket-pruned read per snapshot)")
     lk.add_argument("--master", default=None)
 
     cu = sub.add_parser(
@@ -256,7 +259,12 @@ def main(argv=None) -> int:
     # the reference CLI's output-format switch (dococr predict -f,
     # /root/reference/cli.py:33-38) as a post-extraction step
     x = sub.add_parser("export", help="export an extracted spans table")
-    x.add_argument("--spans", required=True, help="OUT/spans dir of `extract`")
+    src = x.add_mutually_exclusive_group(required=True)
+    src.add_argument("--spans", help="OUT/spans dir of `extract` (live table)")
+    src.add_argument("--table", help="extract out_dir — read via the "
+                     "snapshot log (HEAD, or --as-of)")
+    x.add_argument("--as-of", dest="as_of", type=int, default=None,
+                   help="with --table: snapshot id to export (time travel)")
     x.add_argument("--out", required=True)
     x.add_argument("--format", default="json", choices=["json", "csv", "txt", "xlsx", "html"])
     x.add_argument("--master", default=None)
@@ -428,7 +436,12 @@ def main(argv=None) -> int:
 
         spark = get_spark(app="export", master=args.master)
         try:
-            result = spark.read.parquet(args.spans)
+            if args.table:
+                from .snapshots import read_snapshot
+
+                result = read_snapshot(spark, args.table, args.as_of)
+            else:
+                result = spark.read.parquet(args.spans)
             writer = {"json": X.write_json, "csv": X.write_csv, "txt": X.write_text,
                       "xlsx": X.write_xlsx, "html": X.write_html}
             writer[args.format](result, args.out)
@@ -665,12 +678,23 @@ def main(argv=None) -> int:
 
         spark = get_spark(app="lookup", master=args.master)
         try:
-            rows = lookup_docs(
-                spark, args.out, args.doc_ids.split(",")
-            ).select("doc_id", F.size("spans_out").alias("n_spans")).collect()
+            if args.history:
+                from .snapshots import doc_history
+
+                rep = {
+                    d: doc_history(spark, args.out, d)
+                    for d in args.doc_ids.split(",")
+                }
+            else:
+                rows = lookup_docs(
+                    spark, args.out, args.doc_ids.split(",")
+                ).select(
+                    "doc_id", F.size("spans_out").alias("n_spans")
+                ).collect()
+                rep = {r["doc_id"]: r["n_spans"] for r in rows}
         finally:
             spark.stop()
-        print(json.dumps({r["doc_id"]: r["n_spans"] for r in rows}))
+        print(json.dumps(rep))
         return 0
 
     if args.cmd == "oracle":

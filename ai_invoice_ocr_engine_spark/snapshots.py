@@ -324,6 +324,49 @@ def files_df(
     )
 
 
+def doc_history(spark: SparkSession, out_dir: str, doc_id: str) -> list[dict]:
+    """One document's audit trail across every retained snapshot:
+    (snapshot_id, op, present, n_spans, digest). The GDPR/debugging
+    answer to 'what did we serve for this doc, when, and when did it
+    change/disappear'. Each retained snapshot costs one bucket-pruned
+    point read (the doc's bucket is recomputed per snapshot from the
+    layout THAT snapshot recorded, so the trail stays correct across
+    rebucket boundaries; legacy snapshots without the field scan the
+    snapshot's spans fully — correct, just unpruned)."""
+    from .xxh import spark_bucket
+
+    out = []
+    for sid in _snapshot_ids(spark, out_dir):
+        snap = load_snapshot(spark, out_dir, sid)
+        nb = snap.get("num_buckets")
+        buckets = [spark_bucket(doc_id, int(nb))] if nb else None
+        df = read_snapshot(
+            spark, out_dir, sid, "spans", buckets=buckets, empty_ok=True
+        )
+        row = None
+        if df is not None:
+            row = (
+                df.where(F.col("doc_id") == doc_id)
+                .select(
+                    F.size("spans_out").alias("n_spans"),
+                    F.xxhash64("doc_id", F.to_json("spans_out")).alias(
+                        "digest"
+                    ),
+                )
+                .first()
+            )
+        out.append(
+            {
+                "snapshot_id": sid,
+                "op": snap["op"],
+                "present": row is not None,
+                "n_spans": int(row["n_spans"]) if row is not None else None,
+                "digest": int(row["digest"]) if row is not None else None,
+            }
+        )
+    return out
+
+
 # ------------------------------------------------------------------- tags
 _TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*\Z")
 

@@ -334,6 +334,59 @@ def test_tags_pin_snapshots_through_expiry(spark, corpus, tmp_path):
         S.set_tag(spark, out, "ghost", 77)
 
 
+def test_doc_history_audit_trail(spark, history):
+    """The per-doc audit trail across retained snapshots: an upserted
+    doc shows its digest change, a deleted doc flips present→False,
+    and a never-touched doc stays constant."""
+    out = history["out"]
+    gone = history["del_ids"][0]
+    h = S.doc_history(spark, out, gone)
+    assert [e["present"] for e in h][:3] == [True, True, False]
+    assert all(
+        e["present"] is False and e["n_spans"] is None
+        for e in h if e["snapshot_id"] >= 3
+    )
+
+    changed = {
+        k for k in history["up_ids"]
+        if history["states"][1][k] != history["states"][2][k]
+    }
+    if changed:
+        d = sorted(changed)[0]
+        h2 = S.doc_history(spark, out, d)
+        assert h2[0]["digest"] != h2[1]["digest"]
+        assert all(e["present"] for e in h2)
+
+    untouched = sorted(
+        set(history["states"][1])
+        - set(history["up_ids"]) - set(history["del_ids"])
+    )[0]
+    h3 = S.doc_history(spark, out, untouched)
+    assert len({e["digest"] for e in h3}) == 1 and all(
+        e["present"] for e in h3
+    )
+
+
+def test_export_as_of_cli(spark, history, tmp_path):
+    """`export --table OUT --as-of N` writes a historical snapshot via
+    the CLI (subprocess — the real job surface)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    out = history["out"]
+    dst = str(tmp_path / "exp")
+    r = subprocess.run(
+        [sys.executable, "-m", "ai_invoice_ocr_engine_spark", "export",
+         "--table", out, "--as-of", "1", "--out", dst,
+         "--format", "json", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["docs"] == len(history["states"][1])
+
+
 def test_metadata_tables(spark, history):
     out = history["out"]
     sdf = S.snapshots_df(spark, out)

@@ -434,6 +434,10 @@ def main(argv=None) -> int:
         from .sources import export as X
         from .sources.session import get_spark
 
+        if args.as_of is not None and not args.table:
+            print("export: --as-of requires --table (snapshot-log read); "
+                  "--spans always exports the live table", file=sys.stderr)
+            return 2
         spark = get_spark(app="export", master=args.master)
         try:
             if args.table:
@@ -681,10 +685,7 @@ def main(argv=None) -> int:
             if args.history:
                 from .snapshots import doc_history
 
-                rep = {
-                    d: doc_history(spark, args.out, d)
-                    for d in args.doc_ids.split(",")
-                }
+                rep = doc_history(spark, args.out, args.doc_ids.split(","))
             else:
                 rows = lookup_docs(
                     spark, args.out, args.doc_ids.split(",")

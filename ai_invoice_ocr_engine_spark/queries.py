@@ -6463,7 +6463,11 @@ def q_group_percentiles(spark, sf):
     `quantiles` query and the sketch-based approx gate). Quantile
     fractions are dyadic (.25/.5/.75) over integer values, so the
     linear-interpolation arithmetic is exact in double on both engines
-    — no rounding device needed."""
+    — no rounding device needed. Scale posture: Spark's exact
+    percentile buffers each group's values on one task — fine for the
+    per-group cardinalities here; at 10^12 rows per group use the
+    sketch-based quartiles_bucketed path (operators/), which is the
+    documented scale answer."""
     d = _t(spark, sf, "documents")
     return d.groupBy("lang").agg(
         F.expr("percentile(n_chars, 0.25)").alias("p25"),
@@ -6490,7 +6494,9 @@ def q_mad_robust_stats(spark, sf):
     on these). Two grouped exact-median passes with a broadcast-size
     join between them (k source rows). Deviations are multiples of 0.5
     and the dyadic 0.5 fraction keeps every interpolation exact — no
-    rounding device."""
+    rounding device. Same exact-percentile scale caveat as
+    q_group_percentiles: per-group values buffer on one task; swap in
+    the sketch path for extreme per-group cardinalities."""
     d = _t(spark, sf, "documents").select("source", "n_chars")
     med = d.groupBy("source").agg(
         F.expr("percentile(n_chars, 0.5)").alias("med")

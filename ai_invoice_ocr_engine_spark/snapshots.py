@@ -324,46 +324,82 @@ def files_df(
     )
 
 
-def doc_history(spark: SparkSession, out_dir: str, doc_id: str) -> list[dict]:
-    """One document's audit trail across every retained snapshot:
-    (snapshot_id, op, present, n_spans, digest). The GDPR/debugging
-    answer to 'what did we serve for this doc, when, and when did it
-    change/disappear'. Each retained snapshot costs one bucket-pruned
-    point read (the doc's bucket is recomputed per snapshot from the
-    layout THAT snapshot recorded, so the trail stays correct across
-    rebucket boundaries; legacy snapshots without the field scan the
-    snapshot's spans fully — correct, just unpruned)."""
+def doc_history(
+    spark: SparkSession, out_dir: str, doc_ids
+) -> dict[str, list[dict]]:
+    """Documents' audit trails across every retained snapshot:
+    {doc_id: [(snapshot_id, op, present, n_spans, digest), ...]}. The
+    GDPR/debugging answer to 'what did we serve for this doc, when, and
+    when did it change/disappear'. Cost: ONE bucket-pruned job per
+    retained snapshot covering ALL requested docs (buckets are
+    recomputed per snapshot from the layout THAT snapshot recorded, so
+    trails stay pruned and correct across rebucket boundaries; legacy
+    snapshots without the field scan that snapshot's spans fully —
+    correct, just unpruned). Loud on a directory with no snapshot log,
+    matching gc/files_df."""
     from .xxh import spark_bucket
 
-    out = []
-    for sid in _snapshot_ids(spark, out_dir):
+    if isinstance(doc_ids, str):
+        doc_ids = [doc_ids]
+    doc_ids = list(doc_ids)
+    sids = _snapshot_ids(spark, out_dir)
+    if not sids:
+        raise ValueError(
+            f"{out_dir!r} has no snapshot log — not a snapshot-committed "
+            "extract out_dir"
+        )
+    out: dict[str, list[dict]] = {d: [] for d in doc_ids}
+    for sid in sids:
         snap = load_snapshot(spark, out_dir, sid)
         nb = snap.get("num_buckets")
-        buckets = [spark_bucket(doc_id, int(nb))] if nb else None
-        df = read_snapshot(
-            spark, out_dir, sid, "spans", buckets=buckets, empty_ok=True
+        buckets = (
+            sorted({spark_bucket(d, int(nb)) for d in doc_ids})
+            if nb
+            else None
         )
-        row = None
-        if df is not None:
-            row = (
-                df.where(F.col("doc_id") == doc_id)
+        live, archived = _resolve_files(spark, out_dir, snap, "spans", buckets)
+        rows = {}
+        if live or archived:
+            parts = []
+            if live:
+                parts.append(
+                    spark.read.option(
+                        "basePath", posixpath.join(out_dir, "spans")
+                    ).parquet(*live)
+                )
+            if archived:
+                parts.append(
+                    spark.read.option(
+                        "basePath",
+                        posixpath.join(out_dir, ARCHIVE_DIR, "spans"),
+                    ).parquet(*archived)
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = p.unionByName(df)
+            rows = {
+                r["doc_id"]: r
+                for r in df.where(F.col("doc_id").isin(doc_ids))
                 .select(
+                    "doc_id",
                     F.size("spans_out").alias("n_spans"),
                     F.xxhash64("doc_id", F.to_json("spans_out")).alias(
                         "digest"
                     ),
                 )
-                .first()
-            )
-        out.append(
-            {
-                "snapshot_id": sid,
-                "op": snap["op"],
-                "present": row is not None,
-                "n_spans": int(row["n_spans"]) if row is not None else None,
-                "digest": int(row["digest"]) if row is not None else None,
+                .collect()
             }
-        )
+        for d in doc_ids:
+            r = rows.get(d)
+            out[d].append(
+                {
+                    "snapshot_id": sid,
+                    "op": snap["op"],
+                    "present": r is not None,
+                    "n_spans": int(r["n_spans"]) if r is not None else None,
+                    "digest": int(r["digest"]) if r is not None else None,
+                }
+            )
     return out
 
 

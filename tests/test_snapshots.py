@@ -340,31 +340,33 @@ def test_doc_history_audit_trail(spark, history):
     and a never-touched doc stays constant."""
     out = history["out"]
     gone = history["del_ids"][0]
-    h = S.doc_history(spark, out, gone)
+    changed = sorted(
+        k for k in history["up_ids"]
+        if history["states"][1][k] != history["states"][2][k]
+    )
+    untouched = sorted(
+        set(history["states"][1])
+        - set(history["up_ids"]) - set(history["del_ids"])
+    )[0]
+    ids = [gone, untouched] + changed[:1]
+    trails = S.doc_history(spark, out, ids)  # ONE call, one job/snapshot
+
+    h = trails[gone]
     assert [e["present"] for e in h][:3] == [True, True, False]
     assert all(
         e["present"] is False and e["n_spans"] is None
         for e in h if e["snapshot_id"] >= 3
     )
-
-    changed = {
-        k for k in history["up_ids"]
-        if history["states"][1][k] != history["states"][2][k]
-    }
     if changed:
-        d = sorted(changed)[0]
-        h2 = S.doc_history(spark, out, d)
+        h2 = trails[changed[0]]
         assert h2[0]["digest"] != h2[1]["digest"]
         assert all(e["present"] for e in h2)
-
-    untouched = sorted(
-        set(history["states"][1])
-        - set(history["up_ids"]) - set(history["del_ids"])
-    )[0]
-    h3 = S.doc_history(spark, out, untouched)
+    h3 = trails[untouched]
     assert len({e["digest"] for e in h3}) == 1 and all(
         e["present"] for e in h3
     )
+    with pytest.raises(ValueError, match="no snapshot log"):
+        S.doc_history(spark, str(out) + "_nope", ["x"])
 
 
 def test_export_as_of_cli(spark, history, tmp_path):
@@ -374,13 +376,14 @@ def test_export_as_of_cli(spark, history, tmp_path):
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = history["out"]
     dst = str(tmp_path / "exp")
     r = subprocess.run(
         [sys.executable, "-m", "ai_invoice_ocr_engine_spark", "export",
          "--table", out, "--as-of", "1", "--out", dst,
          "--format", "json", "--master", "local[4]"],
-        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        capture_output=True, text=True, timeout=300, cwd=repo,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     rep = _json.loads(r.stdout.strip().splitlines()[-1])

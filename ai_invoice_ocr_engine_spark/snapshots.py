@@ -33,9 +33,14 @@ links — no data pass; time-travel reads hand Spark an explicit file list
 archived, unioned), so partition pruning on ``bucket`` still works;
 ``snapshot_changes`` diffs ONLY the buckets whose file sets differ
 between the two manifests, so CDC cost is bounded by the mutation size,
-not the table size. Single-writer assumption: like Iceberg without a
-catalog, concurrent committers are not arbitrated here — at cluster
-scale the catalog's optimistic-commit protocol takes over.
+not the table size. Concurrent committers ARE arbitrated at the
+filesystem (atomic exclusive manifest create — one winner per id,
+losers get a loud error), the same optimistic-commit stance Iceberg
+takes; a catalog adds retry orchestration, not safety. Manifests list
+every tracked file as one JSON document — right up to the file counts
+compaction is meant to maintain; beyond that (multi-million-file
+tables) Iceberg's hierarchical manifest reuse is the recorded
+catalog-scale path.
 """
 
 from __future__ import annotations

@@ -206,6 +206,13 @@ def main(argv=None) -> int:
     tg.add_argument("--delete", action="store_true")
     tg.add_argument("--master", default=None)
 
+    cl = sub.add_parser(
+        "clone", help="zero-copy table clone (hard links + snapshot log)"
+    )
+    cl.add_argument("--src", required=True, help="source extract out_dir")
+    cl.add_argument("--dst", required=True, help="destination out_dir")
+    cl.add_argument("--master", default=None)
+
     gc = sub.add_parser(
         "gc", help="remove torn (uncommitted) files the HEAD snapshot "
         "does not reference"
@@ -657,6 +664,18 @@ def main(argv=None) -> int:
                           file=sys.stderr)
                     return 2
                 rep = set_tag(spark, args.out, args.name, args.to)
+        finally:
+            spark.stop()
+        print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "clone":
+        from .snapshots import clone_table
+        from .sources.session import get_spark
+
+        spark = get_spark(app="clone", master=args.master)
+        try:
+            rep = clone_table(spark, args.src, args.dst)
         finally:
             spark.stop()
         print(json.dumps(rep))

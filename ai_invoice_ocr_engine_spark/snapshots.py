@@ -848,6 +848,78 @@ def rollback(spark: SparkSession, out_dir: str, to_id: int) -> dict:
     }
 
 
+# ------------------------------------------------------------------ clone
+def clone_table(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
+    """Zero-copy clone of a snapshot-committed table — the CLONE TABLE /
+    snapshot-export primitive for sandboxing a production table: every
+    tracked data file, archive file, snapshot manifest, tag, and the
+    layout manifest is hard-linked (local) or copied ('://') into
+    ``dst_dir``. Data files are immutable (writers always create new
+    part files; nothing mutates in place), so clone and source share
+    bytes safely: mutations on either side add/remove NAMES, never
+    rewrite shared content. Cost: O(files) metadata ops, zero data
+    locally. The clone is a full first-class table — its own history,
+    its own future."""
+    # ('://' paths fall back to FileUtil.copy inside _preserve — still
+    # correct, just not zero-copy)
+    if current_snapshot_id(spark, src_dir) is None:
+        raise ValueError(
+            f"{src_dir!r} has no snapshot log — clone requires a "
+            "snapshot-committed table"
+        )
+    if _exists(spark, posixpath.join(dst_dir, SNAP_DIR)):
+        raise ValueError(f"{dst_dir!r} already holds a table; refusing")
+
+    n_files = 0
+    for rel, _ in _list_tracked(spark, src_dir):
+        _preserve(
+            spark,
+            posixpath.join(src_dir, rel),
+            posixpath.join(dst_dir, rel),
+        )
+        n_files += 1
+    arch_root = posixpath.join(src_dir, ARCHIVE_DIR)
+    if _exists(spark, arch_root):
+        from .pipeline import _list_parquet_files
+
+        for path, _ in _list_parquet_files(spark, arch_root):
+            rel = _relpath(path, arch_root)
+            _preserve(
+                spark, path, posixpath.join(dst_dir, ARCHIVE_DIR, rel)
+            )
+            n_files += 1
+    from .pipeline import _read_text, _write_text
+
+    snap_src = posixpath.join(src_dir, SNAP_DIR)
+    if _is_local(snap_src):
+        names = os.listdir(snap_src)
+    else:
+        jvm, _, p, fs = _jfs(spark, snap_src)
+        names = [st.getPath().getName() for st in fs.listStatus(p)]
+    n_meta = 0
+    for n in names:
+        if n.endswith(".json"):
+            _write_text(
+                spark,
+                posixpath.join(dst_dir, SNAP_DIR, n),
+                _read_text(spark, posixpath.join(snap_src, n)),
+            )
+            n_meta += 1
+    mpath = posixpath.join(src_dir, "_manifest.json")
+    if _exists(spark, mpath):
+        _write_text(
+            spark,
+            posixpath.join(dst_dir, "_manifest.json"),
+            _read_text(spark, mpath),
+        )
+    return {
+        "src": src_dir,
+        "dst": dst_dir,
+        "files": n_files,
+        "snapshots": n_meta,
+    }
+
+
 # ----------------------------------------------------------------- expiry
 def expire_snapshots(
     spark: SparkSession, out_dir: str, keep_last: int = 2

@@ -517,6 +517,62 @@ def test_rollback_across_rebucket_repins_manifest(spark, corpus, tmp_path):
     assert rep["docs"] == 0 and rep["buckets_skipped"] == NB
 
 
+def test_clone_table_is_independent(spark, corpus, tmp_path):
+    """Zero-copy clone: identical reads and history at clone time, then
+    fully independent — mutations on either side never leak to the
+    other (files are immutable; clone and source share bytes, not
+    names)."""
+    src = str(tmp_path / "src")
+    _extract(spark, corpus, src)
+    src_state = spans_key(
+        spark.read.parquet(os.path.join(src, "spans")).collect()
+    )
+
+    dst = str(tmp_path / "dst")
+    rep = S.clone_table(spark, src, dst)
+    assert rep["files"] > 0 and rep["snapshots"] >= 1
+    assert spans_key(
+        spark.read.parquet(os.path.join(dst, "spans")).collect()
+    ) == src_state
+    assert [s["op"] for s in S.list_snapshots(spark, dst)] == ["extract"]
+    assert verify_lineage(spark, dst)["ok"]
+
+    # mutate the CLONE: delete a doc — source untouched
+    gone = sorted(src_state)[0]
+    upsert_extract(
+        spark, dst, corpus["docs_path"],
+        where=f"doc_id = '{gone}'", delete=True,
+    )
+    assert spans_key(
+        spark.read.parquet(os.path.join(src, "spans")).collect()
+    ) == src_state
+    # mutate the SOURCE: delete a different doc — clone untouched
+    other = sorted(src_state)[1]
+    upsert_extract(
+        spark, src, corpus["docs_path"],
+        where=f"doc_id = '{other}'", delete=True,
+    )
+    assert set(spans_key(
+        spark.read.parquet(os.path.join(dst, "spans")).collect()
+    )) == set(src_state) - {gone}
+    # histories diverged independently
+    assert [s["op"] for s in S.list_snapshots(spark, src)] == [
+        "extract", "delete"
+    ]
+    assert [s["op"] for s in S.list_snapshots(spark, dst)] == [
+        "extract", "delete"
+    ]
+    # clone's time travel still reaches the shared snapshot 1
+    assert spans_key(
+        S.read_snapshot(spark, dst, 1).collect()
+    ) == src_state
+    # refuse to clone onto an existing table
+    with pytest.raises(ValueError, match="already holds a table"):
+        S.clone_table(spark, src, dst)
+    with pytest.raises(ValueError, match="no snapshot log"):
+        S.clone_table(spark, str(tmp_path / "empty"), str(tmp_path / "d2"))
+
+
 def test_gc_removes_torn_files_only(spark, corpus, tmp_path):
     import glob
     import shutil

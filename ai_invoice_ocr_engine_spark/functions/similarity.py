@@ -76,34 +76,169 @@ def lsh_bucket_histogram(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
     )
 
 
+def auto_bits(n_rows: int, dim: int, target_bucket: int = 1024) -> int:
+    """Operating curve for the sign-LSH bit width (VERDICT r4 next-step #8).
+
+    A fixed ``n_bits`` is a fixed 2^n_bits bucket space: per-bucket
+    population grows linearly with the corpus and every bucket-local join
+    grows quadratically — the exact shape the mega-bucket guards below
+    exist to catch. The guard bounds the damage; this picks a width where
+    it rarely fires: ``n_bits = clamp(ceil(log2(n_rows / target_bucket)),
+    4, dim)``, i.e. EXPECTED bucket size ~``target_bucket`` under a
+    balanced sign distribution. At 10^12 vectors / target 1024 that is 30
+    bits (needs dim >= 30; real embedding dims are 256+). Recall falls as
+    bits rise (each extra sign bit halves the chance a true near-dup pair
+    co-buckets on THAT bit); tests/test_functions.py pins the two-width
+    recall gate so the curve's trade is measured, not assumed. Callers at
+    a fixed SF (the oracle registry) pass explicit n_bits; scale runs
+    should pass ``auto_bits(corpus_rows, dim)``.
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return min(4, dim)
+    return max(4, min(dim, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def _pair_cosine(prefix_a: str = "a", prefix_b: str = "b"):
+    """Rounded cosine Column between two aliased embedding sides — the one
+    scoring expression shared by every pair path below so guarded and
+    unguarded branches cannot drift."""
+    dot = F.expr(_DOT.format(a=f"{prefix_a}.embedding", b=f"{prefix_b}.embedding"))
+    na = F.sqrt(F.expr(_DOT.format(a=f"{prefix_a}.embedding", b=f"{prefix_a}.embedding")))
+    nb = F.sqrt(F.expr(_DOT.format(a=f"{prefix_b}.embedding", b=f"{prefix_b}.embedding")))
+    return F.round(dot / (na * nb), 4)
+
+
 def near_dup_pairs(
-    embeddings: DataFrame, n_bits: int = 8, min_cos: float = 0.99
+    embeddings: DataFrame,
+    n_bits: int = 8,
+    min_cos: float = 0.99,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates must
     share the sign-LSH bucket (sub-quadratic at scale), then exact cosine
-    filters. Returns (vec_a, vec_b, cos_sim)."""
+    filters. Returns (vec_a, vec_b, cos_sim).
+
+    MEGA-BUCKET GUARD (VERDICT r4 next-step #1, ported from the MinHash
+    star-reduction at functions/dedup.py:minhash_band_pairs and the
+    SemDeDup exact-collapse at semdedup_keep_stats): the sign-LSH bucket
+    space is fixed at 2^n_bits, so per-bucket population grows linearly
+    with the corpus and the within-bucket all-pairs join grows
+    quadratically — a 1M-doc identical-embedding flood is ~5x10^11 pairs
+    out of ONE bucket. Buckets larger than ``max_bucket`` are therefore
+    handled in two lossless-connectivity stages instead of all-pairs:
+
+    1. EXACT-COLLAPSE: group by the embedding VALUE; each exact class
+       emits (class-min, member, 1.0) edges — n-1 rows, and identical
+       vectors have rounded cosine exactly 1.0, so these are true output
+       edges, not candidates (zero-norm classes are excluded: their
+       unguarded cosine is NaN and never passes the filter).
+    2. REP STAR-REDUCTION: the per-class representatives re-route — if a
+       bucket still holds > ``max_bucket`` DISTINCT embeddings, each rep
+       scores against the bucket-min rep only (n-1 cosines, min_cos
+       filter applied), otherwise reps all-pair as usual.
+
+    Connectivity through the bucket min is preserved (what dup_clusters /
+    canonical-per-cluster consume); pair-level recall between non-min
+    reps of a still-oversized bucket is deliberately traded away — the
+    same documented trade as the MinHash guard. Every bucket's
+    contribution is bounded linearly. The routing is a map-side-combinable
+    aggregate + left join (NOT a window): the oversized list is EMPTY on
+    benign corpora, so AQE turns the probe into a near-free broadcast.
+    Below the threshold the semantics are bit-identical to unguarded
+    (what the DuckDB oracle mirrors); the adversarial case is pinned by
+    tests/test_functions.py::test_embedding_mega_bucket_guard.
+    ``max_bucket=None`` disables the guard.
+    """
     e = embeddings.select("vec_id", "embedding", _sign_bucket(n_bits).alias("bucket"))
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.expr(_DOT.format(a="a.embedding", b="b.embedding"))
-    na = F.sqrt(F.expr(_DOT.format(a="a.embedding", b="a.embedding")))
-    nb = F.sqrt(F.expr(_DOT.format(a="b.embedding", b="b.embedding")))
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def _all_pairs(rows: DataFrame) -> DataFrame:
+        a, b = rows.alias("a"), rows.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                _pair_cosine().alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= min_cos)
         )
+
+    if max_bucket is None:
+        return _all_pairs(e)
+
+    over = (
+        e.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .where(F.col("__sz") > max_bucket)
+        .select("bucket")
+    )
+    marked = e.join(over.withColumn("__over", F.lit(1)), "bucket", "left")
+    small = marked.where(F.col("__over").isNull()).select("bucket", "vec_id", "embedding")
+    big = marked.where(F.col("__over").isNotNull()).select(
+        "bucket", "vec_id", "embedding"
+    )
+
+    # stage 1: exact-collapse inside oversized buckets (one map-side agg)
+    classes = big.groupBy("bucket", "embedding").agg(F.min("vec_id").alias("rep"))
+    norm_pos = F.expr(_DOT.format(a="embedding", b="embedding")) > 0
+    class_edges = (
+        big.join(classes, ["bucket", "embedding"])
+        .where((F.col("vec_id") != F.col("rep")) & norm_pos)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(dot / (na * nb), 4).alias("cos_sim"),
+            F.col("rep").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.lit(1.0).alias("cos_sim"),
+        )
+    )
+    reps = classes.select("bucket", F.col("rep").alias("vec_id"), "embedding")
+
+    # stage 2: re-route the representatives
+    rover = (
+        reps.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__rn"), F.min("vec_id").alias("__min"))
+        .where(F.col("__rn") > max_bucket)
+        .select("bucket", "__min")
+    )
+    rmarked = reps.join(rover, "bucket", "left")
+    rep_small = rmarked.where(F.col("__min").isNull()).select(
+        "bucket", "vec_id", "embedding"
+    )
+    anchors = rmarked.where(F.col("vec_id") == F.col("__min")).select(
+        "bucket", F.col("embedding").alias("anchor_emb")
+    )
+    star_members = rmarked.where(
+        F.col("__min").isNotNull() & (F.col("vec_id") != F.col("__min"))
+    ).select("bucket", "vec_id", "embedding", "__min")
+    sdot = F.expr(_DOT.format(a="embedding", b="anchor_emb"))
+    sna = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    snb = F.sqrt(F.expr(_DOT.format(a="anchor_emb", b="anchor_emb")))
+    star_edges = (
+        star_members.join(anchors, "bucket")
+        .select(
+            F.col("__min").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.round(sdot / (sna * snb), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= min_cos)
+    )
+    return (
+        _all_pairs(small.unionByName(rep_small))
+        .unionByName(class_edges)
+        .unionByName(star_edges)
     )
 
 
 def reciprocal_knn_pairs(
-    embeddings: DataFrame, n_bits: int = 4, k: int = 3
+    embeddings: DataFrame,
+    n_bits: int = 4,
+    k: int = 3,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Mutual-kNN near-dup graph, sign-LSH bucketed: within each bucket
     every vector ranks its k nearest neighbours by cosine, and an edge is
@@ -117,10 +252,93 @@ def reciprocal_knn_pairs(
     (bucket, src) window — key cardinality = vector count, no global
     sort; the mutuality check is a self-join of the top-k edge list
     (k·N rows, not N²). Rank order is (rounded cosine DESC, dst) so the
-    window is engine-portable."""
+    window is engine-portable.
+
+    MEGA-BUCKET GUARD (VERDICT r4 next-step #1, same machinery as
+    near_dup_pairs): buckets over ``max_bucket`` rows skip the all-pairs
+    scoring. Exact-duplicate classes collapse to (class-min, member, 1.0)
+    edges first — exact twins ARE each other's nearest neighbours, so
+    these are genuine mutual edges (for classes wider than k+1 the star
+    over-approximates the unguarded tie-break selection; connectivity-
+    preserving trade, documented like the MinHash star guard). The
+    per-class representatives then run the normal bucket-local kNN when
+    <= ``max_bucket`` distinct embeddings remain; a bucket still wider
+    than that degrades to the bucket-min rep's own top-k (n-1 cosines,
+    bounded output) — at a width where that fires, ``auto_bits`` says the
+    bit width is wrong for the corpus. Below the threshold semantics are
+    bit-identical to unguarded (the DuckDB-oracle form); the adversarial
+    flood is pinned by tests/test_functions.py. ``max_bucket=None``
+    disables the guard."""
     e = embeddings.select(
         "vec_id", "embedding", _sign_bucket(n_bits).alias("bucket")
     )
+    if max_bucket is not None:
+        over = (
+            e.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .where(F.col("__sz") > max_bucket)
+            .select("bucket")
+        )
+        marked = e.join(over.withColumn("__over", F.lit(1)), "bucket", "left")
+        small = marked.where(F.col("__over").isNull()).select(
+            "vec_id", "embedding", "bucket"
+        )
+        big = marked.where(F.col("__over").isNotNull()).select(
+            "vec_id", "embedding", "bucket"
+        )
+        classes = big.groupBy("bucket", "embedding").agg(
+            F.min("vec_id").alias("rep")
+        )
+        norm_pos = F.expr(_DOT.format(a="embedding", b="embedding")) > 0
+        class_edges = (
+            big.join(classes, ["bucket", "embedding"])
+            .where((F.col("vec_id") != F.col("rep")) & norm_pos)
+            .select(
+                "bucket",
+                F.col("rep").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"),
+                F.lit(1.0).alias("cos_sim"),
+            )
+        )
+        reps = classes.select("bucket", F.col("rep").alias("vec_id"), "embedding")
+        rover = (
+            reps.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__rn"), F.min("vec_id").alias("__min"))
+            .where(F.col("__rn") > max_bucket)
+            .select("bucket", "__min")
+        )
+        rmarked = reps.join(rover, "bucket", "left")
+        rep_small = rmarked.where(F.col("__min").isNull()).select(
+            "vec_id", "embedding", "bucket"
+        )
+        anchors = rmarked.where(F.col("vec_id") == F.col("__min")).select(
+            "bucket", F.col("embedding").alias("anchor_emb")
+        )
+        star_members = rmarked.where(
+            F.col("__min").isNotNull() & (F.col("vec_id") != F.col("__min"))
+        ).select("bucket", "vec_id", "embedding", "__min")
+        sdot = F.expr(_DOT.format(a="embedding", b="anchor_emb"))
+        sna = F.sqrt(F.expr(_DOT.format(a="anchor_emb", b="anchor_emb")))
+        snb = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+        star_scored = star_members.join(anchors, "bucket").select(
+            "bucket",
+            F.col("__min").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.round(sdot / (sna * snb), 4).alias("cos_sim"),
+        )
+        sw = Window.partitionBy("bucket").orderBy(F.desc("cos_sim"), "vec_b")
+        star_edges = (
+            star_scored.withColumn("rk", F.row_number().over(sw))
+            .where(F.col("rk") <= k)
+            .drop("rk")
+        )
+        inner = reciprocal_knn_pairs(
+            small.unionByName(rep_small).select("vec_id", "embedding"),
+            n_bits=n_bits,
+            k=k,
+            max_bucket=None,
+        )
+        return inner.unionByName(class_edges).unionByName(star_edges)
     a = e.select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("ea"),

@@ -152,7 +152,13 @@ def main(argv=None) -> int:
     up.add_argument("--where", default="", help="SQL boolean over docs")
     up.add_argument("--delete", action="store_true",
                     help="purge matching docs instead of re-extracting; "
-                    "requires a non-empty --where (or --all-docs)")
+                    "requires a non-empty --where (or --all-docs). "
+                    "TAKEDOWN CAVEAT: a streaming ingest re-asserts its "
+                    "source files — a purged doc is re-added if its file "
+                    "is replayed, so takedowns must ALSO remove the doc "
+                    "from the stream's source directory. History note: "
+                    "prior snapshots still contain the purged rows until "
+                    "`expire` drops them.")
     up.add_argument("--all-docs", action="store_true",
                     help="with --delete: explicitly confirm purging EVERY "
                     "doc in --docs from the spans table")

@@ -782,6 +782,20 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.close()
 
 
+def _reconcile_if_committed(spark: SparkSession, out_dir: str) -> dict | None:
+    """Run the gc-style crash reconciliation before a batch mutation when
+    the table has a snapshot log (ADVICE r4: without this, torn files left
+    by a crashed predecessor would be manifested into THIS op's snapshot
+    as committed data, and a bucket whose overwrite landed but whose
+    commit didn't would read empty behind a stale 'completed' lineage
+    row). The streaming path runs the same reconciliation inline per
+    micro-batch. Tables without a log (pre-snapshot layouts) are left
+    alone — there is no manifest to reconcile against."""
+    if snapshots.current_snapshot_id(spark, out_dir) is None:
+        return None
+    return snapshots.reconcile_to_head(spark, out_dir)
+
+
 def run_extract(
     spark: SparkSession,
     docs_path: str,
@@ -807,6 +821,7 @@ def run_extract(
     spans_dir = os.path.join(out_dir, "spans")
     lineage_dir = os.path.join(out_dir, "lineage")
     _check_manifest(spark, out_dir, num_buckets)
+    _reconcile_if_committed(spark, out_dir)
 
     docs = with_bucket(spark.read.parquet(docs_path), num_buckets)
     media = spark.read.parquet(media_path)
@@ -942,6 +957,7 @@ def upsert_extract(
     lineage_dir = os.path.join(out_dir, "lineage")
     manifest = _read_manifest(spark, out_dir)
     num_buckets = int(manifest["num_buckets"])
+    _reconcile_if_committed(spark, out_dir)
 
     docs = with_bucket(spark.read.parquet(docs_path), num_buckets)
     sel = docs.where(where) if where else docs
@@ -1106,12 +1122,24 @@ def verify_lineage(spark: SparkSession, out_dir: str) -> dict:
 
 def _list_parquet_files(spark: SparkSession, d: str) -> list[tuple[str, int]]:
     """(path, bytes) of every parquet data file under ``d``, recursively —
-    local os.walk, or the Hadoop FileSystem for '://' paths."""
+    local os.walk, or the Hadoop FileSystem for '://' paths.
+
+    Hidden path components UNDER ``d`` (leading '_' or '.') are skipped,
+    matching Spark's directory-listing filter (ADVICE r4): staging trees
+    like ``spans/_temporary/`` left by a crashed in-flight job must not be
+    snapshot-manifested or handed to read_snapshot — Spark's own reads
+    would never have counted them. (``d`` itself may be a hidden root,
+    e.g. the _archive walk; only components below it are filtered.)"""
+
+    def _hidden(relparts) -> bool:
+        return any(s and s[0] in "_." for s in relparts)
+
     if "://" not in d:
         out = []
-        for root, _, names in os.walk(d):
+        for root, dirs, names in os.walk(d):
+            dirs[:] = [x for x in dirs if x[0] not in "_."]
             for n in names:
-                if n.endswith(".parquet"):
+                if n.endswith(".parquet") and n[0] not in "_.":
                     p = os.path.join(root, n)
                     out.append((p, os.path.getsize(p)))
         return out
@@ -1119,12 +1147,15 @@ def _list_parquet_files(spark: SparkSession, d: str) -> list[tuple[str, int]]:
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(d)
     fs = path.getFileSystem(conf)
+    base = path.toUri().getPath().rstrip("/")
     it = fs.listFiles(path, True)
     out = []
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
-        if p.endswith(".parquet"):
+        rel = st.getPath().toUri().getPath()
+        rel = rel[len(base):].lstrip("/") if rel.startswith(base) else rel
+        if p.endswith(".parquet") and not _hidden(rel.split("/")):
             out.append((p, st.getLen()))
     return out
 
@@ -1176,6 +1207,7 @@ def compact_spans(
     against the compacted table."""
     spans_dir = os.path.join(out_dir, "spans")
     _read_manifest(spark, out_dir)
+    _reconcile_if_committed(spark, out_dir)
     target = int(target_mb) * 1024 * 1024
     per: dict[int, list[int]] = {}
     for path, size in _list_parquet_files(spark, spans_dir):

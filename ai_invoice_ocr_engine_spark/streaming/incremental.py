@@ -21,8 +21,6 @@ docs).
 
 from __future__ import annotations
 
-import posixpath
-
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -71,8 +69,11 @@ def incremental_extract(
         #     docs with a newly arrived file appends exactly the new
         #     docs (batch ids are checkpoint-scoped; equal batch_id does
         #     NOT mean equal content, so no run_id short-circuit). One
-        #     doc_id-column scan per micro-batch; at extreme table sizes
-        #     swap in the broadcast Bloom gate (functions/dedup.py).
+        #     doc_id-column scan per micro-batch; past ~10^8 committed
+        #     docs (scan latency rivals the batch interval) swap in the
+        #     broadcast Bloom gate (functions/dedup.py bloom_dedup_gate:
+        #     one bit_or-aggregate build amortized across batches, probe
+        #     is a narrow map — accepting its false-positive drop rate).
         #     Note the stream re-asserts its source: a doc purged via
         #     `upsert --delete` is re-added if its file is replayed —
         #     takedowns must also drop the source file.
@@ -80,13 +81,13 @@ def incremental_extract(
         head_has_spans = False
         if head is not None:
             head_snap = snapshots.load_snapshot(spark, out_dir, head)
-            committed = {rel for rel, _ in head_snap["files"]}
-            head_has_spans = any(r.startswith("spans/") for r in committed)
-            for rel, _ in snapshots._list_tracked(spark, out_dir):
-                if rel not in committed:
-                    snapshots._remove_file(
-                        spark, posixpath.join(out_dir, rel)
-                    )
+            head_has_spans = any(
+                r.startswith("spans/") for r, _ in head_snap["files"]
+            )
+            # two-sided: torn appends removed AND HEAD files a crashed
+            # batch mutator deleted (surviving only as archive links)
+            # restored — same routine the batch mutators run at start
+            snapshots.reconcile_to_head(spark, out_dir)
         elif snapshots._list_tracked(spark, out_dir):
             raise ValueError(
                 f"{out_dir!r} has data files but no snapshot log — "

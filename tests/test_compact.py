@@ -46,6 +46,13 @@ def _run_fragmented(spark, corpus, out):
 
     shutil.rmtree(spans_dir)
     os.rename(spans_dir + "_f", spans_dir)
+    # commit the fragmented tree: the many small ingest runs this
+    # simulates would each have committed; without this, the mutators'
+    # start-of-op reconciliation (correctly) flags the out-of-band
+    # rewrite as an unrecoverable HEAD divergence
+    from ai_invoice_ocr_engine_spark import snapshots
+
+    snapshots.commit_snapshot(spark, out, op="test-fragment")
     return spans_dir
 
 

@@ -46,6 +46,11 @@ def _add_cfg_flags(sp) -> None:
                     help="min-area-rect quads + perspective crop for skewed "
                          "text lines (reference detect/postprocess.py "
                          "_get_mini_box + crop_poly) instead of AABB")
+    sp.add_argument("--weights", default=None, metavar="NPZ",
+                    help="externally supplied recognition weights (.npz with "
+                         "w1/w2) — the pretrained-model seam (reference "
+                         "recognizer.py loads ONNX); default: frozen seeded "
+                         "fixture weights")
 
 
 def _cfg_from(args):
@@ -59,7 +64,8 @@ def _cfg_from(args):
         on_bad_media="skip" if getattr(args, "skip_bad_media", False) else "fail",
         det=dataclasses.replace(base.det, rotated=getattr(args, "rotated", False)),
         rec=dataclasses.replace(
-            base.rec, decode=args.decode, beam_width=args.beam_width
+            base.rec, decode=args.decode, beam_width=args.beam_width,
+            weights_path=getattr(args, "weights", None),
         ),
         prep=dataclasses.replace(
             base.prep, ori=not args.no_orient,

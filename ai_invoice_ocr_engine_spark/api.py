@@ -115,7 +115,7 @@ class OCREngineSpark:
         cfg = self.cfg
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            weights = K.crnn_weights(cfg.rec.weight_seed)
+            weights = K.resolve_weights(cfg.rec)
             for pdf in batches:
                 refs, txts, scs = [], [], []
                 crops = []

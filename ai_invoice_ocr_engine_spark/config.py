@@ -31,6 +31,10 @@ class RecognizeConfig:
     mw: int = 320          # max crop width after resize
     min_w: int = 8         # floor on resized crop width
     weight_seed: int = 20260816  # frozen-weight seed (fixture artifact)
+    weights_path: str | None = None  # externally supplied weight file (.npz
+                                     # w1/w2) — the pretrained-model seam
+                                     # (reference recognize/recognizer.py:18-25
+                                     # loads ONNX weights); overrides the seed
     decode: str = "greedy"  # CTC decode mode: 'greedy' | 'beam' (reference config.py:35 bm)
     beam_width: int = 5     # beam width when decode='beam' (reference config.py:36 bw)
 

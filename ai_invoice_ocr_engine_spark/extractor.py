@@ -165,7 +165,7 @@ def extract_doc(
       n_spans_in, n_media, n_media_missing, n_ocr: int counters.
     """
     if weights is None:
-        weights = K.crnn_weights(cfg.rec.weight_seed)
+        weights = K.resolve_weights(cfg.rec)
     items = sorted(
         (dict(s) for s in (spans or [])), key=lambda s: int(s.get("offset", 0))
     )

@@ -1216,6 +1216,69 @@ def crnn_weights(seed: int = 20260816) -> tuple[np.ndarray, np.ndarray]:
     return cached
 
 
+def load_weights_file(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Externally supplied recognition weights (VERDICT r4 next-step #7) —
+    the weight-loading seam mirroring the reference's pretrained-model
+    path (/root/reference/recognize/recognizer.py:18-25 loads ONNX from
+    models/pretrained/weights/). This sandbox has no onnx runtime, so the
+    interchange format is a ``.npz`` archive holding ``w1`` (192, 96) and
+    ``w2`` (96, VOCAB_SIZE); the pipeline only ever sees the (w1, w2)
+    tuple, so on a cluster the same broadcast seam carries whatever a
+    real loader produces. Shapes are validated loudly. Integer-valued
+    weights with |w| <= 31 keep the seeded path's bit-exactness-under-
+    any-BLAS guarantee (partial-sum bound in ``crnn_weights``); other
+    values are accepted — real pretrained tensors are floats — but the
+    forward becomes ordinary float32 arithmetic (deterministic per BLAS
+    build, not bit-pinned across builds), and a warning records the
+    downgrade once per file."""
+    import warnings
+
+    key = ("file", path, os.path.getmtime(path))
+    cached = _WEIGHT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    with np.load(path) as z:
+        if "w1" not in z or "w2" not in z:
+            raise ValueError(
+                f"weights file {path!r} must contain arrays 'w1' and 'w2'"
+                f" (has {sorted(z.files)})"
+            )
+        w1 = np.asarray(z["w1"], dtype=np.float32)
+        w2 = np.asarray(z["w2"], dtype=np.float32)
+    want1, want2 = (192, 96), (96, VOCAB_SIZE)
+    if w1.shape != want1 or w2.shape != want2:
+        raise ValueError(
+            f"weights file {path!r} shape mismatch: w1 {w1.shape} != "
+            f"{want1} or w2 {w2.shape} != {want2} (vocab size "
+            f"{VOCAB_SIZE})"
+        )
+    exact = (
+        np.all(w1 == np.round(w1)) and np.all(np.abs(w1) <= 31)
+        and np.all(w2 == np.round(w2)) and np.all(np.abs(w2) <= 31)
+    )
+    if not exact:
+        warnings.warn(
+            f"weights {path!r} are not small integers: forward pass is "
+            "float32 (deterministic per BLAS build, not bit-pinned across "
+            "builds — the seeded path's exactness bound does not apply)",
+            stacklevel=2,
+        )
+    _WEIGHT_CACHE[key] = (w1, w2)
+    return w1, w2
+
+
+def resolve_weights(rec_cfg) -> tuple[np.ndarray, np.ndarray]:
+    """The one weight-resolution entry point every pipeline/oracle/api
+    site uses: ``rec.weights_path`` (external file) when set, else the
+    frozen seeded fixture weights — so swapping seeded↔file weights never
+    changes any other code path (golden equality under each is pinned by
+    tests/test_weights_seam.py)."""
+    path = getattr(rec_cfg, "weights_path", None)
+    if path:
+        return load_weights_file(path)
+    return crnn_weights(rec_cfg.weight_seed)
+
+
 def rec_resize(crop: np.ndarray, h: int = 48, mw: int = 320, min_w: int = 8) -> np.ndarray:
     """Resize a crop to fixed height, width proportional, capped.
 

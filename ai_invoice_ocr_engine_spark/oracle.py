@@ -46,7 +46,7 @@ def run_oracle(
     ThreadPool ``ex.map`` preserves input order, /root/reference/engine.py:58).
     """
     cfg = cfg or ExtractConfig()
-    weights = K.crnn_weights(cfg.rec.weight_seed)
+    weights = K.resolve_weights(cfg.rec)
     lookup = {m["media_ref"]: m["image"] for m in media}
     out = []
     for d in docs:

@@ -207,7 +207,7 @@ def _run_extract_batches(
     broadcast when provided (north_star: broadcast of model weights), else
     are re-derived from the frozen seed via the per-worker module cache
     (/root/reference/engine.py:17-21 singleton pattern, SURVEY.md §4)."""
-    weights = weights_bc.value if weights_bc is not None else K.crnn_weights(cfg.rec.weight_seed)
+    weights = weights_bc.value if weights_bc is not None else K.resolve_weights(cfg.rec)
     if media_side_path is not None:
         media_lookup = _load_media_side(media_side_path)
     else:
@@ -263,7 +263,7 @@ def _ocr_frame_batches(
     from .extractor import assemble_frame_lines, frame_geometry
 
     weights = (
-        weights_bc.value if weights_bc is not None else K.crnn_weights(cfg.rec.weight_seed)
+        weights_bc.value if weights_bc is not None else K.resolve_weights(cfg.rec)
     )
     blob = _load_media_side(media_side_path) if media_side_path is not None else None
     for pdf in batches:
@@ -405,7 +405,7 @@ def extract_frames(
         sc.defaultParallelism, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     )
     weights_bc = (
-        sc.broadcast(K.crnn_weights(cfg.rec.weight_seed)) if broadcast_weights else None
+        sc.broadcast(K.resolve_weights(cfg.rec)) if broadcast_weights else None
     )
 
     needed = (
@@ -575,7 +575,7 @@ def extract(
         )
 
     weights_bc = (
-        sc.broadcast(K.crnn_weights(cfg.rec.weight_seed)) if broadcast_weights else None
+        sc.broadcast(K.resolve_weights(cfg.rec)) if broadcast_weights else None
     )
 
     # The documents table is narrow (text-only) so a small corpus arrives in

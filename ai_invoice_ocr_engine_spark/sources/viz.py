@@ -469,7 +469,7 @@ def write_viz_labeled(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         os.makedirs(out_dir, exist_ok=True)
-        weights = K.crnn_weights(cfg.rec.weight_seed)
+        weights = K.resolve_weights(cfg.rec)
         for pdf in batches:
             refs, paths, counts = [], [], []
             for ref, blob in zip(pdf["media_ref"], pdf["image"]):

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "ann_cosine_topk",
     "text_quality",
     "doc_fingerprint",

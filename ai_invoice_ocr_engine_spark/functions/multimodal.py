@@ -1239,23 +1239,20 @@ def audio_metadata(data: bytes) -> dict:
             return {"format": "aac", "codec": "aac_adts", "sample_rate": rate,
                     "channels": n_ch, "bits": -1, "n_samples": -1,
                     "duration_s": -1.0}
-        version_bits = (h[1] >> 3) & 0x3
-        layer = 4 - ((h[1] >> 1) & 0x3)  # bits 01=LIII, 10=LII, 11=LI
-        if version_bits == 1 or layer == 4:
-            raise ValueError("reserved MPEG audio header")
-        vgroup = 1 if version_bits == 3 else 2
-        bri = (h[2] >> 4) & 0x0F
-        sri = (h[2] >> 2) & 0x3
-        if bri in (0, 15) or sri == 3:
-            raise ValueError("free-format/reserved MPEG audio header")
-        kbps = _MP3_BITRATE[(vgroup, layer)][bri - 1]
-        rate = _MP3_RATES[version_bits][sri]
-        n_ch = 1 if ((h[3] >> 6) & 0x3) == 3 else 2
-        dur = (len(data) - off) * 8.0 / (kbps * 1000.0)
-        name = "mp3" if layer == 3 else f"mpeg_l{layer}"
-        return {"format": name, "codec": f"{name}_{kbps}kbps",
-                "sample_rate": rate, "channels": n_ch, "bits": -1,
-                "n_samples": -1, "duration_s": round(dur, 4)}
+        # exact frame walk (mpegaudio.py): frame-accurate sample count and
+        # duration + CBR/VBR fact, replacing the first-frame byte-count
+        # ESTIMATE (wrong for VBR/tagged files). Sample decode remains the
+        # documented seam — see mpegaudio's module docstring.
+        from ..mpegaudio import mp3_exact_metadata, parse_frame_header
+
+        f0 = parse_frame_header(h)
+        name = "mp3" if f0["layer"] == 3 else f"mpeg_l{f0['layer']}"
+        m = mp3_exact_metadata(data)
+        kb = m["kbps"] if m["cbr"] else "vbr"
+        return {"format": name, "codec": f"{name}_{kb}kbps",
+                "sample_rate": m["sample_rate"], "channels": m["channels"],
+                "bits": -1, "n_samples": m["n_samples"],
+                "duration_s": round(m["duration_s"], 4)}
     raise ValueError("unknown audio format")
 
 

@@ -156,3 +156,71 @@ def test_os_html_docs_extract():
         spans, _ = html_spans(open(probe, "rb").read())
         joined = " ".join(s["text"] for s in spans if s["kind"] == "text")
         assert want.split()[0] in joined
+
+@pytest.mark.skipif(not glob.os.path.exists(_MP3),
+                    reason="OS mp3 absent")
+def test_os_mp3_exact_frame_walk():
+    """VERDICT r4 next-step #5 (frame-level half): the externally encoded
+    OS mp3 walks frame-exactly — every one of its 45 MPEG-2-LSF Layer III
+    frames parses, consumes the byte stream to EXACTLY its end (no resync
+    loss, no slop), every frame's side info passes the ISO structural
+    invariants, and the exact sample count (45 x 576 @ 22050 Hz) replaces
+    the byte-count duration estimate. Sample decode remains the documented
+    transcription-risk seam (mpegaudio.py module docstring, SURVEY B.16)."""
+    from ai_invoice_ocr_engine_spark.mpegaudio import (
+        mp3_exact_metadata,
+        mp3_frames,
+        mp3_side_info,
+        xing_header,
+    )
+
+    data = open(_MP3, "rb").read()
+    walk = mp3_frames(data)
+    assert walk["resync_lost_at"] is None
+    assert walk["consumed_to"] == walk["stream_end"] == len(data)
+    assert len(walk["frames"]) == 45
+    assert all(f["vgroup"] == 2 and f["layer"] == 3 for f in walk["frames"])
+    for f in walk["frames"]:
+        si = mp3_side_info(data, f)
+        assert 0 <= si["main_data_begin"] <= 255
+        assert si["part2_3_total_bits"] <= (
+            si["main_data_capacity_bits"] + 255 * 8
+        )
+    assert xing_header(data, walk["frames"][0]) is None
+
+    m = mp3_exact_metadata(data)
+    assert m["n_samples"] == 45 * 576 == 25920
+    assert m["sample_rate"] == 22050 and m["channels"] == 1
+    assert m["cbr"] is True and m["kbps"] == 64
+    assert m["side_info_invalid_frames"] == 0
+    assert abs(m["duration_s"] - 25920 / 22050) < 1e-6
+    # and the DataFrame-facing metadata path now reports the exact figures
+    from ai_invoice_ocr_engine_spark.functions.multimodal import audio_metadata
+
+    meta = audio_metadata(data)
+    assert meta["n_samples"] == 25920
+    assert meta["duration_s"] == round(25920 / 22050, 4)
+
+
+@pytest.mark.skipif(not glob.os.path.exists(_MP3),
+                    reason="OS mp3 absent")
+def test_mp3_walk_surfaces_truncation_and_tags():
+    """Corpus-audit honesty: a truncated stream reports where sync died
+    (never smoothed over); ID3v1 trailers and ID3v2 tags are carved off;
+    the sample decode seam still refuses loudly."""
+    import numpy as np
+    import pytest as _pt
+
+    from ai_invoice_ocr_engine_spark.functions.multimodal import decode_audio
+    from ai_invoice_ocr_engine_spark.mpegaudio import mp3_frames
+
+    data = open(_MP3, "rb").read()
+    cut = data[: len(data) - 100]  # mid-frame truncation
+    w = mp3_frames(cut)
+    assert len(w["frames"]) == 44
+    assert w["consumed_to"] < w["stream_end"]
+    tagged = data + b"TAG" + bytes(125)
+    w2 = mp3_frames(tagged)
+    assert w2["trailer_bytes"] == 128 and len(w2["frames"]) == 45
+    with _pt.raises(NotImplementedError, match="codec seam"):
+        decode_audio(data)

@@ -803,19 +803,31 @@ def test_audio_metadata_header_parsers(spark):
         "flac", 22050, 1, 16)
     assert m["n_samples"] == 3200 and round(m["duration_s"], 4) == round(3200 / 22050, 4)
 
-    # MPEG1 Layer III, bitrate idx 9 = 128 kbps, sr idx 0 = 44100, joint stereo
-    mp3 = bytes([0xFF, 0xFB, 0x90, 0x44]) + b"\x00" * (16000 - 4)
+    # MPEG1 Layer III CBR stream: bitrate idx 9 = 128 kbps, sr idx 0 =
+    # 44100, joint stereo → 417-byte frames. Metadata is now FRAME-exact
+    # (mpegaudio.py walk), not a byte-count estimate: 38 frames x 1152
+    # samples.
+    frame = bytes([0xFF, 0xFB, 0x90, 0x44]) + b"\x00" * (417 - 4)
+    mp3 = frame * 38
     m = audio_metadata(mp3)
     assert (m["format"], m["codec"]) == ("mp3", "mp3_128kbps")
     assert m["sample_rate"] == 44100 and m["channels"] == 2
-    assert m["duration_s"] == 1.0  # 16000 bytes at 128 kbps = exactly 1 s
+    assert m["n_samples"] == 38 * 1152
+    assert m["duration_s"] == round(38 * 1152 / 44100, 4)
     with pytest.raises(NotImplementedError):
         decode_audio(mp3)  # decode stays a seam
 
-    # same frame behind an ID3v2 tag (syncsafe size 100)
+    # same stream behind an ID3v2 tag (syncsafe size 100)
     id3 = b"ID3\x04\x00\x00\x00\x00\x00\x64" + b"\x00" * 100 + mp3
     m2 = audio_metadata(id3)
-    assert (m2["sample_rate"], m2["channels"], m2["duration_s"]) == (44100, 2, 1.0)
+    assert (m2["sample_rate"], m2["channels"], m2["n_samples"]) == (
+        44100, 2, 38 * 1152)
+
+    # a stream that LOSES SYNC after its first frame (header + zero
+    # padding) reports only the frames that actually parse — torn files
+    # surface as short durations, never smoothed to the nominal bitrate
+    torn = audio_metadata(frame + b"\x00" * 15000)
+    assert torn["n_samples"] == 1152
 
     # MPEG2 Layer III 8 kbps mono, sr idx 0 = 22050
     m = audio_metadata(bytes([0xFF, 0xF3, 0x10, 0xC4]) + b"\x00" * 96)
@@ -839,7 +851,7 @@ def test_audio_metadata_header_parsers(spark):
     df = spark.createDataFrame(rows, "media_ref string, audio binary")
     got = {r.media_ref: r for r in audio_meta(df).collect()}
     assert got["a"].format == "syna" and got["a"].n_samples == 3200
-    assert got["b"].codec == "mp3_128kbps" and got["b"].duration_s == 1.0
+    assert got["b"].codec == "mp3_128kbps" and got["b"].duration_s == 0.9927
     assert got["c"].format == "unsupported" and got["c"].sample_rate == -1
 
 

@@ -684,3 +684,41 @@ def test_source_gini_windows_on_aggregate_only(spark):
     # only scan feeds a HashAggregate, and at most the two tiny funnels
     # (k-row window + final global agg) collapse to one partition
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_embedding_near_dup_guard_rides_aggregate_not_window(spark):
+    """VERDICT r4 next-step #1 plan pin (mirrors the MinHash routing pin):
+    the embedding mega-bucket guard's oversized-bucket routing must be a
+    map-side-combinable aggregate probed via join — never a Window sort of
+    every row — and on benign corpora the oversized list is empty, so the
+    plan stays broadcast-probe shaped."""
+    from ai_invoice_ocr_engine_spark.functions import similarity as S
+    from ai_invoice_ocr_engine_spark.queries import _t
+
+    e = _t(spark, SF, "embeddings")
+    plan = (
+        S.near_dup_pairs(e, n_bits=8, min_cos=0.99)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_count" in plan  # the routing aggregate's map side
+    assert "CartesianProduct" not in plan
+    # the kNN guard keeps its (bounded, per-bucket) ranking window but the
+    # ROUTING itself must still be aggregate-shaped: exactly the windows
+    # the unguarded form already carries, plus the star top-k — no
+    # full-corpus routing sort
+    unguarded = (
+        S.reciprocal_knn_pairs(e, n_bits=4, k=3, max_bucket=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    guarded = (
+        S.reciprocal_knn_pairs(e, n_bits=4, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    def _window_ops(p):
+        return len(_re.findall(r"\bWindow \[", p))
+
+    assert _window_ops(guarded) <= _window_ops(unguarded) + 1
+    assert "partial_count" in guarded

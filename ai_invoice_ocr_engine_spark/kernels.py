@@ -463,20 +463,45 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError("unknown image format")
 
 
+#: injectable http(s) fetcher for decode_image_ref — None in this sandbox
+#: (no network); a cluster deployment registers one per worker process
+_URL_FETCHER = None
+
+
+def set_url_fetcher(fn) -> None:
+    """Register the http(s) fetch callable ``fn(url) -> bytes`` (or None
+    to unregister) — the network half of the reference's ``imread``
+    surface (/root/reference/utils/image.py:5-11 urlopen path). This
+    sandbox has no network, so nothing registers one here; on a cluster
+    the ingest bootstrap installs e.g. a pooled HTTP client once per
+    worker, and decode_image_ref routes URLs through it. Kept an explicit
+    seam (not a default urllib call) so the no-external-data stance of
+    this repo is a REGISTRATION decision, visible at deploy time."""
+    global _URL_FETCHER
+    _URL_FETCHER = fn
+
+
 def decode_image_ref(src: "bytes | str") -> np.ndarray:
     """Polymorphic source reference — the reference's ``imread`` surface
-    (/root/reference/utils/image.py:4-11) minus the network: raw bytes
-    route to decode_image; ``data:image/...;base64,...`` URIs (and bare
-    base64 strings, utils/image.py:56-58 from_base64) decode inline.
-    http(s) URLs raise NotImplementedError — this engine takes no external
-    data; at scale URL fetch belongs in an ingest stage, not the decoder."""
+    (/root/reference/utils/image.py:4-11): raw bytes route to
+    decode_image; ``data:image/...;base64,...`` URIs (and bare base64
+    strings, utils/image.py:56-58 from_base64) decode inline; http(s)
+    URLs route through the fetcher registered via ``set_url_fetcher``
+    and raise the documented ingest-stage seam when none is (this
+    sandbox: always — no network)."""
     import base64
     import binascii
 
     if isinstance(src, (bytes, bytearray)):
         return decode_image(bytes(src))
     if src.startswith(("http://", "https://")):
-        raise NotImplementedError("URL sources are an ingest-stage seam")
+        if _URL_FETCHER is None:
+            raise NotImplementedError(
+                "URL sources need a fetcher: register one with "
+                "kernels.set_url_fetcher(fn) in the worker bootstrap "
+                "(no network exists in this sandbox)"
+            )
+        return decode_image(bytes(_URL_FETCHER(src)))
     if src.startswith("data:"):
         if "," not in src:
             raise ValueError("malformed data: URI")

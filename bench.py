@@ -119,6 +119,12 @@ def main() -> int:
         _ = df.count()
         queries[name] = round(time.time() - t0, 3)
     spark.stop()
+    # r5 added dedup_minhash_lsh_fast to the headline set; keep a total
+    # over the r1–r4 query set so round-over-round comparisons stay
+    # apples-to-apples
+    extras["suite_seconds_r4_subset"] = round(
+        sum(v for k, v in queries.items() if k != "dedup_minhash_lsh_fast"), 3
+    )
 
     if scaling:
         # two-parallelism scaling evidence (sandbox stand-in for N vs 4N

@@ -48,6 +48,26 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(near).unionByName(exact)
 
 
+def _dec2(name: str):
+    """Cents-exact decimal view of a money column — distributed money
+    sums MUST aggregate in decimal. Double accumulation error grows
+    ~sqrt(N)·ulp(sum) and flips rounded cents once sums reach ~10^10 over
+    ~10^6 addends (pinned by the round-5 sf1 sweep: cube_revenue's
+    3x10^11 l_extendedprice sum differed by a cent between Spark's
+    partial-merge order and DuckDB's sequential order — and a
+    1000-executor run would disagree with BOTH). Decimal sums are
+    associative and exact, so every partial order produces the identical
+    result; the final cast to double converts one exact value
+    deterministically in both engines. SQL mirror: x::DECIMAL(18,2)."""
+    return F.col(name).cast("decimal(18,2)")
+
+
+def _d1():
+    """Exact decimal 1 for (1 - discount/tax) money factors (lazy: F.lit
+    needs an active SparkContext)."""
+    return F.lit(1).cast("decimal(18,2)")
+
+
 _CORPUS_SQL = """
 corpus AS (
   SELECT doc_id, text FROM documents
@@ -70,9 +90,12 @@ def q_pricing_summary(spark, sf):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(_dec2("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec2("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount")))
+                .cast("double"), 2
+            ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -82,9 +105,11 @@ def q_pricing_summary(spark, sf):
 
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(18,2)
+                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2)
+           AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
@@ -105,14 +130,14 @@ def q_topk_orders(spark, sf):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
 _SQL_TOPK_ORDERS = """
-SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT l_orderkey, round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -141,12 +166,12 @@ def q_local_supplier_volume(spark, sf):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
     )
 
 
 _SQL_LOCAL_SUPPLIER = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -216,23 +241,32 @@ def q_running_total(spark, sf):
     """Ordered cumulative sum per order (W2-style in-group ordering; the
     relational analog of the span `order` field)."""
     li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    # TOTAL ordering: the synthetic corpus has duplicate l_linenumber
+    # within an order (1,217 groups at sf0.1), so ordering by linenumber
+    # alone is underdetermined — engines/parallelism levels may
+    # accumulate in different row orders. Adding l_extendedprice makes
+    # the order total up to full-row duplicates, whose cumulative values
+    # are order-invariant anyway; the sum itself is exact decimal.
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_price"),
+        F.round(F.sum(_dec2("l_extendedprice")).over(w).cast("double"), 2).alias(
+            "running_price"
+        ),
     )
 
 
 _SQL_RUNNING = """
 SELECT l_orderkey, l_linenumber,
-       round(sum(l_extendedprice) OVER (
-         PARTITION BY l_orderkey ORDER BY l_linenumber
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_price
+       round(sum(l_extendedprice::DECIMAL(18,2)) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 2)
+         AS running_price
 FROM lineitem WHERE l_orderkey % 100 = 0
 """
 
@@ -1341,7 +1375,7 @@ def q_monthly_revenue(spark, sf):
     return (
         o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(_dec2("o_totalprice")).cast("double"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -1349,7 +1383,7 @@ def q_monthly_revenue(spark, sf):
 
 _SQL_MONTHLY = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-       round(sum(o_totalprice), 2) AS revenue,
+       round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue,
        count(*) AS n_orders
 FROM orders GROUP BY 1
 """
@@ -1386,7 +1420,7 @@ def q_cube_revenue(spark, sf):
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.sum(_dec2("l_extendedprice")).cast("double"), 2).alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1400,7 +1434,7 @@ def q_cube_revenue(spark, sf):
 _SQL_CUBE = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+       count(*) AS n, round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -1541,13 +1575,13 @@ def q_disjunctive_parts(spark, sf):
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return j.where(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 _SQL_DISJUNCTIVE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
@@ -1564,12 +1598,12 @@ def q_correlated_avg_qty(spark, sf):
     return (
         li.join(pa, "l_partkey")
         .where(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
 _SQL_CORRELATED = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2) AS avg_yearly
 FROM lineitem l
 WHERE l_quantity < (
   SELECT 0.5 * avg(l_quantity) FROM lineitem i WHERE i.l_partkey = l.l_partkey
@@ -1698,7 +1732,7 @@ def q_revenue_calendar(spark, sf):
         "o_orderstatus",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum(_dec2("o_totalprice")).cast("double"), 2).alias("revenue"),
     )
     return (
         spine.join(actual, ["month", "o_orderstatus"], "left")
@@ -1727,7 +1761,7 @@ spine AS (
 ),
 actual AS (
   SELECT date_trunc('month', o_orderdate)::date AS month, o_orderstatus,
-         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         count(*) AS n_orders, round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue
   FROM orders GROUP BY 1, 2
 )
 SELECT spine.month AS month, spine.o_orderstatus AS status,
@@ -1747,11 +1781,11 @@ def q_unpivot_revenue(spark, sf):
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     wide = li.groupBy("o_orderstatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("base"),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        F.round(F.sum(_dec2("l_extendedprice")).cast("double"), 2).alias("base"),
+        F.round(F.sum(_dec2("l_extendedprice") * _dec2("l_discount")).cast("double"), 2).alias(
             "discount"
         ),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 2).alias("tax"),
+        F.round(F.sum(_dec2("l_extendedprice") * _dec2("l_tax")).cast("double"), 2).alias("tax"),
     )
     return wide.unpivot(
         ["o_orderstatus"], ["base", "discount", "tax"], "component", "amount"
@@ -1761,9 +1795,9 @@ def q_unpivot_revenue(spark, sf):
 _SQL_UNPIVOT = """
 WITH wide AS (
   SELECT o_orderstatus AS status,
-         round(sum(l_extendedprice), 2) AS base,
-         round(sum(l_extendedprice * l_discount), 2) AS discount,
-         round(sum(l_extendedprice * l_tax), 2) AS tax
+         round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS base,
+         round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE, 2) AS discount,
+         round(sum(l_extendedprice::DECIMAL(18,2) * l_tax::DECIMAL(18,2))::DOUBLE, 2) AS tax
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1
 )
@@ -1967,20 +2001,25 @@ def q_ntile_spend_quartiles(spark, sf):
     from .operators.ranking import global_ntile
 
     o = _t(spark, sf, "orders")
-    totals = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    # spend in exact decimal: it is the ntile ORDER key and the summed
+    # measure — float noise would make quartile boundaries and rounded
+    # sums parallelism- and engine-dependent at scale (see _dec2)
+    totals = o.groupBy("o_custkey").agg(
+        F.sum(_dec2("o_totalprice")).alias("spend")
+    )
     q = global_ntile(
         totals, 4, [F.desc("spend"), F.asc("o_custkey")], out="quartile"
     )
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("spend"), 2).alias("quartile_spend"),
-        F.round(F.min("spend"), 2).alias("min_spend"),
+        F.round(F.sum("spend").cast("double"), 2).alias("quartile_spend"),
+        F.round(F.min("spend").cast("double"), 2).alias("min_spend"),
     )
 
 
 _SQL_NTILE = """
 WITH totals AS (
-  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS spend FROM orders GROUP BY o_custkey
 ),
 q AS (
   SELECT o_custkey, spend,
@@ -1988,8 +2027,8 @@ q AS (
   FROM totals
 )
 SELECT quartile, count(*) AS n_customers,
-       round(sum(spend), 2) AS quartile_spend,
-       round(min(spend), 2) AS min_spend
+       round(sum(spend)::DOUBLE, 2) AS quartile_spend,
+       round(min(spend)::DOUBLE, 2) AS min_spend
 FROM q GROUP BY quartile
 """
 
@@ -2078,7 +2117,13 @@ def q_revenue_share(spark, sf):
     li = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # money sums in exact decimal (see _dec2): nation_rev and total_rev
+    # are cast to double only AFTER exact aggregation, so the ratio and
+    # its rounding are computed on identical values in both engines at
+    # any parallelism
+    rev = F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast(
+        "double"
+    )
     by_nation = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -2095,9 +2140,10 @@ def q_revenue_share(spark, sf):
 
 _SQL_REVENUE_SHARE = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       round(sum(l_extendedprice * (1 - l_discount)) /
-             (SELECT sum(l_extendedprice * (1 - l_discount)) FROM lineitem) * 100.0,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE /
+             (SELECT sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE
+              FROM lineitem) * 100.0,
              4) AS share_pct
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2703,7 +2749,7 @@ def q3_shipping_priority(spark, sf):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
         .limit(10)
     )
@@ -2712,7 +2758,7 @@ def q3_shipping_priority(spark, sf):
 _SQL_Q3 = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2737,12 +2783,12 @@ def q6_forecast_revenue(spark, sf):
         & (F.col("l_discount") <= 0.04)
         & (F.col("l_quantity") < 10)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+        F.round(F.sum(_dec2("l_extendedprice") * _dec2("l_discount")).cast("double"), 2).alias("revenue")
     )
 
 
 _SQL_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE, 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10
@@ -2778,14 +2824,14 @@ def q7_volume_shipping(spark, sf):
     )
     return (
         j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
     )
 
 
 _SQL_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -2814,7 +2860,9 @@ def q8_market_share(spark, sf):
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal volume (see _dec2): both CASE-sum and total-sum are
+    # order-independent, so the rounded ratio is parallelism-stable
+    vol = _dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))
     j = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
@@ -2828,8 +2876,11 @@ def q8_market_share(spark, sf):
         j.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol)
+                    .otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.sum(vol).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -2839,8 +2890,10 @@ def q8_market_share(spark, sf):
 _SQL_Q8 = """
 SELECT year(o_orderdate) AS o_year,
        round(sum(CASE WHEN n2.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+                      THEN l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                      ELSE 0::DECIMAL(18,2) END)::DOUBLE
+             / sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE,
+             4) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2864,9 +2917,12 @@ def q9_product_profit(spark, sf):
     s = _t(spark, sf, "supplier")
     o = _t(spark, sf, "orders")
     n = _t(spark, sf, "nation")
+    # exact decimal profit: 0.6 is decimal(2,1) so every term is exact;
+    # the per-group decimal sum is order-independent (see _dec2)
     amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        _dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))
+        - F.lit("0.6").cast("decimal(2,1)")
+        * _dec2("p_retailprice") * _dec2("l_quantity")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -2874,14 +2930,15 @@ def q9_product_profit(spark, sf):
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
     )
 
 
 _SQL_Q9 = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                 - 0.6::DECIMAL(2,1) * p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DOUBLE,
+             2) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2906,7 +2963,7 @@ def q10_returned_items(spark, sf):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -2914,7 +2971,7 @@ def q10_returned_items(spark, sf):
 
 _SQL_Q10 = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2959,7 +3016,7 @@ def q15_top_supplier(spark, sf):
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue")
+        F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = _t(spark, sf, "supplier")
@@ -2973,7 +3030,7 @@ def q15_top_supplier(spark, sf):
 _SQL_Q15 = """
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY 1
@@ -3069,7 +3126,7 @@ def q22_sales_opportunity(spark, sf):
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(_dec2("c_acctbal")).cast("double"), 2).alias("totacctbal"),
         )
     )
 
@@ -3079,7 +3136,7 @@ WITH pot AS (
   SELECT c_custkey, c_acctbal, c_nationkey % 7 AS cntrycode
   FROM customer WHERE c_nationkey % 7 IN (0, 1, 2)
 )
-SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal::DECIMAL(18,2))::DOUBLE, 2) AS totacctbal
 FROM pot
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM pot WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders

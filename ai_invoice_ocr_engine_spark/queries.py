@@ -90,12 +90,12 @@ def q_pricing_summary(spark, sf):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec2("l_quantity")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(_dec2("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(_dec2("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec2("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount")))
-                .cast("double"), 2
-            ).alias("sum_disc_price"),
+                F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))),
+                2,
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -105,10 +105,10 @@ def q_pricing_summary(spark, sf):
 
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) AS sum_qty,
-       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_base_price,
+       round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sum_base_price,
        round(sum(l_extendedprice::DECIMAL(18,2)
-                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2)
+                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
            AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_discount), 4) AS avg_disc,
@@ -130,14 +130,14 @@ def q_topk_orders(spark, sf):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
 _SQL_TOPK_ORDERS = """
-SELECT l_orderkey, round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
+SELECT l_orderkey, round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -166,12 +166,12 @@ def q_local_supplier_volume(spark, sf):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))), 2).cast("double").alias("revenue"))
     )
 
 
 _SQL_LOCAL_SUPPLIER = """
-SELECT n_name, round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
+SELECT n_name, round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -255,7 +255,7 @@ def q_running_total(spark, sf):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum(_dec2("l_extendedprice")).over(w).cast("double"), 2).alias(
+        F.round(F.sum(_dec2("l_extendedprice")).over(w), 2).cast("double").alias(
             "running_price"
         ),
     )
@@ -265,7 +265,7 @@ _SQL_RUNNING = """
 SELECT l_orderkey, l_linenumber,
        round(sum(l_extendedprice::DECIMAL(18,2)) OVER (
          PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 2)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
          AS running_price
 FROM lineitem WHERE l_orderkey % 100 = 0
 """
@@ -1375,7 +1375,7 @@ def q_monthly_revenue(spark, sf):
     return (
         o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
         .agg(
-            F.round(F.sum(_dec2("o_totalprice")).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(_dec2("o_totalprice")), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -1383,7 +1383,7 @@ def q_monthly_revenue(spark, sf):
 
 _SQL_MONTHLY = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-       round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
        count(*) AS n_orders
 FROM orders GROUP BY 1
 """
@@ -1420,7 +1420,7 @@ def q_cube_revenue(spark, sf):
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dec2("l_extendedprice")).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(_dec2("l_extendedprice")), 2).cast("double").alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1434,7 +1434,7 @@ def q_cube_revenue(spark, sf):
 _SQL_CUBE = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       count(*) AS n, round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+       count(*) AS n, round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -1575,13 +1575,13 @@ def q_disjunctive_parts(spark, sf):
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return j.where(cond).agg(
-        F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"),
+        F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 _SQL_DISJUNCTIVE = """
-SELECT round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue,
+SELECT round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
@@ -1732,7 +1732,7 @@ def q_revenue_calendar(spark, sf):
         "o_orderstatus",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(_dec2("o_totalprice")).cast("double"), 2).alias("revenue"),
+        F.round(F.sum(_dec2("o_totalprice")), 2).cast("double").alias("revenue"),
     )
     return (
         spine.join(actual, ["month", "o_orderstatus"], "left")
@@ -1761,7 +1761,7 @@ spine AS (
 ),
 actual AS (
   SELECT date_trunc('month', o_orderdate)::date AS month, o_orderstatus,
-         count(*) AS n_orders, round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+         count(*) AS n_orders, round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue
   FROM orders GROUP BY 1, 2
 )
 SELECT spine.month AS month, spine.o_orderstatus AS status,
@@ -1781,11 +1781,11 @@ def q_unpivot_revenue(spark, sf):
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     wide = li.groupBy("o_orderstatus").agg(
-        F.round(F.sum(_dec2("l_extendedprice")).cast("double"), 2).alias("base"),
-        F.round(F.sum(_dec2("l_extendedprice") * _dec2("l_discount")).cast("double"), 2).alias(
+        F.round(F.sum(_dec2("l_extendedprice")), 2).cast("double").alias("base"),
+        F.round(F.sum(_dec2("l_extendedprice") * _dec2("l_discount")), 2).cast("double").alias(
             "discount"
         ),
-        F.round(F.sum(_dec2("l_extendedprice") * _dec2("l_tax")).cast("double"), 2).alias("tax"),
+        F.round(F.sum(_dec2("l_extendedprice") * _dec2("l_tax")), 2).cast("double").alias("tax"),
     )
     return wide.unpivot(
         ["o_orderstatus"], ["base", "discount", "tax"], "component", "amount"
@@ -1795,9 +1795,9 @@ def q_unpivot_revenue(spark, sf):
 _SQL_UNPIVOT = """
 WITH wide AS (
   SELECT o_orderstatus AS status,
-         round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS base,
-         round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE, 2) AS discount,
-         round(sum(l_extendedprice::DECIMAL(18,2) * l_tax::DECIMAL(18,2))::DOUBLE, 2) AS tax
+         round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS base,
+         round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)), 2)::DOUBLE AS discount,
+         round(sum(l_extendedprice::DECIMAL(18,2) * l_tax::DECIMAL(18,2)), 2)::DOUBLE AS tax
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1
 )
@@ -2012,8 +2012,8 @@ def q_ntile_spend_quartiles(spark, sf):
     )
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("spend").cast("double"), 2).alias("quartile_spend"),
-        F.round(F.min("spend").cast("double"), 2).alias("min_spend"),
+        F.round(F.sum("spend"), 2).cast("double").alias("quartile_spend"),
+        F.round(F.min("spend"), 2).cast("double").alias("min_spend"),
     )
 
 
@@ -2027,8 +2027,8 @@ q AS (
   FROM totals
 )
 SELECT quartile, count(*) AS n_customers,
-       round(sum(spend)::DOUBLE, 2) AS quartile_spend,
-       round(min(spend)::DOUBLE, 2) AS min_spend
+       round(sum(spend), 2)::DOUBLE AS quartile_spend,
+       round(min(spend), 2)::DOUBLE AS min_spend
 FROM q GROUP BY quartile
 """
 
@@ -2140,7 +2140,7 @@ def q_revenue_share(spark, sf):
 
 _SQL_REVENUE_SHARE = """
 SELECT n_name,
-       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue,
        round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE /
              (SELECT sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE
               FROM lineitem) * 100.0,
@@ -2749,7 +2749,7 @@ def q3_shipping_priority(spark, sf):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
-        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
         .limit(10)
     )
@@ -2758,7 +2758,7 @@ def q3_shipping_priority(spark, sf):
 _SQL_Q3 = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2783,12 +2783,12 @@ def q6_forecast_revenue(spark, sf):
         & (F.col("l_discount") <= 0.04)
         & (F.col("l_quantity") < 10)
     ).agg(
-        F.round(F.sum(_dec2("l_extendedprice") * _dec2("l_discount")).cast("double"), 2).alias("revenue")
+        F.round(F.sum(_dec2("l_extendedprice") * _dec2("l_discount")), 2).cast("double").alias("revenue")
     )
 
 
 _SQL_Q6 = """
-SELECT round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+SELECT round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)), 2)::DOUBLE AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10
@@ -2824,14 +2824,14 @@ def q7_volume_shipping(spark, sf):
     )
     return (
         j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))), 2).cast("double").alias("revenue"))
     )
 
 
 _SQL_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -2930,15 +2930,15 @@ def q9_product_profit(spark, sf):
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
     )
 
 
 _SQL_Q9 = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
        round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
-                 - 0.6::DECIMAL(2,1) * p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DOUBLE,
-             2) AS profit
+                 - 0.6::DECIMAL(2,1) * p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)),
+             2)::DOUBLE AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2963,7 +2963,7 @@ def q10_returned_items(spark, sf):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -2971,7 +2971,7 @@ def q10_returned_items(spark, sf):
 
 _SQL_Q10 = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -3016,7 +3016,7 @@ def q15_top_supplier(spark, sf):
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))).cast("double"), 2).alias("total_revenue")
+        F.round(F.sum(_dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))), 2).cast("double").alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = _t(spark, sf, "supplier")
@@ -3030,7 +3030,7 @@ def q15_top_supplier(spark, sf):
 _SQL_Q15 = """
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS total_revenue
+         round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY 1
@@ -3126,7 +3126,7 @@ def q22_sales_opportunity(spark, sf):
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(_dec2("c_acctbal")).cast("double"), 2).alias("totacctbal"),
+            F.round(F.sum(_dec2("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
     )
 
@@ -3136,7 +3136,7 @@ WITH pot AS (
   SELECT c_custkey, c_acctbal, c_nationkey % 7 AS cntrycode
   FROM customer WHERE c_nationkey % 7 IN (0, 1, 2)
 )
-SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal::DECIMAL(18,2))::DOUBLE, 2) AS totacctbal
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS totacctbal
 FROM pot
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM pot WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders

@@ -1195,17 +1195,9 @@ def video_meta(videos: DataFrame) -> DataFrame:
 # -- audio metadata (header-level, no sample decode needed) -----------------
 
 #: MPEG audio bitrate tables, kbps (ISO/IEC 11172-3 / 13818-3), index 1-14
-_MP3_BITRATE = {
-    # (version_group, layer): table;  version_group: 1 = MPEG1, 2 = MPEG2/2.5
-    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
-    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
-    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
-    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
-    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
-    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
-}
-#: sample-rate by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1) and sr index
-_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+# MPEG bitrate/rate tables live in ..mpegaudio (the frame-walk module);
+# aliased here for the header-level dispatch
+from ..mpegaudio import BITRATES as _MP3_BITRATE, RATES as _MP3_RATES  # noqa: E402
 #: ADTS sampling_frequency_index (ISO/IEC 14496-3)
 _ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
                16000, 12000, 11025, 8000, 7350]

@@ -1346,12 +1346,17 @@ def audio_metadata(data: bytes) -> dict:
     h = data[off : off + 4]
     if len(h) == 4 and h[0] == 0xFF and (h[1] & 0xE0) == 0xE0:
         if (h[1] & 0xF6) == 0xF0:  # ADTS AAC: layer 00, MPEG-4/2 syntax
-            sri = (h[2] >> 2) & 0x0F
-            rate = _ADTS_RATES[sri] if sri < len(_ADTS_RATES) else -1
-            n_ch = ((h[2] & 1) << 2) | (h[3] >> 6)
-            return {"format": "aac", "codec": "aac_adts", "sample_rate": rate,
-                    "channels": n_ch, "bits": -1, "n_samples": -1,
-                    "duration_s": -1.0}
+            # exact frame walk (mpegaudio.adts_frames): each ADTS header
+            # carries its own 13-bit frame_length, so sample counts and
+            # duration are frame-accurate, truncation surfaced
+            from ..mpegaudio import adts_exact_metadata
+
+            m = adts_exact_metadata(data)
+            return {"format": "aac", "codec": "aac_adts",
+                    "sample_rate": m["sample_rate"],
+                    "channels": m["channels"], "bits": -1,
+                    "n_samples": m["n_samples"],
+                    "duration_s": round(m["duration_s"], 4)}
         # exact frame walk (mpegaudio.py): frame-accurate sample count and
         # duration + CBR/VBR fact, replacing the first-frame byte-count
         # ESTIMATE (wrong for VBR/tagged files). Sample decode remains the

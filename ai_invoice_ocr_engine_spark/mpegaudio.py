@@ -313,3 +313,82 @@ def mp3_exact_metadata(data: bytes) -> dict:
         "resync_lost_at": walk["resync_lost_at"],
         "side_info_invalid_frames": bad_side,
     }
+
+
+# ------------------------------------------------------------------ ADTS AAC
+def adts_frames(data: bytes) -> dict:
+    """Walk an ADTS AAC stream frame-exactly — same contract as
+    ``mp3_frames`` (ISO/IEC 14496-3 ADTS syntax; pure structure: each
+    header carries its own 13-bit frame_length, so no codec constants are
+    involved). Per frame: offset, size, profile, sampling index, channel
+    config, raw-data-block count (samples = 1024 x (blocks+1)). Sample
+    decode stays the same documented seam as mp3 (SURVEY B.16)."""
+    start = _id3v2_size(data)
+    end = len(data) - _trailer_size(data)
+    frames = []
+    i = start
+    lost = None
+    while i + 7 <= end:
+        h = data[i : i + 7]
+        if h[0] != 0xFF or (h[1] & 0xF6) != 0xF0:
+            lost = i
+            break
+        crc_absent = h[1] & 1
+        profile = (h[2] >> 6) & 0x3
+        sri = (h[2] >> 2) & 0x0F
+        chan = ((h[2] & 1) << 2) | (h[3] >> 6)
+        size = ((h[3] & 0x3) << 11) | (h[4] << 3) | (h[5] >> 5)
+        blocks = (h[6] & 0x3) + 1
+        hdr = 7 if crc_absent else 9
+        if size < hdr or i + size > end:
+            lost = i
+            break
+        frames.append(
+            {
+                "offset": i,
+                "size": size,
+                "profile": profile,
+                "sampling_index": sri,
+                "channels": chan,
+                "blocks": blocks,
+                "samples": 1024 * blocks,
+                "crc": not crc_absent,
+            }
+        )
+        i += size
+    return {
+        "frames": frames,
+        "tag_bytes": start,
+        "trailer_bytes": len(data) - end,
+        "resync_lost_at": lost,
+        "consumed_to": i,
+        "stream_end": end,
+    }
+
+
+#: ADTS sampling_frequency_index table (ISO/IEC 14496-3)
+ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350]
+
+
+def adts_exact_metadata(data: bytes) -> dict:
+    """Frame-accurate ADTS metadata (the AAC analog of
+    ``mp3_exact_metadata``): exact sample count and duration from the
+    full walk, truncation surfaced."""
+    walk = adts_frames(data)
+    frames = walk["frames"]
+    if not frames:
+        raise ValueError("no ADTS frames found")
+    sri = frames[0]["sampling_index"]
+    rate = ADTS_RATES[sri] if sri < len(ADTS_RATES) else -1
+    n = sum(f["samples"] for f in frames)
+    return {
+        "n_frames": len(frames),
+        "n_samples": n,
+        "sample_rate": rate,
+        "channels": frames[0]["channels"],
+        "duration_s": round(n / rate, 6) if rate > 0 else -1.0,
+        "tag_bytes": walk["tag_bytes"],
+        "trailer_bytes": walk["trailer_bytes"],
+        "resync_lost_at": walk["resync_lost_at"],
+    }

@@ -754,3 +754,46 @@ def test_hcom_structural_failures_are_loud():
     struct.pack_into(">hh", bad, 150, 5, 0)  # dict node out of range
     with pytest.raises(ValueError, match="out of range"):
         decode_hcom(bytes(bad))
+
+
+def test_adts_aac_exact_frame_walk():
+    """ADTS AAC frame walk (the AAC analog of the mp3 walk — pure
+    structure, each header carries its own frame_length): a synthetic
+    3-frame stream with varying lengths and a 2-raw-data-block frame
+    walks exactly, sample counts are frame-accurate, truncation is
+    surfaced, and audio_metadata reports the exact figures."""
+    from ai_invoice_ocr_engine_spark.functions.multimodal import audio_metadata
+    from ai_invoice_ocr_engine_spark.mpegaudio import (
+        adts_exact_metadata,
+        adts_frames,
+    )
+
+    def frame(size, blocks=1, sri=4, chan=2):
+        # syncword FFF, MPEG-4, layer 00, no CRC; profile AAC-LC (01)
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1
+        h[2] = (0x1 << 6) | (sri << 2) | ((chan >> 2) & 1)
+        h[3] = ((chan & 0x3) << 6) | ((size >> 11) & 0x3)
+        h[4] = (size >> 3) & 0xFF
+        h[5] = ((size & 0x7) << 5) | 0x1F
+        h[6] = 0xFC | (blocks - 1)
+        return bytes(h) + b"\x00" * (size - 7)
+
+    data = frame(200) + frame(313) + frame(150, blocks=2)
+    w = adts_frames(data)
+    assert w["resync_lost_at"] is None
+    assert w["consumed_to"] == len(data)
+    assert [f["size"] for f in w["frames"]] == [200, 313, 150]
+    assert [f["samples"] for f in w["frames"]] == [1024, 1024, 2048]
+
+    m = adts_exact_metadata(data)
+    assert m["n_samples"] == 4096 and m["sample_rate"] == 44100
+    assert m["channels"] == 2
+    meta = audio_metadata(data)
+    assert meta["format"] == "aac" and meta["n_samples"] == 4096
+    assert meta["duration_s"] == round(4096 / 44100, 4)
+
+    # mid-frame truncation: the torn frame is reported, not counted
+    cut = adts_frames(data[:-50])
+    assert len(cut["frames"]) == 2 and cut["resync_lost_at"] is not None

@@ -834,9 +834,12 @@ def test_audio_metadata_header_parsers(spark):
     assert m["codec"] == "mp3_8kbps" and m["sample_rate"] == 22050
     assert m["channels"] == 1
 
-    # ADTS AAC-LC, sr idx 4 = 44100, channel config 2
-    m = audio_metadata(bytes([0xFF, 0xF1, 0x50, 0x80, 0x00, 0x1F, 0xFC]))
+    # ADTS AAC-LC, sr idx 4 = 44100, channel config 2 — a minimal
+    # well-formed frame (frame_length = 7, header-only); the walk is now
+    # frame-exact so a declared length of 0 would be a torn-stream error
+    m = audio_metadata(bytes([0xFF, 0xF1, 0x50, 0x80, 0x00, 0xE0, 0xFC]))
     assert (m["format"], m["sample_rate"], m["channels"]) == ("aac", 44100, 2)
+    assert m["n_samples"] == 1024
 
     with pytest.raises(ValueError):
         audio_metadata(b"\x00\x01\x02\x03 garbage")

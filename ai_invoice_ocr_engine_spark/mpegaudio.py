@@ -246,6 +246,24 @@ def mp3_side_info(data: bytes, frame: dict) -> dict:
     return out
 
 
+def vbri_header(data: bytes, frame: dict) -> dict | None:
+    """Fraunhofer VBRI header, if present: always 32 bytes after the
+    first frame's header (independent of side-info size, unlike Xing).
+    {version, delay, quality, n_bytes, n_frames, toc_entries}."""
+    p = frame["offset"] + 4 + 32
+    if data[p : p + 4] != b"VBRI":
+        return None
+    be = lambda a, b: int.from_bytes(data[a:b], "big")  # noqa: E731
+    return {
+        "version": be(p + 4, p + 6),
+        "delay": be(p + 6, p + 8),
+        "quality": be(p + 8, p + 10),
+        "n_bytes": be(p + 10, p + 14),
+        "n_frames": be(p + 14, p + 18),
+        "toc_entries": be(p + 18, p + 20),
+    }
+
+
 def xing_header(data: bytes, frame: dict) -> dict | None:
     """Xing/Info VBR header in the first frame (after side info), if any:
     {tag, n_frames, n_bytes, quality, encoder}."""
@@ -286,7 +304,7 @@ def mp3_exact_metadata(data: bytes) -> dict:
     frames = walk["frames"]
     if not frames:
         raise ValueError("no MPEG audio frames found")
-    xing = xing_header(data, frames[0])
+    xing = xing_header(data, frames[0]) or vbri_header(data, frames[0])
     audio_frames = frames[1:] if xing else frames
     n_samples = sum(f["samples"] for f in audio_frames)
     rate = frames[0]["rate"]

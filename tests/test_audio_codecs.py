@@ -797,3 +797,45 @@ def test_adts_aac_exact_frame_walk():
     # mid-frame truncation: the torn frame is reported, not counted
     cut = adts_frames(data[:-50])
     assert len(cut["frames"]) == 2 and cut["resync_lost_at"] is not None
+
+
+def test_vbr_headers_xing_and_vbri():
+    """Xing/Info and Fraunhofer VBRI header parse on synthetic first
+    frames (pure structure): the header frame carries no audio, so the
+    exact sample count excludes it; VBRI sits at a FIXED +32 offset
+    independent of side-info size."""
+    from ai_invoice_ocr_engine_spark.mpegaudio import (
+        mp3_exact_metadata,
+        vbri_header,
+        xing_header,
+        mp3_frames,
+    )
+
+    # MPEG-1 L3 128kbps 44100 stereo frame = 417 bytes
+    def l3_frame(fill):
+        return (bytes([0xFF, 0xFB, 0x90, 0x44]) + fill)[:417].ljust(417, b"\x00")
+
+    # Xing: after 4-byte header + 32-byte side info (MPEG-1 stereo)
+    xing_payload = b"\x00" * 32 + b"Xing" + (3).to_bytes(4, "big") \
+        + (5).to_bytes(4, "big") + (2085).to_bytes(4, "big")
+    data = l3_frame(xing_payload) + l3_frame(b"") * 4
+    f0 = mp3_frames(data)["frames"][0]
+    x = xing_header(data, f0)
+    assert x and x["n_frames"] == 5 and x["n_bytes"] == 2085
+    m = mp3_exact_metadata(data)
+    assert m["n_frames"] == 5 and m["n_audio_frames"] == 4
+    assert m["n_samples"] == 4 * 1152
+    assert m["vbr_header"]["tag"] == "Xing"
+
+    # VBRI: fixed 32-byte offset after the frame header
+    vbri_payload = b"\x00" * 32 + b"VBRI" + (1).to_bytes(2, "big") \
+        + (576).to_bytes(2, "big") + (80).to_bytes(2, "big") \
+        + (2085).to_bytes(4, "big") + (5).to_bytes(4, "big") \
+        + (0).to_bytes(2, "big")
+    data2 = l3_frame(vbri_payload) + l3_frame(b"") * 4
+    f0 = mp3_frames(data2)["frames"][0]
+    v = vbri_header(data2, f0)
+    assert v and v["n_frames"] == 5 and v["delay"] == 576
+    assert xing_header(data2, f0) is None
+    m2 = mp3_exact_metadata(data2)
+    assert m2["n_audio_frames"] == 4 and m2["n_samples"] == 4 * 1152

@@ -1503,14 +1503,19 @@ def q_promo_revenue(spark, sf):
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal revenue (see _dec2): the ratio divides two exact
+    # values, so the rounded percentage is parallelism-stable
+    rev = _dec2("l_extendedprice") * (_d1() - _dec2("l_discount"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_pct")
         )
@@ -1518,8 +1523,11 @@ def q_promo_revenue(spark, sf):
 
 
 _SQL_PROMO = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                          ELSE 0::DECIMAL(18,2) END)::DOUBLE
+             / sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE,
+             4) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
@@ -3289,7 +3297,12 @@ def q_q11_important_stock(spark, sf):
         ps.ps_suppkey == F.col("s_suppkey"),
     ).select(
         "ps_partkey",
-        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        # exact decimal stock value: the HAVING below filters on an
+        # aggregate, the worst place for float noise (see _dec2)
+        (
+            _dec2("ps_supplycost")
+            * F.col("ps_availqty").cast("decimal(18,0)")
+        ).alias("v"),
     )
     # scale-free threshold (the spec divides its fraction by SF for the
     # same reason): keep parts holding more than twice the AVERAGE share,
@@ -3302,25 +3315,34 @@ def q_q11_important_stock(spark, sf):
         nat.groupBy("ps_partkey")
         .agg(F.sum("v").alias("value_raw"))
         .crossJoin(F.broadcast(tot))
-        .where(F.col("value_raw") > 2.0 * F.col("total_v") / F.col("n_parts"))
-        .select("ps_partkey", F.round("value_raw", 2).alias("stock_value"))
+        # cross-multiplied (division-free) threshold: every operand is an
+        # exact decimal/int, so the gate is bit-identical at any
+        # parallelism and in any engine
+        .where(
+            F.col("value_raw") * F.col("n_parts") > 2 * F.col("total_v")
+        )
+        .select(
+            "ps_partkey",
+            F.round("value_raw", 2).cast("double").alias("stock_value"),
+        )
     )
 
 
 _SQL_Q11 = (
     "WITH " + _PARTSUPP_CTE + """,
 nat AS (
-  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  SELECT ps_partkey,
+         ps_supplycost::DECIMAL(18,2) * ps_availqty::DECIMAL(18,0) AS v
   FROM partsupp
   JOIN supplier ON ps_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
 )
-SELECT ps_partkey, round(sum(v), 2) AS stock_value
+SELECT ps_partkey, round(sum(v), 2)::DOUBLE AS stock_value
 FROM nat
 GROUP BY ps_partkey
-HAVING sum(v) > 2.0 * (SELECT sum(v) FROM nat)
-                / (SELECT count(DISTINCT ps_partkey) FROM nat)
+HAVING sum(v) * (SELECT count(DISTINCT ps_partkey) FROM nat)
+       > 2 * (SELECT sum(v) FROM nat)
 """
 )
 

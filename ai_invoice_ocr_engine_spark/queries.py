@@ -4576,6 +4576,118 @@ ORDER BY peak_per_min DESC, n_bursty_minutes DESC, user_id
 """
 
 
+def q_url_canonicalize(spark, sf):
+    """URL canonicalization — the standard web-crawl preprocessing step
+    before URL-level dedup (lowercase scheme/host, strip default ports
+    and www., drop fragments and tracking params, sort the remaining
+    query params, trim trailing slashes) plus registrable-domain
+    extraction. Four messy URL variants are synthesized deterministically
+    per document (mixed case, default ports, utm_*/fbclid params,
+    fragments, duplicate keys), then normalized entirely with JVM string/
+    array functions — zero Python, a narrow projection that scales as a
+    map over any corpus. Returns (doc_id, canon_url, domain)."""
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.COM:443/Docs/"), F.col("doc_id"),
+            F.lit("/?b=2&utm_source=feed&a=1#top")))
+        .when(v == 1, F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.lit(".example.com/docs/"), F.col("doc_id")))
+        .when(v == 2, F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".EXAMPLE.com:80/a/b/?a=1&a=0&z=9")))
+        .otherwise(F.concat(
+            F.lit("https://m."), F.col("source"),
+            F.lit(".example.com/path?fbclid=XYZ&q=1")))
+    )
+    d = d.withColumn("url", url)
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            hostport,
+            r":443$",
+            "",
+        ),
+        r":80$",
+        "",
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    after = F.regexp_extract("url", r"^[A-Za-z]+://[^/]+(/.*)?$", 1)
+    nofrag = F.regexp_replace(after, r"#.*$", "")
+    path = F.regexp_extract(nofrag, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "")
+                & ~x.rlike("^(utm_[a-z]+|fbclid)="),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return d.select(
+        "doc_id", canon.alias("canon_url"), domain.alias("domain")
+    )
+
+
+_SQL_URL_CANON = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Docs/' || doc_id || '/?b=2&utm_source=feed&a=1#top'
+           WHEN 1 THEN 'https://www.' || source || '.example.com/docs/' || doc_id
+           WHEN 2 THEN 'http://' || source || '.EXAMPLE.com:80/a/b/?a=1&a=0&z=9'
+           ELSE 'https://m.' || source || '.example.com/path?fbclid=XYZ&q=1'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)),
+                            ':443$', ''),
+             ':80$', ''),
+           '^www\\.', '') AS host,
+         regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z]+://[^/]+(/.*)$', 1), ''),
+                        '#.*$', '') AS nofrag
+  FROM raw
+),
+split_pq AS (
+  SELECT doc_id, scheme, host,
+         regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '/$', '') AS path,
+         coalesce(regexp_extract(nofrag, '\\?(.*)$', 1), '') AS query
+  FROM parts
+),
+canon AS (
+  SELECT doc_id, scheme, host, path,
+         array_to_string(
+           list_sort(
+             list_filter(string_split(query, '&'),
+                         x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid)='))
+           ), '&') AS kept
+  FROM split_pq
+)
+SELECT doc_id,
+       scheme || '://' || host || path ||
+         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon_url,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+FROM canon
+"""
+
+
 def q_domain_cap_sample(spark, sf):
     """Per-domain document cap — the Common-Crawl-style curation rule
     "keep at most N documents per domain", deterministic under rerun
@@ -6743,6 +6855,7 @@ REGISTRY: dict[str, tuple] = {
     "bigram_pmi": (q_bigram_pmi, _SQL_BIGRAM_PMI),
     "char_entropy": (q_char_entropy, _SQL_CHAR_ENTROPY),
     "zipf_slope": (q_zipf_slope, _SQL_ZIPF_SLOPE),
+    "url_canonicalize": (q_url_canonicalize, _SQL_URL_CANON),
     "domain_cap_sample": (q_domain_cap_sample, _SQL_DOMAIN_CAP),
     "fuzzy_name_linkage": (q_fuzzy_name_linkage, _SQL_FUZZY_LINKAGE),
     "int8_quantize_error": (q_int8_quantize_error, _SQL_INT8_QUANT),

@@ -290,6 +290,19 @@ def main(argv=None) -> int:
 
     # the reference CLI's --visualize save loop (cli.py:42: draw boxes on
     # each frame, write one annotated image per input)
+    ex = sub.add_parser(
+        "exif",
+        help="EXIF geo-tag census over a media table, optionally scrubbing "
+             "GPS/MakerNotes/serials to the safe-tag whitelist (--scrub; "
+             "pixels untouched) — the image analog of PII redaction",
+    )
+    ex.add_argument("--media", required=True, help="media parquet")
+    ex.add_argument("--scrub", action="store_true",
+                    help="write a scrubbed copy of the media table")
+    ex.add_argument("--out", default=None,
+                    help="output parquet dir (required with --scrub)")
+    ex.add_argument("--master", default=None)
+
     vz = sub.add_parser("viz", help="write per-frame detection overlay PNGs")
     vz.add_argument("--media", required=True, help="media parquet")
     vz.add_argument("--out", required=True, help="directory for overlay PNGs")
@@ -472,6 +485,38 @@ def main(argv=None) -> int:
         finally:
             spark.stop()
         print(json.dumps({"format": args.format, "docs": n, "out": args.out}))
+        return 0
+
+    if args.cmd == "exif":
+        from pyspark.sql import functions as F
+
+        from .functions.multimodal import exif_meta, scrub_gps
+        from .sources.session import get_spark
+
+        spark = get_spark(app="exif", master=args.master)
+        try:
+            media = spark.read.parquet(args.media)
+            census = exif_meta(media).agg(
+                F.count(F.lit(1)).alias("n_media"),
+                F.sum(F.col("has_exif").cast("int")).alias("n_exif"),
+                F.sum(F.col("has_gps").cast("int")).alias("n_gps"),
+            ).collect()[0]
+            rep = {"n_media": census["n_media"],
+                   "n_exif": int(census["n_exif"] or 0),
+                   "n_gps": int(census["n_gps"] or 0)}
+            if args.scrub:
+                if not args.out:
+                    print("error: --scrub requires --out", file=sys.stderr)
+                    return 2
+                scrub_gps(media).write.mode("error").parquet(args.out)
+                after = exif_meta(spark.read.parquet(args.out)).agg(
+                    F.sum(F.col("has_gps").cast("int")).alias("n_gps")
+                ).collect()[0]
+                rep["scrubbed_to"] = args.out
+                rep["n_gps_after"] = int(after["n_gps"] or 0)
+            print(json.dumps(rep))
+        finally:
+            spark.stop()
         return 0
 
     if args.cmd == "viz":

@@ -958,6 +958,73 @@ def encode_aiff(
     return b"FORM" + _struct.pack(">I", len(body)) + body
 
 
+EXIF_META_SCHEMA = (
+    "media_ref string, has_exif boolean, has_gps boolean, orientation int, "
+    "gps_lat double, gps_lon double, datetime string"
+)
+
+
+def exif_meta(media: DataFrame) -> DataFrame:
+    """Per-image EXIF audit over media(media_ref, image) — one Arrow
+    crossing, no shuffle: the geo-tag census a corpus runs BEFORE the
+    privacy scrub (exif.py parse_exif; non-JPEG/torn rows report
+    has_exif=false rather than failing the batch)."""
+    from ..exif import parse_exif
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, img in zip(pdf["media_ref"], pdf["image"]):
+                try:
+                    m = parse_exif(bytes(img))
+                except Exception:
+                    m = {"has_exif": False, "has_gps": False}
+                rows.append(
+                    (
+                        ref,
+                        bool(m.get("has_exif")),
+                        bool(m.get("has_gps")),
+                        m.get("orientation"),
+                        m.get("gps_lat"),
+                        m.get("gps_lon"),
+                        m.get("datetime"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "has_exif", "has_gps", "orientation",
+                    "gps_lat", "gps_lon", "datetime",
+                ],
+            )
+
+    return media.mapInPandas(fn, EXIF_META_SCHEMA)
+
+
+def scrub_gps(media: DataFrame) -> DataFrame:
+    """The image-privacy pass: rewrite every JPEG's EXIF to the safe-tag
+    whitelist (GPS/MakerNotes/serials gone by construction, pixels
+    untouched — exif.py scrub_exif); non-JPEG media pass through
+    unchanged. Same (media_ref, image) schema out, so the scrub composes
+    anywhere in a media pipeline."""
+    from ..exif import scrub_exif
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for img in pdf["image"]:
+                b = bytes(img)
+                try:
+                    out.append(bytearray(scrub_exif(b)))
+                except Exception:
+                    out.append(bytearray(b))
+            pdf = pdf.copy()
+            pdf["image"] = out
+            yield pdf
+
+    return media.mapInPandas(fn, media.schema)
+
+
 def decode_hcom(data: bytes) -> np.ndarray:
     """HCOM (Mac Sound Tools, Huffman-compressed) → int16 mono samples —
     the 8th and last sndhdr container family (VERDICT r4 missing #5).

@@ -1,0 +1,200 @@
+"""EXIF parse + GPS scrub (exif.py, multimodal.exif_meta/scrub_gps) — the
+image analog of the PII redaction pass. Pinned against the OS-shipped
+externally encoded JPEG with a real (big-endian) EXIF segment, plus
+hand-built GPS IFDs in BOTH byte orders; the scrub must leave pixels
+bit-identical (segment splice, no re-encode) and remove GPS by
+whitelist construction."""
+
+import glob
+import struct
+
+import numpy as np
+import pytest
+
+from ai_invoice_ocr_engine_spark.exif import (
+    jpeg_segments,
+    parse_exif,
+    scrub_exif,
+)
+from ai_invoice_ocr_engine_spark.kernels import decode_image
+
+_OS_EXIF_JPG = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/"
+    "ext/flower-of-life.jpg"
+)
+_OS_PLAIN_JPG = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+
+
+def _gps_exif_app1(endian: str) -> bytes:
+    """A hand-built APP1 Exif payload: IFD0 {orientation=6, GPSInfo ->
+    GPS IFD} with lat 37;46;30 N, lon 122;25;10 W."""
+    fmt = "<" if endian == "II" else ">"
+
+    def ifd(entries, ifd_off, tail_vals):
+        n = len(entries)
+        data_off = ifd_off + 2 + 12 * n + 4
+        body, tail = b"", b""
+        for tag, typ, cnt, val in entries:
+            if len(val) <= 4:
+                body += struct.pack(fmt + "HHI", tag, typ, cnt) + val.ljust(4, b"\x00")
+            else:
+                body += struct.pack(fmt + "HHII", tag, typ, cnt, data_off + len(tail))
+                tail += val
+        return struct.pack(fmt + "H", n) + body + struct.pack(fmt + "I", 0) + tail
+
+    def rat3(a, b, c):
+        return b"".join(struct.pack(fmt + "II", x, 1) for x in (a, b, c))
+
+    # GPS IFD will live after IFD0; compute sizes: IFD0 has 2 entries
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * 2 + 4
+    gps_off = ifd0_off + ifd0_size
+    gps_entries = [
+        (0x0001, 2, 2, b"N\x00"),
+        (0x0002, 5, 3, rat3(37, 46, 30)),
+        (0x0003, 2, 2, b"W\x00"),
+        (0x0004, 5, 3, rat3(122, 25, 10)),
+    ]
+    gps = ifd(gps_entries, gps_off, None)
+    ifd0 = ifd(
+        [
+            (0x0112, 3, 1, struct.pack(fmt + "H", 6)),
+            (0x8825, 4, 1, struct.pack(fmt + "I", gps_off)),
+        ],
+        ifd0_off,
+        None,
+    )
+    hdr = (b"II*\x00" if endian == "II" else b"MM\x00*") + struct.pack(
+        fmt + "I", 8
+    )
+    tiff = hdr + ifd0 + gps
+    return b"Exif\x00\x00" + tiff
+
+
+def _with_gps(jpeg: bytes, endian: str) -> bytes:
+    payload = _gps_exif_app1(endian)
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+@pytest.mark.skipif(not glob.os.path.exists(_OS_EXIF_JPG),
+                    reason="OS EXIF JPEG absent")
+def test_os_exif_jpeg_parse_and_scrub():
+    data = open(_OS_EXIF_JPG, "rb").read()
+    m = parse_exif(data)
+    assert m["has_exif"] and m["endian"] == "MM"
+    assert m["orientation"] == 1 and m["resolution_unit"] == 2
+    assert m["pixel_x_dimension"] == 161 and m["has_gps"] is False
+    s = scrub_exif(data)
+    assert np.array_equal(decode_image(data), decode_image(s))
+    m2 = parse_exif(s)
+    assert m2["orientation"] == 1 and m2["pixel_x_dimension"] == 161
+    assert m2["has_gps"] is False
+    # idempotent
+    assert scrub_exif(s) == s
+
+
+@pytest.mark.skipif(not glob.os.path.exists(_OS_PLAIN_JPG),
+                    reason="OS plain JPEG absent")
+@pytest.mark.parametrize("endian", ["II", "MM"])
+def test_gps_parse_and_scrub_both_endians(endian):
+    base = open(_OS_PLAIN_JPG, "rb").read()
+    tagged = _with_gps(base, endian)
+    m = parse_exif(tagged)
+    assert m["has_gps"] is True and m["orientation"] == 6
+    assert abs(m["gps_lat"] - (37 + 46 / 60 + 30 / 3600)) < 1e-9
+    assert abs(m["gps_lon"] + (122 + 25 / 60 + 10 / 3600)) < 1e-9  # West
+
+    s = scrub_exif(tagged)
+    m2 = parse_exif(s)
+    assert m2["has_gps"] is False
+    assert m2["orientation"] == 6  # safe tag survives
+    assert b"\x25\x88" not in s[:200] and b"\x88\x25" not in s[:200]
+    assert np.array_equal(decode_image(tagged), decode_image(s))
+
+
+@pytest.mark.skipif(not glob.os.path.exists(_OS_PLAIN_JPG),
+                    reason="OS plain JPEG absent")
+def test_no_exif_passthrough_and_torn_exif_safe():
+    base = open(_OS_PLAIN_JPG, "rb").read()
+    assert scrub_exif(base) == base  # no EXIF -> byte-identical
+    assert parse_exif(base) == {"has_exif": False, "has_gps": False}
+    # torn EXIF: truncate inside the IFD — parse degrades, never raises
+    tagged = bytearray(_with_gps(base, "II"))
+    payload = b"Exif\x00\x00II*\x00" + struct.pack("<I", 8) + b"\x10"
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    torn = base[:2] + seg + base[2:]
+    m = parse_exif(torn)
+    assert m["has_exif"] is True and m["has_gps"] is False
+    assert len(list(jpeg_segments(torn))) >= 2
+
+
+@pytest.mark.skipif(not glob.os.path.exists(_OS_PLAIN_JPG),
+                    reason="OS plain JPEG absent")
+def test_spark_exif_meta_and_scrub_gps(spark):
+    """The DataFrame surface: geo census then scrub, one Arrow crossing
+    each; scrubbed corpus re-censuses to zero geo-tagged images with
+    pixels untouched."""
+    from ai_invoice_ocr_engine_spark.functions.multimodal import (
+        exif_meta,
+        scrub_gps,
+    )
+
+    base = open(_OS_PLAIN_JPG, "rb").read()
+    rows = [
+        ("gps_ii", bytearray(_with_gps(base, "II"))),
+        ("gps_mm", bytearray(_with_gps(base, "MM"))),
+        ("plain", bytearray(base)),
+        ("notjpeg", bytearray(b"\x89PNG\r\n\x1a\nxxxx")),
+    ]
+    media = spark.createDataFrame(rows, "media_ref string, image binary")
+    census = {r["media_ref"]: r for r in exif_meta(media).collect()}
+    assert census["gps_ii"]["has_gps"] and census["gps_mm"]["has_gps"]
+    assert abs(census["gps_ii"]["gps_lat"] - 37.775) < 1e-3
+    assert not census["plain"]["has_exif"]
+    assert not census["notjpeg"]["has_exif"]
+
+    scrubbed = scrub_gps(media)
+    after = {r["media_ref"]: bytes(r["image"]) for r in scrubbed.collect()}
+    census2 = {r["media_ref"]: r for r in exif_meta(scrubbed).collect()}
+    assert not any(c["has_gps"] for c in census2.values())
+    assert census2["gps_ii"]["orientation"] == 6
+    assert after["plain"] == base  # untouched passthrough
+    assert after["notjpeg"] == bytes(rows[3][1])
+    assert np.array_equal(
+        decode_image(after["gps_mm"]), decode_image(base)
+    )
+
+
+@pytest.mark.skipif(not glob.os.path.exists(_OS_PLAIN_JPG),
+                    reason="OS plain JPEG absent")
+def test_exif_cli_census_and_scrub(tmp_path):
+    """CLI surface: `exif --media` census, then `--scrub --out` writes a
+    GPS-free copy and reports n_gps_after == 0."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = open(_OS_PLAIN_JPG, "rb").read()
+    rows = [("a", _with_gps(base, "II")), ("b", base)]
+    d = tmp_path / "media"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"media_ref": [r[0] for r in rows],
+                  "image": [r[1] for r in rows]}),
+        str(d / "media.parquet"),
+    )
+    out = str(tmp_path / "clean")
+    r = subprocess.run(
+        [_sys.executable, "-m", "ai_invoice_ocr_engine_spark", "exif",
+         "--media", str(d / "media.parquet"), "--scrub", "--out", out,
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.splitlines()[-1])
+    assert rep["n_media"] == 2 and rep["n_gps"] == 1
+    assert rep["n_gps_after"] == 0

@@ -128,14 +128,56 @@ def _gps_deg(fmt: str, val: bytes) -> float | None:
     return parts[0] + parts[1] / 60.0 + parts[2] / 3600.0
 
 
+def png_chunks(data: bytes):
+    """Yield (type, chunk_start, chunk_end, data_start, data_end) for
+    every PNG chunk (length + type + data + crc spans)."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i = 8
+    while i + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        typ = data[i + 4 : i + 8]
+        end = i + 12 + ln
+        if end > len(data):
+            break
+        yield typ, i, end, i + 8, i + 8 + ln
+        if typ == b"IEND":
+            return
+        i = end
+
+
+#: PNG ancillary chunks carrying free-form metadata — dropped by the
+#: scrub (eXIf holds a full TIFF/EXIF blob incl. GPS; tEXt/zTXt/iTXt
+#: carry arbitrary key-value text; tIME is a capture timestamp)
+PNG_META_CHUNKS = (b"eXIf", b"tEXt", b"zTXt", b"iTXt", b"tIME")
+
+
 def parse_exif(data: bytes) -> dict:
-    """EXIF facts for a JPEG: safe tags, plus ``has_gps`` and (when the
-    rationals parse) the decoded lat/lon — so a corpus audit can COUNT
-    geo-tagged images before scrubbing. No EXIF → {'has_exif': False}."""
+    """EXIF facts for a JPEG or PNG: safe tags, plus ``has_gps`` and
+    (when the rationals parse) the decoded lat/lon — so a corpus audit
+    can COUNT geo-tagged images before scrubbing. PNGs also report
+    ``has_text_meta`` (tEXt/zTXt/iTXt/tIME present). No metadata →
+    {'has_exif': False}."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        out = {"has_exif": False, "has_gps": False, "has_text_meta": False}
+        for typ, _a, _b, ds, de in png_chunks(data):
+            if typ == b"eXIf":
+                sub = _parse_tiff(data, ds, de)
+                sub["has_text_meta"] = out["has_text_meta"]
+                out = sub
+            elif typ in PNG_META_CHUNKS:
+                out["has_text_meta"] = True
+        return out
     loc = _find_exif(data)
     if loc is None:
         return {"has_exif": False, "has_gps": False}
     _a, seg_end, t = loc
+    return _parse_tiff(data, t, seg_end)
+
+
+def _parse_tiff(data: bytes, t: int, seg_end: int) -> dict:
+    """The shared TIFF/IFD-chain parse behind both containers: ``t`` is
+    the TIFF header offset, ``seg_end`` bounds every IFD/value read."""
     endian = data[t : t + 2]
     if endian not in (b"II", b"MM"):
         return {"has_exif": False, "has_gps": False}
@@ -199,7 +241,25 @@ def scrub_exif(data: bytes) -> bytes:
     """Rewrite a JPEG's APP1 Exif segment to contain ONLY the whitelisted
     safe tags (see module docstring) — GPS, MakerNotes, serials and every
     unknown tag are gone by construction. Output is always little-endian.
-    JPEGs without EXIF pass through unchanged; pixels are never touched."""
+    For PNGs the metadata chunks (eXIf/tEXt/zTXt/iTXt/tIME) are DROPPED
+    whole — chunk removal needs no CRC rewrite and PNG consumers ignore
+    absent ancillary chunks, so pixels and rendering chunks stay
+    byte-identical. Media without metadata pass through unchanged."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        spans = [
+            (a, b)
+            for typ, a, b, _ds, _de in png_chunks(data)
+            if typ in PNG_META_CHUNKS
+        ]
+        if not spans:
+            return data
+        out = bytearray()
+        pos = 0
+        for a, b in spans:
+            out += data[pos:a]
+            pos = b
+        out += data[pos:]
+        return bytes(out)
     loc = _find_exif(data)
     if loc is None:
         return data

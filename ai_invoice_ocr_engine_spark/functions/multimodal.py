@@ -959,8 +959,9 @@ def encode_aiff(
 
 
 EXIF_META_SCHEMA = (
-    "media_ref string, has_exif boolean, has_gps boolean, orientation int, "
-    "gps_lat double, gps_lon double, datetime string"
+    "media_ref string, has_exif boolean, has_gps boolean, "
+    "has_text_meta boolean, orientation int, gps_lat double, "
+    "gps_lon double, datetime string"
 )
 
 
@@ -984,6 +985,7 @@ def exif_meta(media: DataFrame) -> DataFrame:
                         ref,
                         bool(m.get("has_exif")),
                         bool(m.get("has_gps")),
+                        bool(m.get("has_text_meta")),
                         m.get("orientation"),
                         m.get("gps_lat"),
                         m.get("gps_lon"),
@@ -993,8 +995,8 @@ def exif_meta(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_ref", "has_exif", "has_gps", "orientation",
-                    "gps_lat", "gps_lon", "datetime",
+                    "media_ref", "has_exif", "has_gps", "has_text_meta",
+                    "orientation", "gps_lat", "gps_lon", "datetime",
                 ],
             )
 

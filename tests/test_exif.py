@@ -198,3 +198,60 @@ def test_exif_cli_census_and_scrub(tmp_path):
     rep = json.loads(r.stdout.splitlines()[-1])
     assert rep["n_media"] == 2 and rep["n_gps"] == 1
     assert rep["n_gps_after"] == 0
+
+
+_PNGTEST = "/usr/share/doc/libpng-dev/examples/pngtest.png"
+
+
+@pytest.mark.skipif(not glob.os.path.exists(_PNGTEST),
+                    reason="libpng pngtest.png absent")
+def test_png_exif_and_text_meta_scrub():
+    """PNG half of the privacy pass, pinned on libpng's own canonical
+    test image — which ships a REAL big-endian eXIf chunk (orientation
+    5) plus tEXt/zTXt/tIME: parse reports them, the scrub drops exactly
+    the metadata chunks (no CRC rewrite needed — whole-chunk removal),
+    rendering chunks and pixels stay bit-identical."""
+    from ai_invoice_ocr_engine_spark.exif import png_chunks
+
+    data = open(_PNGTEST, "rb").read()
+    m = parse_exif(data)
+    assert m["has_exif"] and m["endian"] == "MM" and m["orientation"] == 5
+    assert m["has_text_meta"] and m["has_gps"] is False
+
+    s = scrub_exif(data)
+    kinds = [t for t, *_ in png_chunks(s)]
+    assert b"eXIf" not in kinds and b"tEXt" not in kinds
+    assert b"zTXt" not in kinds and b"tIME" not in kinds
+    assert b"pHYs" in kinds and b"gAMA" in kinds  # rendering chunks kept
+    assert np.array_equal(decode_image(data), decode_image(s))
+    m2 = parse_exif(s)
+    assert m2 == {"has_exif": False, "has_gps": False,
+                  "has_text_meta": False}
+    assert scrub_exif(s) == s  # idempotent
+
+
+@pytest.mark.skipif(not glob.os.path.exists(_PNGTEST),
+                    reason="libpng pngtest.png absent")
+def test_png_exif_gps_chunk_detected_and_scrubbed():
+    """A PNG eXIf chunk carrying GPS (synthetic TIFF spliced as a chunk,
+    CRC-correct): census decodes the position, scrub removes it."""
+    import zlib
+
+    from ai_invoice_ocr_engine_spark.exif import png_chunks
+
+    base = open(_PNGTEST, "rb").read()
+    # strip its own metadata first, then add our GPS eXIf after IHDR
+    clean = scrub_exif(base)
+    tiff = _gps_exif_app1("II")[6:]  # drop the 'Exif\0\0' JPEG prefix
+    chunk = (
+        struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+        + struct.pack(">I", zlib.crc32(b"eXIf" + tiff) & 0xFFFFFFFF)
+    )
+    ihdr_end = next(b for t, a, b, *_ in png_chunks(clean) if t == b"IHDR")
+    tagged = clean[:ihdr_end] + chunk + clean[ihdr_end:]
+    m = parse_exif(tagged)
+    assert m["has_gps"] is True and m["orientation"] == 6
+    assert abs(m["gps_lat"] - 37.775) < 1e-3
+    s = scrub_exif(tagged)
+    assert parse_exif(s)["has_gps"] is False
+    assert np.array_equal(decode_image(tagged), decode_image(s))

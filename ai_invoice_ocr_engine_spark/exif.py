@@ -168,6 +168,9 @@ def parse_exif(data: bytes) -> dict:
             elif typ in PNG_META_CHUNKS:
                 out["has_text_meta"] = True
         return out
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        # bare TIFF container: the file IS the EXIF structure
+        return _parse_tiff(data, 0, len(data))
     loc = _find_exif(data)
     if loc is None:
         return {"has_exif": False, "has_gps": False}
@@ -245,6 +248,17 @@ def scrub_exif(data: bytes) -> bytes:
     whole — chunk removal needs no CRC rewrite and PNG consumers ignore
     absent ancillary chunks, so pixels and rendering chunks stay
     byte-identical. Media without metadata pass through unchanged."""
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        # a TIFF's IFD offsets interleave with strip data — a surgical
+        # rewrite risks corrupting pixels, so geo-tagged TIFFs are a loud
+        # seam: transcode (decode_image -> encode_png) instead
+        if parse_exif(data).get("has_gps"):
+            raise NotImplementedError(
+                "TIFF container carries GPS in its root IFD structure; "
+                "scrub by transcoding (decode_image -> encode_png), not "
+                "by IFD surgery"
+            )
+        return data
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         spans = [
             (a, b)

@@ -75,6 +75,26 @@ def _find_exif(data: bytes):
     return None
 
 
+_XMP_HDR = b"http://ns.adobe.com/xap/1.0/\x00"
+_PSIR_HDR = b"Photoshop 3.0\x00"
+
+
+def _jpeg_meta_spans(data: bytes):
+    """Spans of the OTHER metadata carriers in a JPEG — each can hold
+    location or free-text payloads the EXIF rebuild would miss: APP1-XMP
+    (RDF/XML with exif:GPS* properties), APP13 Photoshop IRB (IPTC
+    location/caption records), and COM comment segments."""
+    out = []
+    for m, a, b in jpeg_segments(data):
+        if m == 0xE1 and data[a + 4 : a + 4 + len(_XMP_HDR)] == _XMP_HDR:
+            out.append(("xmp", a, b))
+        elif m == 0xED and data[a + 4 : a + 4 + len(_PSIR_HDR)] == _PSIR_HDR:
+            out.append(("iptc", a, b))
+        elif m == 0xFE:
+            out.append(("comment", a, b))
+    return out
+
+
 def _read_ifd(data: bytes, base: int, off: int, fmt: str, end: int):
     """One IFD as {tag: (type, count, value_bytes)}; out-of-bounds entries
     are skipped (torn EXIF must not take the scan down)."""
@@ -173,9 +193,21 @@ def parse_exif(data: bytes) -> dict:
         return _parse_tiff(data, 0, len(data))
     loc = _find_exif(data)
     if loc is None:
-        return {"has_exif": False, "has_gps": False}
-    _a, seg_end, t = loc
-    return _parse_tiff(data, t, seg_end)
+        out = {"has_exif": False, "has_gps": False}
+    else:
+        _a, seg_end, t = loc
+        out = _parse_tiff(data, t, seg_end)
+    try:
+        kinds = {k for k, _a, _b in _jpeg_meta_spans(data)}
+    except ValueError:
+        kinds = set()
+    out["has_xmp"] = "xmp" in kinds
+    out["has_iptc"] = "iptc" in kinds
+    out["has_comment"] = "comment" in kinds
+    # XMP GPS properties are plain text in the RDF packet
+    if out["has_xmp"]:
+        out["xmp_has_gps"] = b"exif:GPS" in data
+    return out
 
 
 def _parse_tiff(data: bytes, t: int, seg_end: int) -> dict:
@@ -274,9 +306,25 @@ def scrub_exif(data: bytes) -> bytes:
             pos = b
         out += data[pos:]
         return bytes(out)
+    # JPEG: drop the OTHER metadata carriers whole (APP1-XMP — RDF can
+    # hold exif:GPS* properties — APP13 Photoshop/IPTC, COM comments;
+    # APP0 JFIF, APP2 ICC and APP14 Adobe stay: decode/rendering needs
+    # them), and rebuild the Exif APP1 to the whitelist
+    try:
+        drops = [(a, b) for _k, a, b in _jpeg_meta_spans(data)]
+    except ValueError:
+        drops = []
     loc = _find_exif(data)
     if loc is None:
-        return data
+        if not drops:
+            return data
+        out = bytearray()
+        pos = 0
+        for a, b in sorted(drops):
+            out += data[pos:a]
+            pos = b
+        out += data[pos:]
+        return bytes(out)
     seg_start, seg_end, _t = loc
     meta = parse_exif(data)
 
@@ -327,7 +375,15 @@ def scrub_exif(data: bytes) -> bytes:
         tiff = b"II*\x00" + struct.pack("<I", 8) + _build_ifd(entries)
     payload = b"Exif\x00\x00" + tiff
     seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
-    return data[:seg_start] + seg + data[seg_end:]
+    edits = sorted([(a, b, b"") for a, b in drops] + [(seg_start, seg_end, seg)])
+    out = bytearray()
+    pos = 0
+    for a, b, repl in edits:
+        out += data[pos:a]
+        out += repl
+        pos = b
+    out += data[pos:]
+    return bytes(out)
 
 
 def _build_sub_ifd(entries, base_off: int) -> bytes:

@@ -85,11 +85,13 @@ def test_os_exif_jpeg_parse_and_scrub():
     assert m["has_exif"] and m["endian"] == "MM"
     assert m["orientation"] == 1 and m["resolution_unit"] == 2
     assert m["pixel_x_dimension"] == 161 and m["has_gps"] is False
+    assert m["has_iptc"] is True  # real Photoshop APP13 in the OS file
     s = scrub_exif(data)
     assert np.array_equal(decode_image(data), decode_image(s))
     m2 = parse_exif(s)
     assert m2["orientation"] == 1 and m2["pixel_x_dimension"] == 161
     assert m2["has_gps"] is False
+    assert m2["has_iptc"] is False  # Photoshop IRB dropped whole
     # idempotent
     assert scrub_exif(s) == s
 
@@ -118,7 +120,9 @@ def test_gps_parse_and_scrub_both_endians(endian):
 def test_no_exif_passthrough_and_torn_exif_safe():
     base = open(_OS_PLAIN_JPG, "rb").read()
     assert scrub_exif(base) == base  # no EXIF -> byte-identical
-    assert parse_exif(base) == {"has_exif": False, "has_gps": False}
+    m0 = parse_exif(base)
+    assert m0["has_exif"] is False and m0["has_gps"] is False
+    assert not m0["has_xmp"] and not m0["has_iptc"]
     # torn EXIF: truncate inside the IFD — parse degrades, never raises
     tagged = bytearray(_with_gps(base, "II"))
     payload = b"Exif\x00\x00II*\x00" + struct.pack("<I", 8) + b"\x10"
@@ -225,8 +229,8 @@ def test_png_exif_and_text_meta_scrub():
     assert b"pHYs" in kinds and b"gAMA" in kinds  # rendering chunks kept
     assert np.array_equal(decode_image(data), decode_image(s))
     m2 = parse_exif(s)
-    assert m2 == {"has_exif": False, "has_gps": False,
-                  "has_text_meta": False}
+    assert m2["has_exif"] is False and m2["has_gps"] is False
+    assert m2["has_text_meta"] is False
     assert scrub_exif(s) == s  # idempotent
 
 
@@ -309,3 +313,35 @@ def test_tiff_container_census_and_loud_scrub_seam():
     m2 = parse_exif(clean)
     assert m2["has_exif"] and m2["orientation"] == 3 and not m2["has_gps"]
     assert scrub_exif(clean) == clean
+
+
+@pytest.mark.skipif(not glob.os.path.exists(_OS_PLAIN_JPG),
+                    reason="OS plain JPEG absent")
+def test_xmp_and_comment_segments_scrubbed():
+    """The non-EXIF metadata carriers: an APP1-XMP packet with exif:GPS
+    properties and a COM comment are censused and dropped whole; pixels
+    identical; works with or without an EXIF segment present."""
+    base = open(_OS_PLAIN_JPG, "rb").read()
+    xmp = (b"http://ns.adobe.com/xap/1.0/\x00"
+           b'<x:xmpmeta><rdf:Description exif:GPSLatitude="37,46.5N"/>'
+           b"</x:xmpmeta>")
+    com = b"shot on my phone at home"
+    segs = (b"\xff\xe1" + struct.pack(">H", len(xmp) + 2) + xmp
+            + b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com)
+    tagged = base[:2] + segs + base[2:]
+    m = parse_exif(tagged)
+    assert m["has_xmp"] and m["xmp_has_gps"] and m["has_comment"]
+    assert m["has_exif"] is False
+    s = scrub_exif(tagged)
+    m2 = parse_exif(s)
+    assert not m2["has_xmp"] and not m2["has_comment"]
+    assert b"GPSLatitude" not in s and b"shot on my phone" not in s
+    assert np.array_equal(decode_image(tagged), decode_image(s))
+
+    # and combined with a GPS EXIF segment: everything goes in one pass
+    both = _with_gps(tagged, "II")
+    s2 = scrub_exif(both)
+    m3 = parse_exif(s2)
+    assert m3["has_exif"] and not m3["has_gps"] and not m3["has_xmp"]
+    assert m3["orientation"] == 6
+    assert np.array_equal(decode_image(both), decode_image(s2))

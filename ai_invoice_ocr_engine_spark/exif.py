@@ -171,6 +171,63 @@ def png_chunks(data: bytes):
 #: carry arbitrary key-value text; tIME is a capture timestamp)
 PNG_META_CHUNKS = (b"eXIf", b"tEXt", b"zTXt", b"iTXt", b"tIME")
 
+#: GIF application-extension identifiers that CONTROL rendering (looping)
+#: and therefore survive the scrub; everything else (XMP Data, ICC, …)
+#: is metadata
+GIF_SAFE_APPS = (b"NETSCAPE2.0", b"ANIMEXTS1.0")
+
+
+def gif_blocks(data: bytes):
+    """Walk a GIF's block structure exactly: yields (kind, start, end)
+    with kind ∈ {'ext:<label>', 'image', 'trailer'}; ``start``/``end``
+    bound the whole block incl. sub-block chains."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    i = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data):
+            n = data[p]
+            p += 1 + n
+            if n == 0:
+                return p
+        raise ValueError("GIF sub-block chain truncated")
+
+    while i < len(data):
+        b0 = data[i]
+        if b0 == 0x3B:
+            yield "trailer", i, i + 1
+            return
+        if b0 == 0x21:
+            label = data[i + 1]
+            end = skip_subblocks(i + 2)
+            yield f"ext:{label:02x}", i, end
+            i = end
+        elif b0 == 0x2C:
+            lflags = data[i + 9]
+            p = i + 10 + (3 * (2 << (lflags & 7)) if lflags & 0x80 else 0)
+            p += 1  # LZW min code size
+            end = skip_subblocks(p)
+            yield "image", i, end
+            i = end
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x} at {i}")
+
+
+def _gif_meta_spans(data: bytes):
+    """Comment extensions and non-rendering application extensions (the
+    GIF carriers of free text and XMP packets)."""
+    out = []
+    for kind, a, b in gif_blocks(data):
+        if kind == "ext:fe":
+            out.append(("comment", a, b))
+        elif kind == "ext:ff":
+            app_id = data[a + 3 : a + 3 + data[a + 2]]
+            if app_id not in GIF_SAFE_APPS:
+                out.append(("xmp" if app_id[:3] == b"XMP" else "app", a, b))
+    return out
+
 
 def parse_exif(data: bytes) -> dict:
     """EXIF facts for a JPEG or PNG: safe tags, plus ``has_gps`` and
@@ -187,6 +244,15 @@ def parse_exif(data: bytes) -> dict:
                 out = sub
             elif typ in PNG_META_CHUNKS:
                 out["has_text_meta"] = True
+        return out
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        out = {"has_exif": False, "has_gps": False}
+        kinds = {k for k, _a, _b in _gif_meta_spans(data)}
+        out["has_comment"] = "comment" in kinds
+        out["has_xmp"] = "xmp" in kinds
+        out["has_app_meta"] = bool(kinds & {"xmp", "app"})
+        if out["has_xmp"]:
+            out["xmp_has_gps"] = b"exif:GPS" in data
         return out
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         # bare TIFF container: the file IS the EXIF structure
@@ -280,6 +346,17 @@ def scrub_exif(data: bytes) -> bytes:
     whole — chunk removal needs no CRC rewrite and PNG consumers ignore
     absent ancillary chunks, so pixels and rendering chunks stay
     byte-identical. Media without metadata pass through unchanged."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        spans = [(a, b) for _k, a, b in _gif_meta_spans(data)]
+        if not spans:
+            return data
+        out = bytearray()
+        pos = 0
+        for a, b in sorted(spans):
+            out += data[pos:a]
+            pos = b
+        out += data[pos:]
+        return bytes(out)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         # a TIFF's IFD offsets interleave with strip data — a surgical
         # rewrite risks corrupting pixels, so geo-tagged TIFFs are a loud

@@ -345,3 +345,66 @@ def test_xmp_and_comment_segments_scrubbed():
     assert m3["has_exif"] and not m3["has_gps"] and not m3["has_xmp"]
     assert m3["orientation"] == 6
     assert np.array_equal(decode_image(both), decode_image(s2))
+
+
+_OS_GIFS = sorted(
+    glob.glob("/usr/share/**/*.gif", recursive=True)
+    + glob.glob("/usr/lib/google-cloud-sdk/**/*.gif", recursive=True)
+)
+
+
+@pytest.mark.skipif(len(_OS_GIFS) < 10, reason="OS GIF population absent")
+def test_gif_comment_and_app_ext_scrub_population():
+    """GIF half of the privacy pass over the real OS GIF population:
+    comment extensions and non-rendering application extensions are
+    censused and dropped; NETSCAPE looping control survives; every
+    frame decodes pixel-identically after the scrub."""
+    from ai_invoice_ocr_engine_spark.exif import gif_blocks
+    from ai_invoice_ocr_engine_spark.gif import gif_frames
+
+    n_meta = 0
+    for p in _OS_GIFS:
+        data = open(p, "rb").read()
+        try:
+            m = parse_exif(data)
+        except ValueError:
+            continue
+        if not (m.get("has_comment") or m.get("has_app_meta")):
+            assert scrub_exif(data) == data, p  # pass-through
+            continue
+        n_meta += 1
+        s = scrub_exif(data)
+        m2 = parse_exif(s)
+        assert not m2["has_comment"] and not m2["has_app_meta"], p
+        for x, y in zip(gif_frames(data), gif_frames(s)):
+            assert np.array_equal(x, y), p
+        assert scrub_exif(s) == s, p  # idempotent
+    assert n_meta >= 5  # the population genuinely exercises the scrub
+
+
+def test_gif_xmp_app_ext_detected_netscape_kept():
+    """Synthetic GIF with BOTH a NETSCAPE looping extension (rendering
+    control — must survive) and an XMP Data application extension with a
+    GPS property (must go)."""
+    from ai_invoice_ocr_engine_spark.exif import gif_blocks
+    from ai_invoice_ocr_engine_spark.functions.multimodal import decode_frame
+    from ai_invoice_ocr_engine_spark.gif import encode_gif
+
+    base = encode_gif([np.full((8, 9), 7, np.uint8)])
+    loop = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    xmp_payload = b'<rdf exif:GPSLatitude="1,2N"/>'
+    xmp = (b"\x21\xff\x0bXMP DataXMP"
+           + bytes([len(xmp_payload)]) + xmp_payload + b"\x00")
+    # insert after header+LSD+GCT (before first block)
+    first = min(a for _k, a, _b in gif_blocks(base))
+    tagged = base[:first] + loop + xmp + base[first:]
+    m = parse_exif(tagged)
+    assert m["has_xmp"] and m["xmp_has_gps"] and m["has_app_meta"]
+    s = scrub_exif(tagged)
+    assert b"GPSLatitude" not in s
+    assert b"NETSCAPE2.0" in s  # rendering control kept
+    m2 = parse_exif(s)
+    assert not m2["has_xmp"] and not m2["has_app_meta"]
+    from ai_invoice_ocr_engine_spark.gif import gif_frames
+
+    assert np.array_equal(gif_frames(tagged)[0], gif_frames(s)[0])

@@ -408,3 +408,102 @@ def test_gif_xmp_app_ext_detected_netscape_kept():
     from ai_invoice_ocr_engine_spark.gif import gif_frames
 
     assert np.array_equal(gif_frames(tagged)[0], gif_frames(s)[0])
+
+
+# ---- property tests: arbitrary EXIF structures never break the scrub
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_tag_entry = st.tuples(
+    st.integers(0x0100, 0xFFFF),          # tag (may collide with known)
+    st.sampled_from([1, 2, 3, 4, 5, 7]),  # type
+    st.binary(min_size=0, max_size=24),   # raw value bytes
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    endian=st.sampled_from(["II", "MM"]),
+    entries=st.lists(_tag_entry, min_size=0, max_size=12),
+    with_gps=st.booleans(),
+    orientation=st.integers(1, 8),
+)
+def test_property_arbitrary_exif_never_breaks_scrub(
+    endian, entries, with_gps, orientation
+):
+    """For ARBITRARY junk IFD entries (random tags/types/values, both
+    endians, optional GPS IFD): parse never raises, scrub removes GPS
+    and keeps a valid image whose pixels are untouched, the surviving
+    orientation equals the input, and scrubbing is idempotent."""
+    if not glob.os.path.exists(_OS_PLAIN_JPG):
+        pytest.skip("OS plain JPEG absent")
+    base = open(_OS_PLAIN_JPG, "rb").read()
+    fmt = "<" if endian == "II" else ">"
+
+    ents = [(0x0112, 3, 1, struct.pack(fmt + "H", orientation))]
+    for tag, typ, raw in entries:
+        if tag in (0x0112, 0x8769, 0x8825):
+            continue
+        size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}[typ]
+        cnt = max(1, len(raw) // size)
+        val = raw[: cnt * size].ljust(cnt * size, b"\x00")
+        ents.append((tag, typ, cnt, val))
+    gps_off_entry = []
+    n_all = len(ents) + (1 if with_gps else 0)
+    ifd0_size = 2 + 12 * n_all + 4
+    # serialize IFD0 with all values inline-or-after; place GPS IFD after
+    body, tail = b"", b""
+    data_off = 8 + ifd0_size
+    # reserve room for GPS ifd after the value tail: compute later
+    items = sorted(ents)
+    ser = []
+    for tag, typ, cnt, val in items:
+        ser.append((tag, typ, cnt, val))
+    if with_gps:
+        ser.append((0x8825, 4, 1, None))  # patched below
+    ser.sort(key=lambda e: e[0])
+    # first pass to compute tail length
+    tail_len = sum(len(v) for _t, _ty, _c, v in ser if v is not None and len(v) > 4)
+    gps_off = 8 + ifd0_size + tail_len
+    for tag, typ, cnt, val in ser:
+        if val is None:
+            body += struct.pack(fmt + "HHI", tag, typ, cnt) + struct.pack(
+                fmt + "I", gps_off
+            )
+        elif len(val) <= 4:
+            body += struct.pack(fmt + "HHI", tag, typ, cnt) + val.ljust(4, b"\x00")
+        else:
+            body += struct.pack(fmt + "HHII", tag, typ, cnt, data_off + len(tail))
+            tail += val
+    tiff = (
+        (b"II*\x00" if endian == "II" else b"MM\x00*")
+        + struct.pack(fmt + "I", 8)
+        + struct.pack(fmt + "H", len(ser)) + body + struct.pack(fmt + "I", 0)
+        + tail
+    )
+    if with_gps:
+        g = _gps_exif_app1(endian)
+        # reuse the GPS IFD bytes from the canonical builder: rebuild at
+        # our offset instead — simplest is appending a fresh minimal GPS
+        # IFD with inline refs only
+        gps_ifd = (
+            struct.pack(fmt + "H", 2)
+            + struct.pack(fmt + "HHI", 0x0001, 2, 2) + b"N\x00\x00\x00"
+            + struct.pack(fmt + "HHI", 0x0002, 5, 3)
+            + struct.pack(fmt + "I", gps_off + 2 + 24 + 4)
+            + struct.pack(fmt + "I", 0)
+            + b"".join(struct.pack(fmt + "II", x, 1) for x in (10, 20, 30))
+        )
+        tiff += gps_ifd
+    payload = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    tagged = base[:2] + seg + base[2:]
+
+    m = parse_exif(tagged)          # never raises
+    assert m["has_exif"] is True
+    assert m["has_gps"] is (True if with_gps else False)
+    s = scrub_exif(tagged)
+    m2 = parse_exif(s)
+    assert m2["has_gps"] is False
+    assert m2["orientation"] == orientation
+    assert np.array_equal(decode_image(tagged), decode_image(s))
+    assert scrub_exif(s) == s
